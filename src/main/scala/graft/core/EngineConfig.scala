@@ -1,0 +1,55 @@
+package graft.core
+
+/** Layered, dot-notation configuration.
+  *
+  * Mirrors the reference's resolution order (config.py:64-122): environment
+  * variable > caller overrides > defaults. Env lookup translates
+  * `etl.transform.null_handling` to `GRAFT_ETL_TRANSFORM_NULL_HANDLING`
+  * (the reference uses the same dot->ENV convention, config.py:87-100).
+  * No YAML layer — overrides are passed programmatically or via env.
+  */
+final case class EngineConfig(
+    overrides: Map[String, String] = Map.empty,
+    env: Map[String, String] = sys.env
+) {
+
+  private def envKey(key: String): String =
+    "GRAFT_" + key.toUpperCase.replaceAll("[.\\-]", "_")
+
+  def get(key: String): Option[String] =
+    env.get(envKey(key)).orElse(overrides.get(key)).orElse(EngineConfig.defaults.get(key))
+
+  def getString(key: String, default: String): String = get(key).getOrElse(default)
+
+  def getInt(key: String, default: Int): Int =
+    get(key).flatMap(_.toIntOption).getOrElse(default)
+
+  def getBoolean(key: String, default: Boolean): Boolean =
+    get(key).map(_.trim.toLowerCase).flatMap {
+      case "true" | "1" | "yes" | "on"  => Some(true)
+      case "false" | "0" | "no" | "off" => Some(false)
+      case _                            => None
+    }.getOrElse(default)
+
+  def getDouble(key: String, default: Double): Double =
+    get(key).flatMap(_.toDoubleOption).getOrElse(default)
+
+  def withOverride(key: String, value: String): EngineConfig =
+    copy(overrides = overrides + (key -> value))
+}
+
+object EngineConfig {
+
+  /** Engine defaults, mirroring the reference's config.yaml:75-99. */
+  val defaults: Map[String, String] = Map(
+    "etl.transform.null_handling" -> "drop", // drop | fill | flag | none
+    "etl.transform.deduplicate" -> "true",
+    "etl.transform.numeric_parse_threshold" -> "0.8", // transformer.py:194
+    "etl.load.output_format" -> "parquet", // parquet | csv | json
+    "etl.load.compression" -> "snappy",
+    "etl.load.partition_on_data" -> "false", // wall-clock pathing by default (loader.py:88)
+    "etl.extract.max_file_size_mb" -> "100"
+  )
+
+  def default: EngineConfig = EngineConfig()
+}

@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Replaces the reference's process bootstrap (lambda_handler.py:63-66): one
+  * shared SparkSession instead of per-invocation boto3 clients. Defaults are
+  * chosen for correctness-portability (UTC, ANSI-off try_* semantics) and
+  * scale (AQE on, shuffle partitions sized to the local core count rather
+  * than Spark's default 200 — on a real cluster callers pass the cluster
+  * parallelism instead).
+  */
+object EngineSession {
+
+  def builder(
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft-engine"
+  ): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def create(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,120 @@
+package graft.sinks
+
+import java.time.{Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+
+import graft.core.{FileFormat, SinkSpec}
+
+/** Sink layer (loader.py:42-151): format switch, partitioned destination,
+  * empty-skip, write stats, archive move.
+  *
+  * Reference parity: wall-clock Hive path `processed/year=Y/month=M/day=D/`
+  * + one object per job (loader.py:77-96 — partitioning by *job* date, not
+  * data date). Scale path: `partitionOnData = true` writes with
+  * `partitionBy("_year","_month","_day")` so downstream readers get real
+  * partition pruning on data dates (the upgrade config.yaml:91-93 gestures
+  * at but the reference never implements).
+  */
+object Writers {
+
+  final case class LoadResult(
+      status: String, // success | skipped
+      destination: String,
+      format: String,
+      rowsLoaded: Long,
+      fileSizeBytes: Long
+  )
+
+  /** L0-L6. `jobDate` is injectable for deterministic tests (defaults to
+    * wall clock like loader.py:88).
+    */
+  def load(
+      df: DataFrame,
+      jobId: String,
+      sink: SinkSpec,
+      jobDate: Instant = Instant.now()
+  ): LoadResult = {
+    // L0 empty-skip (loader.py:53-59). isEmpty costs one short-circuiting
+    // job (LocalLimit 1), not a full count.
+    if (df.columns.isEmpty || df.isEmpty)
+      return LoadResult("skipped", "", sink.format.name, 0L, 0L)
+
+    val dest =
+      if (sink.partitionOnData) s"${sink.dir.stripSuffix("/")}/processed/$jobId"
+      else s"${sink.dir.stripSuffix("/")}/${wallClockPartitionPath(jobDate)}/$jobId"
+
+    val writer = {
+      val base = df.write.mode("overwrite")
+      val partitioned =
+        if (sink.partitionOnData && Seq("_year", "_month", "_day").forall(df.columns.contains))
+          base.partitionBy("_year", "_month", "_day")
+        else base
+      partitioned
+    }
+
+    sink.format match {
+      case FileFormat.Parquet =>
+        writer.option("compression", sink.compression).parquet(dest)
+      case FileFormat.Csv =>
+        writer.option("header", "true").csv(dest)
+      case FileFormat.Json =>
+        writer.json(dest)
+    }
+
+    val (rows, bytes) = writtenStats(df, dest, sink.format)
+    LoadResult("success", dest, sink.format.name, rows, bytes)
+  }
+
+  /** `processed/year=YYYY/month=MM/day=DD` from the job timestamp
+    * (loader.py:88-96).
+    */
+  def wallClockPartitionPath(at: Instant): String = {
+    val d = at.atZone(ZoneOffset.UTC)
+    f"processed/year=${d.getYear}%04d/month=${d.getMonthValue}%02d/day=${d.getDayOfMonth}%02d"
+  }
+
+  /** L6 write stats (loader.py:128-151 reports rows + bytes): byte size from
+    * the FS content summary; row count by counting the *written* files, not
+    * the input plan — for parquet that collapses to a footer-metadata read,
+    * and it never recomputes the (possibly expensive) upstream transform.
+    */
+  private def writtenStats(df: DataFrame, dest: String, fmt: FileFormat): (Long, Long) = {
+    val spark = df.sparkSession
+    val path = new Path(dest)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val rows = fmt match {
+      case FileFormat.Parquet => spark.read.parquet(dest).count()
+      case FileFormat.Csv     => spark.read.option("header", "true").csv(dest).count()
+      case FileFormat.Json    => spark.read.json(dest).count()
+    }
+    (rows, bytes)
+  }
+
+  /** L7 archive move (loader.py:162-204): relocate a consumed source file to
+    * `archive/{year}/{month}/{basename}`. Pure FS op, no Spark job. Returns
+    * the archive path, or None on failure — archive failures never fail the
+    * job (loader.py:196-204).
+    */
+  def archiveSource(
+      df: DataFrame,
+      sourcePath: String,
+      archiveBase: String,
+      at: Instant = Instant.now()
+  ): Option[String] = {
+    try {
+      val src = new Path(sourcePath)
+      val fs = src.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      val d = at.atZone(ZoneOffset.UTC)
+      val dst = new Path(
+        f"${archiveBase.stripSuffix("/")}/archive/${d.getYear}%04d/${d.getMonthValue}%02d/${src.getName}")
+      fs.mkdirs(dst.getParent)
+      if (fs.rename(src, dst)) Some(dst.toString) else None
+    } catch {
+      case _: Exception => None
+    }
+  }
+}
