@@ -22,7 +22,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.operators.ParityQueries.queries ++ Map(
     // A1-A4 (SURVEY §2.4): hash group-by + multi-agg + arithmetic-in-agg +
     // count + group/order report (reference etl/README.md:679-685 pattern).
     "q1_agg" -> { (s, dir) =>
@@ -40,7 +41,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    graft.operators.ParityQueries.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -11,13 +11,28 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs parquet timestamps (not legacy INT96) so the driver's pyarrow
+      // read yields µs datetimes, same as DuckDB's.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // TIMESTAMP → TIMESTAMP_NTZ on output: session TZ is UTC so wall
+      // clock is unchanged, and the parquet file then carries
+      // isAdjustedToUTC=false — naive datetimes on read, matching what
+      // DuckDB hands the driver's compare.
+      try {
+        val out = fn(spark, sfDir)
+        val norm = out.schema.fields.foldLeft(out) { (d, f) =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
+          else d
+        }
+        norm.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

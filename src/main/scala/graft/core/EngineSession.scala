@@ -27,6 +27,15 @@ object EngineSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Parquet TIMESTAMP(NANOS) (e.g. pandas-written ns columns) is
+      // otherwise an illegal type for the Spark reader; as-long + an
+      // explicit ns→µs conversion at load (Tables.load) matches DuckDB's
+      // truncating read of the same files.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write µs-precision parquet timestamps (the modern logical type;
+      // INT96 is the deprecated default and breaks min/max pushdown in
+      // other readers).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
   def create(): SparkSession = {

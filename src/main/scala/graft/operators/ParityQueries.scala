@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.gold.Gold
+import graft.sources.Tables
+
+/** Oracle-checked queries exercising every relational operator from
+  * SURVEY.md §2 (T1-T10, D1, A1-A7, S7) over the standard test tables, plus
+  * the gold-layer surface (window aggregation, broadcast dim joins, top-k)
+  * a consumer of the silver output runs downstream.
+  *
+  * Conventions (driver compare contract): aggregate/computed columns carry
+  * identical aliases on the Spark and SQL sides; float aggregates are
+  * rounded in-query on both sides; every query has a deterministic ORDER BY
+  * (insurance — the driver also sorts).
+  */
+object ParityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events with nulls planted deterministically (the test tables ship
+    * null-free): value→null where value<5, props→null on error events.
+    * Shared base for the null-handling and profiling queries.
+    */
+  private def nullifiedEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("value",
+        when(col("value") < 5, lit(null).cast("double")).otherwise(col("value")))
+      .withColumn("props",
+        when(col("event_type") === "error", lit(null).cast("string")).otherwise(col("props")))
+
+  private val nullifiedEventsSql =
+    """SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type,
+      |  CASE WHEN value < 5 THEN NULL ELSE value END AS value,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE props END AS props
+      |FROM events""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1: column-name normalization (transformer.py:95-112) as a projection
+    // rename — "Order Key"→order_key, " Quantity (units) "→quantity_units,
+    // "Return-Flag"→returnflag.
+    "q2_clean_names" -> { (s, dir) =>
+      val dirty = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey").as("Order Key"),
+          col("l_quantity").as(" Quantity (units) "),
+          col("l_returnflag").as("Return-Flag"))
+      Stages.cleanColumnNames(dirty)
+        .orderBy("order_key", "quantity_units", "returnflag")
+    },
+
+    // T2: drop rows containing any null.
+    "q3_null_drop" -> { (s, dir) =>
+      val base = nullifiedEvents(s, dir)
+      Stages.handleNulls(base, Stages.NullStrategy.Drop, ColumnStats.collect(base))
+        .orderBy("event_id")
+    },
+
+    // T3: numeric nulls→0, string nulls→"".
+    "q4_null_fill" -> { (s, dir) =>
+      val base = nullifiedEvents(s, dir)
+      Stages.handleNulls(base, Stages.NullStrategy.Fill, ColumnStats.collect(base))
+        .orderBy("event_id")
+    },
+
+    // T4: append {col}_is_null flags for exactly the columns that contain
+    // nulls (data-dependent via the fused ColumnStats aggregate).
+    "q5_null_flag" -> { (s, dir) =>
+      val base = nullifiedEvents(s, dir)
+      Stages.handleNulls(base, Stages.NullStrategy.Flag, ColumnStats.collect(base))
+        .orderBy("event_id")
+    },
+
+    // D1: full-row distinct over a projection.
+    "q6_dedup_distinct" -> { (s, dir) =>
+      Stages.deduplicate(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            year(col("l_shipdate")).as("ship_year")))
+        .orderBy("l_returnflag", "l_linestatus", "ship_year")
+    },
+
+    // T9: date-keyword string columns → timestamp via try_to_timestamp
+    // (null on parse failure ≡ pandas errors="coerce").
+    "q7_cast_dates" -> { (s, dir) =>
+      val base = t(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("string").as("event_time"))
+      Stages.castTypes(base, ColumnStats.collect(base)).orderBy("event_id")
+    },
+
+    // T10: string column → double iff >80% of values parse (qty_str does,
+    // flag_str stays string at parse-rate 0).
+    "q8_cast_numeric" -> { (s, dir) =>
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("string").as("qty_str"),
+          col("l_returnflag").as("flag_str"))
+      Stages.castTypes(base, ColumnStats.collect(base))
+        .orderBy("l_orderkey", "l_linenumber", "qty_str")
+    },
+
+    // T8: _year/_month/_day derived from the first temporal column.
+    "q9_derive_partitions" -> { (s, dir) =>
+      Stages.deriveFields(t(s, dir, "events").select("event_id", "ts", "value"))
+        .select("event_id", "_year", "_month", "_day")
+        .orderBy("event_id")
+    },
+
+    // T7: xxhash64 row hash — engine-defined values (no DuckDB equivalent;
+    // rows-only check). Distinct-hash count == row count proves injectivity
+    // held on this data.
+    "q10_row_hash" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      Stages.deriveFields(base)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_row_hash")).as("n_distinct_hashes"))
+    },
+
+    // S7: batch-union semantics — outer column alignment by name, missing
+    // columns null-filled (pd.concat ≡ unionByName allowMissingColumns).
+    "q11_union_by_name" -> { (s, dir) =>
+      val o = t(s, dir, "orders").filter(col("o_orderkey") < 500)
+      o.select(col("o_orderkey"), col("o_totalprice"))
+        .unionByName(
+          o.select(col("o_orderkey"), col("o_orderpriority")),
+          allowMissingColumns = true)
+        .orderBy("o_orderkey", "o_totalprice", "o_orderpriority")
+    },
+
+    // A5-A7: profiling counters — row count, per-column null counts, exact
+    // distinct count — fused into one aggregate (one scan).
+    "q12_profile_stats" -> { (s, dir) =>
+      nullifiedEvents(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").isNull.cast("long")).as("value_nulls"),
+        sum(col("props").isNull.cast("long")).as("props_nulls"),
+        countDistinct(col("event_type")).as("event_type_distinct"),
+        countDistinct(col("user_id")).as("user_id_distinct"))
+    },
+
+    // A1-A4 via the Gold API over a derived silver frame: daily revenue
+    // report grouped on the derived _year/_month/_day partitions.
+    "q13_gold_daily" -> { (s, dir) =>
+      val silver = Stages.deriveFields(
+        t(s, dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"))
+      Gold.dailyRevenue(silver, "l_quantity", "l_extendedprice")
+        .withColumn("total_revenue", round(col("total_revenue"), 2))
+    },
+
+    // Gold: tumbling-window aggregation (1h) over the event stream table.
+    "q14_window_hourly" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("n_events"), col("sum_value"))
+        .orderBy("hour_start")
+    },
+
+    // Gold: star-schema enrichment — two broadcast dim joins + aggregate.
+    "q15_join_enrich" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Gold: top-k per group via window function (deterministic tiebreak).
+    "q16_topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q2_clean_names" ->
+      """SELECT l_orderkey AS order_key, l_quantity AS quantity_units,
+        |  l_returnflag AS returnflag
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q3_null_drop" ->
+      s"""WITH base AS ($nullifiedEventsSql)
+         |SELECT * FROM base
+         |WHERE value IS NOT NULL AND props IS NOT NULL
+         |ORDER BY event_id""".stripMargin,
+
+    "q4_null_fill" ->
+      s"""WITH base AS ($nullifiedEventsSql)
+         |SELECT event_id, ts, user_id, event_type,
+         |  COALESCE(value, 0) AS value, COALESCE(props, '') AS props
+         |FROM base ORDER BY event_id""".stripMargin,
+
+    "q5_null_flag" ->
+      s"""WITH base AS ($nullifiedEventsSql)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  value IS NULL AS value_is_null, props IS NULL AS props_is_null
+         |FROM base ORDER BY event_id""".stripMargin,
+
+    "q6_dedup_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus,
+        |  EXTRACT(year FROM l_shipdate) AS ship_year
+        |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
+
+    "q7_cast_dates" ->
+      """SELECT event_id,
+        |  TRY_CAST((ts::TIMESTAMP)::VARCHAR AS TIMESTAMP) AS event_time
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q8_cast_numeric" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty_str,
+        |  l_returnflag AS flag_str
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q9_derive_partitions" ->
+      """SELECT event_id,
+        |  EXTRACT(year FROM ts) AS _year,
+        |  EXTRACT(month FROM ts) AS _month,
+        |  EXTRACT(day FROM ts) AS _day
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q11_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |FROM orders WHERE o_orderkey < 500
+        |UNION ALL
+        |SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q12_profile_stats" ->
+      s"""WITH base AS ($nullifiedEventsSql)
+         |SELECT count(*) AS n_rows,
+         |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+         |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls,
+         |  count(DISTINCT event_type) AS event_type_distinct,
+         |  count(DISTINCT user_id) AS user_id_distinct
+         |FROM base""".stripMargin,
+
+    "q13_gold_daily" ->
+      """SELECT EXTRACT(year FROM l_shipdate) AS _year,
+        |  EXTRACT(month FROM l_shipdate) AS _month,
+        |  EXTRACT(day FROM l_shipdate) AS _day,
+        |  count(*) AS order_count,
+        |  round(sum(l_quantity * l_extendedprice), 2) AS total_revenue
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q14_window_hourly" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_join_enrich" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q16_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin
+  )
+}
