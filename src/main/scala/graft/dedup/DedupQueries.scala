@@ -1,0 +1,129 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Driver-contract queries for the deduplication family.
+  *
+  * The test `documents` table ships duplicate-free, so the exact-dedup
+  * queries plant duplicates deterministically (same planting expressed in
+  * the oracle SQL). The near-dup corpus relies on the generator's planted
+  * near-duplicates (all pairwise Jaccard ≥ 0.8 at sf0.01/sf0.1, with a wide
+  * gap to the ~0.2 background).
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** documents ∪ copies of every 10th doc under shifted ids. */
+  private def docsWithDuplicates(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
+  private val docsWithDuplicatesSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hash-keyed keep-first dedup: one representative order per customer,
+    // deterministic (earliest orderdate, then smallest orderkey).
+    "q19_dedup_keepfirst" -> { (s, dir) =>
+      ExactDedup.keepFirst(
+        Tables.load(s, dir, "orders"),
+        keyCols = Seq("o_custkey"),
+        tiebreak = Seq(col("o_orderdate"), col("o_orderkey")))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    },
+
+    // Exact duplicate groups over planted text duplicates: group size +
+    // kept representative per duplicated text.
+    "q20_dedup_exact" -> { (s, dir) =>
+      ExactDedup.duplicateGroups(docsWithDuplicates(s, dir), Seq("text"), "doc_id")
+        .select(col("kept_id"), col("n_copies"))
+        .orderBy("kept_id")
+    },
+
+    // MinHash+LSH near-dup pairs, exact-verified at Jaccard ≥ 0.5. Oracle
+    // is the exact all-pairs computation: equality holds because banded
+    // LSH (32×4) recall at the corpus' planted similarity (≥ 0.8) is
+    // 1 - 6e-8 per pair and the corpus has no pairs in [0.5, 0.8).
+    "q21_minhash_neardup" -> { (s, dir) =>
+      MinHashDedup.nearDuplicatePairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash fingerprints + Hamming-ball pairs over planted exact copies
+    // (distance 0) and organic near-dups. Engine-defined hash values —
+    // rows-only check; the planted copies guarantee non-empty output.
+    "q22_simhash_nearpairs" -> { (s, dir) =>
+      val fps = SimHash.fingerprints(docsWithDuplicates(s, dir), "doc_id", "text")
+      SimHash.nearPairs(fps, "doc_id", maxDistance = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact n-gram Jaccard all-pairs at ≥ 0.5 — the brute-force ground
+    // truth the LSH paths are checked against.
+    "q23_ngram_jaccard" -> { (s, dir) =>
+      NgramJaccard.similarPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  /** Shared DuckDB fragment: distinct 3-shingle hashes per doc ≡
+    * Shingles.shingleSet semantics (whitespace split, space-joined
+    * 3-grams) — except hashes: DuckDB can't reproduce xxhash64, so the
+    * oracle compares on shingle *strings*; set cardinalities are identical
+    * barring xxhash64 collisions within a doc (none at these sizes).
+    */
+  private val shingleSetsSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) i FROM toks WHERE len(ts) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] s FROM idx),
+      |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT id_a, id_b,
+      |    n_common::DOUBLE / (x.n + y.n - n_common) jaccard
+      |  FROM inter
+      |  JOIN sz x ON x.doc_id = id_a
+      |  JOIN sz y ON y.doc_id = id_b)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q19_dedup_keepfirst" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q20_dedup_exact" ->
+      s"""WITH all_docs AS ($docsWithDuplicatesSql)
+         |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
+         |FROM all_docs GROUP BY text HAVING count(*) > 1
+         |ORDER BY kept_id""".stripMargin,
+
+    "q21_minhash_neardup" ->
+      s"""WITH $shingleSetsSql
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         |FROM jac WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q23_ngram_jaccard" ->
+      s"""WITH $shingleSetsSql
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         |FROM jac WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection.
+  *
+  * Classic shingle → minhash-signature → banded-LSH → bucket-join →
+  * exact-verify pipeline (Broder '97 resemblance sketches; the standard
+  * web-dedup construction):
+  *
+  *  1. per doc: distinct shingle hashes (narrow, [[Shingles]])
+  *  2. per doc: k-element minhash signature. Hash function family is
+  *     h_i(x) = xxhash64(i, x) — seeding by prepending the function index
+  *     avoids modular-arithmetic families whose a·x multiplications
+  *     overflow (ANSI mode makes long overflow an error, and mod-2^64
+  *     tricks aren't portable).
+  *  3. signature split into `bands` bands of `rows` values; each band
+  *     hashed to one bucket key. Docs sharing ANY band bucket are
+  *     candidates. With bands=32, rows=4 the candidate threshold is
+  *     (1/32)^(1/4) ≈ 0.42, so recall for Jaccard ≥ 0.5 pairs is ~0.87 per
+  *     band-miss-model and ≥ 1-6e-8 for the ≥ 0.8 pairs this stage exists
+  *     to catch.
+  *  4. candidates exact-verified with true Jaccard on the shingle sets —
+  *     LSH false positives never reach the output.
+  *
+  * Scale shape: stages 1-2 are per-row codegen; the only shuffles are the
+  * bucket-join (on a 64-bit bucket key, `bands` rows per doc) and the final
+  * distinct on pairs. Nothing ever materializes O(n²).
+  */
+object MinHashDedup {
+
+  /** k-element minhash signature of a shingle-set column. */
+  def signature(shingleSet: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleSet, x => xxhash64(lit(i), x)))): _*)
+
+  /** Candidate pairs (idA < idB) from banded LSH over the signature.
+    * Input: df with `idCol` and `sigCol` (array of k longs).
+    */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bands: Int,
+      rows: Int
+  ): DataFrame = {
+    // One row per (doc, band): bucket = xxhash64(band_index, sig slice).
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (0 until rows).map(r => col(sigCol)(b * rows + r)): _*)
+          .as("bucket"))
+    }
+    val exploded = df
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val a = exploded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = exploded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Full near-dup pipeline over a document table: pairs with exact
+    * Jaccard ≥ `threshold`, plus the estimate-free exact similarity.
+    */
+  def nearDuplicatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      shingleWidth: Int = 3,
+      bands: Int = 32,
+      rows: Int = 4
+  ): DataFrame = {
+    val withSets = docs
+      .select(col(idCol), Shingles.shingleSet(col(textCol), shingleWidth).as("shset"))
+      .filter(size(col("shset")) > 0)
+    val withSig = withSets
+      .withColumn("sig", signature(col("shset"), bands * rows))
+
+    val cands = candidatePairs(withSig, idCol, "sig", bands, rows)
+
+    val setsA = withSets.select(col(idCol).as("id_a"), col("shset").as("set_a"))
+    val setsB = withSets.select(col(idCol).as("id_b"), col("shset").as("set_b"))
+    cands
+      .join(setsA, "id_a")
+      .join(setsB, "id_b")
+      .withColumn("jaccard", Shingles.jaccard(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}
