@@ -24,7 +24,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.ParityQueries.queries ++
-      graft.dedup.DedupQueries.queries ++ Map(
+      graft.dedup.DedupQueries.queries ++
+      graft.similarity.SimilarityQueries.queries ++ Map(
     // A1-A4 (SURVEY §2.4): hash group-by + multi-agg + arithmetic-in-agg +
     // count + group/order report (reference etl/README.md:679-685 pattern).
     "q1_agg" -> { (s, dir) =>
@@ -44,7 +45,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.operators.ParityQueries.oracles ++
-      graft.dedup.DedupQueries.oracles ++ Map(
+      graft.dedup.DedupQueries.oracles ++
+      graft.similarity.SimilarityQueries.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

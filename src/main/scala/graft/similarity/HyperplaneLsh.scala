@@ -1,0 +1,82 @@
+package graft.similarity
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane LSH (Charikar '02 SRP) — the approximate scale path
+  * for cosine similarity search.
+  *
+  * Each vector gets an `nPlanes`-bit signature (bit i = sign of the dot
+  * product with Gaussian hyperplane i); vectors are bucketed by signature,
+  * and search only compares within a bucket (plus, optionally, all
+  * Hamming-distance-1 probe buckets — multi-probe trades one more
+  * candidate fan-out for recall without more tables).
+  *
+  * P[bit match] = 1 - θ/π, so a 0.4-cosine pair (θ ≈ 66°) agrees on a
+  * 6-bit signature with p ≈ 0.63^6 ≈ 6% per table — hence multi-probe
+  * and/or a handful of signature repetitions in practice. The point of
+  * the structure is the *plan*: candidate generation is one narrow
+  * projection + one equi-join on a small long key, never O(n²).
+  *
+  * Hyperplanes are pseudo-random but deterministic (fixed seed), so plans
+  * are reproducible run-to-run.
+  */
+object HyperplaneLsh {
+
+  /** `nPlanes` Gaussian hyperplanes of dimension `dim`, seeded. */
+  def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Signature column: long bucket id from sign bits of plane dots. */
+  def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorOps.dot(vec, typedLit(p)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Buckets at Hamming distance ≤ 1 from the signature (the signature
+    * itself plus one bit-flip per plane).
+    */
+  def probeBuckets(sig: Column, nPlanes: Int): Column =
+    array(sig +: (0 until nPlanes).map(i => sig.bitwiseXOR(shiftleft(lit(1L), i))): _*)
+
+  /** Approximate per-query nearest neighbor: best cosine among bucket
+    * candidates (multi-probe on the query side), with the candidate count
+    * for recall diagnostics. Queries with an empty candidate set are
+    * absent from the output.
+    */
+  def approxNearest(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 6,
+      seed: Long = 42L,
+      dim: Int = 64
+  ): DataFrame = {
+    val ps = planes(dim, nPlanes, seed)
+    val v = vectors.select(
+      col(idCol).as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("sig", signature(col("v"), ps))
+
+    val probes = v
+      .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
+        explode(probeBuckets(col("sig"), nPlanes)).as("bucket"))
+    val cands = v
+      .select(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
+        col("sig").as("bucket"))
+
+    probes
+      .join(cands, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        round(max(col("cosine")), 6).as("best_cosine"))
+  }
+}

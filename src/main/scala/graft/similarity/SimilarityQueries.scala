@@ -1,0 +1,93 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Driver-contract queries for embedding similarity search over the
+  * `embeddings` table (vec_id, embedding float[64], label).
+  *
+  * Oracle notes: both engines evaluate the dot product as a sequential
+  * left-to-right double sum over the same element order, so cosines agree
+  * bit-for-bit and the 6-dp rounding is insurance, not a fudge.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact per-vector nearest-neighbor distance (max cosine to any other
+    // vector) — brute force, the ANN correctness baseline.
+    "q24_knn_bruteforce" -> { (s, dir) =>
+      BruteForceKnn.topK(emb(s, dir), emb(s, dir), "vec_id", "embedding", k = 1)
+        .groupBy(col("query_id").as("vec_id"))
+        .agg(round(max(col("cosine")), 6).as("max_cos"))
+        .orderBy("vec_id")
+    },
+
+    // Approximate NN via 6-bit random-hyperplane LSH with Hamming-1
+    // multi-probe. Engine-defined hyperplanes — rows-only check; the
+    // companion spec asserts recall against the brute-force baseline.
+    "q25_ann_lsh" -> { (s, dir) =>
+      HyperplaneLsh.approxNearest(emb(s, dir), "vec_id", "embedding")
+        .orderBy("query_id")
+    },
+
+    // Exact embedding-space near-duplicate pairs at cosine ≥ 0.4.
+    "q26_embed_neardup" -> { (s, dir) =>
+      BruteForceKnn.nearDuplicatePairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact top-3 neighbors with ids and ranks (deterministic tiebreak).
+    "q27_knn_topk" -> { (s, dir) =>
+      BruteForceKnn.topK(emb(s, dir), emb(s, dir), "vec_id", "embedding", k = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rnk")
+    }
+  )
+
+  /** Shared DuckDB fragment: id, double vector, norm. */
+  private val vecsSql =
+    """vecs AS (
+      |  SELECT vec_id, embedding::DOUBLE[] v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) n
+      |  FROM embeddings)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q24_knn_bruteforce" ->
+      s"""WITH $vecsSql,
+         |p AS (
+         |  SELECT a.vec_id, list_dot_product(a.v, b.v) / (a.n * b.n) c
+         |  FROM vecs a JOIN vecs b ON a.vec_id != b.vec_id)
+         |SELECT vec_id, round(max(c), 6) AS max_cos
+         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q26_embed_neardup" ->
+      s"""WITH $vecsSql,
+         |p AS (
+         |  SELECT a.vec_id id_a, b.vec_id id_b,
+         |    list_dot_product(a.v, b.v) / (a.n * b.n) cosine
+         |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine
+         |FROM p WHERE cosine >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_knn_topk" ->
+      s"""WITH $vecsSql,
+         |p AS (
+         |  SELECT a.vec_id query_id, b.vec_id neighbor_id,
+         |    list_dot_product(a.v, b.v) / (a.n * b.n) cosine
+         |  FROM vecs a JOIN vecs b ON a.vec_id != b.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) rnk
+         |  FROM p)
+         |SELECT query_id, neighbor_id, rnk, round(cosine, 6) AS cosine
+         |FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin
+  )
+}
