@@ -25,7 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.ParityQueries.queries ++
       graft.dedup.DedupQueries.queries ++
-      graft.similarity.SimilarityQueries.queries ++ Map(
+      graft.similarity.SimilarityQueries.queries ++
+      graft.text.TextQueries.queries ++ Map(
     // A1-A4 (SURVEY §2.4): hash group-by + multi-agg + arithmetic-in-agg +
     // count + group/order report (reference etl/README.md:679-685 pattern).
     "q1_agg" -> { (s, dir) =>
@@ -46,7 +47,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.operators.ParityQueries.oracles ++
       graft.dedup.DedupQueries.oracles ++
-      graft.similarity.SimilarityQueries.oracles ++ Map(
+      graft.similarity.SimilarityQueries.oracles ++
+      graft.text.TextQueries.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Driver-contract queries for the text-analysis columns over `documents`.
+  * Every heuristic is replicated in ANSI-ish DuckDB SQL for the oracle —
+  * the engine's and the oracle's arithmetic is plain int/double math over
+  * identical token lists, so values match exactly (6-dp rounding as
+  * insurance on the ratios).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + surface statistics.
+    "q30_text_stats" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        length(col("text")).as("n_chars_computed"),
+        round(TextAnalysis.meanTokenLength(col("text")), 6).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style quality components + composite score.
+    "q31_quality" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Marker-word language ID, aggregated to predicted-language counts.
+    "q32_lang_id" -> { (s, dir) =>
+      docs(s, dir)
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_pred")
+    },
+
+    // Order-sensitive xxhash64-chain fingerprint: engine-defined values
+    // (rows-only); distinct-fingerprint count == doc count on this corpus.
+    "q33_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fingerprint")).as("n_distinct_fingerprints"))
+    }
+  )
+
+  private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpeish,
+        |  length(text) AS n_chars_computed,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+        |    ELSE 0.0 END, 6) AS mean_tok_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q31_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '\\s+') ltoks,
+         |    len(regexp_split_to_array(text, '\\s+')) n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, n_tok,
+         |    len(list_filter(ltoks, x -> x IN ($stopList))) n_stop,
+         |    CASE WHEN length(text) > 0
+         |      THEN length(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text)
+         |      ELSE 0.0 END p_ratio
+         |  FROM t)
+         |SELECT doc_id, n_stop AS n_stopwords,
+         |  round(p_ratio, 6) AS punct_ratio,
+         |  round((
+         |    (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN n_tok > 0 AND n_stop::DOUBLE / n_tok > 0.01 THEN 1.0 ELSE 0.0 END) +
+         |    (CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q32_lang_id" ->
+      """WITH t AS (SELECT regexp_split_to_array(lower(text), '\s+') toks FROM documents),
+        |c AS (
+        |  SELECT
+        |    len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) en,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','mit'))) de,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) fr,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','una','con'))) es
+        |  FROM t),
+        |p AS (
+        |  SELECT CASE
+        |    WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+        |    WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+        |    WHEN fr > 0 AND fr >= es THEN 'fr'
+        |    WHEN es > 0 THEN 'es'
+        |    ELSE 'und' END lang_pred
+        |  FROM c)
+        |SELECT lang_pred, count(*) AS n_docs
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
