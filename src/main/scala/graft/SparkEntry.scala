@@ -26,7 +26,8 @@ object SparkEntry {
     graft.operators.ParityQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.similarity.SimilarityQueries.queries ++
-      graft.text.TextQueries.queries ++ Map(
+      graft.text.TextQueries.queries ++
+      graft.multimodal.MultimodalQueries.queries ++ Map(
     // A1-A4 (SURVEY §2.4): hash group-by + multi-agg + arithmetic-in-agg +
     // count + group/order report (reference etl/README.md:679-685 pattern).
     "q1_agg" -> { (s, dir) =>
@@ -48,7 +49,8 @@ object SparkEntry {
     graft.operators.ParityQueries.oracles ++
       graft.dedup.DedupQueries.oracles ++
       graft.similarity.SimilarityQueries.oracles ++
-      graft.text.TextQueries.oracles ++ Map(
+      graft.text.TextQueries.oracles ++
+      graft.multimodal.MultimodalQueries.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

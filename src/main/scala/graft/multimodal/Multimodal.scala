@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video ride through the engine
+  * as opaque `binary` payloads with a typed metadata struct, and
+  * decode/feature-extract runs as partition-local batch functions.
+  *
+  * The decode step itself is a STUB — this container has no image/audio
+  * codecs — but everything around it is the real contract: the schema, the
+  * partition-batched execution shape (`mapPartitions` over an iterator, the
+  * Scala analogue of `mapInPandas` batches), the deterministic fake
+  * features, and the repartition sizing so one task never holds more than
+  * a bounded number of payloads in flight.
+  */
+object Multimodal {
+
+  /** Typed media metadata — the non-opaque half of a media column. */
+  final case class MediaMeta(
+      kind: String, // image | audio | video | text
+      widthPx: Int,
+      heightPx: Int,
+      sampleRateHz: Int,
+      durationMs: Long)
+
+  final case class MediaRecord(id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  /** Extracted feature row; `features` is the model-input vector. */
+  final case class MediaFeatures(
+      id: Long,
+      kind: String,
+      nBytes: Int,
+      features: Array[Double])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("widthPx", IntegerType, nullable = false),
+      StructField("heightPx", IntegerType, nullable = false),
+      StructField("sampleRateHz", IntegerType, nullable = false),
+      StructField("durationMs", LongType, nullable = false))), nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** ??? in spirit: where a real codec (JPEG decode, ffmpeg frame grab)
+    * would run. STUB: a deterministic 8-bin byte histogram, normalized —
+    * stands in for a decoded-then-pooled feature vector and keeps every
+    * test reproducible.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](8)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >> 5) += 1.0
+      i += 1
+    }
+    val n = math.max(payload.length, 1).toDouble
+    hist.map(_ / n)
+  }
+
+  /** Feature extraction over a media dataset: partition-local batches,
+    * bounded in-flight payload count via repartition on id. The iterator
+    * shape means payloads stream through one at a time — a task never
+    * materializes its whole partition.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], targetPartitions: Int = 0): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    val sized =
+      if (targetPartitions > 0) media.repartition(targetPartitions, col("id"))
+      else media
+    sized.mapPartitions { it =>
+      it.map { r =>
+        MediaFeatures(r.id, r.meta.kind, r.payload.length, decodeStub(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampling for video-kind payloads: every `stride`-th fixed-size
+    * chunk, as an array of binary slices (the plumbing a real frame
+    * grabber would feed). Pure Column expression — no driver loop.
+    */
+  def sampleFrames(payload: org.apache.spark.sql.Column, frameBytes: Int, stride: Int): org.apache.spark.sql.Column = {
+    val nFrames = floor(length(payload) / lit(frameBytes)).cast("int")
+    when(nFrames > 0,
+      transform(
+        sequence(lit(0), nFrames - 1, lit(stride)),
+        i => substring(payload, (i * frameBytes + 1).cast("int"), lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
+  }
+
+  /** Synthesize a media table from the documents table: payload =
+    * UTF-8 bytes of the text, metadata derived deterministically. Test
+    * harness for the plumbing above.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(
+        col("doc_id").as("id"),
+        struct(
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          lit(64).as("widthPx"),
+          lit(64).as("heightPx"),
+          lit(16000).as("sampleRateHz"),
+          (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+}

@@ -174,6 +174,14 @@ object ParityQueries {
         .orderBy("r_name", "n_name")
     },
 
+    // Stateful-op semantics, batch-checked: gap-based sessionization via
+    // session_window (same operator StreamingIngest.sessionize runs on
+    // streams with a watermark).
+    "q17_session_window" -> { (s, dir) =>
+      graft.streaming.StreamingIngest.sessionize(t(s, dir, "events"), gap = "6 hours")
+        .orderBy("user_id", "session_start")
+    },
+
     // Gold: top-k per group via window function (deterministic tiebreak).
     "q16_topk_per_group" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -271,6 +279,25 @@ object ParityQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Session semantics: a gap of exactly the threshold starts a new
+    // session (Spark merges only while next_ts < last_ts + gap).
+    "q17_session_window" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP ts, value FROM events),
+        |lagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      >= INTERVAL 6 HOUR THEN 1 ELSE 0 END brk
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) sid
+        |  FROM lagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q16_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
