@@ -28,6 +28,13 @@ final case class ColumnStats(
 
 object ColumnStats {
 
+  /** No-information stats: no nulls known, no parse rates known. The
+    * data-dependent stages degrade gracefully under it (no flag columns,
+    * no 80%-rule casts) — used where collecting would need an action we
+    * can't run, i.e. on streaming plans.
+    */
+  val unknown: ColumnStats = ColumnStats(0L, Map.empty, Map.empty)
+
   /** One-pass collection. Returns zero stats for an empty-schema frame. */
   def collect(df: DataFrame): ColumnStats = {
     val cols = df.columns.toSeq

@@ -42,7 +42,11 @@ object TransformPipeline {
     val dedup = config.getBoolean("etl.transform.deduplicate", default = true)
 
     val cleaned = Stages.cleanColumnNames(df)
-    lazy val stats = ColumnStats.collect(cleaned) // at most one job, lazily
+    // At most one stats job, lazily — and never on a streaming plan, where
+    // an aggregate action is illegal: streams run the static stages only
+    // (flag-mode adds no columns, the 80% numeric rule doesn't fire).
+    lazy val stats =
+      if (df.isStreaming) ColumnStats.unknown else ColumnStats.collect(cleaned)
     val afterNulls = Stages.handleNulls(cleaned, strategy, stats)
     val afterDedup = if (dedup) Stages.deduplicate(afterNulls) else afterNulls
     val cast = Stages.castTypes(afterDedup, stats, threshold)

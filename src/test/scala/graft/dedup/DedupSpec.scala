@@ -1,0 +1,85 @@
+package graft.dedup
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("shingles: n-w+1 shingles, space-joined; short docs yield none") {
+    val df = docs((1L, "a b c d e"), (2L, "a b"))
+      .select(col("doc_id"), Shingles.shingles(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b c", "b c d", "c d e"))
+    assert(m(2L).isEmpty)
+  }
+
+  test("exact jaccard on a crafted pair is 0.5") {
+    val sets = docs((1L, "a b c d e"), (2L, "a b c d f"))
+      .select(col("doc_id"), Shingles.shingleSet(col("text")).as("s"))
+    val j = sets.as("x").join(sets.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(Shingles.jaccard(col("x.s"), col("y.s")).as("j"))
+      .head().getDouble(0)
+    assert(j == 0.5)
+  }
+
+  test("keepFirst keeps exactly one deterministic representative per key") {
+    val df = Seq(
+      ("k1", 3L), ("k1", 1L), ("k1", 2L),
+      ("k2", 9L), ("k3", 7L), ("k3", 8L)
+    ).toDF("k", "id")
+    val kept = ExactDedup.keepFirst(df, Seq("k"), Seq(col("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("k1" -> 1L, "k2" -> 9L, "k3" -> 7L))
+  }
+
+  test("duplicateGroups reports only keys occurring more than once") {
+    val df = docs((1L, "same"), (2L, "same"), (3L, "unique"))
+    val groups = ExactDedup.duplicateGroups(df, Seq("text"), "doc_id").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+    assert(groups(0).getAs[Long]("kept_id") == 1L)
+  }
+
+  test("minhash: identical texts get identical signatures") {
+    val sigs = docs((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"))
+      .select(MinHashDedup.signature(Shingles.shingleSet(col("text")), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 16)
+  }
+
+  test("minhash LSH pipeline finds a planted near-dup pair, skips unrelated docs") {
+    val base = (0 until 30).map(i => s"tok${i}a tok${i}b tok${i}c").mkString(" ")
+    val nearDup = base.replace("tok5a", "tok5x") // one token of ~90 differs
+    val unrelated = (0 until 30).map(i => s"other${i}a other${i}b other${i}c").mkString(" ")
+    val pairs = MinHashDedup.nearDuplicatePairs(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)), "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs(0).getAs[Double]("jaccard") > 0.9)
+  }
+
+  test("simhash: identical texts at Hamming 0; nearPairs finds planted copies") {
+    val fps = SimHash.fingerprints(
+      docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "epsilon zeta eta theta iota kappa")), "doc_id", "text")
+    val pairs = SimHash.nearPairs(fps, "doc_id", maxDistance = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("ngram jaccard exact pairs match the crafted similarity") {
+    val pairs = NgramJaccard.similarPairs(
+      docs((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w v")),
+      "doc_id", "text", threshold = 0.4)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Double]("jaccard") == 0.5)
+  }
+}

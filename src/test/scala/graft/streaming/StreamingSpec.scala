@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.core.FileFormat
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AvailableNow file-stream ingest drains input through the transform to parquet") {
+    val in = tmpDir("stream-in")
+    val out = tmpDir("stream-out")
+    val ckpt = tmpDir("stream-ckpt")
+    sampleSales.write.mode("overwrite").option("header", "true").csv(in)
+
+    val schema = StructType(sampleSales.schema.fields.map(f => f.copy(nullable = true)))
+    val q = StreamingIngest.start(spark, in, schema, FileFormat.Csv, out, ckpt)
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow stream should terminate after draining")
+
+    val result = spark.read.parquet(out)
+    assert(result.count() == 3)
+    // The transform ran: derived columns + normalized names present.
+    assert(result.columns.contains("_row_hash"))
+    assert(result.columns.contains("_year"))
+  }
+
+  test("sessionize: gap >= threshold starts a new session") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0), // session A: 2 events
+      (1L, ts(10 + 361), 3.0), // 6h1m later → session B
+      (2L, ts(5), 5.0)) // other user
+      .toDF("user_id", "ts", "value")
+    val sessions = StreamingIngest.sessionize(events, gap = "6 hours")
+      .orderBy("user_id", "session_start")
+      .collect()
+    assert(sessions.length == 3)
+    assert(sessions(0).getAs[Long]("n_events") == 2)
+    assert(sessions(1).getAs[Long]("n_events") == 1)
+    assert(sessions(2).getAs[Long]("n_events") == 1)
+  }
+}

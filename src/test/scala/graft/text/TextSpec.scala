@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("token counts: whitespace and BPE-ish") {
+    val r = one("Hello, world 123 foo-bar")
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))
+      .head()
+    assert(r.getInt(0) == 4)
+    // Hello , world 123 foo - bar → 7 BPE-ish pieces
+    assert(r.getInt(1) == 7)
+  }
+
+  test("quality score components and range") {
+    val good = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    val bad = "!!! ??? ###"
+    val rs = Seq(good, bad).toDF("text")
+      .select(col("text"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rs(good) == 1.0)
+    assert(rs(bad) < 0.5)
+  }
+
+  test("language ID picks the dominant marker set; und when none") {
+    val rs = Seq(
+      "the cat and the dog is here",
+      "der hund und die katze mit das",
+      "le chat et la maison les arbres",
+      "zzz qqq www")
+      .toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rs == Seq("en", "de", "fr", "und"))
+  }
+
+  test("fingerprint: equal text equal hash, order-sensitive") {
+    val r = Seq(("a b c", "a b c", "c b a")).toDF("x", "y", "z")
+      .select(
+        TextAnalysis.fingerprint(col("x")).as("fx"),
+        TextAnalysis.fingerprint(col("y")).as("fy"),
+        TextAnalysis.fingerprint(col("z")).as("fz"))
+      .head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+}
