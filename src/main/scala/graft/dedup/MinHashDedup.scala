@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *
   *  1. per doc: distinct shingle hashes (narrow, [[Shingles]])
   *  2. per doc: k-element minhash signature. Hash function family is
-  *     h_i(x) = xxhash64(i, x) — seeding by prepending the function index
-  *     avoids modular-arithmetic families whose a·x multiplications
+  *     h_i(x) = XXH64(x, seed=i) — an indexed-seed family avoids
+  *     modular-arithmetic constructions whose a·x multiplications
   *     overflow (ANSI mode makes long overflow an error, and mod-2^64
   *     tricks aren't portable).
   *  3. signature split into `bands` bands of `rows` values; each band
@@ -30,10 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** k-element minhash signature of a shingle-set column. */
+  /** k-element minhash signature of a shingle-set column. Native
+    * single-pass codegen'd expression ([[graft.functions.MinHashSignature]],
+    * family h_i(x) = XXH64(x, seed=i)) — one traversal of the shingle set
+    * instead of k array_min(transform(...)) passes.
+    */
   def signature(shingleSet: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleSet, x => xxhash64(lit(i), x)))): _*)
+    call_function("graft_minhash", shingleSet, lit(k))
 
   /** Candidate pairs (idA < idB) from banded LSH over the signature.
     * Input: df with `idCol` and `sigCol` (array of k longs).

@@ -17,17 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit simhash of a token-array column, as a signed long. */
-  def simhash64(tokens: Column): Column = {
-    val hashes = transform(array_distinct(tokens), t => xxhash64(t))
-    // bit j set iff sum over tokens of (bit_j ? +1 : -1) is positive.
-    val bits: Seq[Column] = (0 until 64).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** 64-bit simhash of a token-array column, as a signed long. Native
+    * single-pass codegen'd expression ([[graft.functions.SimHash64]]);
+    * token hashes are xxhash64(seed 42), votes and sign bits in one loop.
+    */
+  def simhash64(tokens: Column): Column =
+    call_function("graft_simhash64", array_distinct(tokens))
 
   /** Per-doc simhash fingerprints for a text column. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions entry point registering the engine's native
+  * expressions as SQL functions (`spark.sql.extensions =
+  * graft.functions.GraftExtensions`, set by EngineSession). Callers use
+  * `functions.call_function("graft_dot", a, b)` — public API end to end.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash64(tokens)")
+        SimHash64(children.head)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSignature(arr, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash(shingleHashes, k) with literal int k")
+      }))
+  }
+}

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's numeric hot paths.
+  *
+  * The higher-order-function formulations (zip_with + aggregate) are
+  * semantically identical but allocate an intermediate array per call and
+  * evaluate a lambda per element; these expressions compile to tight
+  * primitive loops inside whole-stage codegen — the difference is ~5-10×
+  * on the brute-force kNN and sketching paths. Same preference order the
+  * engine documents: builtin > custom codegen Expression > UDF.
+  */
+
+/** Sequential dot product of two array<double> columns (bit-identical to a
+  * left-to-right summation in any other engine). Mismatched lengths use
+  * the common prefix; null *elements* are treated as 0.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of an array<string> token column, one pass: per token an
+  * xxhash64 (seed 42 — same value Spark's xxhash64 yields for that
+  * string), ±1 bit votes, sign per bit position. Null tokens are skipped.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var res = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) res |= (1L << j)
+      j += 1
+    }
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val res = ctx.freshName("res")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      $votes[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |long $res = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $res |= (1L << $j);
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** k-element MinHash signature of an array<long> shingle-hash column in a
+  * single pass: hash family h_i(x) = XXH64.hashLong(x, seed = i). Empty
+  * input yields a signature of Long.MaxValue sentinels (callers filter
+  * empty shingle sets). Null elements are skipped.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var f = 0
+        while (f < k) {
+          val h = XXH64.hashLong(x, f.toLong)
+          if (h < mins(f)) mins(f) = h
+          f += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val f = ctx.freshName("f")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $x = $a.getLong($i);
+         |    for (int $f = 0; $f < $k; $f++) {
+         |      long $h = $xxh.hashLong($x, (long) $f);
+         |      if ($h < $mins[$f]) $mins[$f] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new $gad($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -16,8 +16,12 @@ object VectorOps {
   /** float[] parquet embeddings → array<double> for stable arithmetic. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd expression ([[graft.functions.DotProduct]]) — a
+    * tight primitive loop instead of the zip_with+aggregate HOF pair,
+    * which allocates an intermediate array per call. Same left-to-right
+    * summation order, so values are unchanged.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
