@@ -40,6 +40,13 @@ object MinHashDedup {
 
   /** Candidate pairs (idA < idB) from banded LSH over the signature.
     * Input: df with `idCol` and `sigCol` (array of k longs).
+    *
+    * Formulated as bucket-collect rather than self-join: group the
+    * (band, bucket) explosion, collect ids per bucket, emit intra-bucket
+    * pairs. One evaluation of the (expensive) signature subtree and one
+    * shuffle — a self-join would execute the upstream plan twice. Hot
+    * buckets are quadratic either way (that's LSH's contract); sorting
+    * ids in-bucket keeps pair orientation deterministic.
     */
   def candidatePairs(
       df: DataFrame,
@@ -58,13 +65,20 @@ object MinHashDedup {
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val a = exploded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = exploded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    exploded
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(intraBucketPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
+
+  /** All ordered pairs (ids(i), ids(j)), i < j, from a sorted id array. */
+  private def intraBucketPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
 
   /** Full near-dup pipeline over a document table: pairs with exact
     * Jaccard ≥ `threshold`, plus the estimate-free exact similarity.
@@ -78,9 +92,14 @@ object MinHashDedup {
       bands: Int = 32,
       rows: Int = 4
   ): DataFrame = {
+    // The shingle-set frame feeds three consumers (signature path + both
+    // sides of the verification join); persist it so tokenize+hash runs
+    // once, spilling to disk if it outgrows memory. Evicted LRU when the
+    // plan is done with it.
     val withSets = docs
       .select(col(idCol), Shingles.shingleSet(col(textCol), shingleWidth).as("shset"))
       .filter(size(col("shset")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = withSets
       .withColumn("sig", signature(col("shset"), bands * rows))
 
