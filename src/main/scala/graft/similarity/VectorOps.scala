@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** float[] parquet embeddings → array<double> for stable arithmetic. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** float[] parquet embeddings → array<double> for stable arithmetic.
+    * A direct array cast, NOT transform(_.cast): higher-order functions
+    * are CodegenFallback and would knock the surrounding projection (and
+    * the dot-product loop with it) out of whole-stage codegen.
+    */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Native codegen'd expression ([[graft.functions.DotProduct]]) — a
     * tight primitive loop instead of the zip_with+aggregate HOF pair,

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates — the ".explain and iterate" loop, frozen
+  * as assertions so a regression (lost pushdown, surprise shuffle, a
+  * broadcast that stopped broadcasting) fails CI instead of shipping.
+  * Runs against the read-only sf0.001 tables.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filters push down to the parquet scan and columns prune") {
+    val q = sources.Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_quantity")
+    val f = formatted(q)
+    assert(f.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"), f)
+    // Scan reads exactly the two projected columns.
+    assert(f.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), f)
+  }
+
+  test("small dim joins broadcast (no shuffle of the fact side)") {
+    val p = plan(operators.ParityQueries.queries("q15_join_enrich")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("brute-force kNN is a broadcast nested-loop, not a shuffled cross") {
+    val p = plan(similarity.BruteForceKnn.topK(
+      sources.Tables.load(spark, dir, "embeddings"),
+      sources.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 1))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("aggregations are partial+final (map-side combine before the shuffle)") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("the transform pipeline stays whole-stage codegen end to end") {
+    val q = operators.TransformPipeline.plan(sources.Tables.load(spark, dir, "events"))
+    q.collect() // AQE finalizes (and codegen markers appear) only on execution
+    val p = plan(q)
+    // '*(n)' prefixes = operators fused into a WholeStageCodegen stage.
+    assert("""\*\(\d+\) (Project|HashAggregate)""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val q = sources.Tables.load(spark, dir, "embeddings")
+      .select(similarity.VectorOps.dot(
+        similarity.VectorOps.toDouble(col("embedding")),
+        similarity.VectorOps.toDouble(col("embedding"))).as("d"))
+    val p = plan(q)
+    // The graft_dot projection must carry the '*(n)' codegen marker.
+    assert("""\*\(\d+\) Project \[graft_dot""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("exact dedup shuffles the 64-bit key hash, not full rows") {
+    val q = dedup.ExactDedup.keepFirst(
+      sources.Tables.load(spark, dir, "orders"), Seq("o_custkey"), Seq(col("o_orderkey")))
+    val p = plan(q)
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("Exchange hashpartitioning(_w"), p) // partitions on the hash alias
+  }
+}
