@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row (key, t), attach the right row
+  * with the greatest right-time ≤ t for the same key (the standard
+  * time-series "latest snapshot at or before" join; kdb aj / DuckDB
+  * ASOF JOIN semantics).
+  *
+  * Spark has no native as-of operator. The scalable formulation here is
+  * union-and-sweep, not a range join: tag both sides, union them, and run
+  * one `last_value(..., ignoreNulls)` window per right column ordered by
+  * (time, side) within each key. That is a single hash-partitioned
+  * shuffle + per-key sort — O((|L|+|R|) log) with no range explosion,
+  * robust to arbitrarily dense right sides (a theta-join `l.t >= r.t`
+  * would be quadratic per key and is exactly the plan to avoid at scale).
+  *
+  * Right rows sort before left rows at equal timestamps, so an exact-tie
+  * snapshot IS visible to the left row (≤ semantics, matching ASOF JOIN).
+  * Left rows with no prior right row keep nulls (left-outer semantics).
+  */
+object AsOfJoin {
+
+  /** @param left        probe side
+    * @param right       reference side ("snapshots")
+    * @param keyCols     equi-join key column names (present on both sides)
+    * @param leftTime    event-time column name on `left`
+    * @param rightTime   event-time column name on `right`
+    * @param rightValues right columns to carry (default: all non-key,
+    *                    non-time columns); emitted with their own names,
+    *                    plus `rightTime` as `asof_<rightTime>`
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val carry =
+      if (rightValues.nonEmpty) rightValues
+      else right.columns.toSeq.diff(keyCols :+ rightTime)
+    val leftCols = left.columns.toSeq
+    require(carry.intersect(leftCols).isEmpty,
+      s"right value columns ${carry.intersect(leftCols)} collide with left columns; alias them first")
+
+    // Tagged union: side 0 = right (sorts first on time ties), side 1 = left.
+    val taggedRight = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          col(rightTime).as(s"asof_$rightTime")) ++
+        carry.map(col) ++
+        leftCols.diff(keyCols).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+          lit(null).cast(right.schema(rightTime).dataType).as(s"asof_$rightTime")) ++
+        carry.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.diff(keyCols).map(col): _*)
+
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filledCols = (s"asof_$rightTime" +: carry).map(c =>
+      last(col(c), ignoreNulls = true).over(w).as(c))
+
+    taggedRight.unionByName(taggedLeft)
+      .select(
+        keyCols.map(col) ++ Seq(col("__t"), col("__side")) ++
+          leftCols.diff(keyCols).map(col) ++ filledCols: _*)
+      .filter(col("__side") === 1)
+      .drop("__t", "__side")
+  }
+}

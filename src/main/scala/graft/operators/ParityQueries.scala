@@ -182,6 +182,21 @@ object ParityQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // As-of join (union-and-sweep formulation — Spark has no native op):
+    // every event picks up the latest at-or-before snapshot for its user;
+    // snapshots = every 10th event. Checked against DuckDB's native
+    // ASOF LEFT JOIN.
+    "q18_asof_join" -> { (s, dir) =>
+      val events = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+      val snapshots = t(s, dir, "events")
+        .filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts"), col("value").as("snap_value"))
+      AsOfJoin.backward(events, snapshots,
+        keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightValues = Seq("snap_value"))
+        .orderBy("event_id")
+    },
+
     // Gold: top-k per group via window function (deterministic tiebreak).
     "q16_topk_per_group" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -298,6 +313,17 @@ object ParityQueries {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // ASOF JOIN is native in DuckDB; l.ts >= r.ts ≡ our backward (≤)
+    // semantics including the exact-tie case.
+    "q18_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP ts, value FROM events),
+        |r AS (SELECT user_id, ts::TIMESTAMP ts, value AS snap_value
+        |      FROM events WHERE event_id % 10 = 0)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  r.ts AS asof_ts, r.snap_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q16_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (

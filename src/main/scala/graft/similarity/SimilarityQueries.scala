@@ -41,6 +41,16 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // IVF (k-means coarse quantizer, 8 cells, 3 probes) approximate
+    // top-1 — the clustered-data scale path. Engine-defined centroids —
+    // rows-only check; the companion spec pins recall against brute force.
+    "q28_ann_ivf" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val model = IvfIndex.train(e, "embedding", nCells = 8)
+      IvfIndex.approxTopK(e, "vec_id", "embedding", model, k = 1)
+        .orderBy("query_id")
+    },
+
     // Exact top-3 neighbors with ids and ranks (deterministic tiebreak).
     "q27_knn_topk" -> { (s, dir) =>
       BruteForceKnn.topK(emb(s, dir), emb(s, dir), "vec_id", "embedding", k = 3)

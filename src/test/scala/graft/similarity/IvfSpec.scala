@@ -1,0 +1,47 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignCell puts identical vectors in the same cell; training is deterministic") {
+    val df = Seq(
+      (1L, Seq(10.0, 0.0)), (2L, Seq(10.1, 0.0)), (3L, Seq(9.9, 0.1)),
+      (4L, Seq(0.0, 10.0)), (5L, Seq(0.1, 9.9)), (6L, Seq(0.0, 10.1))
+    ).toDF("vec_id", "embedding")
+    val m1 = IvfIndex.train(df, "embedding", nCells = 2, iterations = 5)
+    val m2 = IvfIndex.train(df, "embedding", nCells = 2, iterations = 5)
+    assert(m1 == m2, "same seed must give identical models")
+
+    val cells = df.select(col("vec_id"), IvfIndex.assignCell(col("embedding").cast("array<double>"), m1).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(1L) == cells(2L) && cells(2L) == cells(3L))
+    assert(cells(4L) == cells(5L) && cells(5L) == cells(6L))
+    assert(cells(1L) != cells(4L))
+  }
+
+  test("IVF recall@1 on sf0.001 embeddings vs brute force") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val model = IvfIndex.train(emb, "embedding", nCells = 8)
+    val ivf = IvfIndex.approxTopK(emb, "vec_id", "embedding", model, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("ivf_nn"), col("cosine").as("ivf_cos"))
+    val brute = BruteForceKnn.topK(emb, emb, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("cosine").as("exact_cos"))
+
+    val joined = brute.join(ivf, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("ivf_cos") >= col("exact_cos") - 1e-6).cast("long")).as("hits"),
+        sum((col("ivf_cos") > col("exact_cos") + 1e-6).cast("long")).as("violations"))
+      .head()
+    val (n, hits, violations) =
+      (joined.getLong(0), joined.getLong(1), joined.getLong(2))
+    assert(violations == 0, "approx cosine can never beat exact")
+    // Clustered corpus + 3/8 probes: expect strong recall; pin a floor
+    // loose enough to stay stable under centroid-init changes.
+    assert(hits.toDouble / n > 0.6, s"recall@1 $hits/$n")
+  }
+}
