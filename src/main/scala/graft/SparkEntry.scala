@@ -27,7 +27,8 @@ object SparkEntry {
       graft.dedup.DedupQueries.queries ++
       graft.similarity.SimilarityQueries.queries ++
       graft.text.TextQueries.queries ++
-      graft.multimodal.MultimodalQueries.queries ++ Map(
+      graft.multimodal.MultimodalQueries.queries ++
+      graft.gold.AnalyticsQueries.queries ++ Map(
     // A1-A4 (SURVEY §2.4): hash group-by + multi-agg + arithmetic-in-agg +
     // count + group/order report (reference etl/README.md:679-685 pattern).
     "q1_agg" -> { (s, dir) =>
@@ -50,7 +51,8 @@ object SparkEntry {
       graft.dedup.DedupQueries.oracles ++
       graft.similarity.SimilarityQueries.oracles ++
       graft.text.TextQueries.oracles ++
-      graft.multimodal.MultimodalQueries.oracles ++ Map(
+      graft.multimodal.MultimodalQueries.oracles ++
+      graft.gold.AnalyticsQueries.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

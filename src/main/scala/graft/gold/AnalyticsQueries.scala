@@ -1,0 +1,104 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** Gold-layer analytics beyond plain group-by: hierarchical rollups,
+  * pivots, exact percentiles, corpus term statistics. All oracle-checked.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hierarchical rollup: per (year, month) + per-year subtotals + grand
+    // total in one pass.
+    "q40_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .withColumn("ship_month", month(col("l_shipdate")))
+        .rollup(col("ship_year"), col("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("ship_year").asc_nulls_first, col("ship_month").asc_nulls_first)
+    },
+
+    // Pivot: quantity totals per returnflag, one column per linestatus.
+    "q41_pivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy("l_returnflag")
+    },
+
+    // Exact linear-interpolation percentiles per event type.
+    "q42_percentiles" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")
+    },
+
+    // Corpus term statistics: top 20 tokens by document frequency with
+    // inverse document frequency.
+    "q43_top_terms" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      docs
+        .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .withColumn("idf", round(log(lit(n.toDouble) / col("doc_freq")), 6))
+        .orderBy(col("doc_freq").desc, col("term"))
+        .limit(20)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_rollup" ->
+      """SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+        |  EXTRACT(month FROM l_shipdate) AS ship_month,
+        |  count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY ROLLUP(ship_year, ship_month)
+        |ORDER BY ship_year NULLS FIRST, ship_month NULLS FIRST""".stripMargin,
+
+    "q41_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_f,
+        |  round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q42_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) term
+        |  FROM documents),
+        |df AS (
+        |  SELECT term, count(*) doc_freq FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) c FROM documents)
+        |SELECT term, doc_freq,
+        |  round(ln((SELECT c FROM n)::DOUBLE / doc_freq), 6) AS idf
+        |FROM df
+        |ORDER BY doc_freq DESC, term
+        |LIMIT 20""".stripMargin
+  )
+}

@@ -66,6 +66,38 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[graft_dot""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val wh = tmpDir("bucket-wh") // explicit table paths; warehouse conf is static
+    val orders = sources.Tables.load(spark, dir, "orders")
+    val customer = sources.Tables.load(spark, dir, "customer")
+    orders.write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    customer.write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    try {
+      withoutBroadcast {
+        val joined = spark.table("orders_b")
+          .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+        val p = plan(joined)
+        assert(p.contains("SortMergeJoin"), p)
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"bucketed join must not reshuffle:\n$p")
+        assert(joined.count() > 0) // and it actually runs
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  private def withoutBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exact dedup shuffles the 64-bit key hash, not full rows") {
     val q = dedup.ExactDedup.keepFirst(
       sources.Tables.load(spark, dir, "orders"), Seq("o_custkey"), Seq(col("o_orderkey")))
