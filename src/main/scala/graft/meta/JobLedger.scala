@@ -62,6 +62,22 @@ final class JobLedger(spark: SparkSession, ledgerDir: String) {
       .limit(limit)
   }
 
+  /** Maintenance: rewrite the many tiny per-append files into `parts`
+    * files (small-file compaction; run it periodically on busy ledgers).
+    * Read fully, write to a temp dir, swap — the ledger is a control-plane
+    * table so a brief swap window is acceptable.
+    */
+  def compact(parts: Int = 1): Unit = {
+    if (!exists) return
+    val tmp = s"$ledgerDir.compact.tmp"
+    read().coalesce(parts).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = new org.apache.hadoop.fs.Path(ledgerDir)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+    fs.rename(tmpP, dir)
+  }
+
   def read(): DataFrame =
     if (exists) spark.read.schema(schema).parquet(ledgerDir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

@@ -29,6 +29,30 @@ class StreamingSpec extends SparkSpec {
     assert(result.columns.contains("_year"))
   }
 
+  test("streaming hourly counts equal the batch window aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = graft.sources.Tables.load(spark, dir, "events")
+    val expected = StreamingIngest.hourlyCounts(batchEvents)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+
+    // Same parquet through the streaming engine (schema declared, ns ts
+    // already normalized by staging through a temp dir in µs).
+    val staged = tmpDir("stream-events")
+    batchEvents.write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(staged)
+    val q = StreamingIngest.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("hourly")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("sessionize: gap >= threshold starts a new session") {
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
     val events = Seq(
