@@ -6,7 +6,7 @@ import java.time.{Instant, ZoneOffset}
 import org.apache.spark.sql.SparkSession
 
 import graft.core.{EngineConfig, FileFormat, SinkSpec, SourceSpec}
-import graft.meta.{JobLedger, LogNotifier, Notifier}
+import graft.meta.{JobLedger, LogMetricsSink, LogNotifier, MetricsSink, Notifier}
 import graft.operators.TransformPipeline
 import graft.sinks.Writers
 import graft.sources.Readers
@@ -42,7 +42,8 @@ object Pipeline {
       sink: SinkSpec,
       config: EngineConfig = EngineConfig.default,
       ledger: Option[JobLedger] = None,
-      notifier: Notifier = LogNotifier
+      notifier: Notifier = LogNotifier,
+      metrics: MetricsSink = LogMetricsSink
   ): JobOutcome = {
     val jobId = mintJobId()
     val t0 = System.nanoTime()
@@ -61,6 +62,10 @@ object Pipeline {
       ), duration))
       notifier.notify(s"ETL Job Success: $jobId",
         s"rows=${load.rowsLoaded} dest=${load.destination} duration=${duration}s")
+      // N2 metric emission (aws_clients.py:167-201 contract: failures in
+      // the sink must not fail the job — sinks are expected to swallow).
+      metrics.putMetric("JobDuration", duration, "Seconds", Map("job_id" -> jobId))
+      metrics.putMetric("RowsProcessed", load.rowsLoaded.toDouble, "Count", Map("job_id" -> jobId))
       JobOutcome(jobId, "success", Some(stats), Some(load), None)
     } catch {
       case e: Exception =>
@@ -68,6 +73,7 @@ object Pipeline {
         e.printStackTrace(new java.io.PrintWriter(sw))
         ledger.foreach(_.failJob(jobId, String.valueOf(e.getMessage), sw.toString))
         notifier.notify(s"ETL Job Failed: $jobId", String.valueOf(e.getMessage))
+        metrics.putMetric("JobFailed", 1.0, "Count", Map("job_id" -> jobId))
         JobOutcome(jobId, "failed", None, None, Some(String.valueOf(e.getMessage)))
     }
   }

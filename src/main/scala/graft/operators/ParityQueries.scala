@@ -182,6 +182,20 @@ object ParityQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // T11: expression-string rules (the reference's stubbed extension
+    // point, powered by Catalyst expr()) — filter + derive + conditional
+    // update, declared as data.
+    "q44_rules" -> { (s, dir) =>
+      Rules.applyAll(t(s, dir, "events"), Seq(
+        Rules.FilterRule("recent", "value >= 1.0"),
+        Rules.ColumnRule("bucket", "value_bucket",
+          "CASE WHEN value < 5 THEN 'low' WHEN value < 20 THEN 'mid' ELSE 'high' END"),
+        Rules.WhenRule("cap-errors", "value", "event_type = 'error'", "0.0")))
+        .groupBy(col("value_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("value_bucket")
+    },
+
     // As-of join (union-and-sweep formulation — Spark has no native op):
     // every event picks up the latest at-or-before snapshot for its user;
     // snapshots = every 10th event. Checked against DuckDB's native
@@ -313,6 +327,19 @@ object ParityQueries {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q44_rules" ->
+      """WITH filtered AS (
+        |  SELECT *,
+        |    CASE WHEN value < 5 THEN 'low' WHEN value < 20 THEN 'mid'
+        |      ELSE 'high' END AS value_bucket
+        |  FROM events WHERE value >= 1.0),
+        |updated AS (
+        |  SELECT value_bucket,
+        |    CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS value
+        |  FROM filtered)
+        |SELECT value_bucket, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ASOF JOIN is native in DuckDB; l.ts >= r.ts ≡ our backward (≤)
     // semantics including the exact-tie case.
