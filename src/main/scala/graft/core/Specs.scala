@@ -47,23 +47,28 @@ final case class SinkSpec(
     partitionOnData: Boolean = false
 )
 
-/** Supported file formats (extractor.py:28, loader.py:120-127). */
+/** Supported file formats: the reference's three (extractor.py:28,
+  * loader.py:120-127) plus ORC (engine extension — the other columnar
+  * format Spark ships natively).
+  */
 sealed abstract class FileFormat(val name: String)
 object FileFormat {
   case object Csv extends FileFormat("csv")
   case object Json extends FileFormat("json")
   case object Parquet extends FileFormat("parquet")
+  case object Orc extends FileFormat("orc")
 
-  val all: Seq[FileFormat] = Seq(Csv, Json, Parquet)
+  val all: Seq[FileFormat] = Seq(Csv, Json, Parquet, Orc)
 
   /** Extension dispatch, case-insensitive; None for unsupported
-    * (extractor.py:165-184: .csv/.json/.jsonl/.parquet).
+    * (extractor.py:165-184: .csv/.json/.jsonl/.parquet; +.orc).
     */
   def fromPath(path: String): Option[FileFormat] = {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) Some(Csv)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) Some(Json)
     else if (lower.endsWith(".parquet")) Some(Parquet)
+    else if (lower.endsWith(".orc")) Some(Orc)
     else None
   }
 
@@ -72,6 +77,7 @@ object FileFormat {
     case "json"    => Json
     case "jsonl"   => Json
     case "parquet" => Parquet
+    case "orc"     => Orc
     case other     => throw new IllegalArgumentException(s"Unsupported format: $other")
   }
 }

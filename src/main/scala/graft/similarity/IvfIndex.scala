@@ -118,14 +118,20 @@ object IvfIndex {
       k: Int,
       nProbe: Int = 3
   ): DataFrame = {
+    // One pass computes norm + cell + probe list per vector, persisted:
+    // both sides of the candidate self-join read the cache instead of
+    // re-evaluating the nCells-centroid distance expressions.
     val v = vectors.select(
       col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
       .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("cell", assignCell(col("v"), model))
+      .withColumn("probes", probeCells(col("v"), model, nProbe))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val indexed = v.withColumn("cell", assignCell(col("v"), model))
+    val indexed = v.select(col("cell"), col("id"), col("v"), col("n"))
     val probes = v.select(
       col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
-      explode(probeCells(col("v"), model, nProbe)).as("cell"))
+      explode(col("probes")).as("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

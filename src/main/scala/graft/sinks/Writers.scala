@@ -62,6 +62,8 @@ object Writers {
         writer.option("header", "true").csv(dest)
       case FileFormat.Json =>
         writer.json(dest)
+      case FileFormat.Orc =>
+        writer.option("compression", sink.compression).orc(dest)
     }
 
     val (rows, bytes) = writtenStats(df, dest, sink.format)
@@ -90,6 +92,7 @@ object Writers {
       case FileFormat.Parquet => spark.read.parquet(dest).count()
       case FileFormat.Csv     => spark.read.option("header", "true").csv(dest).count()
       case FileFormat.Json    => spark.read.json(dest).count()
+      case FileFormat.Orc     => spark.read.orc(dest).count()
     }
     (rows, bytes)
   }

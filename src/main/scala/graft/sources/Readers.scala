@@ -47,6 +47,7 @@ object Readers {
         (if (schema.isEmpty) r.option("inferSchema", "true") else r).csv(paths: _*)
       case FileFormat.Json    => withSchema.json(paths: _*)
       case FileFormat.Parquet => withSchema.parquet(paths: _*)
+      case FileFormat.Orc     => withSchema.orc(paths: _*)
     }
   }
 

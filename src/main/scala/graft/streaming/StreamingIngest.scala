@@ -46,6 +46,7 @@ object StreamingIngest {
       case FileFormat.Csv     => reader.option("header", "true").csv(inDir)
       case FileFormat.Json    => reader.json(inDir)
       case FileFormat.Parquet => reader.parquet(inDir)
+      case FileFormat.Orc     => reader.orc(inDir)
     }
 
     val transformed = TransformPipeline.plan(raw, config)

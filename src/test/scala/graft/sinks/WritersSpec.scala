@@ -64,3 +64,17 @@ class WritersSpec extends SparkSpec {
       .isEmpty || true)
   }
 }
+
+class OrcFormatSpec extends graft.SparkSpec {
+  import graft.core.{FileFormat, SinkSpec}
+
+  test("ORC extension dispatch and sink/source round-trip") {
+    assert(FileFormat.fromPath("x/y/data.ORC").contains(FileFormat.Orc))
+    val out = tmpDir("orc")
+    val res = Writers.load(sampleSales, "job-orc", SinkSpec(out, FileFormat.Orc))
+    assert(res.status == "success" && res.rowsLoaded == 3)
+    val files = graft.sources.Readers.listSupported(spark, res.destination)
+    assert(files.nonEmpty && files.forall(_.endsWith(".orc")))
+    assert(graft.sources.Readers.single(spark, files.head).count() > 0)
+  }
+}
