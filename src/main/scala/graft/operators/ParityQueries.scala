@@ -196,6 +196,24 @@ object ParityQueries {
         .orderBy("value_bucket")
     },
 
+    // Point-in-interval range join (bucketized equi-join formulation):
+    // every event matched to the 2-hour windows (anchored at every 20th
+    // event) containing it, per user. Oracle is the plain inequality
+    // join DuckDB can afford at this scale.
+    "q45_range_join" -> { (s, dir) =>
+      val events = t(s, dir, "events")
+      val points = events.select("event_id", "user_id", "ts")
+      val intervals = events
+        .filter(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("event_id").as("interval_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      RangeJoin.pointInInterval(points, intervals,
+        keyCols = Seq("user_id"), timeCol = "ts",
+        startCol = "start_ts", endCol = "end_ts")
+        .orderBy("interval_id", "event_id")
+    },
+
     // As-of join (union-and-sweep formulation — Spark has no native op):
     // every event picks up the latest at-or-before snapshot for its user;
     // snapshots = every 10th event. Checked against DuckDB's native
@@ -340,6 +358,18 @@ object ParityQueries {
         |  FROM filtered)
         |SELECT value_bucket, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP ts FROM events),
+        |i AS (SELECT user_id, event_id AS interval_id,
+        |        ts::TIMESTAMP AS start_ts,
+        |        ts::TIMESTAMP + INTERVAL 2 HOUR AS end_ts
+        |      FROM events WHERE event_id % 20 = 0)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  i.interval_id, i.start_ts, i.end_ts
+        |FROM p JOIN i ON p.user_id = i.user_id
+        |  AND p.ts >= i.start_ts AND p.ts <= i.end_ts
+        |ORDER BY i.interval_id, p.event_id""".stripMargin,
 
     // ASOF JOIN is native in DuckDB; l.ts >= r.ts ≡ our backward (≤)
     // semantics including the exact-tie case.
