@@ -29,12 +29,14 @@ object Pipeline {
   private val jobIdFmt =
     DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss").withZone(ZoneOffset.UTC)
 
-  /** `etl-<UTC yyyymmdd-HHMMSS>` (lambda_handler.py:57) + a nano suffix so
-    * two jobs in the same second don't collide (the reference accepts that
-    * collision; we don't).
+  /** `etl-<UTC yyyymmdd-HHMMSS>` (lambda_handler.py:57) + an 8-hex random
+    * suffix so concurrent jobs in the same second don't collide (the
+    * reference accepts that collision; we don't). Not nanoTime: its origin
+    * is arbitrary (can be negative → malformed id) and 10^5 values is a
+    * weak birthday bound.
     */
   def mintJobId(at: Instant = Instant.now()): String =
-    s"etl-${jobIdFmt.format(at)}-${(System.nanoTime() % 100000)}"
+    s"etl-${jobIdFmt.format(at)}-${java.util.UUID.randomUUID().toString.take(8)}"
 
   def run(
       spark: SparkSession,

@@ -38,10 +38,23 @@ object ExactDedup {
   }
 
   /** Duplicate-group report: one row per key that occurs more than once,
-    * with the group size and the kept representative id.
+    * with the group size and the kept representative id. Pass the same
+    * `tiebreak` given to [[keepFirst]] so kept_id names the row keepFirst
+    * actually retains; the default (min id) matches keepFirst's default
+    * only when the tiebreak is the id itself.
     */
-  def duplicateGroups(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+  def duplicateGroups(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      tiebreak: Option[Seq[String]] = None
+  ): DataFrame = {
+    val keptId = tiebreak match {
+      case Some(cols) => min_by(col(idCol), struct(cols.map(col): _*))
+      case None       => min(col(idCol))
+    }
     df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("kept_id"))
+      .agg(count(lit(1)).as("n_copies"), keptId.as("kept_id"))
       .filter(col("n_copies") > 1)
+  }
 }

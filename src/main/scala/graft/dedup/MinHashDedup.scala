@@ -93,13 +93,16 @@ object MinHashDedup {
       rows: Int = 4
   ): DataFrame = {
     // The shingle-set frame feeds three consumers (signature path + both
-    // sides of the verification join); persist it so tokenize+hash runs
-    // once, spilling to disk if it outgrows memory. Evicted LRU when the
-    // plan is done with it.
+    // sides of the verification join). localCheckpoint materializes it
+    // once and truncates lineage; unlike persist() (which nothing would
+    // ever unpersist — Spark does not evict when a plan finishes), the
+    // blocks are released by the ContextCleaner as soon as the checkpoint
+    // RDD is unreferenced. Trade: not fault-tolerant to executor loss —
+    // acceptable for a recomputable intermediate.
     val withSets = docs
       .select(col(idCol), Shingles.shingleSet(col(textCol), shingleWidth).as("shset"))
       .filter(size(col("shset")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val withSig = withSets
       .withColumn("sig", signature(col("shset"), bands * rows))
 

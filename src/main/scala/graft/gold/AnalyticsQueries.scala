@@ -90,7 +90,8 @@ object AnalyticsQueries {
 
     "q43_top_terms" ->
       """WITH terms AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) term
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(text, '\s+'))) term
         |  FROM documents),
         |df AS (
         |  SELECT term, count(*) doc_freq FROM terms GROUP BY 1),

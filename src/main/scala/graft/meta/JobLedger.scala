@@ -96,6 +96,17 @@ final class JobLedger(spark: SparkSession, ledgerDir: String) {
 
 object JobLedger {
 
+  /** Fixed-width ISO-8601 (always 6 fraction digits): Instant.toString
+    * varies fraction length (none/millis/nanos), and '…00Z' > '…00.4Z'
+    * lexicographically — latest-wins ordering on the string column needs
+    * every timestamp the same shape.
+    */
+  private val tsFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  def fixedWidthIso(at: Instant): String = tsFormat.format(at)
+
   /** Fixed ledger schema (FIXTURES.md §8; metadata.py:65-74, :97-117). */
   val schema: StructType = StructType(Seq(
     StructField("job_id", StringType, nullable = false),
@@ -121,7 +132,7 @@ object JobLedger {
       jobResult: Map[String, String] = Map.empty,
       errorMessage: Option[String] = None, errorTraceback: Option[String] = None
   ): Row =
-    Row(jobId, at.toString, status,
+    Row(jobId, fixedWidthIso(at), status,
       startedAt.orNull, completedAt.orNull, failedAt.orNull,
       durationSeconds.map(_.setScale(18, java.math.RoundingMode.HALF_UP)).orNull,
       environment,

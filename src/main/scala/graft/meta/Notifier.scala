@@ -41,16 +41,23 @@ final class FileNotifier(path: String) extends Notifier {
 }
 
 /** Metrics port (aws_clients.py:167-201, CloudWatch put_metric_data).
-  * Namespace semantics preserved (config.yaml:99: ETL/Pipeline).
+  * Namespace semantics preserved (config.yaml:99: ETL/Pipeline). Like
+  * [[Notifier]], sink failures must never fail the job — the final
+  * `putMetric` enforces the swallow (aws_clients.py:196-201).
   */
 trait MetricsSink {
-  def putMetric(name: String, value: Double, unit: String = "Count",
-                dimensions: Map[String, String] = Map.empty): Unit
+  protected def emit(name: String, value: Double, unit: String,
+                     dimensions: Map[String, String]): Unit
+
+  final def putMetric(name: String, value: Double, unit: String = "Count",
+                      dimensions: Map[String, String] = Map.empty): Boolean =
+    try { emit(name, value, unit, dimensions); true }
+    catch { case _: Exception => false }
 }
 
 object LogMetricsSink extends MetricsSink {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-  def putMetric(name: String, value: Double, unit: String,
-                dimensions: Map[String, String]): Unit =
+  protected def emit(name: String, value: Double, unit: String,
+                     dimensions: Map[String, String]): Unit =
     log.info(s"[metric] ETL/Pipeline $name=$value $unit $dimensions")
 }

@@ -48,17 +48,23 @@ object AsOfJoin {
       s"right value columns ${carry.intersect(leftCols)} collide with left columns; alias them first")
 
     // Tagged union: side 0 = right (sorts first on time ties), side 1 = left.
+    // The carried right columns travel inside ONE struct (non-null exactly
+    // on right rows): filling column-by-column with last(_, ignoreNulls)
+    // would skip legitimate NULLs inside a snapshot and stitch together
+    // values from different snapshots.
+    val rightStruct = struct(
+      col(rightTime).as(s"asof_$rightTime") +: carry.map(col): _*)
+    val rightStructType = right
+      .select(rightStruct.as("__r")).schema("__r").dataType
+
     val taggedRight = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-          col(rightTime).as(s"asof_$rightTime")) ++
-        carry.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"), rightStruct.as("__r")) ++
         leftCols.diff(keyCols).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       keyCols.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__side"),
-          lit(null).cast(right.schema(rightTime).dataType).as(s"asof_$rightTime")) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+          lit(null).cast(rightStructType).as("__r")) ++
         leftCols.diff(keyCols).map(col): _*)
 
     val w = Window
@@ -66,14 +72,15 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filledCols = (s"asof_$rightTime" +: carry).map(c =>
-      last(col(c), ignoreNulls = true).over(w).as(c))
+    val filled = last(col("__r"), ignoreNulls = true).over(w).as("__r")
 
     taggedRight.unionByName(taggedLeft)
       .select(
         keyCols.map(col) ++ Seq(col("__t"), col("__side")) ++
-          leftCols.diff(keyCols).map(col) ++ filledCols: _*)
+          leftCols.diff(keyCols).map(col) :+ filled: _*)
       .filter(col("__side") === 1)
-      .drop("__t", "__side")
+      .select(
+        keyCols.map(col) ++ leftCols.diff(keyCols).map(col) ++
+          (s"asof_$rightTime" +: carry).map(c => col("__r")(c).as(c)): _*)
   }
 }

@@ -86,9 +86,18 @@ object Stages {
   /** Date-keyword string columns → timestamp (unparseable → null), then
     * string columns whose parse rate exceeds `threshold` → double.
     * Both casts use try_* semantics ≡ pandas errors="coerce"
-    * (transformer.py:186, transformer.py:193). Deviation from pandas,
-    * documented: the reference applies to_datetime to non-string columns
-    * too (interpreting numbers as epoch nanos); we cast strings only.
+    * (transformer.py:186, transformer.py:193).
+    *
+    * Documented deviations from the reference:
+    *  - to_datetime applies to strings only (the reference also coerces
+    *    numeric columns, interpreting them as epoch nanos);
+    *  - the numeric parse rate is measured on the PRE-null-handling,
+    *    pre-dedup frame (the fused single-stats-pass design,
+    *    SURVEY.md §7.4), while the reference measures it on the frame as
+    *    it stands at cast time (transformer.py:194). Inputs whose
+    *    non-numeric rows are preferentially removed by null-drop/dedup
+    *    can therefore cast in the reference but not here (and vice
+    *    versa). The trade buys one stats job per run instead of two.
     */
   def castTypes(df: DataFrame, stats: => ColumnStats, threshold: Double = 0.8): DataFrame = {
     val afterDates = df.schema.fields.foldLeft(df) { (d, f) =>

@@ -18,13 +18,19 @@ object BruteForceKnn {
 
   /** Per-query top-k by cosine, deterministic (ties broken on neighbor
     * id). Input frames need (idCol, vecCol) with vecCol: array<float|double>.
+    *
+    * `excludeSelf` drops pairs with equal ids — correct for self-search
+    * (corpus eq queries, the default use); pass false when the two tables
+    * have unrelated id spaces, where an id-equality drop would silently
+    * discard a legitimate neighbor.
     */
   def topK(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val q = queries.select(
       col(idCol).as("query_id"),
@@ -35,9 +41,9 @@ object BruteForceKnn {
       VectorOps.toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", VectorOps.norm(col("cv")))
 
-    val scored = q
-      .crossJoin(broadcast(c))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val crossed = q.crossJoin(broadcast(c))
+    val scored = (if (excludeSelf) crossed.filter(col("query_id") =!= col("neighbor_id"))
+                  else crossed)
       .withColumn("cosine",
         VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
 

@@ -118,15 +118,18 @@ object IvfIndex {
       k: Int,
       nProbe: Int = 3
   ): DataFrame = {
-    // One pass computes norm + cell + probe list per vector, persisted:
-    // both sides of the candidate self-join read the cache instead of
-    // re-evaluating the nCells-centroid distance expressions.
+    // One pass computes norm + cell + probe list per vector,
+    // localCheckpoint'ed: both sides of the candidate self-join read the
+    // materialized blocks instead of re-evaluating the nCells-centroid
+    // distance expressions, and the ContextCleaner releases the blocks
+    // when the frame is unreferenced (persist() would leak — nothing
+    // unpersists when a plan finishes).
     val v = vectors.select(
       col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
       .withColumn("n", VectorOps.norm(col("v")))
       .withColumn("cell", assignCell(col("v"), model))
       .withColumn("probes", probeCells(col("v"), model, nProbe))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     val indexed = v.select(col("cell"), col("id"), col("v"), col("n"))
     val probes = v.select(

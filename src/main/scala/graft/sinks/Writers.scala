@@ -90,7 +90,9 @@ object Writers {
     val bytes = fs.getContentSummary(path).getLength
     val rows = fmt match {
       case FileFormat.Parquet => spark.read.parquet(dest).count()
-      case FileFormat.Csv     => spark.read.option("header", "true").csv(dest).count()
+      case FileFormat.Csv     =>
+        // multiLine: quoted embedded newlines are one record, not two.
+        spark.read.option("header", "true").option("multiLine", "true").csv(dest).count()
       case FileFormat.Json    => spark.read.json(dest).count()
       case FileFormat.Orc     => spark.read.orc(dest).count()
     }

@@ -32,6 +32,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == (Some(ts(20)), Some(200.0)))
   }
 
+  test("a NULL inside the matched snapshot is carried as NULL, not an older value") {
+    val left = Seq((1L, "u1", ts(6))).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("u1", ts(1), Option(30.0)), // older snapshot, non-null
+      ("u1", ts(5), Option.empty[Double]) // matched snapshot, NULL value
+    ).toDF("k", "t", "snap")
+    val r = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("snap")).head()
+    assert(r.getAs[Timestamp]("asof_t") == ts(5), "must match the ts=5 snapshot")
+    assert(r.isNullAt(r.fieldIndex("snap")),
+      "NULL in the matched snapshot must not be backfilled from ts=1")
+  }
+
   test("colliding right value names are rejected") {
     val l = Seq((1L, "u", ts(1), 5.0)).toDF("id", "k", "t", "v")
     val r = Seq(("u", ts(1), 6.0)).toDF("k", "t", "v")
