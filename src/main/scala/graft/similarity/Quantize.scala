@@ -1,0 +1,27 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 quantization for embedding storage — 4× off
+  * the dominant column of an embedding table at ~1e-2 cosine error,
+  * the standard recall/storage trade for ANN candidate generation
+  * (exact re-ranking reads the float vectors for the candidate set only).
+  */
+object Quantize {
+
+  /** array<double> → struct(scale double, codes array<tinyint>),
+    * q_i = round(v_i / scale), scale = max|v| / 127.
+    */
+  def toInt8(v: Column): Column = {
+    val absMax = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val scale = when(absMax > 0, absMax / lit(127.0)).otherwise(lit(1.0))
+    struct(
+      scale.as("scale"),
+      transform(v, x => round(x / scale).cast("tinyint")).as("codes"))
+  }
+
+  /** Inverse: struct(scale, codes) → array<double> (approximate). */
+  def fromInt8(q: Column): Column =
+    transform(q("codes"), c => c.cast("double") * q("scale"))
+}

@@ -99,6 +99,44 @@ object Writers {
     (rows, bytes)
   }
 
+  /** Idempotent append: write only rows whose `hashCol` is absent from
+    * the destination — re-running a job over the same input is a no-op,
+    * which is the stated purpose of the `_row_hash` column the reference
+    * derives but never consumes (etl/README.md:739-741).
+    *
+    * The anti-join reads ONLY the hash column from the existing data
+    * (column-pruned scan), broadcast when small. Atomicity caveat: this
+    * is check-then-append without a transaction log — two concurrent
+    * writers can both pass the check; serialize callers per destination
+    * (the reference has the same property via single-Lambda-per-object).
+    */
+  def appendDedup(
+      df: DataFrame,
+      dest: String,
+      hashCol: String = "_row_hash"
+  ): LoadResult = {
+    require(df.columns.contains(hashCol), s"$hashCol column required")
+    val spark = df.sparkSession
+    val path = new Path(dest)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val novel =
+      if (!fs.exists(path)) df
+      else {
+        val seen = spark.read.parquet(dest).select(hashCol)
+        df.join(seen, Seq(hashCol), "left_anti")
+      }
+    if (novel.isEmpty)
+      return LoadResult("skipped", dest, "parquet", 0L, 0L)
+    // Row delta from parquet footer counts (metadata-only reads), not by
+    // re-running the anti-join.
+    val before = if (fs.exists(path)) spark.read.parquet(dest).count() else 0L
+    novel.write.mode("append").option("compression", "snappy").parquet(dest)
+    val after = spark.read.parquet(dest).count()
+    val bytes = fs.getContentSummary(path).getLength
+    LoadResult("success", dest, "parquet", after - before, bytes)
+  }
+
   /** L7 archive move (loader.py:162-204): relocate a consumed source file to
     * `archive/{year}/{month}/{basename}`. Pure FS op, no Spark job. Returns
     * the archive path, or None on failure — archive failures never fail the

@@ -71,3 +71,25 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.getLong(0) == joined.getLong(1), "ANN best cosine must never exceed exact best")
   }
 }
+
+class QuantizeSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("int8 round-trip keeps cosine within 1% on real embeddings") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val v = VectorOps.toDouble(col("embedding"))
+    val deq = Quantize.fromInt8(Quantize.toInt8(v))
+    val worst = emb
+      .select(VectorOps.cosine(v, deq).as("c"))
+      .agg(min(col("c"))).head().getDouble(0)
+    assert(worst > 0.99, s"worst-case self-cosine after quantization: $worst")
+  }
+
+  test("zero vector quantizes without dividing by zero") {
+    import spark.implicits._
+    val z = Seq(Seq(0.0, 0.0, 0.0)).toDF("v")
+      .select(Quantize.fromInt8(Quantize.toInt8(col("v"))).as("r"))
+      .head().getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0, 0.0))
+  }
+}

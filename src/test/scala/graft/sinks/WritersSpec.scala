@@ -78,3 +78,27 @@ class OrcFormatSpec extends graft.SparkSpec {
     assert(graft.sources.Readers.single(spark, files.head).count() > 0)
   }
 }
+
+class AppendDedupSpec extends graft.SparkSpec {
+  import graft.operators.TransformPipeline
+
+  test("re-ingesting the same input is a no-op; novel rows append") {
+    val out = tmpDir("appdedup") + "/silver"
+    val silver = TransformPipeline.plan(sampleSales)
+
+    val first = Writers.appendDedup(silver, out)
+    assert(first.status == "success" && first.rowsLoaded == 3)
+
+    val rerun = Writers.appendDedup(silver, out)
+    assert(rerun.status == "skipped" && rerun.rowsLoaded == 0)
+    assert(spark.read.parquet(out).count() == 3)
+
+    // One genuinely new row → only it lands.
+    val more = TransformPipeline.plan(
+      sampleSales.withColumn("quantity",
+        org.apache.spark.sql.functions.col("quantity") + 100))
+    val delta = Writers.appendDedup(more, out)
+    assert(delta.status == "success" && delta.rowsLoaded == 3)
+    assert(spark.read.parquet(out).count() == 6)
+  }
+}
