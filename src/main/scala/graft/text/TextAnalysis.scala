@@ -92,6 +92,42 @@ object TextAnalysis {
     }
   }
 
+  // ── PII redaction ───────────────────────────────────────────────────────
+
+  /** Redaction patterns chosen to behave identically under Java regex and
+    * RE2 (no backrefs/lookaround): emails, international-ish phone
+    * numbers, 16-digit card-like numbers.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9() -]{7,}[0-9]" -> "<PHONE>",
+    "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}" -> "<CARD>")
+
+  /** Replace PII spans with typed placeholders (card/phone before email
+    * doesn't matter here — patterns are disjoint; order is fixed and part
+    * of the contract).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  // ── Repetition scoring (Gopher-style) ───────────────────────────────────
+
+  /** Fraction of 2-gram occurrences taken by the single most frequent
+    * 2-gram — the classic repetition signal (high = boilerplate/spam).
+    * Per-row HOF: build the 2-gram list, count each gram's occurrences
+    * via filter, take the max. O(n²) in tokens per row — fine for
+    * documents, cap input length upstream for pathological rows.
+    */
+  def maxBigramFraction(text: Column): Column = {
+    val grams = graft.dedup.Shingles.shingles(text, 2)
+    val counts = transform(grams, g => size(filter(grams, x => x === g)))
+    when(size(grams) > 0,
+      array_max(counts).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+  }
+
   // ── Fingerprinting ──────────────────────────────────────────────────────
 
   /** Order-sensitive 64-bit document fingerprint: xxhash64 chained over

@@ -47,6 +47,26 @@ object TextQueries {
         .orderBy("lang_pred")
     },
 
+    // PII redaction over documents with deterministically planted
+    // emails/phones (the corpus itself is synthetic-clean).
+    "q46_pii_redact" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("dirty",
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"), TextAnalysis.redactPii(col("dirty")).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition: distribution of the max-2-gram fraction.
+    "q47_repetition" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          round(TextAnalysis.maxBigramFraction(col("text")), 6).as("rep"))
+        .orderBy("doc_id")
+    },
+
     // Order-sensitive xxhash64-chain fingerprint: engine-defined values
     // (rows-only); distinct-fingerprint count == doc count on this corpus.
     "q33_fingerprint" -> { (s, dir) =>
@@ -91,6 +111,36 @@ object TextQueries {
          |    (CASE WHEN n_tok > 0 AND n_stop::DOUBLE / n_tok > 0.01 THEN 1.0 ELSE 0.0 END) +
          |    (CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all; patterns are RE2/Java-dialect-neutral by construction.
+    "q46_pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR ||
+        |    '@example.com or +1 (555) 010-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(d,
+        |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
+        |    '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}', '<CARD>', 'g') AS clean
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    "q47_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) i
+        |        FROM toks WHERE len(ts) >= 2),
+        |g AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram FROM idx),
+        |c AS (SELECT doc_id, gram, count(*) n FROM g GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, max(n) m, sum(n) t FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(COALESCE(m::DOUBLE / t, 0.0), 6) AS rep
+        |FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q32_lang_id" ->
       """WITH t AS (SELECT regexp_split_to_array(lower(text), '\s+') toks FROM documents),

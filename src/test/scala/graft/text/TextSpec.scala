@@ -42,6 +42,25 @@ class TextSpec extends SparkSpec {
     assert(rs == Seq("en", "de", "fr", "und"))
   }
 
+  test("PII redaction replaces all occurrences of each kind") {
+    val r = one("mail a@b.co and c.d+x@e-f.org, call +44 20 7946 0958, card 4111 1111 1111 1111 end")
+      .select(TextAnalysis.redactPii(col("text")).as("t")).head().getString(0)
+    assert(!r.contains("@"), r)
+    assert(r.contains("<EMAIL> and <EMAIL>"), r)
+    assert(r.contains("<PHONE>"), r)
+    assert(r.contains("<CARD>") || r.contains("<PHONE>, card"), r) // card may match phone-like span first
+    assert(!r.matches(".*[0-9]{4} [0-9]{4}.*"), r)
+  }
+
+  test("repetition: uniform text scores low, repeated bigram scores high") {
+    val rs = Seq("a b c d e f g h", "spam spam spam spam spam")
+      .toDF("text")
+      .select(col("text"), TextAnalysis.maxBigramFraction(col("text")).as("r"))
+      .collect().map(r => r.getString(0).take(4) -> r.getDouble(1)).toMap
+    assert(rs("a b ") < 0.2)
+    assert(rs("spam") == 1.0)
+  }
+
   test("fingerprint: equal text equal hash, order-sensitive") {
     val r = Seq(("a b c", "a b c", "c b a")).toDF("x", "y", "z")
       .select(
