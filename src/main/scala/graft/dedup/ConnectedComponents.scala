@@ -1,0 +1,63 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair graph — the group step behind
+  * duplicate-cluster resolution and leakage-free train/test splits
+  * (near-duplicate documents must land in the SAME split, so splitting
+  * assigns whole components, not documents).
+  *
+  * Algorithm: iterative min-label propagation (the standard
+  * large-star/small-star simplification). Every vertex starts labeled
+  * with itself; each round every vertex adopts the minimum label in its
+  * closed neighborhood; converged when no label changes. Rounds are
+  * O(graph diameter) — near-dup graphs are piles of tiny cliques, so
+  * 2-4 rounds in practice. Each round is one join + one aggregate;
+  * labels are localCheckpoint'ed per round to truncate the growing
+  * lineage (the classic iterative-algorithm trap).
+  */
+object ConnectedComponents {
+
+  /** @param vertices one column `id` (long)
+    * @param edges    columns `id_a`, `id_b` (undirected pairs)
+    * @return (id, component) where component = min id in the component
+    */
+  def assign(vertices: DataFrame, edges: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // Symmetrize once; self-loops are harmless to min-propagation.
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      // Each vertex receives its neighbors' current labels...
+      val incoming = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("component"))
+      // ...and keeps the min over {own label} ∪ {neighbor labels}.
+      val next = labels.unionByName(incoming)
+        .groupBy("id")
+        .agg(min("component").as("component"))
+        .localCheckpoint()
+
+      val changed = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.component") =!= col("l.component"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
+  /** Leakage-free split: hash the COMPONENT id (not the row id) into
+    * `splits` buckets, so connected rows always share a split.
+    */
+  def componentSplit(labeled: DataFrame, splits: Int): DataFrame =
+    labeled.withColumn("split",
+      pmod(xxhash64(col("component")), lit(splits.toLong)).cast("int"))
+}

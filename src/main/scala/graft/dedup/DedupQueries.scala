@@ -69,6 +69,18 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Connected components over the near-dup pair graph: every doc labeled
+    // with min doc_id of its duplicate cluster — the grouping behind
+    // leakage-free train/test splits. Oracle: DuckDB recursive CTE
+    // transitive closure over the same (exact-Jaccard ≥ 0.5) edges.
+    "q48_dup_components" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val edges = NgramJaccard.similarPairs(d, "doc_id", "text", threshold = 0.5)
+      ConnectedComponents.assign(
+        d.select(col("doc_id").as("id")), edges)
+        .orderBy("id")
+    },
+
     // Exact n-gram Jaccard all-pairs at ≥ 0.5 — the brute-force ground
     // truth the LSH paths are checked against.
     "q23_ngram_jaccard" -> { (s, dir) =>
@@ -119,6 +131,19 @@ object DedupQueries {
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q48_dup_components" ->
+      s"""WITH RECURSIVE $shingleSetsSql,
+         |edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+         |sym AS (
+         |  SELECT id_a s, id_b d FROM edges
+         |  UNION ALL SELECT id_b, id_a FROM edges),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s)
+         |SELECT id, min(r) AS component
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q23_ngram_jaccard" ->
       s"""WITH $shingleSetsSql

@@ -1,0 +1,45 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains, cliques, and isolates resolve to min-id components") {
+    val vertices = (1L to 9L).toDF("id")
+    // chain 1-2-3 (needs >1 propagation round), clique 4-5-6, pair 7-8, isolate 9
+    val edges = Seq(
+      (2L, 3L), (1L, 2L),
+      (4L, 5L), (5L, 6L), (4L, 6L),
+      (7L, 8L)
+    ).toDF("id_a", "id_b")
+    val got = ConnectedComponents.assign(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L,
+      7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("long path converges within diameter rounds") {
+    val n = 12L
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.assign(vertices, edges)
+      .select(countDistinct(col("component"))).head().getLong(0)
+    assert(got == 1L)
+  }
+
+  test("component-hash split keeps connected rows in one split") {
+    val vertices = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val split = ConnectedComponents.componentSplit(
+      ConnectedComponents.assign(vertices, edges), splits = 2)
+    val perComponent = split.groupBy("component")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(perComponent == 1L, "a component must never straddle splits")
+  }
+}
