@@ -22,7 +22,13 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Release persisted/localCheckpoint blocks the query left behind —
+      // cross-query storage pollution otherwise squeezes execution memory
+      // for later queries (measured: 8x slowdown on the shuffle-heavy
+      // ones once the block manager fills).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

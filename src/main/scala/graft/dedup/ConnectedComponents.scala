@@ -24,9 +24,13 @@ object ConnectedComponents {
     * @return (id, component) where component = min id in the component
     */
   def assign(vertices: DataFrame, edges: DataFrame, maxIterations: Int = 20): DataFrame = {
-    // Symmetrize once; self-loops are harmless to min-propagation.
+    // Symmetrize once and MATERIALIZE: the edge list is joined every
+    // round, and upstream edge derivation (e.g. an exact-Jaccard
+    // pipeline) would otherwise re-execute per iteration — twice, since
+    // the union references it on both sides.
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
 
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint()
