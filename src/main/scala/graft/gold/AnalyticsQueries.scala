@@ -49,6 +49,21 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // Corpus data card: the per-language summary every training-data
+    // release ships — doc counts, length quantiles, token totals.
+    "q49_corpus_report" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    },
+
     // Corpus term statistics: top 20 tokens by document frequency with
     // inverse document frequency.
     "q43_top_terms" -> { (s, dir) =>
@@ -87,6 +102,14 @@ object AnalyticsQueries {
         |  round(quantile_cont(value, 0.75), 6) AS p75,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_corpus_report" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(regexp_split_to_array(text, '\s+'))) AS total_tokens,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q43_top_terms" ->
       """WITH terms AS (
