@@ -55,6 +55,12 @@ object ConnectedComponents {
       converged = changed == 0
       it += 1
     }
+    // Silent truncation would mislabel long chains and — downstream —
+    // leak connected rows across train/test splits; fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations rounds " +
+          "(graph diameter exceeds it); raise maxIterations")
     labels
   }
 

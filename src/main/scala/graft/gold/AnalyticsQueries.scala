@@ -68,12 +68,16 @@ object AnalyticsQueries {
     // inverse document frequency.
     "q43_top_terms" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val n = docs.count()
+      // Corpus size joins in as a 1-row frame — an eager count() here
+      // would scan the table twice per invocation.
+      val n = docs.agg(count(lit(1)).cast("double").as("__n"))
       docs
         .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
         .groupBy(col("term"))
         .agg(count(lit(1)).as("doc_freq"))
-        .withColumn("idf", round(log(lit(n.toDouble) / col("doc_freq")), 6))
+        .crossJoin(n)
+        .withColumn("idf", round(log(col("__n") / col("doc_freq")), 6))
+        .drop("__n")
         .orderBy(col("doc_freq").desc, col("term"))
         .limit(20)
     }

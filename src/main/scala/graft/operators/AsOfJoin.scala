@@ -46,6 +46,9 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(carry.intersect(leftCols).isEmpty,
       s"right value columns ${carry.intersect(leftCols)} collide with left columns; alias them first")
+    val reserved = Seq("__t", "__side", "__r", s"asof_$rightTime")
+    val clash = (leftCols ++ right.columns).distinct.intersect(reserved)
+    require(clash.isEmpty, s"input columns $clash collide with as-of internals; rename them first")
 
     // Tagged union: side 0 = right (sorts first on time ties), side 1 = left.
     // The carried right columns travel inside ONE struct (non-null exactly
@@ -67,9 +70,12 @@ object AsOfJoin {
           lit(null).cast(rightStructType).as("__r")) ++
         leftCols.diff(keyCols).map(col): _*)
 
+    // Final hash term: two right rows on the same (key, time) would
+    // otherwise be ordered arbitrarily per run — the pick among exact
+    // duplicates stays arbitrary but becomes deterministic.
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), xxhash64(col("__r")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = last(col("__r"), ignoreNulls = true).over(w).as("__r")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval range join: match left rows (key, t) to right rows
-  * (key, start, end] intervals containing t.
+  * whose [start, end] interval (inclusive on both ends) contains t.
   *
   * Spark's planner turns a plain `l.t BETWEEN r.start AND r.end` theta
   * join into BroadcastNestedLoopJoin (fine for small right sides) or a

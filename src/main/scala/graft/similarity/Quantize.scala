@@ -12,14 +12,20 @@ object Quantize {
 
   /** array<double> → struct(scale double, codes array<tinyint>),
     * q_i = round(v_i / scale), scale = max|v| / 127.
+    *
+    * Built inside aggregate()'s finish lambda so `scale` binds to the
+    * already-computed max — referencing the aggregate expression from
+    * inside the transform would re-run the O(d) max once per element
+    * (O(d²) per row).
     */
-  def toInt8(v: Column): Column = {
-    val absMax = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
-    val scale = when(absMax > 0, absMax / lit(127.0)).otherwise(lit(1.0))
-    struct(
-      scale.as("scale"),
-      transform(v, x => round(x / scale).cast("tinyint")).as("codes"))
-  }
+  def toInt8(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)),
+      absMax => {
+        val scale = when(absMax > 0, absMax / lit(127.0)).otherwise(lit(1.0))
+        struct(
+          scale.as("scale"),
+          transform(v, x => round(x / scale).cast("tinyint")).as("codes"))
+      })
 
   /** Inverse: struct(scale, codes) → array<double> (approximate). */
   def fromInt8(q: Column): Column =

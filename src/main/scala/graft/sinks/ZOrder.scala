@@ -25,6 +25,9 @@ object ZOrder {
     */
   def zValue(normalized: Seq[Column], bits: Int): Column = {
     val dims = normalized.length
+    // Java shiftleft masks the shift amount mod 64 — overflow would
+    // silently scramble the interleave, not error.
+    require(dims * bits <= 63, s"dims*bits = ${dims * bits} exceeds a long (max 63)")
     // bit j of column d lands at position j*dims + d.
     val pieces = for {
       d <- 0 until dims
@@ -51,8 +54,12 @@ object ZOrder {
       val lo = bounds.getAs[Double](s"min_$c")
       val hi = bounds.getAs[Double](s"max_$c")
       val span = if (hi > lo) hi - lo else 1.0
-      least(lit(maxVal),
-        floor((col(c).cast("double") - lit(lo)) / lit(span) * maxVal).cast("long"))
+      // NULLs sort first (coordinate 0) — explicit, not an accident of
+      // least() skipping nulls (which would co-locate them with the max).
+      coalesce(
+        least(lit(maxVal),
+          floor((col(c).cast("double") - lit(lo)) / lit(span) * maxVal).cast("long")),
+        lit(0L))
     }
     df.withColumn("__z", zValue(normalized, bits))
       .repartitionByRange(numFiles, col("__z"))

@@ -30,9 +30,17 @@ object SequencePacker {
       numPartitions: Int = 0
   ): Dataset[Packed] = {
     import docs.sparkSession.implicits._
-    val base = docs.select(
-      col(idCol).cast("long").as("id"),
-      least(col(tokenCountCol).cast("int"), lit(maxTokens)).as("nTokens"))
+    // NULL ids are un-packable (and crash the encoder); NULL/negative
+    // token counts clamp to 0 — least() alone would turn NULL into
+    // maxTokens (it skips nulls) and negatives would let a pack exceed
+    // capacity.
+    val base = docs
+      .filter(col(idCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("id"),
+        greatest(lit(0),
+          least(coalesce(col(tokenCountCol).cast("int"), lit(0)), lit(maxTokens)))
+          .as("nTokens"))
       .as[Doc]
     val sized = if (numPartitions > 0) base.repartition(numPartitions, col("id")) else base
 

@@ -95,18 +95,17 @@ object TextAnalysis {
   // ── PII redaction ───────────────────────────────────────────────────────
 
   /** Redaction patterns chosen to behave identically under Java regex and
-    * RE2 (no backrefs/lookaround): emails, international-ish phone
-    * numbers, 16-digit card-like numbers.
+    * RE2 (no backrefs/lookaround): emails, 16-digit card-like numbers,
+    * international-ish phone numbers. Order matters and is part of the
+    * contract: the card pattern MUST run before the phone pattern, whose
+    * character class would otherwise swallow every card as <PHONE>.
     */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
-    "\\+?[0-9][0-9() -]{7,}[0-9]" -> "<PHONE>",
-    "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}" -> "<CARD>")
+    "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}" -> "<CARD>",
+    "\\+?[0-9][0-9() -]{7,}[0-9]" -> "<PHONE>")
 
-  /** Replace PII spans with typed placeholders (card/phone before email
-    * doesn't matter here — patterns are disjoint; order is fixed and part
-    * of the contract).
-    */
+  /** Replace PII spans with typed placeholders, in [[piiPatterns]] order. */
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)

@@ -126,8 +126,8 @@ object TextQueries {
         |    regexp_replace(
         |      regexp_replace(d,
         |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-        |      '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g'),
-        |    '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}', '<CARD>', 'g') AS clean
+        |      '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}', '<CARD>', 'g'),
+        |    '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM dirty ORDER BY doc_id""".stripMargin,
 
     "q47_repetition" ->

@@ -48,7 +48,7 @@ class TextSpec extends SparkSpec {
     assert(!r.contains("@"), r)
     assert(r.contains("<EMAIL> and <EMAIL>"), r)
     assert(r.contains("<PHONE>"), r)
-    assert(r.contains("<CARD>") || r.contains("<PHONE>, card"), r) // card may match phone-like span first
+    assert(r.contains("<CARD>"), r) // card pattern runs before phone by contract
     assert(!r.matches(".*[0-9]{4} [0-9]{4}.*"), r)
   }
 
