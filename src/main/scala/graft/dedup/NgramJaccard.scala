@@ -30,8 +30,14 @@ object NgramJaccard {
     val sizes = sets.select(col("id"), size(col("shset")).as("n"))
     val exploded = sets.select(col("id"), explode(col("shset")).as("sh"))
 
-    val inter = exploded.as("a")
-      .join(exploded.as("b"),
+    // shuffle_hash hint: Catalyst's size estimate of the exploded frame
+    // (docs × shingles rows) sits near the broadcast threshold, and a
+    // broadcast build would evaluate the whole shingle pipeline
+    // single-threaded on the driver — slower and GC-noisy. A shuffled
+    // hash join on the 64-bit shingle key is the right plan at every
+    // scale.
+    val inter = exploded.as("a").hint("shuffle_hash")
+      .join(exploded.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))

@@ -82,7 +82,24 @@ object Readers {
       }
     }
     if (frames.isEmpty) spark.emptyDataFrame
-    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // pd.concat upcasts type-conflicting columns to object; the Spark
+      // analogue is casting conflicted columns to string before the
+      // union (unionByName alone errors on e.g. bigint-vs-string drift).
+      val conflicted = frames
+        .flatMap(_.schema.fields)
+        .groupBy(_.name)
+        .collect { case (name, fs) if fs.map(_.dataType).distinct.length > 1 => name }
+        .toSet
+      val aligned =
+        if (conflicted.isEmpty) frames
+        else frames.map { f =>
+          conflicted.intersect(f.columns.toSet).foldLeft(f) { (d, c) =>
+            d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("string"))
+          }
+        }
+      aligned.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Source router (S9). */

@@ -104,3 +104,17 @@ class ReadersSpec extends SparkSpec {
     intercept[IllegalArgumentException](SourceSpec.fromEvent(Map("nope" -> "x")))
   }
 }
+
+class SchemaDriftSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("batch union coerces type-conflicting columns to string (pd.concat semantics)") {
+    val dir = tmpDir("drift")
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(s"$dir/a.parquet")
+    Seq((2L, "ten")).toDF("id", "v").write.parquet(s"$dir/b.parquet")
+    val got = Readers.batch(spark, dir)
+    assert(got.count() == 2)
+    assert(got.schema("v").dataType.typeName == "string")
+    assert(got.select("v").as[String].collect().toSet == Set("10", "ten"))
+  }
+}
