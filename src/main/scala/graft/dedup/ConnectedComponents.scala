@@ -34,6 +34,13 @@ object ConnectedComponents {
 
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint()
+    // Convergence via the label-sum invariant: per-vertex labels are
+    // monotonically nonincreasing, so the total sum strictly decreases
+    // exactly while something still changes — one tiny aggregate per
+    // round instead of a change-detection join.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("component")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -47,12 +54,10 @@ object ConnectedComponents {
         .agg(min("component").as("component"))
         .localCheckpoint()
 
-      val changed = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.component") =!= col("l.component"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       it += 1
     }
     // Silent truncation would mislabel long chains and — downstream —

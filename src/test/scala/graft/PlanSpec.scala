@@ -35,6 +35,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("TPC-H Q5 plan: dims broadcast, fact joins shuffle") {
+    val p = plan(gold.AnalyticsQueries.queries("q51_tpch_q5")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p) // nation/region sides
+    assert(p.contains("Exchange hashpartitioning"), p) // fact-side join shuffles exist
+  }
+
   test("brute-force kNN is a broadcast nested-loop, not a shuffled cross") {
     val p = plan(similarity.BruteForceKnn.topK(
       sources.Tables.load(spark, dir, "embeddings"),
