@@ -1,11 +1,32 @@
 package graft
 
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: every SparkEntry query against SPARK_GRAFT_SF_DIR
-  * (default sf0.1), one JSON line on stdout for the driver.
+  * (default sf0.1), one JSON line on stdout for the driver. Failed
+  * queries are listed in a "failed" array — a crash must not read as a
+  * fast green run.
   */
 object Bench {
+
+  /** JSON string escape (same contract as Verify's). */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Locale-invariant decimal formatting (a de_DE default locale would
+    * print 0,123 and corrupt the JSON).
+    */
+  private def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -18,10 +39,15 @@ object Bench {
     // query in the report.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      catch {
+        case e: Exception =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Release persisted/localCheckpoint blocks the query left behind —
       // cross-query storage pollution otherwise squeezes execution memory
@@ -30,10 +56,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => q(k) + ":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map(q).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${q(sfDir)}}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -34,12 +34,13 @@ object ConnectedComponents {
 
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint()
+    if (labels.isEmpty) return labels
     // Convergence via the label-sum invariant: per-vertex labels are
     // monotonically nonincreasing, so the total sum strictly decreases
     // exactly while something still changes — one tiny aggregate per
     // round instead of a change-detection join.
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum("component")).head().getLong(0)
+      df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0

@@ -75,7 +75,12 @@ final class JobLedger(spark: SparkSession, ledgerDir: String) {
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dir, true)
-    fs.rename(tmpP, dir)
+    // rename signals some failures by returning false, not throwing —
+    // unchecked, that would silently leave the ledger destroyed with the
+    // data stranded in the tmp dir.
+    if (!fs.rename(tmpP, dir))
+      throw new java.io.IOException(
+        s"ledger compaction rename failed; data preserved at $tmp")
   }
 
   def read(): DataFrame =

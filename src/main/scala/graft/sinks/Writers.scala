@@ -20,6 +20,8 @@ import graft.core.{FileFormat, SinkSpec}
   */
 object Writers {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class LoadResult(
       status: String, // success | skipped
       destination: String,
@@ -48,11 +50,13 @@ object Writers {
 
     val writer = {
       val base = df.write.mode("overwrite")
-      val partitioned =
-        if (sink.partitionOnData && Seq("_year", "_month", "_day").forall(df.columns.contains))
-          base.partitionBy("_year", "_month", "_day")
-        else base
-      partitioned
+      val hasDateCols = Seq("_year", "_month", "_day").forall(df.columns.contains)
+      if (sink.partitionOnData && !hasDateCols)
+        log.warn(s"partitionOnData requested but _year/_month/_day absent " +
+          s"from ${df.columns.mkString(",")} — writing unpartitioned (no pruning downstream)")
+      if (sink.partitionOnData && hasDateCols)
+        base.partitionBy("_year", "_month", "_day")
+      else base
     }
 
     sink.format match {
@@ -126,15 +130,16 @@ object Writers {
         val seen = spark.read.parquet(dest).select(hashCol)
         df.join(seen, Seq(hashCol), "left_anti")
       }
-    if (novel.isEmpty)
-      return LoadResult("skipped", dest, "parquet", 0L, 0L)
-    // Row delta from parquet footer counts (metadata-only reads), not by
-    // re-running the anti-join.
+    // Single execution of the (possibly expensive) upstream plan: write
+    // unconditionally, derive the row delta from parquet footer counts
+    // (metadata-only reads) — a pre-write isEmpty check would run the
+    // anti-join twice.
     val before = if (fs.exists(path)) spark.read.parquet(dest).count() else 0L
     novel.write.mode("append").option("compression", "snappy").parquet(dest)
     val after = spark.read.parquet(dest).count()
     val bytes = fs.getContentSummary(path).getLength
-    LoadResult("success", dest, "parquet", after - before, bytes)
+    val delta = after - before
+    LoadResult(if (delta > 0) "success" else "skipped", dest, "parquet", delta, bytes)
   }
 
   /** L7 archive move (loader.py:162-204): relocate a consumed source file to
@@ -152,9 +157,15 @@ object Writers {
       val src = new Path(sourcePath)
       val fs = src.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
       val d = at.atZone(ZoneOffset.UTC)
-      val dst = new Path(
+      val base = new Path(
         f"${archiveBase.stripSuffix("/")}/archive/${d.getYear}%04d/${d.getMonthValue}%02d/${src.getName}")
-      fs.mkdirs(dst.getParent)
+      fs.mkdirs(base.getParent)
+      // Recurring basenames (a producer re-dropping data.csv next month's
+      // sweep) would make rename return false against an existing dest and
+      // the source would be re-ingested forever; suffix on collision.
+      val dst =
+        if (!fs.exists(base)) base
+        else new Path(base.getParent, s"${base.getName}.${at.toEpochMilli}")
       if (fs.rename(src, dst)) Some(dst.toString) else None
     } catch {
       case _: Exception => None

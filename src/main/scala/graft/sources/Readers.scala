@@ -26,20 +26,27 @@ import graft.core.{FileFormat, SourceSpec}
   */
 object Readers {
 
-  /** Read one file, dispatching on extension (S1-S5). */
-  def single(spark: SparkSession, path: String): DataFrame = {
+  /** Read one file, dispatching on extension (S1-S5). `tolerant` extends
+    * per-file isolation to EXECUTION time: footer-valid files with
+    * corrupt data pages are skipped at scan instead of failing the job
+    * (plan-time Try alone only covers schema reads).
+    */
+  def single(spark: SparkSession, path: String, tolerant: Boolean = false): DataFrame = {
     val fmt = FileFormat
       .fromPath(path)
       .getOrElse(throw new IllegalArgumentException(s"Unsupported file format: $path"))
-    read(spark, fmt, Seq(path))
+    uniform(spark, fmt, Seq(path), tolerant = tolerant)
   }
 
   /** One scan over many same-format files — the 100 TB path. Pass an
     * explicit schema to skip inference (inference reads every file twice).
     */
   def uniform(spark: SparkSession, format: FileFormat, paths: Seq[String],
-              schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val reader = spark.read
+              schema: Option[org.apache.spark.sql.types.StructType] = None,
+              tolerant: Boolean = false): DataFrame = {
+    val reader =
+      if (tolerant) spark.read.option("ignoreCorruptFiles", "true")
+      else spark.read
     val withSchema = schema.fold(reader)(reader.schema)
     format match {
       case FileFormat.Csv =>
@@ -74,7 +81,7 @@ object Readers {
     */
   def batch(spark: SparkSession, dir: String): DataFrame = {
     val frames = listSupported(spark, dir).flatMap { p =>
-      Try(single(spark, p)) match {
+      Try(single(spark, p, tolerant = true)) match {
         case Success(df) => Some(df)
         case Failure(e) =>
           log.warn(s"skipping unreadable file $p: ${e.getMessage}")
@@ -84,13 +91,20 @@ object Readers {
     if (frames.isEmpty) spark.emptyDataFrame
     else {
       // pd.concat upcasts type-conflicting columns to object; the Spark
-      // analogue is casting conflicted columns to string before the
-      // union (unionByName alone errors on e.g. bigint-vs-string drift).
+      // analogue is casting INCOMPATIBLY-conflicted columns to string
+      // before the union. All-numeric conflicts (int vs bigint vs double)
+      // are left for unionByName's native widening — pandas widens those
+      // too, and a string cast would corrupt numerics. Grouping is
+      // case-insensitive to match unionByName's resolution.
       val conflicted = frames
         .flatMap(_.schema.fields)
-        .groupBy(_.name)
-        .collect { case (name, fs) if fs.map(_.dataType).distinct.length > 1 => name }
-        .toSet
+        .groupBy(_.name.toLowerCase)
+        .collect { case (_, fs)
+          if fs.map(_.dataType).distinct.length > 1 &&
+            !fs.forall(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) =>
+          fs.map(_.name).toSet
+        }
+        .flatten.toSet
       val aligned =
         if (conflicted.isEmpty) frames
         else frames.map { f =>
@@ -108,9 +122,6 @@ object Readers {
     case SourceSpec.Batch(dir)       => batch(spark, dir)
     case s: SourceSpec.Scheduled     => batch(spark, s.pendingDir)
   }
-
-  private def read(spark: SparkSession, fmt: FileFormat, paths: Seq[String]): DataFrame =
-    uniform(spark, fmt, paths)
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }
