@@ -182,6 +182,48 @@ object ParityQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // Semi-structured data: parse the JSON props column, extract + type
+    // a field, aggregate on it (schema-on-read for the nested payload).
+    "q53_json_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("distinct_k"))
+        .orderBy("event_type")
+    },
+
+    // Set operations: INTERSECT / EXCEPT on key projections.
+    "q54_set_ops" -> { (s, dir) =>
+      val orderCust = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val allCust = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val withOrders = allCust.intersect(orderCust)
+      val withoutOrders = allCust.except(orderCust)
+      withOrders.withColumn("has_orders", lit(true))
+        .unionByName(withoutOrders.withColumn("has_orders", lit(false)))
+        .orderBy("custkey")
+    },
+
+    // Semi/anti joins: orders that do/don't contain a returned item.
+    "q55_semi_anti" -> { (s, dir) =>
+      val returned = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val orders = t(s, dir, "orders")
+      val withReturns = orders
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .withColumn("has_return", lit(true))
+      val withoutReturns = orders
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .withColumn("has_return", lit(false))
+      withReturns.unionByName(withoutReturns)
+        .groupBy(col("has_return"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("has_return")
+    },
+
     // T11: expression-string rules (the reference's stubbed extension
     // point, powered by Catalyst expr()) — filter + derive + conditional
     // update, declared as data.
@@ -345,6 +387,35 @@ object ParityQueries {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q53_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+        |  count(DISTINCT k) AS distinct_k
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q54_set_ops" ->
+      """SELECT custkey, TRUE AS has_orders FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT custkey, FALSE AS has_orders FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY custkey""".stripMargin,
+
+    "q55_semi_anti" ->
+      """WITH flags AS (
+        |  SELECT o_totalprice,
+        |    EXISTS (SELECT 1 FROM lineitem
+        |            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') AS has_return
+        |  FROM orders)
+        |SELECT has_return, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q44_rules" ->
       """WITH filtered AS (
