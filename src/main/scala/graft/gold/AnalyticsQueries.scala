@@ -72,6 +72,15 @@ object AnalyticsQueries {
         .orderBy(col("ship_year").asc_nulls_first, col("ship_month").asc_nulls_first)
     },
 
+    // Cube: all grouping-set combinations of (returnflag, linestatus).
+    "q56_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
     // Pivot: quantity totals per returnflag, one column per linestatus.
     "q41_pivot" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -174,6 +183,13 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY ROLLUP(ship_year, ship_month)
         |ORDER BY ship_year NULLS FIRST, ship_month NULLS FIRST""".stripMargin,
+
+    "q56_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q41_pivot" ->
       """SELECT l_returnflag,
