@@ -45,6 +45,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Provenance manifest: records WHICH sf the dump came from so the
+    // compare step can refuse a cross-sf or stale comparison (ADVICE r1:
+    // a sf0.01 dump checked against sf0.1 produced 4 phantom mismatches).
+    val sha =
+      try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
+      catch { case _: Throwable => "unknown" }
+    val manifest = Map(
+      "sf_dir" -> Paths.get(sfDir).toRealPath().toString,
+      "git_sha" -> sha,
+      "written_at" -> java.time.Instant.now().toString)
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      manifest.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

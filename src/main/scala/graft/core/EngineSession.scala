@@ -6,10 +6,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Replaces the reference's process bootstrap (lambda_handler.py:63-66): one
   * shared SparkSession instead of per-invocation boto3 clients. Defaults are
-  * chosen for correctness-portability (UTC, ANSI-off try_* semantics) and
-  * scale (AQE on, shuffle partitions sized to the local core count rather
-  * than Spark's default 200 — on a real cluster callers pass the cluster
-  * parallelism instead).
+  * chosen for correctness-portability (UTC; ANSI pinned ON, with the
+  * reference's errors="coerce" permissiveness expressed through explicit
+  * try_* functions — try_to_timestamp, try_cast — rather than a lax
+  * session) and scale (AQE on, shuffle partitions sized to the local core
+  * count rather than Spark's default 200 — on a real cluster callers pass
+  * the cluster parallelism instead).
   */
 object EngineSession {
 
@@ -25,6 +27,10 @@ object EngineSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+      // Pinned, not inherited: the engine's semantics (overflow/0-div
+      // throw; coercion goes through try_*) must not flip if Spark's
+      // default changes or a host session sets the flag differently.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

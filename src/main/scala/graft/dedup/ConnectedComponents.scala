@@ -38,9 +38,12 @@ object ConnectedComponents {
     // Convergence via the label-sum invariant: per-vertex labels are
     // monotonically nonincreasing, so the total sum strictly decreases
     // exactly while something still changes — one tiny aggregate per
-    // round instead of a change-detection join.
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
+    // round instead of a change-detection join. Summed as decimal(38,0):
+    // a LongType sum of 64-bit ids overflows (throws under ANSI) once
+    // vertex count × id magnitude passes 2^63.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
@@ -57,7 +60,7 @@ object ConnectedComponents {
 
       val nextSum = labelSum(next)
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       it += 1
     }

@@ -32,7 +32,7 @@ object DedupQueries {
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Hash-keyed keep-first dedup: one representative order per customer,
+    // Keep-first dedup: one representative order per customer,
     // deterministic (earliest orderdate, then smallest orderkey).
     "q19_dedup_keepfirst" -> { (s, dir) =>
       ExactDedup.keepFirst(

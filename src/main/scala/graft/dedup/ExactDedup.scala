@@ -4,34 +4,28 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact deduplication, hash-first.
+/** Exact deduplication beyond plain `dropDuplicates()`.
   *
-  * `dropDuplicates()` (the reference's D1, transformer.py:151-171) shuffles
-  * whole rows — at 100 TB that means shuffling the full payload (wide text /
-  * binary columns) just to compare equality. The scale path shuffles a
-  * 64-bit xxhash64 of the dedup key instead and resolves each group to one
-  * deterministic representative.
-  *
-  * Collisions: xxhash64 over the key columns has ~2^-64 pairwise collision
-  * probability; for exactness-critical runs `keepFirst` can key on the full
-  * columns (`hashKey = false`) at the cost of shuffling them.
+  * `dropDuplicates()` (the reference's D1, transformer.py:151-171) keeps an
+  * arbitrary survivor; `keepFirst` keeps a *deterministic* representative
+  * per key and `duplicateGroups` reports what was collapsed. Both are a
+  * single hash-partitioned shuffle on the key columns — the shuffle always
+  * carries the full rows (the window needs them), so there is nothing to
+  * save by shuffling a hash instead, and partitioning by the real columns
+  * carries zero collision risk at any key cardinality.
   */
 object ExactDedup {
 
   /** One representative row per distinct key, deterministically the row with
-    * the smallest `tiebreak` value. Single hash-partitioned shuffle; the
-    * row_number window avoids a second self-join pass.
+    * the smallest `tiebreak` value. Single hash-partitioned shuffle on
+    * `keyCols`; the row_number window avoids a second self-join pass.
     */
   def keepFirst(
       df: DataFrame,
       keyCols: Seq[String],
-      tiebreak: Seq[Column],
-      hashKey: Boolean = true
+      tiebreak: Seq[Column]
   ): DataFrame = {
-    val key: Seq[Column] =
-      if (hashKey) Seq(xxhash64(keyCols.map(col): _*))
-      else keyCols.map(col)
-    val w = Window.partitionBy(key: _*).orderBy(tiebreak: _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(tiebreak: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -37,9 +37,12 @@ object Shingles {
   def shingleSet(text: Column, w: Int = 3): Column =
     array_distinct(transform(shingles(text, w), s => xxhash64(s)))
 
-  /** Exact Jaccard similarity of two pre-computed shingle sets. */
+  /** Exact Jaccard similarity of two pre-computed shingle sets; null when
+    * both sets are empty (|A∪B| = 0 would otherwise be a 0/0 that throws
+    * under the engine's pinned ANSI mode).
+    */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    val union = size(a) + size(b) - size(array_intersect(a, b))
+    when(union > 0, size(array_intersect(a, b)).cast("double") / union)
   }
 }

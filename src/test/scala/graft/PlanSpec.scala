@@ -104,11 +104,15 @@ class PlanSpec extends SparkSpec {
     try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("exact dedup shuffles the 64-bit key hash, not full rows") {
+  test("exact dedup is one shuffle, partitioned on the real key columns") {
     val q = dedup.ExactDedup.keepFirst(
       sources.Tables.load(spark, dir, "orders"), Seq("o_custkey"), Seq(col("o_orderkey")))
     val p = plan(q)
-    assert(p.contains("xxhash64"), p)
-    assert(p.contains("Exchange hashpartitioning(_w"), p) // partitions on the hash alias
+    // Collision-free partitioning: the exchange keys on o_custkey itself,
+    // not a 64-bit hash alias (ADVICE r1: hash-keyed windows merge distinct
+    // keys on collision and save no shuffle payload).
+    assert(p.contains("Exchange hashpartitioning(o_custkey"), p)
+    assert(!p.contains("xxhash64"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 }

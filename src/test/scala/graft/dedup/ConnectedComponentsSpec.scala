@@ -32,6 +32,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == 1L)
   }
 
+  test("near-Long.Max vertex ids converge without a long-sum overflow") {
+    // Three such ids already overflow a LongType sum; the decimal(38,0)
+    // convergence aggregate must not throw under the pinned ANSI mode.
+    val ids = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MaxValue - 2, 5L)
+    val vertices = ids.toDF("id")
+    val edges = Seq((Long.MaxValue, Long.MaxValue - 1)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.assign(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      Long.MaxValue -> (Long.MaxValue - 1), (Long.MaxValue - 1) -> (Long.MaxValue - 1),
+      (Long.MaxValue - 2) -> (Long.MaxValue - 2), 5L -> 5L))
+  }
+
   test("component-hash split keeps connected rows in one split") {
     val vertices = (1L to 6L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

@@ -29,6 +29,15 @@ class DedupSpec extends SparkSpec {
     assert(j == 0.5)
   }
 
+  test("jaccard of two empty sets is null, not an ANSI divide-by-zero") {
+    val j = docs((1L, "a"), (2L, "b")) // < 3 tokens => empty shingle sets
+      .select(Shingles.shingleSet(col("text")).as("s"))
+      .agg(collect_list(col("s")).as("ss"))
+      .select(Shingles.jaccard(element_at(col("ss"), 1), element_at(col("ss"), 2)).as("j"))
+      .head()
+    assert(j.isNullAt(0))
+  }
+
   test("keepFirst keeps exactly one deterministic representative per key") {
     val df = Seq(
       ("k1", 3L), ("k1", 1L), ("k1", 2L),

@@ -38,6 +38,20 @@ def canon(names, rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Provenance guard: refuse to compare a dump produced from a different
+    # scale factor (or a stale pre-manifest dump) — both directions of that
+    # mistake silently corrupt the gate (phantom mismatches / false greens).
+    mpath = os.path.join(out_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        sys.exit(f"REFUSING: {mpath} missing — stale or pre-manifest dump; "
+                 f"re-run graft.Verify")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if manifest.get("sf_dir") != os.path.realpath(sf_dir):
+        sys.exit(f"REFUSING: dump was produced from {manifest.get('sf_dir')} "
+                 f"but compare target is {os.path.realpath(sf_dir)}")
+    print(f"  manifest ok: sf={manifest['sf_dir']} sha={manifest.get('git_sha', '?')[:12]} "
+          f"at {manifest.get('written_at', '?')}")
     con = duckdb.connect()
     for tbl in TABLES:
         p = os.path.join(sf_dir, f"{tbl}.parquet")
