@@ -39,8 +39,13 @@ object Bench {
     // query in the report.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // Dev-only subset filter (comma-separated names); the driver sets no
+    // filter and always benches the full battery.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch {
@@ -52,8 +57,11 @@ object Bench {
       // Release persisted/localCheckpoint blocks the query left behind —
       // cross-query storage pollution otherwise squeezes execution memory
       // for later queries (measured: 8x slowdown on the shuffle-heavy
-      // ones once the block manager fills).
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // ones once the block manager fills). Blocking, and outside the
+      // timed window: an async unpersist races into the NEXT query's
+      // timing and showed up as multi-second phantom spikes there.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => q(k) + ":" + num(v) }.mkString("{", ",", "}")

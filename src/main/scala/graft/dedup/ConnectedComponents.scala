@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * 2-4 rounds in practice. Each round is one join + one aggregate;
   * labels are localCheckpoint'ed per round to truncate the growing
   * lineage (the classic iterative-algorithm trap).
+  *
+  * Only vertices that touch an edge iterate: isolates are by definition
+  * their own component and join back in one final pass. In a dedup graph
+  * the edge-touched subgraph is typically a small fraction of the corpus
+  * (duplicates are the exception, not the rule), so the per-round joins
+  * run over that fraction instead of every document.
   */
 object ConnectedComponents {
 
@@ -24,17 +30,19 @@ object ConnectedComponents {
     * @return (id, component) where component = min id in the component
     */
   def assign(vertices: DataFrame, edges: DataFrame, maxIterations: Int = 20): DataFrame = {
-    // Symmetrize once and MATERIALIZE: the edge list is joined every
-    // round, and upstream edge derivation (e.g. an exact-Jaccard
-    // pipeline) would otherwise re-execute per iteration — twice, since
-    // the union references it on both sides.
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // MATERIALIZE the edge list once: it is referenced twice by the
+    // symmetrize union and then joined every round — upstream edge
+    // derivation (e.g. an exact-Jaccard pipeline) would otherwise
+    // re-execute 2·rounds times.
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+
+    // Active subgraph: vertices with degree ≥ 1.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
       .localCheckpoint()
 
-    var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
-    if (labels.isEmpty) return labels
     // Convergence via the label-sum invariant: per-vertex labels are
     // monotonically nonincreasing, so the total sum strictly decreases
     // exactly while something still changes — one tiny aggregate per
@@ -45,7 +53,7 @@ object ConnectedComponents {
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = labels.isEmpty // no edges → nothing to propagate
     var it = 0
     while (!converged && it < maxIterations) {
       // Each vertex receives its neighbors' current labels...
@@ -70,7 +78,11 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIterations rounds " +
           "(graph diameter exceeds it); raise maxIterations")
-    labels
+    // Isolates (and vertices named only in `vertices`) are their own
+    // component; edge endpoints absent from `vertices` are dropped.
+    vertices.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Leakage-free split: hash the COMPONENT id (not the row id) into

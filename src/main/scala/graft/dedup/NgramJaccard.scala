@@ -6,13 +6,26 @@ import org.apache.spark.sql.functions._
 /** Exact n-gram Jaccard similarity over all document pairs that share at
   * least one shingle.
   *
-  * This is the exact counterpart to [[MinHashDedup]]: explode each doc's
-  * distinct shingle-hash set, self-join on shingle hash, count
-  * intersections per pair, and derive |A∩B| / |A∪B|. Cost is
-  * Σ_shingle df(shingle)² — fine below ~10M docs with a diverse shingle
-  * vocabulary, quadratic on hot shingles. At 100 TB this is the
-  * *verification* oracle for MinHash candidates, not the discovery path;
-  * [[MinHashDedup.nearDuplicatePairs]] bounds the join to banded buckets.
+  * This is the exact counterpart to [[MinHashDedup]]: the pairs that share
+  * a shingle are discovered from inverted posting lists — group the
+  * exploded (doc, shingle) rows by shingle, collect the sorted doc list,
+  * and emit intra-list pairs. One shuffle on the 64-bit shingle hash and
+  * ONE evaluation of the shingle pipeline, where a self-join on the
+  * exploded frame would execute that pipeline twice and shuffle both
+  * sides. Singleton shingles (document frequency 1) can witness no pair
+  * and are dropped before any pair materializes — in a diverse corpus
+  * that is most of the vocabulary.
+  *
+  * Set sizes travel inside the posting entries, so J ≥ t's size-ratio
+  * necessary condition (min(|A|,|B|) ≥ t·max(|A|,|B|), since |A∩B| ≤ min
+  * and |A∪B| ≥ max) prunes pairs BEFORE the per-pair count shuffle, and no
+  * size-lookup join is needed afterwards.
+  *
+  * Cost remains Σ_shingle df(shingle)² over surviving shingles — fine
+  * below ~10M docs with a diverse vocabulary, quadratic on hot shingles.
+  * At 100 TB this is the *verification* oracle for MinHash candidates, not
+  * the discovery path; [[MinHashDedup.nearDuplicatePairs]] bounds the join
+  * to banded buckets.
   */
 object NgramJaccard {
 
@@ -24,30 +37,39 @@ object NgramJaccard {
       threshold: Double,
       shingleWidth: Int = 3
   ): DataFrame = {
-    val sets = docs
+    val items = docs
       .select(col(idCol).as("id"), Shingles.shingleSet(col(textCol), shingleWidth).as("shset"))
       .filter(size(col("shset")) > 0)
-    val sizes = sets.select(col("id"), size(col("shset")).as("n"))
-    val exploded = sets.select(col("id"), explode(col("shset")).as("sh"))
+      .select(col("id"), size(col("shset")).as("n"), explode(col("shset")).as("sh"))
 
-    // shuffle_hash hint: Catalyst's size estimate of the exploded frame
-    // (docs × shingles rows) sits near the broadcast threshold, and a
-    // broadcast build would evaluate the whole shingle pipeline
-    // single-threaded on the driver — slower and GC-noisy. A shuffled
-    // hash join on the 64-bit shingle key is the right plan at every
-    // scale.
-    val inter = exploded.as("a").hint("shuffle_hash")
-      .join(exploded.as("b").hint("shuffle_hash"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Inverted index: per shingle, the sorted (id, setsize) posting list.
+    // array_sort on the struct orders by id (first field), so emitted
+    // pairs are already oriented id_a < id_b.
+    val postings = items
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_list(struct(col("id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+
+    val pairs = postings
+      .select(explode(postingPairs(col("ds"))).as("p"))
+      .select(
+        col("p.a.id").as("id_a"), col("p.a.n").as("n_a"),
+        col("p.b.id").as("id_b"), col("p.b.n").as("n_b"))
+      .filter(least(col("n_a"), col("n_b")) >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")))
+
+    pairs
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
-
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** All ordered pairs (ds(i), ds(j)), i < j, from a sorted posting list. */
+  private def postingPairs(ds: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds)),
+        y => struct(x.as("a"), y.as("b")))))
 }

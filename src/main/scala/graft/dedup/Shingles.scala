@@ -33,9 +33,14 @@ object Shingles {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct xxhash64 shingle hashes — the document's shingle *set*. */
+  /** Distinct xxhash64 shingle hashes — the document's shingle *set*.
+    * Native single-pass expression ([[graft.functions.ShingleHashes]]);
+    * semantically `array_distinct(transform(shingles(text, w), xxhash64))`,
+    * but codegen-friendly and allocation-free (the HOF chain is
+    * CodegenFallback and dominated the dedup-family runtime).
+    */
   def shingleSet(text: Column, w: Int = 3): Column =
-    array_distinct(transform(shingles(text, w), s => xxhash64(s)))
+    call_function("graft_shingle_set", text, lit(w))
 
   /** Exact Jaccard similarity of two pre-computed shingle sets; null when
     * both sets are empty (|A∪B| = 0 would otherwise be a 0/0 that throws

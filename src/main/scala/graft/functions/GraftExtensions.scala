@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_set"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(w: Int, IntegerType)) => ShingleHashes(text, w)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingle_set(text, w) with literal int w")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => children match {

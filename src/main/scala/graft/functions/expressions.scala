@@ -129,6 +129,78 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Single-pass distinct w-shingle hashes of a text column.
+  *
+  * Equivalent to `array_distinct(transform(shingles(text, w), xxhash64))`
+  * over whitespace-split tokens — but with no intermediate token array, no
+  * shingle-string concatenation, and no interpreted higher-order functions
+  * (Spark's HOFs are CodegenFallback and knock the whole projection out of
+  * whole-stage codegen). Because tokens are the single-space splits of the
+  * text, every space-joined w-shingle IS a contiguous byte range of the
+  * original string, so each hash is one XXH64 over that range (seed 42 —
+  * the same value Spark's `xxhash64` yields for the shingle string) with
+  * zero allocation per shingle.
+  *
+  * Hashes keep first-occurrence order, matching array_distinct.
+  */
+object ShingleHasher {
+  def shingleHashes(text: UTF8String, w: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    // Token start byte-offsets: a UTF-8 continuation byte is >= 0x80, so
+    // scanning for raw 0x20 never splits inside a multi-byte char.
+    var nStarts = 1
+    var b = 0
+    while (b < len) { if (text.getByte(b) == 0x20) nStarts += 1; b += 1 }
+    val nTokens = nStarts
+    if (nTokens < w) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nStarts)
+    var s = 1
+    b = 0
+    while (b < len) {
+      if (text.getByte(b) == 0x20) { starts(s) = b + 1; s += 1 }
+      b += 1
+    }
+    val m = nTokens - w + 1
+    val out = new Array[Long](m)
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    var cnt = 0
+    var i = 0
+    while (i < m) {
+      val start = starts(i)
+      // end of token i+w-1: one byte before the next token's start, or EOS
+      val end = if (i + w < nTokens) starts(i + w) - 1 else len
+      val h = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (cnt == m) out else java.util.Arrays.copyOf(out, cnt))
+  }
+}
+
+/** Catalyst wrapper for [[ShingleHasher]]: `graft_shingle_set(text, w)` →
+  * array<long>. The generated code is a single static call, so the
+  * surrounding projection stays inside whole-stage codegen.
+  */
+case class ShingleHashes(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHasher.shingleHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleHasher.shingleHashes($t, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** k-element MinHash signature of an array<long> shingle-hash column in a
   * single pass: hash family h_i(x) = XXH64.hashLong(x, seed = i). Empty
   * input yields a signature of Long.MaxValue sentinels (callers filter

@@ -29,6 +29,24 @@ class DedupSpec extends SparkSpec {
     assert(j == 0.5)
   }
 
+  test("native shingle-set expression matches the HOF formulation exactly") {
+    val texts = Seq(
+      "a b c d e", "a b", "", "a b c d e", "one two three four",
+      "a  b c d",          // double space => empty token, kept by split
+      "a b c d ",          // trailing space => trailing empty token
+      "héllo wörld ünïcode ßtraße multibyte",
+      "x y z x y z x y z"  // repeated shingles => distinct collapses
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = df.select(
+      Shingles.shingleSet(col("text")).as("native"),
+      array_distinct(transform(Shingles.shingles(col("text")), s => xxhash64(s))).as("hof")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r)
+    }
+  }
+
   test("jaccard of two empty sets is null, not an ANSI divide-by-zero") {
     val j = docs((1L, "a"), (2L, "b")) // < 3 tokens => empty shingle sets
       .select(Shingles.shingleSet(col("text")).as("s"))
