@@ -39,6 +39,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+      (children: Seq[Expression]) => children match {
+        case Seq(score, payload, Literal(k: Int, IntegerType)) =>
+          TopKByScore(score, payload, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_topk(score, payload, k) with literal int k")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => children match {

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact k-nearest-neighbor search by brute force — the correctness
@@ -15,6 +14,17 @@ import org.apache.spark.sql.functions._
   * [[HyperplaneLsh]] (or an IVF partitioning) to bound the candidate set.
   */
 object BruteForceKnn {
+
+  /** The O(n²) work happens in the map stage that consumes the streamed
+    * side, so its parallelism is ITS partition count — and a small-file
+    * query side (one parquet block) would run the whole cross product on
+    * one core. Widen only when under-partitioned; the explicit partition
+    * count keeps AQE from coalescing it back down.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Per-query top-k by cosine, deterministic (ties broken on neighbor
     * id). Input frames need (idCol, vecCol) with vecCol: array<float|double>.
@@ -32,9 +42,9 @@ object BruteForceKnn {
       k: Int,
       excludeSelf: Boolean = true
   ): DataFrame = {
-    val q = queries.select(
+    val q = widen(queries.select(
       col(idCol).as("query_id"),
-      VectorOps.toDouble(col(vecCol)).as("qv"))
+      VectorOps.toDouble(col(vecCol)).as("qv")))
       .withColumn("qn", VectorOps.norm(col("qv")))
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
@@ -44,15 +54,20 @@ object BruteForceKnn {
     val crossed = q.crossJoin(broadcast(c))
     val scored = (if (excludeSelf) crossed.filter(col("query_id") =!= col("neighbor_id"))
                   else crossed)
-      .withColumn("cosine",
-        VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // Rank with the bounded top-k aggregate, not a window: a window would
+    // shuffle all |q|·|c| scored rows to rank them, while graft_topk's
+    // partial phase reduces each query's candidates to k BEFORE the
+    // exchange — with the corpus broadcast, a query's candidates all sit
+    // in one partition, so the shuffle carries exactly k rows per query.
     scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "rnk", "cosine")
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_topk", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"), col("col.score").as("cosine"))
   }
 
   /** All pairs (idA < idB) with cosine ≥ threshold — embedding-space
@@ -68,7 +83,7 @@ object BruteForceKnn {
       col(idCol).as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"))
       .withColumn("n", VectorOps.norm(col("v")))
-    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val a = widen(v.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")))
     val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
@@ -136,16 +135,19 @@ object IvfIndex {
       col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
       explode(col("probes")).as("cell"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // Bounded top-k aggregate, not a window: the partial phase trims each
+    // query's candidate list to k before the exchange (see BruteForceKnn).
     probes
       .join(indexed.select(col("cell"), col("id").as("neighbor_id"),
         col("v").as("cv"), col("n").as("cn")), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_topk", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("col.score"), 6).as("cosine"))
   }
 }

@@ -34,6 +34,25 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq((2L, 1), (3L, 2)))
   }
 
+  test("graft_topk agrees with the row_number window on the sf0.001 embeddings") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val agg = BruteForceKnn.topK(emb, emb, "vec_id", "embedding", k = 3)
+    // Independent ground truth: the window formulation graft_topk replaced.
+    val v = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorOps.norm(col("v")))
+    val windowed = v.as("q").crossJoin(v.as("c"))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        (VectorOps.dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n"))).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 3)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rnk"))
+    assert(agg.collect().map(key).toSet == windowed.collect().map(key).toSet)
+  }
+
   test("nearDuplicatePairs finds exactly the high-cosine pair") {
     val df = vecs(
       1L -> Seq(1.0, 0.0, 0.0),
