@@ -68,4 +68,79 @@ object StatefulOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(fold)
   }
+
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionAgg(startMs: Long, endMs: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long, total: Double)
+
+  /** Event-time sessionization with WATERMARK-driven finalization — the
+    * event-time-timeout counterpart to [[detectDrift]]'s processing-time
+    * eviction. A key's session closes `gapMs` after its last event *in
+    * event time*: the state registers an event-time timeout at
+    * `last_event + gap`, and when the stream's watermark passes that
+    * point the session is emitted and the state removed. Late events
+    * within the watermark delay extend the session; events later than
+    * the watermark are dropped by Spark before reaching the fold —
+    * exactly the session_window contract, but with the state formulation
+    * that also supports custom per-session payloads.
+    *
+    * In batch execution timeouts never fire, so the fold finalizes every
+    * session at end of group instead — same output, single pass.
+    */
+  def sessionize(
+      events: Dataset[TimedEvent],
+      gapMs: Long = 5 * 60 * 1000L,
+      watermarkDelay: String = "10 seconds"
+  ): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+
+    def finalize(userId: Long, s: SessionAgg): Session =
+      Session(userId, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
+        s.n, s.sum)
+
+    def fold(userId: Long, it: Iterator[TimedEvent],
+             state: GroupState[SessionAgg]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(finalize(userId, _)).iterator
+        state.remove()
+        return out
+      }
+      val evs = it.toArray.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var open = state.getOption
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some(s) if t - s.endMs <= gapMs =>
+            open = Some(SessionAgg(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+          case Some(s) => // gap exceeded inside the batch: close, start anew
+            closed ::= finalize(userId, s)
+            open = Some(SessionAgg(t, t, 1L, e.value))
+          case None =>
+            open = Some(SessionAgg(t, t, 1L, e.value))
+        }
+      }
+      open match {
+        case Some(s) if streaming =>
+          state.update(s)
+          // Timeout must sit strictly beyond the current watermark or
+          // Spark rejects it; a session whose close point the watermark
+          // already passed times out at the next possible tick.
+          state.setTimeoutTimestamp(
+            math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+        case Some(s) => // batch: no future timeout will fire; close now
+          closed ::= finalize(userId, s)
+        case None => ()
+      }
+      closed.reverseIterator
+    }
+
+    val withWm =
+      if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    withWm
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
 }

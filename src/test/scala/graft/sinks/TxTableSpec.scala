@@ -1,0 +1,97 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TxTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("txtable").resolve("t").toString
+
+  private def rows(dir: String): Map[Long, String] =
+    TxTable.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+
+  test("init + merge: matched rows replaced, new rows inserted, version bumps") {
+    val dir = freshDir()
+    TxTable.init(spark, dir, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    assert(TxTable.currentVersion(spark, dir) == 1L)
+
+    val stats = TxTable.merge(spark, dir,
+      Seq((2L, "B!"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    assert(stats == TxTable.MergeStats(version = 2L, updated = 1L, inserted = 1L, total = 4L))
+    assert(rows(dir) == Map(1L -> "a", 2L -> "B!", 3L -> "c", 4L -> "d"))
+  }
+
+  test("time travel reads any committed version; history records operations") {
+    val dir = freshDir()
+    TxTable.init(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    TxTable.merge(spark, dir, Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+    TxTable.merge(spark, dir, Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+
+    assert(TxTable.readVersion(spark, dir, 1).collect().map(_.getString(1)).toSeq == Seq("a"))
+    assert(TxTable.readVersion(spark, dir, 2).collect().map(_.getString(1)).toSet == Set("a2"))
+    assert(rows(dir) == Map(1L -> "a2", 2L -> "b"))
+    assert(TxTable.history(spark, dir).map(_.operation) == Seq("init", "merge", "merge"))
+  }
+
+  test("duplicate keys in updates are rejected") {
+    val dir = freshDir()
+    TxTable.init(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, dir, Seq((2L, "x"), (2L, "y")).toDF("id", "v"), Seq("id"))
+    }
+  }
+
+  test("delete removes matching rows transactionally") {
+    val dir = freshDir()
+    TxTable.init(spark, dir, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val remaining = TxTable.delete(spark, dir, "id >= 2")
+    assert(remaining == 1L)
+    assert(rows(dir) == Map(1L -> "a"))
+    assert(TxTable.currentVersion(spark, dir) == 2L)
+  }
+
+  test("a stolen commit slot forces retry against the new base (optimistic concurrency)") {
+    val dir = freshDir()
+    TxTable.init(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    // Simulate a concurrent writer claiming version 2 mid-merge by
+    // pre-committing it: our merge must lose the race for v2, re-read,
+    // and land as v3 on top of the interloper's state.
+    val interloper = Seq((9L, "z")).toDF("id", "v")
+    TxTable.merge(spark, dir, interloper, Seq("id")) // v2
+    val stats = TxTable.merge(spark, dir, Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+    assert(stats.version == 3L)
+    assert(rows(dir) == Map(1L -> "a2", 9L -> "z"))
+  }
+
+  test("an uncommitted snapshot directory is invisible to readers (crash safety)") {
+    val dir = freshDir()
+    TxTable.init(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    // Crash between data write and commit: a data dir with no commit file.
+    Seq((666L, "junk")).toDF("id", "v").write
+      .parquet(new Path(dir, "v-2-deadbeef").toString)
+    assert(TxTable.currentVersion(spark, dir) == 1L)
+    assert(rows(dir) == Map(1L -> "a"))
+    // ...and vacuum reclaims the orphan.
+    TxTable.vacuum(spark, dir, keep = 2)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(dir, "v-2-deadbeef")))
+    assert(rows(dir) == Map(1L -> "a"))
+  }
+
+  test("vacuum keeps the newest versions readable and drops older data dirs") {
+    val dir = freshDir()
+    TxTable.init(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    (2 to 4).foreach(i => TxTable.merge(spark, dir,
+      Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id")))
+    TxTable.vacuum(spark, dir, keep = 2)
+    assert(rows(dir).keySet == Set(1L, 2L, 3L, 4L))        // latest intact
+    assert(TxTable.readVersion(spark, dir, 3).count() == 3) // kept
+    intercept[Exception] { TxTable.readVersion(spark, dir, 1).count() } // vacuumed
+    assert(TxTable.history(spark, dir).length == 4)         // log retained
+  }
+}

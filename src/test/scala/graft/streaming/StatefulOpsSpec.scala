@@ -32,4 +32,49 @@ class StatefulOpsSpec extends SparkSpec {
       Seq(Event(1L, 1.0), Event(1L, 100.0)).toDS())
     assert(out.count() == 0, "all data in one batch = one fold with empty prior state")
   }
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("event-time sessionize: watermark passing last_event+gap finalizes the session") {
+    import StatefulOps.{Session, TimedEvent}
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TimedEvent]
+    val q = StatefulOps.sessionize(input.toDS(),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 1 min apart → one session [10:00, 10:01]
+      input.addData(TimedEvent(1L, ts(0), 1.0), TimedEvent(1L, ts(1), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0, "watermark has not passed the gap yet")
+
+      // push the watermark beyond 10:01 + 5min with another key's event
+      input.addData(TimedEvent(2L, ts(30), 9.0))
+      q.processAllAvailable()
+      // one more tick so the timeout (checked against the advanced
+      // watermark) actually fires
+      input.addData(TimedEvent(2L, ts(31), 1.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions").as[Session].collect()
+      val u1 = sessions.find(_.user_id == 1L)
+      assert(u1.contains(Session(1L, ts(0), ts(1), 2L, 3.0)), sessions.toSeq.toString)
+    } finally q.stop()
+  }
+
+  test("batch sessionize splits on gap and finalizes every session in one pass") {
+    import StatefulOps.{Session, TimedEvent}
+    val out = StatefulOps.sessionize(
+      Seq(
+        TimedEvent(1L, ts(0), 1.0), TimedEvent(1L, ts(2), 2.0), // session A
+        TimedEvent(1L, ts(20), 5.0),                            // session B (gap > 5min)
+        TimedEvent(2L, ts(7), 4.0)
+      ).toDS(), gapMs = 5 * 60 * 1000L)
+      .collect().toSet
+    assert(out == Set(
+      Session(1L, ts(0), ts(2), 2L, 3.0),
+      Session(1L, ts(20), ts(20), 1L, 5.0),
+      Session(2L, ts(7), ts(7), 1L, 4.0)))
+  }
 }
