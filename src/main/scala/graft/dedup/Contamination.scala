@@ -1,0 +1,42 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection — flag corpus documents that share
+  * any w-gram with a benchmark/test set. The standard pre-training hygiene
+  * check: training text containing verbatim evaluation n-grams inflates
+  * benchmark scores, so contaminated documents are quarantined before
+  * training.
+  *
+  * Shape: the benchmark's distinct shingle hashes form a small build side
+  * (|benchmark| ≪ |corpus| always holds for eval sets — thousands of docs
+  * against a 100 TB corpus), broadcast to an equi-join against the
+  * exploded corpus shingles. One narrow shingle pass per side, no shuffle
+  * of corpus text, corpus-side cost linear in corpus shingles. If the
+  * benchmark dictionary ever outgrew broadcast range, the same join runs
+  * shuffled on the 64-bit hash — the code path is unchanged.
+  */
+object Contamination {
+
+  /** Corpus docs sharing ≥1 w-shingle with the benchmark: (id,
+    * n_shared) where n_shared counts the distinct shared shingles.
+    * Clean documents are absent from the result.
+    */
+  def flagged(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8
+  ): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Shingles.shingleSet(col(textCol), w)).as("sh"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("id"), explode(Shingles.shingleSet(col(textCol), w)).as("sh"))
+      .join(broadcast(benchShingles), "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared")) // corpus shingles pre-distinct per doc
+  }
+}

@@ -86,6 +86,20 @@ object DedupQueries {
     "q23_ngram_jaccard" -> { (s, dir) =>
       NgramJaccard.similarPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy("id_a", "id_b")
+    },
+
+    // Benchmark-contamination scan: corpus docs sharing any 8-gram with
+    // the "benchmark" subset (every 5th doc), with the count of distinct
+    // shared 8-grams. Oracle compares on shingle strings (same
+    // cardinalities as our hashes barring in-doc xxhash64 collisions).
+    "q58_contamination" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Contamination.flagged(
+        corpus = d.filter(col("doc_id") % 5 =!= 0),
+        benchmark = d.filter(col("doc_id") % 5 === 0),
+        idCol = "doc_id", textCol = "text", w = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -149,6 +163,20 @@ object DedupQueries {
       s"""WITH $shingleSetsSql
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q58_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) i
+        |        FROM toks WHERE len(ts) >= 8),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |      ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] s
+        |  FROM idx),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM sh c JOIN bench b ON c.s = b.s
+        |WHERE c.doc_id % 5 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

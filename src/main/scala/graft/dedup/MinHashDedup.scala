@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   *
   *  1. per doc: distinct shingle hashes (narrow, [[Shingles]])
   *  2. per doc: k-element minhash signature. Hash function family is
-  *     h_i(x) = XXH64(x, seed=i) — an indexed-seed family avoids
-  *     modular-arithmetic constructions whose a·x multiplications
-  *     overflow (ANSI mode makes long overflow an error, and mod-2^64
-  *     tricks aren't portable).
+  *     double hashing over two XXH64 draws, h_i(x) = h1(x) + i·h2(x)
+  *     with h2 odd (Kirsch–Mitzenmacher) — 2 strong hashes + k
+  *     multiply-adds per shingle; JVM long arithmetic wraps mod 2⁶⁴
+  *     natively (SQL-side ANSI overflow rules don't apply inside a
+  *     native expression).
   *  3. signature split into `bands` bands of `rows` values; each band
   *     hashed to one bucket key. Docs sharing ANY band bucket are
   *     candidates. With bands=32, rows=4 the candidate threshold is
@@ -32,8 +33,8 @@ object MinHashDedup {
 
   /** k-element minhash signature of a shingle-set column. Native
     * single-pass codegen'd expression ([[graft.functions.MinHashSignature]],
-    * family h_i(x) = XXH64(x, seed=i)) — one traversal of the shingle set
-    * instead of k array_min(transform(...)) passes.
+    * double-hashing family) — one traversal of the shingle set instead of
+    * k array_min(transform(...)) passes.
     */
   def signature(shingleSet: Column, k: Int): Column =
     call_function("graft_minhash", shingleSet, lit(k))

@@ -202,9 +202,14 @@ case class ShingleHashes(child: Expression, w: Int)
 }
 
 /** k-element MinHash signature of an array<long> shingle-hash column in a
-  * single pass: hash family h_i(x) = XXH64.hashLong(x, seed = i). Empty
-  * input yields a signature of Long.MaxValue sentinels (callers filter
-  * empty shingle sets). Null elements are skipped.
+  * single pass. Hash family: double hashing over two XXH64 draws,
+  * h_i(x) = h1(x) + i·h2(x) (mod 2⁶⁴, JVM wrap) with h2 forced odd so
+  * every h_i is a bijection of the key space — the Kirsch–Mitzenmacher
+  * construction, which preserves MinHash's collision behavior while
+  * costing 2 strong hashes + k multiply-adds per element instead of k
+  * strong hashes (the signature pass dominated the near-dup pipeline at
+  * k=128). Empty input yields a signature of Long.MaxValue sentinels
+  * (callers filter empty shingle sets). Null elements are skipped.
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -221,10 +226,13 @@ case class MinHashSignature(child: Expression, k: Int)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val x = arr.getLong(i)
+        val h1 = XXH64.hashLong(x, 0L)
+        val h2 = XXH64.hashLong(x, 1L) | 1L
+        var h = h1
         var f = 0
         while (f < k) {
-          val h = XXH64.hashLong(x, f.toLong)
           if (h < mins(f)) mins(f) = h
+          h += h2
           f += 1
         }
       }
@@ -240,6 +248,7 @@ case class MinHashSignature(child: Expression, k: Int)
       val f = ctx.freshName("f")
       val x = ctx.freshName("x")
       val h = ctx.freshName("h")
+      val h2 = ctx.freshName("h2")
       val xxh = classOf[XXH64].getName
       val gad = classOf[GenericArrayData].getName
       s"""
@@ -248,9 +257,11 @@ case class MinHashSignature(child: Expression, k: Int)
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  if (!$a.isNullAt($i)) {
          |    long $x = $a.getLong($i);
+         |    long $h = $xxh.hashLong($x, 0L);
+         |    long $h2 = $xxh.hashLong($x, 1L) | 1L;
          |    for (int $f = 0; $f < $k; $f++) {
-         |      long $h = $xxh.hashLong($x, (long) $f);
          |      if ($h < $mins[$f]) $mins[$f] = $h;
+         |      $h += $h2;
          |    }
          |  }
          |}

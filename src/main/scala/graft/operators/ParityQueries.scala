@@ -280,6 +280,23 @@ object ParityQueries {
         .filter(col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
         .orderBy("o_custkey", "rnk")
+    },
+
+    // Custom-state sessionization (flatMapGroupsWithState, the operator
+    // behind StatefulOps.sessionize's event-time-timeout streaming path)
+    // run in batch mode — differentially checked against the SQL
+    // lag/cumulative-sum session formulation. Distinct semantics from
+    // q17's session_window: a gap EXACTLY equal to the threshold extends
+    // the session here (<=), where session_window starts a new one.
+    "q57_stateful_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val ds = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.StatefulOps.TimedEvent]
+      graft.streaming.StatefulOps.sessionize(ds, gapMs = 6 * 3600 * 1000L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total"), 2).as("sum_value"))
+        .orderBy("user_id", "session_start")
     }
   )
 
@@ -459,6 +476,25 @@ object ParityQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) WHERE rnk <= 3
-        |ORDER BY o_custkey, rnk""".stripMargin
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    // Session break on gap STRICTLY GREATER than the threshold (the
+    // stateful operator's <=-extends contract).
+    "q57_stateful_sessionize" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP ts, value FROM events),
+        |lagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      > INTERVAL 6 HOUR THEN 1 ELSE 0 END brk
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) sid
+        |  FROM lagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

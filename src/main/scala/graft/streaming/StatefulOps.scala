@@ -70,9 +70,10 @@ object StatefulOps {
   }
 
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  final case class SessionAgg(startMs: Long, endMs: Long, n: Long, sum: Double)
+  final case class SessionAgg(startUs: Long, endUs: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long, total: Double)
+
 
   /** Event-time sessionization with WATERMARK-driven finalization — the
     * event-time-timeout counterpart to [[detectDrift]]'s processing-time
@@ -95,10 +96,21 @@ object StatefulOps {
   ): Dataset[Session] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
+    val gapUs = gapMs * 1000L
 
+    // Local functions only: anything the fold closure touches ships to
+    // executors, and a reference to this (non-serializable) module object
+    // would fail closure serialization. µs precision throughout — the
+    // event tables carry µs and `getTime` alone is millis.
+    def toMicros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def finalize(userId: Long, s: SessionAgg): Session =
-      Session(userId, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
-        s.n, s.sum)
+      Session(userId, fromMicros(s.startUs), fromMicros(s.endUs), s.n, s.sum)
 
     def fold(userId: Long, it: Iterator[TimedEvent],
              state: GroupState[SessionAgg]): Iterator[Session] = {
@@ -107,14 +119,14 @@ object StatefulOps {
         state.remove()
         return out
       }
-      val evs = it.toArray.sortBy(_.ts.getTime)
+      val evs = it.toArray.sortBy(e => toMicros(e.ts))
       var closed = List.empty[Session]
       var open = state.getOption
       evs.foreach { e =>
-        val t = e.ts.getTime
+        val t = toMicros(e.ts)
         open match {
-          case Some(s) if t - s.endMs <= gapMs =>
-            open = Some(SessionAgg(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+          case Some(s) if t - s.endUs <= gapUs =>
+            open = Some(SessionAgg(s.startUs, math.max(s.endUs, t), s.n + 1, s.sum + e.value))
           case Some(s) => // gap exceeded inside the batch: close, start anew
             closed ::= finalize(userId, s)
             open = Some(SessionAgg(t, t, 1L, e.value))
@@ -129,7 +141,7 @@ object StatefulOps {
           // Spark rejects it; a session whose close point the watermark
           // already passed times out at the next possible tick.
           state.setTimeoutTimestamp(
-            math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            math.max(s.endUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
         case Some(s) => // batch: no future timeout will fire; close now
           closed ::= finalize(userId, s)
         case None => ()
