@@ -70,16 +70,10 @@ object MinHashDedup {
       .groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(intraBucketPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(explode(Pairs.ordered(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
-
-  /** All ordered pairs (ids(i), ids(j)), i < j, from a sorted id array. */
-  private def intraBucketPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)),
-        y => struct(x.as("id_a"), y.as("id_b")))))
 
   /** Full near-dup pipeline over a document table: pairs with exact
     * Jaccard ≥ `threshold`, plus the estimate-free exact similarity.

@@ -51,7 +51,7 @@ object NgramJaccard {
       .filter(size(col("ds")) > 1)
 
     val pairs = postings
-      .select(explode(postingPairs(col("ds"))).as("p"))
+      .select(explode(Pairs.ordered(col("ds"))).as("p"))
       .select(
         col("p.a.id").as("id_a"), col("p.a.n").as("n_a"),
         col("p.b.id").as("id_b"), col("p.b.n").as("n_b"))
@@ -66,10 +66,4 @@ object NgramJaccard {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
-
-  /** All ordered pairs (ds(i), ds(j)), i < j, from a sorted posting list. */
-  private def postingPairs(ds: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + lit(2), size(ds)),
-        y => struct(x.as("a"), y.as("b")))))
 }

@@ -49,9 +49,17 @@ object SimHash {
       .select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("cc"))
       .select(col(idCol), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
 
-    val a = exploded.select(col("chunk"), col("ck"),
+    // Unlike the MinHash band join (64-bit buckets, tiny groups), chunk
+    // values are only 16 bits, so a shared-vocabulary corpus produces HOT
+    // buckets — a bucket-collect would build quadratic pair arrays in one
+    // task (measured 2x slower), while the hash self-join streams them
+    // through codegen. The double-evaluation trap of a self-join is
+    // closed by materializing the exploded fingerprints first: 4 rows of
+    // (id, hash, chunk) per doc, trivially small at any corpus size.
+    val mat = exploded.localCheckpoint()
+    val a = mat.select(col("chunk"), col("ck"),
       col(idCol).as("id_a"), col("simhash").as("sim_a"))
-    val b = exploded.select(col("chunk"), col("ck"),
+    val b = mat.select(col("chunk"), col("ck"),
       col(idCol).as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))
