@@ -128,6 +128,30 @@ object TxTable {
       s"MERGE on $dir lost the commit race $maxRetries times; giving up")
   }
 
+  /** `foreachBatch` handler that MERGEs every micro-batch into the table —
+    * the streaming-upsert pattern: `stream.writeStream.foreachBatch(
+    * TxTable.mergeSink(dir, Seq("id"), orderBy = Some("ts"))).start()`.
+    *
+    * Exactly-once effect without sink-side batchId bookkeeping: a replayed
+    * micro-batch re-merges the same rows by key, which lands the table in
+    * the same state (upsert is content-idempotent). `orderBy` names a
+    * column whose LARGEST value wins when one batch carries several rows
+    * per key (e.g. an event timestamp); without it the batch must already
+    * be unique per key. The first batch initializes the table.
+    */
+  def mergeSink(dir: String, keyCols: Seq[String], orderBy: Option[String] = None)
+      : (DataFrame, Long) => Unit = (batch: DataFrame, _: Long) => {
+    val spark = batch.sparkSession
+    val deduped = orderBy match {
+      case Some(ord) => graft.dedup.ExactDedup.keepFirst(
+        batch, keyCols, tiebreak = Seq(col(ord).desc))
+      case None => batch
+    }
+    if (deduped.isEmpty) ()
+    else if (currentVersion(spark, dir) == 0L) init(spark, dir, deduped)
+    else { merge(spark, dir, deduped, keyCols); () }
+  }
+
   /** Transactional delete of all rows matching `predicate` (SQL string,
     * Catalyst `expr`). Same retry/commit protocol as merge.
     */

@@ -74,6 +74,19 @@ object TextQueries {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fingerprint")).as("n_distinct_fingerprints"))
+    },
+
+    // Canonical text normalization (lowercase → non-alnum → space →
+    // whitespace collapse → trim), the prep step ahead of tokenize/dedup.
+    // RE2-safe patterns with identical semantics in DuckDB.
+    "q59_text_norm" -> { (s, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      docs(s, dir).select(
+        col("doc_id"),
+        substring(norm, 1, 80).as("norm_prefix"),
+        when(norm === "", lit(0)).otherwise(size(split(norm, " "))).as("n_norm_tokens"))
+        .orderBy("doc_id")
     }
   )
 
@@ -160,6 +173,18 @@ object TextQueries {
         |    ELSE 'und' END lang_pred
         |  FROM c)
         |SELECT lang_pred, count(*) AS n_docs
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q59_text_norm" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')) norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(norm, 1, 80) AS norm_prefix,
+        |  CASE WHEN norm = '' THEN 0
+        |    ELSE len(string_split(norm, ' ')) END AS n_norm_tokens
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 }
