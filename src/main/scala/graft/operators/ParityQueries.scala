@@ -297,6 +297,19 @@ object ParityQueries {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("total"), 2).as("sum_value"))
         .orderBy("user_id", "session_start")
+    },
+
+    // Deterministic k-per-group sampling (bottom-k-by-hash via the
+    // graft_topk partial aggregate). WHICH rows are sampled is
+    // engine-defined (hash priorities), but the per-group sample SIZE is
+    // exactly least(k, group size) — that contract is what the oracle
+    // checks; SamplingSpec pins determinism and the member-level
+    // reference.
+    "q60_sample_sizes" -> { (s, dir) =>
+      Sampling.perGroup(t(s, dir, "orders"), Seq("o_custkey"), "o_orderkey", k = 3)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -495,6 +508,10 @@ object ParityQueries {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q60_sample_sizes" ->
+      """SELECT o_custkey, least(3, count(*)) AS n_sampled
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

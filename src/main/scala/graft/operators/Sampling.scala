@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation — every operator
+  * here is a pure function of row identity, so the same rows are chosen
+  * regardless of partitioning, task order, or cluster size (reruns and
+  * backfills produce byte-identical mixtures; `df.sample` cannot promise
+  * that across re-partitions).
+  */
+object Sampling {
+
+  /** Pseudo-uniform [0,1) priority from a row id (+salt). */
+  private def priority(id: Column, salt: Long): Column =
+    (pmod(xxhash64(id, lit(salt)), lit(1000000000L)).cast("double") / 1e9)
+
+  /** Deterministic fraction-sample: keep rows whose hash-priority falls
+    * under `fraction`. No shuffle, no state — a filter that any engine
+    * replays identically. Different `salt`s draw independent samples.
+    */
+  def byFraction(df: DataFrame, idCol: String, fraction: Double, salt: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
+    df.filter(priority(col(idCol), salt) < fraction)
+  }
+
+  /** Deterministic stratified sample: per-stratum fractions (strata
+    * absent from the map keep `defaultFraction`). Still shuffle-free —
+    * the mixture knob for balancing domains/languages/sources in a
+    * training set.
+    */
+  def stratified(
+      df: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      idCol: String,
+      defaultFraction: Double = 0.0,
+      salt: Long = 0L
+  ): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (els, (s, f)) =>
+      when(col(strataCol) === s, lit(f)).otherwise(els)
+    }
+    df.filter(priority(col(idCol), salt) < frac)
+  }
+
+  /** Deterministic k-per-group sample (bottom-k-by-hash sketch): each
+    * row's priority is its id hash; the k smallest per group win. Rides
+    * the `graft_topk` partial aggregate, so each map task forwards at
+    * most k candidates per group — shuffle volume is groups × k, never
+    * the raw rows. Returns (groupCols..., idCol) of the sampled rows;
+    * join back on id for payload columns.
+    */
+  def perGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      k: Int,
+      salt: Long = 0L
+  ): DataFrame = {
+    // topk keeps the HIGHEST scores; negate the [0,1) priority to keep
+    // the k smallest hashes. Ties (same truncated priority) break on the
+    // id payload — still deterministic.
+    val sampled = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_topk",
+        -priority(col(idCol), salt), col(idCol), lit(k)).as("top"))
+    sampled
+      .select(groupCols.map(col) :+ explode(col("top.payload")).as(idCol): _*)
+  }
+}

@@ -72,6 +72,33 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[graft_dot""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("native shingle hashing stays inside whole-stage codegen") {
+    val q = sources.Tables.load(spark, dir, "documents")
+      .select(dedup.Shingles.shingleSet(col("text")).as("sh"))
+    val p = plan(q)
+    // The old HOF formulation (transform/concat_ws/array_distinct) was
+    // CodegenFallback; the native expression must keep the '*(n)' marker.
+    assert("""\*\(\d+\) Project \[graft_shingle_set""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("contamination scan broadcasts the benchmark shingle dictionary") {
+    val d = sources.Tables.load(spark, dir, "documents")
+    val p = plan(dedup.Contamination.flagged(
+      d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("kNN ranking is a partial+final top-k aggregate, not a window sort") {
+    val q = similarity.BruteForceKnn.topK(
+      sources.Tables.load(spark, dir, "embeddings"),
+      sources.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 3)
+    val p = plan(q)
+    assert(p.contains("partial_graft_topk"), p) // map-side k-trim before the exchange
+    assert(!p.contains("Window"), p)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val wh = tmpDir("bucket-wh") // explicit table paths; warehouse conf is static
     val orders = sources.Tables.load(spark, dir, "orders")

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val orders = (1L to 2000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
+
+  test("byFraction is deterministic under repartitioning and ~proportional") {
+    val a = Sampling.byFraction(orders, "id", 0.3).select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.byFraction(orders.repartition(13), "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(math.abs(a.size - 600) < 120, s"got ${a.size} of expected ~600")
+    // independent draw under a different salt
+    val c = Sampling.byFraction(orders, "id", 0.3, salt = 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("stratified keeps per-stratum fractions and drops unlisted strata") {
+    val s = Sampling.stratified(orders, "grp",
+      Map("g0" -> 1.0, "g1" -> 0.5), idCol = "id")
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s.keySet == Set("g0", "g1"), "unlisted strata default to fraction 0")
+    assert(s("g0") == orders.filter(col("grp") === "g0").count())
+    assert(math.abs(s("g1") - 143) < 60, s"~half of g1 expected, got ${s("g1")}")
+  }
+
+  test("perGroup matches the windowed bottom-k-by-hash reference") {
+    val k = 3
+    val got = Sampling.perGroup(orders, Seq("grp"), "id", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // independent reference: same priority expression, ranked by window
+    val prio = pmod(xxhash64(col("id"), lit(0L)), lit(1000000000L)).cast("double") / 1e9
+    val w = Window.partitionBy(col("grp")).orderBy(prio.asc, col("id").asc)
+    val ref = orders.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got == ref)
+    assert(got.groupBy(_._1).forall(_._2.size == k))
+  }
+}
