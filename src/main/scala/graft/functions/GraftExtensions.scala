@@ -39,6 +39,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_tokens_in_set"),
+      new ExpressionInfo(classOf[TokensInSet].getName, "graft_tokens_in_set"),
+      (children: Seq[Expression]) => children match {
+        case Seq(toks, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _))) =>
+          TokensInSet(toks,
+            (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+        case _ => throw new IllegalArgumentException(
+          "graft_tokens_in_set(tokens, words) with a literal string-array words")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (children: Seq[Expression]) => children match {

@@ -129,6 +129,55 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Count of tokens (array<string>) that belong to a fixed word set —
+  * the kernel behind stopword counting and marker-word language ID.
+  * Replaces `size(filter(tokens, isInCollection(set)))`: Spark's HOFs are
+  * CodegenFallback, so that formulation runs interpreted AND loses
+  * common-subexpression elimination (four language passes re-split the
+  * text four times). Here the generated code is one hash-set probe per
+  * token and the projection stays in whole-stage codegen.
+  */
+case class TokensInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_tokens_in_set"
+
+  // UTF8String set, built once per expression instance and shipped via
+  // the codegen reference mechanism (addReferenceObj).
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokensInSet.countIn(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val setRef = ctx.addReferenceObj("wordSet", set, classOf[java.util.HashSet[_]].getName)
+      s"${ev.value} = graft.functions.TokensInSet.countIn($a, (java.util.HashSet) $setRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokensInSet {
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    var n = 0
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
 /** Single-pass distinct w-shingle hashes of a text column.
   *
   * Equivalent to `array_distinct(transform(shingles(text, w), xxhash64))`

@@ -35,8 +35,16 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
 
+  /** Count of tokens belonging to a fixed word set — native codegen
+    * expression ([[graft.functions.TokensInSet]]); the HOF formulation
+    * `size(filter(toks, isInCollection(set)))` is CodegenFallback and
+    * re-evaluates the token split per call site.
+    */
+  def tokensInSet(toks: Column, words: Seq[String]): Column =
+    call_function("graft_tokens_in_set", toks, typedlit(words))
+
   def stopwordCount(text: Column): Column =
-    size(filter(tokens(lower(text)), t => t.isInCollection(stopwords)))
+    tokensInSet(tokens(lower(text)), stopwords)
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
@@ -84,7 +92,7 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
     val counts = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isInCollection(markers)))
+      lang -> tokensInSet(toks, markers)
     }
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     counts.foldRight(lit("und"): Column) { case ((lang, c), els) =>

@@ -11,8 +11,8 @@ object PlanDump {
       .builder(master = "local[4]", shufflePartitions = 4, appName = "plan-dump")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-    val q = graft.similarity.BruteForceKnn.topK(emb, emb, "vec_id", "embedding", k = 1)
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val q = docs.select(graft.text.TextAnalysis.langId(org.apache.spark.sql.functions.col("text")).as("lang"))
     println("=== PLAN START ===")
     println(q.queryExecution.executedPlan.toString.take(6000))
     println("=== PLAN END ===")
