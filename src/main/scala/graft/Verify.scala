@@ -11,7 +11,19 @@ object Verify {
       .builder(master = s"local[$cpus]", shufflePartitions = cpus, appName = "graft-verify")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // Start from an EMPTY outDir: a failed query would otherwise leave a
+    // previous run's parquet dump in place and the compare would bless
+    // stale results under a fresh manifest.
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(outRoot)
+    }
+    outRoot.mkdirs()
+    val failedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       // TIMESTAMP → TIMESTAMP_NTZ on output: session TZ is UTC so wall
       // clock is unchanged, and the parquet file then carries
@@ -27,6 +39,7 @@ object Verify {
         norm.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
+        failedQueries += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -54,7 +67,8 @@ object Verify {
     val manifest = Map(
       "sf_dir" -> Paths.get(sfDir).toRealPath().toString,
       "git_sha" -> sha,
-      "written_at" -> java.time.Instant.now().toString)
+      "written_at" -> java.time.Instant.now().toString,
+      "failed" -> failedQueries.sorted.mkString(","))
     Files.writeString(Paths.get(s"$outDir/manifest.json"),
       manifest.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()

@@ -24,9 +24,16 @@ final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   val payloads = new Array[Long](k)
 
-  /** true if (s1,p1) is a WORSE result than (s2,p2). */
-  @inline private def worse(s1: Double, p1: Long, s2: Double, p2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && p1 > p2)
+  /** true if (s1,p1) is a WORSE result than (s2,p2). Scores compare via
+    * Double.compare — a total order, so NaN (greatest, i.e. "best") and
+    * ±0.0 cannot break the heap invariant or make the output sort
+    * non-transitive; this matches Spark's window ORDER BY score DESC,
+    * which also sorts NaN above every real value.
+    */
+  @inline private def worse(s1: Double, p1: Long, s2: Double, p2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && p1 > p2)
+  }
 
   def insert(s: Double, p: Long): Unit = {
     if (size < k) {

@@ -55,7 +55,8 @@ object BruteForceKnn {
     val scored = (if (excludeSelf) crossed.filter(col("query_id") =!= col("neighbor_id"))
                   else crossed)
       .select(col("query_id"), col("neighbor_id"),
-        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        VectorOps.cosineFromNorms(VectorOps.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cosine"))
 
     // Rank with the bounded top-k aggregate, not a window: a window would
     // shuffle all |q|·|c| scored rows to rank them, while graft_topk's
@@ -87,7 +88,8 @@ object BruteForceKnn {
     val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cosine", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -73,7 +73,8 @@ object HyperplaneLsh {
     probes
       .join(cands, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .groupBy(col("query_id"))
       .agg(
         count(lit(1)).as("n_candidates"),

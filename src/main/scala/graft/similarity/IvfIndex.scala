@@ -142,7 +142,8 @@ object IvfIndex {
         col("v").as("cv"), col("n").as("cn")), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        VectorOps.cosineFromNorms(VectorOps.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cosine"))
       .groupBy(col("query_id"))
       .agg(call_function("graft_topk", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
       .select(col("query_id"), posexplode(col("top")))

@@ -29,9 +29,19 @@ object VectorOps {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity; callers with precomputed norms should use
-    * dot(a,b) / (normA * normB) directly instead of re-deriving norms per
+  /** dot(a,b) / (na·nb), null when either norm is 0 — a zero vector has
+    * no defined cosine, and under the engine's pinned ANSI mode an
+    * unguarded 0-divisor division would abort the whole query instead.
+    * Use with precomputed norm columns to avoid re-deriving norms per
     * pair.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineFromNorms(dotAB: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, dotAB / (na * nb))
+
+  /** Cosine similarity (null for zero vectors); callers with precomputed
+    * norms should use [[cosineFromNorms]] instead of re-deriving norms
+    * per pair.
+    */
+  def cosine(a: Column, b: Column): Column =
+    cosineFromNorms(dot(a, b), norm(a), norm(b))
 }

@@ -61,18 +61,46 @@ object TxTable {
       .sortBy(_.version)
   }
 
-  def currentVersion(spark: SparkSession, dir: String): Long =
-    history(spark, dir).lastOption.map(_.version).getOrElse(0L)
+  /** O(1 listing, 0 reads): commit file names are zero-padded versions,
+    * so the max NAME is the current version — no need to parse every
+    * commit json (a long-lived streaming-merge table accumulates
+    * thousands; re-reading them all per operation would make commit
+    * latency grow with table age).
+    */
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    val cd = commitsDir(dir)
+    if (!f.exists(cd)) return 0L
+    f.listStatus(cd).iterator
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .foldLeft(0L)(math.max)
+  }
 
   /** Latest snapshot; empty-schema error if the table has no commits. */
   def read(spark: SparkSession, dir: String): DataFrame =
     readVersion(spark, dir, currentVersion(spark, dir))
 
-  /** Time travel to an exact committed version. */
+  /** Time travel to an exact committed version. Reads one commit file. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val c = history(spark, dir).find(_.version == version).getOrElse(
+    val c = readCommit(spark, dir, version).getOrElse(
       throw new IllegalArgumentException(s"no committed version $version in $dir"))
     spark.read.parquet(new Path(dir, c.dataDir).toString)
+  }
+
+  private def commitPath(dir: String, version: Long): Path =
+    new Path(commitsDir(dir), f"$version%020d.json")
+
+  private def readCommit(spark: SparkSession, dir: String, version: Long): Option[Commit] = {
+    val f = fs(spark, dir)
+    val p = commitPath(dir, version)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseCommit(body)
   }
 
   /** Create the table at version 1 from `df`. Fails if it already exists. */
@@ -98,7 +126,13 @@ object TxTable {
       keyCols: Seq[String],
       maxRetries: Int = 3
   ): MergeStats = {
-    val dupKeys = updates.groupBy(keyCols.map(col): _*)
+    // Materialize updates once: the dup-key check, matched count,
+    // anti-join, union write, and any conflict retries would otherwise
+    // each re-execute the caller's (possibly expensive) plan — and a
+    // nondeterministic source would make the attempts inconsistent.
+    val upd = updates.localCheckpoint()
+    val updCount = upd.count()
+    val dupKeys = upd.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
       s"updates carry duplicate keys (e.g. ${dupKeys.headOption.getOrElse("")}); " +
@@ -109,18 +143,22 @@ object TxTable {
       val base = currentVersion(spark, dir)
       require(base > 0, s"$dir not initialized; call init first")
       val current = readVersion(spark, dir, base)
-      require(current.columns.sorted.sameElements(updates.columns.sorted),
+      require(current.columns.sorted.sameElements(upd.columns.sorted),
         s"schema mismatch: table ${current.columns.toSeq.sorted} vs " +
-          s"updates ${updates.columns.toSeq.sorted}")
+          s"updates ${upd.columns.toSeq.sorted}")
 
-      val matched = current.join(updates.select(keyCols.map(col): _*), keyCols, "left_semi").count()
-      val kept = current.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-      val merged = kept.unionByName(updates.select(current.columns.map(col): _*))
+      // matched counts UPDATE KEYS found in the table (not table rows —
+      // a table carrying duplicate keys would otherwise drive `inserted`
+      // negative).
+      val matched = upd.select(keyCols.map(col): _*)
+        .join(current.select(keyCols.map(col): _*), keyCols, "left_semi").count()
+      val kept = current.join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val merged = kept.unionByName(upd.select(current.columns.map(col): _*))
 
       commit(spark, dir, merged, base, "merge") match {
         case Some(total) =>
           return MergeStats(base + 1, updated = matched,
-            inserted = updates.count() - matched, total = total)
+            inserted = updCount - matched, total = total)
         case None => attempt += 1 // lost the race; recompute against new base
       }
     }
@@ -162,7 +200,10 @@ object TxTable {
       val base = currentVersion(spark, dir)
       require(base > 0, s"$dir not initialized")
       val current = readVersion(spark, dir, base)
-      val remaining = current.filter(!expr(predicate))
+      // SQL DELETE semantics: a NULL predicate is "not matched", so the
+      // row survives. A bare !expr would turn NULL into NULL and the
+      // filter would silently delete those rows.
+      val remaining = current.filter(!coalesce(expr(predicate), lit(false)))
       commit(spark, dir, remaining, base, "delete") match {
         case Some(total) => return total
         case None => attempt += 1
@@ -175,16 +216,28 @@ object TxTable {
     * committed versions, plus orphans from lost commit races. Keeps the
     * commit log itself (history stays queryable; time travel to vacuumed
     * versions fails with a clear error from the missing directory).
+    *
+    * `graceMs` protects IN-FLIGHT commits: a concurrent writer that has
+    * written its snapshot but not yet claimed the commit file looks
+    * exactly like a crash orphan, so uncommitted directories younger
+    * than the grace window are left alone (the same reason Delta's
+    * VACUUM has a retention threshold). Pass 0 only when no other writer
+    * can be active.
     */
-  def vacuum(spark: SparkSession, dir: String, keep: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 2,
+             graceMs: Long = 60 * 60 * 1000L): Unit = {
     val f = fs(spark, dir)
     val commits = history(spark, dir)
     val live = commits.takeRight(keep).map(_.dataDir).toSet
+    val committed = commits.map(_.dataDir).toSet
     val root = new Path(dir)
     if (!f.exists(root)) return
+    val cutoff = System.currentTimeMillis() - graceMs
     f.listStatus(root).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("v-") && !live.contains(name))
+      val isOrphan = !committed.contains(name)
+      if (st.isDirectory && name.startsWith("v-") && !live.contains(name) &&
+          (!isOrphan || st.getModificationTime < cutoff))
         f.delete(st.getPath, true)
     }
   }
@@ -203,21 +256,34 @@ object TxTable {
     val rows = spark.read.parquet(dataPath.toString).count()
 
     f.mkdirs(commitsDir(dir))
-    val commitPath = new Path(commitsDir(dir), f"$version%020d.json")
+    val cPath = commitPath(dir, version)
     val body = renderCommit(Commit(version, dataDir, operation, rows,
       java.time.Instant.now().toString))
     try {
-      // overwrite=false: the atomic create-if-absent that arbitrates
-      // racing writers. Exactly one create for a given version succeeds.
-      val out = f.create(commitPath, false)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
+      // Atomic create-if-absent arbitrates racing writers: exactly one
+      // create for a given version succeeds. Hadoop's LocalFileSystem
+      // implements create(overwrite=false) as exists-check THEN create —
+      // a TOCTOU window where both racers win — so file:// goes through
+      // java.nio CREATE_NEW (O_EXCL). Other stores use the FS contract
+      // (HDFS create is atomic; S3 needs a log-store service, as Delta's
+      // docs say).
+      if (cPath.toUri.getScheme == null || cPath.toUri.getScheme == "file") {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(cPath.toUri.getPath),
+          body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } else {
+        val out = f.create(cPath, false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+      }
       Some(rows)
     } catch {
       case e: java.io.IOException =>
         f.delete(dataPath, true) // our snapshot lost; remove the orphan
         // Only a genuine race (commit file exists) means "retry"; any
         // other IO failure must surface, not masquerade as contention.
-        if (f.exists(commitPath)) None else throw e
+        if (f.exists(cPath)) None else throw e
     }
   }
 

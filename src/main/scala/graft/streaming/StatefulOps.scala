@@ -125,11 +125,19 @@ object StatefulOps {
       evs.foreach { e =>
         val t = toMicros(e.ts)
         open match {
-          case Some(s) if t - s.endUs <= gapUs =>
-            open = Some(SessionAgg(s.startUs, math.max(s.endUs, t), s.n + 1, s.sum + e.value))
-          case Some(s) => // gap exceeded inside the batch: close, start anew
+          // Within gap of the open session's [start, end] interval —
+          // including LATE events inside the watermark that precede the
+          // session: merge extends BOTH boundaries (a late 10:03 event
+          // joining a [10:05, 10:10] session must move session_start).
+          case Some(s) if t >= s.startUs - gapUs && t <= s.endUs + gapUs =>
+            open = Some(SessionAgg(math.min(s.startUs, t), math.max(s.endUs, t),
+              s.n + 1, s.sum + e.value))
+          case Some(s) if t > s.endUs + gapUs => // next session starts
             closed ::= finalize(userId, s)
             open = Some(SessionAgg(t, t, 1L, e.value))
+          case Some(_) => // late event more than a gap BEFORE the open
+            // session: its own already-over session, emitted immediately
+            closed ::= finalize(userId, SessionAgg(t, t, 1L, e.value))
           case None =>
             open = Some(SessionAgg(t, t, 1L, e.value))
         }

@@ -48,6 +48,19 @@ class TopKAggSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN scores rank above real values (total order, matches window desc)") {
+    val buf = new TopKBuffer(2)
+    Seq((1.0, 1L), (Double.NaN, 2L), (2.0, 3L)).foreach { case (s, p) => buf.insert(s, p) }
+    val out = drain(buf)
+    assert(out.head._1.isNaN && out.head._2 == 2L)
+    assert(out(1) == (2.0, 3L))
+    // many NaNs must not break the heap/sort invariants
+    val b2 = new TopKBuffer(3)
+    Seq((Double.NaN, 5L), (1.0, 1L), (Double.NaN, 4L), (2.0, 2L), (Double.NaN, 6L))
+      .foreach { case (s, p) => b2.insert(s, p) }
+    assert(drain(b2).map(_._2) == Seq(4L, 5L, 6L))
+  }
+
   test("duplicate scores break ties on the smaller payload") {
     val buf = new TopKBuffer(2)
     Seq((1.0, 9L), (1.0, 3L), (1.0, 7L)).foreach { case (s, p) => buf.insert(s, p) }

@@ -53,6 +53,20 @@ class SimilaritySpec extends SparkSpec {
     assert(agg.collect().map(key).toSet == windowed.collect().map(key).toSet)
   }
 
+  test("zero-norm vectors don't crash ANSI division; they rank nowhere") {
+    val df = vecs(
+      1L -> Seq(1.0, 0.0),
+      2L -> Seq(0.9, 0.1),
+      3L -> Seq(0.0, 0.0)) // zero vector: cosine undefined
+    val top = BruteForceKnn.topK(df, df, "vec_id", "embedding", k = 2).collect()
+    // null cosines are skipped by the aggregate: the zero vector is never
+    // a neighbor, and as a query it has no ranked rows at all
+    assert(!top.exists(r => r.getAs[Long]("neighbor_id") == 3L))
+    assert(!top.exists(r => r.getAs[Long]("query_id") == 3L))
+    val pairs = BruteForceKnn.nearDuplicatePairs(df, "vec_id", "embedding", 0.0)
+    assert(!pairs.collect().exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
   test("nearDuplicatePairs finds exactly the high-cosine pair") {
     val df = vecs(
       1L -> Seq(1.0, 0.0, 0.0),

@@ -76,9 +76,13 @@ class TxTableSpec extends SparkSpec {
       .parquet(new Path(dir, "v-2-deadbeef").toString)
     assert(TxTable.currentVersion(spark, dir) == 1L)
     assert(rows(dir) == Map(1L -> "a"))
-    // ...and vacuum reclaims the orphan.
-    TxTable.vacuum(spark, dir, keep = 2)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Within the grace window the orphan is indistinguishable from a
+    // concurrent writer's in-flight snapshot — vacuum must leave it.
+    TxTable.vacuum(spark, dir, keep = 2)
+    assert(fs.exists(new Path(dir, "v-2-deadbeef")))
+    // With no writers possible (grace 0) it is reclaimed.
+    TxTable.vacuum(spark, dir, keep = 2, graceMs = 0L)
     assert(!fs.exists(new Path(dir, "v-2-deadbeef")))
     assert(rows(dir) == Map(1L -> "a"))
   }

@@ -50,6 +50,10 @@ def main():
     if manifest.get("sf_dir") != os.path.realpath(sf_dir):
         sys.exit(f"REFUSING: dump was produced from {manifest.get('sf_dir')} "
                  f"but compare target is {os.path.realpath(sf_dir)}")
+    if manifest.get("failed"):
+        sys.exit(f"REFUSING: Verify recorded failed queries "
+                 f"[{manifest['failed']}] — no dumps exist for them; "
+                 f"fix and re-run graft.Verify")
     print(f"  manifest ok: sf={manifest['sf_dir']} sha={manifest.get('git_sha', '?')[:12]} "
           f"at {manifest.get('written_at', '?')}")
     con = duckdb.connect()
