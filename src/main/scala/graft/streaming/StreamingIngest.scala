@@ -83,6 +83,25 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour_start"), col("n_events"))
 
+  /** Streaming exact dedup with BOUNDED state: keys older than the
+    * watermark are evicted, so state size tracks the de-dup window, not
+    * the stream's lifetime — the continuous-ingest counterpart of the
+    * batch `ExactDedup`. Within the window, re-deliveries (at-least-once
+    * sources, replayed batches) and content duplicates collapse to the
+    * first arrival; duplicates farther apart than the watermark delay
+    * are batch dedup's job downstream. Pass the columns that define
+    * identity (e.g. a row hash) — not the event time itself.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization (stateful): session_window groups events
     * per user whose gaps are < `gap`. Works identically over batch frames
     * (exercised by the oracle-checked q17) and streams (with watermark).

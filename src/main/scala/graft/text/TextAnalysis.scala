@@ -91,13 +91,17 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
-    val counts = langMarkers.map { case (lang, markers) =>
-      lang -> tokensInSet(toks, markers)
-    }
-    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
-    counts.foldRight(lit("und"): Column) { case ((lang, c), els) =>
-      when(c > 0 && c === best, lit(lang)).otherwise(els)
-    }
+    // One array of per-language hit counts; argmax via array_position
+    // (first occurrence = first-listed-language tiebreak). The previous
+    // when-chain formulation repeated every count subexpression ~20x in
+    // the expression tree — correct after codegen CSE, but a needlessly
+    // huge tree to analyze and compile.
+    val counts = array(langMarkers.map { case (_, m) => tokensInSet(toks, m) }: _*)
+    val best = array_max(counts)
+    val langs = typedlit(langMarkers.map(_._1))
+    when(best > 0,
+      element_at(langs, array_position(counts, best).cast("int")))
+      .otherwise(lit("und"))
   }
 
   // ── PII redaction ───────────────────────────────────────────────────────

@@ -53,6 +53,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedupWithinWatermark: re-delivered keys collapse across micro-batches, state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = StreamingIngest.dedupWithinWatermark(
+      input.toDF().toDF("key", "ts"), Seq("key"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      input.addData((1L, ts(2)), (3L, ts(3))) // key 1 re-delivered → dropped
+      q.processAllAvailable()
+      val keys = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      assert(keys.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap >= threshold starts a new session") {
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
     val events = Seq(
