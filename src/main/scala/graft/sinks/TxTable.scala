@@ -73,8 +73,7 @@ object TxTable {
     if (!f.exists(cd)) return 0L
     f.listStatus(cd).iterator
       .map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
+      .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
       .foldLeft(0L)(math.max)
   }
 
