@@ -7,42 +7,50 @@ import graft.SparkSpec
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("chains, cliques, and isolates resolve to min-id components") {
-    val vertices = (1L to 9L).toDF("id")
-    // chain 1-2-3 (needs >1 propagation round), clique 4-5-6, pair 7-8, isolate 9
-    val edges = Seq(
-      (2L, 3L), (1L, 2L),
-      (4L, 5L), (5L, 6L), (4L, 6L),
-      (7L, 8L)
-    ).toDF("id_a", "id_b")
-    val got = ConnectedComponents.assign(vertices, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(
-      1L -> 1L, 2L -> 1L, 3L -> 1L,
-      4L -> 4L, 5L -> 4L, 6L -> 4L,
-      7L -> 7L, 8L -> 7L, 9L -> 9L))
-  }
+  /** Both execution paths must agree: driver union-find (small edge
+    * lists, the adaptive default) and distributed label propagation
+    * (maxLocalEdges = 0 forces it).
+    */
+  private val paths: Seq[(String, Long)] =
+    Seq("local union-find" -> 1000000L, "distributed propagation" -> 0L)
 
-  test("long path converges within diameter rounds") {
-    val n = 12L
-    val vertices = (1L to n).toDF("id")
-    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = ConnectedComponents.assign(vertices, edges)
-      .select(countDistinct(col("component"))).head().getLong(0)
-    assert(got == 1L)
-  }
+  for ((pathName, maxLocal) <- paths) {
 
-  test("near-Long.Max vertex ids converge without a long-sum overflow") {
-    // Three such ids already overflow a LongType sum; the decimal(38,0)
-    // convergence aggregate must not throw under the pinned ANSI mode.
-    val ids = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MaxValue - 2, 5L)
-    val vertices = ids.toDF("id")
-    val edges = Seq((Long.MaxValue, Long.MaxValue - 1)).toDF("id_a", "id_b")
-    val got = ConnectedComponents.assign(vertices, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(
-      Long.MaxValue -> (Long.MaxValue - 1), (Long.MaxValue - 1) -> (Long.MaxValue - 1),
-      (Long.MaxValue - 2) -> (Long.MaxValue - 2), 5L -> 5L))
+    test(s"[$pathName] chains, cliques, and isolates resolve to min-id components") {
+      val vertices = (1L to 9L).toDF("id")
+      // chain 1-2-3 (needs >1 propagation round), clique 4-5-6, pair 7-8, isolate 9
+      val edges = Seq(
+        (2L, 3L), (1L, 2L),
+        (4L, 5L), (5L, 6L), (4L, 6L),
+        (7L, 8L)
+      ).toDF("id_a", "id_b")
+      val got = ConnectedComponents.assign(vertices, edges, maxLocalEdges = maxLocal)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(
+        1L -> 1L, 2L -> 1L, 3L -> 1L,
+        4L -> 4L, 5L -> 4L, 6L -> 4L,
+        7L -> 7L, 8L -> 7L, 9L -> 9L))
+    }
+
+    test(s"[$pathName] long path converges within diameter rounds") {
+      val n = 12L
+      val vertices = (1L to n).toDF("id")
+      val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val got = ConnectedComponents.assign(vertices, edges, maxLocalEdges = maxLocal)
+        .select(countDistinct(col("component"))).head().getLong(0)
+      assert(got == 1L)
+    }
+
+    test(s"[$pathName] near-Long.Max vertex ids converge without a long-sum overflow") {
+      val ids = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MaxValue - 2, 5L)
+      val vertices = ids.toDF("id")
+      val edges = Seq((Long.MaxValue, Long.MaxValue - 1)).toDF("id_a", "id_b")
+      val got = ConnectedComponents.assign(vertices, edges, maxLocalEdges = maxLocal)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(
+        Long.MaxValue -> (Long.MaxValue - 1), (Long.MaxValue - 1) -> (Long.MaxValue - 1),
+        (Long.MaxValue - 2) -> (Long.MaxValue - 2), 5L -> 5L))
+    }
   }
 
   test("component-hash split keeps connected rows in one split") {
