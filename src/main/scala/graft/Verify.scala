@@ -13,16 +13,25 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // Start from an EMPTY outDir: a failed query would otherwise leave a
     // previous run's parquet dump in place and the compare would bless
-    // stale results under a fresh manifest.
-    val outRoot = new java.io.File(outDir)
-    if (outRoot.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(outRoot)
+    // stale results under a fresh manifest. Refuse to wipe anything that
+    // does not look like a Verify output dir (guards transposed args —
+    // the sf dataset must never be deletable by argument order), and use
+    // the Hadoop FS recursive delete, which surfaces failures instead of
+    // silently leaving stale files (File.listFiles can return null,
+    // File.delete returns an ignorable boolean).
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val hfs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(outPath)) {
+      val entries = hfs.listStatus(outPath).map(_.getPath.getName)
+      val looksLikeVerifyOut = entries.isEmpty ||
+        entries.contains("manifest.json") || entries.contains("oracle_sql.json")
+      if (!looksLikeVerifyOut)
+        sys.error(s"REFUSING to clear $outDir: not a Verify output dir " +
+          s"(no manifest.json/oracle_sql.json; contents: ${entries.take(5).mkString(", ")})")
+      if (!hfs.delete(outPath, true))
+        sys.error(s"failed to clear $outDir")
     }
-    outRoot.mkdirs()
+    new java.io.File(outDir).mkdirs()
     val failedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       // TIMESTAMP → TIMESTAMP_NTZ on output: session TZ is UTC so wall

@@ -42,7 +42,11 @@ object ConnectedComponents {
     // symmetrize union and then joined every round — upstream edge
     // derivation (e.g. an exact-Jaccard pipeline) would otherwise
     // re-execute 2·rounds times.
+    // Null endpoints dropped EXPLICITLY so both execution paths agree:
+    // the distributed join would silently never match them, while a
+    // driver-side collect would NPE on getLong.
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint()
     if (e.count() <= maxLocalEdges) return assignLocal(vertices, e)
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))

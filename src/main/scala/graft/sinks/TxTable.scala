@@ -51,14 +51,20 @@ object TxTable {
     if (!f.exists(cd)) return Seq.empty
     f.listStatus(cd).toSeq
       .filter(_.getPath.getName.endsWith(".json"))
-      .flatMap { st =>
-        val in = f.open(st.getPath)
-        val body =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        parseCommit(body)
-      }
+      .flatMap(st => readParsed(f, st.getPath))
       .sortBy(_.version)
+  }
+
+  /** Read + parse one commit file; None if absent or unparseable (a torn
+    * file from a crash mid-write must degrade, not brick the table).
+    */
+  private def readParsed(f: FileSystem, p: Path): Option[Commit] = {
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseCommit(body)
   }
 
   /** O(1 listing, 0 reads): commit file names are zero-padded versions,
@@ -71,10 +77,13 @@ object TxTable {
     val f = fs(spark, dir)
     val cd = commitsDir(dir)
     if (!f.exists(cd)) return 0L
-    f.listStatus(cd).iterator
+    val named = f.listStatus(cd).iterator
       .map(_.getPath.getName)
       .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
-      .foldLeft(0L)(math.max)
+      .toSeq.sorted(Ordering[Long].reverse)
+    // Walk down past torn commit files (crash between create and write):
+    // the newest PARSEABLE commit is the table's version.
+    named.find(v => readParsed(f, commitPath(dir, v)).isDefined).getOrElse(0L)
   }
 
   /** Latest snapshot; empty-schema error if the table has no commits. */
@@ -91,16 +100,8 @@ object TxTable {
   private def commitPath(dir: String, version: Long): Path =
     new Path(commitsDir(dir), f"$version%020d.json")
 
-  private def readCommit(spark: SparkSession, dir: String, version: Long): Option[Commit] = {
-    val f = fs(spark, dir)
-    val p = commitPath(dir, version)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    parseCommit(body)
-  }
+  private def readCommit(spark: SparkSession, dir: String, version: Long): Option[Commit] =
+    readParsed(fs(spark, dir), commitPath(dir, version))
 
   /** Create the table at version 1 from `df`. Fails if it already exists. */
   def init(spark: SparkSession, dir: String, df: DataFrame): Unit = {
@@ -179,14 +180,20 @@ object TxTable {
   def mergeSink(dir: String, keyCols: Seq[String], orderBy: Option[String] = None)
       : (DataFrame, Long) => Unit = (batch: DataFrame, _: Long) => {
     val spark = batch.sparkSession
-    val deduped = orderBy match {
-      case Some(ord) => graft.dedup.ExactDedup.keepFirst(
-        batch, keyCols, tiebreak = Seq(col(ord).desc))
-      case None => batch
+    // Emptiness is checked on the RAW batch (cheap limit-1) so the
+    // window-dedup plan below runs exactly once, inside merge/init — an
+    // isEmpty on the deduped frame would execute the whole dedup twice
+    // per micro-batch.
+    if (batch.isEmpty) ()
+    else {
+      val deduped = orderBy match {
+        case Some(ord) => graft.dedup.ExactDedup.keepFirst(
+          batch, keyCols, tiebreak = Seq(col(ord).desc))
+        case None => batch
+      }
+      if (currentVersion(spark, dir) == 0L) init(spark, dir, deduped)
+      else { merge(spark, dir, deduped, keyCols); () }
     }
-    if (deduped.isEmpty) ()
-    else if (currentVersion(spark, dir) == 0L) init(spark, dir, deduped)
-    else { merge(spark, dir, deduped, keyCols); () }
   }
 
   /** Transactional delete of all rows matching `predicate` (SQL string,
@@ -262,16 +269,20 @@ object TxTable {
       // Atomic create-if-absent arbitrates racing writers: exactly one
       // create for a given version succeeds. Hadoop's LocalFileSystem
       // implements create(overwrite=false) as exists-check THEN create —
-      // a TOCTOU window where both racers win — so file:// goes through
-      // java.nio CREATE_NEW (O_EXCL). Other stores use the FS contract
-      // (HDFS create is atomic; S3 needs a log-store service, as Delta's
-      // docs say).
-      if (cPath.toUri.getScheme == null || cPath.toUri.getScheme == "file") {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(cPath.toUri.getPath),
-          body.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
+      // a TOCTOU window where both racers win — so when the RESOLVED
+      // filesystem (not the raw path, which is scheme-less under any
+      // fs.defaultFS) is local, the commit goes through a fully-written
+      // temp file + hardlink: link(2) is atomic, fails if the target
+      // exists, and the target can never be observed torn. Other stores
+      // use the FS contract (HDFS create is atomic; S3 needs a log-store
+      // service, as Delta's docs say).
+      if (f.getUri.getScheme == "file") {
+        val target = java.nio.file.Paths.get(
+          f.makeQualified(cPath).toUri.getPath)
+        val tmp = target.resolveSibling(s"$dataDir.tmp")
+        java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+        try java.nio.file.Files.createLink(target, tmp)
+        finally java.nio.file.Files.deleteIfExists(tmp)
       } else {
         val out = f.create(cPath, false)
         try out.write(body.getBytes("UTF-8")) finally out.close()

@@ -77,14 +77,16 @@ object StatefulOps {
 
   /** Event-time sessionization with WATERMARK-driven finalization — the
     * event-time-timeout counterpart to [[detectDrift]]'s processing-time
-    * eviction. A key's session closes `gapMs` after its last event *in
-    * event time*: the state registers an event-time timeout at
-    * `last_event + gap`, and when the stream's watermark passes that
-    * point the session is emitted and the state removed. Late events
-    * within the watermark delay extend the session; events later than
-    * the watermark are dropped by Spark before reaching the fold —
-    * exactly the session_window contract, but with the state formulation
-    * that also supports custom per-session payloads.
+    * eviction. State per key is the LIST of still-open sessions (late
+    * in-watermark events can open a session BEHIND the newest one, and
+    * two late events near each other must merge — single-open-session
+    * state cannot represent that). Each batch merges new events into the
+    * interval list, emits every session the watermark has sealed
+    * (end + gap ≤ watermark: no admissible future event can extend it),
+    * and registers a timeout at the earliest unsealed close point.
+    * Events later than the watermark are dropped by Spark before
+    * reaching the fold — the session_window contract, in the state
+    * formulation that also supports custom per-session payloads.
     *
     * In batch execution timeouts never fire, so the fold finalizes every
     * session at end of group instead — same output, single pass.
@@ -112,49 +114,34 @@ object StatefulOps {
     def finalize(userId: Long, s: SessionAgg): Session =
       Session(userId, fromMicros(s.startUs), fromMicros(s.endUs), s.n, s.sum)
 
+    // Gap-merge a start-sorted interval list: neighbors ≤ gap apart fuse
+    // (an event can bridge two previously-separate open sessions).
+    def sweep(intervals: Seq[SessionAgg]): List[SessionAgg] =
+      intervals.sortBy(s => (s.startUs, s.endUs)).foldLeft(List.empty[SessionAgg]) {
+        case (cur :: done, s) if s.startUs <= cur.endUs + gapUs =>
+          SessionAgg(cur.startUs, math.max(cur.endUs, s.endUs),
+            cur.n + s.n, cur.sum + s.sum) :: done
+        case (acc, s) => s :: acc
+      }.reverse
+
     def fold(userId: Long, it: Iterator[TimedEvent],
-             state: GroupState[SessionAgg]): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val out = state.getOption.map(finalize(userId, _)).iterator
-        state.remove()
-        return out
+             state: GroupState[List[SessionAgg]]): Iterator[Session] = {
+      val wmUs = if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
+      val incoming = it.map(e => SessionAgg(toMicros(e.ts), toMicros(e.ts), 1L, e.value))
+      val merged = sweep(state.getOption.getOrElse(Nil) ++ incoming)
+      // Closed = the watermark passed the close point; no future event
+      // (all ≥ watermark) can land within gap of it. Batch closes all.
+      val (closed, open) = merged.partition(s => s.endUs + gapUs <= wmUs)
+      if (open.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(open)
+        // Timeout at the earliest unsealed close point, strictly beyond
+        // the current watermark or Spark rejects it.
+        state.setTimeoutTimestamp(
+          math.max(open.map(s => s.endUs + gapUs).min / 1000L,
+            state.getCurrentWatermarkMs() + 1))
       }
-      val evs = it.toArray.sortBy(e => toMicros(e.ts))
-      var closed = List.empty[Session]
-      var open = state.getOption
-      evs.foreach { e =>
-        val t = toMicros(e.ts)
-        open match {
-          // Within gap of the open session's [start, end] interval —
-          // including LATE events inside the watermark that precede the
-          // session: merge extends BOTH boundaries (a late 10:03 event
-          // joining a [10:05, 10:10] session must move session_start).
-          case Some(s) if t >= s.startUs - gapUs && t <= s.endUs + gapUs =>
-            open = Some(SessionAgg(math.min(s.startUs, t), math.max(s.endUs, t),
-              s.n + 1, s.sum + e.value))
-          case Some(s) if t > s.endUs + gapUs => // next session starts
-            closed ::= finalize(userId, s)
-            open = Some(SessionAgg(t, t, 1L, e.value))
-          case Some(_) => // late event more than a gap BEFORE the open
-            // session: its own already-over session, emitted immediately
-            closed ::= finalize(userId, SessionAgg(t, t, 1L, e.value))
-          case None =>
-            open = Some(SessionAgg(t, t, 1L, e.value))
-        }
-      }
-      open match {
-        case Some(s) if streaming =>
-          state.update(s)
-          // Timeout must sit strictly beyond the current watermark or
-          // Spark rejects it; a session whose close point the watermark
-          // already passed times out at the next possible tick.
-          state.setTimeoutTimestamp(
-            math.max(s.endUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
-        case Some(s) => // batch: no future timeout will fire; close now
-          closed ::= finalize(userId, s)
-        case None => ()
-      }
-      closed.reverseIterator
+      closed.iterator.map(finalize(userId, _))
     }
 
     val withWm =

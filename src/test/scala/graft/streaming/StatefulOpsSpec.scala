@@ -63,6 +63,35 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two late events near each other merge into ONE session behind the open one") {
+    import StatefulOps.{Session, TimedEvent}
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TimedEvent]
+    // 30-minute watermark delay keeps 10:00-10:02 admissible while the
+    // open session sits at 10:20.
+    val q = StatefulOps.sessionize(input.toDS(),
+      gapMs = 5 * 60 * 1000L, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      input.addData(TimedEvent(1L, ts(20), 9.0))
+      q.processAllAvailable()
+      // late pair, > gap before the open session, within gap of each other
+      input.addData(TimedEvent(1L, ts(0), 1.0), TimedEvent(1L, ts(2), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to seal everything (max event
+      // 11:40 - 30min = 11:10 > all close points), then tick the timeout
+      input.addData(TimedEvent(2L, ts(100), 0.0))
+      q.processAllAvailable()
+      input.addData(TimedEvent(2L, ts(101), 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("late_sessions").as[Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(u1.toSeq == Seq(
+        Session(1L, ts(0), ts(2), 2L, 3.0),   // ONE merged late session
+        Session(1L, ts(20), ts(20), 1L, 9.0)), u1.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("batch sessionize splits on gap and finalizes every session in one pass") {
     import StatefulOps.{Session, TimedEvent}
     val out = StatefulOps.sessionize(
