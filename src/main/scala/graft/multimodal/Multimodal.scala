@@ -77,6 +77,51 @@ object Multimodal {
     }
   }
 
+  /** Feature extraction in FIXED-SIZE BATCHES — the execution shape real
+    * model inference needs (a GPU encoder wants dozens-to-hundreds of
+    * payloads per forward pass, not one). `grouped(batchSize)` hands the
+    * stub whole batches while still streaming the partition iterator:
+    * at most one batch of payloads is materialized per task at a time.
+    * The stub applies the per-record decode; a real implementation
+    * replaces exactly the inner function with a batched model call.
+    */
+  def extractFeaturesBatched(
+      media: Dataset[MediaRecord],
+      batchSize: Int = 64
+  ): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // ??? in spirit: one batched model forward pass would run here.
+        batch.map(r =>
+          MediaFeatures(r.id, r.meta.kind, r.payload.length, decodeStub(r.payload)))
+      }
+    }
+  }
+
+  /** Audio chunking for audio-kind payloads: fixed-duration windows with
+    * overlap, as binary slices (what a real feature front-end — fbank,
+    * wav2vec windows — consumes). Byte math assumes 16-bit mono PCM at
+    * `sampleRateHz`. Pure Column expression — no driver loop.
+    */
+  def chunkAudio(
+      payload: org.apache.spark.sql.Column,
+      sampleRateHz: org.apache.spark.sql.Column,
+      chunkMs: Int,
+      overlapMs: Int = 0
+  ): org.apache.spark.sql.Column = {
+    require(overlapMs < chunkMs, "overlap must be smaller than the chunk")
+    val bytesPerMs = sampleRateHz * 2 / 1000 // 16-bit mono
+    val chunkBytes = (bytesPerMs * chunkMs).cast("int")
+    val strideBytes = (bytesPerMs * (chunkMs - overlapMs)).cast("int")
+    val nChunks = floor((length(payload) - chunkBytes).cast("double") / strideBytes).cast("int") + 1
+    when(length(payload) >= chunkBytes,
+      transform(
+        sequence(lit(0), nChunks - 1),
+        i => substring(payload, (i * strideBytes + 1).cast("int"), chunkBytes)))
+      .otherwise(array().cast("array<binary>"))
+  }
+
   /** Frame sampling for video-kind payloads: every `stride`-th fixed-size
     * chunk, as an array of binary slices (the plumbing a real frame
     * grabber would feed). Pure Column expression — no driver loop.

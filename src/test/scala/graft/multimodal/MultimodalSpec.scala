@@ -28,6 +28,33 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats(1L).features.sum - 1.0) < 1e-9)
   }
 
+  test("batched extraction equals per-record extraction (same features, batch shape)") {
+    val perRecord = Multimodal.extractFeatures(media).collect()
+      .map(f => f.id -> f.features.toSeq).toMap
+    val batched = Multimodal.extractFeaturesBatched(media, batchSize = 2).collect()
+      .map(f => f.id -> f.features.toSeq).toMap
+    assert(batched == perRecord)
+  }
+
+  test("audio chunking: windows with overlap cover the payload") {
+    // 600-byte payload; fake 1000 Hz * 2 B = 2 B/ms → 100 ms chunk = 200 B,
+    // 50 ms overlap → stride 100 B → chunks at 0,100,...,400 = 5 windows
+    val chunks = media.toDF()
+      .filter(col("id") === 3L)
+      .select(Multimodal.chunkAudio(col("payload"), lit(1000), chunkMs = 100,
+        overlapMs = 50).as("c"))
+      .select(size(col("c")).as("n"),
+        element_at(col("c"), 1).as("first"))
+      .head()
+    assert(chunks.getInt(0) == 5)
+    assert(chunks.getAs[Array[Byte]]("first").length == 200)
+    // payload shorter than one chunk → no windows
+    val none = media.toDF().filter(col("id") === 2L)
+      .select(size(Multimodal.chunkAudio(col("payload"), lit(1000), 100, 50)).as("n"))
+      .head().getInt(0)
+    assert(none == 0)
+  }
+
   test("frame sampling: stride-2 over 256-byte frames") {
     val n = media.toDF()
       .filter(col("id") === 3L) // 600 bytes → 2 frames → stride 2 keeps 1
