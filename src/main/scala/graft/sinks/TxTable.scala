@@ -118,13 +118,22 @@ object TxTable {
     * multi-row key would make "the" update nondeterministic, so it errors.
     * Retries on concurrent-commit conflict up to `maxRetries`, recomputing
     * against the new base each time (optimistic concurrency).
+    *
+    * `allowSchemaEvolution = true` relaxes the exact-columns contract:
+    * columns NEW in `updates` are added to the table (null for untouched
+    * rows), and table columns ABSENT from `updates` are preserved —
+    * matched rows keep their existing values for them, inserts get null.
+    * A column present on both sides always takes the update's value,
+    * including an explicit null. Key columns must exist on both sides
+    * either way.
     */
   def merge(
       spark: SparkSession,
       dir: String,
       updates: DataFrame,
       keyCols: Seq[String],
-      maxRetries: Int = 3
+      maxRetries: Int = 3,
+      allowSchemaEvolution: Boolean = false
   ): MergeStats = {
     // Materialize updates once: the dup-key check, matched count,
     // anti-join, union write, and any conflict retries would otherwise
@@ -132,6 +141,8 @@ object TxTable {
     // nondeterministic source would make the attempts inconsistent.
     val upd = updates.localCheckpoint()
     val updCount = upd.count()
+    require(keyCols.forall(upd.columns.contains),
+      s"updates missing key columns ${keyCols.filterNot(upd.columns.contains)}")
     val dupKeys = upd.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
@@ -143,17 +154,35 @@ object TxTable {
       val base = currentVersion(spark, dir)
       require(base > 0, s"$dir not initialized; call init first")
       val current = readVersion(spark, dir, base)
-      require(current.columns.sorted.sameElements(upd.columns.sorted),
-        s"schema mismatch: table ${current.columns.toSeq.sorted} vs " +
-          s"updates ${upd.columns.toSeq.sorted}")
+      if (!allowSchemaEvolution)
+        require(current.columns.sorted.sameElements(upd.columns.sorted),
+          s"schema mismatch: table ${current.columns.toSeq.sorted} vs " +
+            s"updates ${upd.columns.toSeq.sorted} (pass allowSchemaEvolution=true to evolve)")
+
+      // Final column order: table columns, then update-only columns.
+      val newCols = upd.columns.filterNot(current.columns.contains)
+      val finalCols = current.columns ++ newCols
+      val updType = upd.schema.fields.map(f => f.name -> f.dataType).toMap
+      val curWide = newCols.foldLeft(current)((d, c) =>
+        d.withColumn(c, lit(null).cast(updType(c))))
 
       // matched counts UPDATE KEYS found in the table (not table rows —
       // a table carrying duplicate keys would otherwise drive `inserted`
       // negative).
       val matched = upd.select(keyCols.map(col): _*)
         .join(current.select(keyCols.map(col): _*), keyCols, "left_semi").count()
-      val kept = current.join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
-      val merged = kept.unionByName(upd.select(current.columns.map(col): _*))
+      val kept = curWide.join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
+      // Update rows pull existing values for table columns the updates
+      // don't carry (left join keeps non-matched inserts, null-filled).
+      val updFull = upd.as("u")
+        .join(curWide.as("t"), keyCols, "left")
+        .select(finalCols.map { c =>
+          if (keyCols.contains(c)) col(c) // using-join merges key columns
+          else if (upd.columns.contains(c)) col(s"u.$c").as(c)
+          else col(s"t.$c").as(c)
+        }: _*)
+      val merged = kept.select(finalCols.map(col): _*)
+        .unionByName(updFull)
 
       commit(spark, dir, merged, base, "merge") match {
         case Some(total) =>

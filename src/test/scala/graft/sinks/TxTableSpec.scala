@@ -46,6 +46,28 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: new columns appear, absent columns survive on matched rows") {
+    val dir = freshDir()
+    TxTable.init(spark, dir, Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "score"))
+    // updates lack `score` (preserved) and bring `tag` (new)
+    val stats = TxTable.merge(spark, dir,
+      Seq((2L, "B!", "hot"), (3L, "c", "new")).toDF("id", "v", "tag"),
+      Seq("id"), allowSchemaEvolution = true)
+    assert(stats.updated == 1L && stats.inserted == 1L && stats.total == 3L)
+    val got = TxTable.read(spark, dir).collect().map { r =>
+      r.getAs[Long]("id") ->
+        ((r.getAs[String]("v"), Option(r.get(r.fieldIndex("score"))),
+          Option(r.getAs[String]("tag"))))
+    }.toMap
+    assert(got(1L) == (("a", Some(10), None)))       // untouched: null tag
+    assert(got(2L) == (("B!", Some(20), Some("hot")))) // score preserved
+    assert(got(3L) == (("c", None, Some("new"))))    // insert: null score
+    // without the flag, mismatched schemas still refuse
+    intercept[IllegalArgumentException] {
+      TxTable.merge(spark, dir, Seq((4L, "d")).toDF("id", "v"), Seq("id"))
+    }
+  }
+
   test("delete removes matching rows transactionally") {
     val dir = freshDir()
     TxTable.init(spark, dir, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
