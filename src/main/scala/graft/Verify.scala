@@ -23,15 +23,20 @@ object Verify {
     val hfs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hfs.exists(outPath)) {
       val entries = hfs.listStatus(outPath).map(_.getPath.getName)
-      val looksLikeVerifyOut = entries.isEmpty ||
-        entries.contains("manifest.json") || entries.contains("oracle_sql.json")
+      // Recognized: the marker files, per-query dump dirs (every query
+      // name starts with "q" — and a CRASHED earlier run leaves only
+      // those, no markers), and dot/underscore metadata. Anything else
+      // (e.g. transposed arguments pointing at the sf dataset) refuses.
+      val looksLikeVerifyOut = entries.forall(n =>
+        n == "manifest.json" || n == "oracle_sql.json" ||
+          n.startsWith("q") || n.startsWith(".") || n.startsWith("_"))
       if (!looksLikeVerifyOut)
         sys.error(s"REFUSING to clear $outDir: not a Verify output dir " +
-          s"(no manifest.json/oracle_sql.json; contents: ${entries.take(5).mkString(", ")})")
+          s"(unrecognized contents: ${entries.filterNot(_.startsWith("q")).take(5).mkString(", ")})")
       if (!hfs.delete(outPath, true))
         sys.error(s"failed to clear $outDir")
     }
-    new java.io.File(outDir).mkdirs()
+    hfs.mkdirs(outPath)
     val failedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       // TIMESTAMP → TIMESTAMP_NTZ on output: session TZ is UTC so wall

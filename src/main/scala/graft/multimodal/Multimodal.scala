@@ -111,9 +111,14 @@ object Multimodal {
       overlapMs: Int = 0
   ): org.apache.spark.sql.Column = {
     require(overlapMs < chunkMs, "overlap must be smaller than the chunk")
-    val bytesPerMs = sampleRateHz * 2 / 1000 // 16-bit mono
-    val chunkBytes = (bytesPerMs * chunkMs).cast("int")
-    val strideBytes = (bytesPerMs * (chunkMs - overlapMs)).cast("int")
+    // Whole SAMPLES first, bytes = samples × 2: truncating fractional
+    // bytes-per-ms directly (e.g. 44100 Hz × 25 ms = 2205 B) yields odd
+    // byte counts that split a 16-bit sample across the boundary and
+    // byte-swap every window after the first.
+    def samplesToBytes(ms: Int) =
+      (floor(sampleRateHz * lit(ms) / 1000).cast("int") * 2).cast("int")
+    val chunkBytes = samplesToBytes(chunkMs)
+    val strideBytes = samplesToBytes(chunkMs - overlapMs)
     val nChunks = floor((length(payload) - chunkBytes).cast("double") / strideBytes).cast("int") + 1
     when(length(payload) >= chunkBytes,
       transform(

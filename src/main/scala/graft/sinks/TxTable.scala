@@ -67,11 +67,12 @@ object TxTable {
     parseCommit(body)
   }
 
-  /** O(1 listing, 0 reads): commit file names are zero-padded versions,
-    * so the max NAME is the current version — no need to parse every
-    * commit json (a long-lived streaming-merge table accumulates
-    * thousands; re-reading them all per operation would make commit
-    * latency grow with table age).
+  /** One listing + normally ONE small read: commit file names are
+    * zero-padded versions, so resolution starts from the max name and
+    * walks down only past torn (unparseable) files. Constant cost per
+    * operation — the alternative of parsing the whole log would make
+    * commit latency grow with table age on a long-lived streaming-merge
+    * table.
     */
   def currentVersion(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
@@ -172,15 +173,30 @@ object TxTable {
       val matched = upd.select(keyCols.map(col): _*)
         .join(current.select(keyCols.map(col): _*), keyCols, "left_semi").count()
       val kept = curWide.join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
-      // Update rows pull existing values for table columns the updates
-      // don't carry (left join keeps non-matched inserts, null-filled).
-      val updFull = upd.as("u")
-        .join(curWide.as("t"), keyCols, "left")
-        .select(finalCols.map { c =>
-          if (keyCols.contains(c)) col(c) // using-join merges key columns
-          else if (upd.columns.contains(c)) col(s"u.$c").as(c)
-          else col(s"t.$c").as(c)
-        }: _*)
+      val carriesAll = current.columns.forall(upd.columns.contains)
+      val updFull =
+        if (carriesAll) upd.select(finalCols.map(col): _*)
+        else {
+          // Updates omit table columns → matched rows must pull existing
+          // values via a join. That join fans out if the TABLE carries
+          // duplicate keys (init never checked), silently multiplying
+          // update rows into the snapshot — so enforce key uniqueness
+          // before joining. The full-columns fast path above needs no
+          // join at all (anti-join + union was always fan-out-safe).
+          val tableDups = current.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+          require(tableDups.isEmpty,
+            s"table carries duplicate keys (e.g. ${tableDups.headOption.getOrElse("")}); " +
+              "column-preserving MERGE (schema evolution with absent columns) needs " +
+              "one row per key")
+          upd.as("u")
+            .join(curWide.as("t"), keyCols, "left")
+            .select(finalCols.map { c =>
+              if (keyCols.contains(c)) col(c) // using-join merges key columns
+              else if (upd.columns.contains(c)) col(s"u.$c").as(c)
+              else col(s"t.$c").as(c)
+            }: _*)
+        }
       val merged = kept.select(finalCols.map(col): _*)
         .unionByName(updFull)
 
@@ -275,6 +291,16 @@ object TxTable {
           (!isOrphan || st.getModificationTime < cutoff))
         f.delete(st.getPath, true)
     }
+    // _commits housekeeping: temp files a crashed local commit left
+    // behind (write-then-hardlink), and quarantined torn commits — both
+    // invisible to readers, reclaimed past the grace window.
+    val cd = commitsDir(dir)
+    if (f.exists(cd)) f.listStatus(cd).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.endsWith(".tmp") || n.contains(".torn.")) &&
+          st.getModificationTime < cutoff)
+        f.delete(st.getPath, false)
+    }
   }
 
   /** Write `df` as the snapshot for version `expectedBase + 1` and try to
@@ -320,9 +346,23 @@ object TxTable {
     } catch {
       case e: java.io.IOException =>
         f.delete(dataPath, true) // our snapshot lost; remove the orphan
-        // Only a genuine race (commit file exists) means "retry"; any
-        // other IO failure must surface, not masquerade as contention.
-        if (f.exists(cPath)) None else throw e
+        if (f.exists(cPath)) {
+          // Existing file: either a genuine race (a real commit — back
+          // off and retry against the new base) or a TORN file from a
+          // crashed non-atomic writer, which would otherwise brick every
+          // future commit at this version ("lost the race" forever).
+          // Quarantine torn files once they are old enough that they
+          // cannot be an in-progress write (HDFS readers see length 0
+          // until the writer closes).
+          val st = f.getFileStatus(cPath)
+          val torn = readParsed(f, cPath).isEmpty &&
+            st.getModificationTime < System.currentTimeMillis() - 60000L
+          if (torn) {
+            f.rename(cPath, new Path(cPath.getParent,
+              s"${cPath.getName}.torn.${java.util.UUID.randomUUID().toString.take(8)}"))
+          }
+          None // retry either way; after quarantine the version is free
+        } else throw e
     }
   }
 

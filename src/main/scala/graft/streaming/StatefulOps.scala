@@ -90,6 +90,11 @@ object StatefulOps {
     *
     * In batch execution timeouts never fire, so the fold finalizes every
     * session at end of group instead — same output, single pass.
+    *
+    * State-format note: the per-key state is `List[SessionAgg]` (was a
+    * single `SessionAgg` before multi-open-session support). A streaming
+    * checkpoint written by the old format does NOT restore into this
+    * operator — restart such queries with a fresh checkpoint directory.
     */
   def sessionize(
       events: Dataset[TimedEvent],
