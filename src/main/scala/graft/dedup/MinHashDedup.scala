@@ -75,6 +75,74 @@ object MinHashDedup {
       .distinct()
   }
 
+  /** Persisted LSH index of a corpus: band buckets for candidate lookup
+    * plus shingle sets for exact verification. Both are plain DataFrames
+    * (write them as parquet, bucketed by `bucket`/`id` at scale) — the
+    * state that makes near-dup detection INCREMENTAL: a new crawl batch
+    * probes the index instead of re-pairing the whole corpus.
+    */
+  final case class Index(buckets: DataFrame, sets: DataFrame)
+
+  /** Build the index for `docs`: buckets (band, bucket, id) and sets
+    * (id, shset). Same shingling/signature/banding parameters must be
+    * used for [[probe]].
+    */
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 32,
+      rows: Int = 4
+  ): Index = {
+    val withSets = docs
+      .select(col(idCol).as("id"), Shingles.shingleSet(col(textCol), shingleWidth).as("shset"))
+      .filter(size(col("shset")) > 0)
+      .localCheckpoint()
+    val withSig = withSets.withColumn("sig", signature(col("shset"), bands * rows))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*)
+          .as("bucket"))
+    }
+    val buckets = withSig
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
+    Index(buckets, withSets)
+  }
+
+  /** Probe the index with a NEW batch: pairs (new_id, corpus_id) whose
+    * exact Jaccard ≥ `threshold`. Cost is proportional to the BATCH
+    * (shingle/signature passes over new docs only) plus an equi-join on
+    * the 64-bit bucket key against the index — the whole-corpus pair
+    * generation never reruns. New-batch-internal duplicates are
+    * [[nearDuplicatePairs]]'s job; this finds collisions against the
+    * EXISTING corpus.
+    */
+  def probe(
+      newDocs: DataFrame,
+      index: Index,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      shingleWidth: Int = 3,
+      bands: Int = 32,
+      rows: Int = 4
+  ): DataFrame = {
+    val probeIdx = buildIndex(newDocs, idCol, textCol, shingleWidth, bands, rows)
+    val cands = probeIdx.buckets.select(col("band"), col("bucket"), col("id").as("new_id"))
+      .join(index.buckets.select(col("band"), col("bucket"), col("id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    cands
+      .join(probeIdx.sets.select(col("id").as("new_id"), col("shset").as("set_n")), "new_id")
+      .join(index.sets.select(col("id").as("corpus_id"), col("shset").as("set_c")), "corpus_id")
+      .withColumn("jaccard", Shingles.jaccard(col("set_n"), col("set_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Full near-dup pipeline over a document table: pairs with exact
     * Jaccard ≥ `threshold`, plus the estimate-free exact similarity.
     */

@@ -93,6 +93,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") > 0.9)
   }
 
+  test("incremental probe finds new-vs-corpus near-dups without re-pairing the corpus") {
+    val base = (0 until 30).map(i => s"tok${i}a tok${i}b tok${i}c").mkString(" ")
+    val other = (0 until 30).map(i => s"other${i}a other${i}b other${i}c").mkString(" ")
+    val index = MinHashDedup.buildIndex(
+      docs((1L, base), (2L, other)), "doc_id", "text")
+    // new batch: one near-dup of corpus doc 1, one fresh doc
+    val nearDup = base.replace("tok5a", "tok5x")
+    val fresh = (0 until 30).map(i => s"fresh${i}a fresh${i}b fresh${i}c").mkString(" ")
+    val hits = MinHashDedup.probe(
+      docs((10L, nearDup), (11L, fresh)), index, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 1L)))
+    assert(hits(0).getAs[Double]("jaccard") > 0.9)
+  }
+
   test("simhash: identical texts at Hamming 0; nearPairs finds planted copies") {
     val fps = SimHash.fingerprints(
       docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
