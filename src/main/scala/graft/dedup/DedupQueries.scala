@@ -88,6 +88,20 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental near-dup: a "new batch" (every 10th doc under shifted
+    // ids, text unchanged) probes the LSH index of the full corpus.
+    // Oracle is the exact cross-set Jaccard at ≥ 0.5 — equality holds by
+    // the same banded-recall argument as q21 (all qualifying pairs are
+    // exact copies or ≥ 0.8 planted near-dups).
+    "q62_incremental_probe" -> { (s, dir) =>
+      val corpus = docs(s, dir)
+      val newBatch = corpus.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      val index = MinHashDedup.buildIndex(corpus, "doc_id", "text")
+      MinHashDedup.probe(newBatch, index, "doc_id", "text", threshold = 0.5)
+        .orderBy("new_id", "corpus_id")
+    },
+
     // Benchmark-contamination scan: corpus docs sharing any 8-gram with
     // the "benchmark" subset (every 5th doc), with the count of distinct
     // shared 8-grams. Oracle compares on shingle strings (same
@@ -164,6 +178,24 @@ object DedupQueries {
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q62_incremental_probe" ->
+      s"""WITH $shingleSetsSql,
+         |nsz AS (SELECT doc_id + 1000000 AS new_id, n FROM sz WHERE doc_id % 10 = 0),
+         |nsh AS (SELECT doc_id + 1000000 AS new_id, s FROM sh WHERE doc_id % 10 = 0),
+         |ninter AS (
+         |  SELECT n.new_id, c.doc_id corpus_id, count(*) n_common
+         |  FROM nsh n JOIN sh c ON n.s = c.s
+         |  GROUP BY 1, 2),
+         |njac AS (
+         |  SELECT ninter.new_id, corpus_id,
+         |    n_common::DOUBLE / (x.n + y.n - n_common) jaccard
+         |  FROM ninter
+         |  JOIN nsz x ON x.new_id = ninter.new_id
+         |  JOIN sz y ON y.doc_id = corpus_id)
+         |SELECT new_id, corpus_id, round(jaccard, 6) AS jaccard
+         |FROM njac WHERE jaccard >= 0.5
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     "q58_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),

@@ -76,6 +76,20 @@ object TextQueries {
           countDistinct(col("fingerprint")).as("n_distinct_fingerprints"))
     },
 
+    // Context-window chunking coverage: greedy sentence packing is not
+    // SQL-expressible, but its conservation law is — the chunk token
+    // counts of every document sum back to the document's token count.
+    "q61_chunk_coverage" -> { (s, dir) =>
+      import s.implicits._
+      Chunker.chunk(
+        docs(s, dir).selectExpr("doc_id", "text").as[(Long, String)], maxTokens = 64)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_tokens")).as("sum_tokens"), max(col("n_tokens")).as("max_chunk"))
+        .filter(col("max_chunk") <= 64)
+        .select(col("doc_id"), col("sum_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Canonical text normalization (lowercase → non-alnum → space →
     // whitespace collapse → trim), the prep step ahead of tokenize/dedup.
     // RE2-safe patterns with identical semantics in DuckDB.
@@ -174,6 +188,13 @@ object TextQueries {
         |  FROM c)
         |SELECT lang_pred, count(*) AS n_docs
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The filter max_chunk <= 64 is a tautology when chunking is correct,
+    // so the oracle is simply every doc's whitespace token count.
+    "q61_chunk_coverage" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS sum_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q59_text_norm" ->
       """WITH n AS (
