@@ -49,6 +49,17 @@ object MinHashDedup {
     * buckets are quadratic either way (that's LSH's contract); sorting
     * ids in-bucket keeps pair orientation deterministic.
     */
+  /** One row per (doc, band): bucket keys from the native
+    * [[graft.functions.BandBuckets]] expression (bit-identical to the
+    * xxhash64-per-band Column formulation, but one small expression —
+    * the 32-struct variant's codegen compilation dominated this stage).
+    */
+  private def bandBuckets(
+      df: DataFrame, idCol: String, sigCol: String, bands: Int, rows: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(call_function("graft_band_buckets", col(sigCol), lit(bands), lit(rows))))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+
   def candidatePairs(
       df: DataFrame,
       idCol: String,
@@ -56,15 +67,7 @@ object MinHashDedup {
       bands: Int,
       rows: Int
   ): DataFrame = {
-    // One row per (doc, band): bucket = xxhash64(band_index, sig slice).
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b) +: (0 until rows).map(r => col(sigCol)(b * rows + r)): _*)
-          .as("bucket"))
-    }
-    val exploded = df
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val exploded = bandBuckets(df, idCol, sigCol, bands, rows)
 
     exploded
       .groupBy(col("band"), col("bucket"))
@@ -100,14 +103,8 @@ object MinHashDedup {
       .filter(size(col("shset")) > 0)
       .localCheckpoint()
     val withSig = withSets.withColumn("sig", signature(col("shset"), bands * rows))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*)
-          .as("bucket"))
-    }
-    val buckets = withSig
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
+    val buckets = bandBuckets(withSig, "id", "sig", bands, rows)
+      .select(col("band"), col("bucket"), col("id"))
     Index(buckets, withSets)
   }
 

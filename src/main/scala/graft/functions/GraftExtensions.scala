@@ -39,6 +39,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_band_buckets"),
+      new ExpressionInfo(classOf[BandBuckets].getName, "graft_band_buckets"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sig, Literal(b: Int, IntegerType), Literal(r: Int, IntegerType)) =>
+          BandBuckets(sig, b, r)
+        case _ => throw new IllegalArgumentException(
+          "graft_band_buckets(sig, bands, rows) with literal int bands/rows")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_tokens_in_set"),
       new ExpressionInfo(classOf[TokensInSet].getName, "graft_tokens_in_set"),
       (children: Seq[Expression]) => children match {

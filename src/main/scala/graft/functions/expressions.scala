@@ -228,6 +228,51 @@ object ShingleHasher {
   }
 }
 
+/** Banded-LSH bucket keys of a minhash signature: `graft_band_buckets(
+  * sig, bands, rows)` → array<long> of length `bands`, where bucket b is
+  * the xxhash64 of (b, sig[b·rows], …, sig[b·rows+rows-1]) — exactly the
+  * values `xxhash64(lit(b), sig(i)…)` produced (seed-42 chain of
+  * XXH64.hashLong), so banding is bit-compatible with the Column
+  * formulation it replaces. The point is expression SIZE: one small
+  * expression instead of `bands` structs × (rows+1)-ary hashes, whose
+  * analysis + codegen compilation dominated the LSH stage's latency.
+  */
+object BandBucketer {
+  def buckets(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashLong(b.toLong, 42L)
+      var r = 0
+      while (r < rows) {
+        h = XXH64.hashLong(sig.getLong(b * rows + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class BandBuckets(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_band_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BandBucketer.buckets(input.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BandBucketer.buckets($a, $bands, $rows);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Catalyst wrapper for [[ShingleHasher]]: `graft_shingle_set(text, w)` →
   * array<long>. The generated code is a single static call, so the
   * surrounding projection stays inside whole-stage codegen.
