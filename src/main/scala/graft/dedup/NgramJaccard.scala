@@ -29,13 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
-  /** Pairs (idA < idB) with exact Jaccard ≥ threshold over w-shingles. */
+  /** Pairs (idA < idB) with exact Jaccard ≥ threshold over w-shingles.
+    *
+    * `maxDf` is the scale-safety valve for the Σ df² cost: shingles whose
+    * document frequency exceeds it (boilerplate headers, common phrases)
+    * are dropped from PAIR DISCOVERY AND COUNTING, bounding any single
+    * posting list's pair fan-out at maxDf². With a cap the result is a
+    * conservative approximation — n_common undercounts by the capped
+    * shingles, so reported similarity can only be LOWER and no false
+    * pairs appear; near-dup pairs still share plenty of rare shingles.
+    * The default (no cap) keeps the operator exact, which is what the
+    * oracle checks.
+    */
   def similarPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      shingleWidth: Int = 3
+      shingleWidth: Int = 3,
+      maxDf: Int = Int.MaxValue
   ): DataFrame = {
     val items = docs
       .select(col(idCol).as("id"), Shingles.shingleSet(col(textCol), shingleWidth).as("shset"))
@@ -49,6 +61,7 @@ object NgramJaccard {
       .groupBy(col("sh"))
       .agg(array_sort(collect_list(struct(col("id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) <= maxDf)
 
     val pairs = postings
       .select(explode(Pairs.ordered(col("ds"))).as("p"))

@@ -124,4 +124,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length == 1)
     assert(pairs(0).getAs[Double]("jaccard") == 0.5)
   }
+
+  test("maxDf cap drops boilerplate shingles but keeps the rare-shingle pair") {
+    // boilerplate shingle set "z1 z2 z3" shared by ALL FOUR docs (df=4);
+    // docs 1/2 additionally share rare shingles (df=2)
+    val boiler = "z1 z2 z3"
+    val d = docs(
+      (1L, s"a b c d e $boiler"), (2L, s"a b c d f $boiler"),
+      (3L, s"p q r s t $boiler"), (4L, s"u v w x y $boiler"))
+    // capped at 2: df-4 boilerplate shingles are dropped; 1-2 still found
+    // via their rare shingles, similarity undercounted (never inflated)
+    val capped = NgramJaccard.similarPairs(d, "doc_id", "text",
+      threshold = 0.2, maxDf = 2).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val exact = NgramJaccard.similarPairs(d, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    val cappedJ = capped(0).getAs[Double]("jaccard")
+    assert(cappedJ <= exact((1L, 2L)), "cap must only undercount similarity")
+  }
 }
