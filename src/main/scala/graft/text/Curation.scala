@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{ConnectedComponents, Contamination, ExactDedup, MinHashDedup}
+import graft.operators.Sampling
+
+/** End-to-end corpus curation — the composition the individual operators
+  * exist for, in the standard order a pre-training data pipeline runs:
+  *
+  *   quality filter → exact dedup → near-dup dedup (LSH + connected
+  *   components, keep one doc per duplicate cluster) → benchmark
+  *   decontamination → deterministic sampling → context-window chunking
+  *
+  * Every stage is the already-tested operator; this object contributes
+  * the plumbing and a per-stage count report. Order matters and is part
+  * of the contract: dedup before decontamination (drop clusters once,
+  * not per member), sampling after filtering (the fraction applies to
+  * the clean pool), chunking last (chunks inherit every upstream
+  * guarantee).
+  *
+  * Scale shape: stages communicate through DataFrames only — each one
+  * keeps its own shuffle/broadcast strategy (LSH bucket join, broadcast
+  * shingle dictionary, hash-priority sampling filter), so the composed
+  * pipeline inherits the per-operator scale designs unchanged. The
+  * intermediate corpus is localCheckpoint'ed once per stage boundary
+  * where reuse would otherwise re-run upstream stages.
+  */
+object Curation {
+
+  final case class Report(
+      input_docs: Long,
+      after_quality: Long,
+      after_exact_dedup: Long,
+      after_neardup: Long,
+      after_decontam: Long,
+      after_sample: Long,
+      chunks: Long)
+
+  /** @param docs       (idCol, textCol) corpus
+    * @param benchmark  optional eval set to decontaminate against
+    * @param minQuality keep docs with qualityScore ≥ this ([0,1])
+    * @param neardupThreshold Jaccard threshold for duplicate clustering
+    * @param sampleFraction deterministic keep-fraction of the clean pool
+    * @param maxTokens  chunk budget for the context windows
+    */
+  def run(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: Option[DataFrame] = None,
+      minQuality: Double = 0.5,
+      neardupThreshold: Double = 0.5,
+      sampleFraction: Double = 1.0,
+      maxTokens: Int = 512
+  ): (org.apache.spark.sql.Dataset[Chunker.DocChunk], Report) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val input = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val inputN = input.count()
+
+    // 1. quality gate (scan-side heuristics, narrow)
+    val quality = input
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .localCheckpoint()
+    val qualityN = quality.count()
+
+    // 2. exact dedup (deterministic keep-first per identical text)
+    val exact = ExactDedup.keepFirst(quality, Seq("text"), Seq(col("id")))
+      .localCheckpoint()
+    val exactN = exact.count()
+
+    // 3. near-dup clustering: LSH pairs → components → keep min id
+    val pairs = MinHashDedup.nearDuplicatePairs(
+      exact, "id", "text", threshold = neardupThreshold)
+      .select(col("id_a"), col("id_b"))
+    val components = ConnectedComponents.assign(
+      exact.select(col("id")), pairs)
+    val nearDeduped = exact
+      .join(components, Seq("id"))
+      .filter(col("id") === col("component"))
+      .drop("component")
+      .localCheckpoint()
+    val nearN = nearDeduped.count()
+
+    // 4. decontamination: drop docs sharing 8-grams with the benchmark
+    val decontaminated = benchmark match {
+      case Some(bench) =>
+        val flagged = Contamination.flagged(
+          nearDeduped, bench.select(col(idCol).as("id"), col(textCol).as("text")),
+          "id", "text")
+        nearDeduped.join(flagged.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint()
+      case None => nearDeduped
+    }
+    val decontamN = decontaminated.count()
+
+    // 5. deterministic sampling (hash-priority filter; reruns identical)
+    val sampled =
+      if (sampleFraction >= 1.0) decontaminated
+      else Sampling.byFraction(decontaminated, "id", sampleFraction)
+    val sampledN = sampled.count()
+
+    // 6. context-window chunking
+    val chunks = Chunker.chunk(
+      sampled.select(col("id"), col("text")).as[(Long, String)], maxTokens)
+    val chunksN = chunks.count()
+
+    (chunks, Report(inputN, qualityN, exactN, nearN, decontamN, sampledN, chunksN))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curation pipeline: counts are monotone, each guarantee holds on the output") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // plant an exact duplicate so stage 2 provably fires
+    val withDup = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 500000).as("doc_id"), col("text"))
+        .filter(col("doc_id") % 50 === 0))
+    val bench = docs.filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
+
+    val (chunks, r) = Curation.run(
+      withDup, "doc_id", "text",
+      benchmark = Some(bench),
+      minQuality = 0.5, neardupThreshold = 0.5,
+      sampleFraction = 0.8, maxTokens = 64)
+
+    // monotone narrowing through every stage
+    assert(r.input_docs >= r.after_quality)
+    assert(r.after_quality >= r.after_exact_dedup)
+    assert(r.after_exact_dedup >= r.after_neardup)
+    assert(r.after_neardup >= r.after_decontam)
+    assert(r.after_decontam >= r.after_sample)
+    assert(r.after_sample > 0, r.toString)
+    // the planted exact duplicates were collapsed
+    assert(r.after_exact_dedup < r.after_quality || r.input_docs == r.after_quality,
+      r.toString)
+
+    val out = chunks.collect()
+    assert(out.length == r.chunks)
+    assert(out.forall(_.n_tokens <= 64))
+
+    // survivors carry no near-duplicate pair at the threshold
+    val survivors = out.map(c => c.doc_id -> "").toMap // ids only
+    val survivorDocs = withDup.filter(col("doc_id").isin(survivors.keys.toSeq: _*))
+    val residualPairs = graft.dedup.NgramJaccard.similarPairs(
+      survivorDocs, "doc_id", "text", threshold = 0.5).count()
+    assert(residualPairs == 0, "near-duplicate pair survived curation")
+
+    // determinism: the same inputs yield the same report
+    val (_, r2) = Curation.run(withDup, "doc_id", "text",
+      benchmark = Some(bench), minQuality = 0.5, neardupThreshold = 0.5,
+      sampleFraction = 0.8, maxTokens = 64)
+    assert(r2 == r)
+  }
+}
