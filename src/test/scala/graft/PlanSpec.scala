@@ -90,6 +90,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("exact n-gram pairs scan the corpus once (posting lists, no self-join)") {
+    val p = plan(dedup.NgramJaccard.similarPairs(
+      sources.Tables.load(spark, dir, "documents"), "doc_id", "text", 0.5))
+    // a self-join formulation would show the documents scan twice
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("kNN ranking is a partial+final top-k aggregate, not a window sort") {
     val q = similarity.BruteForceKnn.topK(
       sources.Tables.load(spark, dir, "embeddings"),

@@ -61,6 +61,18 @@ class TopKAggSpec extends AnyFunSuite {
     assert(drain(b2).map(_._2) == Seq(4L, 5L, 6L))
   }
 
+  test("serialize/deserialize round-trips the buffer (the exchange path)") {
+    val agg = TopKByScore(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), k = 4)
+    for (xs <- samples(entriesGen, 100)) {
+      val buf = new TopKBuffer(4)
+      xs.foreach { case (s, p) => buf.insert(s, p) }
+      val back = agg.deserialize(agg.serialize(buf))
+      assert(drain(back) == drain(buf), s"xs=$xs")
+    }
+  }
+
   test("duplicate scores break ties on the smaller payload") {
     val buf = new TopKBuffer(2)
     Seq((1.0, 9L), (1.0, 3L), (1.0, 7L)).foreach { case (s, p) => buf.insert(s, p) }

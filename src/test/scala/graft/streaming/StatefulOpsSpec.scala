@@ -92,6 +92,38 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized: batch sessionize matches an independent sweep reference") {
+    import StatefulOps.{Session, TimedEvent}
+    val gapMs = 5 * 60 * 1000L
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val events = (1 to 120).map { _ =>
+        TimedEvent(rng.nextInt(4).toLong,
+          new java.sql.Timestamp(1700000000000L + rng.nextInt(6 * 60) * 60000L),
+          rng.nextInt(100) / 10.0)
+      }
+      // reference: per user, sort, split where gap exceeded, aggregate
+      val expected = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(_.ts.getTime)
+        val groups = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+          if (e.ts.getTime - acc.head.head.ts.getTime <= gapMs) (e :: acc.head) :: acc.tail
+          else List(e) :: acc
+        }
+        groups.map { g =>
+          val ts = g.map(_.ts.getTime)
+          Session(u, new java.sql.Timestamp(ts.min), new java.sql.Timestamp(ts.max),
+            g.length.toLong, g.map(_.value).sum)
+        }
+      }.toSet
+      val got = StatefulOps.sessionize(events.toDS(), gapMs = gapMs).collect().toSet
+      // compare on everything but the float sum (order-dependent); sums
+      // compared rounded
+      def key(s: Session) = (s.user_id, s.session_start, s.session_end, s.n_events,
+        math.round(s.total * 1e6))
+      assert(got.map(key) == expected.map(key), s"trial $trial")
+    }
+  }
+
   test("batch sessionize splits on gap and finalizes every session in one pass") {
     import StatefulOps.{Session, TimedEvent}
     val out = StatefulOps.sessionize(

@@ -26,6 +26,26 @@ class ChunkerSpec extends SparkSpec {
     assert(chunks.flatMap(_.text.split(" ")).toSeq == long.split(" ").toSeq)
   }
 
+  test("fuzz: random texts always chunk within budget and conserve tokens") {
+    val rng = new scala.util.Random(7)
+    val texts = (1 to 40).map { i =>
+      val n = rng.nextInt(60)
+      (i.toLong, (0 until n).map { _ =>
+        val w = "w" * (1 + rng.nextInt(4))
+        if (rng.nextInt(5) == 0) w + "." else w
+      }.mkString(" "))
+    }
+    for (maxTokens <- Seq(1, 3, 16)) {
+      val chunks = Chunker.chunk(texts.toDS(), maxTokens).collect()
+      assert(chunks.forall(_.n_tokens <= maxTokens))
+      val perDoc = chunks.groupBy(_.doc_id).view.mapValues(_.map(_.n_tokens).sum).toMap
+      texts.foreach { case (id, t) =>
+        val expected = t.split("\\s+").count(_.nonEmpty)
+        assert(perDoc.getOrElse(id, 0) == expected, s"doc $id maxTokens $maxTokens")
+      }
+    }
+  }
+
   test("chunking the documents corpus covers every token of every doc") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .selectExpr("doc_id", "text").as[(Long, String)]
