@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[WhitespaceTokens].getName, "graft_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_tokens(text)")
+        WhitespaceTokens(children.head)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_band_buckets"),
       new ExpressionInfo(classOf[BandBuckets].getName, "graft_band_buckets"),
       (children: Seq[Expression]) => children match {

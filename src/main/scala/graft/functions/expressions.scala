@@ -228,6 +228,56 @@ object ShingleHasher {
   }
 }
 
+/** Whitespace tokenization, `graft_tokens(text)` → array<string>, with
+  * EXACT `split(text, "\\s+")` (limit -1) semantics: maximal runs of
+  * ASCII whitespace ([ \t\n\x0B\f\r] — Java's \s) are single delimiters,
+  * a leading run yields a leading empty token, a trailing run a trailing
+  * one, and "" yields [""]. One byte scan instead of the regex engine —
+  * tokenization fronts every text-analysis column, so it is the hottest
+  * string operation in the engine. Multi-byte UTF-8 is safe: whitespace
+  * bytes are ASCII and continuation bytes are ≥ 0x80. Token bytes are
+  * copied out (never views into a reusable row/vector buffer).
+  */
+object WhitespaceTokenizer {
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  def tokens(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
+    var start = 0
+    var i = 0
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i))
+        while (i < len && isWs(bytes(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, len))
+    new GenericArrayData(out.toArray)
+  }
+}
+
+case class WhitespaceTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WhitespaceTokenizer.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.WhitespaceTokenizer.tokens($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Banded-LSH bucket keys of a minhash signature: `graft_band_buckets(
   * sig, bands, rows)` → array<long> of length `bands`, where bucket b is
   * the xxhash64 of (b, sig[b·rows], …, sig[b·rows+rows-1]) — exactly the

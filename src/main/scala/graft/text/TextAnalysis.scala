@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokens — native byte-scan expression with exact
+    * `split(text, "\\s+")` semantics ([[graft.functions.WhitespaceTokens]],
+    * differential-tested); tokenization fronts every column below, so it
+    * skips the regex engine.
+    */
+  def tokens(text: Column): Column = call_function("graft_tokens", text)
 
   // ── Token counting ──────────────────────────────────────────────────────
 

@@ -9,6 +9,37 @@ class TextSpec extends SparkSpec {
 
   private def one(text: String) = Seq(text).toDF("text")
 
+  test("native tokenizer matches split('\\s+') exactly, including edge cases") {
+    val cases = Seq(
+      "a b c", "  leading", "trailing  ", "a\tb\nc\r\nd", "", "   ",
+      "multi   space", "héllo wörld nbsp-is-not-ws", "one",
+      "mixed \t \n runs", "punct. stays! attached?")
+    val rows = cases.toDF("text").select(
+      TextAnalysis.tokens(col("text")).as("native"),
+      split(col("text"), "\\s+").as("regex"))
+      .collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"input: [$c]")
+    }
+    // fuzz: random whitespace-riddled strings
+    val rng = new scala.util.Random(11)
+    val fuzz = (1 to 200).map { _ =>
+      (0 until rng.nextInt(25)).map(_ => rng.nextInt(6) match {
+        case 0 => " "
+        case 1 => "\t"
+        case 2 => "\n"
+        case _ => "w" * (1 + rng.nextInt(3))
+      }).mkString
+    }
+    val bad = fuzz.toDF("text").select(
+      TextAnalysis.tokens(col("text")).as("native"),
+      split(col("text"), "\\s+").as("regex"))
+      .collect()
+      .zip(fuzz)
+      .filter { case (r, _) => r.getSeq[String](0) != r.getSeq[String](1) }
+    assert(bad.isEmpty, bad.take(3).map(b => "[" + b._2 + "]").mkString("; "))
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val r = one("Hello, world 123 foo-bar")
       .select(
