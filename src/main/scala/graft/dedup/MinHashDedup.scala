@@ -50,9 +50,11 @@ object MinHashDedup {
     * ids in-bucket keeps pair orientation deterministic.
     */
   /** One row per (doc, band): bucket keys from the native
-    * [[graft.functions.BandBuckets]] expression (bit-identical to the
-    * xxhash64-per-band Column formulation, but one small expression —
-    * the 32-struct variant's codegen compilation dominated this stage).
+    * [[graft.functions.BandBuckets]] expression — one small expression
+    * where the previous 32-struct xxhash64 formulation's codegen
+    * compilation dominated this stage. Bucket values are engine-defined
+    * and differ from that older formulation; an Index's buckets must be
+    * produced by the same build.
     */
   private def bandBuckets(
       df: DataFrame, idCol: String, sigCol: String, bands: Int, rows: Int): DataFrame =

@@ -280,15 +280,22 @@ case class WhitespaceTokens(child: Expression)
 
 /** Banded-LSH bucket keys of a minhash signature: `graft_band_buckets(
   * sig, bands, rows)` → array<long> of length `bands`, where bucket b is
-  * the xxhash64 of (b, sig[b·rows], …, sig[b·rows+rows-1]) — exactly the
-  * values `xxhash64(lit(b), sig(i)…)` produced (seed-42 chain of
-  * XXH64.hashLong), so banding is bit-compatible with the Column
-  * formulation it replaces. The point is expression SIZE: one small
-  * expression instead of `bands` structs × (rows+1)-ary hashes, whose
-  * analysis + codegen compilation dominated the LSH stage's latency.
+  * a seed-42 XXH64.hashLong chain over (b, sig[b·rows], …,
+  * sig[b·rows+rows-1]). Engine-defined values — NOT equal to the
+  * `xxhash64(lit(b), sig(i)…)` Column chain this replaced (that hashed
+  * the band index via hashInt); index buckets written by one formulation
+  * cannot be probed by the other. The point is expression SIZE: one
+  * small expression instead of `bands` structs × (rows+1)-ary hashes,
+  * whose analysis + codegen compilation dominated the LSH stage's
+  * latency.
   */
 object BandBucketer {
   def buckets(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    // Loud error on a parameter mismatch — an unchecked getLong past the
+    // array on UnsafeArrayData is a raw-memory read producing silently
+    // wrong buckets (the replaced Column formulation threw under ANSI).
+    require(sig.numElements() >= bands * rows,
+      s"signature has ${sig.numElements()} elements; bands=$bands x rows=$rows needs ${bands * rows}")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {

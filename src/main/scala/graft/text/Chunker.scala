@@ -25,7 +25,11 @@ object Chunker {
   def chunk(docs: Dataset[(Long, String)], maxTokens: Int): Dataset[DocChunk] = {
     require(maxTokens > 0, "maxTokens must be positive")
     import docs.sparkSession.implicits._
-    docs.flatMap { case (id, text) =>
+    docs.flatMap { case (id, rawText) =>
+      // Null text chunks to nothing — every other per-document operator
+      // is null-safe (the expressions skip null rows); a typed flatMap
+      // must do it itself.
+      val text = Option(rawText).getOrElse("")
       val sentences = text.split("(?<=[.!?])\\s+").filter(_.nonEmpty)
       val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
       var cur = Array.empty[String]

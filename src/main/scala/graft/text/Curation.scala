@@ -103,9 +103,12 @@ object Curation {
       else Sampling.byFraction(decontaminated, "id", sampleFraction)
     val sampledN = sampled.count()
 
-    // 6. context-window chunking
+    // 6. context-window chunking — checkpointed like the other stage
+    // boundaries: the report's count and the caller's own action would
+    // otherwise each run the row-exploding flatMap over the full corpus.
     val chunks = Chunker.chunk(
       sampled.select(col("id"), col("text")).as[(Long, String)], maxTokens)
+      .localCheckpoint()
     val chunksN = chunks.count()
 
     (chunks, Report(inputN, qualityN, exactN, nearN, decontamN, sampledN, chunksN))

@@ -190,11 +190,18 @@ object TextQueries {
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The filter max_chunk <= 64 is a tautology when chunking is correct,
-    // so the oracle is simply every doc's whitespace token count.
+    // so the oracle is each doc's NON-EMPTY whitespace token count —
+    // counting raw split pieces would diverge on leading/trailing
+    // whitespace (empty pieces Chunker drops), and zero-token docs yield
+    // no chunks and therefore no Spark row.
     "q61_chunk_coverage" ->
-      """SELECT doc_id,
-        |  len(regexp_split_to_array(text, '\s+')) AS sum_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |      AS sum_tokens
+        |  FROM documents)
+        |SELECT doc_id, sum_tokens FROM t
+        |WHERE sum_tokens >= 1 ORDER BY doc_id""".stripMargin,
 
     "q59_text_norm" ->
       """WITH n AS (
