@@ -207,7 +207,7 @@ object AnalyticsQueries {
 
     "q49_corpus_report" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(regexp_split_to_array(text, '\s+'))) AS total_tokens,
+        |  sum(len(regexp_split_to_array(text, '\s+')))::BIGINT AS total_tokens,
         |  round(avg(n_chars), 6) AS avg_chars,
         |  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars

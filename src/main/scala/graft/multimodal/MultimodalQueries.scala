@@ -54,8 +54,8 @@ object MultimodalQueries {
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
         |    octet_length(encode(text)) nb
         |  FROM documents)
-        |SELECT kind, count(*) AS n_media, sum(nb) AS total_bytes,
-        |  sum(CASE WHEN nb >= 256 THEN (nb // 256 - 1) // 2 + 1 ELSE 0 END) AS total_frames
+        |SELECT kind, count(*) AS n_media, sum(nb)::BIGINT AS total_bytes,
+        |  sum(CASE WHEN nb >= 256 THEN (nb // 256 - 1) // 2 + 1 ELSE 0 END)::BIGINT AS total_frames
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin
   )
 }

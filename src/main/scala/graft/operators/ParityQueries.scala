@@ -372,8 +372,8 @@ object ParityQueries {
     "q12_profile_stats" ->
       s"""WITH base AS ($nullifiedEventsSql)
          |SELECT count(*) AS n_rows,
-         |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
-         |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls,
+         |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS value_nulls,
+         |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS props_nulls,
          |  count(DISTINCT event_type) AS event_type_distinct,
          |  count(DISTINCT user_id) AS user_id_distinct
          |FROM base""".stripMargin,
@@ -423,7 +423,7 @@ object ParityQueries {
         |  SELECT event_type,
         |    TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |  FROM events)
-        |SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+        |SELECT event_type, count(*) AS n, sum(k)::BIGINT AS sum_k,
         |  count(DISTINCT k) AS distinct_k
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 

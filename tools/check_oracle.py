@@ -8,6 +8,12 @@ For each <verifyOutDir>/<name>/ parquet dump produced by graft.Verify, runs
 the matching SQL from oracle_sql.json in DuckDB over the same sf tables,
 sorts columns by name, sorts rows, and compares values exactly — the same
 shape of check the driver applies. Exit code 1 if any query mismatches.
+
+Regression note (r2): the DuckDB side MUST go through fetch_arrow_table(),
+not fetchall(). fetchall() coerces DECIMAL(38,0) — what DuckDB returns for
+SUM over integer columns — to Python int, hiding the exact kind mismatch
+(decimal.Decimal vs int64) that the driver's Arrow-based gate sees. That
+divergence produced false local greens on q12/q34/q49/q53 for two rounds.
 """
 import json
 import math
@@ -82,9 +88,11 @@ def main():
                 failures.append((name, "0 rows (rows-only check)"))
             continue
         try:
-            duck = con.execute(oracle[name])
-            duck_names = [d[0] for d in duck.description]
-            duck_rows = duck.fetchall()
+            duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+            duck_names = duck_tbl.column_names
+            duck_rows = [tuple(duck_tbl.column(c)[i].as_py()
+                               for c in range(duck_tbl.num_columns))
+                         for i in range(duck_tbl.num_rows)]
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             continue
