@@ -51,7 +51,8 @@ object Pipeline {
     val t0 = System.nanoTime()
     ledger.foreach(_.startJob(jobId, describeSource(source)))
     try {
-      val raw = Readers.extract(spark, source)
+      val maxMb = config.getInt("etl.extract.max_file_size_mb", 100).toLong
+      val raw = Readers.extract(spark, source, maxFileSizeMb = Some(maxMb))
       val (transformed, stats) = TransformPipeline.runWithStats(raw, config)
       val load = Writers.load(transformed, jobId, sink)
       val duration = (System.nanoTime() - t0) / 1e9

@@ -4,6 +4,25 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Wipe-guard predicate for the output dir. Positive evidence is
+    * required before anything is deleted: a Verify marker file
+    * (manifest.json / oracle_sql.json) or at least one per-query dump
+    * directory (every query name starts with "q" — a CRASHED earlier run
+    * leaves only those, no markers). Dot/underscore metadata is tolerated
+    * alongside but NEVER counts as evidence on its own — a directory of
+    * dotfiles is some other tool's state, not ours (ADVICE r3). An empty
+    * dir is trivially safe to clear.
+    */
+  private[graft] def looksLikeVerifyOut(entries: Seq[String]): Boolean = {
+    val recognized = entries.forall(n =>
+      n == "manifest.json" || n == "oracle_sql.json" ||
+        n.startsWith("q") || n.startsWith(".") || n.startsWith("_"))
+    val positive = entries.isEmpty ||
+      entries.contains("manifest.json") || entries.contains("oracle_sql.json") ||
+      entries.exists(_.startsWith("q"))
+    recognized && positive
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -22,15 +41,8 @@ object Verify {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val hfs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hfs.exists(outPath)) {
-      val entries = hfs.listStatus(outPath).map(_.getPath.getName)
-      // Recognized: the marker files, per-query dump dirs (every query
-      // name starts with "q" — and a CRASHED earlier run leaves only
-      // those, no markers), and dot/underscore metadata. Anything else
-      // (e.g. transposed arguments pointing at the sf dataset) refuses.
-      val looksLikeVerifyOut = entries.forall(n =>
-        n == "manifest.json" || n == "oracle_sql.json" ||
-          n.startsWith("q") || n.startsWith(".") || n.startsWith("_"))
-      if (!looksLikeVerifyOut)
+      val entries = hfs.listStatus(outPath).map(_.getPath.getName).toSeq
+      if (!looksLikeVerifyOut(entries))
         sys.error(s"REFUSING to clear $outDir: not a Verify output dir " +
           s"(unrecognized contents: ${entries.filterNot(_.startsWith("q")).take(5).mkString(", ")})")
       if (!hfs.delete(outPath, true))

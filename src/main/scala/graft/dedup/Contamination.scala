@@ -14,28 +14,36 @@ import org.apache.spark.sql.functions._
   * against a 100 TB corpus), broadcast to an equi-join against the
   * exploded corpus shingles. One narrow shingle pass per side, no shuffle
   * of corpus text, corpus-side cost linear in corpus shingles. If the
-  * benchmark dictionary ever outgrew broadcast range, the same join runs
-  * shuffled on the 64-bit hash — the code path is unchanged.
+  * benchmark dictionary outgrows broadcast range, pass
+  * `broadcastDictionary = false` and the same join runs shuffled on the
+  * 64-bit hash — only the join strategy changes.
   */
 object Contamination {
 
   /** Corpus docs sharing ≥1 w-shingle with the benchmark: (id,
     * n_shared) where n_shared counts the distinct shared shingles.
     * Clean documents are absent from the result.
+    *
+    * `broadcastDictionary` hard-hints the broadcast build side — correct
+    * for every real eval set. Disable it for a pathological dictionary
+    * whose distinct shingles exceed executor broadcast capacity; the join
+    * then falls back to Catalyst's shuffle strategy instead of OOMing.
     */
   def flagged(
       corpus: DataFrame,
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      w: Int = 8
+      w: Int = 8,
+      broadcastDictionary: Boolean = true
   ): DataFrame = {
     val benchShingles = benchmark
       .select(explode(Shingles.shingleSet(col(textCol), w)).as("sh"))
       .distinct()
+    val buildSide = if (broadcastDictionary) broadcast(benchShingles) else benchShingles
     corpus
       .select(col(idCol).as("id"), explode(Shingles.shingleSet(col(textCol), w)).as("sh"))
-      .join(broadcast(benchShingles), "sh")
+      .join(buildSide, "sh")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared")) // corpus shingles pre-distinct per doc
   }

@@ -29,6 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
+  /** Input-size ceiling (Catalyst sizeInBytes estimate) above which an
+    * UNCAPPED `maxDf` is loudly warned about: past ~1 GiB of input text a
+    * hot boilerplate shingle turns Σ df² quadratic, and the caller almost
+    * certainly wanted the LSH discovery path ([[MinHashDedup]]) or an
+    * explicit cap. An estimate — not an action — so the guard costs
+    * nothing at 100 TB.
+    */
+  private[graft] val UncappedWarnBytes: BigInt = BigInt(1L << 30)
+
+  /** The warning the guard would emit, or None. Split from the logging so
+    * the behavior is spec-testable without capturing log output.
+    */
+  private[graft] def uncappedWarning(estimatedBytes: BigInt, maxDf: Int): Option[String] =
+    if (maxDf == Int.MaxValue && estimatedBytes > UncappedWarnBytes)
+      Some(s"NgramJaccard.similarPairs: no maxDf cap on an estimated " +
+        s"$estimatedBytes-byte input — pair discovery is quadratic in hot-shingle " +
+        "document frequency. Set maxDf (conservative: reported similarity only " +
+        "drops) or use MinHashDedup.nearDuplicatePairs for discovery at scale.")
+    else None
+
   /** Pairs (idA < idB) with exact Jaccard ≥ threshold over w-shingles.
     *
     * `maxDf` is the scale-safety valve for the Σ df² cost: shingles whose
@@ -49,6 +69,8 @@ object NgramJaccard {
       shingleWidth: Int = 3,
       maxDf: Int = Int.MaxValue
   ): DataFrame = {
+    uncappedWarning(docs.queryExecution.optimizedPlan.stats.sizeInBytes, maxDf)
+      .foreach(System.err.println)
     val items = docs
       .select(col(idCol).as("id"), Shingles.shingleSet(col(textCol), shingleWidth).as("shset"))
       .filter(size(col("shset")) > 0)

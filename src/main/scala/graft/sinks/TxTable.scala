@@ -277,6 +277,10 @@ object TxTable {
     */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 2,
              graceMs: Long = 60 * 60 * 1000L): Unit = {
+    // keep = 0 would delete the CURRENT version's data directory while the
+    // commit log still points at it, bricking the next read() on a healthy
+    // table — there is no valid use for it, so fail loudly at the call site.
+    require(keep >= 1, s"vacuum(keep = $keep): must retain at least the current version")
     val f = fs(spark, dir)
     val commits = history(spark, dir)
     val live = commits.takeRight(keep).map(_.dataDir).toSet

@@ -30,11 +30,25 @@ object Readers {
     * per-file isolation to EXECUTION time: footer-valid files with
     * corrupt data pages are skipped at scan instead of failing the job
     * (plan-time Try alone only covers schema reads).
+    *
+    * `maxFileSizeMb` mirrors the reference's `max_file_size_mb` guard
+    * (config.yaml:79, default 100, enforced before parse): an oversized
+    * input fails HERE with a clear message instead of mid-scan. The
+    * [[Pipeline]] driver wires it from `etl.extract.max_file_size_mb`;
+    * direct library callers opt in.
     */
-  def single(spark: SparkSession, path: String, tolerant: Boolean = false): DataFrame = {
+  def single(spark: SparkSession, path: String, tolerant: Boolean = false,
+             maxFileSizeMb: Option[Long] = None): DataFrame = {
     val fmt = FileFormat
       .fromPath(path)
       .getOrElse(throw new IllegalArgumentException(s"Unsupported file format: $path"))
+    maxFileSizeMb.foreach { mb =>
+      val p = new Path(path)
+      val len = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+      if (len > mb * 1024L * 1024L)
+        throw new IllegalArgumentException(
+          s"File exceeds max_file_size_mb=$mb: $path ($len bytes)")
+    }
     uniform(spark, fmt, Seq(path), tolerant = tolerant)
   }
 
@@ -79,9 +93,12 @@ object Readers {
     * failure isolation, outer column alignment. Empty/all-failed → empty
     * DataFrame.
     */
-  def batch(spark: SparkSession, dir: String): DataFrame = {
+  def batch(spark: SparkSession, dir: String,
+            maxFileSizeMb: Option[Long] = None): DataFrame = {
     val frames = listSupported(spark, dir).flatMap { p =>
-      Try(single(spark, p, tolerant = true)) match {
+      // Oversize files trip single's size guard inside the Try, so they
+      // get the same per-file isolation as corrupt ones: warn and skip.
+      Try(single(spark, p, tolerant = true, maxFileSizeMb = maxFileSizeMb)) match {
         case Success(df) => Some(df)
         case Failure(e) =>
           log.warn(s"skipping unreadable file $p: ${e.getMessage}")
@@ -117,10 +134,11 @@ object Readers {
   }
 
   /** Source router (S9). */
-  def extract(spark: SparkSession, spec: SourceSpec): DataFrame = spec match {
-    case SourceSpec.SingleFile(path) => single(spark, path)
-    case SourceSpec.Batch(dir)       => batch(spark, dir)
-    case s: SourceSpec.Scheduled     => batch(spark, s.pendingDir)
+  def extract(spark: SparkSession, spec: SourceSpec,
+              maxFileSizeMb: Option[Long] = None): DataFrame = spec match {
+    case SourceSpec.SingleFile(path) => single(spark, path, maxFileSizeMb = maxFileSizeMb)
+    case SourceSpec.Batch(dir)       => batch(spark, dir, maxFileSizeMb)
+    case s: SourceSpec.Scheduled     => batch(spark, s.pendingDir, maxFileSizeMb)
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)

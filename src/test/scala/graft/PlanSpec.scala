@@ -90,6 +90,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("contamination shuffled fallback is reachable when broadcast is disabled") {
+    val d = sources.Tables.load(spark, dir, "documents")
+    def run(bc: Boolean) = dedup.Contamination.flagged(
+      d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", broadcastDictionary = bc)
+    // The hard hint must be absent from the logical plan when disabled
+    // (the physical join may still broadcast on small test data via the
+    // auto threshold — the contract is that the CALLER's hint is gone and
+    // Catalyst is free to shuffle an oversized dictionary).
+    assert(!run(false).queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(run(true).queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // Same answer on both paths.
+    val a = run(true).orderBy("id").collect().toSeq
+    val b = run(false).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("exact n-gram pairs scan the corpus once (posting lists, no self-join)") {
     val p = plan(dedup.NgramJaccard.similarPairs(
       sources.Tables.load(spark, dir, "documents"), "doc_id", "text", 0.5))

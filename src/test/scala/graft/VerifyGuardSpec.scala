@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wipe-guard contract for Verify's output dir (ADVICE r3: a directory of
+  * dotfiles must NOT be deletable). Pure predicate, no Spark.
+  */
+class VerifyGuardSpec extends AnyFunSuite {
+
+  test("positive evidence accepted: markers, q-dirs, crashed-run leftovers") {
+    assert(Verify.looksLikeVerifyOut(Seq("manifest.json", "oracle_sql.json", "q1_agg")))
+    assert(Verify.looksLikeVerifyOut(Seq("q1_agg", "q2_clean_names"))) // crashed run: no markers
+    assert(Verify.looksLikeVerifyOut(Seq("oracle_sql.json")))
+    assert(Verify.looksLikeVerifyOut(Seq("q1_agg", "_SUCCESS", ".crc")))
+    assert(Verify.looksLikeVerifyOut(Seq.empty)) // empty dir: nothing at risk
+  }
+
+  test("refuses without positive evidence or with unrecognized contents") {
+    // dot/underscore-only: some other tool's state, not a Verify dump
+    assert(!Verify.looksLikeVerifyOut(Seq(".git", ".config")))
+    assert(!Verify.looksLikeVerifyOut(Seq("_metadata", "_temporary")))
+    // transposed-args shape: an sf dataset dir
+    assert(!Verify.looksLikeVerifyOut(Seq("lineitem.parquet", "orders.parquet")))
+    // one unrecognized entry poisons an otherwise-valid dump dir
+    assert(!Verify.looksLikeVerifyOut(Seq("manifest.json", "q1_agg", "notes.txt")))
+  }
+}

@@ -142,4 +142,13 @@ class DedupSpec extends SparkSpec {
     val cappedJ = capped(0).getAs[Double]("jaccard")
     assert(cappedJ <= exact((1L, 2L)), "cap must only undercount similarity")
   }
+
+  test("uncapped maxDf on a large input warns; capped or small inputs stay quiet") {
+    val big = NgramJaccard.UncappedWarnBytes * 2
+    val small = NgramJaccard.UncappedWarnBytes / 2
+    val warn = NgramJaccard.uncappedWarning(big, Int.MaxValue)
+    assert(warn.exists(_.contains("maxDf")), warn)
+    assert(NgramJaccard.uncappedWarning(big, 1000).isEmpty)     // capped: fine
+    assert(NgramJaccard.uncappedWarning(small, Int.MaxValue).isEmpty) // small: fine
+  }
 }

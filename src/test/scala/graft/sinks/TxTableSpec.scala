@@ -146,4 +146,16 @@ class TxTableSpec extends SparkSpec {
     intercept[Exception] { TxTable.readVersion(spark, dir, 1).count() } // vacuumed
     assert(TxTable.history(spark, dir).length == 4)         // log retained
   }
+
+  test("vacuum(keep = 0) is rejected; keep = 1 leaves the table readable") {
+    val dir = freshDir()
+    TxTable.init(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    TxTable.merge(spark, dir, Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    // keep = 0 would delete the CURRENT version's data dir out from under
+    // the commit log (ADVICE r3) — must fail loudly, not brick the table.
+    intercept[IllegalArgumentException] { TxTable.vacuum(spark, dir, keep = 0) }
+    assert(rows(dir) == Map(1L -> "a", 2L -> "b")) // untouched
+    TxTable.vacuum(spark, dir, keep = 1, graceMs = 0L)
+    assert(rows(dir) == Map(1L -> "a", 2L -> "b")) // current version survives
+  }
 }

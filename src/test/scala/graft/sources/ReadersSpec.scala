@@ -48,6 +48,29 @@ class ReadersSpec extends SparkSpec {
     intercept[IllegalArgumentException](Readers.single(spark, "/tmp/file.txt"))
   }
 
+  test("max_file_size_mb: oversized single file errors before parse (config.yaml:79)") {
+    val dir = tmpDir("readers")
+    val p = write(dir, "big.csv", "x\n" + "1\n" * 100)
+    // limit 0 MB: any non-empty file is oversize — exercises the guard
+    // without materializing a 100 MB fixture
+    val e = intercept[IllegalArgumentException](
+      Readers.single(spark, p, maxFileSizeMb = Some(0L)))
+    assert(e.getMessage.contains("max_file_size_mb"))
+    assert(Readers.single(spark, p, maxFileSizeMb = Some(1L)).count() == 100)
+  }
+
+  test("max_file_size_mb: batch skips the oversized file, keeps the rest") {
+    val dir = tmpDir("readers")
+    write(dir, "ok.csv", "x\n1\n2\n")
+    val bigRows = 600000 // "1\n" * 600k ≈ 1.2 MB — over a 1 MB limit
+    write(dir, "big.csv", "x\n" + "1\n" * bigRows)
+    assert(Readers.batch(spark, dir).count() == bigRows + 2) // no limit: both read
+    // per-file isolation: big.csv skipped with a warning, ok.csv survives
+    assert(Readers.batch(spark, dir, maxFileSizeMb = Some(1L)).count() == 2)
+    // all files over the limit → empty frame, not a crash (S8 contract)
+    assert(Readers.batch(spark, dir, maxFileSizeMb = Some(0L)).count() == 0)
+  }
+
   test("S6: listing filters to supported formats (test_extractor.py:107-113)") {
     val dir = tmpDir("readers")
     write(dir, "a.csv", "x\n1\n")
