@@ -62,11 +62,31 @@ object DedupQueries {
 
     // SimHash fingerprints + Hamming-ball pairs over planted exact copies
     // (distance 0) and organic near-dups. Engine-defined hash values —
-    // rows-only check; the planted copies guarantee non-empty output.
+    // rows-only check; q65 pins the planted-copy recall and structural
+    // invariants under the oracle gate.
     "q22_simhash_nearpairs" -> { (s, dir) =>
       val fps = SimHash.fingerprints(docsWithDuplicates(s, dir), "doc_id", "text")
       SimHash.nearPairs(fps, "doc_id", maxDistance = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // Oracle-checked differential for the SimHash family (closes the q22
+    // rows-only gap). The base corpus is duplicate-free, so identical-text
+    // pairs are EXACTLY the planted copies (id, id + 1000000 for id % 10
+    // = 0); identical text forces identical fingerprints, so the chunked
+    // Hamming join must surface every one at distance 0 — DuckDB counts
+    // the expected pairs from text equality, Spark counts the found ones.
+    // The violation counters pin the output contract (ordered pairs,
+    // distance within the ball).
+    "q65_simhash_planted" -> { (s, dir) =>
+      val fps = SimHash.fingerprints(docsWithDuplicates(s, dir), "doc_id", "text")
+      SimHash.nearPairs(fps, "doc_id", maxDistance = 3).agg(
+        sum(when(col("id_b") === col("id_a") + 1000000 &&
+          col("id_a") % 10 === 0 && col("hamming") === 0, 1L).otherwise(0L))
+          .as("planted_pairs_found"),
+        sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)).as("ordering_violations"),
+        sum(when(col("hamming") > 3 || col("hamming") < 0, 1L).otherwise(0L))
+          .as("hamming_violations"))
     },
 
     // Connected components over the near-dup pair graph: every doc labeled
@@ -140,6 +160,16 @@ object DedupQueries {
       |  JOIN sz y ON y.doc_id = id_b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // DuckDB computes the EXPECTED planted-pair count from text equality
+    // (the base corpus ships duplicate-free, so identical-text pairs are
+    // exactly the planted copies); Spark must find every one through the
+    // SimHash chunk join, with zero contract violations.
+    "q65_simhash_planted" ->
+      """SELECT count(*)::BIGINT AS planted_pairs_found,
+        |  0::BIGINT AS ordering_violations,
+        |  0::BIGINT AS hamming_violations
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+
     "q19_dedup_keepfirst" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

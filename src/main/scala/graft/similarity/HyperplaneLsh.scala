@@ -44,9 +44,18 @@ object HyperplaneLsh {
     array(sig +: (0 until nPlanes).map(i => sig.bitwiseXOR(shiftleft(lit(1L), i))): _*)
 
   /** Approximate per-query nearest neighbor: best cosine among bucket
-    * candidates (multi-probe on the query side), with the candidate count
-    * for recall diagnostics. Queries with an empty candidate set are
-    * absent from the output.
+    * candidates, with the distinct-candidate count for recall
+    * diagnostics. Queries with an empty candidate set are absent from
+    * the output.
+    *
+    * `nTables` independent signature tables (the standard LSH recall
+    * knob: P[miss] decays exponentially in L) share one plan — each
+    * vector indexes under `nTables` bucket ids (table id in the high
+    * bits keeps tables disjoint), each query probes its Hamming-≤1 ball
+    * in every table, and candidate generation stays one equi-join on a
+    * long key. A pair colliding in several tables is scored per
+    * collision (≤ nTables×) and collapsed by the max/count-distinct
+    * aggregate — cheaper than a dedup shuffle before the cosine.
     */
   def approxNearest(
       vectors: DataFrame,
@@ -54,21 +63,28 @@ object HyperplaneLsh {
       vecCol: String,
       nPlanes: Int = 6,
       seed: Long = 42L,
-      dim: Int = 64
+      dim: Int = 64,
+      nTables: Int = 4
   ): DataFrame = {
-    val ps = planes(dim, nPlanes, seed)
+    val tablePlanes = (0 until nTables).map(t => planes(dim, nPlanes, seed + t))
+    def tableBucket(t: Int, sig: Column): Column =
+      sig.bitwiseOR(lit(t.toLong << nPlanes))
+    val sigCols = tablePlanes.zipWithIndex.map { case (ps, t) =>
+      tableBucket(t, signature(col("v"), ps)).as(s"sig_$t")
+    }
     val v = vectors.select(
       col(idCol).as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"))
       .withColumn("n", VectorOps.norm(col("v")))
-      .withColumn("sig", signature(col("v"), ps))
+      .select(Seq(col("id"), col("v"), col("n")) ++ sigCols: _*)
 
     val probes = v
       .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
-        explode(probeBuckets(col("sig"), nPlanes)).as("bucket"))
+        explode(flatten(array((0 until nTables).map(t =>
+          probeBuckets(col(s"sig_$t"), nPlanes)): _*))).as("bucket"))
     val cands = v
-      .select(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
-        col("sig").as("bucket"))
+      .select(Seq(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
+        explode(array((0 until nTables).map(t => col(s"sig_$t")): _*)).as("bucket")): _*)
 
     probes
       .join(cands, "bucket")
@@ -77,7 +93,7 @@ object HyperplaneLsh {
         VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .groupBy(col("query_id"))
       .agg(
-        count(lit(1)).as("n_candidates"),
+        countDistinct(col("neighbor_id")).as("n_candidates"),
         round(max(col("cosine")), 6).as("best_cosine"))
   }
 }

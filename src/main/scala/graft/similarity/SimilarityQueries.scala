@@ -27,9 +27,9 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
-    // Approximate NN via 6-bit random-hyperplane LSH with Hamming-1
-    // multi-probe. Engine-defined hyperplanes — rows-only check; the
-    // companion spec asserts recall against the brute-force baseline.
+    // Approximate NN via 4-table 6-bit random-hyperplane LSH with
+    // Hamming-1 multi-probe. Engine-defined hyperplanes — rows-only
+    // check; q63 pins recall@1 vs brute force under the oracle gate.
     "q25_ann_lsh" -> { (s, dir) =>
       HyperplaneLsh.approxNearest(emb(s, dir), "vec_id", "embedding")
         .orderBy("query_id")
@@ -43,7 +43,8 @@ object SimilarityQueries {
 
     // IVF (k-means coarse quantizer, 8 cells, 3 probes) approximate
     // top-1 — the clustered-data scale path. Engine-defined centroids —
-    // rows-only check; the companion spec pins recall against brute force.
+    // rows-only check; q64 pins recall@1 vs brute force under the
+    // oracle gate (plus the IvfSpec recall test).
     "q28_ann_ivf" -> { (s, dir) =>
       val e = emb(s, dir)
       val model = IvfIndex.train(e, "embedding", nCells = 8)
@@ -56,8 +57,53 @@ object SimilarityQueries {
       BruteForceKnn.topK(emb(s, dir), emb(s, dir), "vec_id", "embedding", k = 3)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rnk")
+    },
+
+    // Oracle-checked recall@1 differential for the LSH path (closes the
+    // q25 rows-only gap): the fraction of queries whose LSH best-cosine
+    // equals the exact brute-force best must clear a pinned threshold.
+    // Deterministic end to end (seeded hyperplanes, exact arithmetic);
+    // measured 0.682 at sf0.01 / 0.684 at sf0.001 with 4 tables — the
+    // 0.6 floor is margin against data regeneration, not noise.
+    "q63_lsh_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      recallRow(
+        exactBest(e),
+        HyperplaneLsh.approxNearest(e, "vec_id", "embedding")
+          .select(col("query_id"), col("best_cosine")),
+        minRecall = 0.6)
+    },
+
+    // Same differential for the IVF path (closes the q28 rows-only gap).
+    // Measured 0.71 at sf0.01 / 0.684 at sf0.001.
+    "q64_ivf_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val model = IvfIndex.train(e, "embedding", nCells = 8)
+      recallRow(
+        exactBest(e),
+        IvfIndex.approxTopK(e, "vec_id", "embedding", model, k = 1)
+          .filter(col("rnk") === 1)
+          .select(col("query_id"), col("cosine").as("best_cosine")),
+        minRecall = 0.6)
     }
   )
+
+  /** Exact per-query best cosine (the recall ground truth). */
+  private def exactBest(e: DataFrame): DataFrame =
+    BruteForceKnn.topK(e, e, "vec_id", "embedding", k = 1)
+      .groupBy(col("query_id")).agg(round(max(col("cosine")), 6).as("exact_cos"))
+
+  /** One row: total query count (DuckDB-checkable) and whether recall@1
+    * against the exact baseline clears `minRecall`. A query missing from
+    * the approximate result (empty candidate set) counts as a miss via
+    * the left join's null.
+    */
+  private def recallRow(exact: DataFrame, approx: DataFrame, minRecall: Double): DataFrame =
+    exact.join(approx, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (sum(when(abs(col("best_cosine") - col("exact_cos")) < lit(1e-9), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)) >= lit(minRecall)).as("recall_ok"))
 
   /** Shared DuckDB fragment: id, double vector, norm. */
   private val vecsSql =
@@ -98,6 +144,14 @@ object SimilarityQueries {
          |  FROM p)
          |SELECT query_id, neighbor_id, rnk, round(cosine, 6) AS cosine
          |FROM r WHERE rnk <= 3
-         |ORDER BY query_id, rnk""".stripMargin
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // DuckDB cannot run LSH/IVF; it pins the query universe and the
+    // recall contract the Spark side must prove against its own exact
+    // baseline (which IS DuckDB-verified, via q24/q27).
+    "q63_lsh_recall" ->
+      "SELECT count(*)::BIGINT AS n_queries, true AS recall_ok FROM embeddings",
+    "q64_ivf_recall" ->
+      "SELECT count(*)::BIGINT AS n_queries, true AS recall_ok FROM embeddings"
   )
 }
