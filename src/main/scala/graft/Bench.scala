@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   * (default sf0.1), one JSON line on stdout for the driver. Failed
   * queries are listed in a "failed" array — a crash must not read as a
   * fast green run.
+  *
+  * Each query reports a COLD time (first run: analysis + codegen compile
+  * + execution — comparable to all previous rounds' numbers, headline
+  * "value"/"queries") and a WARM time (best of SPARK_GRAFT_WARM_RUNS
+  * re-runs, default 2: execution with compile caches hot —
+  * "value_warm"/"queries_warm"). Sub-second regressions hide inside
+  * cold-run codegen noise; the warm channel is where per-row kernel
+  * changes are visible.
   */
 object Bench {
 
@@ -42,32 +50,50 @@ object Bench {
     // Dev-only subset filter (comma-separated names); the driver sets no
     // filter and always benches the full battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "2").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch {
-        case e: Exception =>
-          failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Release persisted/localCheckpoint blocks the query left behind —
-      // cross-query storage pollution otherwise squeezes execution memory
-      // for later queries (measured: 8x slowdown on the shuffle-heavy
-      // ones once the block manager fills). Blocking, and outside the
-      // timed window: an async unpersist races into the NEXT query's
-      // timing and showed up as multi-second phantom spikes there.
+
+    // Release persisted/localCheckpoint blocks a query run left behind —
+    // cross-query storage pollution otherwise squeezes execution memory
+    // for later queries (measured: 8x slowdown on the shuffle-heavy ones
+    // once the block manager fills). Blocking, and outside the timed
+    // window: an async unpersist races into the NEXT run's timing and
+    // showed up as multi-second phantom spikes there.
+    def cleanup(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      name -> elapsed
     }
-    val qs = results.map { case (k, v) => q(k) + ":" + num(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+
+    val results = selected.map { case (name, fn) =>
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Exception =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        if (ok) Some(elapsed) else None
+      }
+      val cold = once()
+      if (cold.isEmpty) failed += name
+      // Warm: best of n re-runs, skipped for a failed query.
+      val warm = if (cold.isEmpty) None
+        else Seq.fill(warmRuns)(once()).flatten.minOption
+      // -1 marks a failed run (NaN is not valid JSON)
+      (name, cold.getOrElse(-1.0), warm.getOrElse(-1.0))
+    }
+    def row(sel: ((String, Double, Double)) => Double): String =
+      results.map { case t @ (k, _, _) => q(k) + ":" + num(sel(t)) }.mkString("{", ",", "}")
+    val totalCold = results.map(_._2).filter(_ >= 0).sum
+    val totalWarm = results.map(_._3).filter(_ >= 0).sum
     val failedJson = failed.map(q).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","value_warm":${num(totalWarm)},"queries":${row(_._2)},"queries_warm":${row(_._3)},"failed":$failedJson,"sf":${q(sfDir)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

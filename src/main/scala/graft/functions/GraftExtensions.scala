@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions as SQL functions (`spark.sql.extensions =
@@ -85,6 +85,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSignature(arr, k)
         case _ => throw new IllegalArgumentException(
           "graft_minhash(shingleHashes, k) with literal int k")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_lang_scores"),
+      new ExpressionInfo(classOf[LangScores].getName, "graft_lang_scores"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(ArrayType(StringType, _), _))) =>
+          LangScores(text,
+            (0 until arr.numElements()).map { i =>
+              val inner = arr.getArray(i)
+              (0 until inner.numElements()).map(j => inner.getUTF8String(j).toString)
+            })
+        case _ => throw new IllegalArgumentException(
+          "graft_lang_scores(text, sets) with a literal array-of-string-arrays sets")
       }))
   }
 }

@@ -423,3 +423,110 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Single-pass multi-set marker counting for language ID:
+  * `graft_lang_scores(text, sets)` → array<int>, where `sets` is a
+  * literal array of marker-word lists and slot i counts tokens of
+  * `lower(text)` that fall in set i.
+  *
+  * Exactly equivalent to `graft_tokens_in_set(graft_tokens(lower(text)),
+  * set_i)` per set — but ONE byte scan over the raw text replaces
+  * lower-copy + token-array materialization + one probe pass per set
+  * (tokenization order: Unicode lowercasing never produces or consumes
+  * ASCII whitespace, so lowercase-then-split and split-then-lowercase
+  * yield the same tokens). Tokens are lowercased into a reused scratch
+  * buffer when pure ASCII (the corpus norm); rare multi-byte tokens take
+  * the UTF8String.toLowerCase path for full parity with `lower()`. Each
+  * token makes ONE map probe; the value is a bitmask of the sets the
+  * word belongs to, so overlapping sets still count independently.
+  */
+object MarkerCounter {
+  /** word(lowercase) → bitmask of set indexes; ≤ 32 sets. */
+  def buildMask(sets: Seq[Seq[String]]): java.util.HashMap[UTF8String, Integer] = {
+    require(sets.length <= 32, "at most 32 marker sets")
+    // score() skips tokens longer than its 64-byte scratch without
+    // probing — sound only while every marker word fits
+    require(sets.flatten.forall(_.getBytes("UTF-8").length <= 64),
+      "marker words must be <= 64 UTF-8 bytes")
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    sets.zipWithIndex.foreach { case (words, i) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w.toLowerCase)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+
+  def score(text: UTF8String, mask: java.util.HashMap[UTF8String, Integer],
+            nSets: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val counts = new Array[Int](nSets)
+    val scratch = new Array[Byte](64) // longest marker word is far shorter
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      val atWs = i < len &&
+        (bytes(i) == 0x20 || (bytes(i) >= 0x09 && bytes(i) <= 0x0d))
+      if (atWs || i == len) {
+        val tlen = i - start
+        if (tlen > 0) {
+          var hit: Integer = null
+          if (tlen <= scratch.length) {
+            // ASCII fast path: lowercase into the scratch buffer; bail to
+            // the Unicode path on any byte >= 0x80
+            var ascii = true
+            var j = 0
+            while (j < tlen && ascii) {
+              val b = bytes(start + j)
+              if (b < 0) ascii = false
+              else scratch(j) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+              j += 1
+            }
+            hit =
+              if (ascii) mask.get(UTF8String.fromBytes(scratch, 0, tlen))
+              else mask.get(UTF8String.fromBytes(
+                java.util.Arrays.copyOfRange(bytes, start, i)).toLowerCase)
+          }
+          if (hit != null) {
+            var m = hit.intValue()
+            while (m != 0) {
+              val s = java.lang.Integer.numberOfTrailingZeros(m)
+              counts(s) += 1
+              m &= m - 1
+            }
+          }
+        }
+        // skip the whitespace run
+        i += 1
+        while (i < len && (bytes(i) == 0x20 || (bytes(i) >= 0x09 && bytes(i) <= 0x0d))) i += 1
+        start = i
+      } else i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+case class LangScores(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lang_scores"
+
+  @transient private lazy val mask = MarkerCounter.buildMask(sets)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MarkerCounter.score(input.asInstanceOf[UTF8String], mask, sets.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val maskRef = ctx.addReferenceObj("markerMask", mask, classOf[java.util.HashMap[_, _]].getName)
+      s"${ev.value} = graft.functions.MarkerCounter.score($t, (java.util.HashMap) $maskRef, ${sets.length});"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

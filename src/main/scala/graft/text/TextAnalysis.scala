@@ -94,14 +94,19 @@ object TextAnalysis {
   /** Marker-hit counts per language; predicted language = argmax with
     * first-listed-language tiebreak, 'und' when nothing matches.
     */
+  /** All marker-set hit counts in ONE native pass over the raw text
+    * (no lower() copy, no token-array materialization, one map probe per
+    * token) — the q32 hot path. Equivalent per slot to
+    * `tokensInSet(tokens(lower(text)), set_i)`.
+    */
+  def langScores(text: Column): Column =
+    call_function("graft_lang_scores", text, typedlit(langMarkers.map(_._2)))
+
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    // One array of per-language hit counts; argmax via array_position
-    // (first occurrence = first-listed-language tiebreak). The previous
-    // when-chain formulation repeated every count subexpression ~20x in
-    // the expression tree — correct after codegen CSE, but a needlessly
-    // huge tree to analyze and compile.
-    val counts = array(langMarkers.map { case (_, m) => tokensInSet(toks, m) }: _*)
+    // argmax via array_position (first occurrence = first-listed-language
+    // tiebreak); the counts array comes from the fused single-pass kernel
+    // and codegen subexpression elimination collapses its three uses.
+    val counts = langScores(text)
     val best = array_max(counts)
     val langs = typedlit(langMarkers.map(_._1))
     when(best > 0,

@@ -72,6 +72,14 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[graft_dot""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("fused lang-scores kernel stays inside whole-stage codegen") {
+    val q = sources.Tables.load(spark, dir, "documents")
+      .select(text.TextAnalysis.langId(col("text")).as("lang"))
+    val p = plan(q)
+    assert("""\*\(\d+\) Project """.r.findFirstIn(p).isDefined, p)
+    assert(p.contains("graft_lang_scores"), p)
+  }
+
   test("native shingle hashing stays inside whole-stage codegen") {
     val q = sources.Tables.load(spark, dir, "documents")
       .select(dedup.Shingles.shingleSet(col("text")).as("sh"))

@@ -73,6 +73,22 @@ class TextSpec extends SparkSpec {
     assert(rs == Seq("en", "de", "fr", "und"))
   }
 
+  test("fused lang-scores kernel matches the composed tokens_in_set formulation") {
+    // edge shapes: mixed case, tab/newline runs, leading/trailing ws,
+    // empty, multi-byte UTF-8 neighbors, marker-as-substring (no hit)
+    val rows = Seq(
+      "THE cat AND the DOG is WITH", "\tder\n\ndie  und\r\ndas mit ",
+      "le la et les des el los las una con", "", "   ", "über the straße und",
+      "theater andes ofle", "the the the the", "el los") // NBSP is NOT \s
+      .toDF("text")
+    val fused = rows.select(TextAnalysis.langScores(col("text")).as("sc"))
+      .collect().map(_.getSeq[Int](0))
+    val composed = rows.select(array(TextAnalysis.langMarkers.map { case (_, m) =>
+      TextAnalysis.tokensInSet(TextAnalysis.tokens(lower(col("text"))), m)
+    }: _*).as("sc")).collect().map(_.getSeq[Int](0))
+    assert(fused.toSeq == composed.toSeq)
+  }
+
   test("PII redaction replaces all occurrences of each kind") {
     val r = one("mail a@b.co and c.d+x@e-f.org, call +44 20 7946 0958, card 4111 1111 1111 1111 end")
       .select(TextAnalysis.redactPii(col("text")).as("t")).head().getString(0)
