@@ -48,7 +48,8 @@ object EngineConfig {
     "etl.load.output_format" -> "parquet", // parquet | csv | json
     "etl.load.compression" -> "snappy",
     "etl.load.partition_on_data" -> "false", // wall-clock pathing by default (loader.py:88)
-    "etl.extract.max_file_size_mb" -> "100"
+    "etl.extract.max_file_size_mb" -> "100",
+    "monitoring.cloudwatch.metric_namespace" -> "ETL/Pipeline" // aws_clients.py:182
   )
 
   def default: EngineConfig = EngineConfig()

@@ -55,9 +55,21 @@ trait MetricsSink {
     catch { case _: Exception => false }
 }
 
-object LogMetricsSink extends MetricsSink {
+/** Log-backed sink; namespace and dimension shaping mirror the CloudWatch
+  * client (aws_clients.py:183-196: namespace from
+  * `monitoring.cloudwatch.metric_namespace`, dimensions as Name=Value
+  * pairs on the datum).
+  */
+class LogMetricsSink(config: graft.core.EngineConfig) extends MetricsSink {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val namespace =
+    config.getString("monitoring.cloudwatch.metric_namespace", "ETL/Pipeline")
   protected def emit(name: String, value: Double, unit: String,
-                     dimensions: Map[String, String]): Unit =
-    log.info(s"[metric] ETL/Pipeline $name=$value $unit $dimensions")
+                     dimensions: Map[String, String]): Unit = {
+    val dims = dimensions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("[", ",", "]")
+    log.info(s"[metric] $namespace $name=$value $unit $dims")
+  }
 }
+
+object LogMetricsSink extends LogMetricsSink(graft.core.EngineConfig.default)

@@ -96,6 +96,15 @@ object Readers {
   def batch(spark: SparkSession, dir: String,
             maxFileSizeMb: Option[Long] = None): DataFrame = {
     val frames = listSupported(spark, dir).flatMap { p =>
+      // Per-file visibility at PLAN time (name + size) — the scalable
+      // counterpart of the reference's per-file row log
+      // (extractor.py:100-101): a row count here would force one Spark
+      // job per file before the pipeline even starts; stage-level row
+      // accounting arrives with TransformStats instead.
+      val fp = new Path(p)
+      val len = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(fp).getLen
+      log.info(s"batch extract: $p ($len bytes)")
       // Oversize files trip single's size guard inside the Try, so they
       // get the same per-file isolation as corrupt ones: warn and skip.
       Try(single(spark, p, tolerant = true, maxFileSizeMb = maxFileSizeMb)) match {
