@@ -31,9 +31,11 @@ object MultimodalQueries {
         .orderBy("kind")
     },
 
-    // Feature extraction through the partition-batched decode stub:
-    // engine-defined feature values (rows-only check); n_bytes and the
-    // histogram-sum invariant (≈1 after normalization) keep it honest.
+    // Feature extraction through the partition-batched decode stub. The
+    // stub is a normalized byte histogram, so the contract IS
+    // SQL-expressible: n_bytes = octet_length(payload) and feature_sum =
+    // 1.0 for any non-empty payload (6-dp rounding absorbs fp summation
+    // error) — a full DuckDB oracle over the mapPartitions path.
     "q35_multimodal_features" -> { (s, dir) =>
       import s.implicits._
       Multimodal.extractFeatures(media(s, dir), targetPartitions = 8)
@@ -56,6 +58,18 @@ object MultimodalQueries {
         |  FROM documents)
         |SELECT kind, count(*) AS n_media, sum(nb)::BIGINT AS total_bytes,
         |  sum(CASE WHEN nb >= 256 THEN (nb // 256 - 1) // 2 + 1 ELSE 0 END)::BIGINT AS total_frames
-        |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // The decode stub is a normalized byte histogram: its sum is exactly
+    // 1.0 for non-empty payloads (0.0 for empty) and n_bytes is the
+    // payload length — both computable by DuckDB from the same documents
+    // table the media set is synthesized from.
+    "q35_multimodal_features" ->
+      """SELECT doc_id AS id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+        |  octet_length(encode(text))::INT AS n_bytes,
+        |  round(CASE WHEN octet_length(encode(text)) > 0 THEN 1.0 ELSE 0.0 END, 6)::DOUBLE
+        |    AS feature_sum
+        |FROM documents ORDER BY id""".stripMargin
   )
 }

@@ -112,12 +112,15 @@ object ParityQueries {
         .orderBy("event_id")
     },
 
-    // T7: xxhash64 row hash — engine-defined values (no DuckDB equivalent;
-    // rows-only check). Distinct-hash count == row count proves injectivity
-    // held on this data.
+    // T7: xxhash64 row hash — engine-defined hash VALUES, but the hash's
+    // contract is oracle-checkable: doubling the input must leave the
+    // distinct-hash count at the distinct-ROW count (equal rows hash
+    // equally — determinism across scan branches — and unequal rows kept
+    // distinct hashes on this data, i.e. no collision). DuckDB computes
+    // both counts from row content alone.
     "q10_row_hash" -> { (s, dir) =>
       val base = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-      Stages.deriveFields(base)
+      Stages.deriveFields(base.unionAll(base))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("_row_hash")).as("n_distinct_hashes"))
     },
@@ -314,6 +317,15 @@ object ParityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q10: the hash values are engine-defined, but the counts are pure
+    // row-content facts — the doubled input has 2N rows and exactly
+    // count(DISTINCT row) distinct hashes iff xxhash64 is deterministic
+    // and collision-free on this data.
+    "q10_row_hash" ->
+      """SELECT (2 * count(*))::BIGINT AS n_rows,
+        |  count(DISTINCT (o_orderkey, o_custkey, o_totalprice))::BIGINT AS n_distinct_hashes
+        |FROM orders""".stripMargin,
+
     "q2_clean_names" ->
       """SELECT l_orderkey AS order_key, l_quantity AS quantity_units,
         |  l_returnflag AS returnflag

@@ -67,11 +67,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // Order-sensitive xxhash64-chain fingerprint: engine-defined values
-    // (rows-only); distinct-fingerprint count == doc count on this corpus.
+    // Order-sensitive xxhash64-chain fingerprint: engine-defined VALUES,
+    // oracle-checkable contract — doubling the corpus under shifted ids
+    // must leave the distinct-fingerprint count at the distinct-TEXT
+    // count (equal text ⇒ equal fingerprint; distinct text stayed
+    // collision-free on this corpus), both DuckDB-computable.
     "q33_fingerprint" -> { (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000))
+      doubled
+        .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fingerprint")).as("n_distinct_fingerprints"))
     },
@@ -107,6 +112,17 @@ object TextQueries {
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // q33: fingerprint values are engine-defined; the counts are pure
+    // text-content facts (see the query comment). Fingerprints hash the
+    // token sequence, so "distinct text" is counted on the \s+-normalized
+    // token join — texts differing only in whitespace runs would
+    // legitimately share a fingerprint.
+    "q33_fingerprint" ->
+      """SELECT (2 * count(*))::BIGINT AS n_docs,
+        |  count(DISTINCT array_to_string(regexp_split_to_array(text, '\s+'), chr(31)))::BIGINT
+        |    AS n_distinct_fingerprints
+        |FROM documents""".stripMargin,
+
     "q30_text_stats" ->
       """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') toks FROM documents)
         |SELECT doc_id,
