@@ -134,10 +134,48 @@ object AnalyticsQueries {
         .drop("__n")
         .orderBy(col("doc_freq").desc, col("term"))
         .limit(20)
+    },
+
+    // HLL sketch distinct counting — the 100 TB cardinality path (exact
+    // distinct shuffles every value; a sketch ships bytes). DuckDB pins
+    // the exact count; the one-shot estimate must land inside the error
+    // envelope, and the union of per-group sketches must give the SAME
+    // answer under two different groupings (register max-union is
+    // order- and partitioning-independent — the property that makes
+    // sketches pre-aggregable in a silver layer). Note the direct
+    // sketch's estimate is NOT compared for equality against a union's:
+    // direct sketches use the HIP estimator, unions the composite one,
+    // and they legitimately differ in dense mode.
+    "q66_approx_distinct" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      def unionBy(g: String) = li
+        .groupBy(col(g))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as(s"m_$g"))
+      val global = li.agg(
+        countDistinct(col("l_orderkey")).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("approx"))
+      global
+        .crossJoin(unionBy("l_returnflag"))
+        .crossJoin(unionBy("l_linestatus"))
+        .select(
+          col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <= col("n_exact") * lit(0.1)).as("approx_ok"),
+          (col("m_l_returnflag") === col("m_l_linestatus") &&
+            abs(col("m_l_returnflag") - col("n_exact")) <= col("n_exact") * lit(0.1))
+            .as("merge_ok"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    // q66: the estimate is engine-defined (DataSketches HLL); the exact
+    // count is DuckDB's, and the two contract booleans are pinned (the
+    // merge identity is exact, not approximate — SketchSpec proves it).
+    "q66_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey)::BIGINT AS n_exact,
+        |  true AS approx_ok, true AS merge_ok
+        |FROM lineitem""".stripMargin,
+
     "q50_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
