@@ -245,6 +245,22 @@ object ParityQueries {
     // every event matched to the 2-hour windows (anchored at every 20th
     // event) containing it, per user. Oracle is the plain inequality
     // join DuckDB can afford at this scale.
+    // Salted skew join — the planned fix for a known-hot probe key. The
+    // oracle is the PLAIN join: salting must be answer-preserving (salt
+    // column dropped, each probe row matched exactly once because every
+    // (key, salt) pair exists exactly once on the replicated build side).
+    "q67_salted_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      SaltedJoin.inner(li, sup, Seq("s_suppkey"), saltFactor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_nationkey")
+    },
+
     "q45_range_join" -> { (s, dir) =>
       val events = t(s, dir, "events")
       val points = events.select("event_id", "user_id", "ts")
@@ -325,6 +341,15 @@ object ParityQueries {
       """SELECT (2 * count(*))::BIGINT AS n_rows,
         |  count(DISTINCT (o_orderkey, o_custkey, o_totalprice))::BIGINT AS n_distinct_hashes
         |FROM orders""".stripMargin,
+
+    // q67: DuckDB runs the UNSALTED join — the salted plan must produce
+    // the identical aggregate.
+    "q67_salted_join" ->
+      """SELECT s_nationkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q2_clean_names" ->
       """SELECT l_orderkey AS order_key, l_quantity AS quantity_units,

@@ -263,6 +263,41 @@ object TxTable {
     throw new java.io.IOException(s"DELETE on $dir lost the commit race; giving up")
   }
 
+  /** OPTIMIZE: rewrite the CURRENT snapshot into `numFiles` files as a
+    * new committed version with identical content. Trickle ingest and
+    * streaming merges leave each version's data scattered across many
+    * small files — the classic small-file problem: scan task count and
+    * footer/open overhead grow with file count, not data size. Compaction
+    * is just a read + rewrite through the same optimistic commit path, so
+    * concurrent writers are arbitrated exactly like any merge; the old
+    * version stays readable (time travel) until vacuumed.
+    *
+    * `zOrderBy` optionally clusters the rewrite by the Morton Z-value of
+    * the given columns ([[ZOrder.cluster]]) — the OPTIMIZE ZORDER BY
+    * recipe — so parquet row-group min/max stats prune on every listed
+    * axis, not just the first sort column.
+    */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 1,
+              zOrderBy: Seq[String] = Seq.empty, maxRetries: Int = 3): Long = {
+    require(numFiles > 0, s"compact(numFiles = $numFiles)")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = currentVersion(spark, dir)
+      require(base > 0, s"$dir not initialized")
+      val current = readVersion(spark, dir, base)
+      val arranged =
+        if (zOrderBy.nonEmpty) ZOrder.cluster(current, zOrderBy, numFiles)
+        // coalesce, not repartition: pure compaction needs no shuffle —
+        // tasks just concatenate input splits
+        else current.coalesce(numFiles)
+      commit(spark, dir, arranged, base, "compact") match {
+        case Some(total) => return total
+        case None => attempt += 1
+      }
+    }
+    throw new java.io.IOException(s"COMPACT on $dir lost the commit race; giving up")
+  }
+
   /** Drop data directories of versions older than the newest `keep`
     * committed versions, plus orphans from lost commit races. Keeps the
     * commit log itself (history stays queryable; time travel to vacuumed

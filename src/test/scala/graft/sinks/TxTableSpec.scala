@@ -147,6 +147,35 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.history(spark, dir).length == 4)         // log retained
   }
 
+  test("compact rewrites the snapshot into fewer files with identical content") {
+    val dir = freshDir()
+    // 8-file initial version = the small-file shape trickle ingest leaves
+    TxTable.init(spark, dir,
+      (1L to 64L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8))
+    TxTable.merge(spark, dir, Seq((65L, "v65")).toDF("id", "v"), Seq("id"))
+    val before = rows(dir)
+    val baseVersion = TxTable.currentVersion(spark, dir)
+
+    def fileCount(): Int = {
+      val dataDir = TxTable.history(spark, dir).last.dataDir
+      new java.io.File(dir, dataDir).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    }
+    assert(fileCount() > 1)
+
+    TxTable.compact(spark, dir, numFiles = 1)
+    assert(TxTable.currentVersion(spark, dir) == baseVersion + 1)
+    assert(TxTable.history(spark, dir).last.operation == "compact")
+    assert(fileCount() == 1)
+    assert(rows(dir) == before)                         // content identical
+    assert(TxTable.readVersion(spark, dir, baseVersion).count() == 65) // time travel intact
+
+    // Z-ordered compaction: same content, clustered layout
+    TxTable.compact(spark, dir, numFiles = 2, zOrderBy = Seq("id"))
+    assert(rows(dir) == before)
+    intercept[IllegalArgumentException] { TxTable.compact(spark, dir, numFiles = 0) }
+  }
+
   test("vacuum(keep = 0) is rejected; keep = 1 leaves the table readable") {
     val dir = freshDir()
     TxTable.init(spark, dir, Seq((1L, "a")).toDF("id", "v"))
