@@ -82,9 +82,13 @@ object Bench {
       }
       val cold = once()
       if (cold.isEmpty) failed += name
-      // Warm: best of n re-runs, skipped for a failed query.
+      // Warm: best of n re-runs, skipped for a failed query. A query
+      // that succeeded cold but crashed EVERY warm re-run is still a
+      // failure — otherwise value_warm silently shrinks and the crash
+      // reads as a warm-channel speedup.
       val warm = if (cold.isEmpty) None
         else Seq.fill(warmRuns)(once()).flatten.minOption
+      if (cold.nonEmpty && warmRuns > 0 && warm.isEmpty) failed += name
       // -1 marks a failed run (NaN is not valid JSON)
       (name, cold.getOrElse(-1.0), warm.getOrElse(-1.0))
     }

@@ -49,10 +49,20 @@ object Pipeline {
   ): JobOutcome = {
     val jobId = mintJobId()
     val t0 = System.nanoTime()
+    // The default-param sink was built from EngineConfig.default at class
+    // init; when the caller passed a custom config but kept the default
+    // sink, rebuild it so monitoring.cloudwatch.metric_namespace applies.
+    val metricsSink =
+      if (metrics eq LogMetricsSink) new LogMetricsSink(config) else metrics
     ledger.foreach(_.startJob(jobId, describeSource(source)))
     try {
+      // Reference-parity guard (config.yaml:79): oversize inputs error on
+      // a direct source and are skipped-with-warning in batch, exactly as
+      // the reference's extractor treats them. Set the key to 0 (or
+      // negative) to disable.
       val maxMb = config.getInt("etl.extract.max_file_size_mb", 100).toLong
-      val raw = Readers.extract(spark, source, maxFileSizeMb = Some(maxMb))
+      val raw = Readers.extract(spark, source,
+        maxFileSizeMb = if (maxMb > 0) Some(maxMb) else None)
       val (transformed, stats) = TransformPipeline.runWithStats(raw, config)
       val load = Writers.load(transformed, jobId, sink)
       val duration = (System.nanoTime() - t0) / 1e9
@@ -67,8 +77,8 @@ object Pipeline {
         s"rows=${load.rowsLoaded} dest=${load.destination} duration=${duration}s")
       // N2 metric emission (aws_clients.py:167-201 contract: failures in
       // the sink must not fail the job — sinks are expected to swallow).
-      metrics.putMetric("JobDuration", duration, "Seconds", Map("job_id" -> jobId))
-      metrics.putMetric("RowsProcessed", load.rowsLoaded.toDouble, "Count", Map("job_id" -> jobId))
+      metricsSink.putMetric("JobDuration", duration, "Seconds", Map("job_id" -> jobId))
+      metricsSink.putMetric("RowsProcessed", load.rowsLoaded.toDouble, "Count", Map("job_id" -> jobId))
       JobOutcome(jobId, "success", Some(stats), Some(load), None)
     } catch {
       case e: Exception =>
@@ -76,7 +86,7 @@ object Pipeline {
         e.printStackTrace(new java.io.PrintWriter(sw))
         ledger.foreach(_.failJob(jobId, String.valueOf(e.getMessage), sw.toString))
         notifier.notify(s"ETL Job Failed: $jobId", String.valueOf(e.getMessage))
-        metrics.putMetric("JobFailed", 1.0, "Count", Map("job_id" -> jobId))
+        metricsSink.putMetric("JobFailed", 1.0, "Count", Map("job_id" -> jobId))
         JobOutcome(jobId, "failed", None, None, Some(String.valueOf(e.getMessage)))
     }
   }

@@ -14,12 +14,17 @@ object Verify {
     * dir is trivially safe to clear.
     */
   private[graft] def looksLikeVerifyOut(entries: Seq[String]): Boolean = {
+    // Dump dirs follow the query naming convention exactly (q<digits>_...)
+    // — a bare "q" prefix would bless unrelated names like "queries.csv"
+    // or "quarterly/" for recursive deletion.
+    val dumpName = "^q\\d+_.+".r
+    def isDump(n: String) = dumpName.matches(n)
     val recognized = entries.forall(n =>
       n == "manifest.json" || n == "oracle_sql.json" ||
-        n.startsWith("q") || n.startsWith(".") || n.startsWith("_"))
+        isDump(n) || n.startsWith(".") || n.startsWith("_"))
     val positive = entries.isEmpty ||
       entries.contains("manifest.json") || entries.contains("oracle_sql.json") ||
-      entries.exists(_.startsWith("q"))
+      entries.exists(isDump)
     recognized && positive
   }
 

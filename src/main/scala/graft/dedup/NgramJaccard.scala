@@ -69,8 +69,11 @@ object NgramJaccard {
       shingleWidth: Int = 3,
       maxDf: Int = Int.MaxValue
   ): DataFrame = {
-    uncappedWarning(docs.queryExecution.optimizedPlan.stats.sizeInBytes, maxDf)
-      .foreach(System.err.println)
+    // Guard reads plan stats (a driver-side optimize pass) — only worth
+    // paying when the cap is actually absent.
+    if (maxDf == Int.MaxValue)
+      uncappedWarning(docs.queryExecution.optimizedPlan.stats.sizeInBytes, maxDf)
+        .foreach(System.err.println)
     val items = docs
       .select(col(idCol).as("id"), Shingles.shingleSet(col(textCol), shingleWidth).as("shset"))
       .filter(size(col("shset")) > 0)

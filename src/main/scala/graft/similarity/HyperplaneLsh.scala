@@ -72,11 +72,17 @@ object HyperplaneLsh {
     val sigCols = tablePlanes.zipWithIndex.map { case (ps, t) =>
       tableBucket(t, signature(col("v"), ps)).as(s"sig_$t")
     }
+    // localCheckpoint: probes and cands are both built from this frame,
+    // and without materialization the self-join would evaluate the
+    // nTables × nPlanes × dim signature dot products TWICE per vector
+    // (the same double-evaluation trap SimHash.nearPairs documents). The
+    // ContextCleaner releases the blocks once the frame is unreferenced.
     val v = vectors.select(
       col(idCol).as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"))
       .withColumn("n", VectorOps.norm(col("v")))
       .select(Seq(col("id"), col("v"), col("n")) ++ sigCols: _*)
+      .localCheckpoint()
 
     val probes = v
       .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"),

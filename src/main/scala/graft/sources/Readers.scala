@@ -75,18 +75,25 @@ object Readers {
   /** List supported files under a directory, recursively (S6).
     * Hadoop FS speaks file://, s3a://, hdfs:// alike.
     */
-  def listSupported(spark: SparkSession, dir: String): Seq[String] = {
+  def listSupported(spark: SparkSession, dir: String): Seq[String] =
+    listWithSizes(spark, dir).map(_._1)
+
+  /** Same listing, keeping the byte size the FS already returned — one
+    * metadata round-trip per file total; batch's log line and size guard
+    * both read from it instead of re-statting.
+    */
+  private def listWithSizes(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return Seq.empty
-    val out = ArrayBuffer.empty[String]
+    val out = ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
       val status = it.next()
       val p = status.getPath.toString
-      if (status.isFile && FileFormat.fromPath(p).isDefined) out += p
+      if (status.isFile && FileFormat.fromPath(p).isDefined) out += (p -> status.getLen)
     }
-    out.sorted.toSeq
+    out.sortBy(_._1).toSeq
   }
 
   /** Batch extract (S7-S8): every supported file under `dir`, per-file
@@ -95,19 +102,18 @@ object Readers {
     */
   def batch(spark: SparkSession, dir: String,
             maxFileSizeMb: Option[Long] = None): DataFrame = {
-    val frames = listSupported(spark, dir).flatMap { p =>
-      // Per-file visibility at PLAN time (name + size) — the scalable
-      // counterpart of the reference's per-file row log
-      // (extractor.py:100-101): a row count here would force one Spark
-      // job per file before the pipeline even starts; stage-level row
-      // accounting arrives with TransformStats instead.
-      val fp = new Path(p)
-      val len = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(fp).getLen
+    val frames = listWithSizes(spark, dir).flatMap { case (p, len) =>
+      // Per-file visibility at PLAN time (name + size, from the listing —
+      // no extra stat) — the scalable counterpart of the reference's
+      // per-file row log (extractor.py:100-101): a row count here would
+      // force one Spark job per file before the pipeline even starts;
+      // stage-level row accounting arrives with TransformStats instead.
       log.info(s"batch extract: $p ($len bytes)")
-      // Oversize files trip single's size guard inside the Try, so they
-      // get the same per-file isolation as corrupt ones: warn and skip.
-      Try(single(spark, p, tolerant = true, maxFileSizeMb = maxFileSizeMb)) match {
+      if (maxFileSizeMb.exists(mb => len > mb * 1024L * 1024L)) {
+        log.warn(s"skipping oversize file $p: $len bytes > " +
+          s"max_file_size_mb=${maxFileSizeMb.get}")
+        None
+      } else Try(single(spark, p, tolerant = true)) match {
         case Success(df) => Some(df)
         case Failure(e) =>
           log.warn(s"skipping unreadable file $p: ${e.getMessage}")

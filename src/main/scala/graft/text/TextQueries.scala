@@ -68,14 +68,13 @@ object TextQueries {
     },
 
     // Order-sensitive xxhash64-chain fingerprint: engine-defined VALUES,
-    // oracle-checkable contract — doubling the corpus under shifted ids
-    // must leave the distinct-fingerprint count at the distinct-TEXT
-    // count (equal text ⇒ equal fingerprint; distinct text stayed
-    // collision-free on this corpus), both DuckDB-computable.
+    // oracle-checkable contract — doubling the corpus must leave the
+    // distinct-fingerprint count at the distinct-TEXT count (equal text
+    // ⇒ equal fingerprint across both scan branches; distinct text
+    // stayed collision-free on this corpus), both DuckDB-computable.
     "q33_fingerprint" -> { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000))
-      doubled
+      val d = docs(s, dir).select(col("text"))
+      d.unionAll(d)
         .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fingerprint")).as("n_distinct_fingerprints"))

@@ -23,5 +23,8 @@ class VerifyGuardSpec extends AnyFunSuite {
     assert(!Verify.looksLikeVerifyOut(Seq("lineitem.parquet", "orders.parquet")))
     // one unrecognized entry poisons an otherwise-valid dump dir
     assert(!Verify.looksLikeVerifyOut(Seq("manifest.json", "q1_agg", "notes.txt")))
+    // a bare q-prefix is NOT a dump name — q<digits>_ is the convention
+    assert(!Verify.looksLikeVerifyOut(Seq("queries.csv")))
+    assert(!Verify.looksLikeVerifyOut(Seq("quarterly", ".DS_Store")))
   }
 }
