@@ -66,23 +66,7 @@ object HyperplaneLsh {
       dim: Int = 64,
       nTables: Int = 4
   ): DataFrame = {
-    val tablePlanes = (0 until nTables).map(t => planes(dim, nPlanes, seed + t))
-    def tableBucket(t: Int, sig: Column): Column =
-      sig.bitwiseOR(lit(t.toLong << nPlanes))
-    val sigCols = tablePlanes.zipWithIndex.map { case (ps, t) =>
-      tableBucket(t, signature(col("v"), ps)).as(s"sig_$t")
-    }
-    // localCheckpoint: probes and cands are both built from this frame,
-    // and without materialization the self-join would evaluate the
-    // nTables × nPlanes × dim signature dot products TWICE per vector
-    // (the same double-evaluation trap SimHash.nearPairs documents). The
-    // ContextCleaner releases the blocks once the frame is unreferenced.
-    val v = vectors.select(
-      col(idCol).as("id"),
-      VectorOps.toDouble(col(vecCol)).as("v"))
-      .withColumn("n", VectorOps.norm(col("v")))
-      .select(Seq(col("id"), col("v"), col("n")) ++ sigCols: _*)
-      .localCheckpoint()
+    val v = signedFrame(vectors, idCol, vecCol, nPlanes, seed, dim, nTables)
 
     val probes = v
       .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
@@ -101,5 +85,69 @@ object HyperplaneLsh {
       .agg(
         countDistinct(col("neighbor_id")).as("n_candidates"),
         round(max(col("cosine")), 6).as("best_cosine"))
+  }
+
+  /** Embedding-space near-duplicate pairs at cosine ≥ threshold — the
+    * semantic-dedup scale path (the exact counterpart is
+    * [[BruteForceKnn.nearDuplicatePairs]], O(n²)). Candidates are pairs
+    * whose signatures land within Hamming ≤ 1 of each other in ANY of
+    * the `nTables` tables (the probe ball on one side covers the
+    * distance-1 case); every candidate is then verified with the exact
+    * cosine, so false positives are impossible and the only loss is
+    * recall on pairs missing every table — P[miss] ≈ (1 - p₁)^L with
+    * p₁ = P[Hamming ≤ 1 in one table], e.g. ≥ 0.98 recall at cosine
+    * 0.8 with 4×6-bit tables.
+    */
+  def nearDuplicatePairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 6,
+      seed: Long = 42L,
+      dim: Int = 64,
+      nTables: Int = 4
+  ): DataFrame = {
+    val v = signedFrame(vectors, idCol, vecCol, nPlanes, seed, dim, nTables)
+    val probeSide = v
+      .select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"),
+        explode(flatten(array((0 until nTables).map(t =>
+          probeBuckets(col(s"sig_$t"), nPlanes)): _*))).as("bucket"))
+    val candSide = v
+      .select(Seq(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"),
+        explode(array((0 until nTables).map(t => col(s"sig_$t")): _*)).as("bucket")): _*)
+    probeSide
+      .join(candSide, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      // one exact-cosine verification per candidate PAIR, not per
+      // bucket collision (a pair can collide in up to nTables × 2 ways)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** (id, v, n, sig_0..sig_{nTables-1}): the per-vector signature frame
+    * both search entry points build their self-join from. Table t's
+    * bucket id carries t in the high bits, keeping tables disjoint
+    * under one join key. localCheckpoint'ed: both join sides read the
+    * materialized blocks — without it the self-join would evaluate the
+    * nTables × nPlanes × dim signature dot products TWICE per vector
+    * (the double-evaluation trap SimHash.nearPairs documents); the
+    * ContextCleaner releases the blocks once the frame is unreferenced.
+    */
+  private def signedFrame(vectors: DataFrame, idCol: String, vecCol: String,
+                          nPlanes: Int, seed: Long, dim: Int, nTables: Int): DataFrame = {
+    val tablePlanes = (0 until nTables).map(t => planes(dim, nPlanes, seed + t))
+    val sigCols = tablePlanes.zipWithIndex.map { case (ps, t) =>
+      signature(col("v"), ps).bitwiseOR(lit(t.toLong << nPlanes)).as(s"sig_$t")
+    }
+    vectors.select(
+      col(idCol).as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorOps.norm(col("v")))
+      .select(Seq(col("id"), col("v"), col("n")) ++ sigCols: _*)
+      .localCheckpoint()
   }
 }

@@ -74,6 +74,25 @@ object SimilarityQueries {
         minRecall = 0.6)
     },
 
+    // Pair-level LSH near-dup recall: the semantic-dedup scale path must
+    // find ≥ 80% of the exact cosine ≥ 0.4 pairs (the corpus' planted
+    // near-dup band is 0.4-0.51; measured 0.93 at sf0.01 / 0.95 at
+    // sf0.001 with 8×6-bit tables + Hamming-1 probing) and, because
+    // every candidate is exact-verified, can never exceed them. n_pairs
+    // is DuckDB's exact all-pairs count.
+    "q68_lsh_neardup_pairs" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val exact = BruteForceKnn.nearDuplicatePairs(e, "vec_id", "embedding", threshold = 0.4)
+        .agg(count(lit(1)).as("n_pairs"))
+      val found = HyperplaneLsh
+        .nearDuplicatePairs(e, "vec_id", "embedding", threshold = 0.4, nTables = 8)
+        .agg(count(lit(1)).as("n_found"))
+      exact.crossJoin(found).select(
+        col("n_pairs"),
+        (col("n_found") >= col("n_pairs") * lit(0.8) &&
+          col("n_found") <= col("n_pairs")).as("recall_ok"))
+    },
+
     // Same differential for the IVF path (closes the q28 rows-only gap).
     // Measured 0.71 at sf0.01 / 0.684 at sf0.001.
     "q64_ivf_recall" -> { (s, dir) =>
@@ -152,6 +171,14 @@ object SimilarityQueries {
     "q63_lsh_recall" ->
       "SELECT count(*)::BIGINT AS n_queries, true AS recall_ok FROM embeddings",
     "q64_ivf_recall" ->
-      "SELECT count(*)::BIGINT AS n_queries, true AS recall_ok FROM embeddings"
+      "SELECT count(*)::BIGINT AS n_queries, true AS recall_ok FROM embeddings",
+
+    "q68_lsh_neardup_pairs" ->
+      s"""WITH $vecsSql,
+         |p AS (
+         |  SELECT list_dot_product(a.v, b.v) / (a.n * b.n) cosine
+         |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+         |SELECT count(*)::BIGINT AS n_pairs, true AS recall_ok
+         |FROM p WHERE cosine >= 0.4""".stripMargin
   )
 }

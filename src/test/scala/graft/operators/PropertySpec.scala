@@ -64,6 +64,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused lang-scores kernel == composed tokens_in_set on fuzzed strings") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    // marker words, whitespace variety, casing noise, unicode neighbors
+    val word = Gen.oneOf(
+      TextAnalysis.langMarkers.flatMap(_._2) ++
+        Seq("THE", "Der", "zzz", "), über", "the.", "él", " the", ""))
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n", "\r\n", "")
+    val text = for {
+      n <- Gen.chooseNum(0, 12)
+      parts <- Gen.listOfN(n, Gen.zip(word, ws))
+    } yield parts.map { case (w, sep) => w + sep }.mkString
+    val rows = samples(text, 120).toDF("text")
+    val fused = rows.select(TextAnalysis.langScores(col("text")).as("sc"))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    val composed = rows.select(array(TextAnalysis.langMarkers.map { case (_, m) =>
+      TextAnalysis.tokensInSet(TextAnalysis.tokens(lower(col("text"))), m)
+    }: _*).as("sc")).collect().map(_.getSeq[Int](0)).toSeq
+    assert(fused == composed)
+  }
+
   private implicit class StrInspect(s: String) {
     def inspect: String = s.map(c => if (c.isControl) f"\\u${c.toInt}%04x" else c.toString).mkString
   }

@@ -88,6 +88,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(nn(2L) - 1.0) < 1e-9)
   }
 
+  test("LSH near-dup pairs are a verified subset of the exact pairs with high recall") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = BruteForceKnn.nearDuplicatePairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(key).toSet
+    val found = HyperplaneLsh
+      .nearDuplicatePairs(emb, "vec_id", "embedding", threshold = 0.4, nTables = 8)
+      .collect().map(key).toSet
+    assert(found.subsetOf(exact), "every LSH pair must be exact-verified")
+    assert(found.size >= (exact.size * 0.8).toInt,
+      s"recall ${found.size}/${exact.size} below the 0.8 floor")
+  }
+
   test("LSH recall on the sf0.001 embeddings is bounded by brute force") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val brute = BruteForceKnn.topK(emb, emb, "vec_id", "embedding", k = 1)
