@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.{ConnectedComponents, Contamination, ExactDedup, MinHashDedup}
 import graft.operators.Sampling
+import graft.similarity.HyperplaneLsh
 
 /** End-to-end corpus curation — the composition the individual operators
   * exist for, in the standard order a pre-training data pipeline runs:
   *
   *   quality filter → exact dedup → near-dup dedup (LSH + connected
-  *   components, keep one doc per duplicate cluster) → benchmark
-  *   decontamination → deterministic sampling → context-window chunking
+  *   components, keep one doc per duplicate cluster) → optional semantic
+  *   dedup (embedding-space LSH pairs, same cluster-and-keep-min) →
+  *   benchmark decontamination → deterministic sampling →
+  *   context-window chunking
   *
   * Every stage is the already-tested operator; this object contributes
   * the plumbing and a per-stage count report. Order matters and is part
@@ -34,12 +37,16 @@ object Curation {
       after_quality: Long,
       after_exact_dedup: Long,
       after_neardup: Long,
+      after_semantic: Long,
       after_decontam: Long,
       after_sample: Long,
       chunks: Long)
 
   /** @param docs       (idCol, textCol) corpus
     * @param benchmark  optional eval set to decontaminate against
+    * @param embeddings optional (idCol, embeddingCol) frame for semantic
+    *                   dedup — near-identical meaning under different
+    *                   surface text, which token-level Jaccard cannot see
     * @param minQuality keep docs with qualityScore ≥ this ([0,1])
     * @param neardupThreshold Jaccard threshold for duplicate clustering
     * @param sampleFraction deterministic keep-fraction of the clean pool
@@ -50,6 +57,9 @@ object Curation {
       idCol: String,
       textCol: String,
       benchmark: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None,
+      embeddingCol: String = "embedding",
+      semanticThreshold: Double = 0.9,
       minQuality: Double = 0.5,
       neardupThreshold: Double = 0.5,
       sampleFraction: Double = 1.0,
@@ -85,25 +95,46 @@ object Curation {
       .localCheckpoint()
     val nearN = nearDeduped.count()
 
-    // 4. decontamination: drop docs sharing 8-grams with the benchmark
-    val decontaminated = benchmark match {
-      case Some(bench) =>
-        val flagged = Contamination.flagged(
-          nearDeduped, bench.select(col(idCol).as("id"), col(textCol).as("text")),
-          "id", "text")
-        nearDeduped.join(flagged.select(col("id")), Seq("id"), "left_anti")
+    // 4. optional semantic dedup: embedding-space LSH pairs over the
+    // SURVIVING docs' embeddings, clustered and collapsed exactly like
+    // the token-level stage — catches paraphrases Jaccard cannot see.
+    val semanticDeduped = embeddings match {
+      case Some(emb) =>
+        val vecs = emb.select(col(idCol).as("id"), col(embeddingCol).as("emb"))
+          .join(nearDeduped.select(col("id")), Seq("id"))
+        val sPairs = HyperplaneLsh.nearDuplicatePairs(
+          vecs, "id", "emb", threshold = semanticThreshold, nTables = 8)
+          .select(col("id_a"), col("id_b"))
+        val sComponents = ConnectedComponents.assign(
+          nearDeduped.select(col("id")), sPairs)
+        nearDeduped
+          .join(sComponents, Seq("id"))
+          .filter(col("id") === col("component"))
+          .drop("component")
           .localCheckpoint()
       case None => nearDeduped
     }
+    val semanticN = semanticDeduped.count()
+
+    // 5. decontamination: drop docs sharing 8-grams with the benchmark
+    val decontaminated = benchmark match {
+      case Some(bench) =>
+        val flagged = Contamination.flagged(
+          semanticDeduped, bench.select(col(idCol).as("id"), col(textCol).as("text")),
+          "id", "text")
+        semanticDeduped.join(flagged.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint()
+      case None => semanticDeduped
+    }
     val decontamN = decontaminated.count()
 
-    // 5. deterministic sampling (hash-priority filter; reruns identical)
+    // 6. deterministic sampling (hash-priority filter; reruns identical)
     val sampled =
       if (sampleFraction >= 1.0) decontaminated
       else Sampling.byFraction(decontaminated, "id", sampleFraction)
     val sampledN = sampled.count()
 
-    // 6. context-window chunking — checkpointed like the other stage
+    // 7. context-window chunking — checkpointed like the other stage
     // boundaries: the report's count and the caller's own action would
     // otherwise each run the row-exploding flatMap over the full corpus.
     val chunks = Chunker.chunk(
@@ -111,6 +142,7 @@ object Curation {
       .localCheckpoint()
     val chunksN = chunks.count()
 
-    (chunks, Report(inputN, qualityN, exactN, nearN, decontamN, sampledN, chunksN))
+    (chunks, Report(inputN, qualityN, exactN, nearN, semanticN, decontamN,
+      sampledN, chunksN))
   }
 }

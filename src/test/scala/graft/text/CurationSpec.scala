@@ -14,10 +14,13 @@ class CurationSpec extends SparkSpec {
       .unionByName(docs.select((col("doc_id") + 500000).as("doc_id"), col("text"))
         .filter(col("doc_id") % 50 === 0))
     val bench = docs.filter(col("doc_id") % 25 === 0).select(col("doc_id"), col("text"))
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
 
     val (chunks, r) = Curation.run(
       withDup, "doc_id", "text",
       benchmark = Some(bench),
+      embeddings = Some(emb), semanticThreshold = 0.45,
       minQuality = 0.5, neardupThreshold = 0.5,
       sampleFraction = 0.8, maxTokens = 64)
 
@@ -25,8 +28,13 @@ class CurationSpec extends SparkSpec {
     assert(r.input_docs >= r.after_quality)
     assert(r.after_quality >= r.after_exact_dedup)
     assert(r.after_exact_dedup >= r.after_neardup)
-    assert(r.after_neardup >= r.after_decontam)
+    assert(r.after_neardup >= r.after_semantic)
+    assert(r.after_semantic >= r.after_decontam)
     assert(r.after_decontam >= r.after_sample)
+    // the planted embedding near-dups (cosine band 0.45-0.51 exists at
+    // sf0.001) collapse in the semantic stage unless their text twin was
+    // already deduped
+    assert(r.after_semantic < r.after_neardup, r.toString)
     assert(r.after_sample > 0, r.toString)
     // the planted exact duplicates were collapsed
     assert(r.after_exact_dedup < r.after_quality || r.input_docs == r.after_quality,
@@ -45,7 +53,9 @@ class CurationSpec extends SparkSpec {
 
     // determinism: the same inputs yield the same report
     val (_, r2) = Curation.run(withDup, "doc_id", "text",
-      benchmark = Some(bench), minQuality = 0.5, neardupThreshold = 0.5,
+      benchmark = Some(bench),
+      embeddings = Some(emb), semanticThreshold = 0.45,
+      minQuality = 0.5, neardupThreshold = 0.5,
       sampleFraction = 0.8, maxTokens = 64)
     assert(r2 == r)
   }
