@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout, NOT through sbt's logger:
+// the "[info] " prefix would land in front of Bench's single JSON line
+// and any driver-side parser that expects the line to start with '{'
+// (the driver keeps only a ~2000-char tail of output) would miss it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

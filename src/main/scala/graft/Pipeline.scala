@@ -56,11 +56,13 @@ object Pipeline {
       if (metrics eq LogMetricsSink) new LogMetricsSink(config) else metrics
     ledger.foreach(_.startJob(jobId, describeSource(source)))
     try {
-      // Reference-parity guard (config.yaml:79): oversize inputs error on
-      // a direct source and are skipped-with-warning in batch, exactly as
-      // the reference's extractor treats them. Set the key to 0 (or
-      // negative) to disable.
-      val maxMb = config.getInt("etl.extract.max_file_size_mb", 100).toLong
+      // Oversize-input guard. The reference DEFINES max_file_size_mb
+      // (config.yaml:79) but never enforces it; enforcement here (error
+      // on a direct source, skip-with-warning in batch) is a deliberate
+      // extension beyond the reference, OFF by default — set the key > 0
+      // to opt in. A batch skip is a data drop, so it must never happen
+      // unless the operator asked for it.
+      val maxMb = config.getInt("etl.extract.max_file_size_mb", 0).toLong
       val raw = Readers.extract(spark, source,
         maxFileSizeMb = if (maxMb > 0) Some(maxMb) else None)
       val (transformed, stats) = TransformPipeline.runWithStats(raw, config)

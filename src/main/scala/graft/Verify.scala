@@ -17,16 +17,24 @@ object Verify {
     // Dump dirs follow the query naming convention exactly (q<digits>_...)
     // — a bare "q" prefix would bless unrelated names like "queries.csv"
     // or "quarterly/" for recursive deletion.
-    val dumpName = "^q\\d+_.+".r
-    def isDump(n: String) = dumpName.matches(n)
-    val recognized = entries.forall(n =>
-      n == "manifest.json" || n == "oracle_sql.json" ||
-        isDump(n) || n.startsWith(".") || n.startsWith("_"))
+    val recognized = entries.forall(recognizes)
     val positive = entries.isEmpty ||
       entries.contains("manifest.json") || entries.contains("oracle_sql.json") ||
       entries.exists(isDump)
     recognized && positive
   }
+
+  private val dumpName = "^q\\d+_.+".r
+  private def isDump(n: String) = dumpName.matches(n)
+
+  /** Single recognizer shared by the guard and its refusal message, so
+    * the message lists exactly the entries that caused the refusal
+    * (ADVICE r4: a stale startsWith("q") filter printed an EMPTY
+    * "unrecognized contents" list for names like "queries.csv").
+    */
+  private[graft] def recognizes(n: String): Boolean =
+    n == "manifest.json" || n == "oracle_sql.json" ||
+      isDump(n) || n.startsWith(".") || n.startsWith("_")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -47,9 +55,17 @@ object Verify {
     val hfs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hfs.exists(outPath)) {
       val entries = hfs.listStatus(outPath).map(_.getPath.getName).toSeq
-      if (!looksLikeVerifyOut(entries))
-        sys.error(s"REFUSING to clear $outDir: not a Verify output dir " +
-          s"(unrecognized contents: ${entries.filterNot(_.startsWith("q")).take(5).mkString(", ")})")
+      if (!looksLikeVerifyOut(entries)) {
+        // Either some entry is unrecognized, or everything is
+        // dot/underscore metadata with no positive Verify marker — name
+        // the offenders (or the lack of markers) accordingly.
+        val unrecognized = entries.filterNot(recognizes)
+        val why =
+          if (unrecognized.nonEmpty)
+            s"unrecognized contents: ${unrecognized.take(5).mkString(", ")}"
+          else "no Verify marker (manifest.json / oracle_sql.json / q<digits>_* dump) present"
+        sys.error(s"REFUSING to clear $outDir: not a Verify output dir ($why)")
+      }
       if (!hfs.delete(outPath, true))
         sys.error(s"failed to clear $outDir")
     }

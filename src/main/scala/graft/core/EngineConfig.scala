@@ -48,7 +48,12 @@ object EngineConfig {
     "etl.load.output_format" -> "parquet", // parquet | csv | json
     "etl.load.compression" -> "snappy",
     "etl.load.partition_on_data" -> "false", // wall-clock pathing by default (loader.py:88)
-    "etl.extract.max_file_size_mb" -> "100",
+    // Defined in the reference's config.yaml:79 but never enforced by its
+    // code; our enforcement (error on direct source, skip-with-warning in
+    // batch) is an extension beyond the reference and therefore ships
+    // DISABLED (0) — an enabled default would silently drop oversized
+    // batch inputs the reference would have processed.
+    "etl.extract.max_file_size_mb" -> "0",
     "monitoring.cloudwatch.metric_namespace" -> "ETL/Pipeline" // aws_clients.py:182
   )
 

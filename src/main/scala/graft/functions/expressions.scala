@@ -444,8 +444,10 @@ object MarkerCounter {
   /** word(lowercase) → bitmask of set indexes; ≤ 32 sets. */
   def buildMask(sets: Seq[Seq[String]]): java.util.HashMap[UTF8String, Integer] = {
     require(sets.length <= 32, "at most 32 marker sets")
-    // score() skips tokens longer than its 64-byte scratch without
-    // probing — sound only while every marker word fits
+    // The 64-byte scratch is a fast-path SIZING choice, not a soundness
+    // bound (over-scratch tokens take the Unicode fallback probe), but
+    // keep marker words inside it so the common all-ASCII probe never
+    // allocates.
     require(sets.flatten.forall(_.getBytes("UTF-8").length <= 64),
       "marker words must be <= 64 UTF-8 bytes")
     val m = new java.util.HashMap[UTF8String, Integer]()
@@ -489,6 +491,15 @@ object MarkerCounter {
               if (ascii) mask.get(UTF8String.fromBytes(scratch, 0, tlen))
               else mask.get(UTF8String.fromBytes(
                 java.util.Arrays.copyOfRange(bytes, start, i)).toLowerCase)
+          } else {
+            // Over-scratch token (rare): STILL probe, via the full
+            // Unicode lowercase path — byte-SHRINKING lowercase mappings
+            // (U+212A KELVIN SIGN → 'k', U+017F → 's') mean a >64-byte
+            // token can lowercase to a ≤64-byte marker word, so skipping
+            // here would diverge from tokensInSet(tokens(lower(text)))
+            // (ADVICE r4).
+            hit = mask.get(UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(bytes, start, i)).toLowerCase)
           }
           if (hit != null) {
             var m = hit.intValue()

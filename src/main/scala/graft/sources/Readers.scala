@@ -31,11 +31,13 @@ object Readers {
     * corrupt data pages are skipped at scan instead of failing the job
     * (plan-time Try alone only covers schema reads).
     *
-    * `maxFileSizeMb` mirrors the reference's `max_file_size_mb` guard
-    * (config.yaml:79, default 100, enforced before parse): an oversized
-    * input fails HERE with a clear message instead of mid-scan. The
-    * [[Pipeline]] driver wires it from `etl.extract.max_file_size_mb`;
-    * direct library callers opt in.
+    * `maxFileSizeMb` enforces the reference's `max_file_size_mb` key
+    * (config.yaml:79) — which the reference DEFINES but never checks
+    * anywhere in code; enforcement is our extension. When set, an
+    * oversized input fails HERE with a clear message instead of
+    * mid-scan. The [[Pipeline]] driver wires it from
+    * `etl.extract.max_file_size_mb` (default 0 = off); direct library
+    * callers opt in.
     */
   def single(spark: SparkSession, path: String, tolerant: Boolean = false,
              maxFileSizeMb: Option[Long] = None): DataFrame = {

@@ -115,10 +115,16 @@ object TextQueries {
     // text-content facts (see the query comment). Fingerprints hash the
     // token sequence, so "distinct text" is counted on the \s+-normalized
     // token join — texts differing only in whitespace runs would
-    // legitimately share a fingerprint.
+    // legitimately share a fingerprint. trim() first: DuckDB's
+    // regexp_split_to_array keeps a leading/trailing empty token where
+    // the engine's tokenizer drops it, so un-trimmed text differing only
+    // in edge whitespace would disagree with the engine's fingerprint
+    // equality (ADVICE r4). Known assumption: chr(31) (US, a control
+    // char) never occurs INSIDE a token in this corpus — a token
+    // containing it could alias two different token sequences.
     "q33_fingerprint" ->
       """SELECT (2 * count(*))::BIGINT AS n_docs,
-        |  count(DISTINCT array_to_string(regexp_split_to_array(text, '\s+'), chr(31)))::BIGINT
+        |  count(DISTINCT array_to_string(regexp_split_to_array(trim(text), '\s+'), chr(31)))::BIGINT
         |    AS n_distinct_fingerprints
         |FROM documents""".stripMargin,
 

@@ -41,6 +41,33 @@ class PipelineSpec extends SparkSpec {
     assert(noteLines.exists(_.contains("ETL Job Success")))
   }
 
+  test("max_file_size_mb guard is OFF by default; opting in skips oversized batch files") {
+    val in = tmpDir("pipe-size-in")
+    // 1.2 MB file (over a 1 MB limit) + a small sibling
+    val big = new java.io.File(in, "big.csv")
+    val w = new java.io.PrintWriter(big)
+    w.println("x"); (1 to 600000).foreach(_ => w.println("1")); w.close()
+    val small = new java.io.File(in, "ok.csv")
+    val w2 = new java.io.PrintWriter(small)
+    w2.println("x"); w2.println("7"); w2.close()
+
+    // Default config: guard disabled (ADVICE r4 — a silent batch skip is
+    // a data drop, and the reference never enforces the key) → all rows.
+    val outDef = tmpDir("pipe-size-out1")
+    val defOutcome = Pipeline.run(spark, SourceSpec.Batch(in),
+      SinkSpec(outDef, FileFormat.Parquet))
+    assert(defOutcome.status == "success", defOutcome.error)
+    assert(defOutcome.stats.get.inputRows == 600001)
+
+    // Opt-in (key > 0): the oversized file is skipped, sibling survives.
+    val outCap = tmpDir("pipe-size-out2")
+    val capped = Pipeline.run(spark, SourceSpec.Batch(in),
+      SinkSpec(outCap, FileFormat.Parquet),
+      config = core.EngineConfig.default.withOverride("etl.extract.max_file_size_mb", "1"))
+    assert(capped.status == "success", capped.error)
+    assert(capped.stats.get.inputRows == 1)
+  }
+
   test("failure path: bad source → FAILED ledger record, failure note, no throw") {
     val out = tmpDir("pipe-fail")
     val ledger = new JobLedger(spark, s"$out/_ledger")

@@ -27,4 +27,16 @@ class VerifyGuardSpec extends AnyFunSuite {
     assert(!Verify.looksLikeVerifyOut(Seq("queries.csv")))
     assert(!Verify.looksLikeVerifyOut(Seq("quarterly", ".DS_Store")))
   }
+
+  test("refusal recognizer names the actual offenders (ADVICE r4)") {
+    // The message builder uses the same recognizer as the guard: a name
+    // like "queries.csv" must be reported, not filtered out by a stale
+    // startsWith("q") check.
+    assert(!Verify.recognizes("queries.csv"))
+    assert(!Verify.recognizes("quarterly"))
+    assert(Verify.recognizes("q1_agg"))
+    assert(Verify.recognizes("_SUCCESS"))
+    assert(Verify.recognizes(".crc"))
+    assert(Verify.recognizes("manifest.json"))
+  }
 }

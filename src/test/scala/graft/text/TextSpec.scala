@@ -89,6 +89,24 @@ class TextSpec extends SparkSpec {
     assert(fused.toSeq == composed.toSeq)
   }
 
+  test("lang-scores kernel probes over-scratch tokens via the Unicode fallback (ADVICE r4)") {
+    // 22 KELVIN SIGNs (U+212A, 3 UTF-8 bytes each = 66 bytes > the
+    // 64-byte scratch) lowercase to 22 ASCII 'k's — a byte-SHRINKING
+    // mapping. Pre-fix the kernel skipped over-scratch tokens without
+    // probing, diverging from tokensInSet(tokens(lower(text))).
+    import org.apache.spark.unsafe.types.UTF8String
+    val marker = "k" * 22
+    val mask = graft.functions.MarkerCounter.buildMask(Seq(Seq(marker)))
+    val text = ("K" * 22) + " " + marker + " other"
+    val counts = graft.functions.MarkerCounter
+      .score(UTF8String.fromString(text), mask, 1)
+    assert(counts.getInt(0) == 2) // shrunk Kelvin token AND the plain one
+    // a >64-byte token that is NOT a marker still counts nothing
+    val miss = graft.functions.MarkerCounter
+      .score(UTF8String.fromString("x" * 70), mask, 1)
+    assert(miss.getInt(0) == 0)
+  }
+
   test("PII redaction replaces all occurrences of each kind") {
     val r = one("mail a@b.co and c.d+x@e-f.org, call +44 20 7946 0958, card 4111 1111 1111 1111 end")
       .select(TextAnalysis.redactPii(col("text")).as("t")).head().getString(0)
