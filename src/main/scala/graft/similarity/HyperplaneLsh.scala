@@ -53,9 +53,19 @@ object HyperplaneLsh {
     * vector indexes under `nTables` bucket ids (table id in the high
     * bits keeps tables disjoint), each query probes its Hamming-≤1 ball
     * in every table, and candidate generation stays one equi-join on a
-    * long key. A pair colliding in several tables is scored per
-    * collision (≤ nTables×) and collapsed by the max/count-distinct
-    * aggregate — cheaper than a dedup shuffle before the cosine.
+    * long key. Like [[nearDuplicatePairs]], candidate generation and
+    * pair dedup run on SKINNY (id, bucket) rows — a pair colliding in
+    * several tables/probes collapses BEFORE the dim-double vectors are
+    * attached (up to nTables × (nPlanes + 1) fan-out through the bucket
+    * join otherwise rides on ~35× heavier rows), and the exact cosine
+    * is evaluated once per unique pair. NOTE this skinny-then-reattach
+    * shape is right here because collisions duplicate pairs; in
+    * [[IvfIndex.approxTopK]] a pair occurs at most once (each vector
+    * indexes in exactly ONE cell), so the same rewrite there would only
+    * add a shuffle of the biggest intermediate. On a broadcast-sized
+    * input the dedup exchange costs ~1 s that the duplicate cosines
+    * never did (measured at sf0.1: 2k vectors, ~1.7M collision rows) —
+    * the price of the plan that survives when neither side broadcasts.
     */
   def approxNearest(
       vectors: DataFrame,
@@ -69,21 +79,34 @@ object HyperplaneLsh {
     val v = signedFrame(vectors, idCol, vecCol, nPlanes, seed, dim, nTables)
 
     val probes = v
-      .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
+      .select(col("id").as("query_id"),
         explode(flatten(array((0 until nTables).map(t =>
           probeBuckets(col(s"sig_$t"), nPlanes)): _*))).as("bucket"))
     val cands = v
-      .select(Seq(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn"),
-        explode(array((0 until nTables).map(t => col(s"sig_$t")): _*)).as("bucket")): _*)
-
-    probes
+      .select(col("id").as("neighbor_id"),
+        explode(array((0 until nTables).map(t => col(s"sig_$t")): _*)).as("bucket"))
+    val pairs = probes
       .join(cands, "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+
+    // neighbor reattach FIRST, query reattach LAST: when these run as
+    // shuffle joins (the 100-TB regime), the final join leaves the frame
+    // partitioned by query_id and the groupBy below reuses that exchange
+    // instead of adding one more.
+    pairs
+      .join(v.select(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn")),
+        "neighbor_id")
+      .join(v.select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn")),
+        "query_id")
       .withColumn("cosine", VectorOps.cosineFromNorms(
         VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .groupBy(col("query_id"))
+      // pairs are distinct, so a plain count IS the distinct-neighbor
+      // count the recall diagnostics want
       .agg(
-        countDistinct(col("neighbor_id")).as("n_candidates"),
+        count(lit(1)).as("n_candidates"),
         round(max(col("cosine")), 6).as("best_cosine"))
   }
 
