@@ -134,6 +134,33 @@ object DedupQueries {
         idCol = "doc_id", textCol = "text", w = 8)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Leakage-free split contract (componentSplit): every copy of a text
+    // must land in the SAME train/test split, because split ids hash the
+    // COMPONENT id, not the row id. Components here come from the exact-
+    // duplicate graph (star edges inside each duplicated-text group), so
+    // the component count is a pure text fact the oracle can pin:
+    // distinct texts. Split values are xxhash64-defined (not oracle-
+    // reproducible); the leak counter is computed from the engine's own
+    // assignment and must be zero.
+    "q69_split_leakage" -> { (s, dir) =>
+      val dd = docsWithDuplicates(s, dir)
+      val groups = dd.groupBy(col("text"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val edges = groups.select(
+        col("ids").getItem(0).as("id_a"),
+        explode(expr("slice(ids, 2, size(ids) - 1)")).as("id_b"))
+      val labeled = ConnectedComponents.assign(
+        dd.select(col("doc_id").as("id")), edges)
+      val perComp = ConnectedComponents.componentSplit(labeled, splits = 10)
+        .groupBy(col("component"))
+        .agg(countDistinct(col("split")).as("ns"), count(lit(1)).as("sz"))
+      perComp.agg(
+        sum(col("sz")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_components"),
+        sum(when(col("ns") > 1, 1L).otherwise(0L)).cast("long").as("n_leaky_components"))
     }
   )
 
@@ -239,6 +266,18 @@ object DedupQueries {
         |SELECT c.doc_id, count(*) AS n_shared
         |FROM sh c JOIN bench b ON c.s = b.s
         |WHERE c.doc_id % 5 != 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // n_components = distinct texts (exact-duplicate components are text
+    // classes; the base corpus ships duplicate-free). n_leaky is pinned
+    // at 0: the engine computes it from its own split assignment, and
+    // any component straddling two splits would break the hash-the-
+    // component contract.
+    "q69_split_leakage" ->
+      s"""WITH all_docs AS ($docsWithDuplicatesSql)
+         |SELECT count(*)::BIGINT AS n_rows,
+         |  count(DISTINCT text)::BIGINT AS n_components,
+         |  0::BIGINT AS n_leaky_components
+         |FROM all_docs""".stripMargin
   )
 }

@@ -105,6 +105,30 @@ object TextQueries {
         substring(norm, 1, 80).as("norm_prefix"),
         when(norm === "", lit(0)).otherwise(size(split(norm, " "))).as("n_norm_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Sequence-packing invariants (SequencePacker): greedy first-fit
+    // packing of per-doc token counts into 512-token training
+    // sequences. Bin MEMBERSHIP is partition-order-defined (not oracle-
+    // reproducible); what the oracle pins are the conserved facts:
+    // every doc packed exactly once, token totals conserved after the
+    // per-doc capacity clamp, no sequence over capacity, and the
+    // first-fit bound n_seqs ≤ 2·total/cap + nPartitions (any two
+    // adjacent bins in a partition sum past capacity, else the second
+    // bin's first doc would have fit in the first).
+    "q70_pack_invariants" -> { (s, dir) =>
+      val counted = docs(s, dir).select(
+        col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val packed = SequencePacker
+        .pack(counted, "doc_id", "n_tok", maxTokens = 512, numPartitions = 8)
+        .toDF()
+      packed.agg(
+        sum(col("n_docs")).cast("long").as("n_docs_packed"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        (max(col("n_tokens")) <= 512).as("no_overflow"),
+        (count(lit(1)).cast("double") <=
+          lit(2.0) * sum(col("n_tokens")).cast("double") / lit(512.0) + lit(8.0))
+          .as("bin_bound_ok"))
     }
   )
 
@@ -234,6 +258,19 @@ object TextQueries {
         |  substr(norm, 1, 80) AS norm_prefix,
         |  CASE WHEN norm = '' THEN 0
         |    ELSE len(string_split(norm, ' ')) END AS n_norm_tokens
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // Token counts mirror q30's oracle formulation exactly (same
+    // tokenizer parity); totals clamp per doc at the 512 capacity like
+    // the packer does. The two booleans are engine-computed invariants
+    // pinned to true.
+    "q70_pack_invariants" ->
+      """WITH t AS (
+        |  SELECT len(regexp_split_to_array(text, '\s+')) n FROM documents)
+        |SELECT count(*)::BIGINT AS n_docs_packed,
+        |  sum(least(n, 512))::BIGINT AS total_tokens,
+        |  true AS no_overflow,
+        |  true AS bin_bound_ok
+        |FROM t""".stripMargin
   )
 }
