@@ -174,4 +174,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("xxhash64"), p)
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
+
+  test("LSH bucket joins carry no vector columns (skinny candidate dedup)") {
+    // The multi-table probe join fans a pair out up to nTables×(nPlanes+1)
+    // ways; the 64-dim vectors must join back AFTER pair dedup, never ride
+    // through that fan-out (the ~60× shuffle-byte regression this froze).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.ArrayType
+    for (df <- Seq(
+      similarity.HyperplaneLsh.approxNearest(
+        sources.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding"),
+      similarity.HyperplaneLsh.nearDuplicatePairs(
+        sources.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", 0.4))) {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val bucketJoins = joins.filter(_.references.exists(_.name == "bucket"))
+      assert(bucketJoins.nonEmpty, "expected a bucket equi-join in the plan")
+      bucketJoins.foreach { j =>
+        val arrays = j.output.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+        assert(arrays.isEmpty, s"vector columns cross the bucket join: $arrays")
+      }
+    }
+  }
 }
