@@ -60,6 +60,44 @@ object AnalyticsQueries {
         .limit(20)
     },
 
+    // TPC-H Q18 shape (large-volume customers): the HAVING subquery
+    // becomes an aggregated semi-join — ONE pass over lineitem builds
+    // the qualifying-order set (no correlated re-scan), and because the
+    // >300 filter is highly selective the set is tiny relative to
+    // orders; AQE converts the semi-join to broadcast at runtime from
+    // the measured shuffle size (no hard-coded hint, so the plan
+    // degrades to a shuffle join if a pathological threshold ever
+    // makes the set large).
+    "q71_tpch_q18" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(col("sq") > 300)
+        .select(col("l_orderkey").as("big_orderkey"))
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q14 shape (promotion effect): conditional aggregate ratio
+    // over one shipdate month, part dim joins broadcast.
+    "q72_tpch_q14" -> { (s, dir) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("date") &&
+          col("l_shipdate") < lit("1997-10-01").cast("date"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) /
+          sum(rev), 4).as("promo_revenue_pct"))
+    },
+
     // Hierarchical rollup: per (year, month) + per-year subtotals + grand
     // total in one pass.
     "q40_rollup" -> { (s, dir) =>
@@ -212,6 +250,28 @@ object AnalyticsQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    // Deterministic LIMIT: the group key includes o_orderkey, so the
+    // (o_totalprice DESC, o_orderkey) sort is a total order.
+    "q71_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q72_tpch_q14" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'""".stripMargin,
 
     "q40_rollup" ->
       """SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
