@@ -124,8 +124,11 @@ object Bench {
       val omitted = if (kept.size < results.size) s""","queries_omitted":${results.size - kept.size}""" else ""
       s"""{"metric":"total","value":${num2(totalCold)},"unit":"sec","value_warm":${num2(totalWarm)},"queries":$qmap$omitted,"failed":$failedJson,"sf":${q(sfDir)}}"""
     }
-    val line = Iterator.range(results.size, 0, -8).map(compactLine)
-      .find(_.length <= 1800).getOrElse(compactLine(8))
+    // Candidate sizes shrink to 0 (keep=0 → no per-query map at all);
+    // the totals/failed-only line is the floor, so the budget is met for
+    // any battery size short of an absurd failed-list.
+    val line = (Iterator.range(results.size, 0, -8) ++ Iterator(0)).map(compactLine)
+      .find(_.length <= 1800).getOrElse(compactLine(0))
     println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

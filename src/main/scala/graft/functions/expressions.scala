@@ -475,32 +475,25 @@ object MarkerCounter {
       if (atWs || i == len) {
         val tlen = i - start
         if (tlen > 0) {
-          var hit: Integer = null
-          if (tlen <= scratch.length) {
-            // ASCII fast path: lowercase into the scratch buffer; bail to
-            // the Unicode path on any byte >= 0x80
-            var ascii = true
-            var j = 0
-            while (j < tlen && ascii) {
-              val b = bytes(start + j)
-              if (b < 0) ascii = false
-              else scratch(j) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
-              j += 1
-            }
-            hit =
-              if (ascii) mask.get(UTF8String.fromBytes(scratch, 0, tlen))
-              else mask.get(UTF8String.fromBytes(
-                java.util.Arrays.copyOfRange(bytes, start, i)).toLowerCase)
-          } else {
-            // Over-scratch token (rare): STILL probe, via the full
-            // Unicode lowercase path — byte-SHRINKING lowercase mappings
-            // (U+212A KELVIN SIGN → 'k', U+017F → 's') mean a >64-byte
-            // token can lowercase to a ≤64-byte marker word, so skipping
-            // here would diverge from tokensInSet(tokens(lower(text)))
-            // (ADVICE r4).
-            hit = mask.get(UTF8String.fromBytes(
-              java.util.Arrays.copyOfRange(bytes, start, i)).toLowerCase)
+          // ASCII fast path: lowercase into the scratch buffer; bail to
+          // the single slow-path probe on any byte >= 0x80 OR a token
+          // longer than the scratch. Over-scratch tokens MUST still be
+          // probed: byte-SHRINKING lowercase mappings (U+212A KELVIN
+          // SIGN → 'k', U+017F → 's') mean a >64-byte token can
+          // lowercase to a ≤64-byte marker word, so skipping would
+          // diverge from tokensInSet(tokens(lower(text))) (ADVICE r4).
+          var ascii = tlen <= scratch.length
+          var j = 0
+          while (j < tlen && ascii) {
+            val b = bytes(start + j)
+            if (b < 0) ascii = false
+            else scratch(j) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+            j += 1
           }
+          val hit: Integer =
+            if (ascii) mask.get(UTF8String.fromBytes(scratch, 0, tlen))
+            else mask.get(UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(bytes, start, i)).toLowerCase)
           if (hit != null) {
             var m = hit.intValue()
             while (m != 0) {

@@ -137,18 +137,23 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     // q33: fingerprint values are engine-defined; the counts are pure
     // text-content facts (see the query comment). Fingerprints hash the
-    // token sequence, so "distinct text" is counted on the \s+-normalized
-    // token join — texts differing only in whitespace runs would
-    // legitimately share a fingerprint. trim() first: DuckDB's
-    // regexp_split_to_array keeps a leading/trailing empty token where
-    // the engine's tokenizer drops it, so un-trimmed text differing only
-    // in edge whitespace would disagree with the engine's fingerprint
-    // equality (ADVICE r4). Known assumption: chr(31) (US, a control
-    // char) never occurs INSIDE a token in this corpus — a token
+    // token sequence, so "distinct text" is counted on the \s+-split
+    // token join. NO trim on either side — this is EXACT parity:
+    // graft_tokens has split(text, "\\s+", -1) semantics (a leading
+    // whitespace run yields a leading empty token, a trailing run a
+    // trailing one; expressions.scala WhitespaceTokenizer doc), and
+    // DuckDB's regexp_split_to_array keeps the same edge empties
+    // (verified: len(regexp_split_to_array(' a b ', '\s+')) = 4), so
+    // texts differing only in edge whitespace get DIFFERENT fingerprints
+    // in the engine and different join strings in the oracle. (ADVICE r4
+    // suggested trim() on the claim that the engine drops the trailing
+    // empty token; tested and found inaccurate — a trim would break the
+    // exact case it meant to fix.) Known assumption: chr(31) (US, a
+    // control char) never occurs INSIDE a token in this corpus — a token
     // containing it could alias two different token sequences.
     "q33_fingerprint" ->
       """SELECT (2 * count(*))::BIGINT AS n_docs,
-        |  count(DISTINCT array_to_string(regexp_split_to_array(trim(text), '\s+'), chr(31)))::BIGINT
+        |  count(DISTINCT array_to_string(regexp_split_to_array(text, '\s+'), chr(31)))::BIGINT
         |    AS n_distinct_fingerprints
         |FROM documents""".stripMargin,
 
