@@ -107,6 +107,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // End-to-end curation under the oracle gate: quality filter → exact
+    // dedup → LSH near-dup clustering → benchmark decontamination →
+    // chunking, per-stage counts. Corpus = non-benchmark docs plus
+    // planted copies of the %10==1 ones (gives exact dedup real work);
+    // benchmark = every 5th doc. Every stage count is DuckDB-computable
+    // from proven fragments (q31 quality formula, distinct-text classes,
+    // q21/q48 exact-Jaccard components — LSH = exact pairs on this
+    // corpus by the q21 recall argument — and the q58 8-gram scan);
+    // chunk MEMBERSHIP is not SQL-expressible, so chunking contributes
+    // the conservation boolean (distinct chunked doc ids == sampled
+    // docs), pinned true.
+    "q73_curation_report" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val corpus0 = d.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
+      val corpus = corpus0.unionByName(
+        corpus0.filter(col("doc_id") % 10 === 1)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val bench = d.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+      val (chunks, r) = Curation.run(corpus, "doc_id", "text", benchmark = Some(bench))
+      val covered = chunks.select(col("doc_id")).distinct().count()
+      Seq((r.input_docs, r.after_quality, r.after_exact_dedup, r.after_neardup,
+        r.after_decontam, covered == r.after_sample))
+        .toDF("input_docs", "after_quality", "after_exact_dedup", "after_neardup",
+          "after_decontam", "chunks_cover_all")
+    },
+
     // Sequence-packing invariants (SequencePacker): greedy first-fit
     // packing of per-doc token counts into 512-token training
     // sequences. Bin MEMBERSHIP is partition-order-defined (not oracle-
@@ -264,6 +291,79 @@ object TextQueries {
         |  CASE WHEN norm = '' THEN 0
         |    ELSE len(string_split(norm, ' ')) END AS n_norm_tokens
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // The curation chain, stage by stage, from the same fragments the
+    // per-operator oracles use. Quality keeps scores ≥ 0.5 (≥ 2 of the
+    // 3 checks); exact dedup keeps min-id per text; near-dup components
+    // come from the exact 3-shingle Jaccard ≥ 0.5 recursive CTE (equal
+    // to the engine's LSH discovery on this corpus — q21's argument);
+    // decontamination drops survivors sharing any 8-gram with the
+    // benchmark texts.
+    "q73_curation_report" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 5 != 0 AND doc_id % 10 = 1),
+         |qstats AS (
+         |  SELECT doc_id, text,
+         |    len(regexp_split_to_array(text, '\\s+')) n_tok,
+         |    len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      x -> x IN ($stopList))) n_stop,
+         |    CASE WHEN length(text) > 0
+         |      THEN length(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text)
+         |      ELSE 0.0 END p_ratio
+         |  FROM corpus),
+         |qual AS (
+         |  SELECT doc_id, text FROM qstats
+         |  WHERE (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+         |        (CASE WHEN n_tok > 0 AND n_stop::DOUBLE / n_tok > 0.01 THEN 1.0 ELSE 0.0 END) +
+         |        (CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.0 END) >= 1.5),
+         |reps AS (SELECT min(doc_id) AS doc_id, text FROM qual GROUP BY text),
+         |toks AS (SELECT doc_id, string_split(text, ' ') ts FROM reps),
+         |idx3 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) i
+         |         FROM toks WHERE len(ts) >= 3),
+         |sh3 AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] s
+         |        FROM idx3),
+         |sz AS (SELECT doc_id, count(*) n FROM sh3 GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) nc
+         |  FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+         |  WHERE nc::DOUBLE / (x.n + y.n - nc) >= 0.5),
+         |sym AS (SELECT id_a s, id_b d FROM jac
+         |        UNION ALL SELECT id_b, id_a FROM jac),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM reps
+         |  UNION
+         |  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+         |comp AS (SELECT id, min(r) component FROM reach GROUP BY id),
+         |kept AS (
+         |  SELECT r.doc_id, r.text FROM reps r
+         |  JOIN comp c ON r.doc_id = c.id WHERE c.id = c.component),
+         |btoks AS (SELECT string_split(text, ' ') ts FROM documents WHERE doc_id % 5 = 0),
+         |bidx AS (SELECT ts, unnest(range(1, len(ts) - 6)) i FROM btoks WHERE len(ts) >= 8),
+         |bsh AS (SELECT DISTINCT
+         |    ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+         |      ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] s FROM bidx),
+         |ktoks AS (SELECT doc_id, string_split(text, ' ') ts FROM kept),
+         |kidx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) i
+         |         FROM ktoks WHERE len(ts) >= 8),
+         |ksh AS (SELECT DISTINCT doc_id,
+         |    ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+         |      ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] s FROM kidx),
+         |contaminated AS (SELECT DISTINCT k.doc_id FROM ksh k JOIN bsh b ON k.s = b.s)
+         |SELECT
+         |  (SELECT count(*) FROM corpus)::BIGINT AS input_docs,
+         |  (SELECT count(*) FROM qual)::BIGINT AS after_quality,
+         |  (SELECT count(*) FROM reps)::BIGINT AS after_exact_dedup,
+         |  (SELECT count(*) FROM kept)::BIGINT AS after_neardup,
+         |  ((SELECT count(*) FROM kept) - (SELECT count(*) FROM contaminated))::BIGINT
+         |    AS after_decontam,
+         |  true AS chunks_cover_all""".stripMargin,
 
     // Token counts mirror q30's oracle formulation exactly (same
     // tokenizer parity); totals clamp per doc at the 512 capacity like
