@@ -1,6 +1,7 @@
 package graft.gold
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -83,6 +84,27 @@ object AnalyticsQueries {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    },
+
+    // Sequential analytics (lag + bounded-frame rolling sum) per
+    // customer order history. One window partitioning serves both
+    // functions — a single shuffle on o_custkey; the (date, key) sort
+    // is a total order so lag/frame contents are deterministic. The
+    // rolling aggregate runs over DECIMAL(18,2) — exact in both engines
+    // regardless of summation order — and casts back to double at the
+    // end (a double avg differs in the last ulp between engines and
+    // flips 2-dp rounding at half-cent boundaries; measured 53 rows at
+    // sf0.01). lag subtraction is a single double op, exact as-is.
+    "q74_rolling" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2)
+          .as("delta_prev"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(-2, 0)).cast("double"), 2).as("sum3"))
+        .orderBy("o_custkey", "o_orderkey")
     },
 
     // TPC-H Q14 shape (promotion effect): conditional aggregate ratio
@@ -264,6 +286,16 @@ object AnalyticsQueries {
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q74_rolling" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev,
+        |  round((sum(o_totalprice::DECIMAL(18,2)) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE, 2) AS sum3
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q72_tpch_q14" ->
       """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
