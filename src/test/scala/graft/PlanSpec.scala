@@ -175,6 +175,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("rolling window query shuffles once (both functions share the partitioning)") {
+    val p = plan(gold.AnalyticsQueries.queries("q74_rolling")(spark, dir))
+    // lag and the framed sum share PARTITION BY o_custkey — one hash
+    // exchange total (the final orderBy is a range exchange, not hash).
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("LSH bucket joins carry no vector columns (skinny candidate dedup)") {
     // The multi-table probe join fans a pair out up to nTables×(nPlanes+1)
     // ways; the 64-dim vectors must join back AFTER pair dedup, never ride
