@@ -82,6 +82,34 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: batch candidate set equals candidatePairs on random corpora") {
+    // Random small-vocabulary corpora (so bucket collisions actually
+    // occur) through two completely different executions of the same
+    // bucket structure: the stateful per-bucket fold vs the batch
+    // bucket-collect. 5 seeded corpora, one Spark job pair each.
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+      val docs = (1 to 40).map { i =>
+        val n = 5 + rng.nextInt(8)
+        (i.toLong, ts(i), Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "ts", "text")
+
+      val withSig = docs
+        .select(col("doc_id"), Shingles.shingleSet(col("text"), 3).as("shset"))
+        .filter(size(col("shset")) > 0)
+        .withColumn("sig", MinHashDedup.signature(col("shset"), 32 * 4))
+      val expected = MinHashDedup.candidatePairs(withSig, "doc_id", "sig", 32, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = StreamingNearDup.candidates(
+        docs, "doc_id", "ts", "text", maxPerBucket = 100000)
+        .collect()
+        .map(c => (math.min(c.first_id, c.later_id), math.max(c.first_id, c.later_id)))
+        .toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("hot-bucket cap keeps newest entries, drops oldest") {
     // 4 identical docs, cap 2, one batch (deterministic ts order):
     // d2 pairs with 1; d3 with 1,2 (then state=[2,3]); d4 with 2,3 only.
