@@ -54,13 +54,21 @@ object MinHashDedup {
     * where the previous 32-struct xxhash64 formulation's codegen
     * compilation dominated this stage. Bucket values are engine-defined
     * and differ from that older formulation; an Index's buckets must be
-    * produced by the same build.
+    * produced by the same build. `keep` carries pass-through columns
+    * (e.g. an event-time column) so the SINGLE bucket-generation recipe
+    * serves both the batch collect and [[graft.streaming.StreamingNearDup]]
+    * — two copies drifting apart would silently break their spec'd
+    * equivalence.
     */
-  private def bandBuckets(
-      df: DataFrame, idCol: String, sigCol: String, bands: Int, rows: Int): DataFrame =
-    df.select(col(idCol),
-      posexplode(call_function("graft_band_buckets", col(sigCol), lit(bands), lit(rows))))
-      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+  private[graft] def bandBuckets(
+      df: DataFrame, idCol: String, sigCol: String, bands: Int, rows: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    df.select((col(idCol) +: kept) :+
+        posexplode(call_function("graft_band_buckets", col(sigCol), lit(bands), lit(rows))): _*)
+      .select((col(idCol) +: kept) ++
+        Seq(col("pos").as("band"), col("col").as("bucket")): _*)
+  }
 
   def candidatePairs(
       df: DataFrame,

@@ -80,13 +80,15 @@ object StreamingNearDup {
       Shingles.shingleSet(col(textCol), shingleWidth).as("shset"))
     val withWm =
       if (streaming) projected.withWatermark("ts", watermarkDelay) else projected
-    val bucketed = withWm
-      .filter(size(col("shset")) > 0)
-      .select(col("doc_id"), col("ts"),
-        posexplode(call_function("graft_band_buckets",
-          MinHashDedup.signature(col("shset"), bands * rows),
-          lit(bands), lit(rows))))
-      .select(col("pos").cast("int").as("band"), col("col").as("bucket"),
+    // Bucket generation is MinHashDedup's OWN recipe (shared, not
+    // re-implemented): a drift between the two would silently break the
+    // spec'd streaming-equals-batch candidate equivalence.
+    val bucketed = MinHashDedup.bandBuckets(
+      withWm
+        .filter(size(col("shset")) > 0)
+        .withColumn("sig", MinHashDedup.signature(col("shset"), bands * rows)),
+      "doc_id", "sig", bands, rows, keep = Seq("ts"))
+      .select(col("band").cast("int").as("band"), col("bucket"),
         col("doc_id"), col("ts"))
       .as[BucketedDoc]
 
@@ -120,13 +122,26 @@ object StreamingNearDup {
       val out = Vector.newBuilder[Candidate]
       var entries = prior
       for (d <- incoming) {
+        val dUs = toMicros(d.ts)
+        // Orientation is EVENT time (then id), never arrival order: a
+        // late doc processed after an event-time-newer one must still
+        // come out as first_id, or a downstream keep-first consumer
+        // drops the wrong document.
         entries.foreach { e =>
-          if (e.id != d.doc_id) out += Candidate(e.id, d.doc_id)
+          if (e.id != d.doc_id) {
+            if (e.tsUs < dUs || (e.tsUs == dUs && e.id < d.doc_id))
+              out += Candidate(e.id, d.doc_id)
+            else out += Candidate(d.doc_id, e.id)
+          }
         }
         // At-least-once re-delivery of a doc re-emits its pairs above
-        // but must not duplicate its state entry.
+        // but must not duplicate its state entry. The cap keeps the
+        // EVENT-TIME-newest entries — resorting before takeRight, so a
+        // late arrival cannot masquerade as newest and evict a newer
+        // entry.
         if (!entries.exists(_.id == d.doc_id))
-          entries = (entries :+ Entry(d.doc_id, toMicros(d.ts)))
+          entries = (entries :+ Entry(d.doc_id, dUs))
+            .sortBy(e => (e.tsUs, e.id))
             .takeRight(maxPerBucket)
       }
       arm(entries)
