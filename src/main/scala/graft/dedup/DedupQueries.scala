@@ -143,7 +143,12 @@ object DedupQueries {
     // the component count is a pure text fact the oracle can pin:
     // distinct texts. Split values are xxhash64-defined (not oracle-
     // reproducible); the leak counter is computed from the engine's own
-    // assignment and must be zero.
+    // assignment and must be zero. NOTE the counter pins the "split is a
+    // pure function of the component id" contract, not component
+    // correctness (which n_components pins): since componentSplit hashes
+    // the component id, countDistinct(split) per component is
+    // structurally 1. ConnectedComponentsSpec's negative control shows
+    // the counter fires when splitting by row id instead.
     "q69_split_leakage" -> { (s, dir) =>
       val dd = docsWithDuplicates(s, dir)
       val groups = dd.groupBy(col("text"))

@@ -108,16 +108,24 @@ object AnalyticsQueries {
     },
 
     // TPC-H Q14 shape (promotion effect): conditional aggregate ratio
-    // over one shipdate month, part dim joins broadcast.
+    // over one shipdate month, part dim joins broadcast. The per-row
+    // revenue product is a single double op (bit-identical across
+    // engines) quantized to DECIMAL(18,4) so the SUM is exact in any
+    // summation order — a double sum differs in the last ulp between
+    // partitionings and can flip the 4-dp rounding (same failure mode
+    // q74 fixed with DECIMAL(18,2)). Ratio + round run on doubles after
+    // the exact sums.
     "q72_tpch_q14" -> { (s, dir) =>
-      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-09-01").cast("date") &&
           col("l_shipdate") < lit("1997-10-01").cast("date"))
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg(round(lit(100.0) *
-          sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) /
-          sum(rev), 4).as("promo_revenue_pct"))
+          sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(rev).cast("double"), 4).as("promo_revenue_pct"))
     },
 
     // Hierarchical rollup: per (year, month) + per-year subtotals + grand
@@ -298,9 +306,11 @@ object AnalyticsQueries {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q72_tpch_q14" ->
-      """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-        |  / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct
+      """SELECT round(100.0 * (sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN (l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4)
+        |    ELSE 0::DECIMAL(18,4) END))::DOUBLE
+        |  / (sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4)))::DOUBLE,
+        |  4)::DOUBLE AS promo_revenue_pct
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'""".stripMargin,

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * fixed-capacity training sequences (the standard LLM pre-training step
   * that turns a ragged corpus into dense `maxTokens`-sized examples).
   *
-  * Strategy: greedy first-fit within a partition, documents longer than
+  * Strategy: next-fit within a partition (the current bin closes when a
+  * doc doesn't fit and is never revisited), documents longer than
   * the capacity truncated (real pipelines chunk them; truncation keeps
   * this operator single-purpose). Packing is partition-local — no
   * shuffle beyond the optional repartition — and deterministic given the

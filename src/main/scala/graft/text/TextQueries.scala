@@ -134,13 +134,13 @@ object TextQueries {
           "after_decontam", "chunks_cover_all")
     },
 
-    // Sequence-packing invariants (SequencePacker): greedy first-fit
+    // Sequence-packing invariants (SequencePacker): next-fit
     // packing of per-doc token counts into 512-token training
     // sequences. Bin MEMBERSHIP is partition-order-defined (not oracle-
     // reproducible); what the oracle pins are the conserved facts:
     // every doc packed exactly once, token totals conserved after the
     // per-doc capacity clamp, no sequence over capacity, and the
-    // first-fit bound n_seqs ≤ 2·total/cap + nPartitions (any two
+    // next-fit bound n_seqs ≤ 2·total/cap + nPartitions (any two
     // adjacent bins in a partition sum past capacity, else the second
     // bin's first doc would have fit in the first).
     "q70_pack_invariants" -> { (s, dir) =>

@@ -63,4 +63,24 @@ class ConnectedComponentsSpec extends SparkSpec {
       .agg(max(col("n"))).head().getLong(0)
     assert(perComponent == 1L, "a component must never straddle splits")
   }
+
+  /** Negative control for the q69 leak counter: the counter pins the
+    * "split hashes the COMPONENT id" contract (a pure function of the
+    * component, so countDistinct(split) per component is structurally 1).
+    * To show the counter is capable of firing at all, split by ROW id
+    * instead — multi-row components must then straddle splits.
+    */
+  test("row-id split (negative control) makes the leak counter fire") {
+    val vertices = (1L to 40L).toDF("id")
+    // 10 pair-components: (1,2), (3,4), ... (19,20); 21-40 isolates
+    val edges = (0L until 10L).map(i => (2 * i + 1, 2 * i + 2)).toDF("id_a", "id_b")
+    val labeled = ConnectedComponents.assign(vertices, edges)
+    val rowSplit = labeled.withColumn("split",
+      pmod(xxhash64(col("id")), lit(2L)).cast("int"))
+    val leaky = rowSplit.groupBy("component")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaky > 0L,
+      "splitting by row id must leak some multi-row component across splits")
+  }
 }
