@@ -61,17 +61,43 @@ object DedupQueries {
     },
 
     // SimHash fingerprints + Hamming-ball pairs over planted exact copies
-    // (distance 0) and organic near-dups. Engine-defined hash values —
-    // rows-only check; q65 pins the planted-copy recall and structural
-    // invariants under the oracle gate.
+    // (distance 0) and organic near-dups, reduced to a CONTRACT ROW the
+    // oracle can hash-check (the raw pair set is engine-hash-defined):
+    // DuckDB independently counts the corpus and its identical-text pairs
+    // from `text` equality; the engine must (a) surface every identical-
+    // text pair at Hamming 0 (identical text ⇒ identical fingerprint ⇒
+    // same chunks, so a miss is a bug in the chunk join), (b) emit only
+    // ordered pairs inside the distance ball, (c) emit each pair once.
+    // q65 keeps the planted-copy (%10 arithmetic) differential; this row
+    // derives the expectation from text equality itself.
     "q22_simhash_nearpairs" -> { (s, dir) =>
-      val fps = SimHash.fingerprints(docsWithDuplicates(s, dir), "doc_id", "text")
-      SimHash.nearPairs(fps, "doc_id", maxDistance = 3)
-        .orderBy("id_a", "id_b")
+      val dd = docsWithDuplicates(s, dir)
+      val fps = SimHash.fingerprints(dd, "doc_id", "text")
+      val pairs = SimHash.nearPairs(fps, "doc_id", maxDistance = 3)
+      val sameText = dd.as("x").join(dd.as("y"),
+          col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          lit(1L).as("st"))
+      // full outer: rows = found pairs ∪ identical-text pairs; a sameText
+      // row with null/nonzero hamming is a recall miss, a pair row
+      // violating (ordered, 0 ≤ hamming ≤ 3, unique) is a contract break.
+      val stats = pairs.join(sameText, Seq("id_a", "id_b"), "full_outer").agg(
+        sum(col("st")).cast("long").as("n_same_text_pairs"),
+        sum(when(col("st").isNotNull &&
+            (col("hamming").isNull || col("hamming") =!= 0), 1L)
+          .otherwise(0L)).cast("long").as("n_identical_missed"),
+        (sum(when(col("hamming").isNotNull &&
+            (col("id_a") >= col("id_b") ||
+              col("hamming") < 0 || col("hamming") > 3), 1L)
+          .otherwise(0L)) === 0L).as("pairs_valid_ok"),
+        (sum(when(col("hamming").isNotNull, 1L).otherwise(0L)) ===
+          countDistinct(when(col("hamming").isNotNull,
+            struct(col("id_a"), col("id_b"))))).as("pairs_unique_ok"))
+      dd.agg(count(lit(1)).cast("long").as("n_docs")).crossJoin(stats)
     },
 
-    // Oracle-checked differential for the SimHash family (closes the q22
-    // rows-only gap). The base corpus is duplicate-free, so identical-text
+    // Oracle-checked differential for the SimHash family (companion to
+    // the q22 contract row, keeping violation COUNTS visible). The base corpus is duplicate-free, so identical-text
     // pairs are EXACTLY the planted copies (id, id + 1000000 for id % 10
     // = 0); identical text forces identical fingerprints, so the chunked
     // Hamming join must surface every one at distance 0 — DuckDB counts
@@ -192,6 +218,19 @@ object DedupQueries {
       |  JOIN sz y ON y.doc_id = id_b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Contract row for the SimHash pair set: DuckDB pins corpus size and
+    // the identical-text pair count (the recall floor the Hamming-0 rule
+    // guarantees) plus zero misses and true validity/uniqueness booleans.
+    "q22_simhash_nearpairs" ->
+      s"""WITH all_docs AS ($docsWithDuplicatesSql)
+         |SELECT (SELECT count(*) FROM all_docs)::BIGINT AS n_docs,
+         |  (SELECT count(*) FROM all_docs a JOIN all_docs b
+         |     ON a.text = b.text AND a.doc_id < b.doc_id)::BIGINT
+         |    AS n_same_text_pairs,
+         |  0::BIGINT AS n_identical_missed,
+         |  true AS pairs_valid_ok,
+         |  true AS pairs_unique_ok""".stripMargin,
+
     // DuckDB computes the EXPECTED planted-pair count from text equality
     // (the base corpus ships duplicate-free, so identical-text pairs are
     // exactly the planted copies); Spark must find every one through the
