@@ -27,8 +27,15 @@ import graft.similarity.HyperplaneLsh
   * keeps its own shuffle/broadcast strategy (LSH bucket join, broadcast
   * shingle dictionary, hash-priority sampling filter), so the composed
   * pipeline inherits the per-operator scale designs unchanged. The
-  * intermediate corpus is localCheckpoint'ed once per stage boundary
-  * where reuse would otherwise re-run upstream stages.
+  * intermediate corpus is materialized once per stage boundary where
+  * reuse would otherwise re-run upstream stages — either ephemeral
+  * (`localCheckpoint`, the default: fastest, but blocks live only on
+  * their executors, so one lost executor aborts the composite) or
+  * durable (`checkpointDir` set: each boundary writes parquet and reads
+  * it back, an executor loss replays from the files, and the per-stage
+  * count rides the write via `Dataset.observe` instead of a second
+  * pass). Durable is the 1000-executor/100-TB mode; the directory is the
+  * caller's to place (object store) and clean.
   */
 object Curation {
 
@@ -51,6 +58,13 @@ object Curation {
     * @param neardupThreshold Jaccard threshold for duplicate clustering
     * @param sampleFraction deterministic keep-fraction of the clean pool
     * @param maxTokens  chunk budget for the context windows
+    * @param checkpointDir when set, stage boundaries are DURABLE: each
+    *                   stage writes `$checkpointDir/<stage>` as parquet
+    *                   and downstream stages read the files, so a lost
+    *                   executor replays from storage instead of aborting
+    *                   the composite; stage counts ride the writes via
+    *                   `Dataset.observe`. Unset = `localCheckpoint`
+    *                   (fast, single-job-lifetime, non-fault-tolerant).
     */
   def run(
       docs: DataFrame,
@@ -63,24 +77,46 @@ object Curation {
       minQuality: Double = 0.5,
       neardupThreshold: Double = 0.5,
       sampleFraction: Double = 1.0,
-      maxTokens: Int = 512
+      maxTokens: Int = 512,
+      checkpointDir: Option[String] = None
   ): (org.apache.spark.sql.Dataset[Chunker.DocChunk], Report) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val input = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val inputN = input.count()
+    // Stage boundary: materialize `df` and return (reusable frame, row
+    // count). Durable mode counts during the write (observe = a plan
+    // node that sees every row of the same action — no second pass);
+    // ephemeral mode counts the checkpointed blocks (memory-speed).
+    def boundary(df: DataFrame, name: String): (DataFrame, Long) =
+      checkpointDir match {
+        case Some(base) =>
+          val obs = org.apache.spark.sql.Observation(s"curation_$name")
+          val path = s"$base/$name"
+          df.observe(obs, count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(path)
+          (spark.read.parquet(path), obs.get.apply("n").asInstanceOf[Long])
+        case None =>
+          val c = df.localCheckpoint()
+          (c, c.count())
+      }
 
-    // 1. quality gate (scan-side heuristics, narrow)
-    val quality = input
-      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
-      .localCheckpoint()
-    val qualityN = quality.count()
+    val input = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+
+    // 1. quality gate (scan-side heuristics, narrow). In durable mode
+    // the input count observes the same action as the quality write
+    // (pre-filter node), saving the separate source pass.
+    val inObs = org.apache.spark.sql.Observation("curation_input")
+    val observedInput = checkpointDir.fold(input)(_ =>
+      input.observe(inObs, count(lit(1)).as("n")))
+    val (quality, qualityN) = boundary(
+      observedInput.filter(TextAnalysis.qualityScore(col("text")) >= minQuality),
+      "quality")
+    val inputN = checkpointDir.fold(input.count())(_ =>
+      inObs.get.apply("n").asInstanceOf[Long])
 
     // 2. exact dedup (deterministic keep-first per identical text)
-    val exact = ExactDedup.keepFirst(quality, Seq("text"), Seq(col("id")))
-      .localCheckpoint()
-    val exactN = exact.count()
+    val (exact, exactN) = boundary(
+      ExactDedup.keepFirst(quality, Seq("text"), Seq(col("id"))), "exact_dedup")
 
     // 3. near-dup clustering: LSH pairs → components → keep min id
     val pairs = MinHashDedup.nearDuplicatePairs(
@@ -88,17 +124,16 @@ object Curation {
       .select(col("id_a"), col("id_b"))
     val components = ConnectedComponents.assign(
       exact.select(col("id")), pairs)
-    val nearDeduped = exact
-      .join(components, Seq("id"))
-      .filter(col("id") === col("component"))
-      .drop("component")
-      .localCheckpoint()
-    val nearN = nearDeduped.count()
+    val (nearDeduped, nearN) = boundary(
+      exact.join(components, Seq("id"))
+        .filter(col("id") === col("component"))
+        .drop("component"),
+      "neardup")
 
     // 4. optional semantic dedup: embedding-space LSH pairs over the
     // SURVIVING docs' embeddings, clustered and collapsed exactly like
     // the token-level stage — catches paraphrases Jaccard cannot see.
-    val semanticDeduped = embeddings match {
+    val (semanticDeduped, semanticN) = embeddings match {
       case Some(emb) =>
         val vecs = emb.select(col(idCol).as("id"), col(embeddingCol).as("emb"))
           .join(nearDeduped.select(col("id")), Seq("id"))
@@ -107,42 +142,48 @@ object Curation {
           .select(col("id_a"), col("id_b"))
         val sComponents = ConnectedComponents.assign(
           nearDeduped.select(col("id")), sPairs)
-        nearDeduped
-          .join(sComponents, Seq("id"))
-          .filter(col("id") === col("component"))
-          .drop("component")
-          .localCheckpoint()
-      case None => nearDeduped
+        boundary(
+          nearDeduped.join(sComponents, Seq("id"))
+            .filter(col("id") === col("component"))
+            .drop("component"),
+          "semantic")
+      case None => (nearDeduped, nearN)
     }
-    val semanticN = semanticDeduped.count()
 
     // 5. decontamination: drop docs sharing 8-grams with the benchmark
-    val decontaminated = benchmark match {
+    val (decontaminated, decontamN) = benchmark match {
       case Some(bench) =>
         val flagged = Contamination.flagged(
           semanticDeduped, bench.select(col(idCol).as("id"), col(textCol).as("text")),
           "id", "text")
-        semanticDeduped.join(flagged.select(col("id")), Seq("id"), "left_anti")
-          .localCheckpoint()
-      case None => semanticDeduped
+        boundary(
+          semanticDeduped.join(flagged.select(col("id")), Seq("id"), "left_anti"),
+          "decontam")
+      case None => (semanticDeduped, semanticN)
     }
-    val decontamN = decontaminated.count()
 
-    // 6. deterministic sampling (hash-priority filter; reruns identical)
-    val sampled =
-      if (sampleFraction >= 1.0) decontaminated
-      else Sampling.byFraction(decontaminated, "id", sampleFraction)
-    val sampledN = sampled.count()
+    // 6. deterministic sampling (hash-priority filter; reruns identical).
+    // Identity fraction reuses the decontam count — no extra action; a
+    // real sample is a narrow filter over the materialized boundary, so
+    // ephemeral mode just counts it (durable mode persists it like any
+    // other boundary — the chunker and the caller both read it).
+    val (sampled, sampledN) =
+      if (sampleFraction >= 1.0) (decontaminated, decontamN)
+      else {
+        val sdf = Sampling.byFraction(decontaminated, "id", sampleFraction)
+        if (checkpointDir.isDefined) boundary(sdf, "sampled")
+        else (sdf, sdf.count())
+      }
 
-    // 7. context-window chunking — checkpointed like the other stage
-    // boundaries: the report's count and the caller's own action would
-    // otherwise each run the row-exploding flatMap over the full corpus.
-    val chunks = Chunker.chunk(
-      sampled.select(col("id"), col("text")).as[(Long, String)], maxTokens)
-      .localCheckpoint()
-    val chunksN = chunks.count()
+    // 7. context-window chunking — a stage boundary like the others: the
+    // report's count and the caller's own action would otherwise each
+    // run the row-exploding flatMap over the full corpus.
+    val (chunksDf, chunksN) = boundary(
+      Chunker.chunk(
+        sampled.select(col("id"), col("text")).as[(Long, String)], maxTokens).toDF(),
+      "chunks")
 
-    (chunks, Report(inputN, qualityN, exactN, nearN, semanticN, decontamN,
-      sampledN, chunksN))
+    (chunksDf.as[Chunker.DocChunk], Report(inputN, qualityN, exactN, nearN,
+      semanticN, decontamN, sampledN, chunksN))
   }
 }

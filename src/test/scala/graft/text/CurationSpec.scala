@@ -58,5 +58,29 @@ class CurationSpec extends SparkSpec {
       minQuality = 0.5, neardupThreshold = 0.5,
       sampleFraction = 0.8, maxTokens = 64)
     assert(r2 == r)
+
+    // durable mode (parquet stage boundaries + observe-counted writes)
+    // must produce the identical report and chunk set, leave every stage
+    // on disk, and keep the result readable after the frames' lineage
+    // source files are the checkpoint itself (fault-tolerant boundary).
+    val ckpt = java.nio.file.Files.createTempDirectory("curation_ckpt").toString
+    try {
+      val (chunksD, rd) = Curation.run(withDup, "doc_id", "text",
+        benchmark = Some(bench),
+        embeddings = Some(emb), semanticThreshold = 0.45,
+        minQuality = 0.5, neardupThreshold = 0.5,
+        sampleFraction = 0.8, maxTokens = 64,
+        checkpointDir = Some(ckpt))
+      assert(rd == r, s"durable report differs: $rd vs $r")
+      val outD = chunksD.collect().map(c => (c.doc_id, c.chunk_idx, c.text, c.n_tokens))
+      assert(outD.sorted.sameElements(
+        out.map(c => (c.doc_id, c.chunk_idx, c.text, c.n_tokens)).sorted))
+      for (stage <- Seq("quality", "exact_dedup", "neardup", "semantic",
+          "decontam", "sampled", "chunks")) {
+        assert(new java.io.File(s"$ckpt/$stage").isDirectory, s"missing stage dir $stage")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
   }
 }
