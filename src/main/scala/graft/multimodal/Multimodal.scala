@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * as opaque `binary` payloads with a typed metadata struct, and
   * decode/feature-extract runs as partition-local batch functions.
   *
-  * The decode step itself is a STUB — this container has no image/audio
-  * codecs — but everything around it is the real contract: the schema, the
-  * partition-batched execution shape (`mapPartitions` over an iterator, the
-  * Scala analogue of `mapInPandas` batches), the deterministic fake
-  * features, and the repartition sizing so one task never holds more than
-  * a bounded number of payloads in flight.
+  * Container HEADER decoding is real — [[ImageHeaders]] parses PNG
+  * signature+IHDR and JPEG SOFn markers from actual bytes. The PIXEL
+  * decode inside feature extraction is a STUB — this container has no
+  * image/audio codecs — but everything around it is the real contract:
+  * the schema, the partition-batched execution shape (`mapPartitions`
+  * over an iterator, the Scala analogue of `mapInPandas` batches), the
+  * deterministic fake features, and the repartition sizing so one task
+  * never holds more than a bounded number of payloads in flight.
   */
 object Multimodal {
 
@@ -140,23 +142,41 @@ object Multimodal {
       .otherwise(array().cast("array<binary>"))
   }
 
-  /** Synthesize a media table from the documents table: payload =
-    * UTF-8 bytes of the text, metadata derived deterministically. Test
-    * harness for the plumbing above.
+  /** Synthesize a media table from the documents table. Image-kind rows
+    * (doc_id % 3 == 0) carry REAL container bytes — PNG for doc_id % 6
+    * == 0, JPEG otherwise, built by [[ImageHeaders]] with true
+    * signature/chunk/marker framing and dimensions derived from the doc
+    * (width = n_chars % 1000 + 1, height = doc_id % 500 + 1) — and
+    * their metadata comes from actually PARSING those bytes back
+    * ([[ImageHeaders.decode]]), so a header-codec bug shows up as a
+    * metadata mismatch, not a silently-copied constant. Audio/video
+    * payloads stay UTF-8 text bytes (no real container), width/height 0.
     */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs
-      .select(
-        col("doc_id").as("id"),
-        struct(
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-          lit(64).as("widthPx"),
-          lit(64).as("heightPx"),
-          lit(16000).as("sampleRateHz"),
-          (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRecord]
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val payload =
+          if (kind == "image") {
+            val w = (nChars % 1000 + 1).toInt
+            val h = (id % 500 + 1).toInt
+            if (id % 6 == 0) ImageHeaders.pngBytes(w, h)
+            else ImageHeaders.jpegBytes(w, h)
+          } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (wPx, hPx) =
+          if (kind == "image") {
+            val m = ImageHeaders.decode(payload).getOrElse(throw new IllegalStateException(
+              s"synthesized image payload failed to parse for id=$id"))
+            (m.widthPx, m.heightPx)
+          } else (0, 0)
+        MediaRecord(id, MediaMeta(kind, wPx, hPx, 16000, nChars * 10), payload)
+      }
   }
 }

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Driver-contract queries for the multimodal plumbing, over a media table
-  * synthesized deterministically from `documents` (payload = UTF-8 text
-  * bytes). The schema/partitioning/batching is the real contract; only the
-  * codec inside [[Multimodal.extractFeatures]] is stubbed.
+  * synthesized deterministically from `documents` (image rows carry real
+  * PNG/JPEG container bytes, audio/video rows UTF-8 text bytes). The
+  * schema/partitioning/batching and the header codecs are the real
+  * contract; only the pixel decode inside
+  * [[Multimodal.extractFeatures]] is stubbed.
   */
 object MultimodalQueries {
 
@@ -17,8 +19,11 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata + payload accounting + frame-sampling plumbing, all
-    // SQL-expressible: per media kind, payload byte totals and the frame
-    // count a stride-2 sampler of 256-byte frames would produce.
+    // SQL-expressible: per media kind, payload byte totals, the frame
+    // count a stride-2 sampler of 256-byte frames would produce, and the
+    // dimension sums PARSED from the real PNG/JPEG header bytes — DuckDB
+    // recomputes the expected dimensions from the synthesis arithmetic,
+    // so a big-endian/offset bug in the header parser is a hash fail.
     "q34_multimodal_meta" -> { (s, dir) =>
       media(s, dir).toDF()
         .withColumn("n_frames",
@@ -27,7 +32,9 @@ object MultimodalQueries {
         .agg(
           count(lit(1)).as("n_media"),
           sum(length(col("payload"))).as("total_bytes"),
-          sum(col("n_frames")).as("total_frames"))
+          sum(col("n_frames")).as("total_frames"),
+          sum(col("meta.widthPx")).cast("long").as("sum_width_px"),
+          sum(col("meta.heightPx")).cast("long").as("sum_height_px"))
         .orderBy("kind")
     },
 
@@ -49,27 +56,40 @@ object MultimodalQueries {
     }
   )
 
+  // Image payload sizes are format constants: a header-valid PNG is
+  // 8 (signature) + 25 (IHDR chunk) + 12 (IEND chunk) = 45 bytes, a
+  // header-valid 3-component JPEG is 2 (SOI) + 19 (SOF0 segment) + 2
+  // (EOI) = 23 bytes. Dimensions re-derive the synthesis arithmetic
+  // (width = n_chars % 1000 + 1, height = doc_id % 500 + 1) that the
+  // Spark side must recover by PARSING the bytes.
+  private val payloadBytesSql =
+    """CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 6 = 0 THEN 45 ELSE 23 END)
+      |     ELSE octet_length(encode(text)) END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q34_multimodal_meta" ->
-      """WITH m AS (
-        |  SELECT
-        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
-        |    octet_length(encode(text)) nb
-        |  FROM documents)
-        |SELECT kind, count(*) AS n_media, sum(nb)::BIGINT AS total_bytes,
-        |  sum(CASE WHEN nb >= 256 THEN (nb // 256 - 1) // 2 + 1 ELSE 0 END)::BIGINT AS total_frames
-        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT
+         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+         |    $payloadBytesSql nb,
+         |    CASE WHEN doc_id % 3 = 0 THEN n_chars % 1000 + 1 ELSE 0 END w,
+         |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 500 + 1 ELSE 0 END h
+         |  FROM documents)
+         |SELECT kind, count(*) AS n_media, sum(nb)::BIGINT AS total_bytes,
+         |  sum(CASE WHEN nb >= 256 THEN (nb // 256 - 1) // 2 + 1 ELSE 0 END)::BIGINT AS total_frames,
+         |  sum(w)::BIGINT AS sum_width_px, sum(h)::BIGINT AS sum_height_px
+         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
 
     // The decode stub is a normalized byte histogram: its sum is exactly
     // 1.0 for non-empty payloads (0.0 for empty) and n_bytes is the
     // payload length — both computable by DuckDB from the same documents
     // table the media set is synthesized from.
     "q35_multimodal_features" ->
-      """SELECT doc_id AS id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
-        |  octet_length(encode(text))::INT AS n_bytes,
-        |  round(CASE WHEN octet_length(encode(text)) > 0 THEN 1.0 ELSE 0.0 END, 6)::DOUBLE
-        |    AS feature_sum
-        |FROM documents ORDER BY id""".stripMargin
+      s"""SELECT doc_id AS id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+         |  ($payloadBytesSql)::INT AS n_bytes,
+         |  round(CASE WHEN ($payloadBytesSql) > 0 THEN 1.0 ELSE 0.0 END, 6)::DOUBLE
+         |    AS feature_sum
+         |FROM documents ORDER BY id""".stripMargin
   )
 }

@@ -7,25 +7,91 @@ import graft.SparkSpec
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  // id 1 → audio (long text so chunking has material), id 2 → video,
+  // id 3 → image (real JPEG container bytes, 3 % 6 != 0),
+  // id 6 → image (real PNG container bytes, 6 % 6 == 0)
   private def media = Multimodal.mediaFromDocuments(
-    Seq((1L, "hello world", 11L), (2L, "tiny", 4L), (3L, "x" * 600, 600L))
+    Seq((1L, "x" * 600, 600L), (2L, "tiny", 4L), (3L, "hello world", 11L),
+      (6L, "abcdef", 6L))
       .toDF("doc_id", "text", "n_chars"))
 
-  test("media synthesis: kind cycles by id, payload is the UTF-8 text") {
+  test("media synthesis: kind cycles by id, audio/video payload is the UTF-8 text") {
     val rows = media.collect().map(r => r.id -> r).toMap
     assert(rows(1L).meta.kind == "audio")
     assert(rows(2L).meta.kind == "video")
     assert(rows(3L).meta.kind == "image")
-    assert(new String(rows(1L).payload, "UTF-8") == "hello world")
+    assert(new String(rows(2L).payload, "UTF-8") == "tiny")
+    assert(rows(1L).payload.length == 600)
+  }
+
+  test("image rows carry real container bytes whose parsed header IS the metadata") {
+    val rows = media.collect().map(r => r.id -> r).toMap
+    // id 3: JPEG, width = 11 % 1000 + 1 = 12, height = 3 % 500 + 1 = 4
+    val jm = ImageHeaders.decode(rows(3L).payload)
+    assert(jm.contains(ImageHeaders.ImageMeta("jpeg", 12, 4, 3)))
+    assert(rows(3L).meta.widthPx == 12 && rows(3L).meta.heightPx == 4)
+    // id 6: PNG, width = 6 % 1000 + 1 = 7, height = 6 % 500 + 1 = 7
+    val pm = ImageHeaders.decode(rows(6L).payload)
+    assert(pm.contains(ImageHeaders.ImageMeta("png", 7, 7, 3)))
+    assert(rows(6L).meta.widthPx == 7 && rows(6L).meta.heightPx == 7)
+    // non-image rows don't parse as images and carry no dimensions
+    assert(ImageHeaders.decode(rows(1L).payload).isEmpty)
+    assert(rows(1L).meta.widthPx == 0 && rows(1L).meta.heightPx == 0)
+  }
+
+  test("golden real-world PNG literal decodes (1x1 RGBA, full IDAT/IEND file)") {
+    // A complete, valid 70-byte 1x1 transparent PNG (bit depth 8, color
+    // type 6 = truecolor+alpha) — produced by a real encoder, not by
+    // ImageHeaders.pngBytes, so the parser is checked against the wild
+    // format, trailing chunks and all.
+    val golden = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(golden.length == 70)
+    assert(ImageHeaders.decode(golden).contains(ImageHeaders.ImageMeta("png", 1, 1, 4)))
+  }
+
+  test("hand-framed JPEG with APP0 before SOF0 decodes (marker walk skips segments)") {
+    // SOI, APP0/JFIF (the segment real encoders emit first), SOF0
+    // 640x480 3-component, EOI — framed by hand, independent of
+    // ImageHeaders.jpegBytes.
+    val out = new java.io.ByteArrayOutputStream()
+    def w(bs: Int*): Unit = bs.foreach(out.write)
+    w(0xff, 0xd8)                                     // SOI
+    w(0xff, 0xe0, 0x00, 0x10)                         // APP0, len 16
+    w('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0) // JFIF v1.1 payload
+    w(0xff, 0xc0, 0x00, 0x11)                         // SOF0, len 17
+    w(8)                                              // precision
+    w(480 >> 8, 480 & 0xff, 640 >> 8, 640 & 0xff)     // height, width
+    w(3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)          // 3 components
+    w(0xff, 0xd9)                                     // EOI
+    assert(ImageHeaders.decode(out.toByteArray)
+      .contains(ImageHeaders.ImageMeta("jpeg", 640, 480, 3)))
+  }
+
+  test("header builders round-trip through the parser; hostile bytes return None") {
+    assert(ImageHeaders.decode(ImageHeaders.pngBytes(1920, 1080))
+      .contains(ImageHeaders.ImageMeta("png", 1920, 1080, 3)))
+    assert(ImageHeaders.decode(ImageHeaders.pngBytes(2, 3, colorType = 6))
+      .contains(ImageHeaders.ImageMeta("png", 2, 3, 4)))
+    assert(ImageHeaders.decode(ImageHeaders.jpegBytes(65535, 1, nComponents = 1))
+      .contains(ImageHeaders.ImageMeta("jpeg", 65535, 1, 1)))
+    assert(ImageHeaders.decode(Array.emptyByteArray).isEmpty)
+    assert(ImageHeaders.decode("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeaders.decode(Array.fill[Byte](64)(0x42)).isEmpty)
+    // truncated PNG signature-only and JPEG SOI-only inputs
+    assert(ImageHeaders.decode(ImageHeaders.pngBytes(4, 4).take(10)).isEmpty)
+    assert(ImageHeaders.decode(Array(0xff, 0xd8).map(_.toByte)).isEmpty)
   }
 
   test("feature extraction: byte counts exact, stub histogram sums to 1") {
     val feats = Multimodal.extractFeatures(media, targetPartitions = 2)
       .collect().map(f => f.id -> f).toMap
-    assert(feats(1L).nBytes == 11)
-    assert(feats(3L).nBytes == 600)
+    assert(feats(1L).nBytes == 600)
+    assert(feats(3L).nBytes == 23) // header-valid JPEG constant size
+    assert(feats(6L).nBytes == 45) // header-valid PNG constant size
     assert(feats(1L).features.length == 8)
     assert(math.abs(feats(1L).features.sum - 1.0) < 1e-9)
+    assert(math.abs(feats(6L).features.sum - 1.0) < 1e-9)
   }
 
   test("batched extraction equals per-record extraction (same features, batch shape)") {
@@ -40,7 +106,7 @@ class MultimodalSpec extends SparkSpec {
     // 600-byte payload; fake 1000 Hz * 2 B = 2 B/ms → 100 ms chunk = 200 B,
     // 50 ms overlap → stride 100 B → chunks at 0,100,...,400 = 5 windows
     val chunks = media.toDF()
-      .filter(col("id") === 3L)
+      .filter(col("id") === 1L)
       .select(Multimodal.chunkAudio(col("payload"), lit(1000), chunkMs = 100,
         overlapMs = 50).as("c"))
       .select(size(col("c")).as("n"),
@@ -57,7 +123,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("frame sampling: stride-2 over 256-byte frames") {
     val n = media.toDF()
-      .filter(col("id") === 3L) // 600 bytes → 2 frames → stride 2 keeps 1
+      .filter(col("id") === 1L) // 600 bytes → 2 frames → stride 2 keeps 1
       .select(size(Multimodal.sampleFrames(col("payload"), 256, 2)).as("n"))
       .head().getInt(0)
     assert(n == 1)
