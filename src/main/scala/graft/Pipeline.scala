@@ -102,10 +102,157 @@ object Pipeline {
     case sc: SourceSpec.Scheduled => Map("type" -> "scheduled", "dir" -> sc.pendingDir)
   }
 
+  /** One job's latest-known state, flattened for the status report. */
+  final case class JobSummary(
+      jobId: String,
+      status: String,
+      timestamp: String,
+      durationSeconds: Option[Double],
+      rowsLoaded: Option[Long]
+  )
+
+  /** Ops status report — scripts/status_check.py parity minus the live AWS
+    * resource probes (Lambda/DynamoDB/CloudWatch have no Spark-native
+    * meaning): recent jobs at their latest status, status counts, duration
+    * aggregates over completed jobs, and destination size + object count
+    * (the bucket-stats analog, status_check.py:51-91).
+    */
+  final case class OpsStatus(
+      recentJobs: Seq[JobSummary],
+      statusCounts: Map[String, Long],
+      avgDurationSeconds: Option[Double],
+      maxDurationSeconds: Option[Double],
+      dataBytes: Long,
+      dataObjects: Long
+  )
+
+  /** Build the status report for a pipeline destination dir (whose ledger
+    * lives at `<outDir>/_ledger`, as [[main]] wires it). The ledger is a
+    * control-plane table (one record per job event), so collecting the
+    * latest-per-job rows to the driver is bounded and deliberate.
+    */
+  def status(
+      spark: SparkSession,
+      outDir: String,
+      statusFilter: Option[String] = None,
+      limit: Int = 10
+  ): OpsStatus = {
+    val ledger = new JobLedger(spark, s"${outDir.stripSuffix("/")}/_ledger")
+    val all = ledger.listJobs(status = None, limit = Int.MaxValue).collect()
+
+    val counts = all.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.length.toLong).toMap
+    val durations = all.flatMap(r =>
+      Option(r.getAs[java.math.BigDecimal]("duration_seconds")).map(_.doubleValue()))
+    val jobs = statusFilter.fold(all)(s => all.filter(_.getAs[String]("status") == s))
+      .take(limit)
+      .map { r =>
+        val result = Option(r.getAs[scala.collection.Map[String, String]]("job_result"))
+          .getOrElse(scala.collection.Map.empty[String, String])
+        JobSummary(
+          r.getAs[String]("job_id"),
+          r.getAs[String]("status"),
+          r.getAs[String]("timestamp"),
+          Option(r.getAs[java.math.BigDecimal]("duration_seconds")).map(_.doubleValue()),
+          result.get("rows_loaded").flatMap(_.toLongOption))
+      }.toSeq
+
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (bytes, objects) =
+      if (fs.exists(p)) {
+        val cs = fs.getContentSummary(p)
+        (cs.getLength, cs.getFileCount)
+      } else (0L, 0L)
+
+    OpsStatus(jobs, counts,
+      if (durations.isEmpty) None else Some(durations.sum / durations.length),
+      durations.maxOption, bytes, objects)
+  }
+
+  /** One cleanup target: a top-level entry under the destination dir. */
+  final case class CleanupTarget(path: String, bytes: Long, deleted: Boolean)
+
+  /** Resource teardown — scripts/cleanup.py parity for the surface that
+    * exists here (data prefixes + the ledger stand in for
+    * buckets/tables/functions). DRY-RUN unless `force`: the reference
+    * requires interactive confirmation before deleting (cleanup.py:186-199);
+    * a non-interactive CLI makes that an explicit flag. `keepLedger`
+    * preserves the job history (the audit trail) while clearing data.
+    */
+  def cleanup(
+      spark: SparkSession,
+      outDir: String,
+      force: Boolean = false,
+      keepLedger: Boolean = true
+  ): Seq[CleanupTarget] = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+      val p = st.getPath
+      if (keepLedger && p.getName == "_ledger") None
+      else {
+        val bytes = fs.getContentSummary(p).getLength
+        // delete() returning false (no exception) would otherwise read as
+        // success and leave the resource half-reaped silently.
+        val deleted = force && fs.delete(p, true)
+        Some(CleanupTarget(p.toString, bytes, deleted))
+      }
+    }
+  }
+
+  /** `Pipeline cleanup <outDir> [--force] [--delete-ledger]`. */
+  private def cleanupMain(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Pipeline cleanup <outDir> [--force] [--delete-ledger]")
+    val force = args.contains("--force")
+    val spark = graft.core.EngineSession.create()
+    val targets = cleanup(spark, args(0), force = force,
+      keepLedger = !args.contains("--delete-ledger"))
+    if (targets.isEmpty) println(s"nothing to clean under ${args(0)}")
+    targets.foreach { t =>
+      val verb = if (t.deleted) "deleted" else if (force) "FAILED to delete" else "would delete"
+      println(f"$verb ${t.path} (${t.bytes}%d bytes)")
+    }
+    if (!force && targets.nonEmpty) println("dry run — pass --force to delete")
+    spark.stop()
+    if (force && targets.exists(!_.deleted)) sys.exit(1)
+  }
+
+  /** `Pipeline status <outDir> [statusFilter] [limit]` — the ops dashboard
+    * (status_check.py's job table + resource sizes, over the ledger).
+    */
+  private def statusMain(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Pipeline status <outDir> [RUNNING|SUCCESS|FAILED] [limit]")
+    val spark = graft.core.EngineSession.create()
+    val report = status(spark, args(0),
+      statusFilter = args.lift(1),
+      limit = args.lift(2).flatMap(_.toIntOption).getOrElse(10))
+    println(s"destination: ${args(0)}")
+    println(f"data: ${report.dataBytes}%d bytes in ${report.dataObjects}%d objects")
+    println("jobs: " + (if (report.statusCounts.isEmpty) "none"
+      else report.statusCounts.toSeq.sortBy(_._1).map { case (s, n) => s"$s=$n" }.mkString(" ")))
+    (report.avgDurationSeconds, report.maxDurationSeconds) match {
+      case (Some(avg), Some(max)) =>
+        println(f"duration: avg=$avg%.2fs max=$max%.2fs (completed jobs)")
+      case _ => ()
+    }
+    println(f"${"job_id"}%-40s ${"status"}%-8s ${"timestamp"}%-28s ${"duration"}%9s ${"rows"}%8s")
+    report.recentJobs.foreach { j =>
+      println(f"${j.jobId}%-40s ${j.status}%-8s ${j.timestamp}%-28s " +
+        j.durationSeconds.map(d => f"$d%8.2fs").getOrElse("       - ") +
+        j.rowsLoaded.map(r => f" $r%7d").getOrElse("       -"))
+    }
+    spark.stop()
+  }
+
   /** O3 local CLI runner (scripts/run_local.py:184-251):
-    * `runMain graft.Pipeline <inPathOrDir> <outDir> [format]`.
+    * `runMain graft.Pipeline <inPathOrDir> <outDir> [format]`, plus the
+    * `status` subcommand ([[statusMain]]).
     */
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("status")) return statusMain(args.drop(1))
+    if (args.headOption.contains("cleanup")) return cleanupMain(args.drop(1))
     require(args.length >= 2, "usage: Pipeline <inPathOrDir> <outDir> [parquet|csv|json]")
     val spark = graft.core.EngineSession.create()
     val in = args(0)

@@ -28,6 +28,7 @@ object SparkEntry {
       graft.similarity.SimilarityQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.multimodal.MultimodalQueries.queries ++
+      graft.sinks.TxQueries.queries ++
       graft.gold.AnalyticsQueries.queries ++ Map(
     // A1-A4 (SURVEY §2.4): hash group-by + multi-agg + arithmetic-in-agg +
     // count + group/order report (reference etl/README.md:679-685 pattern).
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.similarity.SimilarityQueries.oracles ++
       graft.text.TextQueries.oracles ++
       graft.multimodal.MultimodalQueries.oracles ++
+      graft.sinks.TxQueries.oracles ++
       graft.gold.AnalyticsQueries.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

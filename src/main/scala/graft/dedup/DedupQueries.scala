@@ -127,6 +127,19 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    // Same semantics as q48, but with the driver-side union-find DISABLED
+    // (maxLocalEdges = 0): this forces the distributed min-label-propagation
+    // path — the one a 100 TB edge set would take — so the scale path itself
+    // is DuckDB-checked at verify/bench scale every round, not only on the
+    // synthetic graphs in ConnectedComponentsSpec.
+    "q75_components_distributed" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val edges = NgramJaccard.similarPairs(d, "doc_id", "text", threshold = 0.5)
+      ConnectedComponents.assign(
+        d.select(col("doc_id").as("id")), edges, maxLocalEdges = 0L)
+        .orderBy("id")
+    },
+
     // Exact n-gram Jaccard all-pairs at ≥ 0.5 — the brute-force ground
     // truth the LSH paths are checked against.
     "q23_ngram_jaccard" -> { (s, dir) =>
@@ -217,6 +230,23 @@ object DedupQueries {
       |  JOIN sz x ON x.doc_id = id_a
       |  JOIN sz y ON y.doc_id = id_b)""".stripMargin
 
+  /** Transitive closure over the exact-Jaccard ≥ 0.5 edge set — the
+    * component oracle shared by q48 (adaptive path) and q75 (forced
+    * distributed path); both must produce the identical min-id labeling.
+    */
+  private val componentsOracle =
+    s"""WITH RECURSIVE $shingleSetsSql,
+       |edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+       |sym AS (
+       |  SELECT id_a s, id_b d FROM edges
+       |  UNION ALL SELECT id_b, id_a FROM edges),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s)
+       |SELECT id, min(r) AS component
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Contract row for the SimHash pair set: DuckDB pins corpus size and
     // the identical-text pair count (the recall floor the Hamming-0 rule
@@ -261,18 +291,12 @@ object DedupQueries {
          |FROM jac WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q48_dup_components" ->
-      s"""WITH RECURSIVE $shingleSetsSql,
-         |edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
-         |sym AS (
-         |  SELECT id_a s, id_b d FROM edges
-         |  UNION ALL SELECT id_b, id_a FROM edges),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s)
-         |SELECT id, min(r) AS component
-         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q48_dup_components" -> componentsOracle,
+
+    // q75 runs the distributed label-propagation path over the SAME edge
+    // set — the component labels must be identical, so it shares q48's
+    // transitive-closure oracle verbatim.
+    "q75_components_distributed" -> componentsOracle,
 
     "q23_ngram_jaccard" ->
       s"""WITH $shingleSetsSql

@@ -41,6 +41,64 @@ class PipelineSpec extends SparkSpec {
     assert(noteLines.exists(_.contains("ETL Job Success")))
   }
 
+  test("status subcommand report: job table, counts, durations, dest sizes") {
+    val in = tmpDir("pipe-status-in")
+    val out = tmpDir("pipe-status-out")
+    sampleSales.coalesce(1).write.mode("overwrite").option("header", "true").csv(in)
+    val csv = new java.io.File(in).listFiles().find(_.getName.endsWith(".csv")).get
+    val ledger = new JobLedger(spark, s"$out/_ledger")
+
+    val ok = Pipeline.run(spark, SourceSpec.SingleFile(csv.getAbsolutePath),
+      SinkSpec(out, FileFormat.Parquet), ledger = Some(ledger))
+    val bad = Pipeline.run(spark, SourceSpec.SingleFile(s"$in/definitely-missing.csv"),
+      SinkSpec(out, FileFormat.Parquet), ledger = Some(ledger))
+    assert(ok.status == "success" && bad.status == "failed")
+
+    val report = Pipeline.status(spark, out)
+    assert(report.statusCounts == Map("SUCCESS" -> 1L, "FAILED" -> 1L))
+    assert(report.recentJobs.map(_.jobId).toSet == Set(ok.jobId, bad.jobId))
+    // latest-first ordering: the failed job ran second
+    assert(report.recentJobs.head.jobId == bad.jobId)
+    val okRow = report.recentJobs.find(_.jobId == ok.jobId).get
+    assert(okRow.rowsLoaded.contains(3L))
+    assert(okRow.durationSeconds.exists(_ > 0.0))
+    assert(report.avgDurationSeconds.exists(_ > 0.0))
+    assert(report.dataBytes > 0L && report.dataObjects > 0L)
+
+    // the filter narrows the table but not the global counts
+    val failedOnly = Pipeline.status(spark, out, statusFilter = Some("FAILED"))
+    assert(failedOnly.recentJobs.map(_.status) == Seq("FAILED"))
+    assert(failedOnly.statusCounts == report.statusCounts)
+  }
+
+  test("cleanup subcommand: dry-run by default, --force deletes, ledger kept") {
+    val in = tmpDir("pipe-clean-in")
+    val out = tmpDir("pipe-clean-out")
+    sampleSales.coalesce(1).write.mode("overwrite").option("header", "true").csv(in)
+    val csv = new java.io.File(in).listFiles().find(_.getName.endsWith(".csv")).get
+    val ledger = new JobLedger(spark, s"$out/_ledger")
+    val outcome = Pipeline.run(spark, SourceSpec.SingleFile(csv.getAbsolutePath),
+      SinkSpec(out, FileFormat.Parquet), ledger = Some(ledger))
+    assert(outcome.status == "success")
+
+    val dry = Pipeline.cleanup(spark, out) // no force
+    assert(dry.nonEmpty && dry.forall(!_.deleted))
+    assert(dry.forall(_.bytes > 0L))
+    assert(!dry.exists(_.path.endsWith("_ledger")), "ledger is kept by default")
+    assert(new java.io.File(outcome.load.get.destination).exists, "dry run must not delete")
+
+    val forced = Pipeline.cleanup(spark, out, force = true)
+    assert(forced.nonEmpty && forced.forall(_.deleted))
+    assert(!new java.io.File(outcome.load.get.destination).exists)
+    // job history survives a data-only cleanup
+    assert(ledger.listJobs().count() == 1L)
+
+    val ledgerToo = Pipeline.cleanup(spark, out, force = true, keepLedger = false)
+    assert(ledgerToo.map(t => new java.io.File(t.path).getName) == Seq("_ledger"))
+    assert(ledgerToo.forall(_.deleted))
+    assert(Pipeline.cleanup(spark, out, force = true, keepLedger = false).isEmpty)
+  }
+
   test("max_file_size_mb guard is OFF by default; opting in skips oversized batch files") {
     val in = tmpDir("pipe-size-in")
     // 1.2 MB file (over a 1 MB limit) + a small sibling

@@ -41,6 +41,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning"), p) // fact-side join shuffles exist
   }
 
+  test("TPC-H dim joins stay broadcast in the AQE-final plans (q50/q51/q52/q71)") {
+    // The dimension sides (nation/region/customer, and q71's aggregated
+    // qualifying-order set) must never degrade to SortMergeJoin under AQE
+    // re-planning — at 100 TB the fact sides shuffle, but a sort-merge
+    // against a kilobyte dim table is a lost broadcast.
+    for (name <- Seq("q50_tpch_q3", "q51_tpch_q5", "q52_tpch_q10", "q71_tpch_q18")) {
+      val df = gold.AnalyticsQueries.queries(name)(spark, dir)
+      df.collect() // AQE finalizes the physical plan only on execution
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"$name lost all broadcasts:\n$p")
+      for (key <- Seq("n_nationkey", "r_regionkey", "c_custkey")) {
+        val smjOnDim = p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains(key))
+        assert(!smjOnDim, s"$name sort-merges a dim join on $key:\n$p")
+      }
+    }
+    // q71's HAVING-subquery semi-join must convert to broadcast at runtime
+    // (AQE measures the tiny qualifying set; no hard-coded hint).
+    val q71 = gold.AnalyticsQueries.queries("q71_tpch_q18")(spark, dir)
+    q71.collect()
+    val p71 = plan(q71)
+    val semiBroadcast = p71.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semiBroadcast, s"q71 semi-join did not broadcast:\n$p71")
+  }
+
   test("brute-force kNN is a broadcast nested-loop, not a shuffled cross") {
     val p = plan(similarity.BruteForceKnn.topK(
       sources.Tables.load(spark, dir, "embeddings"),

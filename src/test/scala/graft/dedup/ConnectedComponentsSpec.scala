@@ -70,6 +70,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     * To show the counter is capable of firing at all, split by ROW id
     * instead — multi-row components must then straddle splits.
     */
+  test("q75 (forced distributed) labels the real corpus identically to q48") {
+    val dir = "/root/testdata/sf0.001"
+    val adaptive = DedupQueries.queries("q48_dup_components")(spark, dir).collect().toSeq
+    val forced = DedupQueries.queries("q75_components_distributed")(spark, dir).collect().toSeq
+    assert(adaptive.nonEmpty)
+    assert(forced == adaptive,
+      "distributed label propagation must reproduce the union-find labeling")
+  }
+
   test("row-id split (negative control) makes the leak counter fire") {
     val vertices = (1L to 40L).toDF("id")
     // 10 pair-components: (1,2), (3,4), ... (19,20); 21-40 isolates
