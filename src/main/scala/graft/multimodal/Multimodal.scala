@@ -9,13 +9,17 @@ import org.apache.spark.sql.types._
   * decode/feature-extract runs as partition-local batch functions.
   *
   * Container HEADER decoding is real — [[ImageHeaders]] parses PNG
-  * signature+IHDR and JPEG SOFn markers from actual bytes. The PIXEL
-  * decode inside feature extraction is a STUB — this container has no
-  * image/audio codecs — but everything around it is the real contract:
-  * the schema, the partition-batched execution shape (`mapPartitions`
-  * over an iterator, the Scala analogue of `mapInPandas` batches), the
-  * deterministic fake features, and the repartition sizing so one task
-  * never holds more than a bounded number of payloads in flight.
+  * signature+IHDR and JPEG SOFn markers from actual bytes — and IMAGE
+  * pixel decoding is real too: [[Codecs]] runs the JDK's bundled ImageIO
+  * (PNG/JPEG/GIF/BMP), so image features are mean-RGB over actual decoded
+  * rasters (q77 pins this against a DuckDB recompute of the pixel
+  * formula). Only AUDIO/VIDEO feature extraction remains a STUB — the JDK
+  * ships no general audio/video codec and this container has none — with
+  * the real contract around it: the schema, the partition-batched
+  * execution shape (`mapPartitions` over an iterator, the Scala analogue
+  * of `mapInPandas` batches), deterministic stand-in features, and the
+  * repartition sizing so one task never holds more than a bounded number
+  * of payloads in flight.
   */
 object Multimodal {
 
@@ -46,10 +50,23 @@ object Multimodal {
       StructField("durationMs", LongType, nullable = false))), nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
-  /** ??? in spirit: where a real codec (JPEG decode, ffmpeg frame grab)
-    * would run. STUB: a deterministic 8-bin byte histogram, normalized —
-    * stands in for a decoded-then-pooled feature vector and keeps every
-    * test reproducible.
+  /** Per-record feature function. IMAGE payloads decode for REAL through
+    * [[Codecs.decodeImage]] (JDK ImageIO — PNG/JPEG/GIF/BMP) into mean-RGB
+    * features; undecodable image bytes (truncated containers, corrupt
+    * uploads) fall back to the byte-histogram stand-in instead of failing
+    * the task — per-record isolation, like the reference's per-file skips.
+    * Audio/video still use the stand-in: the JDK ships no general
+    * audio/video codec, and this container has none to call.
+    */
+  private def features(kind: String, payload: Array[Byte]): Array[Double] =
+    if (kind == "image") Codecs.decodeImage(payload).map(Codecs.meanRgb)
+      .getOrElse(decodeStub(payload))
+    else decodeStub(payload)
+
+  /** ??? in spirit for the NON-image modalities: where a real codec
+    * (ffmpeg frame grab, fbank front-end) would run. STUB: a deterministic
+    * 8-bin byte histogram, normalized — stands in for a decoded-then-pooled
+    * feature vector and keeps every test reproducible.
     */
   private def decodeStub(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
@@ -74,7 +91,7 @@ object Multimodal {
       else media
     sized.mapPartitions { it =>
       it.map { r =>
-        MediaFeatures(r.id, r.meta.kind, r.payload.length, decodeStub(r.payload))
+        MediaFeatures(r.id, r.meta.kind, r.payload.length, features(r.meta.kind, r.payload))
       }
     }
   }
@@ -96,7 +113,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // ??? in spirit: one batched model forward pass would run here.
         batch.map(r =>
-          MediaFeatures(r.id, r.meta.kind, r.payload.length, decodeStub(r.payload)))
+          MediaFeatures(r.id, r.meta.kind, r.payload.length, features(r.meta.kind, r.payload)))
       }
     }
   }

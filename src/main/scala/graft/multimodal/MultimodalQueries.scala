@@ -53,6 +53,34 @@ object MultimodalQueries {
           col("nBytes").as("n_bytes"),
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).as("feature_sum"))
         .orderBy("id")
+    },
+
+    // REAL pixel decode under the hash gate: every doc synthesizes a small
+    // real PNG (deterministic per-pixel formula), the engine decodes it
+    // with the actual JDK ImageIO codec (Codecs.decodeImage — the same
+    // path extractFeatures runs for image payloads), and reports
+    // integer-exact per-channel pixel sums plus the decoded dimensions.
+    // DuckDB recomputes all five columns from the synthesis arithmetic
+    // alone — a wrong decode (dimension, channel order, pixel value)
+    // is a hash fail with zero floating-point tolerance.
+    "q77_multimodal_decode" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 16 + 1).toInt
+          val h = (id % 12 + 1).toInt
+          val png = Codecs.encodePng(w, h, (x, y) =>
+            ((((x * 7 + id) % 256).toInt) << 16) |
+              ((((y * 5 + id) % 256).toInt) << 8) |
+              (((x + y + id) % 256).toInt))
+          val img = Codecs.decodeImage(png).getOrElse(
+            throw new IllegalStateException(s"PNG round trip failed for doc_id=$id"))
+          val (r, g, b) = Codecs.channelSums(img)
+          (id, img.getWidth, img.getHeight, r, g, b)
+        }
+        .toDF("doc_id", "width_px", "height_px", "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
     }
   )
 
@@ -90,6 +118,27 @@ object MultimodalQueries {
          |  ($payloadBytesSql)::INT AS n_bytes,
          |  round(CASE WHEN ($payloadBytesSql) > 0 THEN 1.0 ELSE 0.0 END, 6)::DOUBLE
          |    AS feature_sum
-         |FROM documents ORDER BY id""".stripMargin
+         |FROM documents ORDER BY id""".stripMargin,
+
+    // Pixel formula recompute: width = id%16+1, height = id%12+1, and per
+    // pixel r=(7x+id)%256 (y-independent), g=(5y+id)%256 (x-independent),
+    // b=(x+y+id)%256. Lateral generate_series with column bounds isn't
+    // supported here, so the pixel grid is a bounded cross join (max 16x12)
+    // filtered to each image's actual w-1 = id%16, h-1 = id%12.
+    "q77_multimodal_decode" ->
+      """WITH xs AS (SELECT unnest(range(0, 16)) AS x),
+        |     ys AS (SELECT unnest(range(0, 12)) AS y),
+        |     px AS (
+        |       SELECT d.doc_id, xs.x, ys.y
+        |       FROM documents d CROSS JOIN xs CROSS JOIN ys
+        |       WHERE xs.x <= d.doc_id % 16 AND ys.y <= d.doc_id % 12)
+        |SELECT doc_id,
+        |  (doc_id % 16 + 1)::INT AS width_px,
+        |  (doc_id % 12 + 1)::INT AS height_px,
+        |  sum((x * 7 + doc_id) % 256)::BIGINT AS sum_r,
+        |  sum((y * 5 + doc_id) % 256)::BIGINT AS sum_g,
+        |  sum((x + y + doc_id) % 256)::BIGINT AS sum_b
+        |FROM px
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -94,6 +94,51 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats(6L).features.sum - 1.0) < 1e-9)
   }
 
+  test("real PNG round trip: encode → ImageIO decode, exact pixels both parsers agree") {
+    val png = Codecs.encodePng(5, 3, (x, y) => (x * 40 << 16) | (y * 80 << 8) | (x + y))
+    val img = Codecs.decodeImage(png).get
+    assert(img.getWidth == 5 && img.getHeight == 3)
+    // our own header parser and the JDK codec agree on the container
+    assert(ImageHeaders.decode(png).exists(m => m.widthPx == 5 && m.heightPx == 3))
+    // exact per-pixel values survive the PNG round trip
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert((img.getRGB(x, y) & 0xffffff) == ((x * 40 << 16) | (y * 80 << 8) | (x + y)))
+    // integer-exact channel sums match the generating formula
+    val (r, g, b) = Codecs.channelSums(img)
+    assert(r == (0 until 3).map(_ => (0 until 5).map(_ * 40).sum).sum)
+    assert(g == (0 until 3).map(y => y * 80 * 5).sum)
+    assert(b == (for (y <- 0 until 3; x <- 0 until 5) yield x + y).sum)
+  }
+
+  test("golden real-world PNG decodes through the ImageIO codec path too") {
+    val golden = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val img = Codecs.decodeImage(golden).get
+    assert(img.getWidth == 1 && img.getHeight == 1)
+  }
+
+  test("image features are REAL mean-RGB for decodable bytes, stub otherwise") {
+    // constant-color 4x2: mean RGB is exactly the color / 255
+    val png = Codecs.encodePng(4, 2, (_, _) => (200 << 16) | (100 << 8) | 50)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("image", 4, 2, 0, 0L), png),
+      // header-only container: ImageIO refuses (no IDAT) → stub fallback
+      Multimodal.MediaRecord(2L, Multimodal.MediaMeta("image", 9, 9, 0, 0L),
+        ImageHeaders.pngBytes(9, 9)))
+    val feats = Multimodal.extractFeatures(rows.toDS()).collect().map(f => f.id -> f).toMap
+    assert(feats(1L).features.toSeq == Seq(200.0 / 255, 100.0 / 255, 50.0 / 255))
+    assert(feats(2L).features.length == 8) // stub histogram shape
+    assert(math.abs(feats(2L).features.sum - 1.0) < 1e-9)
+  }
+
+  test("resize produces requested raster; constant color is preserved") {
+    val img = Codecs.decodeImage(Codecs.encodePng(8, 8, (_, _) => 0x336699)).get
+    val small = Codecs.resize(img, 3, 2)
+    assert(small.getWidth == 3 && small.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((small.getRGB(x, y) & 0xffffff) == 0x336699)
+  }
+
   test("batched extraction equals per-record extraction (same features, batch shape)") {
     val perRecord = Multimodal.extractFeatures(media).collect()
       .map(f => f.id -> f.features.toSeq).toMap
