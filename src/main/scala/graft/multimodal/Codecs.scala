@@ -77,6 +77,73 @@ object Codecs {
     Array(r.toDouble / n, g.toDouble / n, b.toDouble / n)
   }
 
+  /** Encode 16-bit signed mono PCM as a real RIFF/WAVE file. The WAV
+    * container is a public format: RIFF header, `fmt ` chunk (PCM, mono,
+    * 16-bit little-endian), `data` chunk. Used by the q78 round trip and
+    * specs; production callers bring their own bytes.
+    */
+  def encodeWavPcm16(sampleRateHz: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRateHz > 0, s"bad sample rate $sampleRateHz")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRateHz)
+      .putInt(sampleRateHz * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode a WAV payload through the JDK's bundled `javax.sound.sampled`
+    * codec. Some(sampleRateHz, samples) for 16-bit signed mono PCM; None
+    * for anything an installed reader rejects (non-audio bytes, other
+    * encodings) — fallback, not failure, mirroring [[decodeImage]].
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new ByteArrayInputStream(bytes)))
+      try {
+        val fmt = in.getFormat
+        val pcm16mono =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+        if (!pcm16mono) None
+        else {
+          val raw = in.readAllBytes()
+          val order =
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN
+          val shorts = new Array[Short](raw.length / 2)
+          java.nio.ByteBuffer.wrap(raw).order(order).asShortBuffer().get(shorts)
+          Some((fmt.getSampleRate.toInt, shorts))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Integer-exact PCM statistics: Σ|s| and strict zero crossings
+    * (s(i-1)·s(i) < 0 — the strict product rule sidesteps sign-of-zero
+    * ambiguity), so an oracle can recompute both with no tolerance.
+    */
+  def pcmStats(samples: Array[Short]): (Long, Long) = {
+    var sumAbs = 0L
+    var crossings = 0L
+    var i = 0
+    while (i < samples.length) {
+      sumAbs += math.abs(samples(i).toLong)
+      if (i > 0 && samples(i - 1).toLong * samples(i).toLong < 0L) crossings += 1
+      i += 1
+    }
+    (sumAbs, crossings)
+  }
+
   /** Raster resize (bilinear) — real pixels in, real pixels out. */
   def resize(img: BufferedImage, width: Int, height: Int): BufferedImage = {
     val out = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)

@@ -52,16 +52,25 @@ object Multimodal {
 
   /** Per-record feature function. IMAGE payloads decode for REAL through
     * [[Codecs.decodeImage]] (JDK ImageIO — PNG/JPEG/GIF/BMP) into mean-RGB
-    * features; undecodable image bytes (truncated containers, corrupt
-    * uploads) fall back to the byte-histogram stand-in instead of failing
-    * the task — per-record isolation, like the reference's per-file skips.
-    * Audio/video still use the stand-in: the JDK ships no general
-    * audio/video codec, and this container has none to call.
+    * features, and AUDIO payloads through [[Codecs.decodeWavPcm16]]
+    * (javax.sound.sampled — WAV/PCM) into [mean |amplitude| in [0,1],
+    * zero-crossing rate]; undecodable bytes (truncated containers, corrupt
+    * uploads, non-WAV audio) fall back to the byte-histogram stand-in
+    * instead of failing the task — per-record isolation, like the
+    * reference's per-file skips. VIDEO keeps the stand-in: the JDK ships
+    * no video codec, and this container has none to call.
     */
-  private def features(kind: String, payload: Array[Byte]): Array[Double] =
-    if (kind == "image") Codecs.decodeImage(payload).map(Codecs.meanRgb)
-      .getOrElse(decodeStub(payload))
-    else decodeStub(payload)
+  private def features(kind: String, payload: Array[Byte]): Array[Double] = kind match {
+    case "image" =>
+      Codecs.decodeImage(payload).map(Codecs.meanRgb).getOrElse(decodeStub(payload))
+    case "audio" =>
+      Codecs.decodeWavPcm16(payload).map { case (_, samples) =>
+        val (sumAbs, crossings) = Codecs.pcmStats(samples)
+        val n = math.max(samples.length, 1).toDouble
+        Array(sumAbs / (n * 32768.0), crossings / n)
+      }.getOrElse(decodeStub(payload))
+    case _ => decodeStub(payload)
+  }
 
   /** ??? in spirit for the NON-image modalities: where a real codec
     * (ffmpeg frame grab, fbank front-end) would run. STUB: a deterministic

@@ -81,6 +81,31 @@ object MultimodalQueries {
         }
         .toDF("doc_id", "width_px", "height_px", "sum_r", "sum_g", "sum_b")
         .orderBy("doc_id")
+    },
+
+    // REAL audio decode under the hash gate, mirroring q77: every doc
+    // synthesizes 16-bit mono PCM from a per-sample formula, wraps it in a
+    // real RIFF/WAVE container, and the engine decodes it with the JDK's
+    // javax.sound.sampled codec (the same path extractFeatures runs for
+    // audio payloads), reporting integer-exact Σ|s| and strict zero
+    // crossings. DuckDB recomputes everything from the formula alone.
+    "q78_multimodal_audio" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val n = (id % 192 + 16).toInt
+          val rate = if (id % 2 == 0) 16000 else 8000
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * 37 + id * 11) % 4001) - 2000).toShort)
+          val wav = Codecs.encodeWavPcm16(rate, samples)
+          val (gotRate, decoded) = Codecs.decodeWavPcm16(wav).getOrElse(
+            throw new IllegalStateException(s"WAV round trip failed for doc_id=$id"))
+          val (sumAbs, crossings) = Codecs.pcmStats(decoded)
+          (id, decoded.length, gotRate, sumAbs, crossings)
+        }
+        .toDF("doc_id", "n_samples", "sample_rate", "sum_abs", "n_crossings")
+        .orderBy("doc_id")
     }
   )
 
@@ -139,6 +164,29 @@ object MultimodalQueries {
         |  sum((y * 5 + doc_id) % 256)::BIGINT AS sum_g,
         |  sum((x + y + doc_id) % 256)::BIGINT AS sum_b
         |FROM px
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PCM formula recompute: n = id%192+16 samples of
+    // s(i) = ((37i + 11·id) % 4001) - 2000; strict-product zero-crossing
+    // rule matches Codecs.pcmStats exactly. range(0, 208) bounds the
+    // sample index grid (max n-1 = 206), filtered per doc.
+    "q78_multimodal_audio" ->
+      """WITH idx AS (SELECT unnest(range(0, 208)) AS i),
+        |     samp AS (
+        |       SELECT d.doc_id, idx.i,
+        |              ((idx.i * 37 + d.doc_id * 11) % 4001) - 2000 AS s
+        |       FROM documents d CROSS JOIN idx
+        |       WHERE idx.i <= d.doc_id % 192 + 15),
+        |     w AS (
+        |       SELECT doc_id, s,
+        |              lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |       FROM samp)
+        |SELECT doc_id,
+        |  (doc_id % 192 + 16)::INT AS n_samples,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END)::INT AS sample_rate,
+        |  sum(abs(s))::BIGINT AS sum_abs,
+        |  sum(CASE WHEN prev IS NOT NULL AND prev * s < 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_crossings
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

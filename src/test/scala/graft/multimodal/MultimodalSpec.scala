@@ -131,6 +131,36 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats(2L).features.sum - 1.0) < 1e-9)
   }
 
+  test("real WAV round trip: encode → javax.sound decode, exact samples") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5, 0, -5)
+    val wav = Codecs.encodeWavPcm16(16000, samples)
+    assert(wav.length == 44 + samples.length * 2)
+    val (rate, decoded) = Codecs.decodeWavPcm16(wav).get
+    assert(rate == 16000)
+    assert(decoded.toSeq == samples.toSeq)
+    val (sumAbs, crossings) = Codecs.pcmStats(decoded)
+    assert(sumAbs == 0L + 1000 + 1000 + 32767 + 32768 + 5 + 0 + 5)
+    // strict product rule: (1000,-1000), (-1000,32767), (32767,-32768),
+    // (-32768,5) cross; (0,1000), (5,0), (0,-5) do not
+    assert(crossings == 4L)
+    // non-audio bytes refuse instead of failing
+    assert(Codecs.decodeWavPcm16("not audio".getBytes).isEmpty)
+  }
+
+  test("audio features are REAL PCM stats for WAV bytes, stub otherwise") {
+    val samples = Array.tabulate(64)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort)
+    val wav = Codecs.encodeWavPcm16(8000, samples)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("audio", 0, 0, 8000, 0L), wav),
+      Multimodal.MediaRecord(2L, Multimodal.MediaMeta("audio", 0, 0, 8000, 0L),
+        "plain text payload".getBytes))
+    val feats = Multimodal.extractFeatures(rows.toDS()).collect().map(f => f.id -> f).toMap
+    // mean |amplitude| = 16384/32768 = 0.5; every adjacent pair crosses → 63/64
+    assert(feats(1L).features.toSeq == Seq(0.5, 63.0 / 64))
+    assert(feats(2L).features.length == 8) // stub histogram shape
+    assert(math.abs(feats(2L).features.sum - 1.0) < 1e-9)
+  }
+
   test("resize produces requested raster; constant color is preserved") {
     val img = Codecs.decodeImage(Codecs.encodePng(8, 8, (_, _) => 0x336699)).get
     val small = Codecs.resize(img, 3, 2)
