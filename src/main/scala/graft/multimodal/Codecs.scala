@@ -144,6 +144,102 @@ object Codecs {
     (sumAbs, crossings)
   }
 
+  /** 256-level grayscale palette: GIF is an indexed-color format, so an
+    * explicit identity gray palette makes the round trip LOSSLESS (the
+    * default writer path would quantize RGB and break exact oracles).
+    */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode frames as a real multi-image (animated) GIF via the JDK's
+    * bundled GIF writer. `grayAt(frame, x, y)` returns 0..255. All frames
+    * are full rasters at (0,0) — no partial-frame composition.
+    */
+  def encodeGifAnimated(width: Int, height: Int, frames: Int,
+                        grayAt: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0, s"bad shape ${width}x$height x$frames")
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until frames) {
+        val img = new BufferedImage(width, height,
+          BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0, grayAt(f, x, y) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        // The writer's DEFAULT sequence metadata sets interlaceFlag=TRUE,
+        // and the JDK's interlaced round trip scrambles rows on frames
+        // shorter than the 8-row interlace stride — store progressive.
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val descs = root.getElementsByTagName("ImageDescriptor")
+        if (descs.getLength > 0)
+          descs.item(0).asInstanceOf[org.w3c.dom.Element]
+            .setAttribute("interlaceFlag", "FALSE")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    out.toByteArray
+  }
+
+  /** Decode every frame of a GIF through the JDK reader. None for bytes no
+    * GIF reader accepts. Frames are returned as stored; callers with wild
+    * GIFs (partial frames, disposal methods) must compose — the engine's
+    * synthesized corpora store full frames.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          if (n <= 0) None else Some((0 until n).map(r.read))
+        } finally {
+          r.dispose()
+          iis.close()
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Integer-exact frame statistics for a gray frame sequence: total
+    * luminance Σgray over all frames and total motion Σ|Δgray| between
+    * consecutive frames — both oracle-recomputable with zero tolerance.
+    */
+  def frameStats(frames: Seq[BufferedImage]): (Long, Long) = {
+    def gray(img: BufferedImage, x: Int, y: Int): Long = img.getRGB(x, y) & 0xff
+    var sumGray = 0L
+    var motion = 0L
+    for (f <- frames.indices; y <- 0 until frames(f).getHeight; x <- 0 until frames(f).getWidth) {
+      val g = gray(frames(f), x, y)
+      sumGray += g
+      if (f > 0) motion += math.abs(g - gray(frames(f - 1), x, y))
+    }
+    (sumGray, motion)
+  }
+
   /** Raster resize (bilinear) — real pixels in, real pixels out. */
   def resize(img: BufferedImage, width: Int, height: Int): BufferedImage = {
     val out = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)

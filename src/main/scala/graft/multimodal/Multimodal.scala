@@ -50,15 +50,17 @@ object Multimodal {
       StructField("durationMs", LongType, nullable = false))), nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
-  /** Per-record feature function. IMAGE payloads decode for REAL through
-    * [[Codecs.decodeImage]] (JDK ImageIO — PNG/JPEG/GIF/BMP) into mean-RGB
-    * features, and AUDIO payloads through [[Codecs.decodeWavPcm16]]
-    * (javax.sound.sampled — WAV/PCM) into [mean |amplitude| in [0,1],
-    * zero-crossing rate]; undecodable bytes (truncated containers, corrupt
-    * uploads, non-WAV audio) fall back to the byte-histogram stand-in
-    * instead of failing the task — per-record isolation, like the
-    * reference's per-file skips. VIDEO keeps the stand-in: the JDK ships
-    * no video codec, and this container has none to call.
+  /** Per-record feature function — every modality decodes through a REAL
+    * JDK codec when the bytes allow it. IMAGE via [[Codecs.decodeImage]]
+    * (ImageIO — PNG/JPEG/GIF/BMP) into mean-RGB; AUDIO via
+    * [[Codecs.decodeWavPcm16]] (javax.sound.sampled — WAV/PCM) into
+    * [mean |amplitude| in [0,1], zero-crossing rate]; VIDEO via
+    * [[Codecs.decodeGifFrames]] (multi-frame GIF — the one video-shaped
+    * container the JDK both reads and writes) into [mean gray in [0,1],
+    * inter-frame motion rate]. Undecodable bytes (truncated containers,
+    * corrupt uploads, codecs the JDK lacks — e.g. H.264) fall back to the
+    * byte-histogram stand-in instead of failing the task — per-record
+    * isolation, like the reference's per-file skips.
     */
   private def features(kind: String, payload: Array[Byte]): Array[Double] = kind match {
     case "image" =>
@@ -68,6 +70,14 @@ object Multimodal {
         val (sumAbs, crossings) = Codecs.pcmStats(samples)
         val n = math.max(samples.length, 1).toDouble
         Array(sumAbs / (n * 32768.0), crossings / n)
+      }.getOrElse(decodeStub(payload))
+    case "video" =>
+      Codecs.decodeGifFrames(payload).map { frames =>
+        val (sumGray, motion) = Codecs.frameStats(frames)
+        val totalPx = frames.iterator.map(f => f.getWidth.toLong * f.getHeight).sum
+        val deltaPx = totalPx - frames.head.getWidth.toLong * frames.head.getHeight
+        Array(sumGray / (totalPx * 255.0),
+          if (deltaPx > 0) motion / (deltaPx * 255.0) else 0.0)
       }.getOrElse(decodeStub(payload))
     case _ => decodeStub(payload)
   }

@@ -106,6 +106,33 @@ object MultimodalQueries {
         }
         .toDF("doc_id", "n_samples", "sample_rate", "sum_abs", "n_crossings")
         .orderBy("doc_id")
+    },
+
+    // REAL video-frame decode under the hash gate, completing the modality
+    // set: every doc synthesizes a multi-frame animated GIF (lossless
+    // 256-gray palette) from a per-frame-pixel formula, the engine decodes
+    // every frame with the JDK GIF reader (the same path extractFeatures
+    // runs for video payloads) and reports integer-exact total luminance
+    // and inter-frame motion. DuckDB recomputes both from the formula.
+    "q79_multimodal_video" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val frames = (id % 5 + 2).toInt
+          val w = (id % 12 + 2).toInt
+          val h = (id % 10 + 2).toInt
+          val gif = Codecs.encodeGifAnimated(w, h, frames, (f, x, y) =>
+            ((f * 31L + x * 7L + y * 11L + id) % 256).toInt)
+          val decoded = Codecs.decodeGifFrames(gif).getOrElse(
+            throw new IllegalStateException(s"GIF round trip failed for doc_id=$id"))
+          require(decoded.length == frames,
+            s"frame count mismatch for doc_id=$id: ${decoded.length} != $frames")
+          val (sumGray, motion) = Codecs.frameStats(decoded)
+          (id, decoded.length, sumGray, motion)
+        }
+        .toDF("doc_id", "n_frames", "sum_gray", "sum_motion")
+        .orderBy("doc_id")
     }
   )
 
@@ -187,6 +214,30 @@ object MultimodalQueries {
         |  sum(abs(s))::BIGINT AS sum_abs,
         |  sum(CASE WHEN prev IS NOT NULL AND prev * s < 0 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_crossings
-        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Frame formula recompute: frames = id%5+2, w = id%12+2, h = id%10+2,
+    // gray(f,x,y) = (31f + 7x + 11y + id) % 256. Motion compares each
+    // pixel against the SAME pixel in the previous frame — both values
+    // are closed-form, so no window function is needed.
+    "q79_multimodal_video" ->
+      """WITH fs AS (SELECT unnest(range(0, 6)) AS f),
+        |     xs AS (SELECT unnest(range(0, 13)) AS x),
+        |     ys AS (SELECT unnest(range(0, 11)) AS y),
+        |     px AS (
+        |       SELECT d.doc_id,
+        |              (fs.f * 31 + xs.x * 7 + ys.y * 11 + d.doc_id) % 256 AS g,
+        |              CASE WHEN fs.f > 0
+        |                   THEN ((fs.f - 1) * 31 + xs.x * 7 + ys.y * 11 + d.doc_id) % 256
+        |              END AS gp
+        |       FROM documents d CROSS JOIN fs CROSS JOIN xs CROSS JOIN ys
+        |       WHERE fs.f <= d.doc_id % 5 + 1
+        |         AND xs.x <= d.doc_id % 12 + 1
+        |         AND ys.y <= d.doc_id % 10 + 1)
+        |SELECT doc_id,
+        |  (doc_id % 5 + 2)::INT AS n_frames,
+        |  sum(g)::BIGINT AS sum_gray,
+        |  sum(CASE WHEN gp IS NOT NULL THEN abs(g - gp) ELSE 0 END)::BIGINT AS sum_motion
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

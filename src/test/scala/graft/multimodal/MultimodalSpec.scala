@@ -161,6 +161,37 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(feats(2L).features.sum - 1.0) < 1e-9)
   }
 
+  test("real animated-GIF round trip: encode → JDK decode, exact gray frames") {
+    val gif = Codecs.encodeGifAnimated(4, 3, 3, (f, x, y) => (f * 50 + x * 10 + y) % 256)
+    val frames = Codecs.decodeGifFrames(gif).get
+    assert(frames.length == 3)
+    assert(frames.forall(fr => fr.getWidth == 4 && fr.getHeight == 3))
+    // lossless gray palette: every decoded pixel equals the formula
+    for (f <- 0 until 3; y <- 0 until 3; x <- 0 until 4) {
+      val g = frames(f).getRGB(x, y) & 0xff
+      assert(g == (f * 50 + x * 10 + y) % 256, s"frame $f pixel ($x,$y)")
+    }
+    val (sumGray, motion) = Codecs.frameStats(frames)
+    val expGray = (for (f <- 0 until 3; y <- 0 until 3; x <- 0 until 4)
+      yield (f * 50 + x * 10 + y) % 256).sum
+    assert(sumGray == expGray)
+    // consecutive frames differ by exactly 50 per pixel here (no mod wrap)
+    assert(motion == 2L * 12 * 50)
+    assert(Codecs.decodeGifFrames("not a gif".getBytes).isEmpty)
+  }
+
+  test("video features are REAL frame stats for GIF bytes, stub otherwise") {
+    // 2 frames, constant gray 100 then 150: mean gray 125/255, motion 50/255
+    val gif = Codecs.encodeGifAnimated(5, 4, 2, (f, _, _) => 100 + f * 50)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.MediaMeta("video", 5, 4, 0, 0L), gif),
+      Multimodal.MediaRecord(2L, Multimodal.MediaMeta("video", 0, 0, 0, 0L),
+        "plain text payload".getBytes))
+    val feats = Multimodal.extractFeatures(rows.toDS()).collect().map(f => f.id -> f).toMap
+    assert(feats(1L).features.toSeq == Seq(125.0 / 255, 50.0 / 255))
+    assert(feats(2L).features.length == 8) // stub histogram shape
+  }
+
   test("resize produces requested raster; constant color is preserved") {
     val img = Codecs.decodeImage(Codecs.encodePng(8, 8, (_, _) => 0x336699)).get
     val small = Codecs.resize(img, 3, 2)
