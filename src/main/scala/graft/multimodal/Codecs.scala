@@ -157,15 +157,32 @@ object Codecs {
     * bundled GIF writer. `grayAt(frame, x, y)` returns 0..255. All frames
     * are full rasters at (0,0) — no partial-frame composition.
     */
+  /** One GIF writer per executor thread: `ImageIO.getImageWritersBySuffix`
+    * walks the (synchronized) global SPI registry, and writer instances
+    * are stateful but reusable after `reset()` — per-record lookup was a
+    * measured hot spot on decode-heavy corpora.
+    */
+  private val gifWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersBySuffix("gif").next()
+  }
+
   def encodeGifAnimated(width: Int, height: Int, frames: Int,
                         grayAt: (Int, Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && frames > 0, s"bad shape ${width}x$height x$frames")
-    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    val writer = gifWriter.get()
     val out = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(out)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
+      // All frames share dimensions and palette, so the per-image
+      // metadata is built ONCE per file, not once per frame (the DOM
+      // round trip below is the expensive part of an encode). The
+      // writer's DEFAULT sequence metadata sets interlaceFlag=TRUE, and
+      // the JDK's interlaced round trip scrambles rows on frames shorter
+      // than the 8-row interlace stride — store progressive.
+      var meta: javax.imageio.metadata.IIOMetadata = null
       for (f <- 0 until frames) {
         val img = new BufferedImage(width, height,
           BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
@@ -179,24 +196,23 @@ object Codecs {
           }
           y += 1
         }
-        // The writer's DEFAULT sequence metadata sets interlaceFlag=TRUE,
-        // and the JDK's interlaced round trip scrambles rows on frames
-        // shorter than the 8-row interlace stride — store progressive.
-        val meta = writer.getDefaultImageMetadata(
-          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
-        val fmt = meta.getNativeMetadataFormatName
-        val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-        val descs = root.getElementsByTagName("ImageDescriptor")
-        if (descs.getLength > 0)
-          descs.item(0).asInstanceOf[org.w3c.dom.Element]
-            .setAttribute("interlaceFlag", "FALSE")
-        meta.setFromTree(fmt, root)
+        if (meta == null) {
+          meta = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+          val fmt = meta.getNativeMetadataFormatName
+          val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val descs = root.getElementsByTagName("ImageDescriptor")
+          if (descs.getLength > 0)
+            descs.item(0).asInstanceOf[org.w3c.dom.Element]
+              .setAttribute("interlaceFlag", "FALSE")
+          meta.setFromTree(fmt, root)
+        }
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
       }
       writer.endWriteSequence()
     } finally {
       ios.close()
-      writer.dispose()
+      writer.reset() // reusable; dispose() would kill the thread-local
     }
     out.toByteArray
   }

@@ -67,6 +67,9 @@ object MultimodalQueries {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
+        // the id column scans as ONE partition at small SF; codec work
+        // must spread across every core (the shuffle moves only longs)
+        .repartition(s.sparkContext.defaultParallelism)
         .map { id =>
           val w = (id % 16 + 1).toInt
           val h = (id % 12 + 1).toInt
@@ -93,6 +96,9 @@ object MultimodalQueries {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
+        // the id column scans as ONE partition at small SF; codec work
+        // must spread across every core (the shuffle moves only longs)
+        .repartition(s.sparkContext.defaultParallelism)
         .map { id =>
           val n = (id % 192 + 16).toInt
           val rate = if (id % 2 == 0) 16000 else 8000
@@ -118,6 +124,9 @@ object MultimodalQueries {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
+        // the id column scans as ONE partition at small SF; codec work
+        // must spread across every core (the shuffle moves only longs)
+        .repartition(s.sparkContext.defaultParallelism)
         .map { id =>
           val frames = (id % 5 + 2).toInt
           val w = (id % 12 + 2).toInt
