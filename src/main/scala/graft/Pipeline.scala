@@ -253,7 +253,10 @@ object Pipeline {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("status")) return statusMain(args.drop(1))
     if (args.headOption.contains("cleanup")) return cleanupMain(args.drop(1))
-    require(args.length >= 2, "usage: Pipeline <inPathOrDir> <outDir> [parquet|csv|json]")
+    require(args.length >= 2,
+      "usage: Pipeline <inPathOrDir> <outDir> [parquet|csv|json] | " +
+        "Pipeline status <outDir> [RUNNING|SUCCESS|FAILED] [limit] | " +
+        "Pipeline cleanup <outDir> [--force] [--delete-ledger]")
     val spark = graft.core.EngineSession.create()
     val in = args(0)
     val source =

@@ -66,6 +66,16 @@ class PlanSpec extends SparkSpec {
     assert(semiBroadcast, s"q71 semi-join did not broadcast:\n$p71")
   }
 
+  test("codec queries spread decode work across cores (round-robin exchange)") {
+    // The id-only documents scan is ONE partition at small SF; without the
+    // explicit repartition every per-doc encode/decode serializes on a
+    // single thread (measured 3x on q79 before the gate existed).
+    for (name <- Seq("q77_multimodal_decode", "q78_multimodal_audio", "q79_multimodal_video")) {
+      val p = plan(multimodal.MultimodalQueries.queries(name)(spark, dir))
+      assert(p.contains("Exchange RoundRobinPartitioning"), s"$name lost its repartition:\n$p")
+    }
+  }
+
   test("brute-force kNN is a broadcast nested-loop, not a shuffled cross") {
     val p = plan(similarity.BruteForceKnn.topK(
       sources.Tables.load(spark, dir, "embeddings"),
