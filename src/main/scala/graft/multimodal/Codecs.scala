@@ -22,12 +22,36 @@ object Codecs {
 
   ImageIO.setUseCache(false)
 
-  /** Decode any ImageIO-supported container to a raster. None for bytes no
-    * installed reader accepts (including truncated/header-only payloads).
+  /** Default decode ceiling: 32M pixels ≈ a 128 MB ARGB raster. A few KB
+    * of compressed bytes can legally declare a multi-gigapixel image
+    * (decompression bomb); on an executor that is an OOM, not an error
+    * you can catch. The header carries the dimensions, so the bound is
+    * checked BEFORE any pixel is inflated.
     */
-  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+  val DefaultMaxPixels: Long = 32L * 1024 * 1024
+
+  /** Decode any ImageIO-supported container to a raster. None for bytes no
+    * installed reader accepts (including truncated/header-only payloads)
+    * and for images whose DECLARED dimensions exceed `maxPixels` — the
+    * decompression-bomb guard reads only the header before deciding.
+    */
+  def decodeImage(bytes: Array[Byte], maxPixels: Long = DefaultMaxPixels): Option[BufferedImage] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          if (r.getWidth(0).toLong * r.getHeight(0) > maxPixels) None
+          else Option(r.read(0))
+        } finally {
+          r.dispose()
+          iis.close()
+        }
+      }
+    } catch { case _: Exception => None }
 
   /** Encode a deterministic raster as a real PNG. `rgbAt(x, y)` returns
     * packed 0xRRGGBB. Used by the q77 round trip and specs; production
@@ -218,11 +242,14 @@ object Codecs {
   }
 
   /** Decode every frame of a GIF through the JDK reader. None for bytes no
-    * GIF reader accepts. Frames are returned as stored; callers with wild
+    * GIF reader accepts and for files whose summed DECLARED frame area
+    * exceeds `maxPixels` (the bomb guard, checked from headers before any
+    * frame inflates). Frames are returned as stored; callers with wild
     * GIFs (partial frames, disposal methods) must compose — the engine's
     * synthesized corpora store full frames.
     */
-  def decodeGifFrames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+  def decodeGifFrames(bytes: Array[Byte],
+                      maxPixels: Long = DefaultMaxPixels): Option[IndexedSeq[BufferedImage]] =
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       val readers = ImageIO.getImageReaders(iis)
@@ -232,7 +259,10 @@ object Codecs {
         try {
           r.setInput(iis)
           val n = r.getNumImages(true)
-          if (n <= 0) None else Some((0 until n).map(r.read))
+          val declared = (0 until n).iterator
+            .map(i => r.getWidth(i).toLong * r.getHeight(i)).sum
+          if (n <= 0 || declared > maxPixels) None
+          else Some((0 until n).map(r.read))
         } finally {
           r.dispose()
           iis.close()
@@ -243,15 +273,27 @@ object Codecs {
   /** Integer-exact frame statistics for a gray frame sequence: total
     * luminance Σgray over all frames and total motion Σ|Δgray| between
     * consecutive frames — both oracle-recomputable with zero tolerance.
+    *
+    * Wild GIFs may store PARTIAL frames (smaller rasters composited at an
+    * offset); motion compares only the overlapping region of consecutive
+    * frames, so mismatched dimensions degrade the statistic instead of
+    * throwing inside an executor task.
     */
   def frameStats(frames: Seq[BufferedImage]): (Long, Long) = {
     def gray(img: BufferedImage, x: Int, y: Int): Long = img.getRGB(x, y) & 0xff
     var sumGray = 0L
     var motion = 0L
-    for (f <- frames.indices; y <- 0 until frames(f).getHeight; x <- 0 until frames(f).getWidth) {
-      val g = gray(frames(f), x, y)
-      sumGray += g
-      if (f > 0) motion += math.abs(g - gray(frames(f - 1), x, y))
+    for (f <- frames.indices) {
+      val cur = frames(f)
+      for (y <- 0 until cur.getHeight; x <- 0 until cur.getWidth)
+        sumGray += gray(cur, x, y)
+      if (f > 0) {
+        val prev = frames(f - 1)
+        val w = math.min(cur.getWidth, prev.getWidth)
+        val h = math.min(cur.getHeight, prev.getHeight)
+        for (y <- 0 until h; x <- 0 until w)
+          motion += math.abs(gray(cur, x, y) - gray(prev, x, y))
+      }
     }
     (sumGray, motion)
   }

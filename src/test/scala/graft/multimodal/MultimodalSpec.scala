@@ -192,6 +192,25 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).features.length == 8) // stub histogram shape
   }
 
+  test("decompression-bomb guard: declared pixel budget refuses before inflating") {
+    val png = Codecs.encodePng(5, 3, (_, _) => 0x112233) // 15 px
+    assert(Codecs.decodeImage(png).isDefined)
+    assert(Codecs.decodeImage(png, maxPixels = 14).isEmpty)
+    val gif = Codecs.encodeGifAnimated(4, 3, 2, (_, _, _) => 7) // 24 px declared
+    assert(Codecs.decodeGifFrames(gif).isDefined)
+    assert(Codecs.decodeGifFrames(gif, maxPixels = 23).isEmpty)
+    // WAV needs no guard: PCM is stored uncompressed, so decode output is
+    // bounded by the payload length itself.
+  }
+
+  test("mismatched frame dimensions degrade motion to the overlap, never throw") {
+    val a = Codecs.decodeImage(Codecs.encodePng(4, 4, (_, _) => 0x0a0a0a)).get // gray 10
+    val b = Codecs.decodeImage(Codecs.encodePng(2, 3, (_, _) => 0x141414)).get // gray 20
+    val (sumGray, motion) = Codecs.frameStats(Seq(a, b))
+    assert(sumGray == 16L * 10 + 6L * 20)
+    assert(motion == 6L * 10) // 2x3 overlap, |20-10| per pixel
+  }
+
   test("resize produces requested raster; constant color is preserved") {
     val img = Codecs.decodeImage(Codecs.encodePng(8, 8, (_, _) => 0x336699)).get
     val small = Codecs.resize(img, 3, 2)
