@@ -204,7 +204,14 @@ object Pipeline {
 
   /** `Pipeline cleanup <outDir> [--force] [--delete-ledger]`. */
   private def cleanupMain(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Pipeline cleanup <outDir> [--force] [--delete-ledger]")
+    val usage = "usage: Pipeline cleanup <outDir> [--force] [--delete-ledger]"
+    // The destination must be first: "cleanup --force /out" would treat
+    // the flag as the path, find nothing, and report success while /out
+    // stays untouched.
+    require(args.nonEmpty && !args(0).startsWith("-"), usage)
+    val unrecognized = args.drop(1).filterNot(Set("--force", "--delete-ledger"))
+    require(unrecognized.isEmpty,
+      s"unrecognized argument(s): ${unrecognized.mkString(", ")}\n$usage")
     val force = args.contains("--force")
     val spark = graft.core.EngineSession.create()
     val targets = cleanup(spark, args(0), force = force,
@@ -222,12 +229,30 @@ object Pipeline {
   /** `Pipeline status <outDir> [statusFilter] [limit]` — the ops dashboard
     * (status_check.py's job table + resource sizes, over the ledger).
     */
+  /** Typed positional args for `status`: a known status name (any case)
+    * is the filter, a bare number is the limit — "status /out 20" must
+    * not silently filter on status "20" and print an empty table —
+    * anything else errors loudly instead of defaulting.
+    */
+  private[graft] def parseStatusArgs(rest: Seq[String]): (Option[String], Int) = {
+    val statuses = Set("RUNNING", "SUCCESS", "FAILED")
+    val filter = rest.find(a => statuses.contains(a.toUpperCase)).map(_.toUpperCase)
+    val limit = rest.find(_.toIntOption.isDefined).flatMap(_.toIntOption)
+    val unrecognized = rest.filterNot(a =>
+      statuses.contains(a.toUpperCase) || a.toIntOption.isDefined)
+    require(unrecognized.isEmpty,
+      s"unrecognized argument(s): ${unrecognized.mkString(", ")}")
+    (filter, limit.getOrElse(10))
+  }
+
   private def statusMain(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Pipeline status <outDir> [RUNNING|SUCCESS|FAILED] [limit]")
+    val usage = "usage: Pipeline status <outDir> [RUNNING|SUCCESS|FAILED] [limit]"
+    require(args.nonEmpty && !args(0).startsWith("-"), usage)
+    val (filter, limit) = parseStatusArgs(args.drop(1).toSeq)
     val spark = graft.core.EngineSession.create()
     val report = status(spark, args(0),
-      statusFilter = args.lift(1),
-      limit = args.lift(2).flatMap(_.toIntOption).getOrElse(10))
+      statusFilter = filter,
+      limit = limit)
     println(s"destination: ${args(0)}")
     println(f"data: ${report.dataBytes}%d bytes in ${report.dataObjects}%d objects")
     println("jobs: " + (if (report.statusCounts.isEmpty) "none"

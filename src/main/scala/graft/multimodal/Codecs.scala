@@ -194,6 +194,10 @@ object Codecs {
   def encodeGifAnimated(width: Int, height: Int, frames: Int,
                         grayAt: (Int, Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && frames > 0, s"bad shape ${width}x$height x$frames")
+    // GIF stores dimensions as u16: a 70000-wide raster would silently
+    // wrap to 4464 in the descriptor and decode with the wrong shape.
+    require(width <= 0xffff && height <= 0xffff,
+      s"GIF dimensions are 16-bit; got ${width}x$height")
     val writer = gifWriter.get()
     val out = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(out)

@@ -64,7 +64,13 @@ object Multimodal {
     */
   private def features(kind: String, payload: Array[Byte]): Array[Double] = kind match {
     case "image" =>
-      Codecs.decodeImage(payload).map(Codecs.meanRgb).getOrElse(decodeStub(payload))
+      // Tiny payloads that carry no pixel-data marker (PNG IDAT / JPEG
+      // SOS) can never decode — skip straight to the stand-in instead of
+      // paying reader setup + a thrown IIOException per record (the
+      // header-only corpora q34/q35 synthesize are exactly this shape).
+      // Payloads past the size cap skip the scan and just attempt decode.
+      if (payload.length < 256 && !hasPixelDataMarker(payload)) decodeStub(payload)
+      else Codecs.decodeImage(payload).map(Codecs.meanRgb).getOrElse(decodeStub(payload))
     case "audio" =>
       Codecs.decodeWavPcm16(payload).map { case (_, samples) =>
         val (sumAbs, crossings) = Codecs.pcmStats(samples)
@@ -80,6 +86,25 @@ object Multimodal {
           if (deltaPx > 0) motion / (deltaPx * 255.0) else 0.0)
       }.getOrElse(decodeStub(payload))
     case _ => decodeStub(payload)
+  }
+
+  /** True when a PNG payload contains an IDAT chunk or a JPEG payload a
+    * SOS (start-of-scan) marker — the sections actual pixel data lives
+    * in. Non-PNG/JPEG bytes return true (other containers are cheap for
+    * the decoder itself to refuse).
+    */
+  private def hasPixelDataMarker(payload: Array[Byte]): Boolean = {
+    val isPng = payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    val isJpeg = payload.length >= 2 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+    if (isPng)
+      payload.sliding(4).exists(w =>
+        w.length == 4 && w(0) == 'I' && w(1) == 'D' && w(2) == 'A' && w(3) == 'T')
+    else if (isJpeg)
+      payload.sliding(2).exists(w =>
+        w.length == 2 && (w(0) & 0xff) == 0xff && (w(1) & 0xff) == 0xda)
+    else true
   }
 
   /** ??? in spirit for the NON-image modalities: where a real codec

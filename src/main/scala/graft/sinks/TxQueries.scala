@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * hash-checked CORRECTNESS row like every read operator, not just specs.
   *
   * The table lives in a fresh temp dir per invocation (MERGE is a mutation;
-  * reusing a dir across verify/bench repeats would compound). A shutdown
-  * hook reaps the dirs so repeated bench runs don't accumulate.
+  * reusing a dir across verify/bench repeats would compound). Each new
+  * invocation reaps the PREVIOUS invocation's dir first (its result has
+  * been consumed by then — verify writes and bench counts eagerly), and a
+  * shutdown hook reaps the last one — disk use stays bounded at one table
+  * however many times the battery repeats.
   */
 object TxQueries {
 
@@ -33,6 +36,10 @@ object TxQueries {
 
   private def freshTableDir(): String = {
     reaper
+    // Previous invocations' tables are dead by now: their DataFrames were
+    // consumed eagerly before the battery moved on.
+    var prev = created.poll()
+    while (prev != null) { deleteRecursively(prev); prev = created.poll() }
     val d = java.nio.file.Files.createTempDirectory("graft-txtable-q").toFile
     created.add(d)
     d.getAbsolutePath

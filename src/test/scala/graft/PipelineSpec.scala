@@ -71,6 +71,15 @@ class PipelineSpec extends SparkSpec {
     assert(failedOnly.statusCounts == report.statusCounts)
   }
 
+  test("status args are typed: numbers are limits, names are filters, junk errors") {
+    assert(Pipeline.parseStatusArgs(Seq.empty) == (None, 10))
+    assert(Pipeline.parseStatusArgs(Seq("20")) == (None, 20))
+    assert(Pipeline.parseStatusArgs(Seq("failed")) == (Some("FAILED"), 10))
+    assert(Pipeline.parseStatusArgs(Seq("SUCCESS", "5")) == (Some("SUCCESS"), 5))
+    assert(Pipeline.parseStatusArgs(Seq("5", "running")) == (Some("RUNNING"), 5))
+    intercept[IllegalArgumentException](Pipeline.parseStatusArgs(Seq("bogus")))
+  }
+
   test("cleanup subcommand: dry-run by default, --force deletes, ledger kept") {
     val in = tmpDir("pipe-clean-in")
     val out = tmpDir("pipe-clean-out")

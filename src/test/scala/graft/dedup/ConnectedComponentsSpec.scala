@@ -64,12 +64,6 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(perComponent == 1L, "a component must never straddle splits")
   }
 
-  /** Negative control for the q69 leak counter: the counter pins the
-    * "split hashes the COMPONENT id" contract (a pure function of the
-    * component, so countDistinct(split) per component is structurally 1).
-    * To show the counter is capable of firing at all, split by ROW id
-    * instead — multi-row components must then straddle splits.
-    */
   test("q75 (forced distributed) labels the real corpus identically to q48") {
     val dir = "/root/testdata/sf0.001"
     val adaptive = DedupQueries.queries("q48_dup_components")(spark, dir).collect().toSeq
@@ -79,6 +73,12 @@ class ConnectedComponentsSpec extends SparkSpec {
       "distributed label propagation must reproduce the union-find labeling")
   }
 
+  /** Negative control for the q69 leak counter: the counter pins the
+    * "split hashes the COMPONENT id" contract (a pure function of the
+    * component, so countDistinct(split) per component is structurally 1).
+    * To show the counter is capable of firing at all, split by ROW id
+    * instead — multi-row components must then straddle splits.
+    */
   test("row-id split (negative control) makes the leak counter fire") {
     val vertices = (1L to 40L).toDF("id")
     // 10 pair-components: (1,2), (3,4), ... (19,20); 21-40 isolates
