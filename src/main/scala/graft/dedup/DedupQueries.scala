@@ -18,6 +18,34 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Synthetic ingest batch for q80/q81, exercising every kill path of one
+    * incremental cycle:
+    *   - exact corpus copies   (id%10==0 → id+1M, original text)   — die at the corpus probe;
+    *   - duplicate re-uploads  (id%20==0 → id+3M, same text as the +1M twin) — die at intra-batch EXACT dedup (higher id);
+    *   - near-dup variants     (id%15==0 with ≥18 shingles → id+4M, text + unique tail token; Jaccard n/(n+2) ≥ 0.9 vs the original) —
+    *     die intra-batch against the +1M twin when id%30==0, at the corpus probe otherwise;
+    *   - genuinely novel docs  (id%7==0 → id+2M, 20 repeats of a per-id zzqq token: one distinct shingle, shared with nothing) — survive.
+    * The ≥18-shingle guard keeps every real near-dup edge at Jaccard ≥ 0.9,
+    * where the banded-LSH catch probability is 1-1e-15 — the engine/oracle
+    * agreement is the same deterministic-recall argument q21 rests on.
+    */
+  private def ingestBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val copies = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val reuploads = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    val nearVariants = d.filter(col("doc_id") % 15 === 0)
+      .filter(size(Shingles.shingleSet(col("text"))) >= 18)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" zzqq"), col("doc_id").cast("string"), lit("tail")).as("text"))
+    val novel = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ",
+          array_repeat(concat(lit("zzqq"), col("doc_id").cast("string")), 20)).as("text"))
+    copies.unionByName(reuploads).unionByName(nearVariants).unionByName(novel)
+  }
+
   /** documents ∪ copies of every 10th doc under shifted ids. */
   private def docsWithDuplicates(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
@@ -127,6 +155,28 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    // One incremental-ingest cycle over the corpus — the production loop:
+    // a synthetic batch exercising every kill path (exact corpus copies,
+    // duplicate re-uploads, near-dup variants, genuinely novel docs) runs
+    // exact dedup → intra-batch near-dup → corpus probe, and only the
+    // novel docs come out. Oracle: DuckDB re-implements all four stages
+    // relationally (batch synthesis arithmetic, min-id-per-text, exact
+    // Jaccard graph + recursive components, cross-corpus Jaccard).
+    "q80_ingest_survivors" -> { (s, dir) =>
+      val d = docs(s, dir)
+      IncrementalIngest.survivors(
+        MinHashDedup.buildIndex(d, "doc_id", "text"),
+        ingestBatch(s, dir), "doc_id", "text")
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+
+    // The same cycle's operational report: per-stage row counts.
+    "q81_ingest_report" -> { (s, dir) =>
+      IncrementalIngest.report(
+        MinHashDedup.buildIndex(docs(s, dir), "doc_id", "text"),
+        ingestBatch(s, dir), "doc_id", "text")
+    },
+
     // Same semantics as q48, but with the driver-side union-find DISABLED
     // (maxLocalEdges = 0): this forces the distributed min-label-propagation
     // path — the one a 100 TB edge set would take — so the scale path itself
@@ -230,6 +280,63 @@ object DedupQueries {
       |  JOIN sz x ON x.doc_id = id_a
       |  JOIN sz y ON y.doc_id = id_b)""".stripMargin
 
+  /** DuckDB recompute of one full ingest cycle (q80/q81): batch synthesis
+    * arithmetic, min-bid-per-text exact dedup, exact-Jaccard graph +
+    * recursive min-label components for the intra-batch stage, and the
+    * cross-corpus exact-Jaccard probe. Ends with CTEs `batch`, `exact`,
+    * `intra`, and `surv` for the oracles to select from.
+    */
+  private val ingestStagesSql =
+    """t15 AS (SELECT doc_id, string_split(text, ' ') ts FROM documents WHERE doc_id % 15 = 0),
+      |i15 AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) i FROM t15 WHERE len(ts) >= 3),
+      |ok15 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, count(DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) n
+      |    FROM i15 GROUP BY doc_id) WHERE n >= 18),
+      |batch AS (
+      |  SELECT doc_id + 1000000 AS bid, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT d.doc_id + 4000000, d.text || ' zzqq' || d.doc_id || 'tail'
+      |  FROM documents d JOIN ok15 USING (doc_id)
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, trim(repeat('zzqq' || doc_id || ' ', 20))
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |exact AS (SELECT min(bid) AS bid, text FROM batch GROUP BY text),
+      |btoks AS (SELECT bid, string_split(text, ' ') ts FROM exact),
+      |bidx AS (SELECT bid, ts, unnest(range(1, len(ts) - 1)) i FROM btoks WHERE len(ts) >= 3),
+      |bsh AS (SELECT DISTINCT bid, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] s FROM bidx),
+      |bsz AS (SELECT bid, count(*) n FROM bsh GROUP BY 1),
+      |binter AS (
+      |  SELECT a.bid ba, b.bid bb, count(*) c
+      |  FROM bsh a JOIN bsh b ON a.s = b.s AND a.bid < b.bid GROUP BY 1, 2),
+      |bedges AS (
+      |  SELECT ba, bb FROM binter
+      |  JOIN bsz x ON x.bid = ba JOIN bsz y ON y.bid = bb
+      |  WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+      |bsym AS (SELECT ba s, bb d FROM bedges UNION ALL SELECT bb, ba FROM bedges),
+      |breach AS (
+      |  SELECT bid AS id, bid AS r FROM exact
+      |  UNION
+      |  SELECT breach.id, bsym.d FROM breach JOIN bsym ON breach.r = bsym.s),
+      |intra AS (
+      |  SELECT id AS bid FROM (SELECT id, min(r) comp FROM breach GROUP BY id)
+      |  WHERE id = comp),
+      |ctoks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |cidx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) i FROM ctoks WHERE len(ts) >= 3),
+      |csh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] s FROM cidx),
+      |csz AS (SELECT doc_id, count(*) n FROM csh GROUP BY 1),
+      |xinter AS (
+      |  SELECT b.bid, c.doc_id, count(*) cc
+      |  FROM bsh b JOIN intra i ON i.bid = b.bid JOIN csh c ON b.s = c.s
+      |  GROUP BY 1, 2),
+      |xhit AS (
+      |  SELECT DISTINCT x.bid FROM xinter x
+      |  JOIN bsz bz ON bz.bid = x.bid JOIN csz cz ON cz.doc_id = x.doc_id
+      |  WHERE cc * 1.0 / (bz.n + cz.n - cc) >= 0.5),
+      |surv AS (SELECT bid FROM intra WHERE bid NOT IN (SELECT bid FROM xhit))""".stripMargin
+
   /** Transitive closure over the exact-Jaccard ≥ 0.5 edge set — the
     * component oracle shared by q48 (adaptive path) and q75 (forced
     * distributed path); both must produce the identical min-id labeling.
@@ -290,6 +397,18 @@ object DedupQueries {
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q80_ingest_survivors" ->
+      s"""WITH RECURSIVE $ingestStagesSql
+         |SELECT bid AS doc_id FROM surv ORDER BY doc_id""".stripMargin,
+
+    "q81_ingest_report" ->
+      s"""WITH RECURSIVE $ingestStagesSql
+         |SELECT
+         |  (SELECT count(*) FROM batch)::BIGINT AS n_batch,
+         |  (SELECT count(*) FROM exact)::BIGINT AS n_after_exact,
+         |  (SELECT count(*) FROM intra)::BIGINT AS n_after_intra,
+         |  (SELECT count(*) FROM surv)::BIGINT AS n_survivors""".stripMargin,
 
     "q48_dup_components" -> componentsOracle,
 

@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Corpus: two dissimilar documents.
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy sleeping dog tonight again"),
+    (2L, "pack my box with five dozen liquor jugs before the morning train")
+  ).toDF("doc_id", "text")
+
+  // Batch kill paths, one of each:
+  //  10 — exact copy of corpus doc 1            → dies at the corpus probe
+  //  11 — novel text                            → survives
+  //  12 — exact copy of 11                      → dies at intra-batch EXACT dedup
+  //  13 — near-dup of 11 (last of 12 words
+  //       differs: 9 shared of 11 distinct
+  //       trigrams, Jaccard 9/11 ≈ 0.82)        → dies at intra-batch NEAR dedup
+  //  14 — near-dup of corpus doc 2 (one word
+  //       appended: Jaccard 10/11 ≈ 0.91)       → dies at the corpus probe
+  private val novel =
+    "colorless green ideas sleep furiously while seven untranslatable words drift past midnight"
+  private val batch = Seq(
+    (10L, "the quick brown fox jumps over the lazy sleeping dog tonight again"),
+    (11L, novel),
+    (12L, novel),
+    (13L, novel.replace("midnight", "noon")),
+    (14L, "pack my box with five dozen liquor jugs before the morning train arrives")
+  ).toDF("doc_id", "text")
+
+  private def index = MinHashDedup.buildIndex(corpus, "doc_id", "text")
+
+  test("survivors: every kill path fires; only the novel doc gets in") {
+    val out = IncrementalIngest.survivors(index, batch, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(11L))
+  }
+
+  test("report counts each stage's removals") {
+    val r = IncrementalIngest.report(index, batch, "doc_id", "text", threshold = 0.5)
+      .collect().head
+    assert(r.getAs[Long]("n_batch") == 5L)
+    assert(r.getAs[Long]("n_after_exact") == 4L) // 12 dies (copy of 11)
+    assert(r.getAs[Long]("n_after_intra") == 3L) // 13 dies (near-dup of 11)
+    assert(r.getAs[Long]("n_survivors") == 1L)   // 10 and 14 die at the probe
+  }
+
+  test("an empty batch yields an empty survivor set and a zero report") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(IncrementalIngest.survivors(index, empty, "doc_id", "text").count() == 0L)
+    val r = IncrementalIngest.report(index, empty, "doc_id", "text").collect().head
+    assert((0 to 3).forall(i => r.getLong(i) == 0L))
+  }
+
+  test("cycle closes: survivors merged into the corpus kill their own re-uploads") {
+    val grown = corpus.unionByName(
+      IncrementalIngest.survivors(index, batch, "doc_id", "text"))
+    val reupload = Seq((20L, novel)).toDF("doc_id", "text")
+    val next = IncrementalIngest.survivors(
+      MinHashDedup.buildIndex(grown, "doc_id", "text"), reupload, "doc_id", "text")
+    assert(next.count() == 0L, "the second upload of a kept doc must be rejected")
+  }
+}
