@@ -236,13 +236,18 @@ object Pipeline {
     */
   private[graft] def parseStatusArgs(rest: Seq[String]): (Option[String], Int) = {
     val statuses = Set("RUNNING", "SUCCESS", "FAILED")
-    val filter = rest.find(a => statuses.contains(a.toUpperCase)).map(_.toUpperCase)
-    val limit = rest.find(_.toIntOption.isDefined).flatMap(_.toIntOption)
+    val filters = rest.filter(a => statuses.contains(a.toUpperCase)).map(_.toUpperCase)
+    val limits = rest.flatMap(_.toIntOption)
     val unrecognized = rest.filterNot(a =>
       statuses.contains(a.toUpperCase) || a.toIntOption.isDefined)
     require(unrecognized.isEmpty,
       s"unrecognized argument(s): ${unrecognized.mkString(", ")}")
-    (filter, limit.getOrElse(10))
+    // At most one of each: a duplicated or contradictory arg must error,
+    // not half-apply (dropping "RUNNING" from "status /out SUCCESS 5
+    // RUNNING" silently answers a different question).
+    require(filters.length <= 1, s"multiple status filters: ${filters.mkString(", ")}")
+    require(limits.length <= 1, s"multiple limits: ${limits.mkString(", ")}")
+    (filters.headOption, limits.headOption.getOrElse(10))
   }
 
   private def statusMain(args: Array[String]): Unit = {

@@ -20,7 +20,7 @@ object DedupQueries {
 
   /** Synthetic ingest batch for q80/q81, exercising every kill path of one
     * incremental cycle:
-    *   - exact corpus copies   (id%10==0 → id+1M, original text)   — die at the corpus probe;
+    *   - exact corpus copies   (id%10==0 → id+1M, original text)   — die at the exact corpus text-match stage;
     *   - duplicate re-uploads  (id%20==0 → id+3M, same text as the +1M twin) — die at intra-batch EXACT dedup (higher id);
     *   - near-dup variants     (id%15==0 with ≥18 shingles → id+4M, text + unique tail token; Jaccard n/(n+2) ≥ 0.9 vs the original) —
     *     die intra-batch against the +1M twin when id%30==0, at the corpus probe otherwise;
@@ -282,9 +282,10 @@ object DedupQueries {
 
   /** DuckDB recompute of one full ingest cycle (q80/q81): batch synthesis
     * arithmetic, min-bid-per-text exact dedup, exact-Jaccard graph +
-    * recursive min-label components for the intra-batch stage, and the
-    * cross-corpus exact-Jaccard probe. Ends with CTEs `batch`, `exact`,
-    * `intra`, and `surv` for the oracles to select from.
+    * recursive min-label components for the intra-batch stage, the exact
+    * corpus text-match kill, and the cross-corpus exact-Jaccard probe.
+    * Ends with CTEs `batch`, `exact`, `intra`, and `surv` for the oracles
+    * to select from.
     */
   private val ingestStagesSql =
     """t15 AS (SELECT doc_id, string_split(text, ' ') ts FROM documents WHERE doc_id % 15 = 0),
@@ -327,15 +328,18 @@ object DedupQueries {
       |cidx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) i FROM ctoks WHERE len(ts) >= 3),
       |csh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] s FROM cidx),
       |csz AS (SELECT doc_id, count(*) n FROM csh GROUP BY 1),
+      |noexact AS (
+      |  SELECT i.bid FROM intra i JOIN exact e ON e.bid = i.bid
+      |  WHERE e.text NOT IN (SELECT text FROM documents)),
       |xinter AS (
       |  SELECT b.bid, c.doc_id, count(*) cc
-      |  FROM bsh b JOIN intra i ON i.bid = b.bid JOIN csh c ON b.s = c.s
+      |  FROM bsh b JOIN noexact i ON i.bid = b.bid JOIN csh c ON b.s = c.s
       |  GROUP BY 1, 2),
       |xhit AS (
       |  SELECT DISTINCT x.bid FROM xinter x
       |  JOIN bsz bz ON bz.bid = x.bid JOIN csz cz ON cz.doc_id = x.doc_id
       |  WHERE cc * 1.0 / (bz.n + cz.n - cc) >= 0.5),
-      |surv AS (SELECT bid FROM intra WHERE bid NOT IN (SELECT bid FROM xhit))""".stripMargin
+      |surv AS (SELECT bid FROM noexact WHERE bid NOT IN (SELECT bid FROM xhit))""".stripMargin
 
   /** Transitive closure over the exact-Jaccard ≥ 0.5 edge set — the
     * component oracle shared by q48 (adaptive path) and q75 (forced

@@ -94,11 +94,17 @@ object MinHashDedup {
     * state that makes near-dup detection INCREMENTAL: a new crawl batch
     * probes the index instead of re-pairing the whole corpus.
     */
-  final case class Index(buckets: DataFrame, sets: DataFrame)
+  /** `textHashes` is the distinct xxhash64 of every corpus text, with NO
+    * shingle-width floor — sub-shingle-width docs (1-2 tokens) are
+    * invisible to `buckets`/`sets`, so exact-match consumers
+    * ([[IncrementalIngest]]) need this unfiltered view or short texts
+    * re-enter the corpus forever.
+    */
+  final case class Index(buckets: DataFrame, sets: DataFrame, textHashes: DataFrame)
 
-  /** Build the index for `docs`: buckets (band, bucket, id) and sets
-    * (id, shset). Same shingling/signature/banding parameters must be
-    * used for [[probe]].
+  /** Build the index for `docs`: buckets (band, bucket, id), sets
+    * (id, shset), and the unfiltered text-hash set. Same shingling/
+    * signature/banding parameters must be used for [[probe]].
     */
   def buildIndex(
       docs: DataFrame,
@@ -115,7 +121,8 @@ object MinHashDedup {
     val withSig = withSets.withColumn("sig", signature(col("shset"), bands * rows))
     val buckets = bandBuckets(withSig, "id", "sig", bands, rows)
       .select(col("band"), col("bucket"), col("id"))
-    Index(buckets, withSets)
+    Index(buckets, withSets,
+      docs.select(xxhash64(col(textCol)).as("text_hash")).distinct())
   }
 
   /** Probe the index with a NEW batch: pairs (new_id, corpus_id) whose

@@ -284,7 +284,15 @@ object Codecs {
     * throwing inside an executor task.
     */
   def frameStats(frames: Seq[BufferedImage]): (Long, Long) = {
-    def gray(img: BufferedImage, x: Int, y: Int): Long = img.getRGB(x, y) & 0xff
+    // Integer Rec.601 luminance: (299R + 587G + 114B) / 1000. The weights
+    // sum to exactly 1000, so for the gray frames this module encodes
+    // (R = G = B = palette index) this IS the palette value, bit-exact —
+    // while wild COLOR frames get real luminance instead of silently
+    // reading the blue channel.
+    def gray(img: BufferedImage, x: Int, y: Int): Long = {
+      val p = img.getRGB(x, y)
+      (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L
+    }
     var sumGray = 0L
     var motion = 0L
     for (f <- frames.indices) {

@@ -32,6 +32,14 @@ object ImageHeaders {
   def decode(bytes: Array[Byte]): Option[ImageMeta] =
     decodePng(bytes).orElse(decodeJpeg(bytes))
 
+  /** Full 8-byte PNG signature check — the single owner of "is a PNG". */
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (0 until 8).forall(i => b(i) == PngSig(i))
+
+  /** JPEG SOI marker check — the single owner of "is a JPEG". */
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
   /** PNG: signature + IHDR (must be the first chunk, per spec). */
   def decodePng(b: Array[Byte]): Option[ImageMeta] = {
     if (b.length < 33) return None

@@ -93,19 +93,14 @@ object Multimodal {
     * in. Non-PNG/JPEG bytes return true (other containers are cheap for
     * the decoder itself to refuse).
     */
-  private def hasPixelDataMarker(payload: Array[Byte]): Boolean = {
-    val isPng = payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
-      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
-    val isJpeg = payload.length >= 2 &&
-      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
-    if (isPng)
+  private def hasPixelDataMarker(payload: Array[Byte]): Boolean =
+    if (ImageHeaders.isPng(payload))
       payload.sliding(4).exists(w =>
         w.length == 4 && w(0) == 'I' && w(1) == 'D' && w(2) == 'A' && w(3) == 'T')
-    else if (isJpeg)
+    else if (ImageHeaders.isJpeg(payload))
       payload.sliding(2).exists(w =>
         w.length == 2 && (w(0) & 0xff) == 0xff && (w(1) & 0xff) == 0xda)
     else true
-  }
 
   /** ??? in spirit for the NON-image modalities: where a real codec
     * (ffmpeg frame grab, fbank front-end) would run. STUB: a deterministic

@@ -13,11 +13,11 @@ import org.apache.spark.sql.functions._
   * hash-checked CORRECTNESS row like every read operator, not just specs.
   *
   * The table lives in a fresh temp dir per invocation (MERGE is a mutation;
-  * reusing a dir across verify/bench repeats would compound). Each new
-  * invocation reaps the PREVIOUS invocation's dir first (its result has
-  * been consumed by then — verify writes and bench counts eagerly), and a
-  * shutdown hook reaps the last one — disk use stays bounded at one table
-  * however many times the battery repeats.
+  * reusing a dir across verify/bench repeats would compound). Invocations
+  * reap all but the few most-recent dirs (the returned frame reads its
+  * table lazily, so the newest dirs must outlive their consumers) and a
+  * shutdown hook reaps the rest — disk use stays bounded at a handful of
+  * tables however many times the battery repeats.
   */
 object TxQueries {
 
@@ -36,10 +36,12 @@ object TxQueries {
 
   private def freshTableDir(): String = {
     reaper
-    // Previous invocations' tables are dead by now: their DataFrames were
-    // consumed eagerly before the battery moved on.
-    var prev = created.poll()
-    while (prev != null) { deleteRecursively(prev); prev = created.poll() }
+    // Keep a few most-recent dirs alive instead of reaping everything:
+    // the returned DataFrame reads its table LAZILY, so a caller that
+    // builds several q76 frames before consuming them must not have the
+    // first one's files deleted from under it. Bench/Verify hold at most
+    // one unconsumed frame; the margin covers plan-then-execute callers.
+    while (created.size() > 3) deleteRecursively(created.poll())
     val d = java.nio.file.Files.createTempDirectory("graft-txtable-q").toFile
     created.add(d)
     d.getAbsolutePath

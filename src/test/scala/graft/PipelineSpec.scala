@@ -78,6 +78,10 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.parseStatusArgs(Seq("SUCCESS", "5")) == (Some("SUCCESS"), 5))
     assert(Pipeline.parseStatusArgs(Seq("5", "running")) == (Some("RUNNING"), 5))
     intercept[IllegalArgumentException](Pipeline.parseStatusArgs(Seq("bogus")))
+    // duplicated/contradictory args error instead of half-applying
+    intercept[IllegalArgumentException](
+      Pipeline.parseStatusArgs(Seq("SUCCESS", "5", "running")))
+    intercept[IllegalArgumentException](Pipeline.parseStatusArgs(Seq("5", "20")))
   }
 
   test("cleanup subcommand: dry-run by default, --force deletes, ledger kept") {

@@ -56,6 +56,21 @@ class IncrementalIngestSpec extends SparkSpec {
     assert((0 to 3).forall(i => r.getLong(i) == 0L))
   }
 
+  test("sub-shingle-width texts still dedup exactly against corpus and batch") {
+    // 2-token texts have EMPTY 3-shingle sets — invisible to the banded
+    // probe — so only the exact text-hash stage keeps them out.
+    val shortCorpus = corpus.unionByName(Seq((3L, "hello world")).toDF("doc_id", "text"))
+    val idx = MinHashDedup.buildIndex(shortCorpus, "doc_id", "text")
+    val shortBatch = Seq(
+      (30L, "hello world"),  // exact copy of a SHORT corpus doc → dies
+      (31L, "goodbye moon"), // novel short doc → survives
+      (32L, "goodbye moon")  // exact intra-batch copy → dies
+    ).toDF("doc_id", "text")
+    val out = IncrementalIngest.survivors(idx, shortBatch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(31L))
+  }
+
   test("cycle closes: survivors merged into the corpus kill their own re-uploads") {
     val grown = corpus.unionByName(
       IncrementalIngest.survivors(index, batch, "doc_id", "text"))

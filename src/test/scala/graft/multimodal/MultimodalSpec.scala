@@ -203,6 +203,15 @@ class MultimodalSpec extends SparkSpec {
     // bounded by the payload length itself.
   }
 
+  test("frameStats computes real luminance for color frames, identity for gray") {
+    // solid red 2x2: Rec.601 luma = 299*255/1000 = 76 per pixel
+    val red = Codecs.decodeImage(Codecs.encodePng(2, 2, (_, _) => 0xff0000)).get
+    assert(Codecs.frameStats(Seq(red))._1 == 4L * 76)
+    // gray value v: weights sum to 1000, so luma == v exactly
+    val gray = Codecs.decodeImage(Codecs.encodePng(2, 2, (_, _) => 0x7b7b7b)).get
+    assert(Codecs.frameStats(Seq(gray))._1 == 4L * 0x7b)
+  }
+
   test("mismatched frame dimensions degrade motion to the overlap, never throw") {
     val a = Codecs.decodeImage(Codecs.encodePng(4, 4, (_, _) => 0x0a0a0a)).get // gray 10
     val b = Codecs.decodeImage(Codecs.encodePng(2, 3, (_, _) => 0x141414)).get // gray 20
