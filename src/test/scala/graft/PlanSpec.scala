@@ -66,6 +66,25 @@ class PlanSpec extends SparkSpec {
     assert(semiBroadcast, s"q71 semi-join did not broadcast:\n$p71")
   }
 
+  test("ingest cycle: corpus anti-joins broadcast, vectors never ride bucket joins") {
+    val d = sources.Tables.load(spark, dir, "documents")
+    val idx = dedup.MinHashDedup.buildIndex(d, "doc_id", "text")
+    val batch = d.select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+    val p = plan(dedup.IncrementalIngest.survivors(idx, batch, "doc_id", "text"))
+    // The exact corpus check anti-joins against the SKINNY distinct
+    // text-hash set — at this scale Catalyst must pick broadcast for it
+    // from size estimates alone (no hint; at 100 TB the hash set outgrows
+    // broadcast and the same join degrades to shuffle, which is correct).
+    // The later probe-hit anti-join is deliberately NOT gated: its kill
+    // list can be any size (a heavy-dup crawl kills most of the batch),
+    // so its sort-merge fallback is the scale-general shape.
+    val hashAnti = p.linesIterator
+      .filter(l => l.contains("LeftAnti") && l.contains("text_hash")).toSeq
+    assert(hashAnti.nonEmpty, s"expected the text-hash anti-join in the plan:\n$p")
+    assert(hashAnti.forall(_.contains("BroadcastHashJoin")),
+      s"the skinny text-hash anti-join must broadcast at this scale:\n$p")
+  }
+
   test("codec queries spread decode work across cores (round-robin exchange)") {
     // The id-only documents scan is ONE partition at small SF; without the
     // explicit repartition every per-doc encode/decode serializes on a
