@@ -127,9 +127,10 @@ object Pipeline {
   )
 
   /** Build the status report for a pipeline destination dir (whose ledger
-    * lives at `<outDir>/_ledger`, as [[main]] wires it). The ledger is a
-    * control-plane table (one record per job event), so collecting the
-    * latest-per-job rows to the driver is bounded and deliberate.
+    * lives at `<outDir>/_ledger`, as [[main]] wires it). The ledger is
+    * append-only and unbounded, so counts and duration stats are computed
+    * as a distributed `groupBy/agg`; only the ≤#statuses count rows, one
+    * stats row, and the latest-`limit` display rows reach the driver.
     */
   def status(
       spark: SparkSession,
@@ -137,15 +138,19 @@ object Pipeline {
       statusFilter: Option[String] = None,
       limit: Int = 10
   ): OpsStatus = {
+    import org.apache.spark.sql.functions.{avg, col, max}
     val ledger = new JobLedger(spark, s"${outDir.stripSuffix("/")}/_ledger")
-    val all = ledger.listJobs(status = None, limit = Int.MaxValue).collect()
+    val latest = ledger.latestJobs(status = None)
 
-    val counts = all.groupBy(_.getAs[String]("status"))
-      .view.mapValues(_.length.toLong).toMap
-    val durations = all.flatMap(r =>
-      Option(r.getAs[java.math.BigDecimal]("duration_seconds")).map(_.doubleValue()))
-    val jobs = statusFilter.fold(all)(s => all.filter(_.getAs[String]("status") == s))
-      .take(limit)
+    val counts = latest.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = latest
+      .agg(avg(col("duration_seconds").cast("double")).as("avg_dur"),
+           max(col("duration_seconds").cast("double")).as("max_dur"))
+      .collect()(0)
+    val avgDur = if (stats.isNullAt(0)) None else Some(stats.getDouble(0))
+    val maxDur = if (stats.isNullAt(1)) None else Some(stats.getDouble(1))
+    val jobs = ledger.listJobs(status = statusFilter, limit = limit).collect()
       .map { r =>
         val result = Option(r.getAs[scala.collection.Map[String, String]]("job_result"))
           .getOrElse(scala.collection.Map.empty[String, String])
@@ -165,9 +170,7 @@ object Pipeline {
         (cs.getLength, cs.getFileCount)
       } else (0L, 0L)
 
-    OpsStatus(jobs, counts,
-      if (durations.isEmpty) None else Some(durations.sum / durations.length),
-      durations.maxOption, bytes, objects)
+    OpsStatus(jobs, counts, avgDur, maxDur, bytes, objects)
   }
 
   /** One cleanup target: a top-level entry under the destination dir. */
@@ -179,17 +182,32 @@ object Pipeline {
     * requires interactive confirmation before deleting (cleanup.py:186-199);
     * a non-interactive CLI makes that an explicit flag. `keepLedger`
     * preserves the job history (the audit trail) while clearing data.
+    *
+    * Force-deletes additionally require the dir to look like a pipeline
+    * destination (a `_ledger` present — [[main]] writes one on every run):
+    * the reference scopes deletion to prefix-matched resources
+    * (cleanup.py:61-90), so a typo'd outDir must refuse rather than wipe
+    * unrelated data. `allowUnmarked` (CLI `--force-unmarked`) overrides
+    * for destinations whose ledger was already removed.
     */
   def cleanup(
       spark: SparkSession,
       outDir: String,
       force: Boolean = false,
-      keepLedger: Boolean = true
+      keepLedger: Boolean = true,
+      allowUnmarked: Boolean = false
   ): Seq[CleanupTarget] = {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+    val entries = fs.listStatus(root).toSeq.sortBy(_.getPath.getName)
+    if (force && !allowUnmarked && entries.nonEmpty &&
+        !entries.exists(_.getPath.getName == "_ledger"))
+      throw new IllegalArgumentException(
+        s"refusing to force-delete: $outDir has no _ledger marker, so it " +
+          "does not look like a pipeline destination. Re-check the path, or " +
+          "pass --force-unmarked to delete anyway.")
+    entries.flatMap { st =>
       val p = st.getPath
       if (keepLedger && p.getName == "_ledger") None
       else {
@@ -202,20 +220,23 @@ object Pipeline {
     }
   }
 
-  /** `Pipeline cleanup <outDir> [--force] [--delete-ledger]`. */
+  /** `Pipeline cleanup <outDir> [--force] [--force-unmarked] [--delete-ledger]`. */
   private def cleanupMain(args: Array[String]): Unit = {
-    val usage = "usage: Pipeline cleanup <outDir> [--force] [--delete-ledger]"
+    val usage =
+      "usage: Pipeline cleanup <outDir> [--force] [--force-unmarked] [--delete-ledger]"
     // The destination must be first: "cleanup --force /out" would treat
     // the flag as the path, find nothing, and report success while /out
     // stays untouched.
     require(args.nonEmpty && !args(0).startsWith("-"), usage)
-    val unrecognized = args.drop(1).filterNot(Set("--force", "--delete-ledger"))
+    val unrecognized = args.drop(1)
+      .filterNot(Set("--force", "--force-unmarked", "--delete-ledger"))
     require(unrecognized.isEmpty,
       s"unrecognized argument(s): ${unrecognized.mkString(", ")}\n$usage")
     val force = args.contains("--force")
     val spark = graft.core.EngineSession.create()
     val targets = cleanup(spark, args(0), force = force,
-      keepLedger = !args.contains("--delete-ledger"))
+      keepLedger = !args.contains("--delete-ledger"),
+      allowUnmarked = args.contains("--force-unmarked"))
     if (targets.isEmpty) println(s"nothing to clean under ${args(0)}")
     targets.foreach { t =>
       val verb = if (t.deleted) "deleted" else if (force) "FAILED to delete" else "would delete"

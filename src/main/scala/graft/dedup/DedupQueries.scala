@@ -25,12 +25,26 @@ object DedupQueries {
     *   - near-dup variants     (id%15==0 with ≥18 shingles → id+4M, text + unique tail token; Jaccard n/(n+2) ≥ 0.9 vs the original) —
     *     die intra-batch against the +1M twin when id%30==0, at the corpus probe otherwise;
     *   - genuinely novel docs  (id%7==0 → id+2M, 20 repeats of a per-id zzqq token: one distinct shingle, shared with nothing) — survive.
-    * The ≥18-shingle guard keeps every real near-dup edge at Jaccard ≥ 0.9,
-    * where the banded-LSH catch probability is 1-1e-15 — the engine/oracle
-    * agreement is the same deterministic-recall argument q21 rests on.
+    * The ≥18-shingle guard keeps every real SYNTHETIC near-dup edge at
+    * Jaccard ≥ 0.9, where the banded-LSH catch probability is 1-1e-15 —
+    * the engine/oracle agreement is the same deterministic-recall argument
+    * q21 rests on. Edges between shifted copies of two DISTINCT corpus
+    * docs inherit the corpus pair's own Jaccard, so the argument also
+    * needs the corpus gap property: no corpus pair has exact Jaccard in
+    * [0.5, 0.8) (planted near-dups sit at ≥ 0.8, background at ~0.2 —
+    * IncrementalIngestSpec asserts this against the real testdata, so a
+    * corpus-generator change that breaks it fails a spec, not as an
+    * opaque probabilistic oracle mismatch here).
     */
   private def ingestBatch(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
+    // The +1M/+2M/+3M/+4M shifts encode batch provenance and are
+    // collision-free only while corpus ids stay under 1M; a future SF bump
+    // must fail HERE, not as an opaque oracle hash mismatch downstream.
+    val maxId = d.agg(max(col("doc_id"))).head.get(0).asInstanceOf[Number].longValue
+    require(maxId < 1000000L,
+      s"ingestBatch id-shift scheme assumes max(doc_id) < 1000000; got $maxId — " +
+        "re-derive the shift offsets before raising the scale factor")
     val copies = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val reuploads = d.filter(col("doc_id") % 20 === 0)

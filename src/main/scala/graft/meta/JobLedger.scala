@@ -47,20 +47,28 @@ final class JobLedger(spark: SparkSession, ledgerDir: String) {
     read().filter(col("job_id") === jobId)
       .orderBy(col("timestamp").desc).limit(1).collect().headOption
 
-  /** M5 list_jobs with optional status filter + limit (metadata.py:202-234).
-    * Status means *latest* status: event-sourcing makes this a max-by-
-    * timestamp window per job id, then filter.
+  /** Latest record per job id, as an unbounded DataFrame — the input for
+    * both the display table ([[listJobs]]) and whole-ledger aggregations
+    * (status counts, duration stats), which must stay distributed because
+    * the ledger is append-only and grows without bound.
     */
-  def listJobs(status: Option[String] = None, limit: Int = 50): DataFrame = {
+  def latestJobs(status: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(col("job_id")).orderBy(col("timestamp").desc)
     val latest = read()
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
     status.fold(latest)(s => latest.filter(col("status") === s))
+  }
+
+  /** M5 list_jobs with optional status filter + limit (metadata.py:202-234).
+    * Status means *latest* status: event-sourcing makes this a max-by-
+    * timestamp window per job id, then filter.
+    */
+  def listJobs(status: Option[String] = None, limit: Int = 50): DataFrame =
+    latestJobs(status)
       .orderBy(col("timestamp").desc)
       .limit(limit)
-  }
 
   /** Maintenance: rewrite the many tiny per-append files into `parts`
     * files (small-file compaction; run it periodically on busy ledgers).

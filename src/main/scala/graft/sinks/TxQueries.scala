@@ -36,12 +36,19 @@ object TxQueries {
 
   private def freshTableDir(): String = {
     reaper
-    // Keep a few most-recent dirs alive instead of reaping everything:
-    // the returned DataFrame reads its table LAZILY, so a caller that
-    // builds several q76 frames before consuming them must not have the
-    // first one's files deleted from under it. Bench/Verify hold at most
-    // one unconsumed frame; the margin covers plan-then-execute callers.
-    while (created.size() > 3) deleteRecursively(created.poll())
+    // Reap eligibility == consumption: the frame q76 returns is eagerly
+    // localCheckpoint'ed inside the query body, so by the time a LATER
+    // invocation runs this reap, every older dir has already been read and
+    // has no live consumers — deleting it cannot fail a still-lazy frame.
+    // The queue ops are synchronized (and poll null-checked) because
+    // concurrent callers previously raced size()/poll(), NPE-ing on a null
+    // poll. Keep-3 is safety margin, not a correctness requirement.
+    created.synchronized {
+      while (created.size() > 3) {
+        val victim = created.poll()
+        if (victim != null) deleteRecursively(victim)
+      }
+    }
     val d = java.nio.file.Files.createTempDirectory("graft-txtable-q").toFile
     created.add(d)
     d.getAbsolutePath
@@ -60,7 +67,11 @@ object TxQueries {
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       val stats = TxTable.merge(s, tableDir, updates, Seq("o_orderkey"))
       require(stats.version == 2L, s"expected merge to commit version 2, got $stats")
-      TxTable.read(s, tableDir).orderBy("o_orderkey")
+      // Eager localCheckpoint decouples the returned frame from tableDir's
+      // files — this is what lets freshTableDir reap older dirs without
+      // breaking unconsumed frames (the table is ~10k skinny rows here;
+      // the real TxTable read path stays lazy).
+      TxTable.read(s, tableDir).localCheckpoint(true).orderBy("o_orderkey")
     }
   )
 

@@ -112,6 +112,25 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.cleanup(spark, out, force = true, keepLedger = false).isEmpty)
   }
 
+  test("cleanup --force refuses a dir with no _ledger marker (typo'd outDir)") {
+    val out = tmpDir("pipe-clean-unmarked")
+    sampleSales.limit(2).write.mode("overwrite").parquet(s"$out/precious")
+
+    val refusal = intercept[IllegalArgumentException] {
+      Pipeline.cleanup(spark, out, force = true)
+    }
+    assert(refusal.getMessage.contains("--force-unmarked"))
+    assert(spark.read.parquet(s"$out/precious").count() == 2, "refusal must not delete")
+
+    // dry-run still reports without a marker (it deletes nothing)
+    val dry = Pipeline.cleanup(spark, out)
+    assert(dry.nonEmpty && dry.forall(!_.deleted))
+
+    // the explicit override deletes
+    val overridden = Pipeline.cleanup(spark, out, force = true, allowUnmarked = true)
+    assert(overridden.nonEmpty && overridden.forall(_.deleted))
+  }
+
   test("max_file_size_mb guard is OFF by default; opting in skips oversized batch files") {
     val in = tmpDir("pipe-size-in")
     // 1.2 MB file (over a 1 MB limit) + a small sibling

@@ -79,4 +79,30 @@ class IncrementalIngestSpec extends SparkSpec {
       MinHashDedup.buildIndex(grown, "doc_id", "text"), reupload, "doc_id", "text")
     assert(next.count() == 0L, "the second upload of a kept doc must be rejected")
   }
+
+  // q80/q81's exact-oracle determinism rests on two PROPERTIES OF THE
+  // TESTDATA CORPUS, not of the engine (DedupQueries.ingestBatch scaladoc):
+  //   1. ids fit under the +1M/+2M/+3M/+4M provenance shifts;
+  //   2. no corpus pair has exact Jaccard in [0.5, 0.8) — banded LSH
+  //      (32×4) recall is 1-6e-8 at 0.8 but only ~0.87 at 0.5, so a pair
+  //      in the gap would make the LSH-vs-exact-oracle comparison
+  //      probabilistically flaky.
+  // Asserting them here, against every shipped scale factor, turns a
+  // corpus-generator change that breaks either into a named spec failure
+  // instead of an opaque oracle hash mismatch.
+  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    val dir = s"/root/testdata/$sf"
+    if (new java.io.File(dir).isDirectory)
+      test(s"$sf corpus upholds the q80/q81 determinism properties") {
+        val d = graft.sources.Tables.load(spark, dir, "documents")
+        val maxId = d.agg(max(col("doc_id"))).head.get(0)
+          .asInstanceOf[Number].longValue
+        assert(maxId < 1000000L, s"id-shift scheme broken: max doc_id $maxId")
+        val inGap = NgramJaccard.similarPairs(d, "doc_id", "text", threshold = 0.5)
+          .filter(col("jaccard") < 0.8)
+        assert(inGap.isEmpty,
+          s"corpus pairs in the LSH-flaky Jaccard gap [0.5, 0.8): " +
+            inGap.limit(5).collect().mkString(", "))
+      }
+  }
 }
