@@ -14,7 +14,8 @@ final case class Measured[A](
     wallMs: Long,
     shuffleReadBytes: Long,
     shuffleWriteBytes: Long,
-    peakTaskInputBytes: Long)
+    peakTaskInputBytes: Long,
+    peakTaskShuffleReadBytes: Long)
 
 /** Task-level metrics listener for specs. Accumulates across EVERY job the
   * measured block triggers (eager localCheckpoints, edge-count gates, the
@@ -25,14 +26,17 @@ final class MetricsProbe private () extends SparkListener {
   private val shuffleRead = new AtomicLong
   private val shuffleWrite = new AtomicLong
   private val peakTaskInput = new AtomicLong
+  private val peakTaskShuffleRead = new AtomicLong
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val m = t.taskMetrics
     if (m != null) {
-      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      val sr = m.shuffleReadMetrics.totalBytesRead
+      shuffleRead.addAndGet(sr)
       shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      val taskIn = m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead
+      val taskIn = m.inputMetrics.bytesRead + sr
       peakTaskInput.getAndUpdate(cur => math.max(cur, taskIn))
+      peakTaskShuffleRead.getAndUpdate(cur => math.max(cur, sr))
     }
   }
 }
@@ -52,7 +56,8 @@ object MetricsProbe {
       val wallMs = (System.nanoTime() - t0) / 1000000L
       org.apache.spark.GraftBusDrain.drain(sc)
       Measured(r, wallMs,
-        probe.shuffleRead.get, probe.shuffleWrite.get, probe.peakTaskInput.get)
+        probe.shuffleRead.get, probe.shuffleWrite.get,
+        probe.peakTaskInput.get, probe.peakTaskShuffleRead.get)
     } finally sc.removeSparkListener(probe)
   }
 }
