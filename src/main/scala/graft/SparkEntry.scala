@@ -29,6 +29,7 @@ object SparkEntry {
       graft.text.TextQueries.queries ++
       graft.multimodal.MultimodalQueries.queries ++
       graft.sinks.TxQueries.queries ++
+      graft.streaming.StreamingQueries.queries ++
       graft.gold.AnalyticsQueries.queries ++ Map(
     // A1-A4 (SURVEY §2.4): hash group-by + multi-agg + arithmetic-in-agg +
     // count + group/order report (reference etl/README.md:679-685 pattern).
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.text.TextQueries.oracles ++
       graft.multimodal.MultimodalQueries.oracles ++
       graft.sinks.TxQueries.oracles ++
+      graft.streaming.StreamingQueries.oracles ++
       graft.gold.AnalyticsQueries.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,41 @@
+package graft.core
+
+/** Bounded-lifetime scratch directories for driver queries that must
+  * materialize state per invocation (TxTable MERGE round trips, streaming
+  * sink + checkpoint dirs). Each call hands out a fresh temp dir; older
+  * dirs are reaped once more than `keep` exist, and a shutdown hook reaps
+  * the rest — disk stays bounded however many times a bench battery
+  * repeats.
+  *
+  * Contract with callers: a dir older than the newest `keep` may be
+  * deleted at any subsequent `fresh` call, so any DataFrame returned to a
+  * consumer must be decoupled from its dir first (eager
+  * `localCheckpoint`) — reap eligibility equals consumption. The queue
+  * ops are synchronized (concurrent callers racing size()/poll() once
+  * NPE'd on a null poll).
+  */
+object ScratchDirs {
+
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val reaper: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    created.forEach(deleteRecursively)
+  }))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  def fresh(prefix: String, keep: Int = 3): String = {
+    reaper
+    created.synchronized {
+      while (created.size() > keep) {
+        val victim = created.poll()
+        if (victim != null) deleteRecursively(victim)
+      }
+    }
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    created.add(d)
+    d.getAbsolutePath
+  }
+}

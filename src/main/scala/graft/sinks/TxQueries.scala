@@ -24,35 +24,11 @@ object TxQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
-  private lazy val reaper: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    created.forEach(deleteRecursively)
-  }))
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
-
-  private def freshTableDir(): String = {
-    reaper
-    // Reap eligibility == consumption: the frame q76 returns is eagerly
-    // localCheckpoint'ed inside the query body, so by the time a LATER
-    // invocation runs this reap, every older dir has already been read and
-    // has no live consumers — deleting it cannot fail a still-lazy frame.
-    // The queue ops are synchronized (and poll null-checked) because
-    // concurrent callers previously raced size()/poll(), NPE-ing on a null
-    // poll. Keep-3 is safety margin, not a correctness requirement.
-    created.synchronized {
-      while (created.size() > 3) {
-        val victim = created.poll()
-        if (victim != null) deleteRecursively(victim)
-      }
-    }
-    val d = java.nio.file.Files.createTempDirectory("graft-txtable-q").toFile
-    created.add(d)
-    d.getAbsolutePath
-  }
+  // Reap eligibility == consumption (the ScratchDirs contract): the frame
+  // q76 returns is eagerly localCheckpoint'ed inside the query body, so by
+  // the time a LATER invocation triggers the reap, every older dir has
+  // already been read and has no live consumers.
+  private def freshTableDir(): String = graft.core.ScratchDirs.fresh("graft-txtable-q")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MERGE upsert: base = every 3rd order key, updates = every 2nd

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.ScratchDirs
+
+/** Oracle-checked driver queries that run an ACTUAL `StreamingQuery` —
+  * not batch-equivalent semantics of streaming operators (q17/q57 cover
+  * those): a file-source `readStream` drained by `Trigger.AvailableNow`
+  * through watermarked dedup into a parquet sink with a checkpoint, the
+  * event-per-file micro-batch pattern the reference wires as S3
+  * ObjectCreated → Lambda (main.tf:372-390) and SURVEY §2.9 upgrades to
+  * Structured Streaming.
+  *
+  * q82 plants exact duplicates (a copy of every 10th event appended to
+  * the watched dir as a second batch of files), streams the dir once,
+  * dedups on `event_id` within a generous watermark, and reads the sink
+  * back. Planted copies are byte-identical rows, so the survivor set is
+  * exactly the original table regardless of arrival order — which is
+  * what lets DuckDB express the expected sink contents relationally.
+  */
+object StreamingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_streaming_dedup" -> { (s, dir) =>
+      // Raw read: ts is TIMESTAMP(NANOS) parquet, surfacing as a nanos
+      // long under nanosAsLong (see sources.Tables) — streamed with the
+      // same declared schema, converted to a real timestamp in-stream.
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val scratch = ScratchDirs.fresh("graft-stream-q")
+      val inDir = s"$scratch/in"
+      val sinkDir = s"$scratch/sink"
+      val ckptDir = s"$scratch/ckpt"
+      raw.write.mode("overwrite").parquet(inDir)
+      raw.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
+
+      val stream = s.readStream.schema(raw.schema).parquet(inDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = StreamingIngest.dedupWithinWatermark(
+        stream, keyCols = Seq("event_id"), tsCol = "ts", watermark = "3650 days")
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // Eager localCheckpoint: the ScratchDirs contract — the returned
+      // frame must not read sinkDir after a later invocation reaps it.
+      s.read.parquet(sinkDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .localCheckpoint(true)
+        .orderBy("event_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // The planted copies are exact duplicates of every 10th event, so a
+    // correct within-watermark dedup restores precisely the original
+    // table. DuckDB reads the nanos timestamps as TIMESTAMP_NS; ::TIMESTAMP
+    // truncates to µs — the same `div 1000` the engine applies in-stream.
+    "q82_streaming_dedup" ->
+      """SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -29,6 +29,16 @@ class StreamingSpec extends SparkSpec {
     assert(result.columns.contains("_year"))
   }
 
+  test("q82 runs a real StreamingQuery and its sink equals the duplicate-free table") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingQueries.queries("q82_streaming_dedup")(spark, dir)
+    val expected = graft.sources.Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // planted copies collapsed: exactly the original rows, each once
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("streaming hourly counts equal the batch window aggregation") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = graft.sources.Tables.load(spark, dir, "events")
