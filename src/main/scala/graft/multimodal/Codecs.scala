@@ -74,6 +74,28 @@ object Codecs {
     out.toByteArray
   }
 
+  /** Encode the same deterministic raster as a real BMP — a genuinely
+    * different container for the same pixels (both JDK-lossless), which
+    * is what "re-encoded duplicate" means to a perceptual hash: the bytes
+    * differ, the decoded raster (and so the fingerprint) must not.
+    */
+  def encodeBmp(width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, rgbAt(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
   /** Per-channel pixel sums (R, G, B) — integer-exact, so an oracle can
     * recompute them with no floating-point tolerance at all.
     */

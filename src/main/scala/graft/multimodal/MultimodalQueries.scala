@@ -142,6 +142,61 @@ object MultimodalQueries {
         }
         .toDF("doc_id", "n_frames", "sum_gray", "sum_motion")
         .orderBy("doc_id")
+    },
+
+    // Image NEAR-DUP via perceptual hash — the multimodal and dedup
+    // pillars composed: every doc renders a real 36×32 PNG from a
+    // per-cell avalanche pattern; docs %4 plant a RESIZED duplicate
+    // (72×64, same content re-rendered) and docs %6 a RE-ENCODED one
+    // (same raster as BMP). Each variant is decoded with the real JDK
+    // codec and fingerprinted (PerceptualHash.dHash), and the pairs come
+    // from the SAME Hamming-band chunk join SimHash uses (q22/q65).
+    // Contract row, q65 pattern: DuckDB derives the expected planted
+    // pair count from the %4/%6 arithmetic (variants of one base id are
+    // pairwise Hamming-0 because box-averaged cell luminances are
+    // integer-exact under grid-aligned resize and lossless re-encode);
+    // off-planted pairs and contract violations are pinned at zero.
+    "q83_image_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val fps = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        // the id column scans as ONE partition at small SF; codec work
+        // must spread across every core (the shuffle moves only longs)
+        .repartition(s.sparkContext.defaultParallelism)
+        .flatMap { id =>
+          def gray(cx: Int, cy: Int): Int = {
+            val l = PerceptualHash.cellPattern(id, cx, cy)
+            (l << 16) | (l << 8) | l
+          }
+          def fp(bytes: Array[Byte]): Long =
+            PerceptualHash.dHash(Codecs.decodeImage(bytes).getOrElse(
+              throw new IllegalStateException(s"image decode failed for doc_id=$id")))
+          val base = Seq(id -> fp(Codecs.encodePng(36, 32, (x, y) => gray(x / 4, y / 4))))
+          val resized =
+            if (id % 4 == 0)
+              Seq((id + 1000000L) -> fp(Codecs.encodePng(72, 64, (x, y) => gray(x / 8, y / 8))))
+            else Nil
+          val reencoded =
+            if (id % 6 == 0)
+              Seq((id + 2000000L) -> fp(Codecs.encodeBmp(36, 32, (x, y) => gray(x / 4, y / 4))))
+            else Nil
+          base ++ resized ++ reencoded
+        }
+        .toDF("id", "simhash")
+      val pairs = graft.dedup.SimHash.nearPairs(fps, "id", maxDistance = 3)
+      // coalesce: an (unexpectedly) empty pair set must read as zero
+      // counts, not a null row the oracle can never match
+      fps.agg(count(lit(1)).cast("long").as("n_images")).crossJoin(
+        pairs.agg(
+          coalesce(sum(when(col("id_a") % 1000000L === col("id_b") % 1000000L &&
+            col("hamming") === 0, 1L).otherwise(0L)), lit(0L)).cast("long")
+            .as("planted_pairs_found"),
+          coalesce(sum(when(col("id_a") % 1000000L =!= col("id_b") % 1000000L, 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("offplant_pairs"),
+          coalesce(sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("ordering_violations"),
+          coalesce(sum(when(col("hamming") > 3 || col("hamming") < 0, 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("hamming_violations")))
     }
   )
 
@@ -247,6 +302,26 @@ object MultimodalQueries {
         |  (doc_id % 5 + 2)::INT AS n_frames,
         |  sum(g)::BIGINT AS sum_gray,
         |  sum(CASE WHEN gp IS NOT NULL THEN abs(g - gp) ELSE 0 END)::BIGINT AS sum_motion
-        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Planted-pair arithmetic: base images for every doc, a resized
+    // variant for %4 docs, a re-encoded variant for %6 docs. Variants of
+    // one base id are pairwise Hamming-0 (content-identical at 9×8), so
+    // the expected pair count per base is C(|group|, 2): 3 when both
+    // variants exist (%12), 1 when exactly one does. Distinct base ids
+    // land ~32 bits apart (avalanche cell pattern), so off-planted pairs
+    // within distance 3 are pinned at zero.
+    "q83_image_neardup" ->
+      """SELECT
+        |  (count(*)
+        |    + count(*) FILTER (WHERE doc_id % 4 = 0)
+        |    + count(*) FILTER (WHERE doc_id % 6 = 0))::BIGINT AS n_images,
+        |  coalesce(sum(CASE WHEN doc_id % 12 = 0 THEN 3
+        |                    WHEN doc_id % 4 = 0 OR doc_id % 6 = 0 THEN 1
+        |                    ELSE 0 END), 0)::BIGINT AS planted_pairs_found,
+        |  0::BIGINT AS offplant_pairs,
+        |  0::BIGINT AS ordering_violations,
+        |  0::BIGINT AS hamming_violations
+        |FROM documents""".stripMargin
   )
 }
