@@ -183,6 +183,65 @@ object MultimodalQueries {
           base ++ resized ++ reencoded
         }
         .toDF("id", "simhash")
+      perceptualPairContract(fps)
+    },
+
+    // Audio NEAR-DUP via perceptual fingerprint — the audio pillar
+    // composed with dedup, mirroring q83: every doc synthesizes a 520-
+    // sample PCM clip (65 slices × 8 samples, per-slice amplitude from
+    // the avalanche pattern), round-trips it through the REAL JDK WAV
+    // codec, and fingerprints it with the energy-delta-sign construction
+    // (PerceptualHash.audioHash). Docs %4 plant a VOLUME-SCALED duplicate
+    // (samples ×2 — every slice energy scales together, so the sign
+    // pattern is exact) and docs %6 a slice-aligned UPSAMPLED one (each
+    // sample duplicated at 2× rate — per-slice means unchanged). Pair
+    // discovery is the same SimHash Hamming-band chunk join; the contract
+    // row and oracle arithmetic are q83's exactly.
+    "q84_audio_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val fps = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        // the id column scans as ONE partition at small SF; codec work
+        // must spread across every core (the shuffle moves only longs)
+        .repartition(s.sparkContext.defaultParallelism)
+        .flatMap { id =>
+          // 13-bit per-slice amplitude, capped so the ×2 variant cannot
+          // clip at the int16 ceiling (max (8291+100)·2 = 16782 < 32767)
+          def amp(j: Int): Int =
+            ((PerceptualHash.cellPattern(id, j, 0) << 5) |
+              (PerceptualHash.cellPattern(id, j, 1) & 31)) + 100
+          val base = Array.tabulate(520) { i =>
+            val a = amp(i / 8)
+            (if (i % 2 == 0) a else -a).toShort
+          }
+          def fp(rate: Int, samples: Array[Short]): Long = {
+            val (_, decoded) = Codecs.decodeWavPcm16(
+              Codecs.encodeWavPcm16(rate, samples)).getOrElse(
+              throw new IllegalStateException(s"WAV round trip failed for doc_id=$id"))
+            PerceptualHash.audioHash(decoded)
+          }
+          val rows = Seq(id -> fp(16000, base)) ++
+            (if (id % 4 == 0)
+              Seq((id + 1000000L) ->
+                fp(16000, base.map(s => (s * 2).toShort)))
+            else Nil) ++
+            (if (id % 6 == 0)
+              Seq((id + 2000000L) ->
+                fp(32000, base.flatMap(s => Array(s, s))))
+            else Nil)
+          rows
+        }
+        .toDF("id", "simhash")
+      perceptualPairContract(fps)
+    }
+  )
+
+  /** Shared contract-row aggregation for the perceptual near-dup queries
+    * (q83 images, q84 audio): planted variants live at base_id + 1M/2M,
+    * so planted pairs are exactly the same-residue pairs at Hamming 0;
+    * off-planted pairs and contract violations are pinned at zero.
+    */
+  private def perceptualPairContract(fps: DataFrame): DataFrame = {
       val pairs = graft.dedup.SimHash.nearPairs(fps, "id", maxDistance = 3)
       // coalesce: an (unexpectedly) empty pair set must read as zero
       // counts, not a null row the oracle can never match
@@ -197,8 +256,7 @@ object MultimodalQueries {
             .cast("long").as("ordering_violations"),
           coalesce(sum(when(col("hamming") > 3 || col("hamming") < 0, 1L)
             .otherwise(0L)), lit(0L)).cast("long").as("hamming_violations")))
-    }
-  )
+  }
 
   // Image payload sizes are format constants: a header-valid PNG is
   // 8 (signature) + 25 (IHDR chunk) + 12 (IEND chunk) = 45 bytes, a
@@ -312,6 +370,23 @@ object MultimodalQueries {
     // land ~32 bits apart (avalanche cell pattern), so off-planted pairs
     // within distance 3 are pinned at zero.
     "q83_image_neardup" ->
+      """SELECT
+        |  (count(*)
+        |    + count(*) FILTER (WHERE doc_id % 4 = 0)
+        |    + count(*) FILTER (WHERE doc_id % 6 = 0))::BIGINT AS n_images,
+        |  coalesce(sum(CASE WHEN doc_id % 12 = 0 THEN 3
+        |                    WHEN doc_id % 4 = 0 OR doc_id % 6 = 0 THEN 1
+        |                    ELSE 0 END), 0)::BIGINT AS planted_pairs_found,
+        |  0::BIGINT AS offplant_pairs,
+        |  0::BIGINT AS ordering_violations,
+        |  0::BIGINT AS hamming_violations
+        |FROM documents""".stripMargin,
+
+    // Same planting arithmetic as q83 (volume-scaled for %4, upsampled
+    // for %6): variants of one base id are pairwise Hamming-0 because
+    // exact scaling and slice-aligned duplication preserve every
+    // mean-energy comparison; distinct clips separate by avalanche.
+    "q84_audio_neardup" ->
       """SELECT
         |  (count(*)
         |    + count(*) FILTER (WHERE doc_id % 4 = 0)

@@ -68,6 +68,42 @@ object PerceptualHash {
     bits
   }
 
+  /** 64-bit perceptual fingerprint of a PCM clip — the audio analogue of
+    * [[dHash]] (and the same downstream: the 64 bits ride
+    * `SimHash.nearPairs` unchanged). The clip is cut into 65 equal-time
+    * slices (index-proportional, so the fingerprint is a function of the
+    * signal's SHAPE, not its sample count) and bit i compares mean
+    * |amplitude| of slice i+1 against slice i — the sign-of-energy-delta
+    * construction (Haitsma–Kalker '02 reduced to time-domain band 0).
+    * Exact integer sums with cross-multiplied mean comparisons, so the
+    * hash is bit-identical under exact volume scaling (every energy
+    * scales by the same factor) and under slice-aligned resampling
+    * (sample duplication / decimation that preserves per-slice means).
+    */
+  def audioHash(samples: Array[Short]): Long = {
+    val slices = 65
+    val n = samples.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](slices)
+    val counts = new Array[Long](slices)
+    var i = 0
+    while (i < n) {
+      val s = math.min((i.toLong * slices / n).toInt, slices - 1)
+      sums(s) += math.abs(samples(i).toLong)
+      counts(s) += 1
+      i += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      val na = math.max(counts(b), 1L)
+      val nb = math.max(counts(b + 1), 1L)
+      if (sums(b + 1) * na > sums(b) * nb) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
   /** Deterministic per-(image, cell) luminance for synthetic corpora:
     * splitmix64-style avalanche so distinct images land ~32 bits apart
     * (no accidental near-pairs) while every rendering of the SAME id —

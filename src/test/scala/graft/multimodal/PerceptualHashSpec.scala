@@ -50,4 +50,40 @@ class PerceptualHashSpec extends AnyFunSuite {
     val tiny = fp(Codecs.encodePng(3, 2, (x, y) => gray(5L)(x, y)))
     assert(tiny == fp(Codecs.encodePng(3, 2, (x, y) => gray(5L)(x, y))))
   }
+
+  // ---- audioHash: the q84 invariants ----
+
+  private def clip(id: Long): Array[Short] = Array.tabulate(520) { i =>
+    val a = ((PerceptualHash.cellPattern(id, i / 8, 0) << 5) |
+      (PerceptualHash.cellPattern(id, i / 8, 1) & 31)) + 100
+    (if (i % 2 == 0) a else -a).toShort
+  }
+
+  private def afp(rate: Int, samples: Array[Short]): Long = {
+    val (_, decoded) = Codecs.decodeWavPcm16(Codecs.encodeWavPcm16(rate, samples)).get
+    PerceptualHash.audioHash(decoded)
+  }
+
+  test("audioHash is bit-identical under exact volume scaling and slice-aligned upsample") {
+    for (id <- ids) {
+      val base = afp(16000, clip(id))
+      val loud = afp(16000, clip(id).map(s => (s * 2).toShort))
+      val up = afp(32000, clip(id).flatMap(s => Array(s, s)))
+      assert(base == loud, s"volume scaling changed audioHash for id=$id")
+      assert(base == up, s"upsampling changed audioHash for id=$id")
+    }
+  }
+
+  test("distinct clips land far outside the Hamming-3 ball") {
+    val hashes = ids.map(id => afp(16000, clip(id)))
+    for (Seq(a, b) <- hashes.combinations(2)) {
+      val d = java.lang.Long.bitCount(a ^ b)
+      assert(d > 3, s"accidental audio near-pair at distance $d")
+    }
+  }
+
+  test("empty and sub-slice clips hash without crashing") {
+    assert(PerceptualHash.audioHash(Array.empty[Short]) == 0L)
+    PerceptualHash.audioHash(Array[Short](5, -3, 2)): Unit
+  }
 }
