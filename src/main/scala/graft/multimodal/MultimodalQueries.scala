@@ -233,6 +233,44 @@ object MultimodalQueries {
         }
         .toDF("id", "simhash")
       perceptualPairContract(fps)
+    },
+
+    // Video NEAR-DUP via temporal perceptual fingerprint — the third
+    // modality composed with dedup: every doc synthesizes a 4-frame
+    // animated GIF (per-frame avalanche cell patterns), decodes it with
+    // the real JDK GIF reader, per-frame dHashes combine by strict
+    // majority vote (PerceptualHash.videoHash). Docs %4 plant a RESIZED
+    // duplicate (72×64 frames, same content) and docs %6 a SLOW-MOTION
+    // one (every frame duplicated — strict majority is scale-invariant
+    // in the frame count). Same chunk join, same contract row, same
+    // oracle arithmetic as q83/q84.
+    "q85_video_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val fps = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        // the id column scans as ONE partition at small SF; codec work
+        // must spread across every core (the shuffle moves only longs)
+        .repartition(s.sparkContext.defaultParallelism)
+        .flatMap { id =>
+          def g(f: Int)(cx: Int, cy: Int): Int =
+            PerceptualHash.cellPattern(id * 131 + f, cx, cy)
+          def fp(w: Int, h: Int, cell: Int, frameIds: Seq[Int]): Long = {
+            val gif = Codecs.encodeGifAnimated(w, h, frameIds.size,
+              (f, x, y) => g(frameIds(f))(x / cell, y / cell))
+            val frames = Codecs.decodeGifFrames(gif).getOrElse(
+              throw new IllegalStateException(s"GIF round trip failed for doc_id=$id"))
+            PerceptualHash.videoHash(frames.toSeq)
+          }
+          val baseFrames = 0 until 4
+          Seq(id -> fp(36, 32, 4, baseFrames)) ++
+            (if (id % 4 == 0)
+              Seq((id + 1000000L) -> fp(72, 64, 8, baseFrames)) else Nil) ++
+            (if (id % 6 == 0)
+              Seq((id + 2000000L) ->
+                fp(36, 32, 4, baseFrames.flatMap(f => Seq(f, f)))) else Nil)
+        }
+        .toDF("id", "simhash")
+      perceptualPairContract(fps)
     }
   )
 
@@ -370,6 +408,22 @@ object MultimodalQueries {
     // land ~32 bits apart (avalanche cell pattern), so off-planted pairs
     // within distance 3 are pinned at zero.
     "q83_image_neardup" ->
+      """SELECT
+        |  (count(*)
+        |    + count(*) FILTER (WHERE doc_id % 4 = 0)
+        |    + count(*) FILTER (WHERE doc_id % 6 = 0))::BIGINT AS n_images,
+        |  coalesce(sum(CASE WHEN doc_id % 12 = 0 THEN 3
+        |                    WHEN doc_id % 4 = 0 OR doc_id % 6 = 0 THEN 1
+        |                    ELSE 0 END), 0)::BIGINT AS planted_pairs_found,
+        |  0::BIGINT AS offplant_pairs,
+        |  0::BIGINT AS ordering_violations,
+        |  0::BIGINT AS hamming_violations
+        |FROM documents""".stripMargin,
+
+    // Same planting arithmetic as q83 (resized for %4, slow-motion for
+    // %6): per-frame dHash is resize-invariant and strict majority is
+    // frame-count-scale-invariant, so variants are pairwise Hamming-0.
+    "q85_video_neardup" ->
       """SELECT
         |  (count(*)
         |    + count(*) FILTER (WHERE doc_id % 4 = 0)

@@ -104,6 +104,35 @@ object PerceptualHash {
     bits
   }
 
+  /** 64-bit perceptual fingerprint of a frame sequence: per-frame
+    * [[dHash]] bits combined by STRICT per-bit majority vote (bit set
+    * when more than half the frames set it) — temporal SimHash over the
+    * spatial hashes. Inherits dHash's resize/re-encode invariance per
+    * frame, and the strict-majority rule is invariant under uniform
+    * frame duplication (slow motion: every count and the total scale
+    * together), which is the temporal analogue of grid-aligned resize.
+    */
+  def videoHash(frames: Seq[java.awt.image.BufferedImage]): Long = {
+    val n = frames.size
+    if (n == 0) return 0L
+    val counts = new Array[Int](64)
+    frames.foreach { f =>
+      val h = dHash(f)
+      var b = 0
+      while (b < 64) {
+        if ((h >>> b & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * counts(b) > n) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
   /** Deterministic per-(image, cell) luminance for synthetic corpora:
     * splitmix64-style avalanche so distinct images land ~32 bits apart
     * (no accidental near-pairs) while every rendering of the SAME id —

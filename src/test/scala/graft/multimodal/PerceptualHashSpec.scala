@@ -86,4 +86,34 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(PerceptualHash.audioHash(Array.empty[Short]) == 0L)
     PerceptualHash.audioHash(Array[Short](5, -3, 2)): Unit
   }
+
+  // ---- videoHash: the q85 invariants ----
+
+  private def vfp(w: Int, h: Int, cell: Int, id: Long, frameIds: Seq[Int]): Long = {
+    val gif = Codecs.encodeGifAnimated(w, h, frameIds.size, (f, x, y) =>
+      PerceptualHash.cellPattern(id * 131 + frameIds(f), x / cell, y / cell))
+    PerceptualHash.videoHash(Codecs.decodeGifFrames(gif).get.toSeq)
+  }
+
+  test("videoHash is bit-identical under per-frame resize and slow motion") {
+    for (id <- ids) {
+      val base = vfp(36, 32, 4, id, 0 until 4)
+      val resized = vfp(72, 64, 8, id, 0 until 4)
+      val slowmo = vfp(36, 32, 4, id, (0 until 4).flatMap(f => Seq(f, f)))
+      assert(base == resized, s"resize changed videoHash for id=$id")
+      assert(base == slowmo, s"slow motion changed videoHash for id=$id")
+    }
+  }
+
+  test("distinct frame sequences land far outside the Hamming-3 ball") {
+    val hashes = ids.map(id => vfp(36, 32, 4, id, 0 until 4))
+    for (Seq(a, b) <- hashes.combinations(2)) {
+      val d = java.lang.Long.bitCount(a ^ b)
+      assert(d > 3, s"accidental video near-pair at distance $d")
+    }
+  }
+
+  test("empty frame sequence hashes to zero without crashing") {
+    assert(PerceptualHash.videoHash(Seq.empty) == 0L)
+  }
 }
