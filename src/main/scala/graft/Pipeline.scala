@@ -128,9 +128,12 @@ object Pipeline {
 
   /** Build the status report for a pipeline destination dir (whose ledger
     * lives at `<outDir>/_ledger`, as [[main]] wires it). The ledger is
-    * append-only and unbounded, so counts and duration stats are computed
-    * as a distributed `groupBy/agg`; only the ≤#statuses count rows, one
-    * stats row, and the latest-`limit` display rows reach the driver.
+    * append-only and unbounded, so counts and duration stats come from
+    * ONE distributed `groupBy/agg` over the latest-per-job frame (per-
+    * status partials combined driver-side); only the ≤#statuses agg rows
+    * and the latest-`limit` display rows reach the driver, and the
+    * ledger is scanned (and the latest-per-job window computed) once for
+    * the aggregates plus once for the display ordering.
     */
   def status(
       spark: SparkSession,
@@ -138,18 +141,21 @@ object Pipeline {
       statusFilter: Option[String] = None,
       limit: Int = 10
   ): OpsStatus = {
-    import org.apache.spark.sql.functions.{avg, col, max}
+    import org.apache.spark.sql.functions.{col, count, max, sum}
     val ledger = new JobLedger(spark, s"${outDir.stripSuffix("/")}/_ledger")
     val latest = ledger.latestJobs(status = None)
 
-    val counts = latest.groupBy("status").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val stats = latest
-      .agg(avg(col("duration_seconds").cast("double")).as("avg_dur"),
-           max(col("duration_seconds").cast("double")).as("max_dur"))
-      .collect()(0)
-    val avgDur = if (stats.isNullAt(0)) None else Some(stats.getDouble(0))
-    val maxDur = if (stats.isNullAt(1)) None else Some(stats.getDouble(1))
+    val perStatus = latest.groupBy("status").agg(
+      count(org.apache.spark.sql.functions.lit(1)).as("n"),
+      sum(col("duration_seconds").cast("double")).as("dur_sum"),
+      count(col("duration_seconds")).as("dur_n"),
+      max(col("duration_seconds").cast("double")).as("dur_max")).collect()
+    val counts = perStatus.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val durSum = perStatus.collect { case r if !r.isNullAt(2) => r.getDouble(2) }.sum
+    val durN = perStatus.map(_.getLong(3)).sum
+    val avgDur = if (durN == 0) None else Some(durSum / durN)
+    val maxDur = perStatus.collect { case r if !r.isNullAt(4) => r.getDouble(4) }
+      .maxOption
     val jobs = ledger.listJobs(status = statusFilter, limit = limit).collect()
       .map { r =>
         val result = Option(r.getAs[scala.collection.Map[String, String]]("job_result"))

@@ -10,9 +10,12 @@ package graft.core
   * Contract with callers: a dir older than the newest `keep` may be
   * deleted at any subsequent `fresh` call, so any DataFrame returned to a
   * consumer must be decoupled from its dir first (eager
-  * `localCheckpoint`) — reap eligibility equals consumption. The queue
-  * ops are synchronized (concurrent callers racing size()/poll() once
-  * NPE'd on a null poll).
+  * `localCheckpoint`) — reap eligibility equals consumption. All queue
+  * ops (reap loop AND add) run under one lock (concurrent callers racing
+  * size()/poll() once NPE'd on a null poll). `keep` defaults high enough
+  * that a dir still in use DURING a query body (q82 holds its dir for a
+  * whole StreamingQuery run) survives several concurrent invocations;
+  * genuinely parallel query drivers should raise it further.
   */
 object ScratchDirs {
 
@@ -26,16 +29,16 @@ object ScratchDirs {
     f.delete(): Unit
   }
 
-  def fresh(prefix: String, keep: Int = 3): String = {
+  def fresh(prefix: String, keep: Int = 8): String = {
     reaper
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
     created.synchronized {
       while (created.size() > keep) {
         val victim = created.poll()
         if (victim != null) deleteRecursively(victim)
       }
+      created.add(d)
     }
-    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
-    created.add(d)
     d.getAbsolutePath
   }
 }

@@ -41,7 +41,8 @@ object DedupQueries {
     // The +1M/+2M/+3M/+4M shifts encode batch provenance and are
     // collision-free only while corpus ids stay under 1M; a future SF bump
     // must fail HERE, not as an opaque oracle hash mismatch downstream.
-    val maxId = d.agg(max(col("doc_id"))).head.get(0).asInstanceOf[Number].longValue
+    val maxId = Option(d.agg(max(col("doc_id"))).head.get(0))
+      .fold(0L)(_.asInstanceOf[Number].longValue) // null max = empty table
     require(maxId < 1000000L,
       s"ingestBatch id-shift scheme assumes max(doc_id) < 1000000; got $maxId — " +
         "re-derive the shift offsets before raising the scale factor")

@@ -53,11 +53,8 @@ object Codecs {
       }
     } catch { case _: Exception => None }
 
-  /** Encode a deterministic raster as a real PNG. `rgbAt(x, y)` returns
-    * packed 0xRRGGBB. Used by the q77 round trip and specs; production
-    * callers bring their own bytes.
-    */
-  def encodePng(width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+  private def encodeRaster(
+      width: Int, height: Int, rgbAt: (Int, Int) => Int, format: String): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -70,31 +67,24 @@ object Codecs {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    ImageIO.write(img, format, out)
     out.toByteArray
   }
+
+  /** Encode a deterministic raster as a real PNG. `rgbAt(x, y)` returns
+    * packed 0xRRGGBB. Used by the q77 round trip and specs; production
+    * callers bring their own bytes.
+    */
+  def encodePng(width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] =
+    encodeRaster(width, height, rgbAt, "png")
 
   /** Encode the same deterministic raster as a real BMP — a genuinely
     * different container for the same pixels (both JDK-lossless), which
     * is what "re-encoded duplicate" means to a perceptual hash: the bytes
     * differ, the decoded raster (and so the fingerprint) must not.
     */
-  def encodeBmp(width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
-    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
-    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        img.setRGB(x, y, rgbAt(x, y))
-        x += 1
-      }
-      y += 1
-    }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "bmp", out)
-    out.toByteArray
-  }
+  def encodeBmp(width: Int, height: Int, rgbAt: (Int, Int) => Int): Array[Byte] =
+    encodeRaster(width, height, rgbAt, "bmp")
 
   /** Per-channel pixel sums (R, G, B) — integer-exact, so an oracle can
     * recompute them with no floating-point tolerance at all.

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -16,6 +16,24 @@ object MultimodalQueries {
 
   private def media(s: SparkSession, dir: String) =
     Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+
+  /** Doc ids for the perceptual near-dup corpora (q83/q84/q85): guarded
+    * against +1M/+2M variant-id aliasing — the planted-pair arithmetic
+    * (`id % 1M` residues) silently corrupts past 1M ids, so a future SF
+    * bump must fail HERE, not as an opaque oracle mismatch (same
+    * rationale as DedupQueries.ingestBatch) — and repartitioned so codec
+    * work spreads across every core (the id column scans as ONE
+    * partition at small SF; the shuffle moves only longs).
+    */
+  private def fingerprintIds(s: SparkSession, dir: String): Dataset[Long] = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents").select(col("doc_id").cast("long"))
+    val maxId = Option(d.agg(max(col("doc_id"))).head.get(0))
+      .fold(0L)(_.asInstanceOf[Number].longValue) // null max = empty table
+    require(maxId < 1000000L,
+      s"perceptual variant-id scheme assumes max(doc_id) < 1000000; got $maxId")
+    d.as[Long].repartition(s.sparkContext.defaultParallelism)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata + payload accounting + frame-sampling plumbing, all
@@ -158,11 +176,7 @@ object MultimodalQueries {
     // off-planted pairs and contract violations are pinned at zero.
     "q83_image_neardup" -> { (s, dir) =>
       import s.implicits._
-      val fps = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        // the id column scans as ONE partition at small SF; codec work
-        // must spread across every core (the shuffle moves only longs)
-        .repartition(s.sparkContext.defaultParallelism)
+      val fps = fingerprintIds(s, dir)
         .flatMap { id =>
           def gray(cx: Int, cy: Int): Int = {
             val l = PerceptualHash.cellPattern(id, cx, cy)
@@ -199,14 +213,11 @@ object MultimodalQueries {
     // row and oracle arithmetic are q83's exactly.
     "q84_audio_neardup" -> { (s, dir) =>
       import s.implicits._
-      val fps = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        // the id column scans as ONE partition at small SF; codec work
-        // must spread across every core (the shuffle moves only longs)
-        .repartition(s.sparkContext.defaultParallelism)
+      val fps = fingerprintIds(s, dir)
         .flatMap { id =>
           // 13-bit per-slice amplitude, capped so the ×2 variant cannot
-          // clip at the int16 ceiling (max (8291+100)·2 = 16782 < 32767)
+          // clip at the int16 ceiling (max ((255<<5)|31) + 100 = 8291,
+          // ×2 = 16582 < 32767)
           def amp(j: Int): Int =
             ((PerceptualHash.cellPattern(id, j, 0) << 5) |
               (PerceptualHash.cellPattern(id, j, 1) & 31)) + 100
@@ -246,11 +257,7 @@ object MultimodalQueries {
     // oracle arithmetic as q83/q84.
     "q85_video_neardup" -> { (s, dir) =>
       import s.implicits._
-      val fps = Tables.load(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-        // the id column scans as ONE partition at small SF; codec work
-        // must spread across every core (the shuffle moves only longs)
-        .repartition(s.sparkContext.defaultParallelism)
+      val fps = fingerprintIds(s, dir)
         .flatMap { id =>
           def g(f: Int)(cx: Int, cy: Int): Int =
             PerceptualHash.cellPattern(id * 131 + f, cx, cy)
@@ -280,10 +287,14 @@ object MultimodalQueries {
     * off-planted pairs and contract violations are pinned at zero.
     */
   private def perceptualPairContract(fps: DataFrame): DataFrame = {
-      val pairs = graft.dedup.SimHash.nearPairs(fps, "id", maxDistance = 3)
+      // One evaluation of the (expensive) encode/decode/fingerprint
+      // flatMap: both consumers — the chunk join and the count — read
+      // the checkpointed frame, not the codec pipeline.
+      val mat = fps.localCheckpoint()
+      val pairs = graft.dedup.SimHash.nearPairs(mat, "id", maxDistance = 3)
       // coalesce: an (unexpectedly) empty pair set must read as zero
       // counts, not a null row the oracle can never match
-      fps.agg(count(lit(1)).cast("long").as("n_images")).crossJoin(
+      mat.agg(count(lit(1)).cast("long").as("n_images")).crossJoin(
         pairs.agg(
           coalesce(sum(when(col("id_a") % 1000000L === col("id_b") % 1000000L &&
             col("hamming") === 0, 1L).otherwise(0L)), lit(0L)).cast("long")
