@@ -55,6 +55,43 @@ object StreamingQueries {
           col("event_type"), col("value"), col("props"))
         .localCheckpoint(true)
         .orderBy("event_id")
+    },
+
+    // Streaming × transactional composition: the same planted-duplicate
+    // file stream drains through `foreachBatch(TxTable.mergeSink)` —
+    // every micro-batch is one transactional MERGE commit, with
+    // `maxFilesPerTrigger` forcing MULTIPLE micro-batches so the
+    // upsert-across-commits path (not just a single init) actually runs.
+    // mergeSink's content-idempotent upsert is what makes the replayed-
+    // batch story exactly-once; here it also collapses the planted
+    // copies (identical rows, keyed on event_id), so the committed table
+    // must equal the original table — the same relational oracle as q82.
+    "q86_streaming_txmerge" -> { (s, dir) =>
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val scratch = ScratchDirs.fresh("graft-stream-tx")
+      val inDir = s"$scratch/in"
+      val tableDir = s"$scratch/table"
+      val ckptDir = s"$scratch/ckpt"
+      raw.write.mode("overwrite").parquet(inDir)
+      raw.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
+
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "2") // several batches → several MERGEs
+        .parquet(inDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = stream.writeStream
+        .foreachBatch(
+          graft.sinks.TxTable.mergeSink(tableDir, Seq("event_id"), orderBy = Some("ts")))
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      graft.sinks.TxTable.read(s, tableDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .localCheckpoint(true)
+        .orderBy("event_id")
     }
   )
 
@@ -64,6 +101,13 @@ object StreamingQueries {
     // table. DuckDB reads the nanos timestamps as TIMESTAMP_NS; ::TIMESTAMP
     // truncates to µs — the same `div 1000` the engine applies in-stream.
     "q82_streaming_dedup" ->
+      """SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // The MERGE-per-micro-batch keyed upsert of identical planted copies
+    // lands the committed table at exactly the original rows — same
+    // recompute as q82.
+    "q86_streaming_txmerge" ->
       """SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin
   )

@@ -39,6 +39,15 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("q86 merges micro-batches transactionally and converges to the distinct table") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingQueries.queries("q86_streaming_txmerge")(spark, dir)
+    val expected = graft.sources.Tables.load(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("streaming hourly counts equal the batch window aggregation") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = graft.sources.Tables.load(spark, dir, "events")
