@@ -160,6 +160,79 @@ object HyperplaneLsh {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Persisted ANN index of a corpus: per-table bucket postings for
+    * candidate lookup plus the (id, vector, norm) frame for exact-cosine
+    * verification — the state that makes similarity search INCREMENTAL
+    * (mirror of [[graft.dedup.MinHashDedup.Index]]): a query batch
+    * probes the index instead of re-signing the corpus. Both members are
+    * plain DataFrames (write as parquet, bucketed by `bucket`/`id` at
+    * scale). Signature parameters ride along because probe MUST sign
+    * queries with the same hyperplanes.
+    *
+    * Sizing note for 100 TB: bucket occupancy is ~n / 2^nPlanes per
+    * table, so nPlanes should grow with log₂(corpus) to keep per-query
+    * candidate counts (and thus probe cost) flat — AnnScaleSpec measures
+    * exactly this invariant.
+    */
+  final case class Index(
+      buckets: DataFrame, vecs: DataFrame,
+      nPlanes: Int, seed: Long, dim: Int, nTables: Int)
+
+  /** Build the index for `vectors`. */
+  def buildIndex(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 6,
+      seed: Long = 42L,
+      dim: Int = 64,
+      nTables: Int = 4
+  ): Index = {
+    val v = signedFrame(vectors, idCol, vecCol, nPlanes, seed, dim, nTables)
+    Index(
+      v.select(col("id"),
+        explode(array((0 until nTables).map(t => col(s"sig_$t")): _*)).as("bucket"))
+        .select(col("bucket"), col("id")),
+      v.select(col("id"), col("v"), col("n")),
+      nPlanes, seed, dim, nTables)
+  }
+
+  /** Probe the index with a NEW query batch: per query, the best cosine
+    * and distinct-candidate count among vectors sharing any Hamming-≤1
+    * bucket in any table. Cost ∝ the BATCH (signing + probe fan-out are
+    * per-query; the bucket join probes corpus postings without
+    * repartitioning them; candidate dedup and vector re-attach ride
+    * skinny id rows) — the corpus contributes scans, never shuffles.
+    * Queries with an empty candidate set are absent from the output.
+    */
+  def probe(
+      queries: DataFrame,
+      index: Index,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val q = signedFrame(queries, idCol, vecCol,
+      index.nPlanes, index.seed, index.dim, index.nTables)
+    val probes = q.select(col("id").as("query_id"),
+      explode(flatten(array((0 until index.nTables).map(t =>
+        probeBuckets(col(s"sig_$t"), index.nPlanes)): _*))).as("bucket"))
+    val cands = probes
+      .join(index.buckets.select(col("bucket"), col("id").as("neighbor_id")), "bucket")
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    cands
+      .join(index.vecs.select(col("id").as("neighbor_id"),
+        col("v").as("cv"), col("n").as("cn")), "neighbor_id")
+      .join(q.select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn")),
+        "query_id")
+      .withColumn("cosine", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        round(max(col("cosine")), 6).as("best_cosine"))
+  }
+
   /** (id, v, n, sig_0..sig_{nTables-1}): the per-vector signature frame
     * both search entry points build their self-join from. Table t's
     * bucket id carries t in the high bits, keeping tables disjoint

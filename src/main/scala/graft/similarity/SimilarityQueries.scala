@@ -139,6 +139,23 @@ object SimilarityQueries {
           .filter(col("rnk") === 1)
           .select(col("query_id"), col("cosine").as("best_cosine")),
         minRecall = 0.6)
+    },
+
+    // Incremental ANN: a query batch (every 10th vector under shifted
+    // ids, embedding unchanged) probes the persisted corpus index
+    // (HyperplaneLsh.buildIndex/probe — the ANN twin of q62). The oracle
+    // is EXACT, not a floor: an identical vector signs identically, so
+    // every query's own original shares its bucket in every table and
+    // best_cosine is deterministically 1.0 — a probe that misses it (or
+    // drops a query) is a bug in the index/probe join, not recall luck.
+    "q87_ann_probe" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val index = HyperplaneLsh.buildIndex(e, "vec_id", "embedding")
+      val queries = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      HyperplaneLsh.probe(queries, index, "vec_id", "embedding")
+        .select(col("query_id"), col("best_cosine"))
+        .orderBy("query_id")
     }
   )
 
@@ -223,6 +240,14 @@ object SimilarityQueries {
          |  SELECT list_dot_product(a.v, b.v) / (a.n * b.n) cosine
          |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
          |SELECT count(*)::BIGINT AS n_pairs, true AS recall_ok
-         |FROM p WHERE cosine >= 0.4""".stripMargin
+         |FROM p WHERE cosine >= 0.4""".stripMargin,
+
+    // Every probe query is an exact copy of a corpus vector, so its best
+    // candidate is its own original at cosine exactly 1.0 (identical
+    // signature ⇒ same bucket in every table ⇒ guaranteed candidate).
+    "q87_ann_probe" ->
+      """SELECT vec_id + 1000000 AS query_id, 1.0::DOUBLE AS best_cosine
+        |FROM embeddings WHERE vec_id % 10 = 0
+        |ORDER BY query_id""".stripMargin
   )
 }

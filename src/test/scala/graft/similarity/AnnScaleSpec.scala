@@ -1,0 +1,78 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{MetricsProbe, SparkSpec}
+
+/** MEASURES the ANN probe's cost model (HyperplaneLsh.buildIndex/probe,
+  * q87): the SAME query batch probes a 1× and an 8× corpus index and the
+  * per-batch cost must not scale with the corpus. The corpus enters probe
+  * only through scans (bucket postings, verification vectors); every
+  * shuffle carries batch-derived rows — PLUS the documented sizing rule
+  * that keeps candidate fan-out flat: bucket occupancy is n / 2^nPlanes,
+  * so the 8× index uses 3 more signature bits (the log₂(corpus) rule the
+  * Index scaladoc states). Together: probe cost is flat in corpus size.
+  */
+class AnnScaleSpec extends SparkSpec {
+
+  private val n1x = 2000L
+  private val nQueries = 200
+
+  /** Deterministic synthetic vectors, splitmix-avalanched per (id, dim):
+    * effectively random directions, so bucket occupancy matches the
+    * uniform model the sizing rule assumes.
+    */
+  private def corpus(n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val v = Array.tabulate(64) { k =>
+        var z = id * 0x9e3779b97f4a7c15L + k * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        (((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("probe cost is flat in corpus size (1x vs 8x index, log-n planes)") {
+    import spark.implicits._
+    val batch = corpus(n1x).filter(col("vec_id") < nQueries)
+      .withColumn("vec_id", col("vec_id") + 10000000L)
+      .localCheckpoint()
+    val idx1 = HyperplaneLsh.buildIndex(corpus(n1x), "vec_id", "embedding",
+      nPlanes = 10)
+    val idx8 = HyperplaneLsh.buildIndex(corpus(n1x * 8), "vec_id", "embedding",
+      nPlanes = 13)
+
+    def run(idx: HyperplaneLsh.Index): (Long, Double) = {
+      val r = HyperplaneLsh.probe(batch, idx, "vec_id", "embedding")
+        .agg(count(lit(1)), min(col("best_cosine"))).as[(Long, Double)].head()
+      r
+    }
+
+    // warm-up both paths, and pin correctness: every query's own original
+    // is in both corpora, so coverage is total and best cosine 1.0
+    assert(run(idx1) == ((nQueries.toLong, 1.0)))
+    assert(run(idx8) == ((nQueries.toLong, 1.0)))
+
+    val m1 = MetricsProbe.measure(spark)(run(idx1))
+    val m8 = MetricsProbe.measure(spark)(run(idx8))
+
+    info(f"1x corpus ($n1x%d vecs, 10 planes): ${m1.wallMs}%d ms, " +
+      f"shuffle w ${m1.shuffleWriteBytes}%d B")
+    info(f"8x corpus (${n1x * 8}%d vecs, 13 planes): ${m8.wallMs}%d ms, " +
+      f"shuffle w ${m8.shuffleWriteBytes}%d B")
+    val shuffleRatio =
+      m8.shuffleWriteBytes.toDouble / math.max(1L, m1.shuffleWriteBytes)
+    val wallRatio = m8.wallMs.toDouble / math.max(1L, m1.wallMs)
+    info(f"ratios: shuffle $shuffleRatio%.2f, wall $wallRatio%.2f (corpus grew 8.00)")
+    assert(shuffleRatio < 2.0,
+      f"shuffle bytes grew $shuffleRatio%.2f× on an 8× corpus — the probe is " +
+        "shuffling corpus-proportional data")
+    assert(wallRatio < 4.0,
+      f"wall time grew $wallRatio%.2f× on an 8× corpus — per-batch probe cost " +
+        "is no longer flat under log-n signature sizing")
+  }
+}
