@@ -156,6 +156,17 @@ object TextQueries {
         (count(lit(1)).cast("double") <=
           lit(2.0) * sum(col("n_tokens")).cast("double") / lit(512.0) + lit(8.0))
           .as("bin_bound_ok"))
+    },
+
+    // Bigram LM quality scoring — the perplexity-filter stand-in: train
+    // add-one-smoothed bigram statistics on the corpus, score every doc
+    // by mean ln P(w₂|w₁). Both sides compute identical integer counts
+    // and double logs over identical token lists, so values match to the
+    // 6-dp rounding.
+    "q88_lm_score" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val model = LmScore.train(d, "doc_id", "text")
+      LmScore.score(d, model, "doc_id", "text").orderBy("doc_id")
     }
   )
 
@@ -376,6 +387,31 @@ object TextQueries {
         |  sum(least(n, 512))::BIGINT AS total_tokens,
         |  true AS no_overflow,
         |  true AS bin_bound_ok
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // Full relational recompute of the bigram LM: counts, prefix sums,
+    // vocabulary, add-one smoothing, mean log-probability per doc.
+    // DuckDB list indexing is 1-based (ts[i] with i in [1, len)), the
+    // Spark side 0-based — both walk consecutive token pairs.
+    "q88_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |pref AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vs
+        |      FROM (SELECT unnest(ts) AS w FROM toks)),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    ln((coalesce(c12, 0) + 1)::DOUBLE /
+        |       (coalesce(c1, 0) + (SELECT vs FROM v))::DOUBLE) AS lp
+        |  FROM bg
+        |  LEFT JOIN cnt USING (w1, w2)
+        |  LEFT JOIN pref USING (w1))
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(lp), 6) AS lm_score
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
