@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.BudgetSelect
 import graft.sources.Tables
 
 /** Driver-contract queries for the text-analysis columns over `documents`.
@@ -167,6 +168,20 @@ object TextQueries {
       val d = docs(s, dir)
       val model = LmScore.train(d, "doc_id", "text")
       LmScore.score(d, model, "doc_id", "text").orderBy("doc_id")
+    },
+
+    // Token-budget corpus selection: best docs by (score desc, id) until
+    // a 10k-token budget is spent — the distributed two-pass prefix sum
+    // (BudgetSelect), NOT a single-partition global window. Score/cost
+    // reuse q30's oracled token arithmetic; cum_cost pins the exact
+    // global running totals, so a partition-offset bug is a hash fail.
+    "q89_budget_select" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        round(TextAnalysis.meanTokenLength(col("text")), 6).as("score"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("cost"))
+      BudgetSelect.selectUnderBudget(d, "doc_id", "score", "cost", budget = 10000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -412,6 +427,27 @@ object TextQueries {
         |  LEFT JOIN pref USING (w1))
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  round(avg(lp), 6) AS lm_score
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The reference cumulative selection: a plain global window cumsum
+    // (fine in DuckDB at oracle scale; the engine's distributed prefix
+    // sum must produce the identical selection AND identical running
+    // totals). Score/cost arithmetic identical to q30's oracle.
+    "q89_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    round(CASE WHEN len(toks) > 0
+        |      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+        |      ELSE 0.0 END, 6) AS score,
+        |    len(toks)::BIGINT AS cost
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') toks
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, score, cost,
+        |    sum(cost) OVER (ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cost
+        |  FROM t)
+        |SELECT doc_id, score, cost, cum_cost
+        |FROM c WHERE cum_cost <= 10000 ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BudgetSelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val items = Seq(
+    // (id, score, cost) — rank order by (score desc, id): 5, 2, 4, 1, 3
+    (1L, 1.0, 40L),
+    (2L, 3.0, 30L),
+    (3L, 0.5, 10L),
+    (4L, 2.0, 25L),
+    (5L, 9.0, 50L)
+  ).toDF("id", "score", "cost")
+
+  private def select(budget: Long, partitions: Int = 3): Seq[(Long, Long)] =
+    BudgetSelect.selectUnderBudget(items, "id", "score", "cost", budget, partitions)
+      .orderBy("cum_cost")
+      .select(col("id"), col("cum_cost")).as[(Long, Long)].collect().toSeq
+
+  test("keeps the best-ranked prefix whose cumulative cost fits") {
+    // prefix cumsums: 50, 80, 105, 145, 155
+    assert(select(budget = 110) == Seq((5L, 50L), (2L, 80L), (4L, 105L)))
+  }
+
+  test("a budget cutting exactly on a boundary includes that row") {
+    assert(select(budget = 80).map(_._1) == Seq(5L, 2L))
+  }
+
+  test("budget below the first row selects nothing; huge budget selects all") {
+    assert(select(budget = 49).isEmpty)
+    assert(select(budget = 1000).map(_._1) == Seq(5L, 2L, 4L, 1L, 3L))
+  }
+
+  test("result is identical for any partition count (global prefix exactness)") {
+    for (p <- Seq(1, 2, 4, 8)) {
+      assert(select(budget = 110, partitions = p) ==
+        Seq((5L, 50L), (2L, 80L), (4L, 105L)), s"partitions=$p")
+    }
+  }
+
+  test("zero-cost rows ride along inside the budget") {
+    val withFree = items.unionByName(Seq((6L, 5.0, 0L)).toDF("id", "score", "cost"))
+    val out = BudgetSelect.selectUnderBudget(withFree, "id", "score", "cost", 80L, 3)
+      .orderBy("cum_cost", "id").select("id").as[Long].collect().toSeq
+    assert(out == Seq(5L, 6L, 2L)) // 6 ranks between 5 and 2, costs nothing
+  }
+}
