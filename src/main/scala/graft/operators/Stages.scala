@@ -131,6 +131,14 @@ object Stages {
     val dataCols = df.columns.map(col)
     val withHash = df
       .withColumn("_row_hash", xxhash64(dataCols.toIndexedSeq: _*))
+      // Second independent 64-bit draw (domain-separated by a salt
+      // literal): identity checks that must hold at 10^10-row scale
+      // (sinks.Writers.appendDedup) match on the PAIR — a 64-bit hash
+      // alone has its birthday bound at ~4B rows, where a collision
+      // silently drops a distinct row; the pair pushes P[any collision]
+      // to ~10^-19 at 10^10 rows.
+      .withColumn("_row_hash2",
+        xxhash64((lit("graft-rh2") +: dataCols.toIndexedSeq): _*))
       .withColumn("_processed_at", current_timestamp())
     firstTemporalColumn(df) match {
       case Some(d) =>

@@ -117,7 +117,8 @@ object Writers {
   def appendDedup(
       df: DataFrame,
       dest: String,
-      hashCol: String = "_row_hash"
+      hashCol: String = "_row_hash",
+      hashCol2: String = "_row_hash2"
   ): LoadResult = {
     require(df.columns.contains(hashCol), s"$hashCol column required")
     val spark = df.sparkSession
@@ -127,8 +128,19 @@ object Writers {
     val novel =
       if (!fs.exists(path)) df
       else {
-        val seen = spark.read.parquet(dest).select(hashCol)
-        df.join(seen, Seq(hashCol), "left_anti")
+        // Identity = the (hash, hash2) PAIR when both sides carry it
+        // (Stages.deriveFields writes both): a single 64-bit hash hits
+        // its birthday bound at ~4B rows and a collision here silently
+        // DROPS a distinct row. Falls back to hashCol alone for dests
+        // written before the second column existed. Both reads stay
+        // column-pruned (1-2 longs per dest row).
+        val existing = spark.read.parquet(dest)
+        val keyCols =
+          if (df.columns.contains(hashCol2) && existing.columns.contains(hashCol2))
+            Seq(hashCol, hashCol2)
+          else Seq(hashCol)
+        val seen = existing.select(keyCols.head, keyCols.tail: _*)
+        df.join(seen, keyCols, "left_anti")
       }
     // Single execution of the (possibly expensive) upstream plan: write
     // unconditionally, derive the row delta from parquet footer counts

@@ -101,4 +101,31 @@ class AppendDedupSpec extends graft.SparkSpec {
     assert(delta.status == "success" && delta.rowsLoaded == 3)
     assert(spark.read.parquet(out).count() == 6)
   }
+
+  test("a 64-bit hash collision does not drop a distinct row (pair identity)") {
+    import spark.implicits._
+    val out = tmpDir("appdedup-pair") + "/silver"
+    // Simulated collision: same _row_hash, different _row_hash2/content.
+    // With hash-only identity the second row would be silently dropped —
+    // the exact failure mode a 10^10-row corpus makes a certainty.
+    Writers.appendDedup(
+      Seq(("a", 100L, 1L)).toDF("v", "_row_hash", "_row_hash2"), out): Unit
+    val second = Writers.appendDedup(
+      Seq(("b", 100L, 2L)).toDF("v", "_row_hash", "_row_hash2"), out)
+    assert(second.rowsLoaded == 1, "distinct row lost to a 64-bit collision")
+    // and a true duplicate (both hashes equal) still dedups
+    val third = Writers.appendDedup(
+      Seq(("a", 100L, 1L)).toDF("v", "_row_hash", "_row_hash2"), out)
+    assert(third.status == "skipped" && third.rowsLoaded == 0)
+  }
+
+  test("legacy dests without _row_hash2 fall back to single-hash identity") {
+    import spark.implicits._
+    val out = tmpDir("appdedup-legacy") + "/silver"
+    Writers.appendDedup(Seq(("a", 100L)).toDF("v", "_row_hash"), out): Unit
+    val rerun = Writers.appendDedup(
+      Seq(("a", 100L, 5L)).toDF("v", "_row_hash", "_row_hash2"), out)
+    assert(rerun.status == "skipped" && rerun.rowsLoaded == 0,
+      "hash-matched row must dedup against a legacy dest")
+  }
 }
