@@ -63,9 +63,13 @@ object IncrementalIngest {
       labels.filter(col("id") === col("component")).select(col("id").as(idCol)),
       Seq(idCol), "left_semi"))
     // cross-corpus, exact: the text-hash anti-join catches EVERY copy,
-    // including sub-shingle-width texts the banded probe cannot see
+    // including sub-shingle-width texts the banded probe cannot see.
+    // Matching on the PAIR of hashes (see MinHashDedup.Index.textHashes)
+    // keeps a 64-bit birthday collision from killing a novel doc.
     val noExactCopy = intra.join(corpusIndex.textHashes,
-      xxhash64(intra(textCol)) === corpusIndex.textHashes("text_hash"), "left_anti")
+      xxhash64(intra(textCol)) === corpusIndex.textHashes("text_hash") &&
+        xxhash64(lit("graft-th2"), intra(textCol)) ===
+          corpusIndex.textHashes("text_hash2"), "left_anti")
     // cross-corpus, near: banded probe + exact-Jaccard verification
     val corpusHits = MinHashDedup
       .probe(noExactCopy, corpusIndex, idCol, textCol, threshold)

@@ -94,11 +94,15 @@ object MinHashDedup {
     * state that makes near-dup detection INCREMENTAL: a new crawl batch
     * probes the index instead of re-pairing the whole corpus.
     */
-  /** `textHashes` is the distinct xxhash64 of every corpus text, with NO
-    * shingle-width floor — sub-shingle-width docs (1-2 tokens) are
-    * invisible to `buckets`/`sets`, so exact-match consumers
-    * ([[IncrementalIngest]]) need this unfiltered view or short texts
-    * re-enter the corpus forever.
+  /** `textHashes` is the distinct (xxhash64, salted-xxhash64) PAIR of
+    * every corpus text, with NO shingle-width floor — sub-shingle-width
+    * docs (1-2 tokens) are invisible to `buckets`/`sets`, so exact-match
+    * consumers ([[IncrementalIngest]]) need this unfiltered view or short
+    * texts re-enter the corpus forever. The pair matters at scale: a
+    * single 64-bit text hash hits its birthday bound at ~4B corpus texts,
+    * where a collision silently KILLS a novel batch doc as "already in
+    * the corpus"; matching on two domain-separated draws pushes that to
+    * ~10^-19 at 10^10 texts while the index stays two longs per text.
     */
   final case class Index(buckets: DataFrame, sets: DataFrame, textHashes: DataFrame)
 
@@ -122,7 +126,9 @@ object MinHashDedup {
     val buckets = bandBuckets(withSig, "id", "sig", bands, rows)
       .select(col("band"), col("bucket"), col("id"))
     Index(buckets, withSets,
-      docs.select(xxhash64(col(textCol)).as("text_hash")).distinct())
+      docs.select(
+        xxhash64(col(textCol)).as("text_hash"),
+        xxhash64(lit("graft-th2"), col(textCol)).as("text_hash2")).distinct())
   }
 
   /** Probe the index with a NEW batch: pairs (new_id, corpus_id) whose
