@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   * benchmark dictionary outgrows broadcast range, pass
   * `broadcastDictionary = false` and the same join runs shuffled on the
   * 64-bit hash — only the join strategy changes.
+  *
+  * Collision semantics at scale: matching on 64-bit shingle hashes can
+  * only OVER-flag (a corpus shingle colliding with an unrelated benchmark
+  * shingle quarantines a clean doc — expected false flags ≈ |corpus
+  * shingles| × |bench shingles| / 2⁶⁴, double digits at 10¹² × 10⁹, and
+  * conservative in the safe direction). It can never under-flag: equal
+  * shingles always hash equally, so no contaminated doc escapes. This is
+  * the opposite polarity of the identity joins (appendDedup, the ingest
+  * exact stage), which is why those match on hash PAIRS and this one
+  * deliberately stays single-hash-skinny.
   */
 object Contamination {
 
