@@ -329,6 +329,21 @@ object ParityQueries {
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("o_custkey")
+    },
+
+    // Mixture resampling (domain reweighting): label ℓ targets weight
+    // (ℓ+1)/55 of a 400-row budget. WHICH rows win is engine-defined
+    // (hash priorities); the per-stratum sample SIZE is exactly
+    // least(floor(weight·total), stratum size) — quotas for labels 7-9
+    // exceed their stratum sizes at sf0.01, so the cap path is live in
+    // the oracle comparison, not just in specs.
+    "q90_mixture_sizes" -> { (s, dir) =>
+      import s.implicits._
+      val targets = (0 to 9).map(l => (l, (l + 1).toDouble / 55.0)).toDF("label", "weight")
+      Sampling.mixture(t(s, dir, "embeddings"), "label", "vec_id", targets, total = 400L)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("label")
     }
   )
 
@@ -549,6 +564,14 @@ object ParityQueries {
 
     "q60_sample_sizes" ->
       """SELECT o_custkey, least(3, count(*)) AS n_sampled
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // floor(((label+1)/55.0) * 400) replicates the engine's fp order of
+    // operations (weight first, then × total); no quota lands near an
+    // integer boundary, so the floor is unambiguous.
+    "q90_mixture_sizes" ->
+      """SELECT label,
+        |  least(floor(((label + 1) / 55.0) * 400)::BIGINT, count(*)) AS n_sampled
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

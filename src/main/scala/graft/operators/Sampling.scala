@@ -67,4 +67,41 @@ object Sampling {
     sampled
       .select(groupCols.map(col) :+ explode(col("top.payload")).as(idCol): _*)
   }
+
+  /** Deterministic mixture resampling — domain reweighting: `targets`
+    * carries (strataCol, weight); stratum s contributes its
+    * floor(weight·total) best-by-hash rows (capped at the stratum's
+    * size), the per-stratum counterpart of [[perGroup]]'s uniform k.
+    * Strata absent from `targets` contribute nothing.
+    *
+    * Shape: one `graft_topk` aggregation with the mixture's LARGEST
+    * quota (each map task forwards ≤ maxK candidates per stratum —
+    * shuffle is strata × maxK, never the raw rows), then a broadcast
+    * join against the tiny quota table trims each stratum to its own k.
+    * graft_topk's output is sorted best-first, so the posexplode rank IS
+    * the within-stratum rank.
+    */
+  def mixture(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      targets: DataFrame, // (strataCol, "weight")
+      total: Long,
+      salt: Long = 0L
+  ): DataFrame = {
+    require(total >= 0L, s"total must be non-negative, got $total")
+    val quotas = targets.select(col(strataCol),
+      floor(col("weight") * total).cast("long").as("__k"))
+    val maxK = quotas.agg(coalesce(max(col("__k")), lit(0L))).head().getLong(0)
+    require(maxK <= Int.MaxValue.toLong, s"largest quota $maxK exceeds Int range")
+    df
+      .join(broadcast(quotas), Seq(strataCol), "inner")
+      .groupBy(col(strataCol), col("__k"))
+      .agg(call_function("graft_topk",
+        -priority(col(idCol), salt), col(idCol), lit(maxK.toInt)).as("top"))
+      .select(col(strataCol), col("__k"),
+        posexplode(col("top.payload")).as(Seq("__rank", idCol)))
+      .filter(col("__rank") < col("__k"))
+      .select(col(strataCol), col(idCol))
+  }
 }

@@ -44,4 +44,22 @@ class SamplingSpec extends SparkSpec {
     assert(got == ref)
     assert(got.groupBy(_._1).forall(_._2.size == k))
   }
+
+  test("mixture: per-stratum quotas, caps, absent strata, determinism") {
+    // strata sizes: g0..g6 have 286 ± 1 rows each
+    val targets = Seq(("g1", 0.5), ("g2", 0.05), ("g5", 0.0)).toDF("grp", "weight")
+    def run() = Sampling.mixture(orders, "grp", "id", targets, total = 400L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = run()
+    val byGrp = got.groupBy(_._1).view.mapValues(_.size).toMap
+    // g1: floor(0.5·400)=200 ≤ 286 → exactly 200; g2: floor(0.05·400)=20;
+    // g5: zero weight → nothing; strata without targets → nothing
+    assert(byGrp == Map("g1" -> 200, "g2" -> 20), s"got $byGrp")
+    assert(run() == got, "mixture must be deterministic")
+    // cap path: a quota above the stratum size returns the whole stratum
+    val greedy = Seq(("g3", 1.0)).toDF("grp", "weight")
+    val capped = Sampling.mixture(orders, "grp", "id", greedy, total = 10000L)
+    val g3Size = orders.filter(col("grp") === "g3").count()
+    assert(capped.count() == g3Size)
+  }
 }
