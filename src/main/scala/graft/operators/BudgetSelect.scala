@@ -54,9 +54,22 @@ object BudgetSelect {
       .sortWithinPartitions(col("score").desc, col("id"))
       .localCheckpoint()
 
-    val totals = ds.rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator.single(pid -> it.map(_._3).sum))
-      .collect().sortBy(_._1).map(_._2)
+    // One pass yields both the per-partition totals AND the minimum cost:
+    // a negative cost breaks the monotonicity the takeWhile/short-circuit
+    // logic rests on, so it must fail loudly, not select silently wrong.
+    val stats = ds.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var sum = 0L
+        var min = Long.MaxValue
+        it.foreach { r => sum += r._3; if (r._3 < min) min = r._3 }
+        Iterator.single((pid, sum, min))
+      }
+      .collect().sortBy(_._1)
+    val minCost = stats.map(_._3).foldLeft(Long.MaxValue)(math.min)
+    require(minCost == Long.MaxValue || minCost >= 0L,
+      s"costs must be non-negative (cumulative selection needs a monotone " +
+        s"prefix sum); found $minCost")
+    val totals = stats.map(_._2)
     val offsets = totals.scanLeft(0L)(_ + _) // exclusive prefix per partition
 
     val selected = ds.rdd.mapPartitionsWithIndex { (pid, it) =>

@@ -90,10 +90,26 @@ object Sampling {
       salt: Long = 0L
   ): DataFrame = {
     require(total >= 0L, s"total must be non-negative, got $total")
+    // One row per stratum or the inner join fans out: duplicate target
+    // rows would feed graft_topk each candidate twice (displacing
+    // legitimate ones within the quota) and emit one sample per
+    // duplicate — silently wrong counts, so it must be an error here.
+    val (nTargets, nStrata) = {
+      val r = targets.agg(count(lit(1)), countDistinct(col(strataCol))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nTargets == nStrata,
+      s"targets must have one row per stratum; got $nTargets rows over $nStrata strata")
+    // Zero quotas (total = 0, or every weight·total < 1) contribute
+    // nothing; dropping them here also keeps graft_topk's k ≥ 1 require
+    // from firing on a semantically-empty request.
     val quotas = targets.select(col(strataCol),
       floor(col("weight") * total).cast("long").as("__k"))
+      .filter(col("__k") > 0L)
     val maxK = quotas.agg(coalesce(max(col("__k")), lit(0L))).head().getLong(0)
     require(maxK <= Int.MaxValue.toLong, s"largest quota $maxK exceeds Int range")
+    if (maxK == 0L)
+      return df.select(col(strataCol), col(idCol)).limit(0)
     df
       .join(broadcast(quotas), Seq(strataCol), "inner")
       .groupBy(col(strataCol), col("__k"))

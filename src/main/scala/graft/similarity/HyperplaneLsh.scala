@@ -91,14 +91,22 @@ object HyperplaneLsh {
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
 
-    // neighbor reattach FIRST, query reattach LAST: when these run as
-    // shuffle joins (the 100-TB regime), the final join leaves the frame
-    // partitioned by query_id and the groupBy below reuses that exchange
-    // instead of adding one more.
+    bestAmongCandidates(pairs, qVecs = v, cVecs = v)
+  }
+
+  /** Shared verification tail of [[approxNearest]] and [[probe]]: exact
+    * cosine per distinct (query, neighbor) candidate, then per-query
+    * best + candidate count. Neighbor reattach FIRST, query reattach
+    * LAST: when these run as shuffle joins (the 100-TB regime), the
+    * final join leaves the frame partitioned by query_id and the groupBy
+    * reuses that exchange instead of adding one more.
+    */
+  private def bestAmongCandidates(
+      pairs: DataFrame, qVecs: DataFrame, cVecs: DataFrame): DataFrame =
     pairs
-      .join(v.select(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn")),
+      .join(cVecs.select(col("id").as("neighbor_id"), col("v").as("cv"), col("n").as("cn")),
         "neighbor_id")
-      .join(v.select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn")),
+      .join(qVecs.select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn")),
         "query_id")
       .withColumn("cosine", VectorOps.cosineFromNorms(
         VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
@@ -108,7 +116,6 @@ object HyperplaneLsh {
       .agg(
         count(lit(1)).as("n_candidates"),
         round(max(col("cosine")), 6).as("best_cosine"))
-  }
 
   /** Embedding-space near-duplicate pairs at cosine ≥ threshold — the
     * semantic-dedup scale path (the exact counterpart is
@@ -220,17 +227,7 @@ object HyperplaneLsh {
       .join(index.buckets.select(col("bucket"), col("id").as("neighbor_id")), "bucket")
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    cands
-      .join(index.vecs.select(col("id").as("neighbor_id"),
-        col("v").as("cv"), col("n").as("cn")), "neighbor_id")
-      .join(q.select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn")),
-        "query_id")
-      .withColumn("cosine", VectorOps.cosineFromNorms(
-        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
-      .groupBy(col("query_id"))
-      .agg(
-        count(lit(1)).as("n_candidates"),
-        round(max(col("cosine")), 6).as("best_cosine"))
+    bestAmongCandidates(cands, qVecs = q, cVecs = index.vecs)
   }
 
   /** (id, v, n, sig_0..sig_{nTables-1}): the per-vector signature frame

@@ -5,6 +5,7 @@ import java.time.format.DateTimeFormatter
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.core.{FileFormat, SinkSpec}
 
@@ -131,16 +132,26 @@ object Writers {
         // Identity = the (hash, hash2) PAIR when both sides carry it
         // (Stages.deriveFields writes both): a single 64-bit hash hits
         // its birthday bound at ~4B rows and a collision here silently
-        // DROPS a distinct row. Falls back to hashCol alone for dests
-        // written before the second column existed. Both reads stay
-        // column-pruned (1-2 longs per dest row).
-        val existing = spark.read.parquet(dest)
-        val keyCols =
-          if (df.columns.contains(hashCol2) && existing.columns.contains(hashCol2))
-            Seq(hashCol, hashCol2)
-          else Seq(hashCol)
-        val seen = existing.select(keyCols.head, keyCols.tail: _*)
-        df.join(seen, keyCols, "left_anti")
+        // DROPS a distinct row. Both reads stay column-pruned (1-2 longs
+        // per dest row). mergeSchema: a dest can MIX legacy files
+        // (written before hash2 existed) with pair files — single-footer
+        // schema inference would see hash2 or not depending on which
+        // file it samples, making dedup nondeterministic.
+        val existing = spark.read.option("mergeSchema", "true").parquet(dest)
+        if (df.columns.contains(hashCol2) && existing.columns.contains(hashCol2)) {
+          // Legacy rows inside an upgraded dest surface hash2 = NULL; a
+          // plain `===` never matches NULL and would silently RE-APPEND
+          // a duplicate of every legacy row. Such rows match on hashCol
+          // alone (conservative: keeps idempotence; the 64-bit collision
+          // odds persist only for pre-upgrade rows).
+          val seen = existing.select(col(hashCol).as("__h1"), col(hashCol2).as("__h2"))
+          df.join(seen,
+            df(hashCol) === seen("__h1") &&
+              (seen("__h2").isNull || df(hashCol2) === seen("__h2")),
+            "left_anti")
+        } else {
+          df.join(existing.select(hashCol), Seq(hashCol), "left_anti")
+        }
       }
     // Single execution of the (possibly expensive) upstream plan: write
     // unconditionally, derive the row delta from parquet footer counts

@@ -23,21 +23,38 @@ import graft.core.ScratchDirs
   */
 object StreamingQueries {
 
+  /** Shared q82/q86 setup — one recipe, two sinks: stage the events
+    * table plus a second batch of planted exact-duplicate files (a copy
+    * of every 10th event) into a watched dir, and open a schema'd
+    * readStream over it. ts is TIMESTAMP(NANOS) parquet, surfacing as a
+    * nanos long under nanosAsLong (see sources.Tables); the in-stream
+    * `div 1000` conversion must stay in lockstep with the oracles'
+    * `::TIMESTAMP` µs truncation, which is exactly why this lives in ONE
+    * place.
+    * @return (stream ready to transform, scratch root for sink/ckpt dirs)
+    */
+  private def plantedEventStream(
+      s: SparkSession, dir: String, prefix: String): (DataFrame, String) = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val scratch = ScratchDirs.fresh(prefix)
+    val inDir = s"$scratch/in"
+    raw.write.mode("overwrite").parquet(inDir)
+    raw.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
+    // maxFilesPerTrigger forces MULTIPLE micro-batches under
+    // AvailableNow, so cross-batch paths (dedup state, repeated MERGE
+    // commits) actually run rather than collapsing into one batch.
+    val stream = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    (stream, scratch)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_streaming_dedup" -> { (s, dir) =>
-      // Raw read: ts is TIMESTAMP(NANOS) parquet, surfacing as a nanos
-      // long under nanosAsLong (see sources.Tables) — streamed with the
-      // same declared schema, converted to a real timestamp in-stream.
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val scratch = ScratchDirs.fresh("graft-stream-q")
-      val inDir = s"$scratch/in"
+      val (stream, scratch) = plantedEventStream(s, dir, "graft-stream-q")
       val sinkDir = s"$scratch/sink"
       val ckptDir = s"$scratch/ckpt"
-      raw.write.mode("overwrite").parquet(inDir)
-      raw.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
-
-      val stream = s.readStream.schema(raw.schema).parquet(inDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val deduped = StreamingIngest.dedupWithinWatermark(
         stream, keyCols = Seq("event_id"), tsCol = "ts", watermark = "3650 days")
       val q = deduped.writeStream
@@ -67,18 +84,9 @@ object StreamingQueries {
     // copies (identical rows, keyed on event_id), so the committed table
     // must equal the original table — the same relational oracle as q82.
     "q86_streaming_txmerge" -> { (s, dir) =>
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val scratch = ScratchDirs.fresh("graft-stream-tx")
-      val inDir = s"$scratch/in"
+      val (stream, scratch) = plantedEventStream(s, dir, "graft-stream-tx")
       val tableDir = s"$scratch/table"
       val ckptDir = s"$scratch/ckpt"
-      raw.write.mode("overwrite").parquet(inDir)
-      raw.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
-
-      val stream = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", "2") // several batches → several MERGEs
-        .parquet(inDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val q = stream.writeStream
         .foreachBatch(
           graft.sinks.TxTable.mergeSink(tableDir, Seq("event_id"), orderBy = Some("ts")))

@@ -33,13 +33,16 @@ object LmScore {
   final case class Model(bigrams: DataFrame, prefixes: DataFrame, vocabSize: Long)
 
   /** (doc_id-ish idCol, w1, w2) — one row per consecutive token pair.
-    * The < 2-token filter runs BEFORE the transform: sequence(1, 0)
-    * counts DOWN in Spark and would fabricate reversed bigrams.
+    * Tokens are single-space splits, the same unit `dedup.Shingles` (and
+    * its DuckDB `string_split` oracle twin) standardizes on — NOT the
+    * \s+ analysis tokenizer. The text splits ONCE; the < 2-token filter
+    * runs on the split column BEFORE the transform (sequence(1, 0)
+    * counts DOWN in Spark and would fabricate reversed bigrams).
     */
   private def bigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .where(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(toks) - 1), " +
           "i -> struct(toks[i - 1] as w1, toks[i] as w2))")).as("bg"))

@@ -57,8 +57,17 @@ class AnnScaleSpec extends SparkSpec {
     assert(run(idx1) == ((nQueries.toLong, 1.0)))
     assert(run(idx8) == ((nQueries.toLong, 1.0)))
 
-    val m1 = MetricsProbe.measure(spark)(run(idx1))
-    val m8 = MetricsProbe.measure(spark)(run(idx8))
+    // best-of-2 per channel (the bench warm-channel convention): these
+    // probes are sub-second local jobs, where a single GC pause is the
+    // same magnitude as the measurement — one-shot walls would make the
+    // ratio gate flaky on a host with documented ~15% swing.
+    def best(idx: HyperplaneLsh.Index) = {
+      val a = MetricsProbe.measure(spark)(run(idx))
+      val b = MetricsProbe.measure(spark)(run(idx))
+      if (a.wallMs <= b.wallMs) a else b
+    }
+    val m1 = best(idx1)
+    val m8 = best(idx8)
 
     info(f"1x corpus ($n1x%d vecs, 10 planes): ${m1.wallMs}%d ms, " +
       f"shuffle w ${m1.shuffleWriteBytes}%d B")

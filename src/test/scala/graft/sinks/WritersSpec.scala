@@ -128,4 +128,26 @@ class AppendDedupSpec extends graft.SparkSpec {
     assert(rerun.status == "skipped" && rerun.rowsLoaded == 0,
       "hash-matched row must dedup against a legacy dest")
   }
+
+  test("mixed-schema dest: legacy rows (null hash2) still dedup by single hash") {
+    import spark.implicits._
+    val out = tmpDir("appdedup-mixed") + "/silver"
+    // legacy file first, then an upgraded file → dest mixes schemas
+    Writers.appendDedup(Seq(("old", 100L)).toDF("v", "_row_hash"), out): Unit
+    val up = Writers.appendDedup(
+      Seq(("new", 200L, 7L)).toDF("v", "_row_hash", "_row_hash2"), out)
+    assert(up.rowsLoaded == 1)
+    // re-ingesting the LEGACY row (now carrying a hash2 the dest's legacy
+    // file lacks) must be a no-op: with a non-null-safe pair join the
+    // legacy row's null hash2 never matches and the dup re-appends
+    val replayOld = Writers.appendDedup(
+      Seq(("old", 100L, 3L)).toDF("v", "_row_hash", "_row_hash2"), out)
+    assert(replayOld.status == "skipped" && replayOld.rowsLoaded == 0,
+      "legacy row replay re-appended — pair join is not null-tolerant")
+    // and the pair identity still distinguishes a true 64-bit collision
+    // against UPGRADED rows
+    val collide = Writers.appendDedup(
+      Seq(("new2", 200L, 8L)).toDF("v", "_row_hash", "_row_hash2"), out)
+    assert(collide.rowsLoaded == 1, "distinct row lost to a 64-bit collision")
+  }
 }
