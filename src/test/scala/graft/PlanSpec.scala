@@ -256,4 +256,31 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("LM scoring joins the model without sort-merging (broadcast under AQE)") {
+    // The model (bigram counts + prefixes) is broadcast-sized at this SF;
+    // AQE must pick BroadcastHashJoin for both scoring joins — a
+    // sort-merge against a dictionary-sized model is a lost broadcast
+    // (at 100 TB the model side can genuinely outgrow broadcast and the
+    // shuffle is then correct, but never at dictionary scale).
+    val df = text.TextQueries.queries("q88_lm_score")(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"q88 lost the model broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q88 sort-merges a model join:\n$p")
+  }
+
+  test("mixture sampling is one topk aggregation + a broadcast quota trim") {
+    import spark.implicits._
+    val targets = (0 to 6).map(l => (s"g$l", 0.1)).toDF("grp", "weight")
+    val base = (1L to 2000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
+    val df = operators.Sampling.mixture(base, "grp", "id", targets, total = 100L)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"quota join did not broadcast:\n$p")
+    // exactly one aggregation pair (partial + final) — the per-stratum
+    // trim must not re-aggregate
+    val aggs = p.linesIterator.count(_.trim.startsWith("HashAggregate"))
+    assert(aggs <= 4, s"unexpected extra aggregations ($aggs):\n$p")
+  }
 }
