@@ -118,17 +118,25 @@ object MinHashDedup {
       bands: Int = 32,
       rows: Int = 4
   ): Index = {
-    val withSets = docs
-      .select(col(idCol).as("id"), Shingles.shingleSet(col(textCol), shingleWidth).as("shset"))
-      .filter(size(col("shset")) > 0)
+    // ONE scan of the corpus feeds both halves of the index: shingle
+    // sets for the banded side, the text-hash pair for the exact side.
+    // The checkpoint happens BEFORE the shingle-width filter because the
+    // text hashes must cover sub-shingle-width docs too (the unfiltered
+    // view IncrementalIngest depends on); the empty shsets it stores are
+    // a few bytes per short doc.
+    val scanned = docs
+      .select(col(idCol).as("id"),
+        Shingles.shingleSet(col(textCol), shingleWidth).as("shset"),
+        xxhash64(col(textCol)).as("text_hash"),
+        xxhash64(lit("graft-th2"), col(textCol)).as("text_hash2"))
       .localCheckpoint()
+    val withSets = scanned.select(col("id"), col("shset"))
+      .filter(size(col("shset")) > 0)
     val withSig = withSets.withColumn("sig", signature(col("shset"), bands * rows))
     val buckets = bandBuckets(withSig, "id", "sig", bands, rows)
       .select(col("band"), col("bucket"), col("id"))
     Index(buckets, withSets,
-      docs.select(
-        xxhash64(col(textCol)).as("text_hash"),
-        xxhash64(lit("graft-th2"), col(textCol)).as("text_hash2")).distinct())
+      scanned.select(col("text_hash"), col("text_hash2")).distinct())
   }
 
   /** Probe the index with a NEW batch: pairs (new_id, corpus_id) whose
