@@ -12,14 +12,21 @@ package graft.core
   * consumer must be decoupled from its dir first (eager
   * `localCheckpoint`) — reap eligibility equals consumption. All queue
   * ops (reap loop AND add) run under one lock (concurrent callers racing
-  * size()/poll() once NPE'd on a null poll). `keep` defaults high enough
-  * that a dir still in use DURING a query body (q82 holds its dir for a
-  * whole StreamingQuery run) survives several concurrent invocations;
-  * genuinely parallel query drivers should raise it further.
+  * size()/poll() once NPE'd on a null poll).
+  *
+  * Callers that hold a dir across a whole query BODY (q82/q86 keep their
+  * sink + checkpoint dirs alive for an entire StreamingQuery run, TxTable
+  * queries for a multi-MERGE round trip) must use [[lease]]/[[release]]:
+  * a leased dir is skipped by the reap loop no matter how many fresh/
+  * lease calls overlap, so correctness no longer rests on the keep=8
+  * heuristic outrunning caller concurrency (ADVICE r7). `release` makes
+  * the dir ordinarily reap-eligible again (it does NOT delete — the
+  * returned frame decouples via eager localCheckpoint as before).
   */
 object ScratchDirs {
 
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private val leases = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val reaper: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() => {
     created.forEach(deleteRecursively)
   }))
@@ -29,16 +36,40 @@ object ScratchDirs {
     f.delete(): Unit
   }
 
+  private def add(d: java.io.File, keep: Int): Unit = created.synchronized {
+    // Bounded scan: a leased dir cycles to the queue tail instead of
+    // dying; if everything is leased the loop terminates after one
+    // rotation rather than spinning.
+    var scan = created.size()
+    while (created.size() > keep && scan > 0) {
+      scan -= 1
+      val victim = created.poll()
+      if (victim != null) {
+        if (leases.contains(victim.getAbsolutePath)) created.add(victim)
+        else deleteRecursively(victim)
+      }
+    }
+    created.add(d): Unit
+  }
+
   def fresh(prefix: String, keep: Int = 8): String = {
     reaper
     val d = java.nio.file.Files.createTempDirectory(prefix).toFile
-    created.synchronized {
-      while (created.size() > keep) {
-        val victim = created.poll()
-        if (victim != null) deleteRecursively(victim)
-      }
-      created.add(d)
-    }
+    add(d, keep)
     d.getAbsolutePath
   }
+
+  /** A fresh dir pinned against reaping until [[release]]d. The lease is
+    * registered BEFORE the dir enters the queue — no window in which a
+    * concurrent fresh() could reap it.
+    */
+  def lease(prefix: String, keep: Int = 8): String = {
+    reaper
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    leases.add(d.getAbsolutePath)
+    add(d, keep)
+    d.getAbsolutePath
+  }
+
+  def release(path: String): Unit = { leases.remove(path): Unit }
 }

@@ -294,7 +294,9 @@ object MultimodalQueries {
       val pairs = graft.dedup.SimHash.nearPairs(mat, "id", maxDistance = 3)
       // coalesce: an (unexpectedly) empty pair set must read as zero
       // counts, not a null row the oracle can never match
-      mat.agg(count(lit(1)).cast("long").as("n_images")).crossJoin(
+      // n_items, modality-neutral: this contract serves images (q83),
+      // audio clips (q84) AND video clips (q85) — ADVICE r7.
+      mat.agg(count(lit(1)).cast("long").as("n_items")).crossJoin(
         pairs.agg(
           coalesce(sum(when(col("id_a") % 1000000L === col("id_b") % 1000000L &&
             col("hamming") === 0, 1L).otherwise(0L)), lit(0L)).cast("long")
@@ -422,7 +424,7 @@ object MultimodalQueries {
       """SELECT
         |  (count(*)
         |    + count(*) FILTER (WHERE doc_id % 4 = 0)
-        |    + count(*) FILTER (WHERE doc_id % 6 = 0))::BIGINT AS n_images,
+        |    + count(*) FILTER (WHERE doc_id % 6 = 0))::BIGINT AS n_items,
         |  coalesce(sum(CASE WHEN doc_id % 12 = 0 THEN 3
         |                    WHEN doc_id % 4 = 0 OR doc_id % 6 = 0 THEN 1
         |                    ELSE 0 END), 0)::BIGINT AS planted_pairs_found,
@@ -438,7 +440,7 @@ object MultimodalQueries {
       """SELECT
         |  (count(*)
         |    + count(*) FILTER (WHERE doc_id % 4 = 0)
-        |    + count(*) FILTER (WHERE doc_id % 6 = 0))::BIGINT AS n_images,
+        |    + count(*) FILTER (WHERE doc_id % 6 = 0))::BIGINT AS n_items,
         |  coalesce(sum(CASE WHEN doc_id % 12 = 0 THEN 3
         |                    WHEN doc_id % 4 = 0 OR doc_id % 6 = 0 THEN 1
         |                    ELSE 0 END), 0)::BIGINT AS planted_pairs_found,
@@ -455,7 +457,7 @@ object MultimodalQueries {
       """SELECT
         |  (count(*)
         |    + count(*) FILTER (WHERE doc_id % 4 = 0)
-        |    + count(*) FILTER (WHERE doc_id % 6 = 0))::BIGINT AS n_images,
+        |    + count(*) FILTER (WHERE doc_id % 6 = 0))::BIGINT AS n_items,
         |  coalesce(sum(CASE WHEN doc_id % 12 = 0 THEN 3
         |                    WHEN doc_id % 4 = 0 OR doc_id % 6 = 0 THEN 1
         |                    ELSE 0 END), 0)::BIGINT AS planted_pairs_found,

@@ -150,6 +150,14 @@ object SimilarityQueries {
     // drops a query) is a bug in the index/probe join, not recall luck.
     "q87_ann_probe" -> { (s, dir) =>
       val e = emb(s, dir)
+      // Same aliasing guard as MultimodalQueries.fingerprintIds /
+      // DedupQueries.ingestBatch (ADVICE r7): the +1M shift assumes query
+      // ids cannot collide with corpus ids, so an SF bump past 1M vectors
+      // must fail HERE, not as an opaque best_cosine oracle mismatch.
+      val maxId = Option(e.agg(max(col("vec_id"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+      require(maxId < 1000000L,
+        s"q87 query-id shift assumes max(vec_id) < 1000000; got $maxId")
       val index = HyperplaneLsh.buildIndex(e, "vec_id", "embedding")
       val queries = e.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L)

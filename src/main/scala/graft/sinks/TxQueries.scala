@@ -24,12 +24,6 @@ object TxQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  // Reap eligibility == consumption (the ScratchDirs contract): the frame
-  // q76 returns is eagerly localCheckpoint'ed inside the query body, so by
-  // the time a LATER invocation triggers the reap, every older dir has
-  // already been read and has no live consumers.
-  private def freshTableDir(): String = graft.core.ScratchDirs.fresh("graft-txtable-q")
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MERGE upsert: base = every 3rd order key, updates = every 2nd
     // (overlap → matched/replace, rest → insert). Doubling the price is an
@@ -37,17 +31,22 @@ object TxQueries {
     "q76_txtable_merge" -> { (s, dir) =>
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val tableDir = freshTableDir()
-      TxTable.init(s, tableDir, orders.filter(col("o_orderkey") % 3 === 0))
-      val updates = orders.filter(col("o_orderkey") % 2 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
-      val stats = TxTable.merge(s, tableDir, updates, Seq("o_orderkey"))
-      require(stats.version == 2L, s"expected merge to commit version 2, got $stats")
-      // Eager localCheckpoint decouples the returned frame from tableDir's
-      // files — this is what lets freshTableDir reap older dirs without
-      // breaking unconsumed frames (the table is ~10k skinny rows here;
-      // the real TxTable read path stays lazy).
-      TxTable.read(s, tableDir).localCheckpoint(true).orderBy("o_orderkey")
+      // Leased for the whole init→merge→read body (the ScratchDirs
+      // contract): however many invocations overlap, this dir cannot be
+      // reaped mid-MERGE; released once the frame is decoupled.
+      val tableDir = graft.core.ScratchDirs.lease("graft-txtable-q")
+      try {
+        TxTable.init(s, tableDir, orders.filter(col("o_orderkey") % 3 === 0))
+        val updates = orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val stats = TxTable.merge(s, tableDir, updates, Seq("o_orderkey"))
+        require(stats.version == 2L, s"expected merge to commit version 2, got $stats")
+        // Eager localCheckpoint decouples the returned frame from tableDir's
+        // files — after release, later invocations may reap the dir without
+        // breaking unconsumed frames (the table is ~10k skinny rows here;
+        // the real TxTable read path stays lazy).
+        TxTable.read(s, tableDir).localCheckpoint(true).orderBy("o_orderkey")
+      } finally graft.core.ScratchDirs.release(tableDir)
     }
   )
 

@@ -36,7 +36,10 @@ object StreamingQueries {
   private def plantedEventStream(
       s: SparkSession, dir: String, prefix: String): (DataFrame, String) = {
     val raw = s.read.parquet(s"$dir/events.parquet")
-    val scratch = ScratchDirs.fresh(prefix)
+    // Leased, not merely fresh: the dir stays alive for the WHOLE query
+    // body (StreamingQuery run + sink read-back) regardless of how many
+    // other invocations overlap — released in the query's finally.
+    val scratch = ScratchDirs.lease(prefix)
     val inDir = s"$scratch/in"
     raw.write.mode("overwrite").parquet(inDir)
     raw.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
@@ -53,25 +56,27 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_streaming_dedup" -> { (s, dir) =>
       val (stream, scratch) = plantedEventStream(s, dir, "graft-stream-q")
-      val sinkDir = s"$scratch/sink"
-      val ckptDir = s"$scratch/ckpt"
-      val deduped = StreamingIngest.dedupWithinWatermark(
-        stream, keyCols = Seq("event_id"), tsCol = "ts", watermark = "3650 days")
-      val q = deduped.writeStream
-        .format("parquet")
-        .option("path", sinkDir)
-        .option("checkpointLocation", ckptDir)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      try {
+        val sinkDir = s"$scratch/sink"
+        val ckptDir = s"$scratch/ckpt"
+        val deduped = StreamingIngest.dedupWithinWatermark(
+          stream, keyCols = Seq("event_id"), tsCol = "ts", watermark = "3650 days")
+        val q = deduped.writeStream
+          .format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
 
-      // Eager localCheckpoint: the ScratchDirs contract — the returned
-      // frame must not read sinkDir after a later invocation reaps it.
-      s.read.parquet(sinkDir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .localCheckpoint(true)
-        .orderBy("event_id")
+        // Eager localCheckpoint: the ScratchDirs contract — the returned
+        // frame must not read sinkDir after a later invocation reaps it.
+        s.read.parquet(sinkDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .localCheckpoint(true)
+          .orderBy("event_id")
+      } finally ScratchDirs.release(scratch)
     },
 
     // Streaming × transactional composition: the same planted-duplicate
@@ -85,21 +90,23 @@ object StreamingQueries {
     // must equal the original table — the same relational oracle as q82.
     "q86_streaming_txmerge" -> { (s, dir) =>
       val (stream, scratch) = plantedEventStream(s, dir, "graft-stream-tx")
-      val tableDir = s"$scratch/table"
-      val ckptDir = s"$scratch/ckpt"
-      val q = stream.writeStream
-        .foreachBatch(
-          graft.sinks.TxTable.mergeSink(tableDir, Seq("event_id"), orderBy = Some("ts")))
-        .option("checkpointLocation", ckptDir)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      try {
+        val tableDir = s"$scratch/table"
+        val ckptDir = s"$scratch/ckpt"
+        val q = stream.writeStream
+          .foreachBatch(
+            graft.sinks.TxTable.mergeSink(tableDir, Seq("event_id"), orderBy = Some("ts")))
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
 
-      graft.sinks.TxTable.read(s, tableDir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .localCheckpoint(true)
-        .orderBy("event_id")
+        graft.sinks.TxTable.read(s, tableDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .localCheckpoint(true)
+          .orderBy("event_id")
+      } finally ScratchDirs.release(scratch)
     }
   )
 

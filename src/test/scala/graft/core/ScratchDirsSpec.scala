@@ -29,4 +29,18 @@ class ScratchDirsSpec extends AnyFunSuite {
       pool.awaitTermination(30, TimeUnit.SECONDS): Unit
     }
   }
+
+  test("leased dir survives any number of overlapping fresh() calls until released") {
+    val held = ScratchDirs.lease("scratch-lease", keep = 2)
+    val f = new java.io.File(held)
+    assert(f.isDirectory)
+    // Far more churn than keep=2 tolerates by count alone: without the
+    // lease, `held` would be reaped within the first few calls.
+    (1 to 32).foreach(_ => ScratchDirs.fresh("scratch-churn", keep = 2))
+    assert(f.isDirectory, "a leased dir must never be reaped while held")
+    ScratchDirs.release(held)
+    // Released → ordinarily reap-eligible again: enough churn pushes it out.
+    (1 to 32).foreach(_ => ScratchDirs.fresh("scratch-churn", keep = 2))
+    assert(!f.exists(), "a released dir must become reap-eligible by count")
+  }
 }

@@ -74,25 +74,34 @@ class IngestScaleSpec extends SparkSpec {
     assert(run(idx1) == batchPerKind.toLong)
     assert(run(idx8) == batchPerKind.toLong)
 
-    val m1 = MetricsProbe.measure(spark)(run(idx1))
-    val m8 = MetricsProbe.measure(spark)(run(idx8))
-    assert(m1.result == batchPerKind.toLong && m8.result == batchPerKind.toLong,
-      "same batch must yield the same survivors against either index")
+    // Best-of-2 per index (ADVICE r7, mirroring AnnScaleSpec): wall clock
+    // on this host swings ~15% under load, and a one-shot ratio gate flakes;
+    // the best of two runs is a stable lower envelope. Shuffle bytes are
+    // deterministic — both runs must agree, and the min is used.
+    def measureBest(idx: MinHashDedup.Index) = {
+      val a = MetricsProbe.measure(spark)(run(idx))
+      val b = MetricsProbe.measure(spark)(run(idx))
+      assert(a.result == batchPerKind.toLong && b.result == batchPerKind.toLong,
+        "same batch must yield the same survivors against either index")
+      (math.min(a.wallMs, b.wallMs),
+        math.min(a.shuffleWriteBytes, b.shuffleWriteBytes),
+        math.min(a.shuffleReadBytes, b.shuffleReadBytes))
+    }
+    val (wall1, sw1, sr1) = measureBest(idx1)
+    val (wall8, sw8, sr8) = measureBest(idx8)
 
-    info(f"1x corpus ($n1x%d docs): ${m1.wallMs}%d ms, " +
-      f"shuffle r/w ${m1.shuffleReadBytes}%d/${m1.shuffleWriteBytes}%d B")
-    info(f"8x corpus (${n1x * 8}%d docs): ${m8.wallMs}%d ms, " +
-      f"shuffle r/w ${m8.shuffleReadBytes}%d/${m8.shuffleWriteBytes}%d B")
+    info(f"1x corpus ($n1x%d docs): $wall1%d ms, shuffle r/w $sr1%d/$sw1%d B")
+    info(f"8x corpus (${n1x * 8}%d docs): $wall8%d ms, shuffle r/w $sr8%d/$sw8%d B")
 
     // The gates: 8× the corpus must cost FAR less than 8× — shuffle bytes
     // are batch-proportional (expect ≈1×; gate 2× for partition rounding),
     // wall time adds only corpus scan/broadcast constants (expect ≲1.5×;
     // gate 4× for host noise). A linear-in-corpus regression (e.g. the
     // text-hash anti-join degrading to a sort-merge shuffle, or the probe
-    // re-pairing the corpus) blows both gates immediately.
-    val shuffleRatio =
-      m8.shuffleWriteBytes.toDouble / math.max(1L, m1.shuffleWriteBytes)
-    val wallRatio = m8.wallMs.toDouble / math.max(1L, m1.wallMs)
+    // re-pairing the corpus) blows both gates immediately. Shuffle bytes
+    // are the PRIMARY gate (deterministic); wall is the noisy secondary.
+    val shuffleRatio = sw8.toDouble / math.max(1L, sw1)
+    val wallRatio = wall8.toDouble / math.max(1L, wall1)
     info(f"ratios: shuffle $shuffleRatio%.2f, wall $wallRatio%.2f (corpus grew 8.00)")
     assert(shuffleRatio < 2.0,
       f"shuffle bytes grew $shuffleRatio%.2f× on an 8× corpus — the probe is " +
