@@ -11,11 +11,20 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query reports a COLD time (first run: analysis + codegen compile
   * + execution — comparable to all previous rounds' numbers, headline
-  * "value"/"queries") and a WARM time (best of SPARK_GRAFT_WARM_RUNS
-  * re-runs, default 2: execution with compile caches hot —
-  * "value_warm"/"queries_warm"). Sub-second regressions hide inside
-  * cold-run codegen noise; the warm channel is where per-row kernel
-  * changes are visible.
+  * "value"/"queries") and a WARM time (MEDIAN of SPARK_GRAFT_WARM_RUNS
+  * re-runs, default 3: execution with compile caches hot —
+  * "value_warm"/"queries_warm").
+  *
+  * Protocol (r8, after two rounds of adjudicating host noise): the warm
+  * median-of-3 is the DECISION channel — on a host with a documented
+  * ~15% wall-clock swing, a single sample cannot separate a real
+  * regression from load, and a best-of-n systematically under-reports.
+  * The median is robust to one slow outlier in either direction. Cold
+  * stays a single sample by construction (first-execution codegen/JIT
+  * work is unrepeatable within one JVM), so it is INFORMATIONAL: treat
+  * cold swings as noise unless the warm median moves too. The JSON
+  * records the protocol ("warm_runs"/"warm_stat") so a record can be
+  * audited against the protocol that produced it.
   */
 object Bench {
 
@@ -45,6 +54,9 @@ object Bench {
       .builder(master = s"local[$cpus]", shufflePartitions = cpus, appName = "graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The per-unpersist localCheckpoint WARN otherwise floods the
+    // driver-kept tail of the bench output (r7 verdict, item 7).
+    core.EngineSession.quietLocalCheckpointWarnings()
 
     // One warm-up action so JVM/codegen startup isn't billed to the first
     // query in the report.
@@ -53,7 +65,7 @@ object Bench {
     // Dev-only subset filter (comma-separated names); the driver sets no
     // filter and always benches the full battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
-    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "2").toInt
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -85,12 +97,15 @@ object Bench {
       }
       val cold = once()
       if (cold.isEmpty) failed += name
-      // Warm: best of n re-runs, skipped for a failed query. A query
-      // that succeeded cold but crashed EVERY warm re-run is still a
-      // failure — otherwise value_warm silently shrinks and the crash
-      // reads as a warm-channel speedup.
-      val warm = if (cold.isEmpty) None
-        else Seq.fill(warmRuns)(once()).flatten.minOption
+      // Warm: MEDIAN of n re-runs (lower-middle for even n — still a real
+      // sample, still outlier-robust), skipped for a failed query. A query
+      // that succeeded cold but crashed ANY warm re-run is a failure —
+      // otherwise the median computes over fewer samples than the protocol
+      // claims and the crash reads as noise.
+      val warmSamples = if (cold.isEmpty) Seq.empty else Seq.fill(warmRuns)(once()).flatten
+      val warm = if (warmSamples.size == warmRuns && warmRuns > 0)
+        Some(warmSamples.sorted.apply((warmRuns - 1) / 2))
+      else None
       if (cold.nonEmpty && warmRuns > 0 && warm.isEmpty) failed += name
       // -1 marks a failed run (NaN is not valid JSON)
       (name, cold.getOrElse(-1.0), warm.getOrElse(-1.0))
@@ -107,8 +122,9 @@ object Bench {
     // truncating its head — every BENCH_r*.json through r4 recorded
     // "parsed": null for this reason. The stdout line below is the
     // parseable record; this file is the human/debug record.
+    val protocol = s""""cold_runs":1,"warm_runs":$warmRuns,"warm_stat":"median""""
     val detail =
-      s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","value_warm":${num(totalWarm)},"queries":${row(num, _._2)},"queries_warm":${row(num, _._3)},"failed":$failedJson,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","value_warm":${num(totalWarm)},$protocol,"queries":${row(num, _._2)},"queries_warm":${row(num, _._3)},"failed":$failedJson,"sf":${q(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
@@ -122,7 +138,7 @@ object Bench {
       val kept = results.sortBy(t => -math.max(t._2, t._3)).take(keep).sortBy(_._1)
       val qmap = kept.map { case (k, c, _) => q(k) + ":" + num2(c) }.mkString("{", ",", "}")
       val omitted = if (kept.size < results.size) s""","queries_omitted":${results.size - kept.size}""" else ""
-      s"""{"metric":"total","value":${num2(totalCold)},"unit":"sec","value_warm":${num2(totalWarm)},"queries":$qmap$omitted,"failed":$failedJson,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${num2(totalCold)},"unit":"sec","value_warm":${num2(totalWarm)},$protocol,"queries":$qmap$omitted,"failed":$failedJson,"sf":${q(sfDir)}}"""
     }
     // Candidate sizes shrink to 0 (keep=0 → no per-query map at all);
     // the totals/failed-only line is the floor, so the budget is met for

@@ -50,4 +50,15 @@ object EngineSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Silence the one known-noise WARN ("RDD was locally checkpointed, its
+    * lineage has been truncated…"): the engine unpersists localCheckpoint
+    * blocks DELIBERATELY between bench/verify queries, and the per-unpersist
+    * warning flooded the driver-visible tail of every BENCH_r*.json. Scoped
+    * to the one logger that emits it, not the rdd package — other RDD-level
+    * warnings stay visible.
+    */
+  def quietLocalCheckpointWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
 }
