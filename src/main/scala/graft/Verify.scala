@@ -71,7 +71,13 @@ object Verify {
     }
     hfs.mkdirs(outPath)
     val failedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names), same contract as
+    // Bench's: the driver sets no filter and always dumps the full
+    // battery. check_oracle.py compares whatever dumps exist.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // TIMESTAMP → TIMESTAMP_NTZ on output: session TZ is UTC so wall
       // clock is unchanged, and the parquet file then carries
       // isAdjustedToUTC=false — naive datetimes on read, matching what

@@ -9,28 +9,48 @@ import org.apache.spark.sql.functions._
   * Spark dataflow — train counts, join-score, aggregate per doc — is
   * identical and is what this module makes distributed).
   *
-  * Estimator: add-one-smoothed conditional bigram probability,
-  * P(w₂|w₁) = (C(w₁w₂) + 1) / (C(w₁·) + V), where C(w₁·) is the
-  * bigram-PREFIX count (Σ_w C(w₁w)) and V the corpus vocabulary size.
-  * A document's score is the mean natural log-probability over its
-  * bigrams — higher = more corpus-like; sub-bigram docs (< 2 tokens)
-  * carry no evidence and are absent from the output.
+  * Estimator: Witten-Bell INTERPOLATED bigram probability (r8; the r7
+  * add-one estimator wasted probability mass uniformly over V and made
+  * every unseen continuation equally likely regardless of how promiscuous
+  * the history was):
   *
-  * Scale shape: training is two hash aggregations over exploded bigrams
-  * (corpus-proportional, as any LM estimation must be); scoring joins
-  * each document's bigrams against the count tables on (w₁, w₂) — an
-  * equi-join AQE can broadcast when the model is small and skew-split
-  * when head bigrams are hot — then one per-doc aggregation. Nothing is
-  * driver-side; the model is a DataFrame, buildable once and reusable
-  * across scoring batches (the [[Model]] is a parameter, like the dedup
-  * and ANN indexes).
+  *   P(w₂|w₁) = (C(w₁w₂) + T(w₁)·P₁(w₂)) / (C(w₁·) + T(w₁))
+  *
+  * where T(w₁) is the number of DISTINCT continuation types observed
+  * after w₁ (the Witten-Bell "novel event" count: histories that were
+  * followed by many different words lend more mass to their unigram
+  * back-off), C(w₁·) the prefix count, and P₁ the add-one-floored unigram
+  * distribution P₁(w) = (C(w)+1)/(N+V) (the floor keeps never-seen words
+  * finite; N = corpus token count, V = vocabulary size). A history never
+  * seen at all backs off fully: P(w₂|w₁) = P₁(w₂). A document's score is
+  * the mean natural log-probability over its bigrams — higher = more
+  * corpus-like; sub-bigram docs (< 2 tokens) carry no evidence and are
+  * absent from the output.
+  *
+  * Scale shape: training is three hash aggregations over exploded
+  * bigrams/tokens (corpus-proportional, as any LM estimation must be) —
+  * bigram counts, prefix counts WITH continuation-type counts (one
+  * groupBy computing both: t1 is just count(*) over the bigram-type
+  * rows), unigram counts. Scoring joins each document's bigrams against
+  * the three count tables on (w₁, w₂), (w₁) and (w₂) — equi-joins AQE
+  * broadcasts when the model is small and skew-splits when head tokens
+  * are hot — then one per-doc aggregation. Nothing is driver-side; the
+  * model is a DataFrame triple, buildable once and reusable across
+  * scoring batches (the [[Model]] is a parameter, like the dedup and ANN
+  * indexes).
   */
 object LmScore {
 
-  /** Trained model: bigram counts (w1, w2, c12), prefix counts (w1, c1),
-    * and the vocabulary size used for smoothing.
+  /** Trained model: bigram counts (w1, w2, c12), prefix stats (w1,
+    * c1 = Σ_w C(w1 w), t1 = |{w : C(w1 w) > 0}|), unigram counts (w, cu),
+    * and the corpus token/vocabulary totals for the unigram floor.
     */
-  final case class Model(bigrams: DataFrame, prefixes: DataFrame, vocabSize: Long)
+  final case class Model(
+      bigrams: DataFrame,
+      prefixes: DataFrame,
+      unigrams: DataFrame,
+      nTokens: Long,
+      vocabSize: Long)
 
   /** (doc_id-ish idCol, w1, w2) — one row per consecutive token pair.
     * Tokens are single-space splits, the same unit `dedup.Shingles` (and
@@ -53,24 +73,40 @@ object LmScore {
     val bg = bigramRows(corpus, idCol, textCol)
     val bigrams = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .localCheckpoint()
-    val prefixes = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val vocab = corpus
+    // One aggregation yields BOTH Witten-Bell prefix statistics: the
+    // continuation-type count t1 is count(*) over bigram TYPES (not
+    // tokens), which is exactly what grouping the distinct-pair count
+    // table gives for free.
+    val prefixes = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1"))
+    val unigrams = corpus
       .select(explode(split(col(textCol), " ")).as("w"))
-      .agg(countDistinct(col("w"))).head().getLong(0)
-    Model(bigrams, prefixes, vocab)
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
+    val tot = unigrams.agg(sum(col("cu")), count(lit(1))).head()
+    Model(bigrams, prefixes, unigrams, tot.getLong(0), tot.getLong(1))
   }
 
   /** Score documents against a trained model: (idCol, n_bigrams,
     * lm_score = mean ln P(w₂|w₁), 6-dp). Docs with < 2 tokens are absent.
     */
-  def score(docs: DataFrame, model: Model, idCol: String, textCol: String): DataFrame =
+  def score(docs: DataFrame, model: Model, idCol: String, textCol: String): DataFrame = {
+    // Unigram floor P₁(w₂) = (C(w₂)+1)/(N+V); the arithmetic SHAPE below
+    // (cast points, operation order) is mirrored verbatim by the q88
+    // DuckDB oracle so doubles agree to the 6-dp rounding.
+    val pu = (coalesce(col("cu"), lit(0L)) + lit(1)).cast("double") /
+      lit((model.nTokens + model.vocabSize).toDouble)
     bigramRows(docs, idCol, textCol)
       .join(model.bigrams, Seq("w1", "w2"), "left")
       .join(model.prefixes, Seq("w1"), "left")
+      .join(model.unigrams.withColumnRenamed("w", "w2"), Seq("w2"), "left")
       .select(col(idCol),
-        log((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + lit(model.vocabSize)).cast("double"))
+        when(col("c1").isNull, log(pu))
+          .otherwise(log(
+            (coalesce(col("c12"), lit(0L)).cast("double") + col("t1").cast("double") * pu) /
+              (col("c1") + col("t1")).cast("double")))
           .as("lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("lm_score"))
+  }
 }

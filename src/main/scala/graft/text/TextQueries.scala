@@ -160,10 +160,11 @@ object TextQueries {
     },
 
     // Bigram LM quality scoring — the perplexity-filter stand-in: train
-    // add-one-smoothed bigram statistics on the corpus, score every doc
-    // by mean ln P(w₂|w₁). Both sides compute identical integer counts
-    // and double logs over identical token lists, so values match to the
-    // 6-dp rounding.
+    // Witten-Bell interpolated bigram statistics on the corpus (bigram
+    // counts, prefix + continuation-type counts, unigram floor), score
+    // every doc by mean ln P(w₂|w₁). Both sides compute identical integer
+    // counts and double logs over identical token lists, so values match
+    // to the 6-dp rounding.
     "q88_lm_score" -> { (s, dir) =>
       val d = docs(s, dir)
       val model = LmScore.train(d, "doc_id", "text")
@@ -404,10 +405,13 @@ object TextQueries {
         |  true AS bin_bound_ok
         |FROM t""".stripMargin,
 
-    // Full relational recompute of the bigram LM: counts, prefix sums,
-    // vocabulary, add-one smoothing, mean log-probability per doc.
-    // DuckDB list indexing is 1-based (ts[i] with i in [1, len)), the
-    // Spark side 0-based — both walk consecutive token pairs.
+    // Full relational recompute of the Witten-Bell bigram LM: bigram
+    // counts, prefix sums + continuation-type counts, add-one-floored
+    // unigram back-off, interpolated probability, mean log-probability
+    // per doc. The arithmetic SHAPE (cast points, operation order)
+    // mirrors LmScore.score verbatim so doubles agree at 6 dp. DuckDB
+    // list indexing is 1-based (ts[i] with i in [1, len)), the Spark
+    // side 0-based — both walk consecutive token pairs.
     "q88_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
         |bg AS (
@@ -415,16 +419,22 @@ object TextQueries {
         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
         |        FROM toks WHERE len(ts) >= 2)),
         |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        |pref AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1),
-        |v AS (SELECT count(DISTINCT w) AS vs
-        |      FROM (SELECT unnest(ts) AS w FROM toks)),
+        |pref AS (SELECT w1, sum(c12) AS c1, count(*) AS t1 FROM cnt GROUP BY 1),
+        |uni AS (SELECT unnest(ts) AS w FROM toks),
+        |ucnt AS (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM uni),
         |scored AS (
         |  SELECT bg.doc_id,
-        |    ln((coalesce(c12, 0) + 1)::DOUBLE /
-        |       (coalesce(c1, 0) + (SELECT vs FROM v))::DOUBLE) AS lp
+        |    CASE WHEN c1 IS NULL
+        |      THEN ln((coalesce(cu, 0) + 1)::DOUBLE / (n + v))
+        |      ELSE ln((coalesce(c12, 0)::DOUBLE
+        |                + t1 * ((coalesce(cu, 0) + 1)::DOUBLE / (n + v)))
+        |              / (c1 + t1)::DOUBLE) END AS lp
         |  FROM bg
         |  LEFT JOIN cnt USING (w1, w2)
-        |  LEFT JOIN pref USING (w1))
+        |  LEFT JOIN pref USING (w1)
+        |  LEFT JOIN ucnt ON bg.w2 = ucnt.w
+        |  CROSS JOIN tot)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  round(avg(lp), 6) AS lm_score
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -7,33 +7,56 @@ import graft.SparkSpec
 class LmScoreSpec extends SparkSpec {
   import spark.implicits._
 
-  // corpus: bigrams (a,b)×2, (a,c)×1; prefix C(a·)=3; vocab {a,b,c} = 3
+  // corpus: bigrams (a,b)×2, (a,c)×1; prefix C(a·)=3, T(a)=2 followers;
+  // tokens a,b,a,b,a,c → N=6; vocab {a,b,c} → V=3; unigram floor
+  // P₁(w) = (C(w)+1)/9: P₁(b) = 3/9, P₁(c) = 2/9
   private val corpus = Seq(
     (1L, "a b"), (2L, "a b"), (3L, "a c")
   ).toDF("doc_id", "text")
 
-  test("hand-computed add-one bigram scores") {
+  test("hand-computed Witten-Bell interpolated scores") {
     val model = LmScore.train(corpus, "doc_id", "text")
     assert(model.vocabSize == 3L)
+    assert(model.nTokens == 6L)
     val scores = LmScore.score(corpus, model, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    // P(b|a) = (2+1)/(3+3) = 0.5; P(c|a) = (1+1)/(3+3) = 1/3
+    // P(b|a) = (2 + 2·(3/9)) / (3+2) = (8/3)/5 = 8/15
+    // P(c|a) = (1 + 2·(2/9)) / (3+2) = (13/9)/5 = 13/45
     assert(scores(1L)._1 == 1L)
-    assert(math.abs(scores(1L)._2 - math.log(0.5)) < 1e-5)
+    assert(math.abs(scores(1L)._2 - math.log(8.0 / 15.0)) < 1e-5)
     assert(scores(1L) == scores(2L))
-    assert(math.abs(scores(3L)._2 - math.log(1.0 / 3.0)) < 1e-5)
+    assert(math.abs(scores(3L)._2 - math.log(13.0 / 45.0)) < 1e-5)
+  }
+
+  test("promiscuous history lends more back-off mass than a faithful one") {
+    // The Witten-Bell property the add-one estimator lacked: after "x"
+    // (always followed by the SAME word, T=1) an unseen continuation is
+    // less expected than after "y" (three different followers, T=3),
+    // even with equal prefix counts C(x·) = C(y·) = 3.
+    val c = Seq(
+      (1L, "x m x m x m"),
+      (2L, "y p y q y r")
+    ).toDF("doc_id", "text")
+    val model = LmScore.train(c, "doc_id", "text")
+    val probe = Seq((10L, "x zz"), (11L, "y zz")).toDF("doc_id", "text")
+    val out = LmScore.score(probe, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(11L) > out(10L),
+      s"unseen continuation must be MORE probable after the many-follower history: $out")
   }
 
   test("corpus-like text outranks novel text; sub-bigram docs are absent") {
     val model = LmScore.train(corpus, "doc_id", "text")
     val probe = Seq(
       (10L, "a b"),      // trained bigram
-      (11L, "z q"),      // never-seen bigram
+      (11L, "z q"),      // never-seen history: full unigram back-off
       (12L, "a")         // sub-bigram: no evidence
     ).toDF("doc_id", "text")
     val out = LmScore.score(probe, model, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out.keySet == Set(10L, 11L))
+    // unseen-history back-off: P = P₁(q) = (0+1)/9
+    assert(math.abs(out(11L) - math.log(1.0 / 9.0)) < 1e-5)
     assert(out(10L) > out(11L), s"fluent text must outrank novel text: $out")
   }
 }
