@@ -42,6 +42,29 @@ class BudgetSelectSpec extends SparkSpec {
     }
   }
 
+  test("durable checkpoint mode produces identical output to ephemeral") {
+    val dir = java.nio.file.Files.createTempDirectory("budget-ckpt").toString
+    for (budget <- Seq(49L, 80L, 110L, 1000L); p <- Seq(1, 3, 8)) {
+      val durable = BudgetSelect
+        .selectUnderBudget(items, "id", "score", "cost", budget, p, Some(dir))
+        .orderBy("cum_cost")
+        .select(col("id"), col("cum_cost")).as[(Long, Long)].collect().toSeq
+      assert(durable == select(budget, p), s"budget=$budget partitions=$p")
+    }
+  }
+
+  test("negative costs fail loudly in both modes") {
+    val bad = items.unionByName(Seq((7L, 4.0, -5L)).toDF("id", "score", "cost"))
+    val dir = java.nio.file.Files.createTempDirectory("budget-neg").toString
+    for (ckpt <- Seq(None, Some(dir))) {
+      val e = intercept[IllegalArgumentException] {
+        BudgetSelect.selectUnderBudget(bad, "id", "score", "cost", 100L, 3, ckpt)
+          .collect()
+      }
+      assert(e.getMessage.contains("non-negative"), s"mode=$ckpt: ${e.getMessage}")
+    }
+  }
+
   test("zero-cost rows ride along inside the budget") {
     val withFree = items.unionByName(Seq((6L, 5.0, 0L)).toDF("id", "score", "cost"))
     val out = BudgetSelect.selectUnderBudget(withFree, "id", "score", "cost", 80L, 3)
