@@ -69,6 +69,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe_tokens"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(StringType, _))) =>
+          BpeTokens(text,
+            (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+        case _ => throw new IllegalArgumentException(
+          "graft_bpe_tokens(text, merges) with a literal string-array of " +
+            "rank-ordered 'left right' merges")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (children: Seq[Expression]) => children match {

@@ -534,3 +534,117 @@ case class LangScores(child: Expression, sets: Seq[Seq[String]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Greedy merge-table BPE subword tokenization (`graft_bpe_tokens(text,
+  * merges)` → array<string>): the inference-time byte-pair-encoding
+  * algorithm a pretraining pipeline budgets tokens with, over a FIXED
+  * merge table (rank-ordered "left right" pairs — the artifact BPE
+  * training produces).
+  *
+  * Algorithm, defined exactly (the q91 DuckDB oracle replays it
+  * step-for-step as a recursive CTE): words are single-space splits of
+  * the text (the `string_split(text, ' ')` parity unit; empty words
+  * contribute nothing); each word starts as its code-point sequence;
+  * then repeatedly the adjacent pair with the LOWEST merge rank — the
+  * LEFTMOST occurrence on ties — concatenates, until no adjacent pair is
+  * in the table. One merge per step keeps the recurrence first-order
+  * (state = symbol list), which is what makes it expressible as a
+  * recursive CTE; for non-overlapping pairs it visits the same merges as
+  * the merge-all-occurrences formulation, and for self-overlapping pairs
+  * ("a a" on "aaa") it is the well-defined leftmost-first resolution.
+  *
+  * Scale shape: a per-row kernel inside whole-stage codegen — no shuffle,
+  * no UDF serialization; cost is O(word_len × merges_applied) with a
+  * constant-time hash probe per adjacent pair. The merge table rides the
+  * expression as a reference object (broadcast with the plan, built once
+  * per executor), the `graft_tokens_in_set` pattern.
+  */
+object BpeTokenizer {
+
+  /** Rank map from rank-ordered "left right" merge strings. Symbols never
+    * contain spaces (words are space-splits), so the space-joined pair is
+    * an unambiguous key.
+    */
+  def buildRanks(merges: Seq[String]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case (pair, rank) =>
+      require(pair.split(" ", -1).length == 2,
+        s"merge must be 'left right', got '$pair'")
+      require(m.put(pair, Int.box(rank)) == null, s"duplicate merge '$pair'")
+    }
+    m
+  }
+
+  def tokens(text: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](16)
+    val s = text.toString
+    val n = s.length
+    var wStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > wStart) encodeWord(s.substring(wStart, i), ranks, out)
+        wStart = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def encodeWord(
+      word: String,
+      ranks: java.util.HashMap[String, Integer],
+      out: scala.collection.mutable.ArrayBuffer[AnyRef]): Unit = {
+    // Code points, not chars: DuckDB's substr/len count characters, and a
+    // supplementary-plane glyph must be ONE initial symbol on both sides.
+    val syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      syms.add(word.substring(i, i + cc))
+      i += cc
+    }
+    var merging = syms.size >= 2
+    while (merging) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestPos = j }
+        j += 1
+      }
+      if (bestPos < 0) merging = false
+      else {
+        syms.set(bestPos, syms.get(bestPos) + syms.get(bestPos + 1))
+        syms.remove(bestPos + 1)
+        merging = syms.size >= 2
+      }
+    }
+    var k = 0
+    while (k < syms.size) { out += UTF8String.fromString(syms.get(k)); k += 1 }
+  }
+}
+
+case class BpeTokens(child: Expression, merges: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+
+  @transient private lazy val ranks = BpeTokenizer.buildRanks(merges)
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeTokenizer.tokens(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+        classOf[java.util.HashMap[_, _]].getName)
+      s"${ev.value} = graft.functions.BpeTokenizer.tokens($t, $ranksRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -32,6 +32,19 @@ object TextAnalysis {
 
   def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
 
+  /** REAL merge-table BPE subword tokens (r8): the vocab-driven greedy
+    * merge algorithm as a native codegen expression
+    * ([[graft.functions.BpeTokens]]) over a rank-ordered merge table.
+    * This is the unit real pipelines budget in — `bpeTokenCount` drives
+    * BudgetSelect/SequencePacker cost columns unchanged (any long column
+    * is a cost).
+    */
+  def bpeTokens(text: Column, merges: Seq[String]): Column =
+    call_function("graft_bpe_tokens", text, typedlit(merges))
+
+  def bpeTokenCount(text: Column, merges: Seq[String]): Column =
+    size(bpeTokens(text, merges))
+
   // ── Quality scoring ─────────────────────────────────────────────────────
 
   /** English-ish stopwords present in general text; ratio of them is the

@@ -183,8 +183,97 @@ object TextQueries {
       BudgetSelect.selectUnderBudget(d, "doc_id", "score", "cost", budget = 10000L)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Merge-table BPE subword tokenization (the real greedy algorithm,
+    // native codegen expression) — per-doc token count, distinct-token
+    // count, and longest-subword length, all recomputed by the oracle's
+    // recursive CTE replaying the SAME rank table step-for-step. A wrong
+    // best-pair choice, tie-break, or merge order shifts counts and is a
+    // hash fail.
+    "q91_bpe_tokens" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokens(col("text"), bpeMerges).as("bpe"))
+        .select(col("doc_id"),
+          size(col("bpe")).cast("long").as("n_bpe"),
+          size(array_distinct(col("bpe"))).cast("long").as("n_distinct_bpe"),
+          coalesce(array_max(transform(col("bpe"), t => length(t))), lit(0))
+            .cast("long").as("max_bpe_len"))
+        .orderBy("doc_id")
+    },
+
+    // Token-budget selection COSTED IN BPE TOKENS — the integration the
+    // subword operator exists for: BudgetSelect takes the new cost column
+    // unchanged (any non-negative long is a cost), and the oracle chains
+    // the recursive-CTE BPE counts into the same window-cumsum recompute
+    // as q89.
+    "q92_bpe_budget" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        round(TextAnalysis.meanTokenLength(col("text")), 6).as("score"),
+        TextAnalysis.bpeTokenCount(col("text"), bpeMerges).cast("long").as("cost"))
+      BudgetSelect.selectUnderBudget(d, "doc_id", "score", "cost", budget = 20000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
+
+  /** Rank-ordered BPE merge table for q91/q92 — the fixed artifact a BPE
+    * training run produces, sized to exercise multi-level merge chains on
+    * the corpus vocabulary (t+h→th+e, s+t → st+ream, d+at+a, b+at+ch,
+    * jo+in, …). The oracle replays the ranks via [[bpeRankCase]].
+    */
+  val bpeMerges: Seq[String] = Seq(
+    "t h", "th e", "i n", "e r", "s t", "a n", "o w", "o r", "a t",
+    "j o", "jo in", "r e", "re a", "rea m", "st ream", "d at", "dat a",
+    "c h", "b at", "bat ch", "e y", "k ey", "u p", "g g", "a gg")
+
+  /** The merge table as a DuckDB CASE over an adjacent symbol pair —
+    * generated from [[bpeMerges]] so engine and oracle share one table by
+    * construction. 999999 = "not a merge" (list_min treats it as absent).
+    */
+  private def bpeRankCase: String =
+    bpeMerges.zipWithIndex
+      .map { case (p, r) => s"WHEN '$p' THEN $r" }
+      .mkString("CASE ts[i] || ' ' || ts[i + 1] ", " ", " ELSE 999999 END")
+
+  /** Shared oracle fragment: recursive-CTE replay of the greedy BPE merge
+    * loop. `fin` holds one terminal row per (doc_id, wid) — the symbol
+    * list after the last applicable merge; `bpe` explodes it to one row
+    * per subword token. One merge per recursion step: each step scores
+    * every adjacent pair with the rank CASE, takes the leftmost minimum
+    * (list_position returns the FIRST index of the min — the engine's
+    * strict `<` keeps the first too), splices the concatenation, and
+    * terminates when no pair is in the table (min NULL on 1-symbol lists,
+    * else 999999).
+    */
+  private def bpeCteSql: String =
+    s"""w0 AS (
+       |  SELECT doc_id, ws[i] AS w, i AS wid
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents))
+       |  WHERE length(ws[i]) > 0),
+       |step AS (
+       |  SELECT doc_id, wid,
+       |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS ts
+       |  FROM w0
+       |  UNION ALL
+       |  SELECT doc_id, wid,
+       |    ts[1:bi - 1] || [ts[bi] || ts[bi + 1]] || ts[bi + 2:] AS ts
+       |  FROM (
+       |    SELECT doc_id, wid, ts,
+       |      list_position(rk, list_min(rk)) AS bi, list_min(rk) AS mr
+       |    FROM (SELECT doc_id, wid, ts,
+       |            list_transform(range(1, len(ts)), i -> $bpeRankCase) AS rk
+       |          FROM step))
+       |  WHERE mr IS NOT NULL AND mr < 999999),
+       |fin AS (
+       |  SELECT doc_id, wid, ts FROM (
+       |    SELECT doc_id, wid, ts,
+       |      list_min(list_transform(range(1, len(ts)), i -> $bpeRankCase)) AS mr
+       |    FROM step)
+       |  WHERE mr IS NULL OR mr >= 999999),
+       |bpe AS (SELECT doc_id, unnest(ts) AS t FROM fin)""".stripMargin
 
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -458,6 +547,49 @@ object TextQueries {
         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cost
         |  FROM t)
         |SELECT doc_id, score, cost, cum_cost
-        |FROM c WHERE cum_cost <= 10000 ORDER BY doc_id""".stripMargin
+        |FROM c WHERE cum_cost <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // Recursive-CTE replay of the greedy merge-table BPE (see bpeCteSql);
+    // left join keeps all-empty-word docs at zero counts, matching the
+    // engine's empty token array.
+    "q91_bpe_tokens" ->
+      s"""WITH RECURSIVE $bpeCteSql,
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
+         |    max(length(t)) AS ml
+         |  FROM bpe GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n, 0)::BIGINT AS n_bpe,
+         |  coalesce(nd, 0)::BIGINT AS n_distinct_bpe,
+         |  coalesce(ml, 0)::BIGINT AS max_bpe_len
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // BPE-costed budget selection: the recursive-CTE counts feed the same
+    // window-cumsum recompute as q89 (score arithmetic identical to q30's
+    // oracle; the engine's distributed prefix sum must reproduce the
+    // identical selection and running totals in the new cost unit).
+    "q92_bpe_budget" ->
+      s"""WITH RECURSIVE $bpeCteSql,
+         |cnt AS (SELECT doc_id, count(*) AS cost FROM bpe GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    round(CASE WHEN len(toks) > 0
+         |      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         |      ELSE 0.0 END, 6) AS score
+         |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') toks
+         |        FROM documents)),
+         |t AS (
+         |  SELECT d.doc_id, sc.score, coalesce(cnt.cost, 0)::BIGINT AS cost
+         |  FROM documents d
+         |  JOIN sc USING (doc_id)
+         |  LEFT JOIN cnt USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, score, cost,
+         |    sum(cost) OVER (ORDER BY score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cost
+         |  FROM t)
+         |SELECT doc_id, score, cost, cum_cost
+         |FROM c WHERE cum_cost <= 20000 ORDER BY doc_id""".stripMargin
   )
 }

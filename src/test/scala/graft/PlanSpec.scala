@@ -126,6 +126,15 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[graft_dot""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("BPE tokenization stays inside whole-stage codegen") {
+    val q = sources.Tables.load(spark, dir, "documents")
+      .select(size(text.TextAnalysis.bpeTokens(
+        col("text"), text.TextQueries.bpeMerges)).as("n"))
+    val p = plan(q)
+    assert("""\*\(\d+\) Project """.r.findFirstIn(p).isDefined, p)
+    assert(p.contains("graft_bpe_tokens"), p)
+  }
+
   test("fused lang-scores kernel stays inside whole-stage codegen") {
     val q = sources.Tables.load(spark, dir, "documents")
       .select(text.TextAnalysis.langId(col("text")).as("lang"))
