@@ -82,6 +82,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_hash_logit"),
+      new ExpressionInfo(classOf[HashedLogitScore].getName, "graft_hash_logit"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(org.apache.spark.sql.types.DoubleType, _)),
+            Literal(bias: Double, org.apache.spark.sql.types.DoubleType)) =>
+          HashedLogitScore(text, arr.toDoubleArray().toSeq, bias)
+        case _ => throw new IllegalArgumentException(
+          "graft_hash_logit(text, weights, bias) with a literal double-array " +
+            "weights and literal double bias")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (children: Seq[Expression]) => children match {

@@ -648,3 +648,81 @@ case class BpeTokens(child: Expression, merges: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Hashed-feature linear scoring (`graft_hash_logit(text, weights, bias)`
+  * → double): the log-odds z = bias + Σ_tokens weights[h(token)] of a
+  * logistic quality classifier over hashed word-unigram features — the
+  * scoring half of the standard trainable quality filter (the third leg
+  * beside heuristics and the LM perplexity filter). Keeping z (sigmoid is
+  * monotone) spares both engine and oracle an exp() parity concern.
+  *
+  * The feature hash is deliberately DuckDB-replayable:
+  *   h(w) = list_reduce(codepoints(w), (a, c) -> (a*31 + c) % D) % D
+  * i.e. the accumulator STARTS at the first code point (list_reduce has
+  * no init), every subsequent step folds mod D, and the outer mod covers
+  * the single-code-point case (a lone CJK glyph exceeds D). Tokens are
+  * single-space splits, empties skipped.
+  *
+  * Scale shape: per-row codegen kernel, no shuffle; the weight vector
+  * (small, e.g. 64-1024 buckets) rides the plan as a reference object —
+  * the model-as-parameter pattern shared with the LM and ANN indexes.
+  */
+object HashedLogit {
+
+  /** The list_reduce-parity polynomial hash (see object doc). */
+  def hashToken(word: String, dim: Int): Int = {
+    var acc = 0L
+    var i = 0
+    var first = true
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      i += Character.charCount(cp)
+      if (first) { acc = cp; first = false }
+      else acc = (acc * 31L + cp) % dim
+    }
+    (acc % dim).toInt
+  }
+
+  def score(text: UTF8String, weights: Array[Double], bias: Double): Double = {
+    val s = text.toString
+    val n = s.length
+    var z = bias
+    var wStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > wStart)
+          z += weights(hashToken(s.substring(wStart, i), weights.length))
+        wStart = i + 1
+      }
+      i += 1
+    }
+    z
+  }
+}
+
+case class HashedLogitScore(child: Expression, weights: Seq[Double], bias: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(weights.nonEmpty, "graft_hash_logit needs a non-empty weight vector")
+  require(java.lang.Double.isFinite(bias) && weights.forall(java.lang.Double.isFinite),
+    "graft_hash_logit weights/bias must be finite (bias is embedded as a codegen literal)")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_hash_logit"
+
+  @transient private lazy val w = weights.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedLogit.score(input.asInstanceOf[UTF8String], w, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val wRef = ctx.addReferenceObj("logitWeights", w, "double[]")
+      s"${ev.value} = graft.functions.HashedLogit.score($t, $wRef, ${bias}d);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -215,8 +215,56 @@ object TextQueries {
       BudgetSelect.selectUnderBudget(d, "doc_id", "score", "cost", budget = 20000L)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Hashed-feature classifier SCORING with frozen weights: z = bias +
+    // Σ weights[h(token)] as a native codegen dot product. Weights come
+    // from a shared integer formula (clfFrozenWeights) so the oracle
+    // regenerates the identical vector and replays the identical
+    // list_reduce hash — a hash-mix, bucket-index or summation bug is a
+    // hash fail. clf_keep is the σ(z) ≥ 0.5 decision (⇔ z ≥ 0, sparing
+    // both sides an exp() parity concern).
+    "q93_clf_score" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          call_function("graft_hash_logit", col("text"),
+            typedlit(clfFrozenWeights), lit(0.25)).as("z"))
+        .select(col("doc_id"),
+          round(col("z"), 6).as("clf_score"),
+          (col("z") >= 0.0).as("clf_keep"))
+        .orderBy("doc_id")
+    },
+
+    // Classifier TRAINING under the hash gate (the recall-contract
+    // pattern of q63/q64: the oracle pins count facts + engine-computed
+    // booleans at true): label docs by a deterministic separable rule
+    // (contains the token "spark"), train the full-batch logistic
+    // regression distributed, and assert the learned model separates the
+    // classes it was trained on and that the convex loss decreased
+    // monotonically through every step.
+    "q94_clf_train" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        array_contains(split(col("text"), " "), "spark").cast("int").as("label"))
+      val model = QualityClassifier.train(d, "text", "label",
+        dim = 64, iters = 30, lr = 0.02)
+      val monotone = model.lossHistory.zip(model.lossHistory.tail)
+        .forall { case (prev, next) => next < prev }
+      d.select(col("label"), model.score(col("text")).as("z"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("label")).cast("long").as("n_pos"),
+          (avg(when(col("label") === 1, col("z"))) >
+            avg(when(col("label") === 0, col("z")))).as("separation_ok"),
+          lit(monotone).as("loss_monotone"))
     }
   )
+
+  /** Frozen scoring weights for q93 — generated by an integer formula
+    * (values in {-1.0 … 1.0} step 0.1) so the DuckDB oracle rebuilds the
+    * identical vector with identical doubles from the same arithmetic.
+    */
+  val clfFrozenWeights: Seq[Double] =
+    (0 until 64).map(j => (((j * 37 + 11) % 21) - 10) / 10.0)
 
   /** Rank-ordered BPE merge table for q91/q92 — the fixed artifact a BPE
     * training run produces, sized to exercise multi-level merge chains on
@@ -590,6 +638,47 @@ object TextQueries {
          |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cost
          |  FROM t)
          |SELECT doc_id, score, cost, cum_cost
-         |FROM c WHERE cum_cost <= 20000 ORDER BY doc_id""".stripMargin
+         |FROM c WHERE cum_cost <= 20000 ORDER BY doc_id""".stripMargin,
+
+    // Full relational replay of the frozen-weight scoring pass: the
+    // weight vector regenerates from the same integer formula, the
+    // feature hash is the same list_reduce fold (acc starts at the first
+    // code point — no init — with the outer mod covering one-code-point
+    // tokens), and z sums the looked-up weights per doc. Empty docs keep
+    // the bare bias via the left join.
+    "q93_clf_score" ->
+      """WITH w AS (
+        |  SELECT list_transform(range(0, 64),
+        |    j -> (((j * 37 + 11) % 21) - 10) / 10.0) AS ws),
+        |toks AS (
+        |  SELECT doc_id, t
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_transform(range(1, length(t) + 1), i -> unicode(substr(t, i, 1))),
+        |      (a, c) -> (a * 31 + c) % 64) % 64 AS hh
+        |  FROM toks),
+        |s AS (
+        |  SELECT doc_id, sum(ws[hh + 1]) AS tw
+        |  FROM h CROSS JOIN w GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(0.25 + coalesce(tw, 0.0), 6) AS clf_score,
+        |  (0.25 + coalesce(tw, 0.0)) >= 0.0 AS clf_keep
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Training contract: the label counts are pure text facts DuckDB
+    // recomputes; separation and loss monotonicity are engine-computed
+    // booleans pinned at true (the q63/q64 recall-contract pattern —
+    // training itself is not SQL-expressible, its OUTCOME is).
+    "q94_clf_train" ->
+      """SELECT count(*)::BIGINT AS n_docs,
+        |  count(*) FILTER (WHERE list_contains(string_split(text, ' '), 'spark'))::BIGINT
+        |    AS n_pos,
+        |  true AS separation_ok,
+        |  true AS loss_monotone
+        |FROM documents""".stripMargin
   )
 }
