@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 import graft.{MetricsProbe, SparkSpec}
 
 /** MEASURES the ANN probe's cost model (HyperplaneLsh.buildIndex/probe,
-  * q87): the SAME query batch probes a 1× and an 8× corpus index and the
-  * per-batch cost must not scale with the corpus. The corpus enters probe
-  * only through scans (bucket postings, verification vectors); every
-  * shuffle carries batch-derived rows — PLUS the documented sizing rule
-  * that keeps candidate fan-out flat: bucket occupancy is n / 2^nPlanes,
-  * so the 8× index uses 3 more signature bits (the log₂(corpus) rule the
-  * Index scaladoc states). Together: probe cost is flat in corpus size.
+  * q87): the SAME query batch probes a 1×, an 8× and a 64× corpus index
+  * and the per-batch cost must scale LOGARITHMICALLY, never linearly.
+  * The corpus enters probe only through scans (bucket postings,
+  * verification vectors); every shuffle carries batch-derived rows, and
+  * the documented sizing rule keeps bucket occupancy flat (n / 2^nPlanes,
+  * +3 signature bits per 8× — the log₂(corpus) rule the Index scaladoc
+  * states). The residual growth is the multiprobe ball: probes per query
+  * = nPlanes + 1 ∝ log₂ n, so shuffled candidate rows grow ~20% per
+  * corpus octave BY DESIGN. Measured (r8): shuffle 1.71× at 8× and 2.72×
+  * at 64× — two octave steps at ≈1.2×/octave, against 8× and 64× for a
+  * linear regression; the gates sit between the log curve and the first
+  * linear point.
   */
 class AnnScaleSpec extends SparkSpec {
 
@@ -36,15 +41,22 @@ class AnnScaleSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
-  test("probe cost is flat in corpus size (1x vs 8x index, log-n planes)") {
+  test("probe cost is log-bounded in corpus size (1x/8x/64x index, log-n planes)") {
     import spark.implicits._
     val batch = corpus(n1x).filter(col("vec_id") < nQueries)
       .withColumn("vec_id", col("vec_id") + 10000000L)
       .localCheckpoint()
-    val idx1 = HyperplaneLsh.buildIndex(corpus(n1x), "vec_id", "embedding",
-      nPlanes = 10)
-    val idx8 = HyperplaneLsh.buildIndex(corpus(n1x * 8), "vec_id", "embedding",
-      nPlanes = 13)
+    // Two octave steps on the same log₂(corpus) sizing rule (10 planes at
+    // 2k → +3 bits per 8×), each with its own shuffle gate: the log-n
+    // multiprobe ball compounds ≈1.2×/octave (measured 1.71× @ 8×, 2.72×
+    // @ 64×), so the 64× gate is wider than the 8× one — but far below
+    // the 8× shuffle a LINEAR term would already show at the first step
+    // (r7 verdict, item 6: the 1.71× is a log curve, not creeping linear).
+    val scales = Seq((1L, 10, 0.0), (8L, 13, 2.0), (64L, 16, 3.5))
+    val indexes = scales.map { case (mult, planes, gate) =>
+      (mult, gate, HyperplaneLsh.buildIndex(corpus(n1x * mult), "vec_id", "embedding",
+        nPlanes = planes))
+    }
 
     def run(idx: HyperplaneLsh.Index): (Long, Double) = {
       val r = HyperplaneLsh.probe(batch, idx, "vec_id", "embedding")
@@ -52,10 +64,11 @@ class AnnScaleSpec extends SparkSpec {
       r
     }
 
-    // warm-up both paths, and pin correctness: every query's own original
-    // is in both corpora, so coverage is total and best cosine 1.0
-    assert(run(idx1) == ((nQueries.toLong, 1.0)))
-    assert(run(idx8) == ((nQueries.toLong, 1.0)))
+    // warm-up every path, and pin correctness: every query's own original
+    // is in all corpora, so coverage is total and best cosine 1.0
+    indexes.foreach { case (mult, _, idx) =>
+      assert(run(idx) == ((nQueries.toLong, 1.0)), s"coverage broke at ${mult}x")
+    }
 
     // best-of-2 per channel (the bench warm-channel convention): these
     // probes are sub-second local jobs, where a single GC pause is the
@@ -66,22 +79,26 @@ class AnnScaleSpec extends SparkSpec {
       val b = MetricsProbe.measure(spark)(run(idx))
       if (a.wallMs <= b.wallMs) a else b
     }
-    val m1 = best(idx1)
-    val m8 = best(idx8)
+    val measured = indexes.map { case (mult, gate, idx) => (mult, gate, best(idx)) }
+    measured.zip(scales).foreach { case ((mult, _, m), (_, planes, _)) =>
+      info(f"${mult}%dx corpus (${n1x * mult}%d vecs, $planes%d planes): " +
+        f"${m.wallMs}%d ms, shuffle w ${m.shuffleWriteBytes}%d B")
+    }
 
-    info(f"1x corpus ($n1x%d vecs, 10 planes): ${m1.wallMs}%d ms, " +
-      f"shuffle w ${m1.shuffleWriteBytes}%d B")
-    info(f"8x corpus (${n1x * 8}%d vecs, 13 planes): ${m8.wallMs}%d ms, " +
-      f"shuffle w ${m8.shuffleWriteBytes}%d B")
-    val shuffleRatio =
-      m8.shuffleWriteBytes.toDouble / math.max(1L, m1.shuffleWriteBytes)
-    val wallRatio = m8.wallMs.toDouble / math.max(1L, m1.wallMs)
-    info(f"ratios: shuffle $shuffleRatio%.2f, wall $wallRatio%.2f (corpus grew 8.00)")
-    assert(shuffleRatio < 2.0,
-      f"shuffle bytes grew $shuffleRatio%.2f× on an 8× corpus — the probe is " +
-        "shuffling corpus-proportional data")
-    assert(wallRatio < 4.0,
-      f"wall time grew $wallRatio%.2f× on an 8× corpus — per-batch probe cost " +
-        "is no longer flat under log-n signature sizing")
+    val base = measured.head._3
+    measured.tail.foreach { case (mult, gate, m) =>
+      val shuffleRatio =
+        m.shuffleWriteBytes.toDouble / math.max(1L, base.shuffleWriteBytes)
+      val wallRatio = m.wallMs.toDouble / math.max(1L, base.wallMs)
+      info(f"${mult}%dx ratios: shuffle $shuffleRatio%.2f, wall $wallRatio%.2f " +
+        f"(corpus grew $mult%d.00, gate $gate%.1f)")
+      assert(shuffleRatio < gate,
+        f"shuffle bytes grew $shuffleRatio%.2f× on a ${mult}× corpus (gate " +
+          f"$gate%.1f) — beyond the log-n multiprobe curve; the probe is " +
+          "shuffling corpus-proportional data")
+      assert(wallRatio < 4.0,
+        f"wall time grew $wallRatio%.2f× on a ${mult}× corpus — per-batch probe " +
+          "cost is no longer log-bounded under log-n signature sizing")
+    }
   }
 }
