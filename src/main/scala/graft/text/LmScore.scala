@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bigram language-model scoring — the perplexity-filter stand-in a
@@ -52,16 +52,26 @@ object LmScore {
       nTokens: Long,
       vocabSize: Long)
 
-  /** (doc_id-ish idCol, w1, w2) — one row per consecutive token pair.
-    * Tokens are single-space splits, the same unit `dedup.Shingles` (and
-    * its DuckDB `string_split` oracle twin) standardizes on — NOT the
-    * \s+ analysis tokenizer. The text splits ONCE; the < 2-token filter
-    * runs on the split column BEFORE the transform (sequence(1, 0)
-    * counts DOWN in Spark and would fabricate reversed bigrams).
+  /** The default token unit: single-space splits, the same unit
+    * `dedup.Shingles` (and its DuckDB `string_split` oracle twin)
+    * standardizes on — NOT the \s+ analysis tokenizer. Any
+    * array<string>-producing column works as a replacement — q95 passes
+    * the BPE subword tokenizer, turning the same estimator into a
+    * subword-unit perplexity filter (what production LM filters budget
+    * and score in) with zero dataflow change.
     */
-  private def bigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  val spaceTokens: Column => Column = split(_, " ")
+
+  /** (doc_id-ish idCol, w1, w2) — one row per consecutive token pair.
+    * The text tokenizes ONCE; the < 2-token filter runs on the token
+    * column BEFORE the transform (sequence(1, 0) counts DOWN in Spark
+    * and would fabricate reversed bigrams).
+    */
+  private def bigramRows(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column): DataFrame =
     docs
-      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), tokenizer(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(toks) - 1), " +
@@ -69,8 +79,10 @@ object LmScore {
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
   /** Train on a reference corpus. */
-  def train(corpus: DataFrame, idCol: String, textCol: String): Model = {
-    val bg = bigramRows(corpus, idCol, textCol)
+  def train(
+      corpus: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column = spaceTokens): Model = {
+    val bg = bigramRows(corpus, idCol, textCol, tokenizer)
     val bigrams = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .localCheckpoint()
     // One aggregation yields BOTH Witten-Bell prefix statistics: the
@@ -80,7 +92,7 @@ object LmScore {
     val prefixes = bigrams.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1"))
     val unigrams = corpus
-      .select(explode(split(col(textCol), " ")).as("w"))
+      .select(explode(tokenizer(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
       .localCheckpoint()
     val tot = unigrams.agg(sum(col("cu")), count(lit(1))).head()
@@ -90,13 +102,15 @@ object LmScore {
   /** Score documents against a trained model: (idCol, n_bigrams,
     * lm_score = mean ln P(w₂|w₁), 6-dp). Docs with < 2 tokens are absent.
     */
-  def score(docs: DataFrame, model: Model, idCol: String, textCol: String): DataFrame = {
+  def score(
+      docs: DataFrame, model: Model, idCol: String, textCol: String,
+      tokenizer: Column => Column = spaceTokens): DataFrame = {
     // Unigram floor P₁(w₂) = (C(w₂)+1)/(N+V); the arithmetic SHAPE below
     // (cast points, operation order) is mirrored verbatim by the q88
     // DuckDB oracle so doubles agree to the 6-dp rounding.
     val pu = (coalesce(col("cu"), lit(0L)) + lit(1)).cast("double") /
       lit((model.nTokens + model.vocabSize).toDouble)
-    bigramRows(docs, idCol, textCol)
+    bigramRows(docs, idCol, textCol, tokenizer)
       .join(model.bigrams, Seq("w1", "w2"), "left")
       .join(model.prefixes, Seq("w1"), "left")
       .join(model.unigrams.withColumnRenamed("w", "w2"), Seq("w2"), "left")

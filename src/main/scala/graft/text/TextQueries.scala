@@ -256,6 +256,22 @@ object TextQueries {
           (avg(when(col("label") === 1, col("z"))) >
             avg(when(col("label") === 0, col("z")))).as("separation_ok"),
           lit(monotone).as("loss_monotone"))
+    },
+
+    // The Witten-Bell LM over BPE SUBWORD tokens — the two r8 operators
+    // composed into what production perplexity filters actually run
+    // (budget and score in subword units, not whitespace splits): the
+    // SAME train/score dataflow with the tokenizer swapped. The oracle
+    // chains the recursive-CTE BPE replay into the q88 WB recompute —
+    // per-doc token lists reassembled in (word, position) order, so a
+    // wrong flatten order fabricates different bigrams and fails the
+    // hash.
+    "q95_bpe_lm_score" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        t => TextAnalysis.bpeTokens(t, bpeMerges)
+      val model = LmScore.train(d, "doc_id", "text", tok)
+      LmScore.score(d, model, "doc_id", "text", tok).orderBy("doc_id")
     }
   )
 
@@ -668,6 +684,41 @@ object TextQueries {
         |  (0.25 + coalesce(tw, 0.0)) >= 0.0 AS clf_keep
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // BPE-unit Witten-Bell LM: the bpeCteSql replay feeds the q88 WB
+    // recompute. Per-doc token sequences reassemble as
+    // flatten(list(ts ORDER BY wid)) — DuckDB's ordered list aggregate —
+    // so bigrams cross word boundaries in document order exactly like the
+    // engine's flattened token array.
+    "q95_bpe_lm_score" ->
+      s"""WITH RECURSIVE $bpeCteSql,
+         |doctoks AS (
+         |  SELECT doc_id, flatten(list(ts ORDER BY wid)) AS ts
+         |  FROM fin GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+         |        FROM doctoks WHERE len(ts) >= 2)),
+         |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |pref AS (SELECT w1, sum(c12) AS c1, count(*) AS t1 FROM cnt GROUP BY 1),
+         |uni AS (SELECT unnest(ts) AS w FROM doctoks),
+         |ucnt AS (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
+         |tot AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM uni),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |    CASE WHEN c1 IS NULL
+         |      THEN ln((coalesce(cu, 0) + 1)::DOUBLE / (n + v))
+         |      ELSE ln((coalesce(c12, 0)::DOUBLE
+         |                + t1 * ((coalesce(cu, 0) + 1)::DOUBLE / (n + v)))
+         |              / (c1 + t1)::DOUBLE) END AS lp
+         |  FROM bg
+         |  LEFT JOIN cnt USING (w1, w2)
+         |  LEFT JOIN pref USING (w1)
+         |  LEFT JOIN ucnt ON bg.w2 = ucnt.w
+         |  CROSS JOIN tot)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  round(avg(lp), 6) AS lm_score
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Training contract: the label counts are pure text facts DuckDB
     // recomputes; separation and loss monotonicity are engine-computed

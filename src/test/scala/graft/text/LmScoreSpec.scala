@@ -45,6 +45,20 @@ class LmScoreSpec extends SparkSpec {
       s"unseen continuation must be MORE probable after the many-follower history: $out")
   }
 
+  test("a custom tokenizer changes only the token unit, not the estimator") {
+    // dash-split "a-b" must score exactly like space-split "a b"
+    val dashCorpus = Seq((1L, "a-b"), (2L, "a-b"), (3L, "a-c")).toDF("doc_id", "text")
+    val dashTok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      split(_, "-")
+    val mSpace = LmScore.train(corpus, "doc_id", "text")
+    val mDash = LmScore.train(dashCorpus, "doc_id", "text", dashTok)
+    val a = LmScore.score(corpus, mSpace, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = LmScore.score(dashCorpus, mDash, "doc_id", "text", dashTok)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("corpus-like text outranks novel text; sub-bigram docs are absent") {
     val model = LmScore.train(corpus, "doc_id", "text")
     val probe = Seq(
