@@ -105,6 +105,67 @@ object IvfIndex {
     transform(slice(array_sort(pairs), 1, nProbe), p => p("cell"))
   }
 
+  /** Persisted IVF index: the coarse quantizer plus per-vector cell
+    * assignments with vectors + norms for exact-cosine verification —
+    * the IVF twin of [[HyperplaneLsh.Index]] (q87/q96): a query batch
+    * probes the assignments instead of re-assigning the corpus. The
+    * assignments member is a plain DataFrame (write as parquet,
+    * partitioned/bucketed by `cell` at scale, which ALSO makes the probe
+    * join cell-pruned: only the nProbe probed cells are scanned).
+    */
+  final case class Index(model: Model, assignments: DataFrame)
+
+  /** Assign every corpus vector to its cell, once. */
+  def buildIndex(
+      vectors: DataFrame, idCol: String, vecCol: String, model: Model): Index =
+    Index(model, vectors
+      .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("cell", assignCell(col("v"), model))
+      .select(col("cell"), col("id"), col("v"), col("n")))
+
+  /** Probe the index with a NEW query batch: per query, the best cosine
+    * and candidate count among vectors in its `nProbe` nearest cells
+    * (cells partition the corpus, so the plain count IS the distinct
+    * count). Cost ∝ the BATCH: query-side quantization is per-row
+    * codegen arithmetic against the broadcast centroid literals, the
+    * cell equi-join probes corpus assignments without repartitioning
+    * them, and the per-query aggregate rides the join's partitioning.
+    * Queries probing only empty cells are absent from the output.
+    *
+    * Sizing rule (the IVF analogue of the LSH log-n planes rule): cell
+    * occupancy is n / nCells, so nCells should grow ~√corpus to balance
+    * quantization cost (nCells distances per query) against candidate
+    * verification (nProbe × occupancy per query) — both then grow as
+    * √corpus. The literal-centroid codegen formulation is comfortable to
+    * a few hundred cells; past that, quantize via a broadcast centroid
+    * ARRAY (one expression, loop inside) before expression size bites.
+    */
+  def probe(
+      queries: DataFrame,
+      index: Index,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int = 3
+  ): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("probes", probeCells(col("v"), index.model, nProbe))
+      .localCheckpoint()
+    q.select(col("id").as("query_id"), explode(col("probes")).as("cell"))
+      .join(index.assignments.select(col("cell"), col("v").as("cv"), col("n").as("cn")),
+        "cell")
+      .join(q.select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn")),
+        "query_id")
+      .withColumn("cosine", VectorOps.cosineFromNorms(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        round(max(col("cosine")), 6).as("best_cosine"))
+  }
+
   /** Approximate per-query top-k by cosine over the probed cells.
     * Candidates come from an equi-join on cell id; ranking is exact
     * within the candidate set.

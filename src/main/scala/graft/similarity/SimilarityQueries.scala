@@ -164,6 +164,30 @@ object SimilarityQueries {
       HyperplaneLsh.probe(queries, index, "vec_id", "embedding")
         .select(col("query_id"), col("best_cosine"))
         .orderBy("query_id")
+    },
+
+    // Incremental IVF probe — the IVF twin of q87, closing the
+    // index/probe split for BOTH ANN paths: the same shifted every-10th
+    // query batch probes persisted cell assignments. The oracle is EXACT
+    // for the same structural reason: an identical vector computes
+    // identical centroid distances, lands in its original's cell (ties
+    // break to the lowest cell id on both sides), and the nearest cell
+    // is always probed first — so every query finds its original at
+    // cosine exactly 1.0, and a quantization/probe-join bug is a hash
+    // fail, not recall luck.
+    "q96_ivf_probe" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val maxId = Option(e.agg(max(col("vec_id"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+      require(maxId < 1000000L,
+        s"q96 query-id shift assumes max(vec_id) < 1000000; got $maxId")
+      val model = IvfIndex.train(e, "embedding", nCells = 8)
+      val index = IvfIndex.buildIndex(e, "vec_id", "embedding", model)
+      val queries = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      IvfIndex.probe(queries, index, "vec_id", "embedding")
+        .select(col("query_id"), col("best_cosine"))
+        .orderBy("query_id")
     }
   )
 
@@ -254,6 +278,14 @@ object SimilarityQueries {
     // candidate is its own original at cosine exactly 1.0 (identical
     // signature ⇒ same bucket in every table ⇒ guaranteed candidate).
     "q87_ann_probe" ->
+      """SELECT vec_id + 1000000 AS query_id, 1.0::DOUBLE AS best_cosine
+        |FROM embeddings WHERE vec_id % 10 = 0
+        |ORDER BY query_id""".stripMargin,
+
+    // Same structural exactness for the IVF path: an identical vector
+    // quantizes to its original's cell and the nearest cell is always
+    // probed, so the original is a guaranteed candidate at cosine 1.0.
+    "q96_ivf_probe" ->
       """SELECT vec_id + 1000000 AS query_id, 1.0::DOUBLE AS best_cosine
         |FROM embeddings WHERE vec_id % 10 = 0
         |ORDER BY query_id""".stripMargin

@@ -23,6 +23,27 @@ class IvfSpec extends SparkSpec {
     assert(cells(1L) != cells(4L))
   }
 
+  test("index/probe split: a new batch finds planted originals; empty-cell probes vanish") {
+    val corpus = Seq(
+      (1L, Seq(10.0, 0.0)), (2L, Seq(10.1, 0.0)), (3L, Seq(9.9, 0.1)),
+      (4L, Seq(0.0, 10.0)), (5L, Seq(0.1, 9.9)), (6L, Seq(0.0, 10.1))
+    ).toDF("vec_id", "embedding")
+    val model = IvfIndex.train(corpus, "embedding", nCells = 2, iterations = 5)
+    val index = IvfIndex.buildIndex(corpus, "vec_id", "embedding", model)
+    // queries: exact copies of 1 and 4 under new ids, plus a near-variant
+    val queries = Seq(
+      (101L, Seq(10.0, 0.0)), (104L, Seq(0.0, 10.0)), (105L, Seq(0.2, 9.8))
+    ).toDF("vec_id", "embedding")
+    val out = IvfIndex.probe(queries, index, "vec_id", "embedding", nProbe = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(101L, 104L, 105L))
+    assert(out(101L)._2 == 1.0 && out(104L)._2 == 1.0,
+      s"exact copies must find their originals at cosine 1.0: $out")
+    // nProbe=1 on a 2-cell index: candidates are exactly the home cell (3 vecs)
+    assert(out.values.forall(_._1 == 3L), s"candidate counts: $out")
+    assert(out(105L)._2 < 1.0 && out(105L)._2 > 0.99)
+  }
+
   test("IVF recall@1 on sf0.001 embeddings vs brute force") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val model = IvfIndex.train(emb, "embedding", nCells = 8)
