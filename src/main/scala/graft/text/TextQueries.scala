@@ -272,6 +272,36 @@ object TextQueries {
         t => TextAnalysis.bpeTokens(t, bpeMerges)
       val model = LmScore.train(d, "doc_id", "text", tok)
       LmScore.score(d, model, "doc_id", "text", tok).orderBy("doc_id")
+    },
+
+    // Distributed BPE merge-table TRAINING under the gate (the q94
+    // contract pattern — training loops are not SQL-expressible, their
+    // outcome is): learn 16 merges from the corpus word-frequency dict,
+    // then pin (a) the FIRST merge and its weighted count, which DuckDB
+    // recomputes EXACTLY (top adjacent code-point pair with the same
+    // (count desc, left, right) tie-break), (b) the provable
+    // non-increasing-counts invariant across all steps, and (c) the
+    // consuming round trip: tokenizing the corpus with the learned table
+    // compresses it (strictly fewer tokens than code points, at least
+    // one per non-empty word).
+    "q97_bpe_train" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val learned = BpeTrainer.train(d, "text", nMerges = 16)
+      val counts = learned.merges.map(_._3)
+      val nonIncreasing = counts.zip(counts.tail).forall { case (a, b) => b <= a }
+      val (fa, fb, fc) = learned.merges.head
+      val roundtrip = d.select(
+        size(TextAnalysis.bpeTokens(col("text"), learned.mergeStrings)).cast("long").as("nb"),
+        size(TextAnalysis.bpeTokens(col("text"), Seq.empty[String])).cast("long").as("nc"),
+        size(filter(split(col("text"), " "), w => length(w) > 0)).cast("long").as("nw"))
+        .agg(sum(col("nb")).as("nb"), sum(col("nc")).as("nc"), sum(col("nw")).as("nw"))
+        .head()
+      val compresses = roundtrip.getLong(0) < roundtrip.getLong(1) &&
+        roundtrip.getLong(0) >= roundtrip.getLong(2)
+      import s.implicits._
+      Seq((learned.merges.size.toLong, fa, fb, fc, nonIncreasing, compresses))
+        .toDF("n_merges", "first_left", "first_right", "first_count",
+          "counts_nonincreasing", "roundtrip_compresses")
     }
   )
 
@@ -719,6 +749,34 @@ object TextQueries {
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
          |  round(avg(lp), 6) AS lm_score
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BPE training contract: DuckDB recomputes the FIRST merge exactly —
+    // the top word-frequency-weighted adjacent code-point pair under the
+    // identical (count desc, left, right) tie-break — and pins the
+    // engine-proved invariants true. Later merges need the training loop
+    // itself (aggregates inside recursion, not SQL-expressible); the
+    // non-increasing-counts invariant is the provable chain that anchors
+    // them to the oracle-checked first step.
+    "q97_bpe_train" ->
+      """WITH words AS (
+        |  SELECT ws[i] AS w
+        |  FROM (SELECT ws, unnest(range(1, len(ws) + 1)) AS i
+        |        FROM (SELECT string_split(text, ' ') ws FROM documents))
+        |  WHERE length(ws[i]) > 0),
+        |wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1),
+        |chars AS (
+        |  SELECT cnt, list_transform(range(1, length(w) + 1),
+        |    i -> substr(w, i, 1)) AS ts
+        |  FROM wc),
+        |pairs AS (
+        |  SELECT ts[i] AS a, ts[i + 1] AS b, sum(cnt) AS pc
+        |  FROM (SELECT cnt, ts, unnest(range(1, len(ts))) AS i
+        |        FROM chars WHERE len(ts) >= 2)
+        |  GROUP BY 1, 2)
+        |SELECT 16::BIGINT AS n_merges, a AS first_left, b AS first_right,
+        |  pc::BIGINT AS first_count,
+        |  true AS counts_nonincreasing, true AS roundtrip_compresses
+        |FROM pairs ORDER BY pc DESC, a, b LIMIT 1""".stripMargin,
 
     // Training contract: the label counts are pure text facts DuckDB
     // recomputes; separation and loss monotonicity are engine-computed
