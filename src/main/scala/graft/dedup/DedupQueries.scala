@@ -270,6 +270,17 @@ object DedupQueries {
         sum(col("sz")).cast("long").as("n_rows"),
         count(lit(1)).cast("long").as("n_components"),
         sum(when(col("ns") > 1, 1L).otherwise(0L)).cast("long").as("n_leaky_components"))
+    },
+
+    // Cross-document duplicated 8-gram accounting (CrossDocNgrams) — the
+    // corpus-global verbatim-sharing score behind RefinedWeb-style
+    // substring dedup. String-keyed mode here so DuckDB recomputes the
+    // whole result EXACTLY; CrossDocNgramsSpec pins the hash-keyed scale
+    // path to this same output on the same data.
+    "q98_crossdoc_ngrams" -> { (s, dir) =>
+      CrossDocNgrams.stats(docs(s, dir), "doc_id", "text", w = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -459,6 +470,33 @@ object DedupQueries {
          |SELECT new_id, corpus_id, round(jaccard, 6) AS jaccard
          |FROM njac WHERE jaccard >= 0.5
          |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // Same 8-gram construction as q58's fragment, but counting per-doc
+    // occurrences (multiplicity kept) and corpus-wide document frequency.
+    "q98_crossdoc_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) i
+        |        FROM toks WHERE len(ts) >= 8),
+        |g AS (SELECT doc_id,
+        |    ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |      ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] s
+        |  FROM idx),
+        |pdg AS (SELECT doc_id, s, count(*) n_occ FROM g GROUP BY 1, 2),
+        |df AS (SELECT s FROM pdg GROUP BY s HAVING count(*) >= 2),
+        |dup AS (
+        |  SELECT doc_id, sum(n_occ) n_dup_occ, count(*) n_dup_distinct
+        |  FROM pdg JOIN df USING (s) GROUP BY 1),
+        |tot AS (SELECT doc_id,
+        |    greatest(len(string_split(text, ' ')) - 7, 0) n_grams
+        |  FROM documents)
+        |SELECT t.doc_id, t.n_grams::BIGINT AS n_grams,
+        |  coalesce(d.n_dup_occ, 0)::BIGINT AS n_dup_occ,
+        |  coalesce(d.n_dup_distinct, 0)::BIGINT AS n_dup_distinct,
+        |  CASE WHEN t.n_grams > 0
+        |    THEN round(coalesce(d.n_dup_occ, 0) / t.n_grams::DOUBLE, 6)
+        |    ELSE 0.0 END AS dup_frac
+        |FROM tot t LEFT JOIN dup d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q58_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
