@@ -1,0 +1,72 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication: cluster the embedding space
+  * with the IVF coarse quantizer, then deduplicate WITHIN each cluster
+  * by pairwise cosine — the published recipe (Abbas et al. 2023,
+  * "SemDeDup") for making embedding dedup tractable at corpus scale
+  * without an all-pairs pass. The reference engine has no embedding
+  * operators at all; this is north-star extension surface, composing the
+  * existing k-means quantizer ([[IvfIndex]]) with the greedy keep-first
+  * rule the exact-dedup family already uses (`ExactDedup`, q19).
+  *
+  * Semantics: drop a vector v iff some SAME-CELL partner u with u < v
+  * has cosine(u, v) ≥ τ (greedy keep-first by id — deterministic, and
+  * unlike connected-component dedup it never chains A~B~C into dropping
+  * a C that is not itself τ-close to the kept A).
+  *
+  * Scale shape: one narrow assignment pass (centroid distances are
+  * codegen arithmetic against broadcast literals), then a SHUFFLE
+  * equi-join on cell id — the per-cell candidate sets are corpus/nCells
+  * sized, so the quadratic term is (n/nCells)² per cell, controlled by
+  * the same √corpus nCells sizing rule as the IVF probe (IvfIndex.probe
+  * doc). The approximation vs a global pass is exactly the SemDeDup
+  * trade: a τ-pair straddling a cell boundary is missed. For EXACT
+  * duplicates the approximation is lossless by construction — identical
+  * vectors compute identical centroid distances and land in the same
+  * cell under the deterministic lowest-cell-id tie-break — and
+  * `SemDedupSpec` pins the corpus gap property (no natural pair within
+  * an order of magnitude of τ on the test corpus) that makes q99's
+  * global DuckDB oracle exact.
+  */
+object SemDedup {
+
+  /** Per-vector verdict: (id, cell, kept). Survivors are the cell-wise
+    * greedy keep-first set; `kept` is false iff a smaller-id same-cell
+    * τ-partner exists.
+    */
+  def dedup(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfIndex.Model,
+      tau: Double
+  ): DataFrame = {
+    // One pass computes vector + norm + cell, localCheckpoint'ed so both
+    // sides of the self-join read materialized blocks instead of
+    // re-evaluating the nCells centroid-distance expressions (the
+    // approxTopK pattern; ContextCleaner releases the blocks).
+    val a = vectors
+      .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("cell", IvfIndex.assignCell(col("v"), model))
+      .localCheckpoint()
+
+    val dropped = a.as("x")
+      .join(
+        a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
+          VectorOps.cosineFromNorms(
+            VectorOps.dot(col("x.v"), col("y.v")), col("x.n"), col("y.n")) >= tau)
+      .select(col("y.id").as("id"))
+      .distinct()
+
+    a.join(dropped.withColumn("is_dropped", lit(true)), Seq("id"), "left")
+      .select(
+        col("id"),
+        col("cell"),
+        not(coalesce(col("is_dropped"), lit(false))).as("kept"))
+  }
+}

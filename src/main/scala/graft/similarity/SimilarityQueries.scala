@@ -188,6 +188,31 @@ object SimilarityQueries {
       IvfIndex.probe(queries, index, "vec_id", "embedding")
         .select(col("query_id"), col("best_cosine"))
         .orderBy("query_id")
+    },
+
+    // SemDeDup over a corpus with planted exact duplicates (every 10th
+    // vector re-appears under a shifted id). The cell-wise greedy
+    // keep-first verdict equals the GLOBAL greedy verdict the oracle
+    // computes, for two spec-pinned reasons: (a) exact copies always
+    // co-cell (identical vectors → identical centroid distances → same
+    // argmin under the lowest-cell-id tie-break), and (b) the corpus has
+    // no natural pair anywhere near τ = 0.95 (max natural cosine < 0.8,
+    // SemDedupSpec gap property) — so the τ-edge set is exactly the
+    // planted intra-cell pairs and a quantization or join bug is a hash
+    // fail, not recall luck.
+    "q99_semdedup" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val maxId = Option(e.agg(max(col("vec_id"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+      require(maxId < 1000000L,
+        s"q99 copy-id shift assumes max(vec_id) < 1000000; got $maxId")
+      val copies = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val corpus = e.unionByName(copies)
+      val model = IvfIndex.train(corpus, "embedding", nCells = 8)
+      SemDedup.dedup(corpus, "vec_id", "embedding", model, tau = 0.95)
+        .select(col("id").as("vec_id"), col("kept"))
+        .orderBy("vec_id")
     }
   )
 
@@ -288,6 +313,27 @@ object SimilarityQueries {
     "q96_ivf_probe" ->
       """SELECT vec_id + 1000000 AS query_id, 1.0::DOUBLE AS best_cosine
         |FROM embeddings WHERE vec_id % 10 = 0
-        |ORDER BY query_id""".stripMargin
+        |ORDER BY query_id""".stripMargin,
+
+    // GLOBAL greedy keep-first over the planted-duplicate corpus — equal
+    // to the engine's cell-wise verdict by the co-cell + corpus-gap
+    // argument (see the q99 engine comment). DuckDB recomputes every
+    // pairwise cosine, so a natural τ-pair appearing in future testdata
+    // breaks BOTH sides identically (the oracle stays honest; only the
+    // cell-straddle case — excluded by the gap spec — could diverge).
+    "q99_semdedup" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nn FROM all_v),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |   AND list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.95)
+        |SELECT n.vec_id, (drp.vec_id IS NULL) AS kept
+        |FROM n LEFT JOIN drp ON n.vec_id = drp.vec_id
+        |ORDER BY n.vec_id""".stripMargin
   )
 }

@@ -1,0 +1,79 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  /** One-cell model: everything co-cells, so dedup is global. */
+  private val oneCell = IvfIndex.Model(Seq(Seq(0.0, 0.0)))
+
+  test("greedy keep-first, NOT connected components: middle of a cosine chain survives") {
+    // e=(1,0); c,d at ±θ with cosθ=0.92: cos(c,e)=cos(d,e)=0.92 ≥ τ but
+    // cos(c,d)=cos2θ≈0.69 < τ. Component dedup would keep only c; greedy
+    // keep-first keeps d too (its only τ-partner e has a LARGER id).
+    val ct = 0.92
+    val st = math.sqrt(1 - ct * ct)
+    val vecs = Seq(
+      (1L, Seq(ct, st)),
+      (2L, Seq(ct, -st)),
+      (3L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val kept = SemDedup.dedup(vecs, "vec_id", "embedding", oneCell, tau = 0.9)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept == Map(1L -> true, 2L -> true, 3L -> false))
+  }
+
+  test("corpus gap property: no natural pair within an order of magnitude of tau") {
+    // The q99 oracle-exactness argument needs every τ=0.95 edge in the
+    // planted corpus to be a planted exact copy. Pin the gap on the real
+    // testdata: max natural pairwise cosine stays below 0.8. (All-pairs
+    // here is the test-only ground-truth pass, same as the q24 oracle.)
+    val v = emb
+      .select(col("vec_id").as("id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("n", VectorOps.norm(col("v")))
+    val maxCos = v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+      .select(VectorOps.cosineFromNorms(
+        VectorOps.dot(col("x.v"), col("y.v")), col("x.n"), col("y.n")).as("c"))
+      .agg(max(col("c"))).head().getDouble(0)
+    assert(maxCos < 0.8, s"corpus gap broken: max natural cosine $maxCos")
+  }
+
+  test("exact copies always co-cell under the deterministic tie-break") {
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val corpus = emb.unionByName(copies)
+    val model = IvfIndex.train(corpus, "embedding", nCells = 8)
+    val cells = corpus.select(
+      col("vec_id"),
+      IvfIndex.assignCell(VectorOps.toDouble(col("embedding")), model).as("cell"))
+    val strays = cells.filter(col("vec_id") >= 1000000L)
+      .withColumnRenamed("cell", "copy_cell")
+      .withColumn("vec_id", col("vec_id") - 1000000L)
+      .join(cells, "vec_id")
+      .filter(col("copy_cell") =!= col("cell"))
+      .count()
+    assert(strays == 0L)
+  }
+
+  test("planted corpus verdict: every copy dropped, every original kept") {
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val corpus = emb.unionByName(copies)
+    val model = IvfIndex.train(corpus, "embedding", nCells = 8)
+    val out = SemDedup.dedup(corpus, "vec_id", "embedding", model, tau = 0.95)
+    assert(out.filter(col("id") >= 1000000L && col("kept")).count() == 0L)
+    assert(out.filter(col("id") < 1000000L && !col("kept")).count() == 0L)
+  }
+
+  test("plan: candidate pairing is a shuffle equi-join on cell, never all-pairs") {
+    val model = IvfIndex.train(emb, "embedding", nCells = 8)
+    val p = SemDedup.dedup(emb, "vec_id", "embedding", model, tau = 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+}
