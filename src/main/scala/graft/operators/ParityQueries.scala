@@ -344,10 +344,34 @@ object ParityQueries {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("label")
+    },
+
+    // Deterministic corpus shuffle + sharding for a training export —
+    // the full (id → shard, position) permutation is md5-keyed and
+    // therefore a pure row fact the oracle recomputes exactly,
+    // symbol-for-symbol (no engine-defined randomness anywhere).
+    "q100_shuffle_shard" -> { (s, dir) =>
+      ShuffleShard.assign(t(s, dir, "documents"), "doc_id", nShards = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("shard", "pos")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    // q100: the md5-keyed permutation is recomputed symbol-for-symbol —
+    // same hex string, same first-4-digit arithmetic, same (h, id) sort.
+    "q100_shuffle_shard" ->
+      """WITH k AS (SELECT doc_id, md5(doc_id::VARCHAR) h FROM documents),
+        |v AS (SELECT doc_id, h,
+        |  ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 10 shard
+        |  FROM k)
+        |SELECT doc_id, shard::BIGINT AS shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT AS pos
+        |FROM v ORDER BY shard, pos""".stripMargin,
+
     // q10: the hash values are engine-defined, but the counts are pure
     // row-content facts — the doubled input has 2N rows and exactly
     // count(DISTINCT row) distinct hashes iff xxhash64 is deterministic

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ShuffleShardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("output is a permutation: every id once, positions 1..|shard| per shard") {
+    val out = ShuffleShard.assign(docs, "doc_id", nShards = 10)
+    assert(out.count() == docs.count())
+    assert(out.select("id").distinct().count() == docs.count())
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("assignment is invariant to input partitioning") {
+    val a = ShuffleShard.assign(docs, "doc_id", 10)
+    val b = ShuffleShard.assign(docs.repartition(17), "doc_id", 10)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("md5 keying balances shards without salting") {
+    val sizes = ShuffleShard.assign(docs, "doc_id", 10)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 10)
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.forall(n => n > mean * 0.5 && n < mean * 2.0),
+      s"unbalanced shards: ${sizes.mkString(",")}")
+  }
+
+  test("plan: one shard-keyed exchange, per-shard (never global) sort") {
+    val p = ShuffleShard.assign(docs, "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+}
