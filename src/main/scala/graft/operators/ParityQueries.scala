@@ -354,6 +354,15 @@ object ParityQueries {
       ShuffleShard.assign(t(s, dir, "documents"), "doc_id", nShards = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy("shard", "pos")
+    },
+
+    // Exact quality-decile calibration: every document's exact global
+    // rank (by length score) and exact decile — computed by the two-pass
+    // distributed rank, hash-gated against DuckDB's global window.
+    "q101_decile_rank" -> { (s, dir) =>
+      QuantileBucket.bucketed(t(s, dir, "documents"), "doc_id", "n_chars", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")
     }
   )
 
@@ -371,6 +380,18 @@ object ParityQueries {
         |SELECT doc_id, shard::BIGINT AS shard,
         |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT AS pos
         |FROM v ORDER BY shard, pos""".stripMargin,
+
+    // q101: DuckDB runs the global-window formulation the engine
+    // deliberately avoids; ranks and integer-division buckets must agree
+    // exactly.
+    "q101_decile_rank" ->
+      """WITH r AS (SELECT doc_id, n_chars::DOUBLE score,
+        |    row_number() OVER (ORDER BY n_chars::DOUBLE, doc_id) rk
+        |  FROM documents),
+        |n AS (SELECT count(*) c FROM documents)
+        |SELECT doc_id, score, rk::BIGINT AS rank,
+        |  (((rk - 1) * 10) // c)::BIGINT AS bucket
+        |FROM r, n ORDER BY rank""".stripMargin,
 
     // q10: the hash values are engine-defined, but the counts are pure
     // row-content facts — the doubled input has 2N rows and exactly

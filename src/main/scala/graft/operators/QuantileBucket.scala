@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global rank and quantile bucketing — score calibration for the
+  * curation pipeline ("keep the top quality decile", "mix 3 parts from
+  * the best quartile with 1 part from the rest") computed EXACTLY, not
+  * from approxQuantile sketches whose error bound would smear the bucket
+  * boundaries the mixture quotas depend on.
+  *
+  * The naive plan — `row_number() OVER (ORDER BY score)` — is a global
+  * window: one partition holds the corpus. This is the distributed
+  * two-pass rank instead (the [[BudgetSelect]] prefix-sum pattern with
+  * cost ≡ 1): range-repartition by (score, id) and sort within
+  * partitions, collect ONE long per partition (its row count), broadcast
+  * the exclusive prefix as each partition's rank offset, and add it to a
+  * per-partition row_number — a window partitioned by the frozen
+  * partition id, never the whole frame. Ranks are exact global values;
+  * no task sees more than its range partition; the driver holds P longs.
+  *
+  * The sorted frame is localCheckpoint'ed because both passes must see
+  * identical partitions (range boundaries are sampled — re-executing the
+  * upstream plan could re-draw them). For a fault-tolerant
+  * materialization at cluster scale, write through a parquet round trip
+  * with a stamped pid column exactly as `BudgetSelect(checkpointDir=...)`
+  * does — the mechanics are identical and deliberately not duplicated
+  * here.
+  */
+object QuantileBucket {
+
+  /** (id, score, rank, bucket): `rank` is the exact 1-based global rank
+    * in (score asc, id asc) order; `bucket` is the exact k-quantile index
+    * in [0, k): bucket = ((rank-1)·k) div N — integer arithmetic, no
+    * floating-point boundary smear, bucket sizes differ by at most 1.
+    */
+  def bucketed(
+      items: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      k: Int,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+
+    val sorted = items
+      .select(col(idCol).cast("long").as("id"), col(scoreCol).cast("double").as("score"))
+      .repartitionByRange(p, col("score"), col("id"))
+      .sortWithinPartitions(col("score"), col("id"))
+      .localCheckpoint()
+      // pid is stamped AFTER the checkpoint freezes the partitioning, so
+      // the count pass and the rank pass agree on it by construction.
+      .withColumn("pid", spark_partition_id())
+
+    val counts = sorted.groupBy(col("pid")).count().collect()
+    val perPartition = Array.fill(p)(0L) // empty range partitions yield no agg row
+    counts.foreach(r => perPartition(r.getInt(0)) = r.getLong(1))
+    val n = perPartition.sum
+    require(n > 0, "cannot bucket an empty frame")
+    val offsets = perPartition.scanLeft(0L)(_ + _)
+    val offsetsDf = offsets.zipWithIndex
+      .map { case (off, pid) => (pid, off) }.toSeq.toDF("pid", "off")
+
+    sorted
+      .join(broadcast(offsetsDf), "pid")
+      .withColumn("rank",
+        (row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("score"), col("id")))
+          .cast("long") + col("off")).as("rank"))
+      .withColumn("bucket", expr(s"((rank - 1) * $k) div ${n}L"))
+      .select("id", "score", "rank", "bucket")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QuantileBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("differential vs the global-window formulation") {
+    val two = QuantileBucket.bucketed(docs, "doc_id", "n_chars", k = 10)
+    val n = docs.count()
+    val win = docs
+      .select(col("doc_id").as("id"), col("n_chars").cast("double").as("score"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score"), col("id"))).cast("long"))
+      .withColumn("bucket", expr(s"((rank - 1) * 10) div ${n}L"))
+    assert(two.exceptAll(win).isEmpty && win.exceptAll(two).isEmpty)
+  }
+
+  test("ranks are a 1..N permutation and bucket sizes differ by at most one") {
+    val out = QuantileBucket.bucketed(docs, "doc_id", "n_chars", k = 10)
+    val n = docs.count()
+    assert(out.count() == n)
+    assert(out.agg(min(col("rank")), max(col("rank")),
+      countDistinct(col("rank"))).head() match {
+      case r => r.getLong(0) == 1L && r.getLong(1) == n && r.getLong(2) == n
+    })
+    val sizes = out.groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(sizes.length == 10 && sizes.max - sizes.min <= 1)
+  }
+
+  test("invariant to requested partition count") {
+    val a = QuantileBucket.bucketed(docs, "doc_id", "n_chars", k = 4, partitions = 3)
+    val b = QuantileBucket.bucketed(docs, "doc_id", "n_chars", k = 4, partitions = 11)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("plan: no single-partition stage anywhere") {
+    val p = QuantileBucket.bucketed(docs, "doc_id", "n_chars", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+  }
+}
