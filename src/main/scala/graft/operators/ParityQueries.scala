@@ -363,6 +363,27 @@ object ParityQueries {
       QuantileBucket.bucketed(t(s, dir, "documents"), "doc_id", "n_chars", k = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy("rank")
+    },
+
+    // Epoch-aware mixture oversampling: total = 1200 over the (ℓ+1)/55
+    // weights makes labels 0-2 undersample (quota < stratum) and labels
+    // 3+ oversample (multi-epoch repetition with a partial-epoch
+    // remainder) at sf0.01 — both paths live under the hash gate. WHICH
+    // rows get the extra copy is engine-defined (hash priorities); the
+    // per-stratum multiplicity arithmetic is a pure (n, k) fact the
+    // oracle recomputes: Σ copies = k exactly, distinct = least(n, k),
+    // and copies within a stratum differ by at most one.
+    "q102_epoch_mixture" -> { (s, dir) =>
+      import s.implicits._
+      val targets = (0 to 9).map(l => (l, (l + 1).toDouble / 55.0)).toDF("label", "weight")
+      Sampling.mixtureEpochs(t(s, dir, "embeddings"), "label", "vec_id", targets, total = 1200L)
+        .groupBy(col("label"))
+        .agg(
+          sum(col("n_copies")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          min(col("n_copies")).as("min_copies"),
+          max(col("n_copies")).as("max_copies"))
+        .orderBy("label")
     }
   )
 
@@ -392,6 +413,23 @@ object ParityQueries {
         |SELECT doc_id, score, rk::BIGINT AS rank,
         |  (((rk - 1) * 10) // c)::BIGINT AS bucket
         |FROM r, n ORDER BY rank""".stripMargin,
+
+    // q102: the per-stratum multiplicity contract is pure (n, k)
+    // arithmetic — DuckDB rebuilds quota, epoch base, and remainder from
+    // the stratum sizes and the same double-precision weight formula.
+    "q102_epoch_mixture" ->
+      """WITH sizes AS (SELECT label, count(*) n FROM embeddings GROUP BY 1),
+        |q AS (SELECT label, n,
+        |    CAST(floor(((label + 1) / 55.0) * 1200) AS BIGINT) k
+        |  FROM sizes)
+        |SELECT label,
+        |  k AS n_rows,
+        |  least(n, k) AS n_distinct,
+        |  CASE WHEN k < n THEN 1 ELSE k // n END AS min_copies,
+        |  CASE WHEN k <= n THEN 1
+        |       WHEN k % n = 0 THEN k // n
+        |       ELSE k // n + 1 END AS max_copies
+        |FROM q ORDER BY label""".stripMargin,
 
     // q10: the hash values are engine-defined, but the counts are pure
     // row-content facts — the doubled input has 2N rows and exactly

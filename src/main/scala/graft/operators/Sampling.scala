@@ -120,4 +120,79 @@ object Sampling {
       .filter(col("__rank") < col("__k"))
       .select(col(strataCol), col(idCol))
   }
+
+  /** Epoch-aware mixture oversampling — [[mixture]] without the
+    * stratum-size cap: a quota LARGER than its stratum repeats the
+    * stratum, the way a pretraining mix runs a small high-value domain
+    * for several epochs (quota 2.3 × |stratum| = every row 2×, the best
+    * 30% by hash priority 3×). Deterministic with-replacement semantics
+    * as arithmetic: quota k over n rows means base = k div n copies of
+    * every row plus one extra copy for the k mod n best-by-hash rows —
+    * so per-row multiplicities within a stratum never differ by more
+    * than one, and Σ copies = k EXACTLY (the q102 oracle recomputes the
+    * whole per-stratum contract from n and k alone).
+    *
+    * Returns (strataCol, idCol, n_copies ≥ 1) — one row per surviving
+    * physical row with its multiplicity, NOT k exploded rows: the
+    * consumer is a weighted sampler/packer (and at 100 TB you want to
+    * ship a long, not clone documents in the mix plan).
+    *
+    * Shape: a skinny per-stratum size aggregation (≤ strata rows to the
+    * driver-free broadcast), the same bounded `graft_topk` pass as
+    * [[mixture]] for the partial-epoch extras (shuffle ≤ strata ×
+    * max(k mod n)), and one equi-join marking extras — rows never fan
+    * out by their copy count anywhere.
+    */
+  def mixtureEpochs(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      targets: DataFrame, // (strataCol, "weight")
+      total: Long,
+      salt: Long = 0L
+  ): DataFrame = {
+    require(total >= 0L, s"total must be non-negative, got $total")
+    val (nTargets, nStrata) = {
+      val r = targets.agg(count(lit(1)), countDistinct(col(strataCol))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nTargets == nStrata,
+      s"targets must have one row per stratum; got $nTargets rows over $nStrata strata")
+
+    val sizes = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val quotas = targets
+      .select(col(strataCol), floor(col("weight") * total).cast("long").as("__q"))
+      .filter(col("__q") > 0L)
+      .join(sizes, Seq(strataCol))
+      .select(col(strataCol),
+        expr("__q div __n").as("__base"), // integer division — no double rounding
+        pmod(col("__q"), col("__n")).as("__rem"))
+
+    val maxRem = quotas.agg(coalesce(max(col("__rem")), lit(0L))).head().getLong(0)
+    require(maxRem <= Int.MaxValue.toLong, s"largest partial epoch $maxRem exceeds Int range")
+    val joined = df.join(broadcast(quotas), Seq(strataCol))
+
+    // The k mod n best-by-hash rows of each partial-epoch stratum get
+    // the extra copy — same bounded top-k trick as mixture: one pass at
+    // the largest remainder, then each stratum trims to its own.
+    val extras =
+      if (maxRem == 0L)
+        joined.select(col(strataCol), col(idCol)).limit(0)
+          .withColumn("__extra", lit(1L))
+      else
+        joined.filter(col("__rem") > 0L)
+          .groupBy(col(strataCol), col("__rem"))
+          .agg(call_function("graft_topk",
+            -priority(col(idCol), salt), col(idCol), lit(maxRem.toInt)).as("top"))
+          .select(col(strataCol), col("__rem"),
+            posexplode(col("top.payload")).as(Seq("__rank", idCol)))
+          .filter(col("__rank") < col("__rem"))
+          .select(col(strataCol), col(idCol), lit(1L).as("__extra"))
+
+    joined
+      .join(extras, Seq(strataCol, idCol), "left")
+      .withColumn("n_copies", col("__base") + coalesce(col("__extra"), lit(0L)))
+      .filter(col("n_copies") > 0L)
+      .select(col(strataCol), col(idCol), col("n_copies"))
+  }
 }

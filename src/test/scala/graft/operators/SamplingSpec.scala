@@ -62,4 +62,47 @@ class SamplingSpec extends SparkSpec {
     val g3Size = orders.filter(col("grp") === "g3").count()
     assert(capped.count() == g3Size)
   }
+
+  test("mixtureEpochs: exact multiplicity law on crafted strata") {
+    // A: 4 rows, quota 10 → base 2, rem 2: two rows at 3 copies, two at
+    // 2. B: 5 rows, quota 3 → three rows at 1. C: weight 0 → absent.
+    val rows = ((1L to 4L).map(i => (i, "A")) ++ (11L to 15L).map(i => (i, "B")) ++
+      (21L to 23L).map(i => (i, "C"))).toDF("id", "grp")
+    val targets = Seq(("A", 0.10), ("B", 0.03), ("C", 0.0)).toDF("grp", "weight")
+    val out = Sampling.mixtureEpochs(rows, "grp", "id", targets, total = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val a = out.filter(_._1 == "A").map(_._3).sorted.toSeq
+    val b = out.filter(_._1 == "B").map(_._3).sorted.toSeq
+    assert(a == Seq(2L, 2L, 3L, 3L), s"got $a")
+    assert(b == Seq(1L, 1L, 1L), s"got $b")
+    assert(!out.exists(_._1 == "C"))
+  }
+
+  test("mixtureEpochs: undersampling path picks the same rows as mixture") {
+    val targets = Seq(("g1", 0.5), ("g2", 0.05)).toDF("grp", "weight")
+    val plain = Sampling.mixture(orders, "grp", "id", targets, total = 400L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val epochs = Sampling.mixtureEpochs(orders, "grp", "id", targets, total = 400L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(epochs.forall(_._3 == 1L), "quota below stratum size must not repeat rows")
+    assert(epochs.map(t => (t._1, t._2)).toSet == plain)
+  }
+
+  test("mixtureEpochs: extra copies go to the best-priority rows, invariant to partitioning") {
+    val targets = Seq(("g4", 2.0)).toDF("grp", "weight")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureEpochs(df, "grp", "id", targets, total = 400L)
+    val got = run(orders).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == run(orders.repartition(13)).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet)
+    // g4 has 286 rows, quota 800 → base 2, rem 228: the 228 extra copies
+    // must land on exactly the lowest-hash-priority ids (salt 0).
+    val n = orders.filter(col("grp") === "g4").count()
+    assert(got.size == n && got.toSeq.map(_._2).sum == 800L)
+    val expectExtra = orders.filter(col("grp") === "g4")
+      .select(col("id"), pmod(xxhash64(col("id"), lit(0L)), lit(1000000000L)).as("h"))
+      .orderBy(col("h"), col("id")).limit((800 % n).toInt)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == 3L).map(_._1) == expectExtra)
+  }
 }
