@@ -69,4 +69,60 @@ object SemDedup {
         col("cell"),
         not(coalesce(col("is_dropped"), lit(false))).as("kept"))
   }
+
+  /** Survivors with their absorption weight: each dropped row is
+    * attributed to its SMALLEST-id τ-partner in its cell (its "absorber"
+    * — well-defined and deterministic under the greedy order), and a
+    * survivor's weight is 1 + the rows it absorbed. Reweighting keeps
+    * the deduplicated mixture distribution-faithful: downstream sampling
+    * (`Sampling.mixtureEpochs` takes the weight as a cost/quota input)
+    * sees the duplicated region at its original mass instead of
+    * collapsing it to one vote — the standard follow-up to semantic
+    * dedup when the duplicate rate differs across domains.
+    *
+    * Note absorbers can themselves be dropped (A absorbs B while a
+    * smaller C drops A, when cos(A,B) ≥ τ > cos(C,B)): weight rows are
+    * emitted for SURVIVORS only, and mass attributed to a dropped
+    * absorber is dropped with it — the conservative choice, documented
+    * rather than chained (chaining would re-introduce exactly the
+    * transitive smearing the greedy rule avoids). On a planted
+    * exact-duplicate corpus no such chain exists and Σ weight = corpus
+    * size exactly (the q103 oracle pins both).
+    */
+  def survivorWeights(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfIndex.Model,
+      tau: Double
+  ): DataFrame = {
+    val a = vectors
+      .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("cell", IvfIndex.assignCell(col("v"), model))
+      .localCheckpoint()
+
+    val pairs = a.as("x")
+      .join(
+        a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
+          VectorOps.cosineFromNorms(
+            VectorOps.dot(col("x.v"), col("y.v")), col("x.n"), col("y.n")) >= tau)
+      .select(col("y.id").as("dropped_id"), col("x.id").as("partner_id"))
+
+    val absorbed = pairs
+      .groupBy(col("dropped_id"))
+      .agg(min(col("partner_id")).as("absorber_id"))
+      .groupBy(col("absorber_id"))
+      .agg(count(lit(1)).as("n_absorbed"))
+
+    val droppedIds = pairs.select(col("dropped_id").as("id")).distinct()
+    a.join(droppedIds.withColumn("is_dropped", lit(true)), Seq("id"), "left")
+      .filter(col("is_dropped").isNull)
+      .join(absorbed.withColumnRenamed("absorber_id", "id"), Seq("id"), "left")
+      .select(
+        col("id"),
+        col("cell"),
+        (lit(1L) + coalesce(col("n_absorbed"), lit(0L))).as("weight"))
+  }
 }

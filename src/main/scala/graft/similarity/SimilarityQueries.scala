@@ -213,6 +213,27 @@ object SimilarityQueries {
       SemDedup.dedup(corpus, "vec_id", "embedding", model, tau = 0.95)
         .select(col("id").as("vec_id"), col("kept"))
         .orderBy("vec_id")
+    },
+
+    // Distribution-faithful dedup: q99's survivors with absorption
+    // weights (1 + rows attributed to them by smallest-partner rule).
+    // Same exactness legs as q99; additionally Σ weight = |corpus|
+    // because no absorber is itself dropped on a planted-exact-copy
+    // corpus — the oracle recomputes attribution from the data, so a
+    // violation would hash-fail, not silently pass.
+    "q103_semdedup_weights" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val maxId = Option(e.agg(max(col("vec_id"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+      require(maxId < 1000000L,
+        s"q103 copy-id shift assumes max(vec_id) < 1000000; got $maxId")
+      val copies = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val corpus = e.unionByName(copies)
+      val model = IvfIndex.train(corpus, "embedding", nCells = 8)
+      SemDedup.survivorWeights(corpus, "vec_id", "embedding", model, tau = 0.95)
+        .select(col("id").as("vec_id"), col("weight"))
+        .orderBy("vec_id")
     }
   )
 
@@ -334,6 +355,31 @@ object SimilarityQueries {
         |   AND list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.95)
         |SELECT n.vec_id, (drp.vec_id IS NULL) AS kept
         |FROM n LEFT JOIN drp ON n.vec_id = drp.vec_id
+        |ORDER BY n.vec_id""".stripMargin,
+
+    // q103: same global pairing; each dropped row attributes to its
+    // smallest partner; survivors carry 1 + absorbed.
+    "q103_semdedup_weights" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nn FROM all_v),
+        |pairs AS (
+        |  SELECT b.vec_id dropped_id, a.vec_id partner_id
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |   AND list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.95),
+        |absorbed AS (
+        |  SELECT absorber_id, count(*) n_absorbed FROM (
+        |    SELECT dropped_id, min(partner_id) absorber_id
+        |    FROM pairs GROUP BY 1) GROUP BY 1),
+        |drp AS (SELECT DISTINCT dropped_id FROM pairs)
+        |SELECT n.vec_id, (1 + coalesce(a.n_absorbed, 0))::BIGINT AS weight
+        |FROM n
+        |LEFT JOIN drp ON n.vec_id = drp.dropped_id
+        |LEFT JOIN absorbed a ON n.vec_id = a.absorber_id
+        |WHERE drp.dropped_id IS NULL
         |ORDER BY n.vec_id""".stripMargin
   )
 }

@@ -69,6 +69,32 @@ class SemDedupSpec extends SparkSpec {
     assert(out.filter(col("id") < 1000000L && !col("kept")).count() == 0L)
   }
 
+  test("survivorWeights: mass attributed to a dropped absorber is dropped with it") {
+    // Chain 1~2~3 (but not 1~3): greedy drops 2 (partner 1) and 3
+    // (partner 2). 3's absorber 2 is itself dropped, so its mass is NOT
+    // chained onto 1 — survivor 1 carries only itself plus 2.
+    val ct = 0.92
+    val st = math.sqrt(1 - ct * ct)
+    val vecs = Seq(
+      (1L, Seq(ct, st)),
+      (2L, Seq(1.0, 0.0)),
+      (3L, Seq(ct, -st))).toDF("vec_id", "embedding")
+    val w = SemDedup.survivorWeights(vecs, "vec_id", "embedding", oneCell, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w == Map(1L -> 2L))
+  }
+
+  test("survivorWeights on the planted corpus: copies' mass lands on their originals") {
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val corpus = emb.unionByName(copies)
+    val model = IvfIndex.train(corpus, "embedding", nCells = 8)
+    val w = SemDedup.survivorWeights(corpus, "vec_id", "embedding", model, tau = 0.95)
+    assert(w.agg(sum(col("weight"))).head().getLong(0) == corpus.count())
+    assert(w.filter(col("id") % 10 === 0 && col("weight") =!= 2L).count() == 0L)
+    assert(w.filter(col("id") % 10 =!= 0 && col("weight") =!= 1L).count() == 0L)
+  }
+
   test("plan: candidate pairing is a shuffle equi-join on cell, never all-pairs") {
     val model = IvfIndex.train(emb, "embedding", nCells = 8)
     val p = SemDedup.dedup(emb, "vec_id", "embedding", model, tau = 0.95)
