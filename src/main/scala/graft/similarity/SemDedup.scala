@@ -89,6 +89,48 @@ object SemDedup {
     * exact-duplicate corpus no such chain exists and Σ weight = corpus
     * size exactly (the q103 oracle pins both).
     */
+  /** Incremental semantic dedup — the index/probe split of [[dedup]],
+    * closing the same incremental series as the MinHash (q62), LSH (q87)
+    * and IVF (q96) paths: a NEW batch is checked against the persisted
+    * cell assignments of the existing corpus ([[IvfIndex.buildIndex]])
+    * without touching corpus text or re-clustering. Cost ∝ batch ×
+    * cell occupancy: batch-side quantization is per-row codegen
+    * arithmetic against the broadcast centroid literals, and the cell
+    * equi-join probes only the batch's cells. An exact duplicate of a
+    * corpus vector provably lands in its original's cell (identical
+    * distances, deterministic tie-break), so τ-high batch copies can
+    * never escape the probe.
+    *
+    * Returns every batch row: (id, cell, has_duplicate).
+    */
+  def probe(
+      batch: DataFrame,
+      index: IvfIndex.Index,
+      idCol: String,
+      vecCol: String,
+      tau: Double
+  ): DataFrame = {
+    val q = batch
+      .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorOps.norm(col("v")))
+      .withColumn("cell", IvfIndex.assignCell(col("v"), index.model))
+      .localCheckpoint()
+
+    val hits = q
+      .join(index.assignments.select(
+        col("cell"), col("v").as("cv"), col("n").as("cn")), "cell")
+      .filter(VectorOps.cosineFromNorms(
+        VectorOps.dot(col("v"), col("cv")), col("n"), col("cn")) >= tau)
+      .select(col("id"))
+      .distinct()
+
+    q.join(hits.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(
+        col("id"),
+        col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("has_duplicate"))
+  }
+
   def survivorWeights(
       vectors: DataFrame,
       idCol: String,

@@ -234,6 +234,31 @@ object SimilarityQueries {
       SemDedup.survivorWeights(corpus, "vec_id", "embedding", model, tau = 0.95)
         .select(col("id").as("vec_id"), col("weight"))
         .orderBy("vec_id")
+    },
+
+    // Incremental SemDeDup probe: a batch of exact copies (+1M, every
+    // 10th) and genuinely novel vectors (+2M, every 7th NEGATED —
+    // cosine ≤ 0.55 to everything, SemDedupSpec pins the two-sided gap)
+    // probes the corpus cell assignments. Copies co-cell with their
+    // originals (structural), novels match nothing anywhere (the global
+    // oracle recomputes every batch × corpus cosine), so the verdict is
+    // exact — a quantization or probe-join bug is a hash fail.
+    "q104_semdedup_probe" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val maxId = Option(e.agg(max(col("vec_id"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+      require(maxId < 1000000L,
+        s"q104 batch-id shift assumes max(vec_id) < 1000000; got $maxId")
+      val model = IvfIndex.train(e, "embedding", nCells = 8)
+      val index = IvfIndex.buildIndex(e, "vec_id", "embedding", model)
+      val copies = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val novels = e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      SemDedup.probe(copies.unionByName(novels), index, "vec_id", "embedding", tau = 0.95)
+        .select(col("id").as("vec_id"), col("has_duplicate"))
+        .orderBy("vec_id")
     }
   )
 
@@ -380,6 +405,28 @@ object SimilarityQueries {
         |LEFT JOIN drp ON n.vec_id = drp.dropped_id
         |LEFT JOIN absorbed a ON n.vec_id = a.absorber_id
         |WHERE drp.dropped_id IS NULL
-        |ORDER BY n.vec_id""".stripMargin
+        |ORDER BY n.vec_id""".stripMargin,
+
+    // q104: every batch × corpus cosine recomputed globally — float
+    // negation is exact, so the novel rows' vectors match bit-for-bit.
+    "q104_semdedup_probe" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nn
+        |  FROM embeddings),
+        |batch AS (
+        |  SELECT vec_id + 1000000 vec_id, embedding::DOUBLE[] v FROM embeddings
+        |  WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, list_transform(embedding::DOUBLE[], x -> -x)
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |bn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nn FROM batch),
+        |hits AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM bn b JOIN corpus c
+        |    ON list_dot_product(b.v, c.v) / (b.nn * c.nn) >= 0.95)
+        |SELECT bn.vec_id, (hits.vec_id IS NOT NULL) AS has_duplicate
+        |FROM bn LEFT JOIN hits ON bn.vec_id = hits.vec_id
+        |ORDER BY bn.vec_id""".stripMargin
   )
 }

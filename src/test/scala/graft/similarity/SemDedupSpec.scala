@@ -35,11 +35,30 @@ class SemDedupSpec extends SparkSpec {
     val v = emb
       .select(col("vec_id").as("id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("n", VectorOps.norm(col("v")))
-    val maxCos = v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+    val r = v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(VectorOps.cosineFromNorms(
         VectorOps.dot(col("x.v"), col("y.v")), col("x.n"), col("y.n")).as("c"))
-      .agg(max(col("c"))).head().getDouble(0)
-    assert(maxCos < 0.8, s"corpus gap broken: max natural cosine $maxCos")
+      .agg(max(col("c")), min(col("c"))).head()
+    assert(r.getDouble(0) < 0.8, s"corpus gap broken: max natural cosine ${r.getDouble(0)}")
+    // Two-sided: q104's NEGATED novel vectors rely on no natural pair
+    // being strongly anti-aligned either (cos(-a, b) = -cos(a, b)).
+    assert(r.getDouble(1) > -0.8, s"corpus gap broken: min natural cosine ${r.getDouble(1)}")
+  }
+
+  test("probe: exact copies are flagged, negated novels are not, plan stays cell-keyed") {
+    val model = IvfIndex.train(emb, "embedding", nCells = 8)
+    val index = IvfIndex.buildIndex(emb, "vec_id", "embedding", model)
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val novels = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val out = SemDedup.probe(
+      copies.unionByName(novels), index, "vec_id", "embedding", tau = 0.95)
+    assert(out.filter(col("id") < 2000000L && !col("has_duplicate")).count() == 0L)
+    assert(out.filter(col("id") >= 2000000L && col("has_duplicate")).count() == 0L)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("exact copies always co-cell under the deterministic tie-break") {
