@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_cell_argmin"),
+      new ExpressionInfo(classOf[CellArgmin].getName, "graft_cell_argmin"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cell_argmin(vector, centroidTable)")
+        CellArgmin(children(0), children(1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_set"),
       (children: Seq[Expression]) => children match {

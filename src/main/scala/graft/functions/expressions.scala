@@ -63,6 +63,117 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Index of the nearest centroid — squared-Euclidean argmin of an
+  * array<double> vector over a centroid TABLE (array<array<double>>),
+  * ties to the lowest cell id. The scale formulation of
+  * `IvfIndex.assignCell`: the per-cell literal expression tree generates
+  * O(nCells·dim) source and falls off the JIT/whole-stage-codegen cliff
+  * past a few hundred cells (observed: codegen disabled at 126 cells ×
+  * 64 dims), while this single expression loops over the same table
+  * inside one tight method at any nCells.
+  *
+  * Arithmetic is REPLICATED from the literal form so assignments are
+  * bit-identical and plan-shape changes can never move a vector across
+  * cells: d(c) = (Σv² - 2.0·Σv·c) + Σc², each Σ a left-to-right pass,
+  * null elements skipped exactly as [[DotProduct]] skips them.
+  */
+case class CellArgmin(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_cell_argmin"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val table = b.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < nv) { if (!v.isNullAt(i)) vv += v.getDouble(i) * v.getDouble(i); i += 1 }
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    val m = table.numElements()
+    while (c < m) {
+      if (!table.isNullAt(c)) {
+        val ctr = table.getArray(c)
+        val n = math.min(nv, ctr.numElements())
+        var vc = 0.0
+        var cc = 0.0
+        var k = 0
+        while (k < n) {
+          if (!v.isNullAt(k) && !ctr.isNullAt(k)) vc += v.getDouble(k) * ctr.getDouble(k)
+          k += 1
+        }
+        k = 0
+        val nc = ctr.numElements()
+        while (k < nc) {
+          if (!ctr.isNullAt(k)) cc += ctr.getDouble(k) * ctr.getDouble(k)
+          k += 1
+        }
+        val d = (vv - 2.0 * vc) + cc
+        if (d < bestD) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nv = ctx.freshName("nv")
+      val vv = ctx.freshName("vv")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val ctr = ctx.freshName("ctr")
+      val n = ctx.freshName("n")
+      val nc = ctx.freshName("nc")
+      val vc = ctx.freshName("vc")
+      val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      s"""
+         |int $nv = $a.numElements();
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  if (!$a.isNullAt($i)) { $vv += $a.getDouble($i) * $a.getDouble($i); }
+         |}
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |int $m = $b.numElements();
+         |for (int $c = 0; $c < $m; $c++) {
+         |  if (!$b.isNullAt($c)) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $ctr = $b.getArray($c);
+         |    int $n = java.lang.Math.min($nv, $ctr.numElements());
+         |    double $vc = 0.0;
+         |    double $cc = 0.0;
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      if (!$a.isNullAt($k) && !$ctr.isNullAt($k)) {
+         |        $vc += $a.getDouble($k) * $ctr.getDouble($k);
+         |      }
+         |    }
+         |    int $nc = $ctr.numElements();
+         |    for (int $k = 0; $k < $nc; $k++) {
+         |      if (!$ctr.isNullAt($k)) { $cc += $ctr.getDouble($k) * $ctr.getDouble($k); }
+         |    }
+         |    double $d = ($vv - 2.0 * $vc) + $cc;
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash of an array<string> token column, one pass: per token an
   * xxhash64 (seed 42 — same value Spark's xxhash64 yields for that
   * string), ±1 bit votes, sign per bit position. Null tokens are skipped.

@@ -89,12 +89,17 @@ object IvfIndex {
       VectorOps.dot(v, v) - lit(2.0) * VectorOps.dot(v, c) + lit(ctr.map(x => x * x).sum)
     }
 
-  /** Index of the nearest centroid (ties → lowest cell id). */
-  def assignCell(v: Column, model: Model): Column = {
-    val ds = cellDistances(v, model)
-    val arr = array(ds: _*)
-    array_position(arr, array_min(arr)).cast("int") - 1
-  }
+  /** Index of the nearest centroid (ties → lowest cell id). One native
+    * expression over the centroid table as a single nested-array literal
+    * ([[graft.functions.CellArgmin]]): the earlier per-cell literal
+    * expression tree generated O(nCells·dim) source and fell off the
+    * JIT/whole-stage-codegen cliff at ~126 cells × 64 dims — this form
+    * holds any nCells at constant generated-code size, with the same
+    * arithmetic bit-for-bit (d = (Σv² − 2.0·Σv·c) + Σc², left-to-right,
+    * first-minimum tie-break).
+    */
+  def assignCell(v: Column, model: Model): Column =
+    call_function("graft_cell_argmin", v, typedLit(model.centroids))
 
   /** The `nProbe` nearest cell ids, as an array column. */
   def probeCells(v: Column, model: Model, nProbe: Int): Column = {
