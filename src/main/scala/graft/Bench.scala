@@ -125,9 +125,13 @@ object Bench {
     val protocol = s""""cold_runs":1,"warm_runs":$warmRuns,"warm_stat":"median""""
     val detail =
       s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","value_warm":${num(totalWarm)},$protocol,"queries":${row(num, _._2)},"queries_warm":${row(num, _._3)},"failed":$failedJson,"sf":${q(sfDir)}}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // A dev subset run (SPARK_GRAFT_ONLY) must NOT clobber the committed
+    // full-battery record — that is exactly the stale-number class the
+    // r7 verdict flagged.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
 
     // ONE compact JSON line, engineered to fit the tail window with the
     // sbt "[success] …" epilogue behind it: 2-decimal per-query colds,

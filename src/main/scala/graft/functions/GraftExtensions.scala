@@ -38,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_cell_topk"),
+      new ExpressionInfo(classOf[CellTopCells].getName, "graft_cell_topk"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, table, Literal(n: Int, IntegerType)) =>
+          CellTopCells(v, table, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_cell_topk(vector, centroidTable, nProbe) with a literal int nProbe")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_set"),
       (children: Seq[Expression]) => children match {

@@ -174,6 +174,141 @@ case class CellArgmin(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The `nProbe` nearest cell ids (ascending distance, ties → lower cell
+  * id) — the multi-cell companion of [[CellArgmin]] for the IVF probe
+  * path, replacing the literal per-cell struct array + array_sort
+  * formulation that hits the same generated-code cliff. Ordering
+  * replicates array_sort over struct(distance, cell): ascending by
+  * distance, then by cell id; distances use CellArgmin's exact
+  * arithmetic, so probeCells(…)(0) ≡ assignCell(…) bit-for-bit. nProbe
+  * is a plan-time constant (like [[BpeTokens]]' merge table).
+  */
+case class CellTopCells(left: Expression, right: Expression, nProbe: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def prettyName: String = "graft_cell_topk"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val table = b.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < nv) { if (!v.isNullAt(i)) vv += v.getDouble(i) * v.getDouble(i); i += 1 }
+    val m = table.numElements()
+    val keep = math.min(nProbe, m)
+    val heapD = new Array[Double](keep)
+    val heapC = new Array[Int](keep)
+    var size = 0
+    var c = 0
+    while (c < m) {
+      if (!table.isNullAt(c)) {
+        val ctr = table.getArray(c)
+        val n = math.min(nv, ctr.numElements())
+        var vc = 0.0
+        var cc = 0.0
+        var k = 0
+        while (k < n) {
+          if (!v.isNullAt(k) && !ctr.isNullAt(k)) vc += v.getDouble(k) * ctr.getDouble(k)
+          k += 1
+        }
+        k = 0
+        val nc = ctr.numElements()
+        while (k < nc) {
+          if (!ctr.isNullAt(k)) cc += ctr.getDouble(k) * ctr.getDouble(k)
+          k += 1
+        }
+        val d = (vv - 2.0 * vc) + cc
+        // insertion into the sorted keep-list ((d, cell) ascending);
+        // cells arrive in id order, so equal distances naturally keep
+        // the lower id first — the array_sort struct ordering.
+        if (size < keep || d < heapD(size - 1)) {
+          var pos = if (size < keep) size else keep - 1
+          while (pos > 0 && heapD(pos - 1) > d) {
+            heapD(pos) = heapD(pos - 1); heapC(pos) = heapC(pos - 1); pos -= 1
+          }
+          heapD(pos) = d; heapC(pos) = c
+          if (size < keep) size += 1
+        }
+      }
+      c += 1
+    }
+    new GenericArrayData(heapC.take(size).map(Int.box))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nv = ctx.freshName("nv")
+      val vv = ctx.freshName("vv")
+      val m = ctx.freshName("m")
+      val keep = ctx.freshName("keep")
+      val heapD = ctx.freshName("heapD")
+      val heapC = ctx.freshName("heapC")
+      val size = ctx.freshName("size")
+      val c = ctx.freshName("c")
+      val ctr = ctx.freshName("ctr")
+      val n = ctx.freshName("n")
+      val nc = ctx.freshName("nc")
+      val vc = ctx.freshName("vc")
+      val cc = ctx.freshName("cc")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val pos = ctx.freshName("pos")
+      val out = ctx.freshName("out")
+      s"""
+         |int $nv = $a.numElements();
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  if (!$a.isNullAt($i)) { $vv += $a.getDouble($i) * $a.getDouble($i); }
+         |}
+         |int $m = $b.numElements();
+         |int $keep = java.lang.Math.min($nProbe, $m);
+         |double[] $heapD = new double[$keep];
+         |int[] $heapC = new int[$keep];
+         |int $size = 0;
+         |for (int $c = 0; $c < $m; $c++) {
+         |  if (!$b.isNullAt($c)) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $ctr = $b.getArray($c);
+         |    int $n = java.lang.Math.min($nv, $ctr.numElements());
+         |    double $vc = 0.0;
+         |    double $cc = 0.0;
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      if (!$a.isNullAt($k) && !$ctr.isNullAt($k)) {
+         |        $vc += $a.getDouble($k) * $ctr.getDouble($k);
+         |      }
+         |    }
+         |    int $nc = $ctr.numElements();
+         |    for (int $k = 0; $k < $nc; $k++) {
+         |      if (!$ctr.isNullAt($k)) { $cc += $ctr.getDouble($k) * $ctr.getDouble($k); }
+         |    }
+         |    double $d = ($vv - 2.0 * $vc) + $cc;
+         |    if ($size < $keep || $d < $heapD[$size - 1]) {
+         |      int $pos = ($size < $keep) ? $size : $keep - 1;
+         |      while ($pos > 0 && $heapD[$pos - 1] > $d) {
+         |        $heapD[$pos] = $heapD[$pos - 1]; $heapC[$pos] = $heapC[$pos - 1]; $pos--;
+         |      }
+         |      $heapD[$pos] = $d; $heapC[$pos] = $c;
+         |      if ($size < $keep) { $size++; }
+         |    }
+         |  }
+         |}
+         |Object[] $out = new Object[$size];
+         |for (int $i = 0; $i < $size; $i++) { $out[$i] = Integer.valueOf($heapC[$i]); }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash of an array<string> token column, one pass: per token an
   * xxhash64 (seed 42 — same value Spark's xxhash64 yields for that
   * string), ±1 bit votes, sign per bit position. Null tokens are skipped.

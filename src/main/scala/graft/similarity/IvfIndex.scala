@@ -80,15 +80,6 @@ object IvfIndex {
     Model(centroids.map(_.toSeq).toSeq)
   }
 
-  /** Euclidean distance² to a literal centroid, codegen'd arithmetic:
-    * |v|² - 2·v·c + |c|² needs only the dot products.
-    */
-  private def cellDistances(v: Column, model: Model): Seq[Column] =
-    model.centroids.map { ctr =>
-      val c = typedLit(ctr)
-      VectorOps.dot(v, v) - lit(2.0) * VectorOps.dot(v, c) + lit(ctr.map(x => x * x).sum)
-    }
-
   /** Index of the nearest centroid (ties → lowest cell id). One native
     * expression over the centroid table as a single nested-array literal
     * ([[graft.functions.CellArgmin]]): the earlier per-cell literal
@@ -101,14 +92,13 @@ object IvfIndex {
   def assignCell(v: Column, model: Model): Column =
     call_function("graft_cell_argmin", v, typedLit(model.centroids))
 
-  /** The `nProbe` nearest cell ids, as an array column. */
-  def probeCells(v: Column, model: Model, nProbe: Int): Column = {
-    val ds = cellDistances(v, model)
-    val pairs = array(ds.zipWithIndex.map { case (d, i) =>
-      struct(d.as("d"), lit(i).as("cell"))
-    }: _*)
-    transform(slice(array_sort(pairs), 1, nProbe), p => p("cell"))
-  }
+  /** The `nProbe` nearest cell ids, as an array column — same native
+    * table-loop formulation as [[assignCell]] ([[graft.functions
+    * .CellTopCells]]; identical distance arithmetic and tie ordering, so
+    * `probeCells(...)(0) ≡ assignCell(...)` bit-for-bit at any nCells).
+    */
+  def probeCells(v: Column, model: Model, nProbe: Int): Column =
+    call_function("graft_cell_topk", v, typedLit(model.centroids), lit(nProbe))
 
   /** Persisted IVF index: the coarse quantizer plus per-vector cell
     * assignments with vectors + norms for exact-cosine verification —

@@ -44,6 +44,32 @@ class IvfSpec extends SparkSpec {
     assert(out(105L)._2 < 1.0 && out(105L)._2 > 0.99)
   }
 
+  test("native cell-topk matches the struct-sort reference; head equals argmin") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = IvfIndex.train(emb, "embedding", nCells = 7)
+    val v = VectorOps.toDouble(col("embedding"))
+    // Reference: the retired literal formulation — per-cell distance
+    // columns, struct array, array_sort, slice. Must agree element-for-
+    // element including tie order.
+    val refDists = model.centroids.map { ctr =>
+      val c = typedLit(ctr)
+      VectorOps.dot(v, v) - lit(2.0) * VectorOps.dot(v, c) + lit(ctr.map(x => x * x).sum)
+    }
+    val refPairs = array(refDists.zipWithIndex.map { case (d, i) =>
+      struct(d.as("d"), lit(i).as("cell"))
+    }: _*)
+    val rows = emb.select(
+      col("vec_id"),
+      IvfIndex.probeCells(v, model, nProbe = 3).as("fast"),
+      transform(slice(array_sort(refPairs), 1, 3), p => p("cell")).as("ref"),
+      IvfIndex.assignCell(v, model).as("am"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"topk mismatch for vec ${r.getLong(0)}")
+      assert(r.getSeq[Int](1).head == r.getInt(3), s"head != argmin for vec ${r.getLong(0)}")
+    }
+  }
+
   test("IVF recall@1 on sf0.001 embeddings vs brute force") {
     val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val model = IvfIndex.train(emb, "embedding", nCells = 8)
