@@ -384,6 +384,30 @@ object ParityQueries {
           min(col("n_copies")).as("min_copies"),
           max(col("n_copies")).as("max_copies"))
         .orderBy("label")
+    },
+
+    // Corpus snapshot diff: the new snapshot drops every 13th doc,
+    // appends a marker to every 11th survivor, and adds shifted novel
+    // docs — every status class live. The engine classifies on 128-bit
+    // signature pairs (24-byte shuffle rows, never text); the oracle
+    // compares the texts themselves, so a pair-collision misread would
+    // hash-fail (none possible at this size; polarity documented in
+    // CorpusDiff).
+    "q105_corpus_diff" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val maxId = Option(d.agg(max(col("doc_id"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+      require(maxId < 1000000L,
+        s"q105 added-id shift assumes max(doc_id) < 1000000; got $maxId")
+      val newSnap = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" zzchanged")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("zzadded "), col("doc_id").cast("string")).as("text")))
+      CorpusDiff.diff(d, newSnap, "doc_id", Seq("text"))
+        .orderBy("doc_id")
     }
   )
 
@@ -430,6 +454,25 @@ object ParityQueries {
         |       WHEN k % n = 0 THEN k // n
         |       ELSE k // n + 1 END AS max_copies
         |FROM q ORDER BY label""".stripMargin,
+
+    // q105: DuckDB rebuilds the same synthetic new snapshot and compares
+    // TEXTS where the engine compares signature pairs.
+    "q105_corpus_diff" ->
+      """WITH oldsnap AS (SELECT doc_id, text FROM documents),
+        |newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' zzchanged' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'zzadded ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text != n.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // q10: the hash values are engine-defined, but the counts are pure
     // row-content facts — the doubled input has 2N rows and exactly
