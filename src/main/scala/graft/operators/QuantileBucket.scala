@@ -74,4 +74,34 @@ object QuantileBucket {
       .withColumn("bucket", expr(s"((rank - 1) * $k) div ${n}L"))
       .select("id", "score", "rank", "bucket")
   }
+
+  /** Rank fusion — the calibrated quality ENSEMBLE: each signal maps to
+    * its exact k-quantile (direction-aware: `higherIsBetter = false`
+    * negates the score so bucket k-1 is always "most desirable"), and
+    * the ensemble score is the mean bucket. Rank fusion is how pipelines
+    * combine incommensurable quality signals (a heuristic score, an LM
+    * log-prob, a classifier margin) without hand-tuned scale weights —
+    * quantiles are scale-free. One two-pass rank per signal plus an
+    * id-keyed join; nothing global-windowed.
+    */
+  def fused(
+      items: DataFrame,
+      idCol: String,
+      signals: Seq[(String, Boolean)],
+      k: Int,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(signals.nonEmpty, "at least one signal required")
+    val parts = signals.map { case (c, higherIsBetter) =>
+      val scored = items.select(
+        col(idCol),
+        (if (higherIsBetter) col(c) else -col(c)).as("__score"))
+      bucketed(scored, idCol, "__score", k, partitions)
+        .select(col("id"), col("bucket").as(s"${c}_bucket"))
+    }
+    parts.reduce(_.join(_, "id"))
+      .withColumn("ensemble",
+        round(signals.map(s => col(s"${s._1}_bucket")).reduce(_ + _).cast("double") /
+          signals.length, 6))
+  }
 }

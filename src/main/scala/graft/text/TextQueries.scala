@@ -308,6 +308,26 @@ object TextQueries {
       Seq((learned.merges.size.toLong, fa, fb, fc, nonIncreasing, compresses))
         .toDF("n_merges", "first_left", "first_right", "first_count",
           "counts_nonincreasing", "roundtrip_compresses")
+    },
+
+    // Calibrated quality ensemble: three incommensurable signals (Gopher
+    // heuristic composite, punctuation ratio inverted, mean token
+    // length) fused by exact-decile rank (QuantileBucket.fused) — the
+    // scale-free way to combine quality scores without hand-tuned
+    // weights. Every rank is the distributed two-pass kind; DuckDB
+    // recomputes signals, ranks, buckets, and the mean exactly.
+    "q106_quality_ensemble" -> { (s, dir) =>
+      val scored = docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.meanTokenLength(col("text")), 6).as("mean_tok_len"))
+      graft.operators.QuantileBucket.fused(
+        scored, "doc_id",
+        Seq(("quality", true), ("punct_ratio", false), ("mean_tok_len", true)),
+        k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -410,6 +430,49 @@ object TextQueries {
         |    THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
         |    ELSE 0.0 END, 6) AS mean_tok_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // q106: q31's quality formula + q30's mean token length, three
+    // window ranks with the (score, doc_id) tie-break QuantileBucket
+    // uses, integer-division buckets, mean rounded at 6 dp.
+    "q106_quality_ensemble" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '\\s+') ltoks,
+         |    regexp_split_to_array(text, '\\s+') toks,
+         |    len(regexp_split_to_array(text, '\\s+')) n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |    len(list_filter(ltoks, x -> x IN ($stopList))) n_stop,
+         |    CASE WHEN length(text) > 0
+         |      THEN length(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text)
+         |      ELSE 0.0 END p_ratio,
+         |    CASE WHEN len(toks) > 0
+         |      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         |      ELSE 0.0 END m_len
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id,
+         |    round((
+         |      (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN n_tok > 0 AND n_stop::DOUBLE / n_tok > 0.01 THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) quality,
+         |    round(p_ratio, 6) punct, round(m_len, 6) mlen
+         |  FROM c),
+         |n AS (SELECT count(*) cnt FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY quality, doc_id) rq,
+         |    row_number() OVER (ORDER BY -punct, doc_id) rp,
+         |    row_number() OVER (ORDER BY mlen, doc_id) rm
+         |  FROM s)
+         |SELECT doc_id,
+         |  (((rq - 1) * 10) // cnt)::BIGINT AS quality_bucket,
+         |  (((rp - 1) * 10) // cnt)::BIGINT AS punct_ratio_bucket,
+         |  (((rm - 1) * 10) // cnt)::BIGINT AS mean_tok_len_bucket,
+         |  round((((rq - 1) * 10) // cnt + ((rp - 1) * 10) // cnt
+         |    + ((rm - 1) * 10) // cnt)::DOUBLE / 3, 6) AS ensemble
+         |FROM r, n ORDER BY doc_id""".stripMargin,
 
     "q31_quality" ->
       s"""WITH t AS (

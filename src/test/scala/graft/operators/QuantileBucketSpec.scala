@@ -39,6 +39,24 @@ class QuantileBucketSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("fused: direction-aware buckets and mean ensemble") {
+    // 4 rows, k=4 → each bucket holds one row. "good" is higher-better,
+    // "noise" lower-better: id 1 is best on both (bucket 3 twice).
+    val df = Seq(
+      (1L, 40.0, 0.1),
+      (2L, 30.0, 0.2),
+      (3L, 20.0, 0.3),
+      (4L, 10.0, 0.4)).toDF("id", "good", "noise")
+    val got = QuantileBucket.fused(df, "id", Seq(("good", true), ("noise", false)), k = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 3.0),
+      (2L, 2L, 2L, 2.0),
+      (3L, 1L, 1L, 1.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
   test("plan: no single-partition stage anywhere") {
     val p = QuantileBucket.bucketed(docs, "doc_id", "n_chars", k = 10)
       .queryExecution.executedPlan.toString
