@@ -57,4 +57,44 @@ object Contamination {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared")) // corpus shingles pre-distinct per doc
   }
+
+  /** Thresholded decontamination verdict — the RefinedWeb-style recipe:
+    * a document is quarantined when the FRACTION of its distinct
+    * w-shingles shared with the benchmark reaches `minOverlap`, not on
+    * any single shared shingle (the [[flagged]] any-overlap rule
+    * over-kills short boilerplate matches at corpus scale). Every corpus
+    * document appears in the output, zero-overlap ones included — the
+    * verdict is the filter a curation pipeline applies, so absent rows
+    * would read as silently kept. Same broadcast-dictionary join as
+    * [[flagged]] plus one narrow per-row shingle-set size; collision
+    * polarity unchanged (hashes can only OVER-count sharing, so the
+    * fraction only over-quarantines).
+    */
+  def overlapVerdict(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      minOverlap: Double = 0.05,
+      broadcastDictionary: Boolean = true
+  ): DataFrame = {
+    require(minOverlap >= 0 && minOverlap <= 1, s"minOverlap $minOverlap outside [0,1]")
+    val sizes = corpus.select(
+      col(idCol).as("id"),
+      size(Shingles.shingleSet(col(textCol), w)).cast("long").as("n_shingles"))
+    sizes
+      .join(flagged(corpus, benchmark, idCol, textCol, w, broadcastDictionary),
+        Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_shingles") > 0,
+          round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)).as("overlap_frac"))
+      .withColumn("contaminated",
+        col("n_shingles") > 0 &&
+          coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles") >= minOverlap)
+  }
 }

@@ -281,6 +281,21 @@ object DedupQueries {
       CrossDocNgrams.stats(docs(s, dir), "doc_id", "text", w = 8)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Thresholded decontamination verdict (q58's split, but the
+    // RefinedWeb fraction rule instead of any-overlap): every corpus doc
+    // with its benchmark-overlap fraction and the quarantine verdict at
+    // 5% — both verdict classes live on this data. The verdict compares
+    // the UNROUNDED fraction on both sides.
+    "q107_contamination_verdict" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Contamination.overlapVerdict(
+        corpus = d.filter(col("doc_id") % 5 =!= 0),
+        benchmark = d.filter(col("doc_id") % 5 === 0),
+        idCol = "doc_id", textCol = "text", w = 8, minOverlap = 0.05)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -511,6 +526,37 @@ object DedupQueries {
         |FROM sh c JOIN bench b ON c.s = b.s
         |WHERE c.doc_id % 5 != 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q107: q58's shingle construction + per-doc set size; verdict on
+    // the unrounded fraction.
+    "q107_contamination_verdict" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) i
+        |        FROM toks WHERE len(ts) >= 8),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |      ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] s
+        |  FROM idx),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0),
+        |shared AS (
+        |  SELECT c.doc_id, count(*) n_shared
+        |  FROM sh c JOIN bench b ON c.s = b.s
+        |  WHERE c.doc_id % 5 != 0 GROUP BY 1),
+        |sizes AS (
+        |  SELECT doc_id, count(*) n_shingles FROM sh
+        |  WHERE doc_id % 5 != 0 GROUP BY 1
+        |  UNION ALL
+        |  SELECT doc_id, 0 FROM documents
+        |  WHERE doc_id % 5 != 0 AND len(string_split(text, ' ')) < 8)
+        |SELECT z.doc_id, z.n_shingles::BIGINT AS n_shingles,
+        |  coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+        |  CASE WHEN z.n_shingles > 0
+        |    THEN round(coalesce(h.n_shared, 0) / z.n_shingles::DOUBLE, 6)
+        |    ELSE 0.0 END AS overlap_frac,
+        |  (z.n_shingles > 0 AND
+        |    coalesce(h.n_shared, 0) / z.n_shingles::DOUBLE >= 0.05) AS contaminated
+        |FROM sizes z LEFT JOIN shared h ON z.doc_id = h.doc_id
+        |ORDER BY z.doc_id""".stripMargin,
 
     // n_components = distinct texts (exact-duplicate components are text
     // classes; the base corpus ships duplicate-free). n_leaky is pinned

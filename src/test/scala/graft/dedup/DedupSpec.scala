@@ -151,4 +151,24 @@ class DedupSpec extends SparkSpec {
     assert(NgramJaccard.uncappedWarning(big, 1000).isEmpty)     // capped: fine
     assert(NgramJaccard.uncappedWarning(small, Int.MaxValue).isEmpty) // small: fine
   }
+
+  test("overlapVerdict: fraction threshold, zero-overlap rows present, short docs safe") {
+    // w=2 shingles. Benchmark doc: "x1 x2 x3" → shingles {x1 x2, x2 x3}.
+    // Doc 1: 10 distinct shingles, one shared ("x1 x2") → 0.1 ≥ 0.1:
+    // contaminated at the boundary (>=). Doc 2: nothing shared → row
+    // present, verdict false. Doc 3: shorter than w → zeros, false.
+    val corpus = docs(
+      (1L, "x1 x2 a b c d e f g h i"),
+      (2L, "p q r s"),
+      (3L, "z"))
+    val bench = docs((100L, "x1 x2 x3"))
+    val got = Contamination
+      .overlapVerdict(corpus, bench, "doc_id", "text", w = 2, minOverlap = 0.1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1L, 0.1, true),
+      (2L, 3L, 0L, 0.0, false),
+      (3L, 0L, 0L, 0.0, false)))
+  }
 }
