@@ -408,6 +408,34 @@ object ParityQueries {
             concat(lit("zzadded "), col("doc_id").cast("string")).as("text")))
       CorpusDiff.diff(d, newSnap, "doc_id", Seq("text"))
         .orderBy("doc_id")
+    },
+
+    // Sharded training export, hash-gated end to end: shard + order with
+    // the deterministic md5 permutation (q100), physically WRITE the
+    // shards (partitionBy parquet — the real sharded-write layout), read
+    // them back, and manifest per shard. n_docs == max_pos pins that
+    // every position survived the round trip; the oracle recomputes the
+    // whole manifest from the permutation arithmetic, so a write/read
+    // bug (lost rows, shard misassignment) is a hash fail.
+    "q108_shard_export" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val scratch = graft.core.ScratchDirs.lease("graft-export-q")
+      try {
+        val out = s"$scratch/shards"
+        ShuffleShard.assign(d, "doc_id", nShards = 10)
+          .withColumnRenamed("id", "doc_id")
+          .join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        s.read.parquet(out)
+          // partition-dir values re-infer as int; restore the contract type
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            max(col("pos")).as("max_pos"))
+          .localCheckpoint(true)
+          .orderBy("shard")
+      } finally graft.core.ScratchDirs.release(scratch)
     }
   )
 
@@ -473,6 +501,23 @@ object ParityQueries {
         |       ELSE 'unchanged' END AS status
         |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // q108: the manifest is pure permutation arithmetic — same md5
+    // shard/order recompute as q100, aggregated per shard.
+    "q108_shard_export" ->
+      """WITH k AS (SELECT doc_id, n_chars, md5(doc_id::VARCHAR) h FROM documents),
+        |v AS (SELECT doc_id, n_chars, h,
+        |  ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 10 shard
+        |  FROM k),
+        |p AS (SELECT doc_id, n_chars, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) pos
+        |  FROM v)
+        |SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars, max(pos)::BIGINT AS max_pos
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     // q10: the hash values are engine-defined, but the counts are pure
     // row-content facts — the doubled input has 2N rows and exactly

@@ -35,6 +35,24 @@ class ShuffleShardSpec extends SparkSpec {
       s"unbalanced shards: ${sizes.mkString(",")}")
   }
 
+  test("sharded export writes one directory per shard and loses nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-spec").toFile
+    try {
+      val out = s"${dir.getAbsolutePath}/shards"
+      ShuffleShard.assign(docs, "doc_id", nShards = 10)
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      val shardDirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).sorted
+      assert(shardDirs.toSeq == (0 to 9).map(i => s"shard=$i").sorted)
+      assert(spark.read.parquet(out).count() == docs.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("plan: one shard-keyed exchange, per-shard (never global) sort") {
     val p = ShuffleShard.assign(docs, "doc_id", 10)
       .queryExecution.executedPlan.toString
