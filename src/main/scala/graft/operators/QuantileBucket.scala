@@ -92,8 +92,13 @@ object QuantileBucket {
       partitions: Int = 0
   ): DataFrame = {
     require(signals.nonEmpty, "at least one signal required")
+    // Each signal's two-pass rank evaluates its input twice; materialize
+    // the (usually expression-heavy) signal scan once for all of them.
+    val mat = items
+      .select(col(idCol) +: signals.map(s => col(s._1)): _*)
+      .localCheckpoint()
     val parts = signals.map { case (c, higherIsBetter) =>
-      val scored = items.select(
+      val scored = mat.select(
         col(idCol),
         (if (higherIsBetter) col(c) else -col(c)).as("__score"))
       bucketed(scored, idCol, "__score", k, partitions)
