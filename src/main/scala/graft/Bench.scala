@@ -65,6 +65,13 @@ object Bench {
     // Dev-only subset filter (comma-separated names); the driver sets no
     // filter and always benches the full battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+
+    // Fixture pre-materialization, OUTSIDE every timed window: q85's
+    // synthetic GIF corpus is test data, not the operator — with its
+    // generation inside the timed body the q85 record measured corpus
+    // synthesis (13.3s cold in r8 vs ~1.5s in isolation; r8 verdict #1).
+    if (only.forall(_.contains("q85_video_neardup")))
+      multimodal.MultimodalQueries.materializeGifCorpus(spark, sfDir)
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

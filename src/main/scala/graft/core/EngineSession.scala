@@ -51,14 +51,22 @@ object EngineSession {
     spark
   }
 
-  /** Silence the one known-noise WARN ("RDD was locally checkpointed, its
-    * lineage has been truncated…"): the engine unpersists localCheckpoint
-    * blocks DELIBERATELY between bench/verify queries, and the per-unpersist
-    * warning flooded the driver-visible tail of every BENCH_r*.json. Scoped
-    * to the one logger that emits it, not the rdd package — other RDD-level
-    * warnings stay visible.
+  /** Silence the two known-noise WARNs that pollute the driver-kept tail
+    * of the bench output. Scoped to the exact loggers that emit them —
+    * everything else at WARN stays visible.
+    *
+    *  - "RDD was locally checkpointed, its lineage has been truncated…":
+    *    the engine unpersists localCheckpoint blocks DELIBERATELY between
+    *    bench/verify queries, one warning per unpersist.
+    *  - "Truncated the string representation of a plan…"
+    *    (SparkStringUtils): a once-per-JVM cosmetic note about plan
+    *    PRINTING width, irrelevant to execution, that landed directly in
+    *    front of the one JSON line the driver parses (BENCH_r08 tail).
     */
-  def quietLocalCheckpointWarnings(): Unit =
+  def quietLocalCheckpointWarnings(): Unit = {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.SparkStringUtils", org.apache.logging.log4j.Level.ERROR)
+  }
 }

@@ -35,6 +35,56 @@ object MultimodalQueries {
     d.as[Long].repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** q85's synthetic GIF corpus (variant id → real animated-GIF bytes),
+    * materialized to parquet ONCE per sf dir and cached for the JVM
+    * lifetime. Encoding a synthetic corpus is fixture work, not the
+    * operator under test — with it inside the timed body, q85's bench
+    * number measured GIF *generation* (plus its GC interaction, 13.3s
+    * cold in the r8 record vs ~1.5s in isolation) instead of the
+    * decode → fingerprint → Hamming-band-join path a user actually runs
+    * against media they already have. The bench pre-builds this outside
+    * the timer ([[Bench]] calls it right after session warm-up); Verify
+    * builds it lazily on first use, which is fine because correctness is
+    * untimed.
+    *
+    * The dir is a [[graft.core.ScratchDirs.lease]] held for the JVM
+    * lifetime (a deliberate never-released cache — the shutdown hook
+    * deletes it); the lease is released on a FAILED build before
+    * rethrowing so a crash cannot pin a half-written dir (ADVICE r8).
+    */
+  private val gifCorpusCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def materializeGifCorpus(s: SparkSession, dir: String): String =
+    gifCorpusCache.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val lease = graft.core.ScratchDirs.lease("graft-gif-corpus-")
+      val path = s"$lease/gifs.parquet"
+      try {
+        fingerprintIds(s, dir)
+          .flatMap { id =>
+            def g(f: Int)(cx: Int, cy: Int): Int =
+              PerceptualHash.cellPattern(id * 131 + f, cx, cy)
+            def gif(w: Int, h: Int, cell: Int, frameIds: Seq[Int]): Array[Byte] =
+              Codecs.encodeGifAnimated(w, h, frameIds.size,
+                (f, x, y) => g(frameIds(f))(x / cell, y / cell))
+            val baseFrames = 0 until 4
+            Seq(id -> gif(36, 32, 4, baseFrames)) ++
+              (if (id % 4 == 0)
+                Seq((id + 1000000L) -> gif(72, 64, 8, baseFrames)) else Nil) ++
+              (if (id % 6 == 0)
+                Seq((id + 2000000L) ->
+                  gif(36, 32, 4, baseFrames.flatMap(f => Seq(f, f)))) else Nil)
+          }
+          .toDF("id", "gif")
+          .write.mode("overwrite").parquet(path)
+        path
+      } catch {
+        case e: Throwable =>
+          graft.core.ScratchDirs.release(lease)
+          throw e
+      }
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata + payload accounting + frame-sampling plumbing, all
     // SQL-expressible: per media kind, payload byte totals, the frame
@@ -247,34 +297,26 @@ object MultimodalQueries {
     },
 
     // Video NEAR-DUP via temporal perceptual fingerprint — the third
-    // modality composed with dedup: every doc synthesizes a 4-frame
-    // animated GIF (per-frame avalanche cell patterns), decodes it with
-    // the real JDK GIF reader, per-frame dHashes combine by strict
-    // majority vote (PerceptualHash.videoHash). Docs %4 plant a RESIZED
-    // duplicate (72×64 frames, same content) and docs %6 a SLOW-MOTION
-    // one (every frame duplicated — strict majority is scale-invariant
-    // in the frame count). Same chunk join, same contract row, same
-    // oracle arithmetic as q83/q84.
+    // modality composed with dedup: every doc has a 4-frame animated GIF
+    // (per-frame avalanche cell patterns, pre-materialized to parquet by
+    // [[materializeGifCorpus]] — the generation is fixture work, kept
+    // outside the operator body and outside the bench timer). The engine
+    // reads the GIF bytes, decodes every frame with the real JDK GIF
+    // reader, per-frame dHashes combine by strict majority vote
+    // (PerceptualHash.videoHash). Docs %4 plant a RESIZED duplicate
+    // (72×64 frames, same content) and docs %6 a SLOW-MOTION one (every
+    // frame duplicated — strict majority is scale-invariant in the frame
+    // count). Same chunk join, same contract row, same oracle arithmetic
+    // as q83/q84.
     "q85_video_neardup" -> { (s, dir) =>
       import s.implicits._
-      val fps = fingerprintIds(s, dir)
-        .flatMap { id =>
-          def g(f: Int)(cx: Int, cy: Int): Int =
-            PerceptualHash.cellPattern(id * 131 + f, cx, cy)
-          def fp(w: Int, h: Int, cell: Int, frameIds: Seq[Int]): Long = {
-            val gif = Codecs.encodeGifAnimated(w, h, frameIds.size,
-              (f, x, y) => g(frameIds(f))(x / cell, y / cell))
-            val frames = Codecs.decodeGifFrames(gif).getOrElse(
-              throw new IllegalStateException(s"GIF round trip failed for doc_id=$id"))
-            PerceptualHash.videoHash(frames.toSeq)
-          }
-          val baseFrames = 0 until 4
-          Seq(id -> fp(36, 32, 4, baseFrames)) ++
-            (if (id % 4 == 0)
-              Seq((id + 1000000L) -> fp(72, 64, 8, baseFrames)) else Nil) ++
-            (if (id % 6 == 0)
-              Seq((id + 2000000L) ->
-                fp(36, 32, 4, baseFrames.flatMap(f => Seq(f, f)))) else Nil)
+      val corpus = materializeGifCorpus(s, dir)
+      val fps = s.read.parquet(corpus)
+        .select(col("id").as[Long], col("gif").as[Array[Byte]])
+        .map { case (id, gif) =>
+          val frames = Codecs.decodeGifFrames(gif).getOrElse(
+            throw new IllegalStateException(s"GIF decode failed for id=$id"))
+          (id, PerceptualHash.videoHash(frames.toSeq))
         }
         .toDF("id", "simhash")
       perceptualPairContract(fps)
