@@ -70,8 +70,16 @@ object Bench {
     // synthetic GIF corpus is test data, not the operator — with its
     // generation inside the timed body the q85 record measured corpus
     // synthesis (13.3s cold in r8 vs ~1.5s in isolation; r8 verdict #1).
+    // Caught: a fixture-build crash must not abort the bench JVM before
+    // any query runs (losing every query's numbers and the JSON line).
+    // The failure is not cached, so q85's lazy in-query build re-attempts
+    // and a real breakage reports as q85 alone in "failed" (ADVICE r9).
     if (only.forall(_.contains("q85_video_neardup")))
-      multimodal.MultimodalQueries.materializeGifCorpus(spark, sfDir)
+      try multimodal.MultimodalQueries.materializeGifCorpus(spark, sfDir)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[bench] gif corpus pre-materialization failed: ${e.getMessage}")
+      }
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -135,10 +143,32 @@ object Bench {
     // A dev subset run (SPARK_GRAFT_ONLY) must NOT clobber the committed
     // full-battery record — that is exactly the stale-number class the
     // r7 verdict flagged.
-    if (only.isEmpty)
+    if (only.isEmpty) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (detail + "\n").getBytes("UTF-8"))
       catch { case e: Exception => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+      // The single committed source of truth for the headline numbers:
+      // README.md and BASELINE.md REFERENCE this file instead of
+      // hand-copying totals, so a re-record can never leave the prose
+      // quoting a stale record (the r5–r9 drift class; r9 verdict #1).
+      val nOk = results.count(t => t._2 >= 0 && t._3 >= 0)
+      val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(5)
+        .map { case (k, _, w) => s"$k ${num2(w)}s" }.mkString(", ")
+      val record =
+        s"""# Bench record (auto-generated by `graft.Bench` — do not edit)
+           |
+           |**$nOk queries, ${num2(totalCold)}s cold / ${num2(totalWarm)}s warm-median** at `$sfDir`, ${failed.size} failed.
+           |
+           |Protocol: cold_runs=1 (informational single first-run sample),
+           |warm_runs=$warmRuns, warm_stat=median (the decision channel; robust to one
+           |slow outlier on a host with a documented ~15% wall-clock swing).
+           |Slowest warm medians: $slowest.
+           |Full per-query cold+warm detail: `bench_detail.json`.
+           |""".stripMargin
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RECORD.md"),
+        record.getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] record write failed: ${e.getMessage}") }
+    }
 
     // ONE compact JSON line, engineered to fit the tail window with the
     // sbt "[success] …" epilogue behind it: 2-decimal per-query colds,

@@ -55,7 +55,11 @@ object MultimodalQueries {
   private val gifCorpusCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def materializeGifCorpus(s: SparkSession, dir: String): String =
-    gifCorpusCache.computeIfAbsent(dir, _ => {
+    // Key on the normalized absolute path: equivalent spellings of the
+    // same dir (trailing slash, relative vs absolute SPARK_GRAFT_SF_DIR)
+    // must not build and lease two corpora in one JVM (ADVICE r9).
+    gifCorpusCache.computeIfAbsent(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString, _ => {
       import s.implicits._
       val lease = graft.core.ScratchDirs.lease("graft-gif-corpus-")
       val path = s"$lease/gifs.parquet"
