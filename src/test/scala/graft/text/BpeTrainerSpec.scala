@@ -44,6 +44,27 @@ class BpeTrainerSpec extends SparkSpec {
     assert(l2.merges == Seq(("a", "b", 6L)))
   }
 
+  test("batched training is merge-for-merge identical to sequential") {
+    // Small alphabet (base-4 digit strings from a deterministic integer
+    // hash) forces dense pair-count ties, symbol conflicts, and
+    // created-symbol collisions — every guard path in the batched
+    // selector. batchCap=1 IS the classic sequential loop; any batch
+    // size must reproduce its exact (pair, count) sequence.
+    val words = (1 to 300)
+      .map(i => java.lang.Integer.toString((i * 0x9E3779B9).abs & 0x7fffffff, 4))
+      .map(Tuple1(_)).toDF("text")
+    val sequential = BpeTrainer.train(words, "text", nMerges = 40, batchCap = 1)
+    assert(sequential.merges.size == 40)
+    for (cap <- Seq(3, 256)) {
+      val batched = BpeTrainer.train(words, "text", nMerges = 40, batchCap = cap)
+      assert(batched.merges == sequential.merges, s"batchCap=$cap diverged")
+    }
+    // and on the textbook corpus, where the first batch must shrink to a
+    // single step (top two pairs tie at 9 and share a symbol)
+    val seqText = BpeTrainer.train(corpus, "text", nMerges = 8, batchCap = 1)
+    assert(BpeTrainer.train(corpus, "text", nMerges = 8).merges == seqText.merges)
+  }
+
   test("runs out of pairs gracefully") {
     val tiny = Seq("ab ab", "ab").map(Tuple1(_)).toDF("text")
     val l = BpeTrainer.train(tiny, "text", nMerges = 10)
