@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions._
   * partition id, never the whole frame. Ranks are exact global values;
   * no task sees more than its range partition; the driver holds P longs.
   *
-  * The sorted frame is localCheckpoint'ed because both passes must see
+  * The sorted frame must be materialized because both passes have to see
   * identical partitions (range boundaries are sampled — re-executing the
-  * upstream plan could re-draw them). For a fault-tolerant
-  * materialization at cluster scale, write through a parquet round trip
-  * with a stamped pid column exactly as `BudgetSelect(checkpointDir=...)`
-  * does — the mechanics are identical and deliberately not duplicated
-  * here.
+  * upstream plan could re-draw them). Two modes, the
+  * `BudgetSelect(checkpointDir=)` pattern exactly (r8 #4):
+  *
+  *  - ephemeral (default): `localCheckpoint` — no extra I/O, but blocks
+  *    live on executors, so one lost executor fails the job.
+  *  - durable (`checkpointDir` set): the range-sorted frame writes to
+  *    parquet with the partition id stamped as a DATA column before the
+  *    write (file-split/coalesce on re-read may change physical
+  *    partitioning) and both passes read the fault-tolerant files — the
+  *    100-TB mode. `QuantileBucketSpec` pins durable ≡ ephemeral across
+  *    partition counts.
   */
 object QuantileBucket {
 
@@ -40,21 +46,33 @@ object QuantileBucket {
       idCol: String,
       scoreCol: String,
       k: Int,
-      partitions: Int = 0
+      partitions: Int = 0,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val spark = items.sparkSession
     import spark.implicits._
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
 
-    val sorted = items
+    val ranged = items
       .select(col(idCol).cast("long").as("id"), col(scoreCol).cast("double").as("score"))
       .repartitionByRange(p, col("score"), col("id"))
       .sortWithinPartitions(col("score"), col("id"))
-      .localCheckpoint()
-      // pid is stamped AFTER the checkpoint freezes the partitioning, so
-      // the count pass and the rank pass agree on it by construction.
-      .withColumn("pid", spark_partition_id())
+    val sorted = checkpointDir match {
+      case None =>
+        // pid is stamped AFTER the checkpoint freezes the partitioning,
+        // so the count pass and the rank pass agree on it by
+        // construction.
+        ranged.localCheckpoint().withColumn("pid", spark_partition_id())
+      case Some(dir) =>
+        // Durable: pid becomes a DATA column BEFORE the write, so
+        // partition identity survives however the parquet re-read splits
+        // or coalesces files.
+        val path = s"$dir/sorted"
+        ranged.withColumn("pid", spark_partition_id())
+          .write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+    }
 
     val counts = sorted.groupBy(col("pid")).count().collect()
     val perPartition = Array.fill(p)(0L) // empty range partitions yield no agg row
@@ -89,19 +107,29 @@ object QuantileBucket {
       idCol: String,
       signals: Seq[(String, Boolean)],
       k: Int,
-      partitions: Int = 0
+      partitions: Int = 0,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     require(signals.nonEmpty, "at least one signal required")
     // Each signal's two-pass rank evaluates its input twice; materialize
-    // the (usually expression-heavy) signal scan once for all of them.
-    val mat = items
-      .select(col(idCol) +: signals.map(s => col(s._1)): _*)
-      .localCheckpoint()
-    val parts = signals.map { case (c, higherIsBetter) =>
+    // the (usually expression-heavy) signal scan once for all of them —
+    // durably when checkpointDir is set (each per-signal rank then also
+    // checkpoints under its own index-keyed subdir; signal names can
+    // contain path-hostile characters).
+    val selected = items.select(col(idCol) +: signals.map(s => col(s._1)): _*)
+    val mat = checkpointDir match {
+      case None => selected.localCheckpoint()
+      case Some(dir) =>
+        val path = s"$dir/signals"
+        selected.write.mode("overwrite").parquet(path)
+        items.sparkSession.read.parquet(path)
+    }
+    val parts = signals.zipWithIndex.map { case ((c, higherIsBetter), i) =>
       val scored = mat.select(
         col(idCol),
         (if (higherIsBetter) col(c) else -col(c)).as("__score"))
-      bucketed(scored, idCol, "__score", k, partitions)
+      bucketed(scored, idCol, "__score", k, partitions,
+        checkpointDir.map(d => s"$d/sig$i"))
         .select(col("id"), col("bucket").as(s"${c}_bucket"))
     }
     parts.reduce(_.join(_, "id"))

@@ -13,9 +13,18 @@ import org.apache.spark.sql.functions._
   * rule the exact-dedup family already uses (`ExactDedup`, q19).
   *
   * Semantics: drop a vector v iff some SAME-CELL partner u with u < v
-  * has cosine(u, v) ≥ τ (greedy keep-first by id — deterministic, and
-  * unlike connected-component dedup it never chains A~B~C into dropping
-  * a C that is not itself τ-close to the kept A).
+  * has cosine(u, v) ≥ τ — ANY smaller-id partner, kept or itself
+  * dropped (deterministic in the id order alone). This is stricter than
+  * "τ-close to a kept survivor": in a chain A~B~C (ids A<B<C,
+  * cos(A,B) ≥ τ, cos(B,C) ≥ τ, cos(A,C) < τ) both B and C drop — C via
+  * the already-dropped B — so a dropped row is NOT always τ-close to a
+  * kept one (an id-increasing τ-chain drops link by link). It differs
+  * from connected-component dedup in the decision procedure — one
+  * pairwise predicate against smaller ids, never component reachability:
+  * a row whose τ-neighbors all have LARGER ids survives even inside a
+  * big component (a τ-star keeps every leaf and drops only the center,
+  * where components would keep one row total) — and the q99 oracle
+  * recomputes exactly this rule.
   *
   * Scale shape: one narrow assignment pass (centroid distances are
   * codegen arithmetic against broadcast literals), then a SHUFFLE
@@ -33,6 +42,26 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** The assignment materialization both sides of the self-join read
+    * (instead of re-evaluating the nCells centroid-distance
+    * expressions): ephemeral `localCheckpoint` blocks by default, or a
+    * fault-tolerant parquet round trip when `checkpointDir` is set — the
+    * `BudgetSelect(checkpointDir=)` pattern, 100-TB mode (one lost
+    * executor otherwise fails the whole job; r8 #4). No pid stamp is
+    * needed here: the materialization is a re-evaluation barrier, not a
+    * partition-identity dependency. `SemDedupSpec` pins durable ≡
+    * ephemeral.
+    */
+  private def materialize(
+      df: DataFrame, checkpointDir: Option[String], name: String): DataFrame =
+    checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        val path = s"$dir/$name"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+    }
+
   /** Per-vector verdict: (id, cell, kept). Survivors are the cell-wise
     * greedy keep-first set; `kept` is false iff a smaller-id same-cell
     * τ-partner exists.
@@ -42,17 +71,19 @@ object SemDedup {
       idCol: String,
       vecCol: String,
       model: IvfIndex.Model,
-      tau: Double
+      tau: Double,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
-    // One pass computes vector + norm + cell, localCheckpoint'ed so both
-    // sides of the self-join read materialized blocks instead of
-    // re-evaluating the nCells centroid-distance expressions (the
-    // approxTopK pattern; ContextCleaner releases the blocks).
-    val a = vectors
-      .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
-      .withColumn("n", VectorOps.norm(col("v")))
-      .withColumn("cell", IvfIndex.assignCell(col("v"), model))
-      .localCheckpoint()
+    // One pass computes vector + norm + cell, materialized so both
+    // sides of the self-join read it instead of re-evaluating the
+    // nCells centroid-distance expressions (the approxTopK pattern;
+    // ContextCleaner releases ephemeral blocks).
+    val a = materialize(
+      vectors
+        .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+        .withColumn("n", VectorOps.norm(col("v")))
+        .withColumn("cell", IvfIndex.assignCell(col("v"), model)),
+      checkpointDir, "assigned")
 
     val dropped = a.as("x")
       .join(
@@ -70,25 +101,6 @@ object SemDedup {
         not(coalesce(col("is_dropped"), lit(false))).as("kept"))
   }
 
-  /** Survivors with their absorption weight: each dropped row is
-    * attributed to its SMALLEST-id τ-partner in its cell (its "absorber"
-    * — well-defined and deterministic under the greedy order), and a
-    * survivor's weight is 1 + the rows it absorbed. Reweighting keeps
-    * the deduplicated mixture distribution-faithful: downstream sampling
-    * (`Sampling.mixtureEpochs` takes the weight as a cost/quota input)
-    * sees the duplicated region at its original mass instead of
-    * collapsing it to one vote — the standard follow-up to semantic
-    * dedup when the duplicate rate differs across domains.
-    *
-    * Note absorbers can themselves be dropped (A absorbs B while a
-    * smaller C drops A, when cos(A,B) ≥ τ > cos(C,B)): weight rows are
-    * emitted for SURVIVORS only, and mass attributed to a dropped
-    * absorber is dropped with it — the conservative choice, documented
-    * rather than chained (chaining would re-introduce exactly the
-    * transitive smearing the greedy rule avoids). On a planted
-    * exact-duplicate corpus no such chain exists and Σ weight = corpus
-    * size exactly (the q103 oracle pins both).
-    */
   /** Incremental semantic dedup — the index/probe split of [[dedup]],
     * closing the same incremental series as the MinHash (q62), LSH (q87)
     * and IVF (q96) paths: a NEW batch is checked against the persisted
@@ -108,13 +120,15 @@ object SemDedup {
       index: IvfIndex.Index,
       idCol: String,
       vecCol: String,
-      tau: Double
+      tau: Double,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
-    val q = batch
-      .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
-      .withColumn("n", VectorOps.norm(col("v")))
-      .withColumn("cell", IvfIndex.assignCell(col("v"), index.model))
-      .localCheckpoint()
+    val q = materialize(
+      batch
+        .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+        .withColumn("n", VectorOps.norm(col("v")))
+        .withColumn("cell", IvfIndex.assignCell(col("v"), index.model)),
+      checkpointDir, "batch_assigned")
 
     val hits = q
       .join(index.assignments.select(
@@ -131,18 +145,39 @@ object SemDedup {
         coalesce(col("is_dup"), lit(false)).as("has_duplicate"))
   }
 
+  /** Survivors with their absorption weight: each dropped row is
+    * attributed to its SMALLEST-id τ-partner in its cell (its "absorber"
+    * — well-defined and deterministic under the greedy order), and a
+    * survivor's weight is 1 + the rows it absorbed. Reweighting keeps
+    * the deduplicated mixture distribution-faithful: downstream sampling
+    * (`Sampling.mixtureEpochs` takes the weight as a cost/quota input)
+    * sees the duplicated region at its original mass instead of
+    * collapsing it to one vote — the standard follow-up to semantic
+    * dedup when the duplicate rate differs across domains.
+    *
+    * Note absorbers can themselves be dropped (A absorbs B while a
+    * smaller C drops A, when cos(A,B) ≥ τ > cos(C,B)): weight rows are
+    * emitted for SURVIVORS only, and mass attributed to a dropped
+    * absorber is dropped with it — the conservative choice, documented
+    * rather than chained (chaining would re-introduce exactly the
+    * transitive smearing the pairwise rule avoids). On a planted
+    * exact-duplicate corpus no such chain exists and Σ weight = corpus
+    * size exactly (the q103 oracle pins both).
+    */
   def survivorWeights(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
       model: IvfIndex.Model,
-      tau: Double
+      tau: Double,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
-    val a = vectors
-      .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
-      .withColumn("n", VectorOps.norm(col("v")))
-      .withColumn("cell", IvfIndex.assignCell(col("v"), model))
-      .localCheckpoint()
+    val a = materialize(
+      vectors
+        .select(col(idCol).as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
+        .withColumn("n", VectorOps.norm(col("v")))
+        .withColumn("cell", IvfIndex.assignCell(col("v"), model)),
+      checkpointDir, "assigned")
 
     val pairs = a.as("x")
       .join(

@@ -40,17 +40,27 @@ object StreamingQueries {
     // body (StreamingQuery run + sink read-back) regardless of how many
     // other invocations overlap — released in the query's finally.
     val scratch = ScratchDirs.lease(prefix)
-    val inDir = s"$scratch/in"
-    raw.write.mode("overwrite").parquet(inDir)
-    raw.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
-    // maxFilesPerTrigger forces MULTIPLE micro-batches under
-    // AvailableNow, so cross-batch paths (dedup state, repeated MERGE
-    // commits) actually run rather than collapsing into one batch.
-    val stream = s.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", "2")
-      .parquet(inDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    (stream, scratch)
+    // Release-on-failure between lease and return (the
+    // materializeGifCorpus pattern): a throw from the staging writes or
+    // stream construction must not pin the lease forever — the caller's
+    // finally only covers the tuple once it has it (ADVICE r8).
+    try {
+      val inDir = s"$scratch/in"
+      raw.write.mode("overwrite").parquet(inDir)
+      raw.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
+      // maxFilesPerTrigger forces MULTIPLE micro-batches under
+      // AvailableNow, so cross-batch paths (dedup state, repeated MERGE
+      // commits) actually run rather than collapsing into one batch.
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(inDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      (stream, scratch)
+    } catch {
+      case e: Throwable =>
+        ScratchDirs.release(scratch)
+        throw e
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

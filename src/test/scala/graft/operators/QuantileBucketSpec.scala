@@ -57,6 +57,26 @@ class QuantileBucketSpec extends SparkSpec {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("durable checkpoint mode is identical to ephemeral across partition counts") {
+    val dir = java.nio.file.Files.createTempDirectory("quantile-ckpt").toString
+    val ephemeral = QuantileBucket.bucketed(docs, "doc_id", "n_chars", k = 7)
+    for (p <- Seq(1, 3, 11)) {
+      val durable = QuantileBucket.bucketed(
+        docs, "doc_id", "n_chars", k = 7, partitions = p,
+        checkpointDir = Some(s"$dir/p$p"))
+      assert(durable.exceptAll(ephemeral).isEmpty &&
+        ephemeral.exceptAll(durable).isEmpty, s"partitions=$p")
+    }
+    val sig = docs.withColumn("text_len", length(col("text")))
+    val fusedEph = QuantileBucket.fused(
+      sig, "doc_id", Seq(("n_chars", true), ("text_len", false)), k = 5)
+    val fusedDur = QuantileBucket.fused(
+      sig, "doc_id", Seq(("n_chars", true), ("text_len", false)), k = 5,
+      partitions = 3, checkpointDir = Some(s"$dir/fused"))
+    assert(fusedDur.exceptAll(fusedEph).isEmpty &&
+      fusedEph.exceptAll(fusedDur).isEmpty)
+  }
+
   test("plan: no single-partition stage anywhere") {
     val p = QuantileBucket.bucketed(docs, "doc_id", "n_chars", k = 10)
       .queryExecution.executedPlan.toString

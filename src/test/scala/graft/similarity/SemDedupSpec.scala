@@ -114,6 +114,34 @@ class SemDedupSpec extends SparkSpec {
     assert(w.filter(col("id") % 10 =!= 0 && col("weight") =!= 1L).count() == 0L)
   }
 
+  test("durable checkpoint mode is identical to ephemeral for dedup/probe/survivorWeights") {
+    val dir = java.nio.file.Files.createTempDirectory("semdedup-ckpt").toString
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val corpus = emb.unionByName(copies)
+    val model = IvfIndex.train(corpus, "embedding", nCells = 8)
+    for (p <- Seq(2, 16)) {
+      val rp = corpus.repartition(p)
+      val d0 = SemDedup.dedup(rp, "vec_id", "embedding", model, tau = 0.95)
+      val d1 = SemDedup.dedup(rp, "vec_id", "embedding", model, tau = 0.95,
+        checkpointDir = Some(s"$dir/dedup$p"))
+      assert(d1.exceptAll(d0).isEmpty && d0.exceptAll(d1).isEmpty, s"dedup p=$p")
+      val w0 = SemDedup.survivorWeights(rp, "vec_id", "embedding", model, tau = 0.95)
+      val w1 = SemDedup.survivorWeights(rp, "vec_id", "embedding", model, tau = 0.95,
+        checkpointDir = Some(s"$dir/weights$p"))
+      assert(w1.exceptAll(w0).isEmpty && w0.exceptAll(w1).isEmpty, s"weights p=$p")
+    }
+    val index = IvfIndex.buildIndex(emb, "vec_id", "embedding", model)
+    val batch = copies.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    val p0 = SemDedup.probe(batch, index, "vec_id", "embedding", tau = 0.95)
+    val p1 = SemDedup.probe(batch, index, "vec_id", "embedding", tau = 0.95,
+      checkpointDir = Some(s"$dir/probe"))
+    assert(p1.exceptAll(p0).isEmpty && p0.exceptAll(p1).isEmpty)
+  }
+
   test("plan: candidate pairing is a shuffle equi-join on cell, never all-pairs") {
     val model = IvfIndex.train(emb, "embedding", nCells = 8)
     val p = SemDedup.dedup(emb, "vec_id", "embedding", model, tau = 0.95)
