@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-document duplicated n-gram accounting — the corpus-wide twin of
@@ -91,5 +92,120 @@ object CrossDocNgrams {
         when(col("n_grams") > 0,
           round(coalesce(col("n_dup_occ"), lit(0L)).cast("double") / col("n_grams"), 6))
           .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Duplicated-span REMOVAL — the step [[stats]] only accounts for
+    * (r9 verdict #3): produce a CLEANED corpus with every maximal run of
+    * ≥ `minRun` consecutive shared w-grams cut out of the text, the
+    * RefinedWeb/Gopher exact-substring trim generalizing the reference's
+    * whole-row dedup (etl/src/transform/transformer.py:151-171) to
+    * verbatim spans.
+    *
+    * Semantics (token-exact, oracle-recomputable): tokenize on single
+    * spaces; the w-gram at 0-based position p covers tokens
+    * [p, p+w-1]; a gram is "shared" when its document frequency is
+    * ≥ `minDocs` (distinct docs, the doc itself included — identical
+    * rule to [[stats]]); a maximal run of consecutive shared gram
+    * positions [s..j] of length ≥ `minRun` removes tokens
+    * [s, j+w-1]; the cleaned text is the surviving tokens re-joined by
+    * single spaces. Overlapping covered intervals union naturally (the
+    * removal test is per-token containment).
+    *
+    * Shape: the [[stats]] shuffles to find the shared-gram set, one
+    * instance-level equi-join to recover shared POSITIONS, a
+    * gaps-and-islands window PARTITIONED BY DOC (never global — the
+    * partition is one document's gram positions, bounded by doc length),
+    * and a per-doc interval array joined back to the token array where a
+    * single codegen'd higher-order filter drops covered tokens. Nothing
+    * in the plan holds more than one document's tokens at a time.
+    *
+    * `hashKeys` trades gram strings for xxhash64 longs in the shared-set
+    * join, same conservative over-trim-only collision polarity as
+    * [[stats]]; string mode exists so the q109 DuckDB oracle recomputes
+    * the kept text character-exactly, and `CrossDocNgramsSpec` pins
+    * hash ≡ string on the real testdata.
+    *
+    * @return (id, clean_text, n_tokens, n_removed)
+    */
+  def trim(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      minDocs: Int = 2,
+      minRun: Int = 1,
+      hashKeys: Boolean = false
+  ): DataFrame = {
+    require(minRun >= 1, s"minRun must be positive, got $minRun")
+    val grams = docs.select(
+      col(idCol).as("id"),
+      posexplode(Shingles.shingles(col(textCol), w)).as(Seq("pos", "g")))
+    val keyed = grams.select(
+      col("id"), col("pos"),
+      (if (hashKeys) xxhash64(col("g")) else col("g")).as("k"))
+
+    // Shared-gram set over the per-doc-collapsed frame (stats' step 1+2:
+    // a gram shared by a million docs partial-aggregates, never a
+    // million-row hot key).
+    val shared = keyed.select("id", "k").distinct()
+      .groupBy("k").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("k")
+
+    // Gaps-and-islands on shared positions, per doc: consecutive
+    // positions share (pos - row_number), runs of ≥ minRun become
+    // covered token intervals [s, s + len + w - 2].
+    val ivs = keyed
+      .join(shared, "k")
+      .select("id", "pos")
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("s"), count(lit(1)).as("len"))
+      .filter(col("len") >= minRun)
+      .select(col("id"), col("s"), (col("s") + col("len") + lit(w - 2)).as("e"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("s").cast("long").as("s"), col("e").as("e"))).as("ivs"))
+
+    docs
+      .select(col(idCol).as("id"), Shingles.tokens(col(textCol)).as("ts"))
+      .join(ivs, Seq("id"), "left")
+      .withColumn("kept", expr(
+        """transform(
+          |  filter(transform(ts, (t, i) -> struct(t as t, i as i)),
+          |         x -> ivs is null or
+          |              not exists(ivs, iv -> x.i >= iv.s and x.i <= iv.e)),
+          |  x -> x.t)""".stripMargin))
+      .select(
+        col("id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        (size(col("ts")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Whole-document variant of [[trim]]: DROP every document whose
+    * shared fraction ([[stats]]' `dup_frac`, unrounded here) exceeds
+    * `maxDupFrac`, keeping the text untouched — the cheap end of the
+    * RefinedWeb recipe for documents that are mostly verbatim copies,
+    * where trimming would leave incoherent fragments.
+    *
+    * @return surviving (id, text) rows
+    */
+  def dropWorst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      minDocs: Int = 2,
+      maxDupFrac: Double = 0.5,
+      hashKeys: Boolean = false
+  ): DataFrame = {
+    val s = stats(docs, idCol, textCol, w, minDocs, hashKeys)
+      .withColumn("frac",
+        when(col("n_grams") > 0, col("n_dup_occ").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .filter(col("frac") <= maxDupFrac)
+      .select(col("id"))
+    docs.select(col(idCol).as("id"), col(textCol).as("text")).join(s, "id")
   }
 }

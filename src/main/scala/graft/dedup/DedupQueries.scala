@@ -283,6 +283,17 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Duplicated-span REMOVAL (CrossDocNgrams.trim) — the cleaned corpus
+    // q98 only accounts for: every maximal run of ≥2 consecutive shared
+    // 8-grams is cut out of the text. String-keyed so the DuckDB oracle
+    // recomputes the kept text character-exactly; the hash-keyed scale
+    // path is pinned ≡ string in CrossDocNgramsSpec.
+    "q109_span_trim" -> { (s, dir) =>
+      CrossDocNgrams.trim(docs(s, dir), "doc_id", "text", w = 8, minDocs = 2, minRun = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Thresholded decontamination verdict (q58's split, but the
     // RefinedWeb fraction rule instead of any-overlap): every corpus doc
     // with its benchmark-overlap fraction and the quarantine verdict at
@@ -511,6 +522,42 @@ object DedupQueries {
         |    THEN round(coalesce(d.n_dup_occ, 0) / t.n_grams::DOUBLE, 6)
         |    ELSE 0.0 END AS dup_frac
         |FROM tot t LEFT JOIN dup d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q98's 8-gram construction, then gaps-and-islands over shared gram
+    // positions (i - row_number per doc), runs of ≥2 to covered token
+    // intervals [s, s+len+w-2], and the kept text re-assembled
+    // token-exactly (both sides are shift-invariant: Spark positions are
+    // 0-based, these 1-based).
+    "q109_span_trim" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) i
+        |        FROM toks WHERE len(ts) >= 8),
+        |g AS (SELECT doc_id, i,
+        |    ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+        |      ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] s
+        |  FROM idx),
+        |pdg AS (SELECT DISTINCT doc_id, s FROM g),
+        |df AS (SELECT s FROM pdg GROUP BY s HAVING count(*) >= 2),
+        |sp AS (SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) grp
+        |  FROM g JOIN df USING (s)),
+        |runs AS (SELECT doc_id, min(i) s, count(*) len
+        |  FROM sp GROUP BY doc_id, grp HAVING count(*) >= 2),
+        |ivs AS (SELECT doc_id, s, s + len + 6 e FROM runs),
+        |tok AS (SELECT doc_id, ts[i] tok, i
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) i FROM toks)),
+        |removed AS (SELECT DISTINCT t.doc_id, t.i
+        |  FROM tok t JOIN ivs v ON t.doc_id = v.doc_id AND t.i BETWEEN v.s AND v.e),
+        |keptagg AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.i) clean_text,
+        |    count(*) n_kept
+        |  FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.i = r.i
+        |  WHERE r.i IS NULL GROUP BY t.doc_id)
+        |SELECT tk.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  len(tk.ts)::BIGINT AS n_tokens,
+        |  (len(tk.ts) - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+        |FROM toks tk LEFT JOIN keptagg k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q58_contamination" ->

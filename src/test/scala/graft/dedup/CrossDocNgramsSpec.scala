@@ -57,6 +57,58 @@ class CrossDocNgramsSpec extends SparkSpec {
     assert(n > 0 && n < str.count())
   }
 
+  test("trim: hand-computed run semantics, boundaries, minRun, full wipe") {
+    // w=2, minRun=2. Docs 1 and 2 share the 5-token run "a b c d e":
+    // shared gram positions 0..3 (4 consecutive ≥ 2) cover tokens
+    // [0, 3+2-1=4] — the run plus nothing else. Doc 3 shares only the
+    // single gram "a b" with the others (run length 1 < minRun → kept
+    // whole). Doc 4 = doc 1 verbatim → wiped to empty. Doc 5 short.
+    val out = CrossDocNgrams.trim(
+      docs(
+        (1L, "a b c d e tail1 one"),
+        (2L, "head2 a b c d e tail2"),
+        (3L, "a b x4 y4 z4"),
+        (4L, "a b c d e tail1 one"),
+        (5L, "z")),
+      "doc_id", "text", w = 2, minDocs = 2, minRun = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "", 7L, 7L),                // doc4 is a verbatim copy: all 6 grams shared
+      (2L, "head2 tail2", 7L, 5L),     // interior run cut, boundaries kept
+      (3L, "a b x4 y4 z4", 5L, 0L),    // single shared gram < minRun
+      (4L, "", 7L, 7L),
+      (5L, "z", 1L, 0L)))
+  }
+
+  test("trim: minRun=1 removes single shared grams; hash mode ≡ string mode on testdata") {
+    val single = CrossDocNgrams.trim(
+      docs((1L, "p q r s"), (2L, "x q r y")),
+      "doc_id", "text", w = 2, minDocs = 2, minRun = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // only gram "q r" is shared: tokens [1,2] cut from both docs
+    assert(single.toSeq == Seq((1L, "p s", 2L), (2L, "x y", 2L)))
+
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val str = CrossDocNgrams.trim(d, "doc_id", "text", w = 8, minRun = 2, hashKeys = false)
+    val hsh = CrossDocNgrams.trim(d, "doc_id", "text", w = 8, minRun = 2, hashKeys = true)
+    assert(str.exceptAll(hsh).isEmpty && hsh.exceptAll(str).isEmpty)
+    val trimmed = str.filter(col("n_removed") > 0).count()
+    assert(trimmed > 0 && trimmed < str.count())
+  }
+
+  test("dropWorst keeps exactly the docs under the shared-fraction bar") {
+    val d = docs(
+      (1L, "a b c d e"),  // dup_frac 1.0 (all grams shared with doc 2)
+      (2L, "a b c d e"),
+      (3L, "a b n3 m3 k3"), // 1 of 4 grams shared = 0.25
+      (4L, "u v w x y"))    // 0.0
+    val kept = CrossDocNgrams.dropWorst(d, "doc_id", "text", w = 2, maxDupFrac = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L))
+  }
+
   test("plan: partial aggregation everywhere, no cartesian, codegen'd gram explode") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val p = CrossDocNgrams.stats(d, "doc_id", "text", w = 8, hashKeys = true)
