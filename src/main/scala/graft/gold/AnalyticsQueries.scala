@@ -86,6 +86,44 @@ object AnalyticsQueries {
         .limit(100)
     },
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting) — the hardest
+    // public anti-join stressor: 4-way join + EXISTS + NOT EXISTS, both
+    // correlated on (same order, DIFFERENT supplier). The testdata
+    // lineitem has no receipt/commit dates, so "problem line" is
+    // l_returnflag = 'R' — the join/semi/anti algebra is Q21's exactly.
+    // Plan shape (PlanSpec-gated): the nation filter rides a broadcast
+    // dim join and shrinks the fact side ~25× BEFORE the two heavy
+    // correlated joins; EXISTS/NOT EXISTS become left-semi/left-anti
+    // joins whose equi key is l_orderkey with the <> predicate as a
+    // residual condition — hash-partitioned joins, never a cartesian or
+    // a per-row re-scan of lineitem.
+    "q110_tpch_q21" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val late = li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey")
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_3")
+        .select("s_suppkey", "s_name")
+      late.as("l1")
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+        .join(late.as("l3"),
+          col("l1.l_orderkey") === col("l3.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
     // Sequential analytics (lag + bounded-frame rolling sum) per
     // customer order history. One window partitioning serves both
     // functions — a single shuffle on o_custkey; the (date, key) sort
@@ -293,6 +331,24 @@ object AnalyticsQueries {
         |  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    // Deterministic LIMIT: s_name is unique per supplier, so
+    // (numwait DESC, s_name) is a total order.
+    "q110_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
 
     "q74_rolling" ->

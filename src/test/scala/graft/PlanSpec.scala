@@ -66,6 +66,24 @@ class PlanSpec extends SparkSpec {
     assert(semiBroadcast, s"q71 semi-join did not broadcast:\n$p71")
   }
 
+  test("TPC-H Q21 plan: correlated EXISTS/NOT EXISTS are keyed semi/anti joins, no cartesian") {
+    // The two correlated subqueries (same order, different supplier) must
+    // plan as hash-partitioned LeftSemi/LeftAnti joins keyed on
+    // l_orderkey with the <> predicate as a residual — a
+    // BroadcastNestedLoopJoin or CartesianProduct here is the per-row
+    // re-scan that dies at 100 TB. The nation dim join must broadcast.
+    val df = gold.AnalyticsQueries.queries("q110_tpch_q21")(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), s"q110 lost the EXISTS semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"q110 lost the NOT EXISTS anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q110 lost all broadcasts:\n$p")
+    val smjOnDim = p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("n_nationkey"))
+    assert(!smjOnDim, s"q110 sort-merges the nation dim join:\n$p")
+  }
+
   test("ingest cycle: corpus anti-joins broadcast, vectors never ride bucket joins") {
     val d = sources.Tables.load(spark, dir, "documents")
     val idx = dedup.MinHashDedup.buildIndex(d, "doc_id", "text")
