@@ -99,6 +99,93 @@ object LmScore {
     Model(bigrams, prefixes, unigrams, tot.getLong(0), tot.getLong(1))
   }
 
+  /** Trigram model (r9 #7): trigram counts plus their Witten-Bell
+    * prefix stats, stacked on the full bigram [[Model]] it backs off to.
+    */
+  final case class Model3(
+      trigrams: DataFrame,
+      prefixes12: DataFrame,
+      base: Model)
+
+  /** (idCol, w1, w2, w3) — one row per consecutive token triple; same
+    * guard discipline as [[bigramRows]] (the ≥3 filter runs BEFORE the
+    * descending-sequence trap).
+    */
+  private def trigramRows(
+      docs: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column): DataFrame =
+    docs
+      .select(col(idCol), tokenizer(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(toks) - 1), " +
+          "i -> struct(toks[i - 2] as w1, toks[i - 1] as w2, toks[i] as w3))")).as("tg"))
+      .select(col(idCol),
+        col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+
+  /** Train the trigram estimator: one more hash aggregation over
+    * exploded triples (c123) whose grouped re-aggregation yields the
+    * order-2 Witten-Bell stats (c12p = Σ_w C(w₁w₂w), t12 = distinct
+    * continuation types of the history pair), plus the full bigram model
+    * for the recursive back-off. Same corpus-proportional shape as
+    * [[train]] — nothing new shuffles more than the trigram type table.
+    */
+  def trainTrigram(
+      corpus: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column = spaceTokens): Model3 = {
+    val tg = trigramRows(corpus, idCol, textCol, tokenizer)
+    val trigrams = tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+      .localCheckpoint()
+    val prefixes12 = trigrams.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12p"), count(lit(1)).as("t12"))
+    Model3(trigrams, prefixes12, train(corpus, idCol, textCol, tokenizer))
+  }
+
+  /** Trigram Witten-Bell scoring — the standard recursive interpolation
+    * (the same estimator KenLM's WB mode computes, two orders deep):
+    *
+    *   P₃(w₃|w₁w₂) = (C(w₁w₂w₃) + T(w₁w₂)·P₂(w₃|w₂)) / (C(w₁w₂·) + T(w₁w₂))
+    *
+    * backing off to the bigram P₂ (itself backing off to the add-one
+    * unigram floor); an unseen history pair uses P₂ outright, an unseen
+    * w₂ history uses P₁. Five equi-joins against the model tables —
+    * (w₁w₂w₃), (w₁w₂), (w₂w₃), (w₂), (w₃) — then one per-doc
+    * aggregation; AQE broadcasts the model side when small, exactly the
+    * q88 dataflow one order deeper. Docs with < 3 tokens are absent.
+    * The arithmetic SHAPE is mirrored verbatim by the q111 DuckDB
+    * oracle so doubles agree at the 6-dp rounding.
+    *
+    * @return (idCol, n_trigrams, lm_score = mean ln P₃, 6-dp)
+    */
+  def scoreTrigram(
+      docs: DataFrame, model: Model3, idCol: String, textCol: String,
+      tokenizer: Column => Column = spaceTokens): DataFrame = {
+    val m = model.base
+    val pu = (coalesce(col("cu"), lit(0L)) + lit(1)).cast("double") /
+      lit((m.nTokens + m.vocabSize).toDouble)
+    val p2 = when(col("c1").isNull, pu)
+      .otherwise(
+        (coalesce(col("c23"), lit(0L)).cast("double") + col("t1").cast("double") * pu) /
+          (col("c1") + col("t1")).cast("double"))
+    val p3 = when(col("c12p").isNull, p2)
+      .otherwise(
+        (coalesce(col("c123"), lit(0L)).cast("double") + col("t12").cast("double") * p2) /
+          (col("c12p") + col("t12")).cast("double"))
+    trigramRows(docs, idCol, textCol, tokenizer)
+      .join(model.trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(model.prefixes12, Seq("w1", "w2"), "left")
+      .join(m.bigrams.select(
+        col("w1").as("w2"), col("w2").as("w3"), col("c12").as("c23")),
+        Seq("w2", "w3"), "left")
+      .join(m.prefixes.select(col("w1").as("w2"), col("c1"), col("t1")),
+        Seq("w2"), "left")
+      .join(m.unigrams.select(col("w").as("w3"), col("cu")), Seq("w3"), "left")
+      .select(col(idCol), log(p3).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), round(avg(col("lp")), 6).as("lm_score"))
+  }
+
   /** Score documents against a trained model: (idCol, n_bigrams,
     * lm_score = mean ln P(w₂|w₁), 6-dp). Docs with < 2 tokens are absent.
     */

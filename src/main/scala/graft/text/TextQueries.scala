@@ -171,6 +171,17 @@ object TextQueries {
       LmScore.score(d, model, "doc_id", "text").orderBy("doc_id")
     },
 
+    // Trigram Witten-Bell LM scoring — the same estimator one back-off
+    // order deeper (P₃ interpolates to P₂ interpolates to the unigram
+    // floor), the standard perplexity-filter configuration. Counts are
+    // integers and the double arithmetic shape mirrors the oracle, so
+    // values match at 6 dp.
+    "q111_lm_trigram" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val model = LmScore.trainTrigram(d, "doc_id", "text")
+      LmScore.scoreTrigram(d, model, "doc_id", "text").orderBy("doc_id")
+    },
+
     // Token-budget corpus selection: best docs by (score desc, id) until
     // a 10k-token budget is spent — the distributed two-pass prefix sum
     // (BudgetSelect), NOT a single-partition global window. Score/cost
@@ -688,6 +699,52 @@ object TextQueries {
         |  LEFT JOIN ucnt ON bg.w2 = ucnt.w
         |  CROSS JOIN tot)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(lp), 6) AS lm_score
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q88's relational WB recompute one order deeper: trigram counts +
+    // order-2 prefix/type stats, the full bigram tables for the back-off,
+    // and the recursive interpolation with the same cast points and
+    // operation order as LmScore.scoreTrigram.
+    "q111_lm_trigram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |tg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3)),
+        |tcnt AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+        |tpref AS (SELECT w1, w2, sum(c123) AS c12p, count(*) AS t12
+        |          FROM tcnt GROUP BY 1, 2),
+        |bg AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |pref AS (SELECT w1, sum(c12) AS c1, count(*) AS t1 FROM cnt GROUP BY 1),
+        |uni AS (SELECT unnest(ts) AS w FROM toks),
+        |ucnt AS (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM uni),
+        |p2s AS (
+        |  SELECT tg.doc_id, tcnt.c123, tpref.c12p, tpref.t12,
+        |    CASE WHEN p.c1 IS NULL
+        |      THEN (coalesce(ucnt.cu, 0) + 1)::DOUBLE / (n + v)
+        |      ELSE (coalesce(b.c12, 0)::DOUBLE
+        |              + p.t1 * ((coalesce(ucnt.cu, 0) + 1)::DOUBLE / (n + v)))
+        |           / (p.c1 + p.t1)::DOUBLE END AS p2
+        |  FROM tg
+        |  LEFT JOIN tcnt USING (w1, w2, w3)
+        |  LEFT JOIN tpref USING (w1, w2)
+        |  LEFT JOIN cnt b ON tg.w2 = b.w1 AND tg.w3 = b.w2
+        |  LEFT JOIN pref p ON tg.w2 = p.w1
+        |  LEFT JOIN ucnt ON tg.w3 = ucnt.w
+        |  CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln(CASE WHEN c12p IS NULL THEN p2
+        |       ELSE (coalesce(c123, 0)::DOUBLE + t12 * p2)
+        |            / (c12p + t12)::DOUBLE END) AS lp
+        |  FROM p2s)
+        |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
         |  round(avg(lp), 6) AS lm_score
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
