@@ -121,6 +121,32 @@ object Sampling {
       .select(col(strataCol), col(idCol))
   }
 
+  /** Original-mass mixture targets from a WEIGHTED frame — the
+    * composition glue between `SemDedup.survivorWeights` and
+    * [[mixtureEpochs]] (r9 #8): a deduplicated corpus sampled at
+    * survivor-count shares under-represents every domain whose duplicate
+    * rate was high, so the target share of stratum s is its ORIGINAL
+    * mass Σ weight_s / Σ weight — the distribution the corpus had before
+    * dedup collapsed duplicates to single voting survivors. The returned
+    * (strataCol, weight ∈ (0,1]) frame plugs straight into
+    * [[mixture]]/[[mixtureEpochs]] as `targets`.
+    *
+    * Shape: one per-stratum aggregation (≤ strata skinny rows) and a
+    * broadcast of the single-row grand total — nothing
+    * corpus-proportional beyond the one scan.
+    */
+  def massTargets(
+      rows: DataFrame,
+      strataCol: String,
+      weightCol: String
+  ): DataFrame = {
+    val per = rows.groupBy(col(strataCol)).agg(sum(col(weightCol)).as("__mass"))
+    val tot = per.agg(sum(col("__mass")).as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        (col("__mass").cast("double") / col("__tot").cast("double")).as("weight"))
+  }
+
   /** Epoch-aware mixture oversampling — [[mixture]] without the
     * stratum-size cap: a quota LARGER than its stratum repeats the
     * stratum, the way a pretraining mix runs a small high-value domain

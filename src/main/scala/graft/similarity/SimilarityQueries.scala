@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Sampling
 import graft.sources.Tables
 
 /** Driver-contract queries for embedding similarity search over the
@@ -236,6 +237,39 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Weight-aware mixture over the DEDUPLICATED corpus — the q103 →
+    // q102 composition the survivorWeights scaladoc promises: survivors
+    // sampled at ORIGINAL-mass quotas (Σ weight per label / Σ weight),
+    // so a domain whose duplicates collapsed keeps its pre-dedup share.
+    // Output is the per-label sampling contract, fully determined by
+    // (n_s, quota_s) arithmetic: Σ copies = quota exactly, row count =
+    // min(n, quota), per-row multiplicities differ by at most one —
+    // the oracle recomputes weights globally (q103's leg) and the rest
+    // from n/quota alone, so a quota or top-k trim bug is a hash fail.
+    "q112_weighted_mixture" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val maxId = Option(e.agg(max(col("vec_id"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+      require(maxId < 1000000L,
+        s"q112 copy-id shift assumes max(vec_id) < 1000000; got $maxId")
+      val copies = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val corpus = e.unionByName(copies)
+      val model = IvfIndex.train(corpus, "embedding", nCells = 8)
+      val labeled = SemDedup
+        .survivorWeights(corpus, "vec_id", "embedding", model, tau = 0.95)
+        .join(e.select(col("vec_id").as("id"), col("label")), "id")
+      val targets = Sampling.massTargets(labeled, "label", "weight")
+      Sampling.mixtureEpochs(labeled, "label", "id", targets, total = 1000L)
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_copies")).as("sum_copies"),
+          min(col("n_copies")).as("min_copies"),
+          max(col("n_copies")).as("max_copies"))
+        .orderBy("label")
+    },
+
     // Incremental SemDeDup probe: a batch of exact copies (+1M, every
     // 10th) and genuinely novel vectors (+2M, every 7th NEGATED —
     // cosine ≤ 0.55 to everything, SemDedupSpec pins the two-sided gap)
@@ -406,6 +440,52 @@ object SimilarityQueries {
         |LEFT JOIN absorbed a ON n.vec_id = a.absorber_id
         |WHERE drp.dropped_id IS NULL
         |ORDER BY n.vec_id""".stripMargin,
+
+    // q112: q103's global weight recompute feeds pure (n, quota)
+    // arithmetic — quota_s = floor((mass_s / Σmass) · 1000), Σ copies =
+    // quota, rows = min(n, quota), multiplicities base/base+1. The
+    // double division/multiply mirrors Sampling.massTargets +
+    // mixtureEpochs' floor(weight · total) exactly.
+    "q112_weighted_mixture" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nn FROM all_v),
+        |pairs AS (
+        |  SELECT b.vec_id dropped_id, a.vec_id partner_id
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |   AND list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.95),
+        |absorbed AS (
+        |  SELECT absorber_id, count(*) n_absorbed FROM (
+        |    SELECT dropped_id, min(partner_id) absorber_id
+        |    FROM pairs GROUP BY 1) GROUP BY 1),
+        |drp AS (SELECT DISTINCT dropped_id FROM pairs),
+        |wts AS (
+        |  SELECT n.vec_id, (1 + coalesce(a.n_absorbed, 0))::BIGINT AS weight
+        |  FROM n
+        |  LEFT JOIN drp ON n.vec_id = drp.dropped_id
+        |  LEFT JOIN absorbed a ON n.vec_id = a.absorber_id
+        |  WHERE drp.dropped_id IS NULL),
+        |lab AS (
+        |  SELECT w.vec_id, e.label, w.weight
+        |  FROM wts w JOIN embeddings e ON e.vec_id = w.vec_id),
+        |mass AS (SELECT label, count(*) nsurv, sum(weight) m FROM lab GROUP BY 1),
+        |tot AS (SELECT sum(m) t FROM mass),
+        |q AS (
+        |  SELECT label, nsurv,
+        |    floor((m::DOUBLE / t::DOUBLE) * 1000)::BIGINT AS quota
+        |  FROM mass CROSS JOIN tot)
+        |SELECT label,
+        |  least(nsurv, quota)::BIGINT AS n_rows,
+        |  quota AS sum_copies,
+        |  (CASE WHEN quota // nsurv = 0 THEN 1 ELSE quota // nsurv END)::BIGINT
+        |    AS min_copies,
+        |  (quota // nsurv + CASE WHEN quota % nsurv > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS max_copies
+        |FROM q WHERE quota > 0
+        |ORDER BY label""".stripMargin,
 
     // q104: every batch × corpus cosine recomputed globally — float
     // negation is exact, so the novel rows' vectors match bit-for-bit.
