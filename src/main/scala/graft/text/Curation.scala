@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{ConnectedComponents, Contamination, ExactDedup, MinHashDedup}
+import graft.dedup.{ConnectedComponents, Contamination, CrossDocNgrams, ExactDedup, MinHashDedup}
 import graft.operators.Sampling
 import graft.similarity.HyperplaneLsh
 
@@ -13,6 +13,8 @@ import graft.similarity.HyperplaneLsh
   *   quality filter → exact dedup → near-dup dedup (LSH + connected
   *   components, keep one doc per duplicate cluster) → optional semantic
   *   dedup (embedding-space LSH pairs, same cluster-and-keep-min) →
+  *   optional duplicated-span removal (cross-doc-shared 8-gram runs cut
+  *   from the surviving text, `CrossDocNgrams.trim`) →
   *   benchmark decontamination → deterministic sampling →
   *   context-window chunking
   *
@@ -47,7 +49,10 @@ object Curation {
       after_semantic: Long,
       after_decontam: Long,
       after_sample: Long,
-      chunks: Long)
+      chunks: Long,
+      // docs whose TEXT lost a duplicated span (doc count is unchanged
+      // by the span-trim stage); 0 when the stage is off
+      spans_trimmed: Long = 0L)
 
   /** @param docs       (idCol, textCol) corpus
     * @param benchmark  optional eval set to decontaminate against
@@ -58,6 +63,15 @@ object Curation {
     * @param neardupThreshold Jaccard threshold for duplicate clustering
     * @param sampleFraction deterministic keep-fraction of the clean pool
     * @param maxTokens  chunk budget for the context windows
+    * @param spanTrimMinRun when set, a duplicated-span REMOVAL stage
+    *                   (`CrossDocNgrams.trim`, w=8, minDocs=2) runs on
+    *                   the dedup survivors BEFORE decontamination: every
+    *                   maximal run of ≥ this many consecutive
+    *                   cross-doc-shared 8-grams is cut from the text, so
+    *                   downstream stages (and the emitted chunks) see
+    *                   the cleaned corpus. Trimming rewrites text, never
+    *                   drops docs — the report carries how many docs
+    *                   lost spans.
     * @param checkpointDir when set, stage boundaries are DURABLE: each
     *                   stage writes `$checkpointDir/<stage>` as parquet
     *                   and downstream stages read the files, so a lost
@@ -78,6 +92,7 @@ object Curation {
       neardupThreshold: Double = 0.5,
       sampleFraction: Double = 1.0,
       maxTokens: Int = 512,
+      spanTrimMinRun: Option[Int] = None,
       checkpointDir: Option[String] = None
   ): (org.apache.spark.sql.Dataset[Chunker.DocChunk], Report) = {
     val spark = docs.sparkSession
@@ -150,19 +165,36 @@ object Curation {
       case None => (nearDeduped, nearN)
     }
 
-    // 5. decontamination: drop docs sharing 8-grams with the benchmark
+    // 5. optional duplicated-span removal: runs of ≥ minRun consecutive
+    // cross-doc-shared 8-grams are cut from the surviving docs' TEXT
+    // (CrossDocNgrams.trim). Doc count is unchanged — the report carries
+    // how many docs lost spans — and everything downstream
+    // (decontamination, sampling, chunking) sees the cleaned corpus.
+    val (spanCleaned, spansTrimmedN) = spanTrimMinRun match {
+      case Some(minRun) =>
+        val t = CrossDocNgrams
+          .trim(semanticDeduped, "id", "text", w = 8, minDocs = 2, minRun = minRun)
+          .select(col("id"), col("clean_text").as("text"),
+            (col("n_removed") > 0L).as("__trimmed"))
+        val (b, _) = boundary(t, "span_trim")
+        val nTrimmed = b.filter(col("__trimmed")).count()
+        (b.select(col("id"), col("text")), nTrimmed)
+      case None => (semanticDeduped, 0L)
+    }
+
+    // 6. decontamination: drop docs sharing 8-grams with the benchmark
     val (decontaminated, decontamN) = benchmark match {
       case Some(bench) =>
         val flagged = Contamination.flagged(
-          semanticDeduped, bench.select(col(idCol).as("id"), col(textCol).as("text")),
+          spanCleaned, bench.select(col(idCol).as("id"), col(textCol).as("text")),
           "id", "text")
         boundary(
-          semanticDeduped.join(flagged.select(col("id")), Seq("id"), "left_anti"),
+          spanCleaned.join(flagged.select(col("id")), Seq("id"), "left_anti"),
           "decontam")
-      case None => (semanticDeduped, semanticN)
+      case None => (spanCleaned, semanticN)
     }
 
-    // 6. deterministic sampling (hash-priority filter; reruns identical).
+    // 7. deterministic sampling (hash-priority filter; reruns identical).
     // Identity fraction reuses the decontam count — no extra action; a
     // real sample is a narrow filter over the materialized boundary, so
     // ephemeral mode just counts it (durable mode persists it like any
@@ -175,7 +207,7 @@ object Curation {
         else (sdf, sdf.count())
       }
 
-    // 7. context-window chunking — a stage boundary like the others: the
+    // 8. context-window chunking — a stage boundary like the others: the
     // report's count and the caller's own action would otherwise each
     // run the row-exploding flatMap over the full corpus.
     val (chunksDf, chunksN) = boundary(
@@ -184,6 +216,6 @@ object Curation {
       "chunks")
 
     (chunksDf.as[Chunker.DocChunk], Report(inputN, qualityN, exactN, nearN,
-      semanticN, decontamN, sampledN, chunksN))
+      semanticN, decontamN, sampledN, chunksN, spansTrimmedN))
   }
 }

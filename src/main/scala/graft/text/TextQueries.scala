@@ -109,16 +109,19 @@ object TextQueries {
     },
 
     // End-to-end curation under the oracle gate: quality filter → exact
-    // dedup → LSH near-dup clustering → benchmark decontamination →
-    // chunking, per-stage counts. Corpus = non-benchmark docs plus
-    // planted copies of the %10==1 ones (gives exact dedup real work);
-    // benchmark = every 5th doc. Every stage count is DuckDB-computable
-    // from proven fragments (q31 quality formula, distinct-text classes,
-    // q21/q48 exact-Jaccard components — LSH = exact pairs on this
-    // corpus by the q21 recall argument — and the q58 8-gram scan);
-    // chunk MEMBERSHIP is not SQL-expressible, so chunking contributes
-    // the conservation boolean (distinct chunked doc ids == sampled
-    // docs), pinned true.
+    // dedup → LSH near-dup clustering → duplicated-span removal →
+    // benchmark decontamination → chunking, per-stage counts. Corpus =
+    // non-benchmark docs plus planted copies of the %10==1 ones (gives
+    // exact dedup real work); benchmark = every 5th doc. Every stage
+    // count is DuckDB-computable from proven fragments (q31 quality
+    // formula, distinct-text classes, q21/q48 exact-Jaccard components —
+    // LSH = exact pairs on this corpus by the q21 recall argument — the
+    // q109 span-trim recompute over the survivors, and the q58 8-gram
+    // scan on the CLEANED text); chunk MEMBERSHIP is not
+    // SQL-expressible, so chunking contributes the conservation boolean
+    // (distinct chunked doc ids == sampled docs), which the oracle
+    // recomputes honestly: a doc the trim left without a single
+    // non-whitespace character chunks to nothing.
     "q73_curation_report" -> { (s, dir) =>
       import s.implicits._
       val d = docs(s, dir)
@@ -127,12 +130,13 @@ object TextQueries {
         corpus0.filter(col("doc_id") % 10 === 1)
           .withColumn("doc_id", col("doc_id") + 1000000))
       val bench = d.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
-      val (chunks, r) = Curation.run(corpus, "doc_id", "text", benchmark = Some(bench))
+      val (chunks, r) = Curation.run(corpus, "doc_id", "text",
+        benchmark = Some(bench), spanTrimMinRun = Some(2))
       val covered = chunks.select(col("doc_id")).distinct().count()
       Seq((r.input_docs, r.after_quality, r.after_exact_dedup, r.after_neardup,
-        r.after_decontam, covered == r.after_sample))
+        r.spans_trimmed, r.after_decontam, covered == r.after_sample))
         .toDF("input_docs", "after_quality", "after_exact_dedup", "after_neardup",
-          "after_decontam", "chunks_cover_all")
+          "spans_trimmed", "after_decontam", "chunks_cover_all")
     },
 
     // Sequence-packing invariants (SequencePacker): next-fit
@@ -642,18 +646,47 @@ object TextQueries {
          |ktoks AS (SELECT doc_id, string_split(text, ' ') ts FROM kept),
          |kidx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) i
          |         FROM ktoks WHERE len(ts) >= 8),
-         |ksh AS (SELECT DISTINCT doc_id,
+         |kg AS (SELECT doc_id, i,
          |    ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
          |      ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] s FROM kidx),
-         |contaminated AS (SELECT DISTINCT k.doc_id FROM ksh k JOIN bsh b ON k.s = b.s)
+         |kpdg AS (SELECT DISTINCT doc_id, s FROM kg),
+         |kdf AS (SELECT s FROM kpdg GROUP BY s HAVING count(*) >= 2),
+         |ksp AS (SELECT doc_id, i,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) grp
+         |  FROM kg JOIN kdf USING (s)),
+         |kruns AS (SELECT doc_id, min(i) s, count(*) len
+         |  FROM ksp GROUP BY doc_id, grp HAVING count(*) >= 2),
+         |kivs AS (SELECT doc_id, s, s + len + 6 e FROM kruns),
+         |ktok AS (SELECT doc_id, ts[i] tok, i
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) i FROM ktoks)),
+         |kremoved AS (SELECT DISTINCT t.doc_id, t.i
+         |  FROM ktok t JOIN kivs v ON t.doc_id = v.doc_id AND t.i BETWEEN v.s AND v.e),
+         |clean AS (
+         |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.i) ctext
+         |  FROM ktok t LEFT JOIN kremoved r ON t.doc_id = r.doc_id AND t.i = r.i
+         |  WHERE r.i IS NULL GROUP BY t.doc_id),
+         |cleandocs AS (
+         |  SELECT k.doc_id, coalesce(c.ctext, '') AS text
+         |  FROM kept k LEFT JOIN clean c USING (doc_id)),
+         |ctoks AS (SELECT doc_id, string_split(text, ' ') ts FROM cleandocs),
+         |cidx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) i
+         |         FROM ctoks WHERE len(ts) >= 8),
+         |csh AS (SELECT DISTINCT doc_id,
+         |    ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+         |      ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] s FROM cidx),
+         |contaminated AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.s = b.s)
          |SELECT
          |  (SELECT count(*) FROM corpus)::BIGINT AS input_docs,
          |  (SELECT count(*) FROM qual)::BIGINT AS after_quality,
          |  (SELECT count(*) FROM reps)::BIGINT AS after_exact_dedup,
          |  (SELECT count(*) FROM kept)::BIGINT AS after_neardup,
+         |  (SELECT count(DISTINCT doc_id) FROM kruns)::BIGINT AS spans_trimmed,
          |  ((SELECT count(*) FROM kept) - (SELECT count(*) FROM contaminated))::BIGINT
          |    AS after_decontam,
-         |  true AS chunks_cover_all""".stripMargin,
+         |  ((SELECT count(*) FROM cleandocs cd
+         |    LEFT JOIN contaminated ct ON cd.doc_id = ct.doc_id
+         |    WHERE ct.doc_id IS NULL AND NOT regexp_matches(cd.text, '\\S')) = 0)
+         |    AS chunks_cover_all""".stripMargin,
 
     // Token counts mirror q30's oracle formulation exactly (same
     // tokenizer parity); totals clamp per doc at the 512 capacity like

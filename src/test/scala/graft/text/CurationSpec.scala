@@ -83,4 +83,32 @@ class CurationSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     }
   }
+
+  test("span-trim stage: shared runs leave the text, doc count unchanged, report counts trimmed docs") {
+    // Two docs sharing an interior 10-token run (w=8 → 3 consecutive
+    // shared grams ≥ minRun=2) plus distinct padding long enough to pass
+    // the quality gate but dissimilar enough (Jaccard « 0.5) to survive
+    // both dedup stages.
+    def words(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i word$tag$i").mkString(" ")
+    val shared = "the quick brown fox jumps over the lazy sleeping dog"
+    val d = Seq(
+      (1L, s"${words("a", 12)} $shared ${words("b", 12)}"),
+      (2L, s"${words("c", 12)} $shared ${words("d", 12)}"),
+      (3L, words("e", 30))).toDF("doc_id", "text")
+
+    val (chunks, r) = Curation.run(d, "doc_id", "text", spanTrimMinRun = Some(2))
+    assert(r.after_sample == 3L, r.toString)       // trim never drops docs
+    assert(r.spans_trimmed == 2L, r.toString)      // both sharers lost the run
+    val texts = chunks.collect().groupBy(_.doc_id)
+      .view.mapValues(_.sortBy(_.chunk_idx).map(_.text).mkString(" ")).toMap
+    assert(!texts(1L).contains("quick brown"), texts(1L))
+    assert(!texts(2L).contains("quick brown"), texts(2L))
+    assert(texts(3L).nonEmpty)
+
+    // off by default: report field stays 0 and text is untouched
+    val (chunks0, r0) = Curation.run(d, "doc_id", "text")
+    assert(r0.spans_trimmed == 0L)
+    assert(chunks0.collect().exists(_.text.contains("quick brown")))
+  }
 }
