@@ -124,6 +124,55 @@ object AnalyticsQueries {
         .limit(100)
     },
 
+    // TPC-H Q22 shape (global-acquaintance check): a scalar aggregate
+    // subquery (average positive balance — computed from the EXACT
+    // decimal sum cast to double, so both engines derive the bit-same
+    // threshold regardless of summation order) broadcast against the
+    // full customer table, then NOT EXISTS against pending orders as a
+    // plain anti equi-join on the pre-filtered order side. The testdata
+    // has no c_phone, so the classic country-code grouping is the
+    // nation key.
+    "q113_tpch_q22" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("ab"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // per-part scalar subquery (0.2 × avg quantity of THIS part) becomes
+    // one aggregate over the brand-semi-filtered fact side joined back
+    // on the part key — the decorrelation a 100 TB plan needs, never a
+    // per-row re-scan. l_quantity is integral in this testdata, so the
+    // double average is order-independent-exact and the threshold
+    // comparison is deterministic across engines; revenue sums ride
+    // DECIMAL(18,2) (the q74/q72 discipline).
+    "q114_tpch_q17" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val brand = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select("p_partkey")
+      val brandLi = li
+        .join(brand, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val thr = brandLi.groupBy(col("l_partkey"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("thr"))
+      brandLi
+        .join(thr, "l_partkey")
+        .filter(col("l_quantity") < col("thr"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / 7.0, 2).as("avg_yearly"))
+    },
+
     // Sequential analytics (lag + bounded-frame rolling sum) per
     // customer order history. One window partitioning serves both
     // functions — a single shuffle on o_custkey; the (date, key) sort
@@ -350,6 +399,27 @@ object AnalyticsQueries {
         |GROUP BY 1
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+
+    "q113_tpch_q22" ->
+      """WITH ab AS (
+        |  SELECT (sum(c_acctbal::DECIMAL(18,2)))::DOUBLE / count(*)::DOUBLE a
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal::DECIMAL(18,2))::DOUBLE, 2) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q114_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2)
+        |  AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
 
     "q74_rolling" ->
       """SELECT o_custkey, o_orderkey,

@@ -84,6 +84,25 @@ class PlanSpec extends SparkSpec {
     assert(!smjOnDim, s"q110 sort-merges the nation dim join:\n$p")
   }
 
+  test("Q22/Q17 plans: scalar threshold broadcasts, correlated agg decorrelates, no cartesian") {
+    // q113: the one-row scalar-average side may ride a broadcast nested
+    // loop (keyless, one row — correct), but the NOT EXISTS must stay a
+    // keyed LeftAnti and nothing may plan a CartesianProduct.
+    val q113 = gold.AnalyticsQueries.queries("q113_tpch_q22")(spark, dir)
+    q113.collect()
+    val p113 = plan(q113)
+    assert(!p113.contains("CartesianProduct"), p113)
+    assert(p113.contains("LeftAnti"), s"q113 lost the NOT EXISTS anti-join:\n$p113")
+    // q114: the correlated per-part average must decorrelate into an
+    // aggregate + equi-join — no nested-loop re-scan of lineitem.
+    val q114 = gold.AnalyticsQueries.queries("q114_tpch_q17")(spark, dir)
+    q114.collect()
+    val p114 = plan(q114)
+    assert(!p114.contains("CartesianProduct") &&
+      !p114.contains("BroadcastNestedLoopJoin"), p114)
+    assert(p114.contains("LeftSemi"), s"q114 lost the brand semi-filter:\n$p114")
+  }
+
   test("ingest cycle: corpus anti-joins broadcast, vectors never ride bucket joins") {
     val d = sources.Tables.load(spark, dir, "documents")
     val idx = dedup.MinHashDedup.buildIndex(d, "doc_id", "text")
