@@ -186,6 +186,91 @@ object LmScore {
       .agg(count(lit(1)).as("n_trigrams"), round(avg(col("lp")), 6).as("lm_score"))
   }
 
+  /** Interpolated Kneser-Ney bigram model (r10): the estimator real
+    * perplexity filters actually ship (KenLM's default family). On top
+    * of the [[Model]] count tables it needs two things Witten-Bell does
+    * not: the CONTINUATION count ct(w) = |{w₁ : C(w₁w) > 0}| (how many
+    * distinct histories w completes — "Francisco" is frequent but only
+    * ever follows "San", so its continuation probability is tiny), and
+    * the absolute discount D estimated from the bigram count-of-counts
+    * by Ney's formula D = n₁/(n₁+2n₂).
+    */
+  final case class ModelKn(
+      bigrams: DataFrame,       // (w1, w2, c12)
+      prefixes: DataFrame,      // (w1, c1, t1)
+      continuations: DataFrame, // (w2, ct)
+      discount: Double,
+      nBigramTypes: Long,
+      vocabSize: Long)
+
+  /** Train the interpolated-KN statistics: the same two hash
+    * aggregations as [[train]] plus one more GROUPED RE-AGGREGATION of
+    * the bigram-type table per side (continuations by w₂, count-of-
+    * counts to a single row) — both type-table-proportional, strictly
+    * cheaper than the token-proportional count pass. The two driver
+    * scalars (D and the type total) are one `head()` each over one-row
+    * aggregates.
+    */
+  def trainKn(
+      corpus: DataFrame, idCol: String, textCol: String,
+      tokenizer: Column => Column = spaceTokens): ModelKn = {
+    val bg = bigramRows(corpus, idCol, textCol, tokenizer)
+    val bigrams = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val prefixes = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1"))
+    val continuations = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("ct"))
+    val cc = bigrams.agg(
+      sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c12") === 2, 1L).otherwise(0L)).as("n2"),
+      count(lit(1)).as("tt")).head()
+    val (n1, n2, tt) = (cc.getLong(0), cc.getLong(1), cc.getLong(2))
+    // Ney discount; 0.5 when the corpus has no singleton/doubleton
+    // evidence at all (degenerate tiny corpora — any constant in (0,1)
+    // is admissible, the oracle mirrors the same guard).
+    val d = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2).toDouble else 0.5
+    val v = corpus.select(explode(tokenizer(col(textCol))).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    ModelKn(bigrams, prefixes, continuations, d, tt, v)
+  }
+
+  /** Interpolated Kneser-Ney scoring:
+    *
+    *   P(w₂|w₁) = (max(C(w₁w₂) − D, 0) + D·T(w₁)·Pc(w₂)) / C(w₁·)
+    *   Pc(w)    = (ct(w) + 1) / (T + V)
+    *
+    * for a seen history; an unseen history backs off to Pc(w₂) outright.
+    * Pc is the continuation distribution (add-one-floored over the T
+    * bigram types + V vocabulary so never-seen words stay finite — the
+    * same floor discipline as [[score]]'s unigram). The discounted mass
+    * D·T(w₁) is exactly what the max(·−D, 0) subtraction frees — the
+    * estimator normalizes up to the deliberate floor inflation (pure KN
+    * with Pc = ct/T sums to 1 but scores OOV at ln 0). Dataflow is
+    * identical to [[score]]: three model equi-joins, one per-doc
+    * aggregation; the arithmetic SHAPE is mirrored by the q115 DuckDB
+    * oracle so doubles agree at the 6-dp rounding.
+    *
+    * @return (idCol, n_bigrams, lm_score = mean ln P, 6-dp)
+    */
+  def scoreKn(
+      docs: DataFrame, model: ModelKn, idCol: String, textCol: String,
+      tokenizer: Column => Column = spaceTokens): DataFrame = {
+    val pc = (coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
+      lit((model.nBigramTypes + model.vocabSize).toDouble)
+    val p = when(col("c1").isNull, pc)
+      .otherwise(
+        (greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(model.discount), lit(0.0)) +
+          lit(model.discount) * col("t1").cast("double") * pc) /
+          col("c1").cast("double"))
+    bigramRows(docs, idCol, textCol, tokenizer)
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.prefixes, Seq("w1"), "left")
+      .join(model.continuations, Seq("w2"), "left")
+      .select(col(idCol), log(p).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 6).as("lm_score"))
+  }
+
   /** Score documents against a trained model: (idCol, n_bigrams,
     * lm_score = mean ln P(w₂|w₁), 6-dp). Docs with < 2 tokens are absent.
     */

@@ -186,6 +186,50 @@ object TextQueries {
       LmScore.scoreTrigram(d, model, "doc_id", "text").orderBy("doc_id")
     },
 
+    // Interpolated Kneser-Ney bigram scoring (the estimator family real
+    // perplexity filters ship): continuation counts, Ney-formula
+    // discount from the count-of-counts, absolute discounting with the
+    // freed mass routed through the continuation distribution. The
+    // oracle recomputes every table AND both driver scalars (D, type
+    // total) relationally, so a wrong discount, a continuation count
+    // taken over tokens instead of types, or a max()-clamp slip is a
+    // hash fail.
+    "q115_lm_kneser_ney" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val model = LmScore.trainKn(d, "doc_id", "text")
+      LmScore.scoreKn(d, model, "doc_id", "text").orderBy("doc_id")
+    },
+
+    // DSIR importance scoring (Xie et al. 2023): target = every 7th doc,
+    // raw = the rest; exact unigram+bigram features (the paper's hashing
+    // is a single-machine memory dodge the distributed formulation
+    // doesn't need). The oracle recomputes both smoothed n-gram models,
+    // the shared add-one vocabulary, and every per-doc mean log-ratio —
+    // a count-merge bug, a one-sided vocabulary, or a smoothing slip is
+    // a hash fail.
+    "q116_dsir_score" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val target = d.filter(col("doc_id") % 7 === 0)
+      val raw = d.filter(col("doc_id") % 7 =!= 0)
+      val model = Dsir.train(target, raw, "doc_id", "text")
+      Dsir.score(raw, model, "doc_id", "text").orderBy("doc_id")
+    },
+
+    // DSIR selection: the top-100 raw docs by (score desc, id) — the
+    // resampling step at temperature → 0, planned as
+    // TakeOrderedAndProject (per-partition heaps, no global sort; the
+    // PlanSpec gate pins it). Both sides rank by the identical rounded
+    // score and id, so the cut is deterministic even through ties.
+    "q117_dsir_select" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val target = d.filter(col("doc_id") % 7 === 0)
+      val raw = d.filter(col("doc_id") % 7 =!= 0)
+      val model = Dsir.train(target, raw, "doc_id", "text")
+      val scored = Dsir.score(raw, model, "doc_id", "text")
+      Dsir.selectTopK(scored, "doc_id", "dsir_score", k = 100)
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+    },
+
     // Token-budget corpus selection: best docs by (score desc, id) until
     // a 10k-token budget is spent — the distributed two-pass prefix sum
     // (BudgetSelect), NOT a single-partition global window. Score/cost
@@ -780,6 +824,131 @@ object TextQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
         |  round(avg(lp), 6) AS lm_score
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Interpolated Kneser-Ney, fully relational: count tables mirror
+    // q88's, plus continuation counts (types by w2) and the one-row
+    // count-of-counts the Ney discount derives from. Arithmetic shape
+    // (cast points, left-assoc products, greatest clamp) mirrors
+    // LmScore.scoreKn verbatim for 6-dp double agreement.
+    "q115_lm_kneser_ney" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2)),
+        |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |pref AS (SELECT w1, sum(c12) AS c1, count(*) AS t1 FROM cnt GROUP BY 1),
+        |contc AS (SELECT w2, count(*) AS ct FROM cnt GROUP BY 1),
+        |uni AS (SELECT unnest(ts) AS w FROM toks),
+        |tot AS (SELECT count(DISTINCT w) AS v FROM uni),
+        |cc AS (SELECT sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+        |              sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2,
+        |              count(*) AS tt FROM cnt),
+        |disc AS (SELECT CASE WHEN n1 + 2 * n2 > 0
+        |           THEN n1::DOUBLE / (n1 + 2 * n2)::DOUBLE ELSE 0.5 END AS dd,
+        |           tt FROM cc),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    ln(CASE WHEN p.c1 IS NULL
+        |       THEN (coalesce(k.ct, 0) + 1)::DOUBLE / (disc.tt + tot.v)::DOUBLE
+        |       ELSE (greatest(coalesce(b.c12, 0)::DOUBLE - disc.dd, 0.0)
+        |               + disc.dd * p.t1
+        |                 * ((coalesce(k.ct, 0) + 1)::DOUBLE / (disc.tt + tot.v)::DOUBLE))
+        |            / p.c1::DOUBLE END) AS lp
+        |  FROM bg
+        |  LEFT JOIN cnt b USING (w1, w2)
+        |  LEFT JOIN pref p USING (w1)
+        |  LEFT JOIN contc k USING (w2)
+        |  CROSS JOIN disc CROSS JOIN tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(lp), 6) AS lm_score
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR, fully relational: unigram+bigram feature streams per corpus,
+    // count-merge via FULL OUTER JOIN (exactly Dsir.train's type-table
+    // merge), shared add-one vocabulary from the merged table, per-doc
+    // mean of the two smoothed-log difference. Arithmetic shape mirrors
+    // Dsir.score verbatim.
+    "q116_dsir_score" ->
+      """WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |raww AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+        |ttoks AS (SELECT doc_id, string_split(text, ' ') ts FROM tgt),
+        |rtoks AS (SELECT doc_id, string_split(text, ' ') ts FROM raww),
+        |tfeat AS (
+        |  SELECT unnest(ts) AS feat FROM ttoks
+        |  UNION ALL
+        |  SELECT ts[i] || ' ' || ts[i + 1]
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM ttoks WHERE len(ts) >= 2)),
+        |rfeat AS (
+        |  SELECT unnest(ts) AS feat FROM rtoks
+        |  UNION ALL
+        |  SELECT ts[i] || ' ' || ts[i + 1]
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM rtoks WHERE len(ts) >= 2)),
+        |tc AS (SELECT feat, count(*) AS ct FROM tfeat GROUP BY 1),
+        |rc AS (SELECT feat, count(*) AS cr FROM rfeat GROUP BY 1),
+        |m AS (SELECT coalesce(tc.feat, rc.feat) AS feat,
+        |        coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+        |      FROM tc FULL OUTER JOIN rc ON tc.feat = rc.feat),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM m),
+        |docf AS (
+        |  SELECT doc_id, unnest(ts) AS feat FROM rtoks
+        |  UNION ALL
+        |  SELECT doc_id, ts[i] || ' ' || ts[i + 1]
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM rtoks WHERE len(ts) >= 2)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln((coalesce(m.ct, 0) + 1)::DOUBLE / (tot.nt + tot.v)::DOUBLE)
+        |      - ln((coalesce(m.cr, 0) + 1)::DOUBLE / (tot.nr + tot.v)::DOUBLE) AS lp
+        |  FROM docf LEFT JOIN m USING (feat) CROSS JOIN tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_feats,
+        |  round(avg(lp), 6) AS dsir_score
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same model + scores, then the deterministic (score desc, id)
+    // top-100 cut.
+    "q117_dsir_select" ->
+      """WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |raww AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+        |ttoks AS (SELECT doc_id, string_split(text, ' ') ts FROM tgt),
+        |rtoks AS (SELECT doc_id, string_split(text, ' ') ts FROM raww),
+        |tfeat AS (
+        |  SELECT unnest(ts) AS feat FROM ttoks
+        |  UNION ALL
+        |  SELECT ts[i] || ' ' || ts[i + 1]
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM ttoks WHERE len(ts) >= 2)),
+        |rfeat AS (
+        |  SELECT unnest(ts) AS feat FROM rtoks
+        |  UNION ALL
+        |  SELECT ts[i] || ' ' || ts[i + 1]
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+        |        FROM rtoks WHERE len(ts) >= 2)),
+        |tc AS (SELECT feat, count(*) AS ct FROM tfeat GROUP BY 1),
+        |rc AS (SELECT feat, count(*) AS cr FROM rfeat GROUP BY 1),
+        |m AS (SELECT coalesce(tc.feat, rc.feat) AS feat,
+        |        coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+        |      FROM tc FULL OUTER JOIN rc ON tc.feat = rc.feat),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM m),
+        |docf AS (
+        |  SELECT doc_id, unnest(ts) AS feat FROM rtoks
+        |  UNION ALL
+        |  SELECT doc_id, ts[i] || ' ' || ts[i + 1]
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM rtoks WHERE len(ts) >= 2)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln((coalesce(m.ct, 0) + 1)::DOUBLE / (tot.nt + tot.v)::DOUBLE)
+        |      - ln((coalesce(m.cr, 0) + 1)::DOUBLE / (tot.nr + tot.v)::DOUBLE) AS lp
+        |  FROM docf LEFT JOIN m USING (feat) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_feats,
+        |    round(avg(lp), 6) AS dsir_score
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_feats, dsir_score FROM agg
+        |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
 
     // The reference cumulative selection: a plain global window cumsum
     // (fine in DuckDB at oracle scale; the engine's distributed prefix

@@ -59,6 +59,42 @@ class LmScoreSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("hand-computed interpolated Kneser-Ney scores") {
+    // bigram types: (a,b) c12=2, (a,c) c12=1 → n1=1, n2=1, T=2
+    // D = 1/(1+2·1) = 1/3; prefixes: C(a·)=3, T(a)=2
+    // continuations: ct(b)=ct(c)=1; V=3 → Pc(b)=Pc(c)=(1+1)/(2+3)=2/5
+    val model = LmScore.trainKn(corpus, "doc_id", "text")
+    assert(model.nBigramTypes == 2L)
+    assert(model.vocabSize == 3L)
+    assert(math.abs(model.discount - 1.0 / 3.0) < 1e-12)
+    val out = LmScore.scoreKn(corpus, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // P(b|a) = (max(2−1/3,0) + (1/3)·2·(2/5)) / 3 = (5/3 + 4/15)/3 = 29/45
+    // P(c|a) = (max(1−1/3,0) + 4/15) / 3 = (2/3 + 4/15)/3 = 14/45
+    assert(out(1L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - math.log(29.0 / 45.0)) < 1e-5)
+    assert(out(1L) == out(2L))
+    assert(math.abs(out(3L)._2 - math.log(14.0 / 45.0)) < 1e-5)
+  }
+
+  test("Kneser-Ney: continuation counts are type-based, not frequency-based") {
+    // "san francisco" repeated: francisco is FREQUENT (cu=3) but only
+    // ever follows san (ct=1); "the" follows three different histories
+    // (ct=3) with the same total frequency. After an unseen history,
+    // KN must prefer the promiscuous continuation; a frequency-backed
+    // estimator (WB's unigram) prefers neither or the frequent one.
+    val c = Seq(
+      (1L, "san francisco san francisco san francisco"),
+      (2L, "a the b the c the")
+    ).toDF("doc_id", "text")
+    val model = LmScore.trainKn(c, "doc_id", "text")
+    val probe = Seq((10L, "zz francisco"), (11L, "zz the")).toDF("doc_id", "text")
+    val out = LmScore.scoreKn(probe, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(11L) > out(10L),
+      s"many-history continuation must beat the one-history one after an unseen history: $out")
+  }
+
   test("corpus-like text outranks novel text; sub-bigram docs are absent") {
     val model = LmScore.train(corpus, "doc_id", "text")
     val probe = Seq(
