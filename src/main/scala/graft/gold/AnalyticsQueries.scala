@@ -173,6 +173,127 @@ object AnalyticsQueries {
           / 7.0, 2).as("avg_yearly"))
     },
 
+    // TPC-H Q13 shape (customer order-count distribution): left OUTER
+    // join with the predicate on the JOIN side (a WHERE would silently
+    // drop the zero-order customers the query exists to count), then a
+    // two-level aggregation — per-customer count, then the histogram of
+    // those counts. Both aggregations are partial+final hash aggs; the
+    // outer join shuffles once on the customer key.
+    "q118_tpch_q13" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q2 shape (min-cost supplier): the correlated scalar
+    // subquery ("the minimum supply cost FOR THIS PART") decorrelates
+    // into one (part, supplier) aggregate reused twice — once re-grouped
+    // to the per-part minimum, once joined back on (part, cost) to
+    // recover WHICH suppliers achieve it. The testdata has no partsupp
+    // table, so supply cost is min(l_extendedprice) per (part, supplier)
+    // pair — min is order-independent-exact in doubles, so the equality
+    // join back is deterministic. Dim joins (supplier→nation→region)
+    // broadcast.
+    "q119_tpch_q2" -> { (s, dir) =>
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("supplycost"))
+      val best = ps.groupBy(col("l_partkey"))
+        .agg(min(col("supplycost")).as("minc"))
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region")
+                .filter(col("r_name") === "ASIA").select("r_regionkey")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      ps.as("ps").join(best.as("b"),
+          col("ps.l_partkey") === col("b.l_partkey") &&
+            col("ps.supplycost") === col("b.minc"))
+        .select(col("ps.l_partkey").as("p_key"), col("ps.l_suppkey").as("l_suppkey"),
+          col("ps.supplycost").as("supplycost"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_size") === 5)
+            .select("p_partkey", "p_brand")),
+          col("p_key") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          round(col("supplycost"), 2).as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q20 shape (excess-stock suppliers): the nested correlated
+    // IN — suppliers whose first-half-1997 shipped quantity of any
+    // LIKE-matched part exceeds half that pair's full-period quantity —
+    // becomes ONE conditional aggregate per (part, supplier) pair (the
+    // correlated re-scan a naive plan would run per pair), a semi join
+    // against the name-filtered part dim, and a final semi join into
+    // supplier. l_quantity is integral so the double sums and the 0.5×
+    // threshold compare exactly.
+    "q120_tpch_q20" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(when(col("l_shipdate") < lit("1997-01-01").cast("date"),
+            col("l_quantity")).otherwise(lit(0.0))).as("early_qty"),
+          sum(col("l_quantity")).as("total_qty"))
+      val hot = pairs
+        .join(t(s, dir, "part").filter(col("p_name").startsWith("red"))
+            .select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .filter(col("early_qty") > lit(0.5) * col("total_qty"))
+        .select("l_suppkey")
+      t(s, dir, "supplier")
+        .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy("s_name")
+    },
+
+    // TPC-H Q7 shape (volume shipping between two nations, by year):
+    // the two-sided nation pair predicate ((A,B) or (B,A)) rides the
+    // broadcast nation dims on BOTH legs (supplier side and customer
+    // side), so the fact table shuffles only for its orders join; the
+    // year × nation-pair aggregation is partial+final. Revenue rides
+    // DECIMAL(18,4) per the q72 discipline (per-row product is one
+    // double op, bit-identical across engines; the SUM is then exact in
+    // any order).
+    "q121_tpch_q7" -> { (s, dir) =>
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")
+      val n1 = t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"), rev.as("volume"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(round(sum(col("volume")).cast("double"), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     // Sequential analytics (lag + bounded-frame rolling sum) per
     // customer order history. One window partitioning serves both
     // functions — a single shuffle on o_custkey; the (date, key) sort
@@ -420,6 +541,61 @@ object AnalyticsQueries {
         |WHERE p.p_brand = 'Brand#1'
         |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
         |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q118_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q119_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, min(supplycost) AS minc FROM ps GROUP BY 1)
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+        |  round(ps.supplycost, 2) AS supplycost
+        |FROM ps
+        |JOIN best ON best.l_partkey = ps.l_partkey AND ps.supplycost = best.minc
+        |JOIN part p ON p.p_partkey = ps.l_partkey AND p.p_size = 5
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q120_tpch_q20" ->
+      """SELECT s.s_name, n.n_name
+        |FROM supplier s
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING sum(CASE WHEN l_shipdate < DATE '1997-01-01'
+        |           THEN l_quantity ELSE 0.0 END) > 0.5 * sum(l_quantity))
+        |ORDER BY s.s_name""".stripMargin,
+
+    "q121_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(sum(volume)::DOUBLE, 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    EXTRACT(year FROM l.l_shipdate)::BIGINT AS l_year,
+        |    (l.l_extendedprice * (1.0 - l.l_discount))::DECIMAL(18,4) AS volume
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q74_rolling" ->
       """SELECT o_custkey, o_orderkey,

@@ -103,6 +103,38 @@ class PlanSpec extends SparkSpec {
     assert(p114.contains("LeftSemi"), s"q114 lost the brand semi-filter:\n$p114")
   }
 
+  test("Q13/Q2/Q20/Q7 plans: outer join keeps zero-order rows, decorrelation, broadcast dims") {
+    // q118: the left outer join must stay keyed (no cartesian) and both
+    // aggregations partial+final.
+    val q118 = gold.AnalyticsQueries.queries("q118_tpch_q13")(spark, dir)
+    q118.collect()
+    val p118 = plan(q118)
+    assert(!p118.contains("CartesianProduct") && !p118.contains("BroadcastNestedLoopJoin"), p118)
+    assert(p118.contains("LeftOuter") || p118.contains("RightOuter"),
+      s"q118 lost the outer join (zero-order customers would vanish):\n$p118")
+    // q119: the correlated per-part min decorrelates into aggregate +
+    // equi-join; supplier→nation→region dims broadcast; no cartesian.
+    val q119 = gold.AnalyticsQueries.queries("q119_tpch_q2")(spark, dir)
+    q119.collect()
+    val p119 = plan(q119)
+    assert(!p119.contains("CartesianProduct") && !p119.contains("BroadcastNestedLoopJoin"), p119)
+    assert(p119.contains("BroadcastHashJoin"), s"q119 lost its dim broadcasts:\n$p119")
+    // q120: the nested correlated IN is ONE pair aggregate + two semi
+    // joins — never a per-pair re-scan.
+    val q120 = gold.AnalyticsQueries.queries("q120_tpch_q20")(spark, dir)
+    q120.collect()
+    val p120 = plan(q120)
+    assert(!p120.contains("CartesianProduct") && !p120.contains("BroadcastNestedLoopJoin"), p120)
+    assert(p120.contains("LeftSemi"), s"q120 lost its semi joins:\n$p120")
+    // q121: both nation legs broadcast; the disjunctive pair predicate
+    // must not force a nested loop.
+    val q121 = gold.AnalyticsQueries.queries("q121_tpch_q7")(spark, dir)
+    q121.collect()
+    val p121 = plan(q121)
+    assert(!p121.contains("CartesianProduct") && !p121.contains("BroadcastNestedLoopJoin"), p121)
+    assert(p121.contains("BroadcastHashJoin"), s"q121 lost the nation broadcasts:\n$p121")
+  }
+
   test("ingest cycle: corpus anti-joins broadcast, vectors never ride bucket joins") {
     val d = sources.Tables.load(spark, dir, "documents")
     val idx = dedup.MinHashDedup.buildIndex(d, "doc_id", "text")
