@@ -94,6 +94,24 @@ object DedupQueries {
         .orderBy("kept_id")
     },
 
+    // Cross-source duplicate overlap matrix over planted mirrors (every
+    // 5th doc re-sourced 'mirror', every 7th 'crawl2'): for each source
+    // pair, the count of distinct shared texts. The engine's plan never
+    // self-joins the corpus — one aggregation collects each text's
+    // distinct source set and pairs explode from the set — while the
+    // oracle IS the naive self-join, so agreement pins the
+    // no-join rewrite exactly.
+    "q123_source_overlap" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val planted = d
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .withColumn("source", lit("mirror")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .withColumn("source", lit("crawl2")))
+      ExactDedup.sourceOverlap(planted, Seq("text"), "source")
+        .orderBy("source_a", "source_b")
+    },
+
     // MinHash+LSH near-dup pairs, exact-verified at Jaccard ≥ 0.5. Oracle
     // is the exact all-pairs computation: equality holds because banded
     // LSH (32×4) recall at the corpus' planted similarity (≥ 0.8) is
@@ -447,6 +465,19 @@ object DedupQueries {
          |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
          |FROM all_docs GROUP BY text HAVING count(*) > 1
          |ORDER BY kept_id""".stripMargin,
+
+    "q123_source_overlap" ->
+      """WITH all_docs AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT text, 'crawl2' AS source FROM documents WHERE doc_id % 7 = 0),
+        |t AS (SELECT DISTINCT text, source FROM all_docs)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared
+        |FROM t a JOIN t b ON a.text = b.text AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q21_minhash_neardup" ->
       s"""WITH $shingleSetsSql

@@ -137,6 +137,98 @@ object BudgetSelect {
     }
   }
 
+  /** Stratified budget selection — one independent budget PER GROUP
+    * (per language, per source): within each group, rank by (score desc,
+    * id) and keep rows while the group's cumulative cost fits its
+    * budget. This is what a real pretraining mixture runs — "4B tokens
+    * of German, 1B of Thai, best-first within each" — and the naive
+    * plan, `sum(cost) OVER (PARTITION BY grp ORDER BY score DESC)`, has
+    * the same 100-TB failure as the global one, just deferred: one
+    * window partition = one whole language.
+    *
+    * Same two-pass prefix sum as [[selectUnderBudget]], with the group
+    * leading the range key: range-repartition by (grp, score desc, id) —
+    * so each group occupies a contiguous run of partitions and large
+    * groups still SPLIT across many — then per-(partition, group)
+    * subtotals (≤ P×G skinny rows to the driver; G is the group count,
+    * bounded by the budget map the caller already holds), per-group
+    * exclusive prefix in partition order, and one windowed emit pass
+    * where every window partition is one (range-partition, group) slice,
+    * never a whole group. Groups absent from `budgets` are dropped (no
+    * budget = no quota). Both materialization modes of the parent:
+    * ephemeral `localCheckpoint` or durable parquet under
+    * `checkpointDir` (the pid-as-data-column discipline).
+    *
+    * @return (id, grp, score, cost, cum_cost) for every selected row —
+    *         cum_cost is the exact per-group running total in
+    *         (score desc, id) order.
+    */
+  def selectUnderBudgetPerGroup(
+      items: DataFrame,
+      idCol: String,
+      grpCol: String,
+      scoreCol: String,
+      costCol: String,
+      budgets: Map[String, Long],
+      partitions: Int = 0,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    require(budgets.values.forall(_ >= 0L),
+      s"budgets must be non-negative, got ${budgets.filter(_._2 < 0L)}")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val base = items
+      .select(col(idCol).cast("long").as("id"),
+        col(grpCol).cast("string").as("grp"),
+        col(scoreCol).cast("double").as("score"),
+        col(costCol).cast("long").as("cost"))
+      .repartitionByRange(p, col("grp"), col("score").desc, col("id"))
+      .sortWithinPartitions(col("grp"), col("score").desc, col("id"))
+      .withColumn("pid", spark_partition_id())
+
+    val ds = checkpointDir match {
+      case None => base.localCheckpoint()
+      case Some(dir) =>
+        val path = s"$dir/grouped_sorted"
+        base.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+    }
+
+    // Totals pass: one skinny row per (partition, group) slice.
+    val stats = ds.groupBy(col("pid"), col("grp"))
+      .agg(sum(col("cost")).as("t"), min(col("cost")).as("m"))
+      .collect()
+    requireNonNegative(
+      stats.foldLeft(Long.MaxValue)((acc, r) => math.min(acc, r.getLong(3))))
+
+    // Per-group exclusive prefix across partitions in pid order: group
+    // runs are contiguous under the range key, but correctness only
+    // needs "all of the group's rows in earlier partitions", which pid
+    // order gives regardless.
+    val offsets = stats
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (_, rows) =>
+        val inPidOrder = rows.sortBy(_._1)
+        val exclusive = inPidOrder.map(_._3).scanLeft(0L)(_ + _)
+        inPidOrder.zip(exclusive).map { case ((pid, g, _), off) => (pid, g, off) }.toSeq
+      }
+      .toSeq.toDF("pid", "grp", "offset")
+
+    val budgetDf = budgets.toSeq.toDF("grp", "budget")
+    val w = Window.partitionBy(col("pid"), col("grp"))
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ds.join(broadcast(offsets), Seq("pid", "grp"))
+      .join(broadcast(budgetDf), Seq("grp"))
+      .where(col("offset") <= col("budget"))
+      .withColumn("cum_cost", col("offset") + sum(col("cost")).over(w))
+      .where(col("cum_cost") <= col("budget"))
+      .select(col("id"), col("grp"), col("score"), col("cost"), col("cum_cost"))
+  }
+
   private def requireNonNegative(minCost: Long): Unit =
     require(minCost == Long.MaxValue || minCost >= 0L,
       s"costs must be non-negative (cumulative selection needs a monotone " +

@@ -244,6 +244,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Stratified (per-language) budget selection: one independent token
+    // budget per lang, best-first within each — the distributed grouped
+    // two-pass prefix sum, where a window partition is one
+    // (range-partition, group) slice, never a whole language. Same
+    // oracled score/cost arithmetic as q89; cum_cost pins the exact
+    // per-group running totals, so a wrong group offset or a
+    // cross-group leak is a hash fail. Languages without a budget (none
+    // here) are dropped by contract.
+    "q122_lang_budget_select" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        round(TextAnalysis.meanTokenLength(col("text")), 6).as("score"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("cost"))
+      BudgetSelect.selectUnderBudgetPerGroup(d, "doc_id", "lang", "score", "cost",
+          budgets = Map("en" -> 4000L, "de" -> 2500L, "fr" -> 2000L,
+            "es" -> 1500L, "zh" -> 800L))
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("grp", "lang")
+        .orderBy("doc_id")
+    },
+
     // Merge-table BPE subword tokenization (the real greedy algorithm,
     // native codegen expression) — per-doc token count, distinct-token
     // count, and longest-subword length, all recomputed by the oracle's
@@ -970,6 +990,28 @@ object TextQueries {
         |  FROM t)
         |SELECT doc_id, score, cost, cum_cost
         |FROM c WHERE cum_cost <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // Per-language window cumsum (fine at oracle scale; the engine's
+    // grouped distributed prefix sum must reproduce the identical
+    // selection AND identical per-group running totals).
+    "q122_lang_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    round(CASE WHEN len(toks) > 0
+        |      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+        |      ELSE 0.0 END, 6) AS score,
+        |    len(toks)::BIGINT AS cost
+        |  FROM (SELECT doc_id, lang, regexp_split_to_array(text, '\s+') toks
+        |        FROM documents)),
+        |b(lang, budget) AS (VALUES ('en', 4000), ('de', 2500), ('fr', 2000),
+        |  ('es', 1500), ('zh', 800)),
+        |c AS (
+        |  SELECT doc_id, t.lang, score, cost, budget,
+        |    sum(cost) OVER (PARTITION BY t.lang ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cost
+        |  FROM t JOIN b ON b.lang = t.lang)
+        |SELECT doc_id, lang, score, cost, cum_cost
+        |FROM c WHERE cum_cost <= budget ORDER BY doc_id""".stripMargin,
 
     // Recursive-CTE replay of the greedy merge-table BPE (see bpeCteSql);
     // left join keeps all-empty-word docs at zero counts, matching the

@@ -74,6 +74,23 @@ class DedupSpec extends SparkSpec {
     assert(groups(0).getAs[Long]("kept_id") == 1L)
   }
 
+  test("sourceOverlap counts distinct shared keys per unordered source pair") {
+    val df = Seq(
+      // "t1" in A, B, C (A also holds it twice — still ONE distinct key);
+      // "t2" in A, B; "t3" only in C
+      ("t1", "A"), ("t1", "A"), ("t1", "B"), ("t1", "C"),
+      ("t2", "A"), ("t2", "B"),
+      ("t3", "C")
+    ).toDF("text", "source")
+    val out = ExactDedup.sourceOverlap(df, Seq("text"), "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+    // pairs are emitted sorted (a < b) — no reversed duplicates
+    assert(out.keySet.forall { case (a, b) => a < b })
+  }
+
   test("minhash: identical texts get identical signatures") {
     val sigs = docs((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"))
       .select(MinHashDedup.signature(Shingles.shingleSet(col("text")), 16).as("sig"))

@@ -53,6 +53,49 @@ class BudgetSelectSpec extends SparkSpec {
     }
   }
 
+  private val grouped = Seq(
+    // per group (score desc, id) rank: en → 5, 2, 4, 1, 3; de → 11, 12
+    (1L, "en", 1.0, 40L),
+    (2L, "en", 3.0, 30L),
+    (3L, "en", 0.5, 10L),
+    (4L, "en", 2.0, 25L),
+    (5L, "en", 9.0, 50L),
+    (11L, "de", 2.0, 20L),
+    (12L, "de", 1.0, 30L),
+    (21L, "zz", 5.0, 1L) // no budget for zz → dropped
+  ).toDF("id", "lang", "score", "cost")
+
+  private def selectGrouped(
+      budgets: Map[String, Long], partitions: Int = 3,
+      ckpt: Option[String] = None): Seq[(Long, String, Long)] =
+    BudgetSelect.selectUnderBudgetPerGroup(
+        grouped, "id", "lang", "score", "cost", budgets, partitions, ckpt)
+      .orderBy("grp", "cum_cost")
+      .select(col("id"), col("grp"), col("cum_cost"))
+      .as[(Long, String, Long)].collect().toSeq
+
+  test("per-group budgets select independently; unbudgeted groups drop") {
+    // en cumsums: 50, 80, 105, 145, 155; de cumsums: 20, 50
+    assert(selectGrouped(Map("en" -> 110L, "de" -> 25L)) ==
+      Seq(("de", 11L, 20L), ("en", 5L, 50L), ("en", 2L, 80L), ("en", 4L, 105L))
+        .map(t => (t._2, t._1, t._3)))
+  }
+
+  test("grouped selection is partition-count invariant and durable ≡ ephemeral") {
+    val expect = selectGrouped(Map("en" -> 145L, "de" -> 50L), partitions = 1)
+    val dir = java.nio.file.Files.createTempDirectory("budget-grp-ckpt").toString
+    for (p <- Seq(1, 2, 4, 8)) {
+      assert(selectGrouped(Map("en" -> 145L, "de" -> 50L), p) == expect, s"p=$p")
+      assert(selectGrouped(Map("en" -> 145L, "de" -> 50L), p, Some(dir)) == expect,
+        s"durable p=$p")
+    }
+  }
+
+  test("grouped: zero budget selects nothing for that group only") {
+    val out = selectGrouped(Map("en" -> 0L, "de" -> 20L))
+    assert(out == Seq((11L, "de", 20L)))
+  }
+
   test("negative costs fail loudly in both modes") {
     val bad = items.unionByName(Seq((7L, 4.0, -5L)).toDF("id", "score", "cost"))
     val dir = java.nio.file.Files.createTempDirectory("budget-neg").toString
