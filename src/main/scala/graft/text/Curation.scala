@@ -172,8 +172,14 @@ object Curation {
     // (decontamination, sampling, chunking) sees the cleaned corpus.
     val (spanCleaned, spansTrimmedN) = spanTrimMinRun match {
       case Some(minRun) =>
+        // hashKeys: the shared-set join keys on xxhash64 longs instead of
+        // w-token gram strings — ~6× skinnier shuffle, the difference
+        // between shipping tokens×8B and tokens×~50B at corpus scale.
+        // CrossDocNgramsSpec pins hash ≡ string on the real testdata;
+        // collisions are over-trim-only.
         val t = CrossDocNgrams
-          .trim(semanticDeduped, "id", "text", w = 8, minDocs = 2, minRun = minRun)
+          .trim(semanticDeduped, "id", "text", w = 8, minDocs = 2, minRun = minRun,
+            hashKeys = true)
           .select(col("id"), col("clean_text").as("text"),
             (col("n_removed") > 0L).as("__trimmed"))
         val (b, _) = boundary(t, "span_trim")
