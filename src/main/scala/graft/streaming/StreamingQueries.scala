@@ -26,16 +26,17 @@ object StreamingQueries {
   /** Shared q82/q86 setup — one recipe, two sinks: stage the events
     * table plus a second batch of planted exact-duplicate files (a copy
     * of every 10th event) into a watched dir, and open a schema'd
-    * readStream over it. ts is TIMESTAMP(NANOS) parquet, surfacing as a
-    * nanos long under nanosAsLong (see sources.Tables); the in-stream
-    * `div 1000` conversion must stay in lockstep with the oracles'
-    * `::TIMESTAMP` µs truncation, which is exactly why this lives in ONE
-    * place.
+    * readStream over it. `ts` normalization (nanos-long OR µs-NTZ parquet
+    * → TimestampType, see sources.Tables) happens on the BATCH load
+    * before staging, so the staged files are always TIMESTAMP_MICROS
+    * (EngineSession's outputTimestampType) and the stream schema needs no
+    * per-encoding conversion — the same values the oracles' `::TIMESTAMP`
+    * read produces.
     * @return (stream ready to transform, scratch root for sink/ckpt dirs)
     */
   private def plantedEventStream(
       s: SparkSession, dir: String, prefix: String): (DataFrame, String) = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = graft.sources.Tables.load(s, dir, "events")
     // Leased, not merely fresh: the dir stays alive for the WHOLE query
     // body (StreamingQuery run + sink read-back) regardless of how many
     // other invocations overlap — released in the query's finally.
@@ -54,7 +55,6 @@ object StreamingQueries {
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "2")
         .parquet(inDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       (stream, scratch)
     } catch {
       case e: Throwable =>
@@ -123,8 +123,9 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     // The planted copies are exact duplicates of every 10th event, so a
     // correct within-watermark dedup restores precisely the original
-    // table. DuckDB reads the nanos timestamps as TIMESTAMP_NS; ::TIMESTAMP
-    // truncates to µs — the same `div 1000` the engine applies in-stream.
+    // table. `::TIMESTAMP` lands DuckDB on µs wall-clock values whatever
+    // the parquet encodes (ns truncates, µs is a no-op) — the same
+    // normalization Tables.load applies on the engine side.
     "q82_streaming_dedup" ->
       """SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
