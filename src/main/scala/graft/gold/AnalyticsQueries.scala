@@ -440,6 +440,217 @@ object AnalyticsQueries {
           (col("m_l_returnflag") === col("m_l_linestatus") &&
             abs(col("m_l_returnflag") - col("n_exact")) <= col("n_exact") * lit(0.1))
             .as("merge_ok"))
+    },
+
+    // TPC-H Q4 shape (order-priority checking): the correlated EXISTS
+    // ("some lineitem of this order shipped late") is a left-semi join
+    // whose non-equi lateness conjunct rides the equi join on the order
+    // key — one shuffle, no per-order re-scan. The testdata has no
+    // l_commitdate/l_receiptdate, so "late" is shipdate > orderdate+30d
+    // (documented stand-in, identical in the oracle).
+    "q124_tpch_q4" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate") < lit("1997-04-01").cast("date"))
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > date_add(col("o_orderdate"), 30), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q6 shape (forecast-revenue change): the all-scan-side
+    // predicate query — every filter (shipdate range, discount band,
+    // quantity cap) pushes to the parquet scan, no join, one
+    // partial+final agg. Per-row product is one double op; DECIMAL(18,4)
+    // makes the SUM order-exact (q72 discipline).
+    "q125_tpch_q6" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+    },
+
+    // TPC-H Q8 shape (national market share): the CASE-inside-ratio
+    // aggregate over a 5-table join. Part filter and the Europe customer
+    // restriction ride left-semi joins (the fact table never widens);
+    // nation/region dims broadcast. Both ratio legs are exact DECIMAL
+    // sums cast to double only for the final division.
+    "q126_tpch_q8" -> { (s, dir) =>
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")
+      val custEur = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")
+                .select("r_regionkey")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_suppkey"), rev.as("volume"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+              col("o_orderdate") < lit("1998-01-01").cast("date"))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custEur, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("volume"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(col("volume")).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q9 shape (product-type profit by nation and year). The
+    // testdata has no partsupp, so supply cost is 0.01×p_retailprice per
+    // unit (documented stand-in, identical in the oracle — the q119
+    // discipline). Per-row profit is ONE double expression with the
+    // oracle's exact op order, quantized to DECIMAL(18,4) so the grouped
+    // SUM is order-exact.
+    "q127_tpch_q9" -> { (s, dir) =>
+      val profit = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.01) * col("p_retailprice") * col("l_quantity"))
+        .cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").contains("red"))
+            .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(profit).cast("double"), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11 shape (important stock): per-part value restricted to
+    // one nation's suppliers, HAVING against a global-scalar fraction.
+    // The scalar threshold rides a broadcast cross join of the 1-row
+    // re-aggregate — no collect, no second lineitem scan (the per-part
+    // frame is localCheckpointed once and reused for both legs).
+    "q128_tpch_q11" -> { (s, dir) =>
+      val vals = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier")
+            .join(broadcast(t(s, dir, "nation")
+                .filter(col("n_name") === "NATION_7").select("n_nationkey")),
+              col("s_nationkey") === col("n_nationkey"), "left_semi")
+            .select("s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * col("l_quantity"))
+          .cast("decimal(18,4)")).as("part_value"))
+        .localCheckpoint()
+      vals
+        .crossJoin(broadcast(vals.agg((sum(col("part_value")) * lit(0.001))
+          .as("threshold"))))
+        .filter(col("part_value") > col("threshold"))
+        .select(col("l_partkey"),
+          round(col("part_value").cast("double"), 2).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+
+    // TPC-H Q12 shape (shipmode line-priority histogram): join + two
+    // conditional counts. The testdata has no l_shipmode or receipt
+    // dates, so l_linestatus stands in for the mode group and "received
+    // late" is a shipdate 60–120 days after the order date (documented
+    // stand-ins, identical in the oracle).
+    "q129_tpch_q12" -> { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+        .join(t(s, dir, "orders")
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= date_add(col("o_orderdate"), 60) &&
+          col("l_shipdate") < date_add(col("o_orderdate"), 120) &&
+          col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q15 shape (top supplier): the revenue "view" re-aggregates
+    // to a scalar max, and WHICH suppliers achieve it comes back via an
+    // exact-DECIMAL equality join (q119 decorrelation discipline —
+    // doubles would be summation-order-dependent and could miss the
+    // max row). The per-supplier frame is localCheckpointed and reused.
+    "q130_tpch_q15" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-07-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("total_revenue"))
+        .localCheckpoint()
+      rev
+        .crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("max_rev"))))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue").cast("double"), 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q16 shape (parts/supplier relationship): count-distinct
+    // suppliers per (brand, type, size) with a NOT IN exclusion. The
+    // testdata has no s_comment, so the complaint exclusion is
+    // negative-balance suppliers (documented stand-in) riding a
+    // broadcast anti join; the part dim filter broadcasts too, so the
+    // only shuffle is the final distinct-count aggregation.
+    "q131_tpch_q16" -> { (s, dir) =>
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#5" &&
+              col("p_size").isin(1, 2, 9, 17, 25, 33, 41, 49))
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+            .select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    // OR-of-ANDs over (brand, quantity band, size band) stays one scan +
+    // one broadcast join — Catalyst extracts the common l_partkey join
+    // key and evaluates the disjunction post-join; no union-of-three-
+    // scans rewrite needed.
+    "q132_tpch_q19" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+            (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+              col("p_size").between(1, 10)) ||
+            (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+              col("p_size").between(1, 15)))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
     }
   )
 
@@ -667,6 +878,115 @@ object AnalyticsQueries {
         |  round(ln((SELECT c FROM n)::DOUBLE / doc_freq), 6) AS idf
         |FROM df
         |ORDER BY doc_freq DESC, term
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q124_tpch_q4" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q125_tpch_q6" ->
+      """SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DOUBLE, 2)
+        |    AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q126_tpch_q8" ->
+      """SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+        |  round(sum(CASE WHEN n_name = 'NATION_3'
+        |      THEN (l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4)
+        |      ELSE 0::DECIMAL(18,4) END)::DOUBLE
+        |    / sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))::DOUBLE,
+        |    6) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+        |  AND o_custkey IN (
+        |    SELECT c_custkey FROM customer WHERE c_nationkey IN (
+        |      SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |      WHERE r_name = 'EUROPE'))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q127_tpch_q9" ->
+      """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+        |  round(sum((l_extendedprice * (1.0 - l_discount)
+        |      - 0.01 * p_retailprice * l_quantity)::DECIMAL(18,4))::DOUBLE, 2)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q128_tpch_q11" ->
+      """WITH vals AS (
+        |  SELECT l_partkey,
+        |    sum((l_extendedprice * l_quantity)::DECIMAL(18,4)) AS part_value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_7')
+        |  GROUP BY 1)
+        |SELECT l_partkey, round(part_value::DOUBLE, 2) AS part_value
+        |FROM vals
+        |WHERE part_value > (SELECT sum(part_value) * 0.001 FROM vals)
+        |ORDER BY 2 DESC, l_partkey""".stripMargin,
+
+    "q129_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate < o_orderdate + INTERVAL 120 DAY
+        |  AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q130_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-07-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, round(total_revenue::DOUBLE, 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q131_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 2, 9, 17, 25, 33, 41, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q132_tpch_q19" ->
+      """SELECT round(sum((l_extendedprice * (1.0 - l_discount))
+        |    ::DECIMAL(18,4))::DOUBLE, 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin
   )
 }
