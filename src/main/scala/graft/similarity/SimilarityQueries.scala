@@ -298,8 +298,39 @@ object SimilarityQueries {
       SemDedup.probe(copies.unionByName(novels), index, "vec_id", "embedding", tau = 0.95)
         .select(col("id").as("vec_id"), col("has_duplicate"))
         .orderBy("vec_id")
+    },
+
+    // Distributed Lloyd k-means over the FULL corpus (KMeansLloyd, vs
+    // IvfIndex.train's bounded driver sample): deterministic lowest-id
+    // init, 3 iterations, k=4. Every step is oracle-replayable because
+    // centroid updates ride exact DECIMAL sums + a 6dp round (identical
+    // across engines and partitionings) and assignments are the
+    // CellArgmin arithmetic over those identical centroids. DuckDB
+    // replays all three assign/update rounds, unrolled.
+    "q135_kmeans_assign" -> { (s, dir) =>
+      kmeansFit(s, dir).assignments
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+
+    // Cluster quality report off the same fit: per-cell size + inertia
+    // (Σd² to the own centroid, DECIMAL-summed).
+    "q136_kmeans_inertia" -> { (s, dir) =>
+      KMeansLloyd.inertia(kmeansFit(s, dir)).orderBy("cell")
     }
   )
+
+  /** One fit per (session, sf dir) — q135/q136 (and the bench battery)
+    * share it instead of re-running the three Lloyd rounds. Keyed on the
+    * normalized absolute path (the gifCorpusCache discipline).
+    */
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), KMeansLloyd.Result]()
+  private def kmeansFit(s: SparkSession, dir: String): KMeansLloyd.Result =
+    kmeansCache.computeIfAbsent(
+      (System.identityHashCode(s),
+        java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString),
+      _ => KMeansLloyd.fit(emb(s, dir), "vec_id", "embedding", k = 4, iterations = 3))
 
   /** Exact per-query best cosine (the recall ground truth). */
   private def exactBest(e: DataFrame): DataFrame =
@@ -512,6 +543,62 @@ object SimilarityQueries {
         |    ON list_dot_product(b.v, c.v) / (b.nn * c.nn) >= 0.95)
         |SELECT bn.vec_id, (hits.vec_id IS NOT NULL) AS has_duplicate
         |FROM bn LEFT JOIN hits ON bn.vec_id = hits.vec_id
-        |ORDER BY bn.vec_id""".stripMargin
+        |ORDER BY bn.vec_id""".stripMargin,
+
+    "q135_kmeans_assign" ->
+      s"""$kmeansReplayCtes
+         |SELECT vec_id, cell FROM a4 ORDER BY vec_id""".stripMargin,
+
+    "q136_kmeans_inertia" ->
+      s"""$kmeansReplayCtes
+         |SELECT a.cell, count(*)::BIGINT AS n_vectors,
+         |  round(sum(((list_dot_product(a.v, a.v)
+         |        - 2.0 * list_dot_product(a.v, c.c))
+         |      + list_dot_product(c.c, c.c))::DECIMAL(28,12))::DOUBLE, 6)
+         |    AS inertia
+         |FROM a4 a JOIN c3 c USING (cell)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** Unrolled 3-iteration Lloyd replay shared by the q135/q136 oracles:
+    * c0 = lowest-id seed, aᵢ = CellArgmin assignment against cᵢ₋₁
+    * (same (Σv²−2Σvc)+Σc² operand order, first-minimum tie-break via
+    * the (dist, cell) row_number), cᵢ = DECIMAL-exact elementwise mean
+    * rounded to 6dp — bit-identical to the engine's update. a4 is the
+    * final assignment against c3, mirroring KMeansLloyd.fit's
+    * post-loop assignment pass.
+    */
+  private def kmeansReplayCtes: String = {
+    def assign(i: Int, c: String) =
+      s"""a$i AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.c))
+         |          + list_dot_product(c.c, c.c),
+         |        c.cell) AS rn
+         |    FROM emb e CROSS JOIN $c c) t
+         |  WHERE rn = 1)"""
+    def update(i: Int) =
+      s"""c$i AS (
+         |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cell, pos,
+         |      round(sum(x::DECIMAL(28,9))::DOUBLE / count(*), 6) AS m
+         |    FROM (SELECT cell, unnest(v) AS x,
+         |                 unnest(range(1, len(v) + 1)) AS pos
+         |          FROM a$i)
+         |    GROUP BY cell, pos) GROUP BY cell)"""
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS c
+       |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4) s),
+       |${assign(1, "c0")},
+       |${update(1)},
+       |${assign(2, "c1")},
+       |${update(2)},
+       |${assign(3, "c2")},
+       |${update(3)},
+       |${assign(4, "c3")}"""
+  }
 }

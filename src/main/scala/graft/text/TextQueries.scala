@@ -407,6 +407,24 @@ object TextQueries {
         k = 10)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // Okapi BM25 retrieval for a fixed 4-term query — the standard
+    // first-stage retriever for decontamination sweeps and targeted
+    // corpus probes. 'dup' is the corpus's one rare term (df≈5% of
+    // docs), so the idf spread is real. Top-10 with a doc-id tie-break;
+    // DuckDB replays tf/df/dl and the exact score arithmetic.
+    "q133_bm25" -> { (s, dir) =>
+      Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "window", "dup"), k = 10)
+    },
+
+    // Per-document TF-IDF keyword signature: top-3 terms per doc,
+    // lexicographic tie-break inside a doc-partitioned window (never a
+    // global sort).
+    "q134_tfidf_keywords" -> { (s, dir) =>
+      Retrieval.tfidfKeywords(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
     }
   )
 
@@ -1158,6 +1176,64 @@ object TextQueries {
         |    AS n_pos,
         |  true AS separation_ok,
         |  true AS loss_monotone
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // BM25 replay: tf/df/dl from the same \s+ split, avgdl as one
+    // division of exact integer sums, the per-(doc,term) score as ONE
+    // double chain in the engine's operand order, quantized to
+    // DECIMAL(18,9) so the per-doc sum is order-exact.
+    "q133_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, len(regexp_split_to_array(text, '\s+'))::BIGINT AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs,
+        |    (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+        |  WHERE term IN ('spark', 'vector', 'window', 'dup')
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    (ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |     ((tf.tf * (1.2 + 1.0)) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))))
+        |      ::DECIMAL(18,9) AS s
+        |  FROM tf
+        |  JOIN df USING (term)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, round(sum(s)::DOUBLE, 6) AS bm25
+        |FROM scored GROUP BY 1
+        |ORDER BY 2 DESC, doc_id
+        |LIMIT 10""".stripMargin,
+
+    // TF-IDF keyword replay: same split, idf = ln(N/df), rank ties on
+    // the term — row_number over the identical (desc tfidf, term) order.
+    "q134_tfidf_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(text, '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (tf.tf * ln(n.n_docs / df.df)) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term) AS rank
+        |  FROM w)
+        |SELECT doc_id, rank::INT AS rank, term, round(tfidf, 6) AS tfidf
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin
   )
 }
