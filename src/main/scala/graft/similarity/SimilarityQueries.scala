@@ -308,29 +308,24 @@ object SimilarityQueries {
     // CellArgmin arithmetic over those identical centroids. DuckDB
     // replays all three assign/update rounds, unrolled.
     "q135_kmeans_assign" -> { (s, dir) =>
-      kmeansFit(s, dir).assignments
+      // No cross-invocation memo on purpose: a cached Result would hold
+      // localCheckpoint blocks that Bench's between-run cleanup()
+      // unpersists, and the fit (4 narrow jobs over the embeddings
+      // table) IS the operator being measured.
+      KMeansLloyd.fit(emb(s, dir), "vec_id", "embedding", k = 4, iterations = 3)
+        .assignments
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy("vec_id")
     },
 
-    // Cluster quality report off the same fit: per-cell size + inertia
-    // (Σd² to the own centroid, DECIMAL-summed).
+    // Cluster quality report off the same fit recipe: per-cell size +
+    // inertia (Σd² to the own centroid, DECIMAL-summed).
     "q136_kmeans_inertia" -> { (s, dir) =>
-      KMeansLloyd.inertia(kmeansFit(s, dir)).orderBy("cell")
+      KMeansLloyd.inertia(
+        KMeansLloyd.fit(emb(s, dir), "vec_id", "embedding", k = 4, iterations = 3))
+        .orderBy("cell")
     }
   )
-
-  /** One fit per (session, sf dir) — q135/q136 (and the bench battery)
-    * share it instead of re-running the three Lloyd rounds. Keyed on the
-    * normalized absolute path (the gifCorpusCache discipline).
-    */
-  private val kmeansCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), KMeansLloyd.Result]()
-  private def kmeansFit(s: SparkSession, dir: String): KMeansLloyd.Result =
-    kmeansCache.computeIfAbsent(
-      (System.identityHashCode(s),
-        java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString),
-      _ => KMeansLloyd.fit(emb(s, dir), "vec_id", "embedding", k = 4, iterations = 3))
 
   /** Exact per-query best cosine (the recall ground truth). */
   private def exactBest(e: DataFrame): DataFrame =
