@@ -324,6 +324,44 @@ object SimilarityQueries {
       KMeansLloyd.inertia(
         KMeansLloyd.fit(emb(s, dir), "vec_id", "embedding", k = 4, iterations = 3))
         .orderBy("cell")
+    },
+
+    // Cluster topic labels — the corpus-organization report a curation
+    // team reads: k-means cells (q135's fit) joined to the paired
+    // documents (vec_id ≡ doc_id in the testdata), each cell labeled
+    // with its top-3 terms by cluster-tf × corpus-idf. The doc↔cell join
+    // is key-keyed (both corpus-sized frames shuffle once on the id);
+    // term stats broadcast back; the per-cell top-3 is a cell-
+    // partitioned window.
+    "q137_cluster_topics" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val assigned = KMeansLloyd
+        .fit(emb(s, dir), "vec_id", "embedding", k = 4, iterations = 3)
+        .assignments.select(col("id"), col("cell"))
+      val docs = Tables.load(s, dir, "documents")
+      val tf = docs
+        .join(assigned, docs("doc_id") === assigned("id"))
+        .select(col("cell"),
+          explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("cell"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = docs
+        .select(explode(array_distinct(
+          graft.text.TextAnalysis.tokens(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .select(col("cell"), col("term"),
+          (col("tf") * log(col("n_docs") / col("df"))).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("cell"), col("rank"), col("term"),
+          round(col("score"), 6).as("score"))
+        .orderBy("cell", "rank")
     }
   )
 
@@ -552,7 +590,35 @@ object SimilarityQueries {
          |      + list_dot_product(c.c, c.c))::DECIMAL(28,12))::DOUBLE, 6)
          |    AS inertia
          |FROM a4 a JOIN c3 c USING (cell)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q137_cluster_topics" ->
+      s"""$kmeansReplayCtes,
+         |docterms AS (
+         |  SELECT a.cell,
+         |    unnest(regexp_split_to_array(d.text, '\\s+')) AS term
+         |  FROM a4 a JOIN documents d ON d.doc_id = a.vec_id),
+         |tfc AS (
+         |  SELECT cell, term, count(*)::DOUBLE AS tf FROM docterms
+         |  GROUP BY 1, 2),
+         |dfd AS (
+         |  SELECT term, count(*)::DOUBLE AS df FROM (
+         |    SELECT doc_id,
+         |      unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS term
+         |    FROM documents)
+         |  GROUP BY 1),
+         |nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT cell, term, (tf * ln(nn.n_docs / df)) AS score
+         |  FROM tfc JOIN dfd USING (term) CROSS JOIN nn),
+         |ranked AS (
+         |  SELECT cell, term, score,
+         |    row_number() OVER (PARTITION BY cell
+         |                       ORDER BY score DESC, term) AS rank
+         |  FROM scored)
+         |SELECT cell, rank::INT AS rank, term, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY cell, rank""".stripMargin
   )
 
   /** Unrolled 3-iteration Lloyd replay shared by the q135/q136 oracles:
