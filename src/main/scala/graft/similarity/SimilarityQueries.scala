@@ -362,6 +362,35 @@ object SimilarityQueries {
         .select(col("cell"), col("rank"), col("term"),
           round(col("score"), 6).as("score"))
         .orderBy("cell", "rank")
+    },
+
+    // Product quantization codes: 4 subspaces × 16 dims, per-subspace
+    // Lloyd codebooks (ksub=4, 2 iterations, lowest-id init) — a dim-64
+    // float vector becomes 4 small ints. DuckDB replays every
+    // subspace's training rounds and the CellArgmin encode, unrolled.
+    "q138_pq_encode" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val model = ProductQuantizer.train(e, "vec_id", "embedding",
+        m = 4, ksub = 4, iterations = 2)
+      ProductQuantizer.encode(e, "vec_id", "embedding", model)
+        .select(col("id").as("vec_id"),
+          col("code0"), col("code1"), col("code2"), col("code3"))
+        .orderBy("vec_id")
+    },
+
+    // ADC retrieval over the codes: every 50th vector queries the
+    // compressed corpus; the score is the exact squared distance to the
+    // candidate's RECONSTRUCTION (codes + broadcast codebooks only —
+    // the corpus floats never travel), top-5 per query with an id
+    // tie-break.
+    "q139_pq_adc" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val model = ProductQuantizer.train(e, "vec_id", "embedding",
+        m = 4, ksub = 4, iterations = 2)
+      val codes = ProductQuantizer.encode(e, "vec_id", "embedding", model)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      ProductQuantizer.adcTopK(queries, "vec_id", "embedding", codes, model, k = 5)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -618,48 +647,107 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT cell, rank::INT AS rank, term, round(score, 6) AS score
          |FROM ranked WHERE rank <= 3
-         |ORDER BY cell, rank""".stripMargin
+         |ORDER BY cell, rank""".stripMargin,
+
+    "q138_pq_encode" ->
+      s"""$pqReplayCtes
+         |SELECT vec_id, code0, code1, code2, code3 FROM codes
+         |ORDER BY vec_id""".stripMargin,
+
+    // recon = concatenated per-subspace centroids (list order = subspace
+    // order, matching the engine's concat), score = the same
+    // (Σq²−2Σq·r)+Σr² chain over the full 64 elements.
+    "q139_pq_adc" ->
+      s"""$pqReplayCtes,
+         |recon AS (
+         |  SELECT codes.vec_id, (b0.c || b1.c || b2.c || b3.c) AS r
+         |  FROM codes
+         |  JOIN s0c2 b0 ON b0.cell = codes.code0
+         |  JOIN s1c2 b1 ON b1.cell = codes.code1
+         |  JOIN s2c2 b2 ON b2.cell = codes.code2
+         |  JOIN s3c2 b3 ON b3.cell = codes.code3),
+         |qs AS (
+         |  SELECT vec_id AS query_id, v AS q FROM emb WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT qs.query_id, recon.vec_id,
+         |    (list_dot_product(q, q) - 2.0 * list_dot_product(q, r))
+         |      + list_dot_product(r, r) AS score
+         |  FROM recon CROSS JOIN qs),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank::INT AS rank, vec_id,
+         |  round(score, 6) AS adc_dist
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
   )
 
-  /** Unrolled 3-iteration Lloyd replay shared by the q135/q136 oracles:
-    * c0 = lowest-id seed, aᵢ = CellArgmin assignment against cᵢ₋₁
-    * (same (Σv²−2Σvc)+Σc² operand order, first-minimum tie-break via
-    * the (dist, cell) row_number), cᵢ = DECIMAL-exact elementwise mean
-    * rounded to 6dp — bit-identical to the engine's update. a4 is the
-    * final assignment against c3, mirroring KMeansLloyd.fit's
+  /** Generic Lloyd replay CTE block over a (vec_id, v DOUBLE[]) source:
+    * ${prefix}c0 = lowest-id seed, ${prefix}aᵢ = CellArgmin assignment
+    * against cᵢ₋₁ (same (Σv²−2Σvc)+Σc² operand order, first-minimum
+    * tie-break via the (dist, cell) row_number), ${prefix}cᵢ =
+    * DECIMAL-exact elementwise mean rounded to 6dp — bit-identical to
+    * the engine's update. The last block, ${prefix}a{iters+1}, is the
+    * final assignment against c{iters}, mirroring KMeansLloyd.fit's
     * post-loop assignment pass.
     */
-  private def kmeansReplayCtes: String = {
+  private def lloydCtes(src: String, prefix: String, k: Int, iters: Int): String = {
     def assign(i: Int, c: String) =
-      s"""a$i AS (
+      s"""${prefix}a$i AS (
          |  SELECT vec_id, v, cell FROM (
          |    SELECT e.vec_id, e.v, c.cell,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        (list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.c))
          |          + list_dot_product(c.c, c.c),
          |        c.cell) AS rn
-         |    FROM emb e CROSS JOIN $c c) t
+         |    FROM $src e CROSS JOIN $c c) t
          |  WHERE rn = 1)"""
     def update(i: Int) =
-      s"""c$i AS (
+      s"""${prefix}c$i AS (
          |  SELECT cell, list(m ORDER BY pos) AS c FROM (
          |    SELECT cell, pos,
          |      round(sum(x::DECIMAL(28,9))::DOUBLE / count(*), 6) AS m
          |    FROM (SELECT cell, unnest(v) AS x,
          |                 unnest(range(1, len(v) + 1)) AS pos
-         |          FROM a$i)
+         |          FROM ${prefix}a$i)
          |    GROUP BY cell, pos) GROUP BY cell)"""
+    val seed =
+      s"""${prefix}c0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS c
+         |  FROM (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT $k) s)"""
+    val rounds = (1 to iters).map(i =>
+      s"${assign(i, s"${prefix}c${i - 1}")},\n|${update(i)}")
+    (seed +: rounds :+ assign(iters + 1, s"${prefix}c$iters")).mkString(",\n|")
+  }
+
+  /** q135/q136/q137's shared replay: full-width k=4, 3 iterations —
+    * final assignment is a4 against c3.
+    */
+  private def kmeansReplayCtes: String =
     s"""WITH emb AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |c0 AS (
-       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS c
-       |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4) s),
-       |${assign(1, "c0")},
-       |${update(1)},
-       |${assign(2, "c1")},
-       |${update(2)},
-       |${assign(3, "c2")},
-       |${update(3)},
-       |${assign(4, "c3")}"""
+       |${lloydCtes("emb", "", k = 4, iters = 3)}"""
+
+  /** q138/q139's PQ replay: 4 subspaces of 16 dims, each its own
+    * 2-iteration Lloyd (final assignment s{i}a3 against s{i}c2), codes
+    * joined back on vec_id.
+    */
+  private def pqReplayCtes: String = {
+    val sub = (0 until 4).map { i =>
+      val lo = i * 16 + 1
+      val hi = (i + 1) * 16
+      s"""s${i}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM emb),
+         |${lloydCtes(s"s${i}e", s"s$i", k = 4, iters = 2)}"""
+    }.mkString(",\n|")
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$sub,
+       |codes AS (
+       |  SELECT a.vec_id, a.cell AS code0, b.cell AS code1,
+       |         c.cell AS code2, d.cell AS code3
+       |  FROM s0a3 a JOIN s1a3 b USING (vec_id)
+       |       JOIN s2a3 c USING (vec_id) JOIN s3a3 d USING (vec_id))"""
   }
 }
