@@ -117,6 +117,46 @@ object StreamingQueries {
           .localCheckpoint(true)
           .orderBy("event_id")
       } finally ScratchDirs.release(scratch)
+    },
+
+    // Stream-static join — the standard streaming dimension-enrichment
+    // pattern: every micro-batch joins against a BATCH-computed frame
+    // (per-user order profile) that broadcasts into the stream side; the
+    // static aggregate is evaluated once per micro-batch planning, never
+    // shuffled against the stream. No dedup on purpose: the planted
+    // copies flow through, proving row-level passthrough (sink = events
+    // ∪ planted copies, each enriched) — which is exactly what DuckDB
+    // recomputes relationally. The left join + coalesce keeps events
+    // whose user has no orders.
+    "q140_stream_enrich" -> { (s, dir) =>
+      val (stream, scratch) = plantedEventStream(s, dir, "graft-stream-enrich")
+      try {
+        val sinkDir = s"$scratch/sink"
+        val ckptDir = s"$scratch/ckpt"
+        val userDim = graft.sources.Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey").as("user_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("user_total"))
+        val enriched = stream
+          .join(broadcast(userDim), Seq("user_id"), "left_outer")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            round(coalesce(col("user_total"), lit(0).cast("decimal(18,2)"))
+              .cast("double"), 2).as("user_total"))
+        val q = enriched.writeStream
+          .format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+
+        s.read.parquet(sinkDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("n_orders"), col("user_total"))
+          .localCheckpoint(true)
+          .orderBy("event_id")
+      } finally ScratchDirs.release(scratch)
     }
   )
 
@@ -135,6 +175,28 @@ object StreamingQueries {
     // recompute as q82.
     "q86_streaming_txmerge" ->
       """SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Stream-static enrichment: the sink holds events ∪ planted copies
+    // (no dedup in q140), each left-joined to the per-user order
+    // profile. The planted copies are byte-identical rows, so the
+    // duplicate event_ids sort-tie harmlessly under the row-sorted hash
+    // compare.
+    "q140_stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT o_custkey AS user_id, count(*)::BIGINT AS n_orders,
+        |    sum(o_totalprice::DECIMAL(18,2)) AS user_total
+        |  FROM orders GROUP BY 1),
+        |ev AS (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE event_id % 10 = 0)
+        |SELECT ev.event_id, ev.user_id, ev.event_type,
+        |  coalesce(dim.n_orders, 0)::BIGINT AS n_orders,
+        |  round(coalesce(dim.user_total, 0::DECIMAL(18,2))::DOUBLE, 2)
+        |    AS user_total
+        |FROM ev LEFT JOIN dim USING (user_id)
+        |ORDER BY event_id""".stripMargin
   )
 }
