@@ -651,6 +651,30 @@ object AnalyticsQueries {
               col("p_size").between(1, 15)))
         .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+    },
+
+    // PageRank over the symmetric supplier↔customer trade graph (edges
+    // = distinct (supplier, customer) pairs via orders, both
+    // directions, so no node dangles and mass is conserved) — the
+    // propagation class of graph analytics beside ConnectedComponents'
+    // connectivity class. 3 fixed iterations, damping 0.85; every
+    // iteration is keyed-join + partial/final agg, DECIMAL-exact
+    // contribution sums, 12dp rank rounding — bit-identical across
+    // engines, so DuckDB replays all three rounds unrolled. Top-20 by
+    // rank with an id tie-break.
+    "q141_pagerank" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + 1000000L).as("supp"),
+          col("o_custkey").as("cust"))
+        .distinct()
+      val edges = pairs.select(col("supp").as("src"), col("cust").as("dst"))
+        .unionAll(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+      graft.operators.PageRank.run(edges, iterations = 3)
+        .orderBy(col("rank").desc, col("id"))
+        .limit(20)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
     }
   )
 
@@ -987,6 +1011,42 @@ object AnalyticsQueries {
         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
         |       AND p_size BETWEEN 1 AND 10)
         |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
-        |       AND p_size BETWEEN 1 AND 15)""".stripMargin
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    // PageRank replay, 3 iterations unrolled. The teleport base is
+    // written (1.0 - 0.85) — NOT the literal 0.15 — because the engine
+    // computes it by subtraction and the two doubles differ in the last
+    // ulp; per-edge contributions quantize to DECIMAL(28,15) before the
+    // order-sensitive sum, and each new rank rounds to 12dp exactly as
+    // the engine does.
+    "q141_pagerank" -> {
+      def iter(i: Int): String =
+        s"""r$i AS (
+           |  SELECT nodes.id,
+           |    round(((1.0 - 0.85) / (SELECT n FROM nn))
+           |        + 0.85 * coalesce(c.inflow, 0.0), 12) AS rank
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst,
+           |      sum((r.rank / o.outdeg)::DECIMAL(28,15))::DOUBLE AS inflow
+           |    FROM e
+           |    JOIN r${i - 1} r ON r.id = e.src
+           |    JOIN outdeg o ON o.src = e.src
+           |    GROUP BY 1) c ON c.dst = nodes.id)"""
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_suppkey + 1000000 AS supp, o_custkey AS cust
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT supp AS src, cust AS dst FROM pairs
+         |      UNION ALL SELECT cust, supp FROM pairs),
+         |outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT id, (1.0 / (SELECT n FROM nn)) AS rank FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id, round(rank, 6) AS rank FROM (
+         |  SELECT id, rank FROM r3 ORDER BY rank DESC, id LIMIT 20) top
+         |ORDER BY rank DESC, id""".stripMargin
+    }
   )
 }
