@@ -675,6 +675,32 @@ object AnalyticsQueries {
         .orderBy(col("rank").desc, col("id"))
         .limit(20)
         .select(col("id"), round(col("rank"), 6).as("rank"))
+    },
+
+    // Approximate percentiles — the quantile-sketch sibling of q66's
+    // HLL contract: at 100 TB an exact percentile sorts every value
+    // through one partition, a GK/KLL-style sketch ships kilobytes.
+    // The estimate is engine-defined, so the gate is an error-envelope
+    // contract: each approx value must land inside the EXACT
+    // (q42-style) quantile band ±5 rank-percentiles around its target —
+    // ~50× looser than the sketch's configured 1/1000 rank error, tight
+    // enough to catch a broken merge. DuckDB pins group counts and the
+    // booleans at true.
+    "q142_approx_percentile" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(value, 0.99, 1000)").as("ap99"),
+          expr("percentile(value, 0.45)").as("lo50"),
+          expr("percentile(value, 0.55)").as("hi50"),
+          expr("percentile(value, 0.98)").as("lo99"),
+          expr("percentile(value, 1.0)").as("hi99"))
+        .select(col("event_type"), col("n"),
+          (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("p50_ok"),
+          (col("ap99") >= col("lo99") && col("ap99") <= col("hi99")).as("p99_ok"))
+        .orderBy("event_type")
     }
   )
 
@@ -1047,6 +1073,14 @@ object AnalyticsQueries {
          |SELECT id, round(rank, 6) AS rank FROM (
          |  SELECT id, rank FROM r3 ORDER BY rank DESC, id LIMIT 20) top
          |ORDER BY rank DESC, id""".stripMargin
-    }
+    },
+
+    // q142: the estimates are engine-defined (GK-style sketch); DuckDB
+    // pins the per-group counts and the envelope booleans (the q66
+    // pattern).
+    "q142_approx_percentile" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  true AS p50_ok, true AS p99_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
