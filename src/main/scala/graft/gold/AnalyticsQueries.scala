@@ -681,9 +681,10 @@ object AnalyticsQueries {
     // HLL contract: at 100 TB an exact percentile sorts every value
     // through one partition, a GK/KLL-style sketch ships kilobytes.
     // The estimate is engine-defined, so the gate is an error-envelope
-    // contract: each approx value must land inside the EXACT
-    // (q42-style) quantile band ±5 rank-percentiles around its target —
-    // ~50× looser than the sketch's configured 1/1000 rank error, tight
+    // contract: each approx value must land inside an EXACT (q42-style)
+    // quantile band — ±5 rank-percentiles for p50, and [p98, max] for
+    // p99 (the upper leg is capped by the distribution's end) — ~10-50×
+    // looser than the sketch's configured 1/1000 rank error, tight
     // enough to catch a broken merge. DuckDB pins group counts and the
     // booleans at true.
     "q142_approx_percentile" -> { (s, dir) =>
@@ -936,7 +937,8 @@ object AnalyticsQueries {
         |WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey
-        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |                AND l_shipdate >
+        |                  date_trunc('day', o_orderdate) + INTERVAL 30 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q125_tpch_q6" ->
@@ -1000,8 +1002,8 @@ object AnalyticsQueries {
         |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
         |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
-        |  AND l_shipdate < o_orderdate + INTERVAL 120 DAY
+        |WHERE l_shipdate >= date_trunc('day', o_orderdate) + INTERVAL 60 DAY
+        |  AND l_shipdate < date_trunc('day', o_orderdate) + INTERVAL 120 DAY
         |  AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

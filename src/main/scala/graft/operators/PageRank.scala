@@ -39,7 +39,10 @@ object PageRank {
   ): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint()
+    // Materialized once like e/nodes — lazy, every iteration's
+    // localCheckpoint would replay this corpus-sized shuffle+agg.
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()

@@ -19,35 +19,36 @@ class PqSpec extends SparkSpec {
   private def model = ProductQuantizer.train(emb, "vec_id", "embedding",
     m = M, ksub = Ksub, iterations = 2)
 
-  private def sqDist(v: Array[Double], c: Seq[Double]): Double = {
-    var vv = 0.0; var vc = 0.0; var cc = 0.0; var i = 0
-    while (i < v.length) { vv += v(i) * v(i); i += 1 }
-    i = 0
-    while (i < v.length) { vc += v(i) * c(i); i += 1 }
-    i = 0
-    while (i < c.length) { cc += c(i) * c(i); i += 1 }
-    (vv - 2.0 * vc) + cc
-  }
+  import RefDist.sqDist
 
-  test("per-subspace encode margins are far above double noise; every code used") {
-    val m = model
+  test("per-subspace encode margins are far above double noise at EVERY training round; every final code used") {
     val vectors = emb.select(VectorOps.toDouble(col("embedding")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
-    for (s <- 0 until M) {
-      val book = m.codebooks(s)
-      val used = Array.fill(Ksub)(0)
-      var minMargin = Double.MaxValue
-      vectors.foreach { v =>
-        val sub = v.slice(s * m.subDim, (s + 1) * m.subDim)
-        val ds = book.map(c => sqDist(sub, c)).toArray
-        val best = ds.min
-        used(ds.indexOf(best)) += 1
-        val margin = (ds.sorted.apply(1) - best) / math.max(best, 1e-12)
-        if (margin < minMargin) minMargin = margin
+    // The oracle unrolls the intermediate assignments too (s{i}a1
+    // against the seed, s{i}a2 against c1), so the margin gate must
+    // cover every round's codebooks, not only the final model's.
+    for (iters <- 0 to 2) {
+      val m = ProductQuantizer.train(emb, "vec_id", "embedding",
+        m = M, ksub = Ksub, iterations = iters)
+      for (s <- 0 until M) {
+        val book = m.codebooks(s)
+        val used = Array.fill(Ksub)(0)
+        var minMargin = Double.MaxValue
+        vectors.foreach { v =>
+          val sub = v.slice(s * m.subDim, (s + 1) * m.subDim)
+          val ds = book.map(c => sqDist(sub, c)).toArray
+          val best = ds.min
+          used(ds.indexOf(best)) += 1
+          val margin = (ds.sorted.apply(1) - best) / math.max(best, 1e-12)
+          if (margin < minMargin) minMargin = margin
+        }
+        assert(used.forall(_ > 0),
+          s"iters=$iters subspace $s unused code: ${used.toSeq}")
+        // Same 1e-9 floor rationale as KMeansSpec: ~1e-12 summation-
+        // order noise, three orders of safety.
+        assert(minMargin > 1e-9,
+          s"iters=$iters subspace $s encode margin $minMargin too close to double noise")
       }
-      assert(used.forall(_ > 0), s"subspace $s unused code: ${used.toSeq}")
-      assert(minMargin > 1e-6,
-        s"subspace $s encode margin $minMargin too close to double noise")
     }
   }
 
