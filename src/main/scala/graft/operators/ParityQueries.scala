@@ -436,6 +436,49 @@ object ParityQueries {
           .localCheckpoint(true)
           .orderBy("shard")
       } finally graft.core.ScratchDirs.release(scratch)
+    },
+
+    // Fuzzy (edit-distance) join — the entity-resolution primitive, via
+    // the segment-pigeonhole equi-join (FuzzyJoin; never a cartesian).
+    // Planting: every customer key becomes a 32-hex md5 "clean" name;
+    // variants plant a substitution (k%3=0, dist 1), a deletion (k%3=1,
+    // dist 1 — and length 31, exercising the cross-length probe), a
+    // double substitution (k%3=2, dist 2), and a no-match decoy (k%10=0,
+    // an unrelated md5). The oracle is the NAIVE cartesian levenshtein
+    // join over the same planted frame — the pigeonhole filter is
+    // exact-complete, so the two must agree pair for pair and distance
+    // for distance, with no probabilistic argument: random 32-hex
+    // strings sit ~20+ edits apart, and even an accidental near-pair
+    // would be found by BOTH sides.
+    "q143_fuzzy_join" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          expr("md5(cast(c_custkey as string))").as("b"))
+      val subst = c.filter(col("k") % 3 === 0).selectExpr(
+        "k + 1000000 AS variant_id",
+        "concat(substring(b, 1, cast(k % 32 as int)), 'z', " +
+          "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
+      val deletion = c.filter(col("k") % 3 === 1).selectExpr(
+        "k + 2000000 AS variant_id",
+        "concat(substring(b, 1, cast(k % 32 as int)), " +
+          "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
+      val double = c.filter(col("k") % 3 === 2)
+        .selectExpr("k",
+          "concat(substring(b, 1, cast(k % 16 as int)), 'z', " +
+            "substring(b, cast(k % 16 as int) + 2, 64)) AS s1")
+        .selectExpr(
+          "k + 3000000 AS variant_id",
+          "concat(substring(s1, 1, cast(16 + k % 16 as int)), 'y', " +
+            "substring(s1, cast(16 + k % 16 as int) + 2, 64)) AS vstr")
+      val decoy = c.filter(col("k") % 10 === 0).selectExpr(
+        "k + 4000000 AS variant_id",
+        "md5(cast(k + 7000000 as string)) AS vstr")
+      val variants = subst.unionByName(deletion).unionByName(double).unionByName(decoy)
+      FuzzyJoin.join(
+        variants, "variant_id", "vstr",
+        c.select(col("k").as("base_id"), col("b").as("bstr")), "base_id", "bstr",
+        maxDistance = 2)
+        .orderBy("variant_id", "base_id")
     }
   )
 
@@ -743,6 +786,39 @@ object ParityQueries {
     "q90_mixture_sizes" ->
       """SELECT label,
         |  least(floor(((label + 1) / 55.0) * 400)::BIGINT, count(*)) AS n_sampled
-        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The NAIVE cartesian levenshtein join over the identical planted
+    // frame: the engine's segment-pigeonhole filter is exact-complete,
+    // so banded result == cartesian ground truth deterministically.
+    "q143_fuzzy_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, md5(c_custkey::VARCHAR) AS b FROM customer),
+        |sub1 AS (
+        |  SELECT k, substr(b, 1, (k % 16)::INT) || 'z'
+        |    || substr(b, (k % 16)::INT + 2) AS s1
+        |  FROM c WHERE k % 3 = 2),
+        |var AS (
+        |  SELECT k + 1000000 AS variant_id,
+        |    substr(b, 1, (k % 32)::INT) || 'z'
+        |      || substr(b, (k % 32)::INT + 2) AS vstr
+        |  FROM c WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 2000000,
+        |    substr(b, 1, (k % 32)::INT) || substr(b, (k % 32)::INT + 2)
+        |  FROM c WHERE k % 3 = 1
+        |  UNION ALL
+        |  SELECT k + 3000000,
+        |    substr(s1, 1, (16 + k % 16)::INT) || 'y'
+        |      || substr(s1, (16 + k % 16)::INT + 2)
+        |  FROM sub1
+        |  UNION ALL
+        |  SELECT k + 4000000, md5((k + 7000000)::VARCHAR)
+        |  FROM c WHERE k % 10 = 0)
+        |SELECT v.variant_id, c.k AS base_id,
+        |  levenshtein(v.vstr, c.b)::INT AS dist
+        |FROM var v CROSS JOIN c
+        |WHERE levenshtein(v.vstr, c.b) <= 2
+        |ORDER BY variant_id, base_id""".stripMargin
   )
 }
