@@ -702,6 +702,43 @@ object AnalyticsQueries {
           (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("p50_ok"),
           (col("ap99") >= col("lo99") && col("ap99") <= col("hi99")).as("p99_ok"))
         .orderBy("event_type")
+    },
+
+    // Count-min-sketch heavy hitters — the mergeable frequency sketch
+    // that pairs with q66's HLL cardinality sketch: term frequencies
+    // over every token occurrence via Spark's `count_min_sketch`
+    // aggregate (partial sketches merge map-side; only w×d counter
+    // arrays cross the shuffle, never per-key rows — the 100 TB path,
+    // where the exact per-key aggregation this query ALSO runs is the
+    // part you'd drop). The exact pass supplies the top-20 candidate
+    // set and the differential ground truth; the sketch is probed on
+    // the driver for those 20 terms (two bounded driver reads: one
+    // ~100 KB sketch, 20 rows). At these dimensions (eps 0.001 → 2,000+
+    // counter columns vs a ~40-term vocabulary, depth from conf 0.999)
+    // no term collides in every row, so the CMS estimate — which is
+    // always ≥ the true count — equals it exactly, and `overcount` pins
+    // 0: the oracle recomputes everything relationally. Seeded hashing
+    // keeps the sketch deterministic across JVMs.
+    "q144_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("term"))
+        .localCheckpoint() // one tokenize pass feeds both the sketch and the exact agg
+      val skBytes = toks
+        .agg(expr("count_min_sketch(term, 0.001d, 0.999d, 42)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val sk = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val top = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("term"))
+        .limit(20)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), sk.estimateCount(r.getString(0))))
+        .toSeq
+      top.toDF("term", "exact_n", "est_n")
+        .withColumn("overcount", col("est_n") - col("exact_n"))
+        .orderBy(col("exact_n").desc, col("term"))
     }
   )
 
@@ -1083,6 +1120,20 @@ object AnalyticsQueries {
     "q142_approx_percentile" ->
       """SELECT event_type, count(*)::BIGINT AS n,
         |  true AS p50_ok, true AS p99_ok
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q144: the CMS estimate is ≥-exact by construction and collision-
+    // free at these dimensions (2,000+ counter columns vs a ~40-term
+    // vocabulary), so est_n replays as the exact count and overcount
+    // pins 0 — the whole row is relational.
+    "q144_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) term
+        |  FROM documents),
+        |exact AS (
+        |  SELECT term, count(*)::BIGINT AS exact_n FROM toks GROUP BY 1
+        |  ORDER BY exact_n DESC, term LIMIT 20)
+        |SELECT term, exact_n, exact_n AS est_n, 0::BIGINT AS overcount
+        |FROM exact ORDER BY exact_n DESC, term""".stripMargin
   )
 }
