@@ -157,6 +157,55 @@ object StreamingQueries {
           .localCheckpoint(true)
           .orderBy("event_id")
       } finally ScratchDirs.release(scratch)
+    },
+
+    // Stream-STREAM interval join — the last streaming join shape the
+    // battery lacked (q140 covers stream-static): clicks and views are
+    // two filtered streams over the same planted file source, each
+    // watermarked, inner-joined on user plus a bounded event-time window
+    // (view within 30 min after the click). The time bound is what makes
+    // the state store finite at scale: each side buffers only rows inside
+    // the watermark-relative window, and `maxFilesPerTrigger` forces the
+    // match to happen ACROSS micro-batches (click arriving batches before
+    // its view), exercising buffered-state lookup rather than intra-batch
+    // join. The watermark here is deliberately generous so no row is ever
+    // dropped as late whatever order the file source lists — the inner
+    // join then emits exactly the batch-semantics result, which is what
+    // DuckDB recomputes (planted copies flow through both sides, so pair
+    // multiplicities replay relationally too). A production deployment
+    // would tighten the watermark to the real lateness bound; the
+    // completeness contract is what the hash gate pins.
+    "q145_stream_stream_join" -> { (s, dir) =>
+      val (stream, scratch) = plantedEventStream(s, dir, "graft-stream-ssj")
+      try {
+        val sinkDir = s"$scratch/sink"
+        val ckptDir = s"$scratch/ckpt"
+        val clicks = stream.filter(col("event_type") === "click")
+          .selectExpr("event_id AS click_id", "user_id", "ts AS click_ts")
+          .withWatermark("click_ts", "3650 days")
+        val views = stream.filter(col("event_type") === "view")
+          .selectExpr("event_id AS view_id", "user_id AS v_user_id", "ts AS view_ts")
+          .withWatermark("view_ts", "3650 days")
+        val joined = clicks.join(views,
+          expr("""user_id = v_user_id AND
+                  view_ts >= click_ts AND
+                  view_ts <= click_ts + interval 30 minutes"""))
+          .select(col("click_id"), col("view_id"), col("user_id"),
+            col("click_ts"), col("view_ts"))
+        val q = joined.writeStream
+          .format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+
+        s.read.parquet(sinkDir)
+          .select(col("click_id"), col("view_id"), col("user_id"),
+            col("click_ts"), col("view_ts"))
+          .localCheckpoint(true)
+          .orderBy("click_id", "view_id")
+      } finally ScratchDirs.release(scratch)
     }
   )
 
@@ -182,6 +231,28 @@ object StreamingQueries {
     // profile. The planted copies are byte-identical rows, so the
     // duplicate event_ids sort-tie harmlessly under the row-sorted hash
     // compare.
+    // Stream-stream inner interval join with a never-dropping watermark
+    // emits exactly the batch join of the two filtered sides (events ∪
+    // planted copies on both) — pair multiplicities from duplicated
+    // clicks/views included.
+    "q145_stream_stream_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts::TIMESTAMP, user_id, event_type FROM events
+        |  WHERE event_id % 10 = 0),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM ev WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT event_id AS view_id, user_id, ts AS view_ts
+        |  FROM ev WHERE event_type = 'view')
+        |SELECT c.click_id, v.view_id, c.user_id, c.click_ts, v.view_ts
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.view_ts >= c.click_ts
+        |  AND v.view_ts <= c.click_ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
+
     "q140_stream_enrich" ->
       """WITH dim AS (
         |  SELECT o_custkey AS user_id, count(*)::BIGINT AS n_orders,
