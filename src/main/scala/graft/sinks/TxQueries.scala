@@ -47,6 +47,35 @@ object TxQueries {
         // the real TxTable read path stays lazy).
         TxTable.read(s, tableDir).localCheckpoint(true).orderBy("o_orderkey")
       } finally graft.core.ScratchDirs.release(tableDir)
+    },
+
+    // Change data feed across a real commit history: init (v1) → MERGE
+    // (v2, every 2nd key upserted at doubled price) → DELETE (v3, every
+    // 5th key dropped), then `TxTable.changes(v1 → v3)` classifies every
+    // key via time travel — inserts (new %2 keys that survived the
+    // delete), updates (%6 keys whose price doubled), deletes (%15
+    // keys), unchanged (%3 keys the merge never touched). The oracle
+    // replays the same three commits relationally and classifies by
+    // VALUE comparison, exactly like the engine (so a key whose doubled
+    // price equals its old one — price 0 — would agree as `unchanged`
+    // on both sides rather than ride an arithmetic shortcut).
+    "q146_txtable_changes" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val tableDir = graft.core.ScratchDirs.lease("graft-txcdf-q")
+      try {
+        TxTable.init(s, tableDir, orders.filter(col("o_orderkey") % 3 === 0))
+        val updates = orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        TxTable.merge(s, tableDir, updates, Seq("o_orderkey"))
+        TxTable.delete(s, tableDir, "o_orderkey % 5 = 0")
+        val v = TxTable.currentVersion(s, tableDir)
+        require(v == 3L, s"expected init+merge+delete to land at version 3, got $v")
+        TxTable.changes(s, tableDir, fromVersion = 1L, toVersion = 3L,
+          keyCols = Seq("o_orderkey"))
+          .localCheckpoint(true)
+          .orderBy("o_orderkey")
+      } finally graft.core.ScratchDirs.release(tableDir)
     }
   )
 
@@ -62,6 +91,30 @@ object TxQueries {
         |UNION ALL
         |SELECT * FROM base
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q146_txtable_changes" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM v1
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
+        |v3 AS (SELECT * FROM v2 WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(v3.o_orderkey, v1.o_orderkey) AS o_orderkey,
+        |  CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+        |       WHEN v3.o_orderkey IS NULL THEN 'delete'
+        |       WHEN v1.o_custkey = v3.o_custkey
+        |         AND v1.o_totalprice = v3.o_totalprice THEN 'unchanged'
+        |       ELSE 'update' END AS change_type,
+        |  coalesce(v3.o_custkey, v1.o_custkey) AS o_custkey,
+        |  coalesce(v3.o_totalprice, v1.o_totalprice) AS o_totalprice
+        |FROM v1 FULL JOIN v3 ON v1.o_orderkey = v3.o_orderkey
         |ORDER BY o_orderkey""".stripMargin
   )
 }

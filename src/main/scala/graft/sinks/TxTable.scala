@@ -98,6 +98,48 @@ object TxTable {
     spark.read.parquet(new Path(dir, c.dataDir).toString)
   }
 
+  /** Change data feed: classify every key's transition between two
+    * committed versions — the "what changed since the snapshot I
+    * exported" question every incremental consumer asks of a
+    * transactional table, answered from time travel alone (no
+    * write-path hooks, no per-commit row logs: a keyed full-outer join
+    * of the two snapshots, which shuffles each side once on the key and
+    * scales exactly like any keyed join).
+    *
+    * Output: the key columns, `change_type`
+    * (`insert` | `update` | `delete` | `unchanged`), and the non-key
+    * columns carrying the POST image (the PRE image for deletes — the
+    * row as the consumer last saw it). A key whose values are equal in
+    * both versions (null-safe, field-wise) is `unchanged`; callers
+    * wanting a sparse feed filter it out.
+    *
+    * Both snapshots must have identical column sets — a feed across a
+    * schema-evolution boundary has no single row shape and is refused
+    * rather than guessed.
+    */
+  def changes(spark: SparkSession, dir: String,
+              fromVersion: Long, toVersion: Long,
+              keyCols: Seq[String]): DataFrame = {
+    val pre = readVersion(spark, dir, fromVersion)
+    val post = readVersion(spark, dir, toVersion)
+    require(pre.columns.sorted.sameElements(post.columns.sorted),
+      s"changes() across a schema change is not defined: " +
+        s"v$fromVersion has [${pre.columns.mkString(",")}], " +
+        s"v$toVersion has [${post.columns.mkString(",")}]")
+    val valCols = post.columns.filterNot(keyCols.contains).toSeq
+    def packed(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+ struct(valCols.map(col): _*).as(as): _*)
+    packed(pre, "__pre").join(packed(post, "__post"), keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__pre").isNull, lit("insert"))
+          .when(col("__post").isNull, lit("delete"))
+          .when(col("__pre") <=> col("__post"), lit("unchanged"))
+          .otherwise(lit("update")))
+      .withColumn("__img", coalesce(col("__post"), col("__pre")))
+      .select(keyCols.map(col) ++ (col("change_type") +:
+        valCols.map(c => col(s"__img.`$c`").as(c))): _*)
+  }
+
   private def commitPath(dir: String, version: Long): Path =
     new Path(commitsDir(dir), f"$version%020d.json")
 

@@ -176,6 +176,36 @@ class TxTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TxTable.compact(spark, dir, numFiles = 0) }
   }
 
+  test("changes classifies insert/update/delete/unchanged between versions") {
+    val dir = freshDir()
+    TxTable.init(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, null: String)).toDF("id", "v"))           // v1
+    TxTable.merge(spark, dir,
+      Seq((2L, "B!"), (4L, "d")).toDF("id", "v"), Seq("id"))                   // v2
+    TxTable.delete(spark, dir, "id = 1")                                       // v3
+
+    val feed = TxTable.changes(spark, dir, 1L, 3L, Seq("id")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("change_type"), r.getAs[String]("v"))).toMap
+    assert(feed == Map(
+      1L -> ("delete", "a"),      // pre image for deletes
+      2L -> ("update", "B!"),     // post image
+      3L -> ("unchanged", null),  // null value compares null-safe, not as a change
+      4L -> ("insert", "d")))
+
+    // identical versions: everything unchanged
+    val self = TxTable.changes(spark, dir, 3L, 3L, Seq("id")).collect()
+    assert(self.forall(_.getAs[String]("change_type") == "unchanged"))
+
+    // feed across a schema-evolution boundary is refused, not guessed
+    TxTable.merge(spark, dir, Seq((5L, "e", 9L)).toDF("id", "v", "extra"),
+      Seq("id"), allowSchemaEvolution = true)                                  // v4
+    val e = intercept[IllegalArgumentException] {
+      TxTable.changes(spark, dir, 1L, 4L, Seq("id"))
+    }
+    assert(e.getMessage.contains("schema change"))
+  }
+
   test("vacuum(keep = 0) is rejected; keep = 1 leaves the table readable") {
     val dir = freshDir()
     TxTable.init(spark, dir, Seq((1L, "a")).toDF("id", "v"))
