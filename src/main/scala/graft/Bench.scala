@@ -66,20 +66,29 @@ object Bench {
     // filter and always benches the full battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
 
-    // Fixture pre-materialization, OUTSIDE every timed window: q85's
-    // synthetic GIF corpus is test data, not the operator — with its
-    // generation inside the timed body the q85 record measured corpus
-    // synthesis (13.3s cold in r8 vs ~1.5s in isolation; r8 verdict #1).
-    // Caught: a fixture-build crash must not abort the bench JVM before
-    // any query runs (losing every query's numbers and the JSON line).
-    // The failure is not cached, so q85's lazy in-query build re-attempts
-    // and a real breakage reports as q85 alone in "failed" (ADVICE r9).
-    if (only.forall(_.contains("q85_video_neardup")))
-      try multimodal.MultimodalQueries.materializeGifCorpus(spark, sfDir)
-      catch {
-        case e: Exception =>
-          System.err.println(s"[bench] gif corpus pre-materialization failed: ${e.getMessage}")
-      }
+    // Fixture pre-materialization, OUTSIDE every timed window: the
+    // synthetic media corpora are test data, not the operators — with
+    // generation inside the timed body a record measures corpus
+    // synthesis (q85: 13.3s cold in r8 vs ~1.5s in isolation, r8
+    // verdict #1; q79: 12.0s warm in the r10 battery vs ~2s in
+    // isolation). Caught per corpus: a fixture-build crash must not
+    // abort the bench JVM before any query runs (losing every query's
+    // numbers and the JSON line). The failure is not cached, so the
+    // query's lazy in-body build re-attempts and a real breakage
+    // reports as that query alone in "failed" (ADVICE r9).
+    val fixtures: Seq[(String, () => String)] = Seq(
+      "q85_video_neardup" ->
+        (() => multimodal.MultimodalQueries.materializeGifCorpus(spark, sfDir)),
+      "q79_multimodal_video" ->
+        (() => multimodal.MultimodalQueries.materializeVideoDecodeCorpus(spark, sfDir)))
+    fixtures.foreach { case (qname, build) =>
+      if (only.forall(_.contains(qname)))
+        try { build(): Unit }
+        catch {
+          case e: Exception =>
+            System.err.println(s"[bench] $qname corpus pre-materialization failed: ${e.getMessage}")
+        }
+    }
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
