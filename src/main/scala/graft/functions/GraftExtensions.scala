@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, StringType}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions as SQL functions (`spark.sql.extensions =
@@ -129,6 +129,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSignature(arr, k)
         case _ => throw new IllegalArgumentException(
           "graft_minhash(shingleHashes, k) with literal int k")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => children match {
+        case Seq(key, Literal(bytes: Array[Byte], BinaryType)) =>
+          BloomMightContain(key, bytes)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_contains(key, bloomBytes) with a literal binary " +
+            "serialized org.apache.spark.util.sketch.BloomFilter")
       }))
 
     ext.injectFunction((

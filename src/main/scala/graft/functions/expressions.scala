@@ -972,3 +972,39 @@ case class HashedLogitScore(child: Expression, weights: Seq[Double], bias: Doubl
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Bloom-filter membership probe over a serialized
+  * `org.apache.spark.util.sketch.BloomFilter`, the scan-side half of
+  * bloom semi-join reduction ([[graft.operators.BloomJoin]]): the dim
+  * side's key set is sketched once into a few hundred KB, and this
+  * expression drops non-joining fact rows BEFORE they reach the shuffle.
+  * False positives only pass extra rows through — the join behind it
+  * keeps the result exact. The filter deserializes once per expression
+  * instance and ships to generated code via the reference mechanism;
+  * the probe itself is two hash mults and d bit tests, fully inside
+  * whole-stage codegen.
+  */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("bloom", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      s"${ev.value} = $ref.mightContainLong($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -479,6 +479,29 @@ object ParityQueries {
         c.select(col("k").as("base_id"), col("b").as("bstr")), "base_id", "bstr",
         maxDistance = 2)
         .orderBy("variant_id", "base_id")
+    },
+
+    // Bloom semi-join reduction (BloomJoin): lineitem joined to the 5%
+    // of orders with o_orderkey % 20 = 0, the fact side pruned at the
+    // scan through a Bloom filter of the dim keys before any shuffle.
+    // False positives are candidates, never results — the join keeps the
+    // output exact, so the oracle is simply the plain join (BloomJoinSpec
+    // carries the measured >=5x shuffle-reduction gate; this row pins
+    // end-to-end correctness of the sketch+probe+join composition).
+    "q147_bloom_join" -> { (s, dir) =>
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      BloomJoin.reduceThenJoin(fact, dim, "l_orderkey", "o_orderkey",
+        expectedDimKeys = 65536, fpp = 0.01)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -819,6 +842,16 @@ object ParityQueries {
         |  levenshtein(v.vstr, c.b)::INT AS dist
         |FROM var v CROSS JOIN c
         |WHERE levenshtein(v.vstr, c.b) <= 2
-        |ORDER BY variant_id, base_id""".stripMargin
+        |ORDER BY variant_id, base_id""".stripMargin,
+
+    // q147: the bloom filter only prunes; the result is the plain join.
+    "q147_bloom_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 20 = 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }
