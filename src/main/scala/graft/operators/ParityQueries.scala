@@ -502,6 +502,20 @@ object ParityQueries {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy("o_orderpriority")
+    },
+
+    // Shuffle-skew diagnostic (SkewReport): a hot key is planted (every
+    // 3rd event re-attributed to user 999999 — roughly a third of the
+    // table on one key) and the report must surface it with its share
+    // and the salt fan-out that would level a 32-way shuffle. The whole
+    // computation is relational (count per key, integer ceil-div salt),
+    // so DuckDB recomputes every cell.
+    "q148_skew_report" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"), col("event_id"))
+      val planted = e.unionByName(
+        e.filter(col("event_id") % 3 === 0).withColumn("user_id", lit(999999L)))
+      SkewReport.topKeys(planted, Seq("user_id"), topK = 5, partitions = 32)
+        .orderBy(col("n").desc, col("user_id"))
     }
   )
 
@@ -852,6 +866,19 @@ object ParityQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey % 20 = 0
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q148_skew_report" ->
+      """WITH pl AS (
+        |  SELECT user_id FROM events
+        |  UNION ALL
+        |  SELECT 999999 AS user_id FROM events WHERE event_id % 3 = 0),
+        |c AS (SELECT user_id, count(*)::BIGINT AS n FROM pl GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c)
+        |SELECT user_id, n, round(n / total::DOUBLE, 6) AS share, n_keys,
+        |  ((n * 32 + total - 1) // total)::BIGINT AS salt
+        |FROM c, t
+        |ORDER BY n DESC, user_id
+        |LIMIT 5""".stripMargin
   )
 }
