@@ -45,8 +45,143 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** The persisted side of an incremental fuzzy-match cycle: skinny
+    * hashed segment keys (two longs per row), the id→string frames each
+    * stratum verifies against, and the distinct index lengths that prune
+    * probe fan-out. All four are plain DataFrames a caller can write to
+    * parquet and re-read; at production scale `keys` would be
+    * bucket-written on `__key` so repeated probes co-locate against it
+    * without re-shuffling the corpus side.
+    */
+  final case class Index(
+      keys: DataFrame, longStrs: DataFrame, shortStrs: DataFrame,
+      lens: DataFrame, maxDistance: Int)
+
+  // Even partition of an n-char string into k+1 segments: the first
+  // (k+1 - n%(k+1)) segments get floor(n/(k+1)) chars, the rest one
+  // more. start/len below are the closed forms of that convention —
+  // index and probe recompute them from (n, i) alone, so the two sides
+  // can never disagree on where a segment lives.
+  private def segLen(kk: Int)(n: Column, i: Column): Column =
+    (n.cast("int") / kk).cast("int") +
+      when(i >= lit(kk) - pmod(n.cast("int"), lit(kk)), 1).otherwise(0)
+  private def segStart(kk: Int)(n: Column, i: Column): Column = // 0-based
+    i * (n.cast("int") / kk).cast("int") +
+      greatest(lit(0), i - (lit(kk) - pmod(n.cast("int"), lit(kk))))
+  private def key(i: Column, n: Column, seg: Column): Column =
+    xxhash64(lit("graft-fj"), i, n, seg)
+
+  /** Build the segment index over the `right` side once; probe it with
+    * any number of batches. Strings shorter than k+1 land in the short
+    * stratum (see class doc on [[join]] semantics).
+    */
+  def buildIndex(
+      right: DataFrame,
+      rightId: String,
+      rightStr: String,
+      maxDistance: Int
+  ): Index = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    val k = maxDistance
+    val kk = k + 1
+    val r = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"))
+      .filter(col("__rs").isNotNull)
+    val rLong = r.filter(length(col("__rs")) >= kk)
+    // Index keys: k+1 rows per string, ids + a hashed long only.
+    val idxKeys = rLong
+      .withColumn("__n", length(col("__rs")))
+      .withColumn("__i", explode(sequence(lit(0), lit(k))))
+      .select(col("__rid"),
+        key(col("__i"), col("__n"),
+          substring(col("__rs"), segStart(kk)(col("__n"), col("__i")) + 1,
+            segLen(kk)(col("__n"), col("__i")))  // 3-arg substring: pos is 1-based
+            .as("__seg")).as("__key"))
+      .distinct()
+    Index(
+      keys = idxKeys,
+      longStrs = rLong,
+      shortStrs = r.filter(length(col("__rs")) < kk),
+      // Lengths that exist on the index side — a tiny frame, broadcast
+      // to prune the probe's candidate-length fan-out before it explodes.
+      lens = rLong.select(length(col("__rs")).as("__n")).distinct(),
+      maxDistance = k)
+  }
+
+  /** Probe the index with a batch. Cost ∝ the batch: the probe fan-out
+    * (≤ (2k+1)(k+1)(2k+1) hashed keys per string) and the verify joins
+    * are per-batch-row; the index contributes skinny (long, id) postings
+    * to one equi-join and string lookups for the candidates only.
+    * Output shape is [[join]]'s: `leftId`, the index side's id column
+    * under its original name, `dist`.
+    */
+  def probe(
+      left: DataFrame,
+      leftId: String,
+      leftStr: String,
+      index: Index,
+      rightIdOut: String = "right_id"
+  ): DataFrame = {
+    val k = index.maxDistance
+    val kk = k + 1
+    val l = left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"))
+      .filter(col("__ls").isNotNull)
+
+    val probeKeys = l
+      .withColumn("__m", length(col("__ls")))
+      // candidate indexed lengths: |n - m| <= k and n >= k+1 …
+      .withColumn("__n", explode(sequence(
+        greatest(col("__m") - k, lit(kk)), col("__m") + k)))
+      .filter(col("__n") >= kk)
+      // … further pruned to lengths the index actually contains
+      .join(broadcast(index.lens), Seq("__n"), "left_semi")
+      .withColumn("__i", explode(sequence(lit(0), lit(k))))
+      .withColumn("__li", segLen(kk)(col("__n"), col("__i")))
+      .withColumn("__pi", segStart(kk)(col("__n"), col("__i")))
+      .withColumn("__lo", greatest(lit(0), col("__pi") - k))
+      .withColumn("__hi", least(col("__m") - col("__li"), col("__pi") + k))
+      // sequence(lo, hi) runs DESCENDING when lo > hi — guard, don't trust
+      .filter(col("__lo") <= col("__hi"))
+      .withColumn("__p", explode(sequence(col("__lo"), col("__hi"))))
+      .select(col("__lid"),
+        key(col("__i"), col("__n"),
+          substring(col("__ls"), col("__p") + 1, col("__li"))).as("__key"))
+      .distinct()
+
+    // Skinny candidate pairs (two longs), deduped BEFORE strings attach.
+    val candidates = probeKeys.join(index.keys, "__key")
+      .select(col("__lid"), col("__rid")).distinct()
+
+    val verifiedLong = candidates
+      .join(l, "__lid")
+      .join(index.longStrs, "__rid")
+      .withColumn("__dist", levenshtein(col("__ls"), col("__rs"), k))
+      // thresholded levenshtein returns -1 past the bound
+      .filter(col("__dist") >= 0)
+      .select(col("__lid"), col("__rid"), col("__dist"))
+
+    // ---- short stratum: right strings with |t| <= k --------------------
+    // ed(s, t) <= k forces |s| <= 2k, so both sides are drawn from the
+    // bounded universe of very short strings: distinct the STRINGS (not
+    // the rows), verify the tiny distinct×distinct grid via a broadcast
+    // join, and re-attach ids by string equality.
+    val shortRs = index.shortStrs.select(col("__rs")).distinct()
+    val shortLs = l.filter(length(col("__ls")) <= 2 * k)
+      .select(col("__ls")).distinct()
+    val shortMatches = shortLs.join(broadcast(shortRs),
+        levenshtein(col("__ls"), col("__rs"), k) >= 0)
+      .withColumn("__dist", levenshtein(col("__ls"), col("__rs"), k))
+    val verifiedShort = shortMatches
+      .join(l, "__ls")
+      .join(index.shortStrs, "__rs")
+      .select(col("__lid"), col("__rid"), col("__dist"))
+
+    verifiedLong.unionByName(verifiedShort)
+      .select(col("__lid").as(leftId), col("__rid").as(rightIdOut),
+        col("__dist").as("dist"))
+  }
+
   /** Join `left` to `right` on edit distance ≤ `maxDistance` between
-    * `leftStr` and `rightStr`.
+    * `leftStr` and `rightStr` — [[buildIndex]] + [[probe]] composed.
     *
     * @return one row per matching (left, right) pair: `leftId`,
     *         `rightId`, and `dist` (the exact Levenshtein distance,
@@ -60,101 +195,7 @@ object FuzzyJoin {
       rightId: String,
       rightStr: String,
       maxDistance: Int
-  ): DataFrame = {
-    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
-    val k = maxDistance
-    val kk = k + 1
-
-    val l = left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"))
-      .filter(col("__ls").isNotNull)
-    val r = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"))
-      .filter(col("__rs").isNotNull)
-
-    // ---- main stratum: right strings long enough to partition ----------
-    val rLong = r.filter(length(col("__rs")) >= kk)
-
-    // Even partition of an n-char string into k+1 segments: the first
-    // (k+1 - n%(k+1)) segments get floor(n/(k+1)) chars, the rest one
-    // more. start/len below are the closed forms of that convention —
-    // the probe side recomputes them from (n, i) alone, so the two sides
-    // can never disagree on where a segment lives.
-    def segLen(n: Column, i: Column): Column =
-      (n.cast("int") / kk).cast("int") +
-        when(i >= lit(kk) - pmod(n.cast("int"), lit(kk)), 1).otherwise(0)
-    def segStart(n: Column, i: Column): Column = // 0-based
-      i * (n.cast("int") / kk).cast("int") +
-        greatest(lit(0), i - (lit(kk) - pmod(n.cast("int"), lit(kk))))
-
-    def key(i: Column, n: Column, seg: Column): Column =
-      xxhash64(lit("graft-fj"), i, n, seg)
-
-    // Index keys: k+1 rows per string, ids + a hashed long only.
-    val idxKeys = rLong
-      .withColumn("__n", length(col("__rs")))
-      .withColumn("__i", explode(sequence(lit(0), lit(k))))
-      .select(col("__rid"),
-        key(col("__i"), col("__n"),
-          substring(col("__rs"), segStart(col("__n"), col("__i")) + 1,
-            segLen(col("__n"), col("__i")))  // 3-arg substring: pos is 1-based
-            .as("__seg")).as("__key"))
-      .distinct()
-
-    // Lengths that exist on the index side — a tiny frame, broadcast to
-    // prune the probe's candidate-length fan-out before it explodes.
-    val idxLens = rLong.select(length(col("__rs")).as("__n")).distinct()
-
-    val probeKeys = l
-      .withColumn("__m", length(col("__ls")))
-      // candidate indexed lengths: |n - m| <= k and n >= k+1 …
-      .withColumn("__n", explode(sequence(
-        greatest(col("__m") - k, lit(kk)), col("__m") + k)))
-      .filter(col("__n") >= kk)
-      // … further pruned to lengths the index actually contains
-      .join(broadcast(idxLens), Seq("__n"), "left_semi")
-      .withColumn("__i", explode(sequence(lit(0), lit(k))))
-      .withColumn("__li", segLen(col("__n"), col("__i")))
-      .withColumn("__pi", segStart(col("__n"), col("__i")))
-      .withColumn("__lo", greatest(lit(0), col("__pi") - k))
-      .withColumn("__hi", least(col("__m") - col("__li"), col("__pi") + k))
-      // sequence(lo, hi) runs DESCENDING when lo > hi — guard, don't trust
-      .filter(col("__lo") <= col("__hi"))
-      .withColumn("__p", explode(sequence(col("__lo"), col("__hi"))))
-      .select(col("__lid"),
-        key(col("__i"), col("__n"),
-          substring(col("__ls"), col("__p") + 1, col("__li"))).as("__key"))
-      .distinct()
-
-    // Skinny candidate pairs (two longs), deduped BEFORE strings attach.
-    val candidates = probeKeys.join(idxKeys, "__key")
-      .select(col("__lid"), col("__rid")).distinct()
-
-    val verifiedLong = candidates
-      .join(l, "__lid")
-      .join(rLong, "__rid")
-      .withColumn("__dist", levenshtein(col("__ls"), col("__rs"), k))
-      // thresholded levenshtein returns -1 past the bound
-      .filter(col("__dist") >= 0)
-      .select(col("__lid"), col("__rid"), col("__dist"))
-
-    // ---- short stratum: right strings with |t| <= k --------------------
-    // ed(s, t) <= k forces |s| <= 2k, so both sides are drawn from the
-    // bounded universe of very short strings: distinct the STRINGS (not
-    // the rows), verify the tiny distinct×distinct grid via a broadcast
-    // join, and re-attach ids by string equality.
-    val rShort = r.filter(length(col("__rs")) < kk)
-    val shortRs = rShort.select(col("__rs")).distinct()
-    val shortLs = l.filter(length(col("__ls")) <= 2 * k)
-      .select(col("__ls")).distinct()
-    val shortMatches = shortLs.join(broadcast(shortRs),
-        levenshtein(col("__ls"), col("__rs"), k) >= 0)
-      .withColumn("__dist", levenshtein(col("__ls"), col("__rs"), k))
-    val verifiedShort = shortMatches
-      .join(l, "__ls")
-      .join(rShort, "__rs")
-      .select(col("__lid"), col("__rid"), col("__dist"))
-
-    verifiedLong.unionByName(verifiedShort)
-      .select(col("__lid").as(leftId), col("__rid").as(rightId),
-        col("__dist").as("dist"))
-  }
+  ): DataFrame =
+    probe(left, leftId, leftStr,
+      buildIndex(right, rightId, rightStr, maxDistance), rightIdOut = rightId)
 }

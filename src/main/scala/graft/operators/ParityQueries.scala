@@ -516,6 +516,31 @@ object ParityQueries {
         e.filter(col("event_id") % 3 === 0).withColumn("user_id", lit(999999L)))
       SkewReport.topKeys(planted, Seq("user_id"), topK = 5, partitions = 32)
         .orderBy(col("n").desc, col("user_id"))
+    },
+
+    // Incremental fuzzy probe — q143's index/probe split, the same
+    // incremental-cycle shape as q62/q87/q96/q104: the segment index
+    // builds over the full clean-name corpus ONCE, and a small dirty
+    // batch (every 5th key with one substituted char, every 15th an
+    // unrelated decoy) probes it; probe cost is ∝ the batch. The oracle
+    // is again the naive cartesian levenshtein join, batch × corpus —
+    // exact-complete filter, so agreement is deterministic.
+    "q149_fuzzy_probe" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          expr("md5(cast(c_custkey as string))").as("b"))
+      val index = FuzzyJoin.buildIndex(
+        c.select(col("k").as("base_id"), col("b").as("bstr")),
+        "base_id", "bstr", maxDistance = 2)
+      val batch = c.filter(col("k") % 5 === 0).selectExpr(
+        "k + 1000000 AS variant_id",
+        "concat(substring(b, 1, cast(k % 32 as int)), 'z', " +
+          "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
+        .unionByName(c.filter(col("k") % 15 === 0).selectExpr(
+          "k + 4000000 AS variant_id",
+          "md5(cast(k + 7000000 as string)) AS vstr"))
+      FuzzyJoin.probe(batch, "variant_id", "vstr", index, rightIdOut = "base_id")
+        .orderBy("variant_id", "base_id")
     }
   )
 
@@ -867,6 +892,24 @@ object ParityQueries {
         |WHERE o_orderkey % 20 = 0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // q149: the naive cartesian levenshtein join, batch × corpus.
+    "q149_fuzzy_probe" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, md5(c_custkey::VARCHAR) AS b FROM customer),
+        |batch AS (
+        |  SELECT k + 1000000 AS variant_id,
+        |    substr(b, 1, (k % 32)::INT) || 'z'
+        |      || substr(b, (k % 32)::INT + 2) AS vstr
+        |  FROM c WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k + 4000000, md5((k + 7000000)::VARCHAR)
+        |  FROM c WHERE k % 15 = 0)
+        |SELECT v.variant_id, c.k AS base_id,
+        |  levenshtein(v.vstr, c.b)::INT AS dist
+        |FROM batch v CROSS JOIN c
+        |WHERE levenshtein(v.vstr, c.b) <= 2
+        |ORDER BY variant_id, base_id""".stripMargin,
 
     "q148_skew_report" ->
       """WITH pl AS (

@@ -87,6 +87,15 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == Set((1L, 11L)))
   }
 
+  test("probe against a prebuilt index equals join restricted to the batch") {
+    val corpus = randomStrings(11L, 80, 10)
+    val batch = randomStrings(12L, 25, 10)
+    val index = FuzzyJoin.buildIndex(corpus.toDF("rid", "rs"), "rid", "rs", 2)
+    val probed = FuzzyJoin.probe(batch.toDF("lid", "ls"), "lid", "ls", index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probed == naive(batch, corpus, 2))
+  }
+
   test("plan gate: no cartesian product at any k") {
     val l = randomStrings(1L, 30, 20).toDF("lid", "ls")
     val r = randomStrings(2L, 30, 20).toDF("rid", "rs")
