@@ -44,6 +44,19 @@ object EngineSession {
       // other readers).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // The status store tracks every job/stage/task/SQL execution the
+      // session ever ran (defaults: 1000 executions with full plan
+      // graphs, 100k tasks) even with the UI disabled. A long-lived
+      // session — a full bench battery is ~550 query executions in one
+      // JVM — accumulates hundreds of MB of dead bookkeeping whose only
+      // effect is late-session GC drag (measured: queries post warm
+      // medians ABOVE their cold sample late in the battery while
+      // running 2-3× faster in isolation). Keep a small debugging
+      // window instead.
+      .config("spark.sql.ui.retainedExecutions", "25")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
 
   def create(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -158,10 +158,22 @@ class PlanSpec extends SparkSpec {
     // The id-only documents scan is ONE partition at small SF; without the
     // explicit repartition every per-doc encode/decode serializes on a
     // single thread (measured 3x on q79 before the gate existed).
-    for (name <- Seq("q77_multimodal_decode", "q78_multimodal_audio", "q79_multimodal_video")) {
+    for (name <- Seq("q77_multimodal_decode", "q78_multimodal_audio")) {
       val p = plan(multimodal.MultimodalQueries.queries(name)(spark, dir))
       assert(p.contains("Exchange RoundRobinPartitioning"), s"$name lost its repartition:\n$p")
     }
+    // q79 reads its pre-materialized corpus instead of synthesizing
+    // in-query (the q85 timer-scope discipline), so its parallelism is
+    // baked in at corpus WRITE time: the repartition happens in
+    // materializeVideoDecodeCorpus and must survive as multiple parquet
+    // files whose splits spread the decode without any in-query exchange.
+    val corpus = multimodal.MultimodalQueries.materializeVideoDecodeCorpus(spark, dir)
+    val nFiles = new java.io.File(corpus).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles >= spark.sparkContext.defaultParallelism,
+      s"video-decode corpus must carry write-time parallelism: $nFiles files")
+    val p79 = plan(multimodal.MultimodalQueries.queries("q79_multimodal_video")(spark, dir))
+    assert(p79.contains("FileScan parquet"), s"q79 must read the corpus:\n$p79")
   }
 
   test("brute-force kNN is a broadcast nested-loop, not a shuffled cross") {
