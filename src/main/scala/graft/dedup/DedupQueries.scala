@@ -230,6 +230,17 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Exact Jaccard join via PREFIX FILTERING (PrefixJaccard) — the
+    // scalable exact path between q23's all-shingle posting join and
+    // q21's probabilistic LSH: discovery touches only each set's
+    // rarest n - ceil(t·n) + 1 shingles, with zero recall loss by the
+    // prefix lemma. Same output contract as q23, same oracle: the
+    // naive all-pairs recompute in DuckDB.
+    "q150_prefix_jaccard" -> { (s, dir) =>
+      PrefixJaccard.similarPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     // Incremental near-dup: a "new batch" (every 10th doc under shifted
     // ids, text unchanged) probes the LSH index of the full corpus.
     // Oracle is the exact cross-set Jaccard at ≥ 0.5 — equality holds by
@@ -505,6 +516,14 @@ object DedupQueries {
     "q75_components_distributed" -> componentsOracle,
 
     "q23_ngram_jaccard" ->
+      s"""WITH $shingleSetsSql
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         |FROM jac WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q150: prefix filtering is exact-complete, so the oracle is the
+    // same naive all-pairs computation q23 checks against.
+    "q150_prefix_jaccard" ->
       s"""WITH $shingleSetsSql
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= 0.5

@@ -142,6 +142,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") == 0.5)
   }
 
+  test("prefix-filtered jaccard equals the all-shingle exact join") {
+    // random-ish word soup with planted overlaps: dense near-pair
+    // structure so prefix completeness is exercised, not just planted
+    // pairs. Differential at two thresholds against NgramJaccard —
+    // whose own oracle is the naive all-pairs recompute.
+    val words = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val rows = (1L to 40L).map { i =>
+      val txt = (0 until 12).map(j => words(((i * 7 + j * j + j) % 8).toInt)).mkString(" ")
+      (i, if (i % 5 == 0) txt + " zz" + (i % 3) else txt)
+    }
+    val d = docs(rows: _*)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val exact = NgramJaccard.similarPairs(d, "doc_id", "text", t).collect().map(key).toSet
+      val pref = PrefixJaccard.similarPairs(d, "doc_id", "text", t).collect().map(key).toSet
+      assert(pref == exact, s"threshold $t")
+      assert(t > 0.7 || exact.nonEmpty, s"threshold $t found no pairs — test data too sparse")
+    }
+  }
+
   test("maxDf cap drops boilerplate shingles but keeps the rare-shingle pair") {
     // boilerplate shingle set "z1 z2 z3" shared by ALL FOUR docs (df=4);
     // docs 1/2 additionally share rare shingles (df=2)
