@@ -704,6 +704,27 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // Distributed triangle counting (Triangles) over a deterministic
+    // circulant graph on the supplier keys (chords {1,2,3,5,8} mod n —
+    // SF-stable density: 5n edges, 7n triangles). The engine runs the
+    // degree-ordered wedge join (hub-safe: out-degree O(√m) by
+    // construction); the oracle is the NAIVE 3-way edge self-join over
+    // the identical arithmetic graph, so orientation bugs (double or
+    // missed counts) are a hash fail. Census row: edges, open wedges,
+    // triangles, global clustering coefficient.
+    "q151_triangles" -> { (s, dir) =>
+      val sup = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val maxK = Option(sup.agg(max(col("k"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+      require(maxK < (1L << 31),
+        s"triangle orientation packs (deg, id) into one long; got key $maxK")
+      val nF = sup.agg(count(lit(1)).as("__n"))
+      val edges = sup.crossJoin(nF)
+        .withColumn("d", explode(array(Seq(1L, 2L, 3L, 5L, 8L).map(lit): _*)))
+        .select(col("k").as("u"), pmod(col("k") + col("d"), col("__n")).as("v"))
+      graft.operators.Triangles.globalCount(edges, "u", "v")
+    },
+
     // Count-min-sketch heavy hitters — the mergeable frequency sketch
     // that pairs with q66's HLL cardinality sketch: term frequencies
     // over every token occurrence via Spark's `count_min_sketch`
@@ -1121,6 +1142,28 @@ object AnalyticsQueries {
       """SELECT event_type, count(*)::BIGINT AS n,
         |  true AS p50_ok, true AS p99_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q151: the naive 3-way self-join over the identical circulant
+    // graph; wedges/clustering from exact integer degree arithmetic.
+    "q151_triangles" ->
+      """WITH n AS (SELECT count(*)::BIGINT c FROM supplier),
+        |raw AS (
+        |  SELECT s_suppkey AS k, unnest([1, 2, 3, 5, 8]) AS d FROM supplier),
+        |e AS (
+        |  SELECT DISTINCT least(k, (k + d) % (SELECT c FROM n)) u,
+        |                  greatest(k, (k + d) % (SELECT c FROM n)) v
+        |  FROM raw WHERE k <> (k + d) % (SELECT c FROM n)),
+        |deg AS (SELECT node, count(*)::BIGINT dg FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tri AS (
+        |  SELECT count(*)::BIGINT t FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+        |  (SELECT sum(dg * (dg - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+        |  (SELECT t FROM tri) AS n_triangles,
+        |  round(3.0 * (SELECT t FROM tri)
+        |    / (SELECT sum(dg * (dg - 1) // 2) FROM deg), 6) AS clustering""".stripMargin,
 
     // q144: the CMS estimate is ≥-exact by construction and collision-
     // free at these dimensions (2,000+ counter columns vs a ~40-term
