@@ -132,6 +132,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_wordpiece"),
+      new ExpressionInfo(classOf[WordPieceTokens].getName, "graft_wordpiece"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(StringType, _))) =>
+          WordPieceTokens(text,
+            (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+        case _ => throw new IllegalArgumentException(
+          "graft_wordpiece(text, vocab) with a literal string-array vocab")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => children match {

@@ -1008,3 +1008,78 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Greedy longest-match subword tokenization (`graft_wordpiece(text,
+  * vocab)` → array<string>): the WordPiece-style APPLY step — words
+  * split on single spaces, each consumed left to right by the longest
+  * vocabulary piece matching at the cursor. A position no piece matches
+  * (a character outside the training corpus) emits that single
+  * character itself and advances — deterministic, replayable unknown
+  * handling, mirrored by the SQL oracle's coalesce fallback.
+  *
+  * Same model-as-parameter shape as the BPE/logit kernels: the
+  * vocabulary rides the plan as a reference object (a hash set plus its
+  * max piece length), the per-row loop is O(len · maxPieceLen) set
+  * probes inside whole-stage codegen, no shuffle.
+  */
+object WordPieceTokenizer {
+
+  final class Vocab(pieces: Seq[String]) extends Serializable {
+    val set = new java.util.HashSet[String](pieces.length * 2)
+    pieces.foreach(set.add)
+    val maxLen: Int = if (pieces.isEmpty) 1 else pieces.map(_.length).max
+  }
+
+  def tokens(text: UTF8String, vocab: Vocab): ArrayData = {
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var wStart = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        var pos = wStart
+        while (pos < i) {
+          var l = math.min(vocab.maxLen, i - pos)
+          var matched = 1 // fallback: the single char itself
+          var found = false
+          while (l >= 1 && !found) {
+            if (vocab.set.contains(s.substring(pos, pos + l))) {
+              matched = l
+              found = true
+            }
+            l -= 1
+          }
+          out += UTF8String.fromString(s.substring(pos, pos + matched))
+          pos += matched
+        }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+case class WordPieceTokens(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece"
+
+  @transient private lazy val v = new WordPieceTokenizer.Vocab(vocab)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordPieceTokenizer.tokens(input.asInstanceOf[UTF8String], v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val vRef = ctx.addReferenceObj("wpVocab", v,
+        classOf[WordPieceTokenizer.Vocab].getName)
+      s"${ev.value} = graft.functions.WordPieceTokenizer.tokens($t, $vRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

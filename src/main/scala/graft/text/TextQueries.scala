@@ -270,6 +270,34 @@ object TextQueries {
     // recursive CTE replaying the SAME rank table step-for-step. A wrong
     // best-pair choice, tie-break, or merge order shifts counts and is a
     // hash fail.
+    // WordPiece-family vocabulary training (WordPiece.trainVocab): the
+    // frequency-seeded subword vocabulary — every corpus character plus
+    // the top-30 multi-char substrings by corpus-weighted occurrence.
+    // Fully relational (substring explode → weighted count → bounded
+    // top-k with string tiebreak), so DuckDB recomputes every row.
+    "q152_wordpiece_vocab" -> { (s, dir) =>
+      WordPiece.trainVocab(docs(s, dir), "text")
+        .orderBy(col("weight").desc, col("piece"))
+    },
+
+    // Greedy longest-match APPLY of that vocabulary (graft_wordpiece,
+    // per-row codegen kernel, vocabulary as a reference object): corpus-
+    // wide piece usage. The oracle REPLAYS the greedy walk move for
+    // move — a recursive CTE advances each distinct word's cursor by
+    // the longest matching piece (coalesce to the single char, the
+    // expression's fallback) — then weights by word frequency, so a
+    // longest-match or cursor bug is a hash fail, not a plausible
+    // alternative segmentation.
+    "q153_wordpiece_tokens" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = WordPiece.trainVocab(d, "text")
+        .select(col("piece")).collect().map(_.getString(0)).sorted.toSeq
+      d.select(explode(WordPiece.tokens(col("text"), vocab)).as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("n_uses"))
+        .orderBy(col("n_uses").desc, col("piece"))
+        .limit(30)
+    },
+
     "q91_bpe_tokens" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -495,6 +523,72 @@ object TextQueries {
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // q152: the frequency-seeded vocabulary replays relationally —
+    // substring grid per word, corpus-weighted counts, bounded top-k
+    // with the (weight desc, piece) tiebreak.
+    "q152_wordpiece_vocab" ->
+      """WITH wc AS (
+        |  SELECT w AS word, count(*)::BIGINT wc
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |pos AS (SELECT unnest(range(1, 64)) i),
+        |ln AS (SELECT unnest(range(1, 7)) l),
+        |wt AS (
+        |  SELECT substr(word, i::INT, l::INT) piece, sum(wc)::BIGINT weight
+        |  FROM wc, pos, ln
+        |  WHERE i <= len(word) AND l <= len(word) - i + 1
+        |  GROUP BY 1),
+        |multi AS (
+        |  SELECT piece, weight FROM wt WHERE len(piece) > 1
+        |  ORDER BY weight DESC, piece LIMIT 30),
+        |chars AS (SELECT piece, weight FROM wt WHERE len(piece) = 1)
+        |SELECT piece, weight
+        |FROM (SELECT * FROM chars UNION ALL SELECT * FROM multi)
+        |ORDER BY weight DESC, piece""".stripMargin,
+
+    // q153: the greedy walk replayed move for move — `best` holds the
+    // longest vocab match at every (word, cursor), the recursive CTE
+    // advances each distinct word's cursor by it (coalesce to 1 = the
+    // single-char fallback), and usage weights by word frequency.
+    "q153_wordpiece_tokens" ->
+      """WITH RECURSIVE wc AS (
+        |  SELECT w AS word, count(*)::BIGINT wc
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |pos AS (SELECT unnest(range(1, 64)) i),
+        |ln AS (SELECT unnest(range(1, 7)) l),
+        |wt AS (
+        |  SELECT substr(word, i::INT, l::INT) piece, sum(wc)::BIGINT weight
+        |  FROM wc, pos, ln
+        |  WHERE i <= len(word) AND l <= len(word) - i + 1
+        |  GROUP BY 1),
+        |vocab AS (
+        |  SELECT piece FROM wt WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece FROM (
+        |    SELECT piece FROM wt WHERE len(piece) > 1
+        |    ORDER BY weight DESC, piece LIMIT 30)),
+        |best AS (
+        |  SELECT w.word, p.i::INT AS pos, max(len(v.piece))::INT AS blen
+        |  FROM wc w
+        |  JOIN pos p ON p.i <= len(w.word)
+        |  JOIN vocab v ON substr(w.word, p.i::INT, len(v.piece)) = v.piece
+        |  GROUP BY 1, 2),
+        |walk AS (
+        |  SELECT word, 1 AS pos, CAST(NULL AS VARCHAR) AS piece FROM wc
+        |  UNION ALL
+        |  SELECT w.word, w.pos + coalesce(b.blen, 1),
+        |         substr(w.word, w.pos, coalesce(b.blen, 1))
+        |  FROM walk w LEFT JOIN best b ON b.word = w.word AND b.pos = w.pos
+        |  WHERE w.pos <= len(w.word)),
+        |uses AS (
+        |  SELECT wa.piece, sum(wc.wc)::BIGINT n_uses
+        |  FROM walk wa JOIN wc ON wc.word = wa.word
+        |  WHERE wa.piece IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT piece, n_uses FROM uses
+        |ORDER BY n_uses DESC, piece LIMIT 30""".stripMargin,
+
     // q33: fingerprint values are engine-defined; the counts are pure
     // text-content facts (see the query comment). Fingerprints hash the
     // token sequence, so "distinct text" is counted on the \s+-split
