@@ -704,6 +704,35 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // Rolling-window anomaly detection with an INTEGER-EXACT 3σ test:
+    // per user (event-time ordered), each value checks against the
+    // trailing 20 events' mean/variance — but the flag is evaluated as
+    // the cross-multiplied integer inequality
+    //   (20·v − Σx)²·19 > 9·(20·Σx² − (Σx)²)·20
+    // over cent-scaled BIGINTs, so the boundary can never flip on
+    // engine-specific fp summation order (stddev_samp differs between
+    // engines in the last ulp; an exact comparison cannot). One window
+    // shuffle on user_id; full-window rows only (n = 20).
+    "q154_rolling_anomaly" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n", count(col("cents")).over(w))
+        .withColumn("sx", sum(col("cents")).over(w))
+        .withColumn("sxx", sum(col("cents") * col("cents")).over(w))
+        .filter(col("n") === 20)
+        .withColumn("dev", col("cents") * 20 - col("sx"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(col("dev") * col("dev") * 19 >
+            (lit(20) * col("sxx") - col("sx") * col("sx")) * 180, 1L)
+            .otherwise(0L)).as("n_anomalies"))
+        .orderBy("event_type")
+    },
+
     // Distributed triangle counting (Triangles) over a deterministic
     // circulant graph on the supplier keys (chords {1,2,3,5,8} mod n —
     // SF-stable density: 5n edges, 7n triangles). The engine runs the
@@ -1142,6 +1171,27 @@ object AnalyticsQueries {
       """SELECT event_type, count(*)::BIGINT AS n,
         |  true AS p50_ok, true AS p99_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q154: the identical integer inequality (9·20 = 180 folded) over
+    // the identical cent-scaled window sums — exact on both engines.
+    "q154_rolling_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, cents,
+        |    count(cents) OVER win AS n,
+        |    sum(cents) OVER win AS sx,
+        |    sum(cents * cents) OVER win AS sxx
+        |  FROM e WINDOW win AS (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, count(*)::BIGINT AS n_checked,
+        |  sum(CASE WHEN (cents * 20 - sx) * (cents * 20 - sx) * 19
+        |             > (20 * sxx - sx * sx) * 180
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+        |FROM w WHERE n = 20 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q151: the naive 3-way self-join over the identical circulant
     // graph; wedges/clustering from exact integer degree arithmetic.
