@@ -541,6 +541,55 @@ object ParityQueries {
           "md5(cast(k + 7000000 as string)) AS vstr"))
       FuzzyJoin.probe(batch, "variant_id", "vstr", index, rightIdOut = "base_id")
         .orderBy("variant_id", "base_id")
+    },
+
+    // Entity resolution END TO END — three operators composed: fuzzy
+    // match (q143's exact planted frame), connected components over the
+    // match graph, canonical entity = min member id. Every base gains
+    // exactly one variant (the k%3 classes partition the keys), decoys
+    // resolve to singletons. The oracle recomputes matches via the
+    // naive levenshtein join and closes components with FOUR unrolled
+    // min-label-propagation rounds — sufficient for any graph this data
+    // can produce (diameter ≤ 2) — and its `unconverged` column counts
+    // labels a fifth round would still change: the engine pins 0, so if
+    // the match graph were ever pathological the gate fails LOUDLY
+    // instead of silently blessing a truncated propagation.
+    "q155_entity_resolution" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          expr("md5(cast(c_custkey as string))").as("b"))
+      val subst = c.filter(col("k") % 3 === 0).selectExpr(
+        "k + 1000000 AS variant_id",
+        "concat(substring(b, 1, cast(k % 32 as int)), 'z', " +
+          "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
+      val deletion = c.filter(col("k") % 3 === 1).selectExpr(
+        "k + 2000000 AS variant_id",
+        "concat(substring(b, 1, cast(k % 32 as int)), " +
+          "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
+      val double = c.filter(col("k") % 3 === 2)
+        .selectExpr("k",
+          "concat(substring(b, 1, cast(k % 16 as int)), 'z', " +
+            "substring(b, cast(k % 16 as int) + 2, 64)) AS s1")
+        .selectExpr(
+          "k + 3000000 AS variant_id",
+          "concat(substring(s1, 1, cast(16 + k % 16 as int)), 'y', " +
+            "substring(s1, cast(16 + k % 16 as int) + 2, 64)) AS vstr")
+      val decoy = c.filter(col("k") % 10 === 0).selectExpr(
+        "k + 4000000 AS variant_id",
+        "md5(cast(k + 7000000 as string)) AS vstr")
+      val variants = subst.unionByName(deletion).unionByName(double).unionByName(decoy)
+      val pairs = FuzzyJoin.join(
+        variants, "variant_id", "vstr",
+        c.select(col("k").as("base_id"), col("b").as("bstr")), "base_id", "bstr",
+        maxDistance = 2)
+        .select(col("variant_id").as("id_a"), col("base_id").as("id_b"))
+      val vertices = variants.select(col("variant_id").as("id"))
+        .unionByName(c.select(col("k").as("id")))
+      graft.dedup.ConnectedComponents.assign(vertices, pairs)
+        .groupBy(col("component").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .withColumn("unconverged", lit(0L))
+        .orderBy("entity_id")
     }
   )
 
@@ -910,6 +959,66 @@ object ParityQueries {
         |FROM batch v CROSS JOIN c
         |WHERE levenshtein(v.vstr, c.b) <= 2
         |ORDER BY variant_id, base_id""".stripMargin,
+
+    // q155: matches via the naive levenshtein join; components via four
+    // unrolled min-label rounds; `unconverged` counts round-5 changes
+    // (pinned 0 by the engine — a pathological graph fails loudly).
+    "q155_entity_resolution" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, md5(c_custkey::VARCHAR) AS b FROM customer),
+        |sub1 AS (
+        |  SELECT k, substr(b, 1, (k % 16)::INT) || 'z'
+        |    || substr(b, (k % 16)::INT + 2) AS s1
+        |  FROM c WHERE k % 3 = 2),
+        |var AS (
+        |  SELECT k + 1000000 AS vid,
+        |    substr(b, 1, (k % 32)::INT) || 'z'
+        |      || substr(b, (k % 32)::INT + 2) AS vstr
+        |  FROM c WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 2000000,
+        |    substr(b, 1, (k % 32)::INT) || substr(b, (k % 32)::INT + 2)
+        |  FROM c WHERE k % 3 = 1
+        |  UNION ALL
+        |  SELECT k + 3000000,
+        |    substr(s1, 1, (16 + k % 16)::INT) || 'y'
+        |      || substr(s1, (16 + k % 16)::INT + 2)
+        |  FROM sub1
+        |  UNION ALL
+        |  SELECT k + 4000000, md5((k + 7000000)::VARCHAR)
+        |  FROM c WHERE k % 10 = 0),
+        |m AS (
+        |  SELECT v.vid AS a, c.k AS b FROM var v CROSS JOIN c
+        |  WHERE levenshtein(v.vstr, c.b) <= 2),
+        |nodes AS (SELECT vid AS id FROM var UNION SELECT k FROM c),
+        |e AS (SELECT a, b FROM m UNION SELECT b, a FROM m),
+        |l0 AS (SELECT id, id AS lab FROM nodes),
+        |l1 AS (
+        |  SELECT n.id, least(n.lab, coalesce(min(p.lab), n.lab)) AS lab
+        |  FROM l0 n LEFT JOIN e ON e.a = n.id LEFT JOIN l0 p ON p.id = e.b
+        |  GROUP BY n.id, n.lab),
+        |l2 AS (
+        |  SELECT n.id, least(n.lab, coalesce(min(p.lab), n.lab)) AS lab
+        |  FROM l1 n LEFT JOIN e ON e.a = n.id LEFT JOIN l1 p ON p.id = e.b
+        |  GROUP BY n.id, n.lab),
+        |l3 AS (
+        |  SELECT n.id, least(n.lab, coalesce(min(p.lab), n.lab)) AS lab
+        |  FROM l2 n LEFT JOIN e ON e.a = n.id LEFT JOIN l2 p ON p.id = e.b
+        |  GROUP BY n.id, n.lab),
+        |l4 AS (
+        |  SELECT n.id, least(n.lab, coalesce(min(p.lab), n.lab)) AS lab
+        |  FROM l3 n LEFT JOIN e ON e.a = n.id LEFT JOIN l3 p ON p.id = e.b
+        |  GROUP BY n.id, n.lab),
+        |l5 AS (
+        |  SELECT n.id, least(n.lab, coalesce(min(p.lab), n.lab)) AS lab
+        |  FROM l4 n LEFT JOIN e ON e.a = n.id LEFT JOIN l4 p ON p.id = e.b
+        |  GROUP BY n.id, n.lab),
+        |chg AS (
+        |  SELECT count(*)::BIGINT AS n FROM l5 x JOIN l4 y
+        |  ON x.id = y.id AND x.lab <> y.lab)
+        |SELECT lab AS entity_id, count(*)::BIGINT AS n_members,
+        |  (SELECT n FROM chg) AS unconverged
+        |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q148_skew_report" ->
       """WITH pl AS (
