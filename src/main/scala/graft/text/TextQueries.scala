@@ -453,6 +453,46 @@ object TextQueries {
     "q134_tfidf_keywords" -> { (s, dir) =>
       Retrieval.tfidfKeywords(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")
+    },
+
+    // HYBRID retrieval — the standard RAG recipe: a lexical BM25 hit
+    // list and an embedding-cosine hit list (query = vector 0, ranking
+    // its paired-document corpus) fused by reciprocal-rank fusion,
+    // score = Σ 1/(60 + rank). Both per-signal ranks come from
+    // 6dp-ROUNDED scores with a doc-id tiebreak (knife-edge fp parity
+    // cannot flip a rank), and the fused score is computed from those
+    // integer ranks — exactly replayable. The row_number windows rank
+    // BOUNDED frames (top-50 per signal, cut by TakeOrdered, not a
+    // global window over the corpus). Full outer fusion: a doc ranked
+    // by only one signal keeps that signal's term.
+    "q156_hybrid_retrieval" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          graft.similarity.VectorOps.toDouble(col("embedding")).as("v"))
+      val lexTop = Retrieval.bm25(d, "doc_id", "text", Seq("spark", "merge", "window"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("rl",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rl"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val vecTop = emb.filter(col("vec_id") =!= 0)
+        .join(d.select(col("doc_id")), col("vec_id") === col("doc_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("doc_id"),
+          round(graft.similarity.VectorOps.cosine(col("v"), col("qv")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(50)
+        .withColumn("rv",
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rv"))
+      lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("rl") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rv") + 60), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(15)
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
     }
   )
 
@@ -523,6 +563,60 @@ object TextQueries {
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // q156: both hit lists replay exactly (BM25 per q133's recompute,
+    // cosine per q24's list_dot_product parity, ranks from 6dp-rounded
+    // scores with doc-id tiebreaks), and RRF is pure integer-rank
+    // arithmetic on top.
+    "q156_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, len(regexp_split_to_array(text, '\s+'))::BIGINT AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs,
+        |    (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+        |  WHERE term IN ('spark', 'merge', 'window')
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    (ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |     ((tf.tf * (1.2 + 1.0)) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))))
+        |      ::DECIMAL(18,9) AS s
+        |  FROM tf
+        |  JOIN df USING (term)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |bm AS (SELECT doc_id, round(sum(s)::DOUBLE, 6) AS bm25
+        |       FROM scored GROUP BY 1),
+        |ltop AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+        |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+        |vecs AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+        |  FROM embeddings),
+        |qv AS (SELECT v, n FROM vecs WHERE vec_id = 0),
+        |vcos AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_dot_product(vecs.v, qv.v) / (vecs.n * qv.n), 6) AS cos
+        |  FROM vecs, qv
+        |  WHERE vec_id <> 0 AND vec_id IN (SELECT doc_id FROM documents)),
+        |vtop AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rv
+        |  FROM (SELECT * FROM vcos ORDER BY cos DESC, doc_id LIMIT 50)),
+        |fused AS (
+        |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    coalesce(1.0 / (60 + l.rl), 0) + coalesce(1.0 / (60 + v.rv), 0) AS rrf
+        |  FROM ltop l FULL JOIN vtop v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, round(rrf, 6) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+
     // q152: the frequency-seeded vocabulary replays relationally —
     // substring grid per word, corpus-weighted counts, bounded top-k
     // with the (weight desc, piece) tiebreak.
