@@ -93,8 +93,12 @@ object NgramJaccard {
       .select(
         col("p.a.id").as("id_a"), col("p.a.n").as("n_a"),
         col("p.b.id").as("id_b"), col("p.b.n").as("n_b"))
+      // epsilon-guarded: t·max floating a hair above an exact integer
+      // (t = 0.07, max = 100) must not drop a boundary pair the exact
+      // jaccard filter below would keep; the guard only admits extra
+      // candidates, which that filter removes.
       .filter(least(col("n_a"), col("n_b")) >=
-        lit(threshold) * greatest(col("n_a"), col("n_b")))
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
 
     pairs
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))

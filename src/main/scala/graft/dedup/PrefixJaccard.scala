@@ -61,11 +61,18 @@ object PrefixJaccard {
     // Each set's prefix under the global (df asc, hash asc) order. The
     // prefix length n - ceil(t·n) + 1 is the lemma's bound; row_number
     // (not rank) because the order is total — (df, sh) never ties
-    // within one document's distinct shingles.
+    // within one document's distinct shingles. The ceiling is
+    // epsilon-guarded: a raw ceil(t·n) overshoots whenever t·n floats a
+    // hair ABOVE an exact integer (t = 0.07, n = 100 → 7.0000000000000009
+    // → ceil 8), shortening the prefix below the lemma's bound and
+    // silently dropping qualifying pairs. The guard can only LENGTHEN
+    // the prefix — extra candidates are removed by the exact verify, so
+    // completeness is restored and no false pair can appear.
     val prefix = exploded.join(dfreq, "sh")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
-      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .filter(col("rn") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
 
     // Posting lists over PREFIX entries only — short by construction
     // (the global order routes every doc's rarest shingles here).
@@ -78,9 +85,12 @@ object PrefixJaccard {
       .select(
         col("p.a.id").as("id_a"), col("p.a.n").as("n_a"),
         col("p.b.id").as("id_b"), col("p.b.n").as("n_b"))
-      // size-ratio necessary condition: |A∩B| ≤ min, |A∪B| ≥ max
+      // size-ratio necessary condition (|A∩B| ≤ min, |A∪B| ≥ max),
+      // epsilon-guarded on the same fp-boundary argument as the prefix
+      // length: t·max floating just above an exact integer must not
+      // drop a pair the exact verify would keep.
       .filter(least(col("n_a"), col("n_b")) >=
-        lit(threshold) * greatest(col("n_a"), col("n_b")))
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
       .select(col("id_a"), col("id_b")).distinct()
 
     candidates

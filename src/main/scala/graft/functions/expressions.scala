@@ -1030,6 +1030,14 @@ object WordPieceTokenizer {
     val maxLen: Int = if (pieces.isEmpty) 1 else pieces.map(_.length).max
   }
 
+  // Same separator class as WhitespaceTokenizer ([ \t\n\x0B\f\r]): the
+  // trainer tokenizes through graft_tokens and the oracle through
+  // \s+-split, so the APPLY step must agree on what a word is — an
+  // ASCII-space-only split would treat "a\tb" as one word and emit "\t"
+  // as a piece the vocabulary never saw.
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
   def tokens(text: UTF8String, vocab: Vocab): ArrayData = {
     val s = text.toString
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
@@ -1037,7 +1045,7 @@ object WordPieceTokenizer {
     var i = 0
     val n = s.length
     while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
+      if (i == n || isWs(s.charAt(i))) {
         var pos = wStart
         while (pos < i) {
           var l = math.min(vocab.maxLen, i - pos)

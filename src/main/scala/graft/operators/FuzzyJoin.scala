@@ -167,9 +167,13 @@ object FuzzyJoin {
     val shortRs = index.shortStrs.select(col("__rs")).distinct()
     val shortLs = l.filter(length(col("__ls")) <= 2 * k)
       .select(col("__ls")).distinct()
-    val shortMatches = shortLs.join(broadcast(shortRs),
-        levenshtein(col("__ls"), col("__rs"), k) >= 0)
+    // One DP per pair: compute the thresholded distance as a column on
+    // the broadcast product and filter it, instead of evaluating the
+    // identical levenshtein once as a join predicate and again as the
+    // output column.
+    val shortMatches = shortLs.crossJoin(broadcast(shortRs))
       .withColumn("__dist", levenshtein(col("__ls"), col("__rs"), k))
+      .filter(col("__dist") >= 0)
     val verifiedShort = shortMatches
       .join(l, "__ls")
       .join(index.shortStrs, "__rs")

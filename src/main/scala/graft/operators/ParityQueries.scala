@@ -39,6 +39,75 @@ object ParityQueries {
       |  CASE WHEN event_type = 'error' THEN NULL ELSE props END AS props
       |FROM events""".stripMargin
 
+  /** Shared clean-names frame for the fuzzy family (q143/q149/q155):
+    * every customer key as a 32-hex md5 string.
+    */
+  private def fuzzyBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("k"),
+        expr("md5(cast(c_custkey as string))").as("b"))
+
+  /** q143/q155's planted dirty batch over [[fuzzyBase]] — ONE definition
+    * (plus the [[fuzzyPlantSql]] twin below) so a change to the splice
+    * arithmetic can never desynchronize a query from its oracle:
+    * substitution (k%3=0, dist 1), deletion (k%3=1, dist 1 and length
+    * 31 — the cross-length probe), double substitution (k%3=2, dist 2),
+    * no-match decoy (k%10=0, an unrelated md5).
+    */
+  private def plantedVariants(c: DataFrame): DataFrame = {
+    val subst = c.filter(col("k") % 3 === 0).selectExpr(
+      "k + 1000000 AS variant_id",
+      "concat(substring(b, 1, cast(k % 32 as int)), 'z', " +
+        "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
+    val deletion = c.filter(col("k") % 3 === 1).selectExpr(
+      "k + 2000000 AS variant_id",
+      "concat(substring(b, 1, cast(k % 32 as int)), " +
+        "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
+    val double = c.filter(col("k") % 3 === 2)
+      .selectExpr("k",
+        "concat(substring(b, 1, cast(k % 16 as int)), 'z', " +
+          "substring(b, cast(k % 16 as int) + 2, 64)) AS s1")
+      .selectExpr(
+        "k + 3000000 AS variant_id",
+        "concat(substring(s1, 1, cast(16 + k % 16 as int)), 'y', " +
+          "substring(s1, cast(16 + k % 16 as int) + 2, 64)) AS vstr")
+    val decoy = c.filter(col("k") % 10 === 0).selectExpr(
+      "k + 4000000 AS variant_id",
+      "md5(cast(k + 7000000 as string)) AS vstr")
+    subst.unionByName(deletion).unionByName(double).unionByName(decoy)
+  }
+
+  /** SQL twin of [[fuzzyBase]] + [[plantedVariants]]: CTEs `c` (k, b)
+    * and `var` (variant_id, vstr). Deliberately NOT pre-stripped: the
+    * consumers interpolate it into their own stripMargin strings, and a
+    * double strip would eat the leading `|` of the `||` concat
+    * operators on continuation lines.
+    */
+  private val fuzzyPlantSql =
+    """c AS (
+      |  SELECT c_custkey AS k, md5(c_custkey::VARCHAR) AS b FROM customer),
+      |sub1 AS (
+      |  SELECT k, substr(b, 1, (k % 16)::INT) || 'z'
+      |    || substr(b, (k % 16)::INT + 2) AS s1
+      |  FROM c WHERE k % 3 = 2),
+      |var AS (
+      |  SELECT k + 1000000 AS variant_id,
+      |    substr(b, 1, (k % 32)::INT) || 'z'
+      |      || substr(b, (k % 32)::INT + 2) AS vstr
+      |  FROM c WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k + 2000000,
+      |    substr(b, 1, (k % 32)::INT) || substr(b, (k % 32)::INT + 2)
+      |  FROM c WHERE k % 3 = 1
+      |  UNION ALL
+      |  SELECT k + 3000000,
+      |    substr(s1, 1, (16 + k % 16)::INT) || 'y'
+      |      || substr(s1, (16 + k % 16)::INT + 2)
+      |  FROM sub1
+      |  UNION ALL
+      |  SELECT k + 4000000, md5((k + 7000000)::VARCHAR)
+      |  FROM c WHERE k % 10 = 0)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1: column-name normalization (transformer.py:95-112) as a projection
     // rename — "Order Key"→order_key, " Quantity (units) "→quantity_units,
@@ -451,31 +520,9 @@ object ParityQueries {
     // strings sit ~20+ edits apart, and even an accidental near-pair
     // would be found by BOTH sides.
     "q143_fuzzy_join" -> { (s, dir) =>
-      val c = t(s, dir, "customer")
-        .select(col("c_custkey").cast("long").as("k"),
-          expr("md5(cast(c_custkey as string))").as("b"))
-      val subst = c.filter(col("k") % 3 === 0).selectExpr(
-        "k + 1000000 AS variant_id",
-        "concat(substring(b, 1, cast(k % 32 as int)), 'z', " +
-          "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
-      val deletion = c.filter(col("k") % 3 === 1).selectExpr(
-        "k + 2000000 AS variant_id",
-        "concat(substring(b, 1, cast(k % 32 as int)), " +
-          "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
-      val double = c.filter(col("k") % 3 === 2)
-        .selectExpr("k",
-          "concat(substring(b, 1, cast(k % 16 as int)), 'z', " +
-            "substring(b, cast(k % 16 as int) + 2, 64)) AS s1")
-        .selectExpr(
-          "k + 3000000 AS variant_id",
-          "concat(substring(s1, 1, cast(16 + k % 16 as int)), 'y', " +
-            "substring(s1, cast(16 + k % 16 as int) + 2, 64)) AS vstr")
-      val decoy = c.filter(col("k") % 10 === 0).selectExpr(
-        "k + 4000000 AS variant_id",
-        "md5(cast(k + 7000000 as string)) AS vstr")
-      val variants = subst.unionByName(deletion).unionByName(double).unionByName(decoy)
+      val c = fuzzyBase(s, dir)
       FuzzyJoin.join(
-        variants, "variant_id", "vstr",
+        plantedVariants(c), "variant_id", "vstr",
         c.select(col("k").as("base_id"), col("b").as("bstr")), "base_id", "bstr",
         maxDistance = 2)
         .orderBy("variant_id", "base_id")
@@ -526,9 +573,7 @@ object ParityQueries {
     // is again the naive cartesian levenshtein join, batch × corpus —
     // exact-complete filter, so agreement is deterministic.
     "q149_fuzzy_probe" -> { (s, dir) =>
-      val c = t(s, dir, "customer")
-        .select(col("c_custkey").cast("long").as("k"),
-          expr("md5(cast(c_custkey as string))").as("b"))
+      val c = fuzzyBase(s, dir)
       val index = FuzzyJoin.buildIndex(
         c.select(col("k").as("base_id"), col("b").as("bstr")),
         "base_id", "bstr", maxDistance = 2)
@@ -555,29 +600,8 @@ object ParityQueries {
     // the match graph were ever pathological the gate fails LOUDLY
     // instead of silently blessing a truncated propagation.
     "q155_entity_resolution" -> { (s, dir) =>
-      val c = t(s, dir, "customer")
-        .select(col("c_custkey").cast("long").as("k"),
-          expr("md5(cast(c_custkey as string))").as("b"))
-      val subst = c.filter(col("k") % 3 === 0).selectExpr(
-        "k + 1000000 AS variant_id",
-        "concat(substring(b, 1, cast(k % 32 as int)), 'z', " +
-          "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
-      val deletion = c.filter(col("k") % 3 === 1).selectExpr(
-        "k + 2000000 AS variant_id",
-        "concat(substring(b, 1, cast(k % 32 as int)), " +
-          "substring(b, cast(k % 32 as int) + 2, 64)) AS vstr")
-      val double = c.filter(col("k") % 3 === 2)
-        .selectExpr("k",
-          "concat(substring(b, 1, cast(k % 16 as int)), 'z', " +
-            "substring(b, cast(k % 16 as int) + 2, 64)) AS s1")
-        .selectExpr(
-          "k + 3000000 AS variant_id",
-          "concat(substring(s1, 1, cast(16 + k % 16 as int)), 'y', " +
-            "substring(s1, cast(16 + k % 16 as int) + 2, 64)) AS vstr")
-      val decoy = c.filter(col("k") % 10 === 0).selectExpr(
-        "k + 4000000 AS variant_id",
-        "md5(cast(k + 7000000 as string)) AS vstr")
-      val variants = subst.unionByName(deletion).unionByName(double).unionByName(decoy)
+      val c = fuzzyBase(s, dir)
+      val variants = plantedVariants(c)
       val pairs = FuzzyJoin.join(
         variants, "variant_id", "vstr",
         c.select(col("k").as("base_id"), col("b").as("bstr")), "base_id", "bstr",
@@ -903,34 +927,12 @@ object ParityQueries {
     // frame: the engine's segment-pigeonhole filter is exact-complete,
     // so banded result == cartesian ground truth deterministically.
     "q143_fuzzy_join" ->
-      """WITH c AS (
-        |  SELECT c_custkey AS k, md5(c_custkey::VARCHAR) AS b FROM customer),
-        |sub1 AS (
-        |  SELECT k, substr(b, 1, (k % 16)::INT) || 'z'
-        |    || substr(b, (k % 16)::INT + 2) AS s1
-        |  FROM c WHERE k % 3 = 2),
-        |var AS (
-        |  SELECT k + 1000000 AS variant_id,
-        |    substr(b, 1, (k % 32)::INT) || 'z'
-        |      || substr(b, (k % 32)::INT + 2) AS vstr
-        |  FROM c WHERE k % 3 = 0
-        |  UNION ALL
-        |  SELECT k + 2000000,
-        |    substr(b, 1, (k % 32)::INT) || substr(b, (k % 32)::INT + 2)
-        |  FROM c WHERE k % 3 = 1
-        |  UNION ALL
-        |  SELECT k + 3000000,
-        |    substr(s1, 1, (16 + k % 16)::INT) || 'y'
-        |      || substr(s1, (16 + k % 16)::INT + 2)
-        |  FROM sub1
-        |  UNION ALL
-        |  SELECT k + 4000000, md5((k + 7000000)::VARCHAR)
-        |  FROM c WHERE k % 10 = 0)
-        |SELECT v.variant_id, c.k AS base_id,
-        |  levenshtein(v.vstr, c.b)::INT AS dist
-        |FROM var v CROSS JOIN c
-        |WHERE levenshtein(v.vstr, c.b) <= 2
-        |ORDER BY variant_id, base_id""".stripMargin,
+      s"""WITH $fuzzyPlantSql
+         |SELECT v.variant_id, c.k AS base_id,
+         |  levenshtein(v.vstr, c.b)::INT AS dist
+         |FROM var v CROSS JOIN c
+         |WHERE levenshtein(v.vstr, c.b) <= 2
+         |ORDER BY variant_id, base_id""".stripMargin,
 
     // q147: the bloom filter only prunes; the result is the plain join.
     "q147_bloom_join" ->
@@ -964,33 +966,11 @@ object ParityQueries {
     // unrolled min-label rounds; `unconverged` counts round-5 changes
     // (pinned 0 by the engine — a pathological graph fails loudly).
     "q155_entity_resolution" ->
-      """WITH c AS (
-        |  SELECT c_custkey AS k, md5(c_custkey::VARCHAR) AS b FROM customer),
-        |sub1 AS (
-        |  SELECT k, substr(b, 1, (k % 16)::INT) || 'z'
-        |    || substr(b, (k % 16)::INT + 2) AS s1
-        |  FROM c WHERE k % 3 = 2),
-        |var AS (
-        |  SELECT k + 1000000 AS vid,
-        |    substr(b, 1, (k % 32)::INT) || 'z'
-        |      || substr(b, (k % 32)::INT + 2) AS vstr
-        |  FROM c WHERE k % 3 = 0
-        |  UNION ALL
-        |  SELECT k + 2000000,
-        |    substr(b, 1, (k % 32)::INT) || substr(b, (k % 32)::INT + 2)
-        |  FROM c WHERE k % 3 = 1
-        |  UNION ALL
-        |  SELECT k + 3000000,
-        |    substr(s1, 1, (16 + k % 16)::INT) || 'y'
-        |      || substr(s1, (16 + k % 16)::INT + 2)
-        |  FROM sub1
-        |  UNION ALL
-        |  SELECT k + 4000000, md5((k + 7000000)::VARCHAR)
-        |  FROM c WHERE k % 10 = 0),
-        |m AS (
-        |  SELECT v.vid AS a, c.k AS b FROM var v CROSS JOIN c
-        |  WHERE levenshtein(v.vstr, c.b) <= 2),
-        |nodes AS (SELECT vid AS id FROM var UNION SELECT k FROM c),
+      s"""WITH $fuzzyPlantSql,
+         |m AS (
+         |  SELECT v.variant_id AS a, c.k AS b FROM var v CROSS JOIN c
+         |  WHERE levenshtein(v.vstr, c.b) <= 2),
+         |nodes AS (SELECT variant_id AS id FROM var UNION SELECT k FROM c),
         |e AS (SELECT a, b FROM m UNION SELECT b, a FROM m),
         |l0 AS (SELECT id, id AS lab FROM nodes),
         |l1 AS (

@@ -17,6 +17,21 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** The q152/q153 oracles unroll word cursor positions 1..63
+    * (`range(1, 64)`) while the engine side is uncapped — a corpus with
+    * a 64+-char word must fail HERE, loudly, not as an opaque oracle
+    * hash mismatch (the fingerprintIds/ingestBatch guard pattern).
+    */
+  private def assertOracleWordLen(s: SparkSession, d: DataFrame): Unit = {
+    val maxLen = Option(
+      d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .agg(max(length(col("w")))).head.get(0))
+      .fold(0)(_.asInstanceOf[Number].intValue)
+    require(maxLen < 64,
+      s"q152/q153 oracle position grids cover word lengths < 64; got $maxLen — " +
+        "widen the oracle ranges before raising the corpus word length")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + surface statistics.
     "q30_text_stats" -> { (s, dir) =>
@@ -276,7 +291,9 @@ object TextQueries {
     // Fully relational (substring explode → weighted count → bounded
     // top-k with string tiebreak), so DuckDB recomputes every row.
     "q152_wordpiece_vocab" -> { (s, dir) =>
-      WordPiece.trainVocab(docs(s, dir), "text")
+      val d = docs(s, dir)
+      assertOracleWordLen(s, d)
+      WordPiece.trainVocab(d, "text")
         .orderBy(col("weight").desc, col("piece"))
     },
 
@@ -290,6 +307,7 @@ object TextQueries {
     // alternative segmentation.
     "q153_wordpiece_tokens" -> { (s, dir) =>
       val d = docs(s, dir)
+      assertOracleWordLen(s, d)
       val vocab = WordPiece.trainVocab(d, "text")
         .select(col("piece")).collect().map(_.getString(0)).sorted.toSeq
       d.select(explode(WordPiece.tokens(col("text"), vocab)).as("piece"))

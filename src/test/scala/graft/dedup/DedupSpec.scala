@@ -163,6 +163,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fp-boundary threshold keeps an exact-integer-ratio pair (t = 0.07)") {
+    // 0.07 * 100 floats to 7.000000000000001: an unguarded ceil/size-ratio
+    // computed one-too-strict and dropped this pair (J = 7/100 exactly)
+    // from BOTH exact joins while the final jaccard filter would keep it.
+    val words = (0 until 102).map(i => s"w$i")
+    val d = docs(
+      (1L, words.take(9).mkString(" ")),   // 7 shingles, all shared
+      (2L, words.mkString(" ")))           // 100 shingles
+    for (res <- Seq(
+        NgramJaccard.similarPairs(d, "doc_id", "text", threshold = 0.07),
+        PrefixJaccard.similarPairs(d, "doc_id", "text", threshold = 0.07))) {
+      val rows = res.collect()
+      assert(rows.length == 1 && rows(0).getAs[Double]("jaccard") == 0.07, rows.toSeq)
+    }
+  }
+
   test("prefix filtering cuts discovery shuffle on a boilerplate-heavy corpus") {
     // Every doc shares a boilerplate tail (one shingle with df = n): the
     // all-shingle join's posting list for it generates C(n,2) candidate
