@@ -1,0 +1,316 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral / lifecycle analytics over the event stream and the order
+  * fact table — the gold-layer surface the reference's Athena queries
+  * sketch (etl/README.md report queries) generalized to the four shapes
+  * every product-analytics user asks for: ordered conversion funnels,
+  * cohort retention matrices, gap-filled time series with interpolation,
+  * and SCD Type 2 attribute historization — plus a Deequ-style
+  * data-quality expectation suite computed in one fused pass.
+  *
+  * Scale notes (100 TB discipline):
+  *  - The funnel chain keys every aggregation and join on `user_id`, so
+  *    the whole query is ONE hash-partitioning reused across stages —
+  *    Catalyst collapses the groupBy→join→groupBy chain onto a single
+  *    exchange family; no step ever re-shuffles on a different key.
+  *  - Cohort/retention shuffles on (custkey) then (cohort_month): the
+  *    second key is ~80 distinct months, so the final agg is a tiny
+  *    exchange after a distinct that already collapsed the fact table.
+  *  - Gap-fill explodes a per-user date range bounded by each user's own
+  *    activity span (never a global calendar cross-join), and both
+  *    window frames share one (user_id, day) sort — a single exchange.
+  *  - SCD2 uses two window passes over the SAME (user_id, ts) ordering
+  *    plus one aggregation — again a single exchange family.
+  *  - Expectations is one full-scan aggregate (plus the one Expand pass
+  *    the distinct-count constraint forces) producing a 1-row frame that
+  *    unpivots driver-free via `stack`.
+  */
+object BehaviorQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered conversion funnel with per-step time bounds: first view,
+    // first click within 2h of that view, first purchase within 24h of
+    // that click. Strictly-after semantics at each step; conversion is
+    // reported against the previous step. The 3-row driver-side frame is
+    // the ONLY place a single-partition window runs.
+    "q157_funnel" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 2 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val steps = v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("step"), lit("view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("step"), lit("click").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("step"), lit("purchase").as("stage"), col("n_users")))
+      val w = Window.orderBy("step") // 3 rows: single-partition by design
+      val prev = lag(col("n_users"), 1).over(w)
+      steps
+        .withColumn("pct_of_prev",
+          when(prev > 0, round(col("n_users") / prev, 4)))
+        .orderBy("step")
+    },
+
+    // Cohort retention matrix: cohort = month of a customer's first
+    // order; a cohort is "active" in month-offset k when any member
+    // placed an order k calendar months after their cohort month.
+    "q158_cohort_retention" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      val first = o.groupBy(col("o_custkey"))
+        .agg(trunc(min(col("od")), "month").as("cohort_month"))
+      val sizes = first.groupBy(col("cohort_month"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val act = o.join(first, "o_custkey")
+        .select(col("cohort_month"), col("o_custkey"),
+          ((year(col("od")) * 12 + month(col("od"))) -
+            (year(col("cohort_month")) * 12 + month(col("cohort_month"))))
+            .as("month_offset"))
+        .distinct()
+      act.groupBy(col("cohort_month"), col("month_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort_month")
+        .withColumn("retention_pct",
+          round(col("n_active") / col("cohort_size"), 4))
+        .orderBy("cohort_month", "month_offset")
+    },
+
+    // Gap-filled daily purchase series per user: every day inside the
+    // user's own [first, last] purchase-day span appears exactly once;
+    // missing days carry n_purchases = 0, a LOCF value, and a linear
+    // interpolation between the flanking observed days. Interior gaps
+    // always have both flanks (the span endpoints are observed days), so
+    // the lerp denominator is never 0 on a gap row. Values ride as exact
+    // integer CENTS (the q154 discipline) because midpoint interpolation
+    // of 2-decimal money lands on X.XX5 halfway points constantly, where
+    // Spark (binary-value HALF_UP) and DuckDB (shortest-decimal-repr
+    // rounding) legitimately disagree at round(·, 2); integer lerp is
+    // engine-portable with no FP in the path at all.
+    "q159_gap_fill" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")) * 100, 0).cast("long").as("v_cents"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val back = w.rowsBetween(Window.unboundedPreceding, 0)
+      val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("prev_c", last(col("v_cents"), ignoreNulls = true).over(back))
+        .withColumn("prev_d",
+          last(when(col("v_cents").isNotNull, col("day")), ignoreNulls = true).over(back))
+        .withColumn("next_c", first(col("v_cents"), ignoreNulls = true).over(fwd))
+        .withColumn("next_d",
+          first(when(col("v_cents").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+        .withColumn("k", datediff(col("day"), col("prev_d")))
+        .withColumn("m", datediff(col("next_d"), col("prev_d")))
+        .withColumn("lerp_cents",
+          when(col("v_cents").isNotNull, col("v_cents"))
+            .otherwise(expr("(prev_c * (m - k) + next_c * k) div m")))
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          col("prev_c").as("locf_cents"), col("lerp_cents"))
+        .orderBy("user_id", "day")
+    },
+
+    // SCD Type 2 historization of a change stream: consecutive events
+    // with the same attribute value collapse into one validity interval
+    // [valid_from, valid_to); the open interval per key is is_current.
+    // Restricted to user_id % 5 = 0 to keep the oracle frame bounded at
+    // every sf (the operator itself is sf-independent).
+    "q160_scd2_history" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .filter(col("user_id") % 5 === 0)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val versioned = e
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+        .withColumn("is_chg",
+          when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("version",
+          sum(col("is_chg")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      val intervals = versioned
+        .groupBy(col("user_id"), col("version"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      val wv = Window.partitionBy("user_id").orderBy("version")
+      intervals
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "version")
+    },
+
+    // Deequ-style expectation suite over lineitem: eight constraints
+    // (row count, composite-key uniqueness, completeness, ranges, value
+    // set, freshness) evaluated from ONE fused aggregation pass, then
+    // unpivoted distributed-side via stack — no driver loop, no second
+    // scan.
+    "q161_expectations" -> { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
+        count(col("l_quantity")).as("n_qty"),
+        count(col("l_returnflag")).as("n_rf"),
+        min(col("l_quantity")).as("min_qty"),
+        min(col("l_discount")).as("min_disc"),
+        max(col("l_discount")).as("max_disc"),
+        sum(when(col("l_returnflag").isin("A", "N", "R"), 0).otherwise(1)).as("n_bad_rf"),
+        max(col("l_shipdate")).as("max_sd")
+      ).select(expr(
+        """stack(8,
+          |  'row_count', cast(n as double), n > 0,
+          |  'pk_unique', round(n_pk / n, 6), n_pk = n,
+          |  'complete_l_quantity', round(n_qty / n, 6), n_qty = n,
+          |  'complete_l_returnflag', round(n_rf / n, 6), n_rf = n,
+          |  'range_l_discount', round(max_disc, 6), min_disc >= 0.0 AND max_disc <= 1.0,
+          |  'positive_l_quantity', round(min_qty, 6), min_qty > 0.0,
+          |  'set_l_returnflag', cast(n_bad_rf as double), n_bad_rf = 0,
+          |  'freshness_l_shipdate', cast(year(max_sd) as double),
+          |    max_sd >= timestamp'2001-01-01 00:00:00'
+          |) as (check_name, metric, passed)""".stripMargin))
+        .orderBy("check_name")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q157_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP ts FROM events),
+        |v AS (SELECT user_id, min(ts) t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts > t1
+        |        AND ts <= t1 + INTERVAL 2 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts > t2
+        |        AND ts <= t2 + INTERVAL 24 HOUR GROUP BY 1),
+        |steps AS (
+        |  SELECT 1 AS step, 'view' AS stage, count(*)::BIGINT AS n_users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*)::BIGINT FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*)::BIGINT FROM p)
+        |SELECT step, stage, n_users,
+        |  CASE WHEN lag(n_users) OVER (ORDER BY step) > 0
+        |    THEN round(n_users / lag(n_users) OVER (ORDER BY step), 4) END
+        |    AS pct_of_prev
+        |FROM steps ORDER BY step""".stripMargin,
+
+    "q158_cohort_retention" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate::DATE od FROM orders),
+        |first AS (SELECT o_custkey, date_trunc('month', min(od))::DATE AS cohort_month
+        |          FROM o GROUP BY 1),
+        |sizes AS (SELECT cohort_month, count(*)::BIGINT AS cohort_size
+        |          FROM first GROUP BY 1),
+        |act AS (SELECT DISTINCT cohort_month, o.o_custkey,
+        |    (year(od) * 12 + month(od)) -
+        |      (year(cohort_month) * 12 + month(cohort_month)) AS month_offset
+        |  FROM o JOIN first USING (o_custkey))
+        |SELECT cohort_month, month_offset, count(*)::BIGINT AS n_active,
+        |  cohort_size, round(count(*) / cohort_size, 4) AS retention_pct
+        |FROM act JOIN sizes USING (cohort_month)
+        |GROUP BY cohort_month, month_offset, cohort_size
+        |ORDER BY cohort_month, month_offset""".stripMargin,
+
+    "q159_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS n_purchases,
+        |    round(sum(value) * 100)::BIGINT AS v_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT user_id, min(day) d0, max(day) d1 FROM daily GROUP BY 1)),
+        |filled AS (
+        |  SELECT g.user_id, g.day, d.n_purchases, d.v_cents
+        |  FROM grid g LEFT JOIN daily d USING (user_id, day)),
+        |win AS (
+        |  SELECT user_id, day, n_purchases, v_cents,
+        |    last_value(v_cents IGNORE NULLS) OVER bk AS prev_c,
+        |    last_value(CASE WHEN v_cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER bk AS prev_d,
+        |    first_value(v_cents IGNORE NULLS) OVER fw AS next_c,
+        |    first_value(CASE WHEN v_cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER fw AS next_d
+        |  FROM filled
+        |  WINDOW bk AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         fw AS (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, coalesce(n_purchases, 0)::BIGINT AS n_purchases,
+        |  prev_c AS locf_cents,
+        |  (CASE WHEN v_cents IS NOT NULL THEN v_cents
+        |    ELSE (prev_c * (datediff('day', day, next_d)) +
+        |          next_c * (datediff('day', prev_d, day)))
+        |         // datediff('day', prev_d, next_d)
+        |    END)::BIGINT AS lerp_cents
+        |FROM win ORDER BY user_id, day""".stripMargin,
+
+    "q160_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP ts, event_id
+        |           FROM events WHERE user_id % 5 = 0),
+        |chg AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ver AS (SELECT user_id, event_type, ts,
+        |    sum(is_chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS version
+        |  FROM chg),
+        |iv AS (SELECT user_id, version, event_type, min(ts) AS valid_from,
+        |    count(*)::BIGINT AS n_events
+        |  FROM ver GROUP BY 1, 2, 3)
+        |SELECT user_id, version, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+        |    AS is_current,
+        |  n_events
+        |FROM iv ORDER BY user_id, version""".stripMargin,
+
+    "q161_expectations" ->
+      """WITH m AS (SELECT
+        |    count(*)::BIGINT AS n,
+        |    (SELECT count(*) FROM
+        |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))::BIGINT AS n_pk,
+        |    count(l_quantity)::BIGINT AS n_qty,
+        |    count(l_returnflag)::BIGINT AS n_rf,
+        |    min(l_quantity) AS min_qty,
+        |    min(l_discount) AS min_disc,
+        |    max(l_discount) AS max_disc,
+        |    sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)::BIGINT
+        |      AS n_bad_rf,
+        |    max(l_shipdate) AS max_sd
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'row_count' AS check_name, n::DOUBLE AS metric, n > 0 AS passed FROM m
+        |  UNION ALL SELECT 'pk_unique', round(n_pk / n, 6), n_pk = n FROM m
+        |  UNION ALL SELECT 'complete_l_quantity', round(n_qty / n, 6), n_qty = n FROM m
+        |  UNION ALL SELECT 'complete_l_returnflag', round(n_rf / n, 6), n_rf = n FROM m
+        |  UNION ALL SELECT 'range_l_discount', round(max_disc, 6),
+        |    min_disc >= 0.0 AND max_disc <= 1.0 FROM m
+        |  UNION ALL SELECT 'positive_l_quantity', round(min_qty, 6), min_qty > 0.0 FROM m
+        |  UNION ALL SELECT 'set_l_returnflag', n_bad_rf::DOUBLE, n_bad_rf = 0 FROM m
+        |  UNION ALL SELECT 'freshness_l_shipdate', year(max_sd)::DOUBLE,
+        |    max_sd >= TIMESTAMP '2001-01-01 00:00:00' FROM m)
+        |ORDER BY check_name""".stripMargin
+  )
+}

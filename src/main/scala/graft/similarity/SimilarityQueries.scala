@@ -391,6 +391,20 @@ object SimilarityQueries {
       val queries = e.filter(col("vec_id") % 50 === 0)
       ProductQuantizer.adcTopK(queries, "vec_id", "embedding", codes, model, k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // Top principal direction by power iteration in EXACT integer
+    // arithmetic (quantize → dim²-shuffle gram → div-N normalize → 4
+    // driver rounds over the dim×dim matrix) — the oracle replays every
+    // round, so the gate covers the iteration itself (the q141
+    // discipline). q163 projects the corpus onto the learned direction.
+    "q162_pca_power" -> { (s, dir) =>
+      PcaPower.fitTrace(s, emb(s, dir), qBits = 16, vBits = 10, iters = 8)
+        .orderBy("iter", "d")
+    },
+
+    "q163_pca_project" -> { (s, dir) =>
+      PcaPower.project(s, emb(s, dir), qBits = 16, vBits = 10, iters = 8)
     }
   )
 
@@ -681,7 +695,11 @@ object SimilarityQueries {
          |SELECT query_id, rank::INT AS rank, vec_id,
          |  round(score, 6) AS adc_dist
          |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q162_pca_power" -> PcaPower.traceOracle(qBits = 16, vBits = 10, iters = 8),
+
+    "q163_pca_project" -> PcaPower.projectOracle(qBits = 16, vBits = 10, iters = 8)
   )
 
   /** Generic Lloyd replay CTE block over a (vec_id, v DOUBLE[]) source:

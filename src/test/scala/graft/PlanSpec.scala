@@ -373,4 +373,41 @@ class PlanSpec extends SparkSpec {
     val aggs = p.linesIterator.count(_.trim.startsWith("HashAggregate"))
     assert(aggs <= 4, s"unexpected extra aggregations ($aggs):\n$p")
   }
+
+  test("SCD2 historization runs on a single user_id exchange") {
+    val p = plan(gold.BehaviorQueries.queries("q160_scd2_history")(spark, dir))
+    // lag-window, running-sum window, the interval aggregation, and the
+    // lead-window ALL reuse hashpartitioning(user_id): one hash exchange
+    // total (the final orderBy is a range exchange). The aggregation is
+    // exchange-free because clustering on (user_id, version, event_type)
+    // is satisfied by the user_id partitioning already in place.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+  }
+
+  test("gap-fill windows piggyback on the join ordering (no window exchange)") {
+    val p = plan(gold.BehaviorQueries.queries("q159_gap_fill")(spark, dir))
+    // Two hash exchanges exist — the daily (user_id, day) aggregate and
+    // the per-user span aggregate; the LOCF/lerp window stack (three
+    // Window nodes sharing one (user_id, day) sort) must not add a third.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("funnel and cohort chains stay cartesian-free with broadcast step frames") {
+    for (q <- Seq("q157_funnel", "q158_cohort_retention")) {
+      val p = plan(gold.BehaviorQueries.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast joins:\n$p")
+    }
+  }
+
+  test("the expectation suite is one fused scan (partial+merge, no re-scan)") {
+    val p = plan(gold.BehaviorQueries.queries("q161_expectations")(spark, dir))
+    // one parquet scan feeds a partial+merge aggregate chain; the
+    // distinct-pair constraint adds its aggregate pair but never a
+    // second FileScan of lineitem
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(p.contains("merge_count"), p)
+  }
 }
