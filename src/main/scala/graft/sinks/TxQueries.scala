@@ -76,6 +76,40 @@ object TxQueries {
           .localCheckpoint(true)
           .orderBy("o_orderkey")
       } finally graft.core.ScratchDirs.release(tableDir)
+    },
+
+    // SCD Type 2 dimension history across three REAL transactional
+    // batches: init = even customer keys with their natural segment
+    // (batch 1); batch 2 = full snapshot where %4 keys move to PROMO
+    // (odd keys are brand-new → first version opens at 2); batch 3 =
+    // full snapshot where %6 keys move to WHOLESALE. Unchanged keys must
+    // keep their ORIGINAL valid_from (no churn), changed keys close at
+    // the batch id and reopen, and exactly one row per key is current.
+    // The oracle replays the three snapshots relationally and collapses
+    // consecutive equal segments into the same validity intervals.
+    "q164_scd2_merge" -> { (s, dir) =>
+      def seg2 = when(col("c_custkey") % 4 === 0, lit("PROMO"))
+        .otherwise(col("c_mktsegment"))
+      def seg3 = when(col("c_custkey") % 6 === 0, lit("WHOLESALE"))
+        .otherwise(seg2)
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val tableDir = graft.core.ScratchDirs.lease("graft-scd2-q")
+      try {
+        Scd2.init(s, tableDir,
+          cust.filter(col("c_custkey") % 2 === 0)
+            .withColumnRenamed("c_mktsegment", "segment"),
+          batchId = 1L)
+        val s2 = Scd2.merge(s, tableDir,
+          cust.select(col("c_custkey"), seg2.as("segment")),
+          Seq("c_custkey"), batchId = 2L)
+        require(s2.version == 2L, s"batch 2 should commit version 2, got $s2")
+        val s3 = Scd2.merge(s, tableDir,
+          cust.select(col("c_custkey"), seg3.as("segment")),
+          Seq("c_custkey"), batchId = 3L)
+        require(s3.version == 3L, s"batch 3 should commit version 3, got $s3")
+        TxTable.read(s, tableDir).localCheckpoint(true)
+          .orderBy("c_custkey", "valid_from")
+      } finally graft.core.ScratchDirs.release(tableDir)
     }
   )
 
@@ -115,6 +149,44 @@ object TxQueries {
         |  coalesce(v3.o_custkey, v1.o_custkey) AS o_custkey,
         |  coalesce(v3.o_totalprice, v1.o_totalprice) AS o_totalprice
         |FROM v1 FULL JOIN v3 ON v1.o_orderkey = v3.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Replays the three snapshots and collapses consecutive equal
+    // segments per key: a version opens at the first batch that carries
+    // its value (keys absent from batch 1 simply have no batch-1 row, so
+    // their first version opens at 2 — same "no delete semantics" rule
+    // as the engine). valid_to is the next version's valid_from.
+    "q164_scd2_merge" ->
+      """WITH b1 AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, 1 AS b
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |b2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'PROMO' ELSE c_mktsegment END AS segment,
+        |    2 AS b
+        |  FROM customer),
+        |b3 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 6 = 0 THEN 'WHOLESALE'
+        |         WHEN c_custkey % 4 = 0 THEN 'PROMO'
+        |         ELSE c_mktsegment END AS segment,
+        |    3 AS b
+        |  FROM customer),
+        |timeline AS (
+        |  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+        |chg AS (
+        |  SELECT c_custkey, segment, b,
+        |    lag(segment) OVER (PARTITION BY c_custkey ORDER BY b) AS prev
+        |  FROM timeline),
+        |vers AS (
+        |  SELECT c_custkey, segment, b::BIGINT AS valid_from FROM chg
+        |  WHERE prev IS NULL OR prev <> segment)
+        |SELECT c_custkey, segment, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+        |    AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+        |    IS NULL AS is_current
+        |FROM vers
+        |ORDER BY c_custkey, valid_from""".stripMargin
   )
 }
