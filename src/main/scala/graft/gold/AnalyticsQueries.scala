@@ -677,6 +677,24 @@ object AnalyticsQueries {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // Community detection by synchronous label propagation over the same
+    // supplier↔customer graph as q141 — self-vote variant with a total
+    // (count desc, label asc) tie-break, so the three rounds replay
+    // hash-exact in the oracle (integer-only state, the q141/q162
+    // iteration-replay discipline).
+    "q165_label_prop" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + 1000000L).as("supp"),
+          col("o_custkey").as("cust"))
+        .distinct()
+      val edges = pairs.select(col("supp").as("src"), col("cust").as("dst"))
+        .unionAll(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+      graft.operators.LabelPropagation.run(edges, iterations = 3)
+        .orderBy("id")
+    },
+
     // Approximate percentiles — the quantile-sketch sibling of q66's
     // HLL contract: at 100 TB an exact percentile sorts every value
     // through one partition, a GK/KLL-style sketch ships kilobytes.
@@ -1162,6 +1180,34 @@ object AnalyticsQueries {
          |SELECT id, round(rank, 6) AS rank FROM (
          |  SELECT id, rank FROM r3 ORDER BY rank DESC, id LIMIT 20) top
          |ORDER BY rank DESC, id""".stripMargin
+    },
+
+    // q165: three unrolled LPA rounds over the q141 graph — neighbor
+    // votes + the node's own label, argmax by (count desc, label asc).
+    "q165_label_prop" -> {
+      def round(i: Int): String =
+        s"""l$i AS (
+           |  SELECT id, label FROM (
+           |    SELECT id, label, row_number() OVER (
+           |        PARTITION BY id ORDER BY n DESC, label ASC) AS rn
+           |    FROM (
+           |      SELECT id, label, count(*)::BIGINT AS n FROM (
+           |        SELECT e.dst AS id, l.label FROM e
+           |        JOIN l${i - 1} l ON l.id = e.src
+           |        UNION ALL SELECT id, label FROM l${i - 1}) v
+           |      GROUP BY 1, 2) c) r
+           |  WHERE rn = 1)"""
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_suppkey + 1000000 AS supp, o_custkey AS cust
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT supp AS src, cust AS dst FROM pairs
+         |      UNION ALL SELECT cust, supp FROM pairs),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |l0 AS (SELECT id, id AS label FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT id, label FROM l3 ORDER BY id""".stripMargin
     },
 
     // q142: the estimates are engine-defined (GK-style sketch); DuckDB

@@ -80,4 +80,30 @@ object Scd2 {
     TxTable.merge(spark, dir, closed.unionByName(opened).unionByName(openedNew),
       keyCols :+ "valid_from")
   }
+
+  /** Point-in-time (temporal) join: each fact row picks the dimension
+    * version valid at its own as-of stamp — `valid_from ≤ asOf <
+    * valid_to` on the half-open intervals [[merge]] maintains. A LEFT
+    * join: facts dated before the key's first version (or keyed to an
+    * unknown dimension key) keep null attributes rather than dropping.
+    *
+    * Scale shape: an equi-join on the business key with the interval
+    * bounds as a residual predicate — never a cartesian; at most one
+    * history row matches per fact (intervals are disjoint by
+    * construction), so the join fans nothing out.
+    */
+  def asOf(
+      facts: DataFrame,
+      history: DataFrame,
+      keyCols: Seq[String],
+      asOfCol: String
+  ): DataFrame = {
+    val keyEq: Column = keyCols.map(k => facts(k) === history(k)).reduce(_ && _)
+    val inInterval =
+      history("valid_from") <= facts(asOfCol) &&
+        (history("valid_to").isNull || facts(asOfCol) < history("valid_to"))
+    val dimAttrs = history.columns.filterNot(keyCols.contains)
+    facts.join(history, keyEq && inInterval, "left")
+      .select(facts.columns.map(facts(_)) ++ dimAttrs.map(history(_)): _*)
+  }
 }

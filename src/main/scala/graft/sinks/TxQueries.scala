@@ -110,6 +110,41 @@ object TxQueries {
         TxTable.read(s, tableDir).localCheckpoint(true)
           .orderBy("c_custkey", "valid_from")
       } finally graft.core.ScratchDirs.release(tableDir)
+    },
+
+    // Point-in-time join against the q164 history: each order is stamped
+    // with a deterministic as-of batch (1 + o_orderkey % 3) and picks
+    // the segment valid THEN — orders dated before their customer's
+    // first version (odd keys at batch 1) resolve to '(none)'. Revenue
+    // by then-current segment is the classic temporal-BI rollup.
+    "q166_scd2_pointintime" -> { (s, dir) =>
+      def seg2 = when(col("c_custkey") % 4 === 0, lit("PROMO"))
+        .otherwise(col("c_mktsegment"))
+      def seg3 = when(col("c_custkey") % 6 === 0, lit("WHOLESALE"))
+        .otherwise(seg2)
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val tableDir = graft.core.ScratchDirs.lease("graft-scd2-pit-q")
+      try {
+        Scd2.init(s, tableDir,
+          cust.filter(col("c_custkey") % 2 === 0)
+            .withColumnRenamed("c_mktsegment", "segment"),
+          batchId = 1L)
+        Scd2.merge(s, tableDir,
+          cust.select(col("c_custkey"), seg2.as("segment")),
+          Seq("c_custkey"), batchId = 2L)
+        Scd2.merge(s, tableDir,
+          cust.select(col("c_custkey"), seg3.as("segment")),
+          Seq("c_custkey"), batchId = 3L)
+        val facts = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+            col("o_totalprice"), (lit(1L) + col("o_orderkey") % 3).as("as_of"))
+        Scd2.asOf(facts, TxTable.read(s, tableDir), Seq("c_custkey"), "as_of")
+          .groupBy(coalesce(col("segment"), lit("(none)")).as("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+          .orderBy("segment")
+          .localCheckpoint(true)
+      } finally graft.core.ScratchDirs.release(tableDir)
     }
   )
 
@@ -187,6 +222,47 @@ object TxQueries {
         |  lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
         |    IS NULL AS is_current
         |FROM vers
-        |ORDER BY c_custkey, valid_from""".stripMargin
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // Same snapshot replay as q164, then the interval join: the version
+    // whose [valid_from, valid_to) contains the order's as-of batch.
+    "q166_scd2_pointintime" ->
+      """WITH b1 AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, 1 AS b
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |b2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'PROMO' ELSE c_mktsegment END AS segment,
+        |    2 AS b
+        |  FROM customer),
+        |b3 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 6 = 0 THEN 'WHOLESALE'
+        |         WHEN c_custkey % 4 = 0 THEN 'PROMO'
+        |         ELSE c_mktsegment END AS segment,
+        |    3 AS b
+        |  FROM customer),
+        |timeline AS (
+        |  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+        |chg AS (
+        |  SELECT c_custkey, segment, b,
+        |    lag(segment) OVER (PARTITION BY c_custkey ORDER BY b) AS prev
+        |  FROM timeline),
+        |vers AS (
+        |  SELECT c_custkey, segment, b::BIGINT AS valid_from,
+        |    lead(b::BIGINT) OVER (PARTITION BY c_custkey ORDER BY b) AS valid_to
+        |  FROM chg WHERE prev IS NULL OR prev <> segment),
+        |facts AS (
+        |  SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
+        |    1 + o_orderkey % 3 AS as_of
+        |  FROM orders)
+        |SELECT coalesce(v.segment, '(none)') AS segment,
+        |  count(*)::BIGINT AS n_orders,
+        |  round(sum(f.o_totalprice), 2) AS revenue
+        |FROM facts f
+        |LEFT JOIN vers v ON v.c_custkey = f.c_custkey
+        |  AND v.valid_from <= f.as_of
+        |  AND (v.valid_to IS NULL OR f.as_of < v.valid_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

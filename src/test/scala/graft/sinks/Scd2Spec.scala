@@ -76,6 +76,33 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("asOf picks the version valid at each fact's stamp, null before birth") {
+    withTable { dir =>
+      Scd2.init(spark, dir, frame(1L -> "a"), batchId = 2L)
+      Scd2.merge(spark, dir, frame(1L -> "b"), Seq("k"), batchId = 5L)
+      val facts = spark.createDataFrame(
+        java.util.List.of(
+          Row(1L, 1L), // before first version → null
+          Row(1L, 2L), // at valid_from → "a"
+          Row(1L, 4L), // inside [2,5) → "a"
+          Row(1L, 5L), // at the change → "b"
+          Row(2L, 3L)  // unknown key → null
+        ),
+        StructType(Seq(StructField("k", LongType), StructField("at", LongType))))
+      val out = Scd2.asOf(facts, TxTable.read(spark, dir), Seq("k"), "at")
+        .orderBy("k", "at").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("at"),
+          Option(r.getAs[String]("attr"))))
+      assert(out.toSeq == Seq(
+        (1L, 1L, None), (1L, 2L, Some("a")), (1L, 4L, Some("a")),
+        (1L, 5L, Some("b")), (2L, 3L, None)))
+      // equi-join with a residual interval predicate — never a cartesian
+      val p = Scd2.asOf(facts, TxTable.read(spark, dir), Seq("k"), "at")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    }
+  }
+
   test("exactly one current row per key after repeated change batches") {
     withTable { dir =>
       Scd2.init(spark, dir, frame(1L -> "a", 2L -> "b"), batchId = 1L)
