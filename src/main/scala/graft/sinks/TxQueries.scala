@@ -145,6 +145,19 @@ object TxQueries {
           .orderBy("segment")
           .localCheckpoint(true)
       } finally graft.core.ScratchDirs.release(tableDir)
+    },
+
+    // Zone-map pruning diagnostic: would Z-ordering this table by
+    // (l_partkey, l_suppkey) beat the linear (partkey, suppkey) sort for
+    // a mixed predicate workload? 32 exact-quantile "files" per layout,
+    // 16 equal-width range predicates per column; the answer is the
+    // fraction of files a min/max-stats scan reads. Expected shape:
+    // linear prunes partkey predicates almost perfectly and suppkey
+    // predicates not at all; z-order prunes BOTH at an intermediate
+    // rate — the quantified version of the OPTIMIZE ZORDER BY pitch.
+    "q167_zonemap_prune" -> { (s, dir) =>
+      ZoneMaps.diagnostic(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+        files = 32, preds = 16)
     }
   )
 
@@ -263,6 +276,8 @@ object TxQueries {
         |LEFT JOIN vers v ON v.c_custkey = f.c_custkey
         |  AND v.valid_from <= f.as_of
         |  AND (v.valid_to IS NULL OR f.as_of < v.valid_to)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q167_zonemap_prune" -> ZoneMaps.diagnosticOracle(files = 32, preds = 16)
   )
 }
