@@ -158,6 +158,26 @@ object TxQueries {
     "q167_zonemap_prune" -> { (s, dir) =>
       ZoneMaps.diagnostic(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
         files = 32, preds = 16)
+    },
+
+    // Incremental materialized view: per-customer order stats built from
+    // three insert-only delta batches (orderkey mod 3) folded into the
+    // stored partials — each increment aggregates ONLY its batch and
+    // merges only its groups. The oracle recomputes the view from the
+    // full base in one pass: integer (cents) partials make incremental ≡
+    // full-recompute exact, which is precisely the claim under test.
+    "q168_incremental_mview" -> { (s, dir) =>
+      val viewDir = graft.core.ScratchDirs.lease("graft-mview-q")
+      try {
+        def batch(i: Int) = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 3 === i)
+          .select(col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        Mview.init(s, viewDir, batch(0), Seq("o_custkey"), Seq("cents"))
+        Mview.increment(s, viewDir, batch(1), Seq("o_custkey"), Seq("cents"))
+        Mview.increment(s, viewDir, batch(2), Seq("o_custkey"), Seq("cents"))
+        Mview.read(s, viewDir).localCheckpoint(true).orderBy("o_custkey")
+      } finally graft.core.ScratchDirs.release(viewDir)
     }
   )
 
@@ -278,6 +298,13 @@ object TxQueries {
         |  AND (v.valid_to IS NULL OR f.as_of < v.valid_to)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q167_zonemap_prune" -> ZoneMaps.diagnosticOracle(files = 32, preds = 16)
+    "q167_zonemap_prune" -> ZoneMaps.diagnosticOracle(files = 32, preds = 16),
+
+    // One-pass full recompute — equality against the three-batch
+    // incremental path is the maintenance-correctness gate.
+    "q168_incremental_mview" ->
+      """SELECT o_custkey, count(*)::BIGINT AS n_rows,
+        |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
