@@ -29,7 +29,10 @@ object LabelPropagation {
     * @return (id, label) with label = the community exemplar (an id)
     */
   def run(edges: DataFrame, iterations: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // Materialize the edge list once: it re-enters the join EVERY round,
+    // and an expensive upstream derivation (the q141/q165 graphs are a
+    // fact-table join + distinct) would otherwise recompute per round.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var labels = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
