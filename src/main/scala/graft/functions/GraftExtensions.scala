@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType, StringType}
 
 /** SparkSessionExtensions entry point registering the engine's native
   * expressions as SQL functions (`spark.sql.extensions =
@@ -167,6 +167,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             })
         case _ => throw new IllegalArgumentException(
           "graft_lang_scores(text, sets) with a literal array-of-string-arrays sets")
+      }))
+
+    // graft_viterbi / graft_viterbi_stats share one (pieces, weights)
+    // literal-unpacking shape.
+    def viterbiArgs(children: Seq[Expression]): Option[(Expression, Seq[String], Seq[Long])] =
+      children match {
+        case Seq(text,
+            Literal(ps: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(StringType, _)),
+            Literal(ws: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(LongType, _))) =>
+          Some((text,
+            (0 until ps.numElements()).map(i => ps.getUTF8String(i).toString),
+            (0 until ws.numElements()).map(ws.getLong)))
+        case _ => None
+      }
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_viterbi"),
+      new ExpressionInfo(classOf[ViterbiTokens].getName, "graft_viterbi"),
+      (children: Seq[Expression]) => viterbiArgs(children) match {
+        case Some((text, ps, ws)) => ViterbiTokens(text, ps, ws)
+        case None => throw new IllegalArgumentException(
+          "graft_viterbi(text, pieces, weights) with literal string/long arrays")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_viterbi_stats"),
+      new ExpressionInfo(classOf[ViterbiStats].getName, "graft_viterbi_stats"),
+      (children: Seq[Expression]) => viterbiArgs(children) match {
+        case Some((text, ps, ws)) => ViterbiStats(text, ps, ws)
+        case None => throw new IllegalArgumentException(
+          "graft_viterbi_stats(text, pieces, weights) with literal string/long arrays")
       }))
   }
 }

@@ -1091,3 +1091,165 @@ case class WordPieceTokens(child: Expression, vocab: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Optimal (Viterbi) subword segmentation under a fully-integer
+  * objective: fewest pieces first, then greatest total piece weight —
+  * the exact-arithmetic stand-in for the unigram-LM Viterbi decode
+  * (same DP structure; an integer objective instead of float log-probs,
+  * because float tie semantics are engine-dependent in a way a hash
+  * gate cannot pin — the reason WordPiece.trainVocab stops at the seed
+  * step). Against the greedy longest-match tokenizer this is the
+  * GLOBAL optimum per word: it can never emit more pieces, and the
+  * ViterbiSpec pins cases where greedy is strictly worse.
+  *
+  * Determinism pins: words split on the engine-wide whitespace class; a
+  * position covered by no piece emits its single character at weight 0
+  * (the WordPiece fallback); DP tie on (count, weight) prefers the
+  * LONGEST last piece, making the emitted token sequence unique.
+  *
+  * Same model-as-parameter shape as the other tokenizers: the
+  * (piece → weight) map rides the plan as a reference object; the
+  * per-row DP is O(len · maxPieceLen) map probes inside whole-stage
+  * codegen, no shuffle.
+  */
+object ViterbiSegmenter {
+
+  final class Model(pieces: Seq[String], weights: Seq[Long]) extends Serializable {
+    require(pieces.length == weights.length,
+      s"pieces/weights length mismatch: ${pieces.length} vs ${weights.length}")
+    val w = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    pieces.zip(weights).foreach { case (p, wt) => w.put(p, java.lang.Long.valueOf(wt)) }
+    val maxLen: Int = if (pieces.isEmpty) 1 else pieces.map(_.length).max
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** DP over s[start, end); appends the optimal token sequence to `out`
+    * when non-null; returns (pieceCount, weightSum).
+    */
+  private def segmentWord(
+      s: String, start: Int, end: Int, m: Model,
+      out: scala.collection.mutable.ArrayBuffer[UTF8String]): (Long, Long) = {
+    val n = end - start
+    val cnt = new Array[Long](n + 1)
+    val sw = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    var p = 1
+    while (p <= n) {
+      var bestCnt = Long.MaxValue
+      var bestSw = Long.MinValue
+      var bestJ = 0
+      // longest candidate first: strict-improvement updates keep the
+      // longest last piece on an exact (cnt, sw) tie
+      var j = math.min(p, m.maxLen)
+      while (j >= 1) {
+        val wt = m.w.get(s.substring(start + p - j, start + p))
+        if (wt != null || j == 1) {
+          val c = cnt(p - j) + 1
+          val v = sw(p - j) + (if (wt != null) wt.longValue else 0L)
+          if (c < bestCnt || (c == bestCnt && v > bestSw)) {
+            bestCnt = c; bestSw = v; bestJ = j
+          }
+        }
+        j -= 1
+      }
+      cnt(p) = bestCnt; sw(p) = bestSw; back(p) = bestJ
+      p += 1
+    }
+    if (out != null && n > 0) {
+      val lens = new scala.collection.mutable.ArrayBuffer[Int](n)
+      var q = n
+      while (q > 0) { lens += back(q); q -= back(q) }
+      var pos = start
+      var i = lens.length - 1
+      while (i >= 0) {
+        out += UTF8String.fromString(s.substring(pos, pos + lens(i)))
+        pos += lens(i)
+        i -= 1
+      }
+    }
+    (cnt(n), sw(n))
+  }
+
+  private def perWord[A](text: UTF8String, m: Model,
+      out: scala.collection.mutable.ArrayBuffer[UTF8String]): (Long, Long) = {
+    val s = text.toString
+    var totCnt = 0L
+    var totSw = 0L
+    var wStart = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || isWs(s.charAt(i))) {
+        if (i > wStart) {
+          val (c, v) = segmentWord(s, wStart, i, m, out)
+          totCnt += c; totSw += v
+        }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    (totCnt, totSw)
+  }
+
+  def tokens(text: UTF8String, m: Model): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    perWord(text, m, out)
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  def stats(text: UTF8String, m: Model): org.apache.spark.sql.catalyst.InternalRow = {
+    val (c, v) = perWord(text, m, null)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](c, v))
+  }
+}
+
+case class ViterbiTokens(child: Expression, pieces: Seq[String], weights: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_viterbi"
+
+  @transient private lazy val m = new ViterbiSegmenter.Model(pieces, weights)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ViterbiSegmenter.tokens(input.asInstanceOf[UTF8String], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val mRef = ctx.addReferenceObj("viterbiModel", m,
+        classOf[ViterbiSegmenter.Model].getName)
+      s"${ev.value} = graft.functions.ViterbiSegmenter.tokens($t, $mRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ViterbiStats(child: Expression, pieces: Seq[String], weights: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_weight", LongType, nullable = false)))
+  override def prettyName: String = "graft_viterbi_stats"
+
+  @transient private lazy val m = new ViterbiSegmenter.Model(pieces, weights)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ViterbiSegmenter.stats(input.asInstanceOf[UTF8String], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val mRef = ctx.addReferenceObj("viterbiModel", m,
+        classOf[ViterbiSegmenter.Model].getName)
+      s"${ev.value} = graft.functions.ViterbiSegmenter.stats($t, $mRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

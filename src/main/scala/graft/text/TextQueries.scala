@@ -22,6 +22,66 @@ object TextQueries {
     * a 64+-char word must fail HERE, loudly, not as an opaque oracle
     * hash mismatch (the fingerprintIds/ingestBatch guard pattern).
     */
+  /** q169's oracle: the q152 vocabulary replay feeding a position-
+    * unrolled DP value table — dp_p(word) = best (cnt asc, sw desc)
+    * over every vocab piece ending at position p (single characters are
+    * always in the vocabulary, so no fallback branch is needed on
+    * corpus text) — then per-doc sums over the word multiset. Replays
+    * VALUES only; path reconstruction is engine-side (ViterbiSpec pins
+    * it against brute-force enumeration).
+    */
+  private def viterbiOracle(maxWordLen: Int, maxPieceLen: Int): String = {
+    val vocabCtes =
+      """wc AS MATERIALIZED (
+        |  SELECT w AS word, count(*)::BIGINT wc
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |pos AS (SELECT unnest(range(1, 64)) i),
+        |ln AS (SELECT unnest(range(1, 7)) l),
+        |wt AS (
+        |  SELECT substr(word, i::INT, l::INT) piece, sum(wc)::BIGINT weight
+        |  FROM wc, pos, ln
+        |  WHERE i <= len(word) AND l <= len(word) - i + 1
+        |  GROUP BY 1),
+        |vocabw AS MATERIALIZED (
+        |  SELECT piece, weight FROM wt WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, weight FROM (
+        |    SELECT piece, weight FROM wt WHERE len(piece) > 1
+        |    ORDER BY weight DESC, piece LIMIT 30)),
+        |dp0 AS MATERIALIZED (SELECT word, 0::BIGINT AS cnt, 0::BIGINT AS sw FROM wc)""".stripMargin
+    val dps = (1 to maxWordLen).map { p =>
+      val branches = (1 to math.min(p, maxPieceLen)).map { j =>
+        s"""      SELECT d.word, d.cnt + 1 AS cnt, d.sw + v.weight AS sw
+           |      FROM dp${p - j} d JOIN vocabw v
+           |        ON v.piece = substr(d.word, ${p - j + 1}, $j)
+           |      WHERE len(d.word) >= $p""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""dp$p AS MATERIALIZED (
+         |  SELECT word, cnt, sw FROM (
+         |    SELECT word, cnt, sw, row_number() OVER (
+         |      PARTITION BY word ORDER BY cnt ASC, sw DESC) rn
+         |    FROM (
+         |$branches) cand) r
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to maxWordLen)
+      .map(p => s"SELECT word, cnt, sw FROM dp$p WHERE len(word) = $p")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $vocabCtes,
+       |$dps,
+       |fin AS (
+       |  $fin),
+       |docw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) w
+       |    FROM documents) t WHERE w <> '')
+       |SELECT doc_id, sum(f.cnt)::BIGINT AS n_tokens,
+       |  sum(f.sw)::BIGINT AS sum_weight, true AS viterbi_le_greedy
+       |FROM docw JOIN fin f ON f.word = docw.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def assertOracleWordLen(s: SparkSession, d: DataFrame): Unit = {
     val maxLen = Option(
       d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
@@ -314,6 +374,38 @@ object TextQueries {
         .groupBy(col("piece")).agg(count(lit(1)).as("n_uses"))
         .orderBy(col("n_uses").desc, col("piece"))
         .limit(30)
+    },
+
+    // Optimal Viterbi segmentation vs the greedy matcher over the SAME
+    // q152 vocabulary: per doc, the DP-optimal piece count and total
+    // piece weight (graft_viterbi_stats — integer objective: fewest
+    // pieces, then heaviest; see functions.ViterbiSegmenter). The
+    // oracle replays the vocabulary AND the full DP value table
+    // position-for-position, so a wrong transition, tie-break, or
+    // weight lookup is a hash fail. viterbi_le_greedy pins global
+    // optimality against the greedy walk (engine-computed; oracle pins
+    // TRUE — a greedy walk beating the DP is a bug by definition).
+    "q169_viterbi_tokens" -> { (s, dir) =>
+      val d = docs(s, dir)
+      assertOracleWordLen(s, d)
+      val maxLen = Option(
+        d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .agg(max(length(col("w")))).head.get(0))
+        .fold(0)(_.asInstanceOf[Number].intValue)
+      require(maxLen <= 16,
+        s"q169's DP oracle unrolls 16 positions; got a $maxLen-char word")
+      val vocabRows = WordPiece.trainVocab(d, "text")
+        .orderBy(col("weight").desc, col("piece")).collect()
+      val pieces = vocabRows.map(_.getString(0)).toSeq
+      val weights = vocabRows.map(_.getLong(1)).toSeq
+      d.select(col("doc_id"),
+          WordPiece.viterbiStats(col("text"), pieces, weights).as("st"),
+          size(WordPiece.tokens(col("text"), pieces)).cast("long").as("n_greedy"))
+        .select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.sum_weight").as("sum_weight"),
+          (col("st.n_tokens") <= col("n_greedy")).as("viterbi_le_greedy"))
+        .orderBy("doc_id")
     },
 
     "q91_bpe_tokens" -> { (s, dir) =>
@@ -700,6 +792,8 @@ object TextQueries {
         |  GROUP BY 1)
         |SELECT piece, n_uses FROM uses
         |ORDER BY n_uses DESC, piece LIMIT 30""".stripMargin,
+
+    "q169_viterbi_tokens" -> viterbiOracle(maxWordLen = 16, maxPieceLen = 6),
 
     // q33: fingerprint values are engine-defined; the counts are pure
     // text-content facts (see the query comment). Fingerprints hash the

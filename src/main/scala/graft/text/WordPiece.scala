@@ -56,4 +56,18 @@ object WordPiece {
     */
   def tokens(text: Column, vocab: Seq[String]): Column =
     call_function("graft_wordpiece", text, typedlit(vocab))
+
+  /** Optimal (Viterbi DP) segmentation over the same weighted vocabulary
+    * — fewest pieces per word, ties to the heaviest total weight
+    * ([[graft.functions.ViterbiSegmenter]]); never emits more pieces
+    * than [[tokens]]'s greedy matcher.
+    */
+  def viterbiTokens(text: Column, pieces: Seq[String], weights: Seq[Long]): Column =
+    call_function("graft_viterbi", text, typedlit(pieces), typedlit(weights))
+
+  /** struct(n_tokens, sum_weight) of the optimal segmentation — the
+    * hash-gateable objective values without path reconstruction.
+    */
+  def viterbiStats(text: Column, pieces: Seq[String], weights: Seq[Long]): Column =
+    call_function("graft_viterbi_stats", text, typedlit(pieces), typedlit(weights))
 }
