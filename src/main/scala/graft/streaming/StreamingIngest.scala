@@ -121,4 +121,51 @@ object StreamingIngest {
         col(userCol),
         col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
+
+  /** Late-data quarantine router (`foreachBatch` sink): each micro-batch
+    * splits against the ENGINE'S OWN high-watermark — max event time
+    * seen across all prior batches, persisted beside the checkpoint, so
+    * a restart resumes with the same horizon — rows older than
+    * `hwm − delay` land in `quarantineDir`, the rest in `sinkDir`. The
+    * batch's own rows never count against themselves (the horizon
+    * advances AFTER the split), matching Spark's one-trigger watermark
+    * lag.
+    *
+    * This is the quarantine pattern rather than silent dropping: late
+    * rows are DATA (reconciliation, backfill, upstream-lag alerting) —
+    * and the split rule is engine-owned and exactly replayable, rather
+    * than leaning on the internal aggregation filter whose
+    * admit-vs-drop behavior is version-dependent.
+    */
+  def lateQuarantineSink(
+      sinkDir: String,
+      quarantineDir: String,
+      hwmPath: String,
+      tsCol: String = "ts",
+      delayMicros: Long = 3600L * 1000000L
+  ): (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(hwmPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(hwmPath)
+    val hwm: Long =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try in.readLong() finally in.close()
+      } else Long.MinValue
+    val stamped = batch
+      .withColumn("__micros", unix_micros(col(tsCol)))
+      .localCheckpoint() // split + max must see ONE evaluation of the batch
+    val horizon = if (hwm == Long.MinValue) Long.MinValue else hwm - delayMicros
+    stamped.filter(col("__micros") < horizon).drop("__micros")
+      .write.mode("append").parquet(quarantineDir)
+    stamped.filter(col("__micros") >= horizon).drop("__micros")
+      .write.mode("append").parquet(sinkDir)
+    val batchMax = stamped.agg(max(col("__micros"))).head().get(0)
+    val newHwm = if (batchMax == null) hwm else math.max(hwm, batchMax.asInstanceOf[Long])
+    if (newHwm != Long.MinValue) {
+      val out = fs.create(p, true)
+      try out.writeLong(newHwm) finally out.close()
+    }
+  }
 }

@@ -206,6 +206,62 @@ object StreamingQueries {
           .localCheckpoint(true)
           .orderBy("click_id", "view_id")
       } finally ScratchDirs.release(scratch)
+    },
+
+    // Late-data quarantine under a REAL StreamingQuery: the month's
+    // later half arrives in micro-batch 1 and advances the engine's
+    // persisted event-time horizon to maxTs − 1h; the earlier half
+    // arrives in micro-batch 2, entirely behind that horizon, and the
+    // foreachBatch router (StreamingIngest.lateQuarantineSink) must
+    // route every one of its rows to the quarantine sink instead of
+    // silently dropping them. File arrival order is pinned with
+    // explicit setTimes, not write timing (a same-millisecond tie would
+    // fall back to path order). The output is the per-destination
+    // audit — exactly the split the oracle recomputes relationally.
+    "q170_streaming_late_data" -> { (s, dir) =>
+      val raw = graft.sources.Tables.load(s, dir, "events")
+      val scratch = ScratchDirs.lease("graft-stream-late")
+      try {
+        val inDir = s"$scratch/in"
+        val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+        raw.filter(col("ts") >= cutoff).coalesce(1)
+          .write.mode("overwrite").parquet(s"$inDir/batch1")
+        raw.filter(col("ts") < cutoff).coalesce(1)
+          .write.mode("overwrite").parquet(s"$inDir/batch2")
+        val fs = new org.apache.hadoop.fs.Path(inDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def stamp(sub: String, t: Long): Unit = fs
+          .listStatus(new org.apache.hadoop.fs.Path(s"$inDir/$sub"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.setTimes(f.getPath, t, -1))
+        stamp("batch1", 1000000L)
+        stamp("batch2", 2000000L)
+
+        val sinkDir = s"$scratch/sink"
+        val lateDir = s"$scratch/late"
+        val q = s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(inDir)
+          .writeStream
+          .foreachBatch(StreamingIngest.lateQuarantineSink(
+            sinkDir, lateDir, s"$scratch/hwm", tsCol = "ts"))
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+
+        def audit(path: String, dest: String) =
+          s.read.schema(raw.schema).parquet(path)
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(col("user_id")).as("n_users"),
+              min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+            .select(lit(dest).as("destination"), col("n_rows"),
+              col("n_users"), col("min_ts"), col("max_ts"))
+        audit(sinkDir, "ontime").unionByName(audit(lateDir, "late"))
+          .localCheckpoint(true)
+          .orderBy("destination")
+      } finally ScratchDirs.release(scratch)
     }
   )
 
@@ -268,6 +324,22 @@ object StreamingQueries {
         |  round(coalesce(dim.user_total, 0::DECIMAL(18,2))::DOUBLE, 2)
         |    AS user_total
         |FROM ev LEFT JOIN dim USING (user_id)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // q170: batch 1 (the on-time later half) sets the horizon; batch 2
+    // (the earlier half) is entirely behind max(on-time) − 1h, so the
+    // split is exactly the calendar cutoff — which is what makes the
+    // audit relationally expressible.
+    "q170_streaming_late_data" ->
+      """WITH e AS (SELECT ts::TIMESTAMP AS ts, user_id FROM events)
+        |SELECT 'late' AS destination, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |UNION ALL
+        |SELECT 'ontime', count(*)::BIGINT, count(DISTINCT user_id)::BIGINT,
+        |  min(ts), max(ts)
+        |FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |ORDER BY destination""".stripMargin
   )
 }
