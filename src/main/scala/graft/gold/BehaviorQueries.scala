@@ -162,6 +162,59 @@ object BehaviorQueries {
         .orderBy("user_id", "version")
     },
 
+    // Market-basket pair mining over order line items: support,
+    // confidence, and lift for the top co-occurring part-BRAND pairs
+    // (brands, not parts — raw part ids are near-unique per order at
+    // every sf, so pair support would be ~1 everywhere; brand is the
+    // natural catalog rollup). Fan-out is bounded per order (distinct
+    // brands per order ≤ lines per order), so the pair explosion is
+    // in-row scale-safe — never a corpus-level self-join.
+    "q171_market_basket" -> { (s, dir) =>
+      val baskets = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct()
+      val nOrders = baskets.select(col("okey")).distinct().count()
+      val brandCounts = baskets.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_brand"))
+      val pairs = baskets.as("a")
+        .join(baskets.as("b"),
+          col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
+        .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+        .agg(count(lit(1)).as("n_pair"))
+      pairs
+        .join(brandCounts.select(col("brand").as("brand_a"), col("n_brand").as("n_a")), "brand_a")
+        .join(brandCounts.select(col("brand").as("brand_b"), col("n_brand").as("n_b")), "brand_b")
+        .withColumn("support", round(col("n_pair") / lit(nOrders.toDouble), 6))
+        .withColumn("confidence", round(col("n_pair") / col("n_a"), 6))
+        .withColumn("lift", round(
+          (col("n_pair") * lit(nOrders.toDouble)) / (col("n_a") * col("n_b")), 6))
+        .select(col("brand_a"), col("brand_b"), col("n_pair"),
+          col("support"), col("confidence"), col("lift"))
+        .orderBy(col("n_pair").desc, col("brand_a"), col("brand_b"))
+        .limit(25)
+    },
+
+    // Session path analysis: the event-type transition matrix over
+    // consecutive events per user (ordered by ts with the event_id
+    // tiebreak) — counts and per-source transition probabilities. One
+    // user_id exchange; the matrix itself is |types|² tiny.
+    "q172_event_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      trans.join(fromTotals, "from_type")
+        .withColumn("p", round(col("n") / col("n_from"), 6))
+        .select(col("from_type"), col("to_type"), col("n"), col("p"))
+        .orderBy("from_type", "to_type")
+    },
+
     // Deequ-style expectation suite over lineitem: eight constraints
     // (row count, composite-key uniqueness, completeness, ranges, value
     // set, freshness) evaluated from ONE fused aggregation pass, then
@@ -285,6 +338,43 @@ object BehaviorQueries {
         |    AS is_current,
         |  n_events
         |FROM iv ORDER BY user_id, version""".stripMargin,
+
+    "q171_market_basket" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT okey)::DOUBLE AS n_orders FROM baskets),
+        |bc AS (SELECT brand, count(*)::BIGINT AS n_brand FROM baskets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*)::BIGINT AS n_pair
+        |  FROM baskets a JOIN baskets b
+        |    ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_pair,
+        |  round(n_pair / n_orders, 6) AS support,
+        |  round(n_pair / ca.n_brand, 6) AS confidence,
+        |  round((n_pair * n_orders) / (ca.n_brand * cb.n_brand), 6) AS lift
+        |FROM pairs
+        |JOIN bc ca ON ca.brand = brand_a
+        |JOIN bc cb ON cb.brand = brand_b
+        |CROSS JOIN n
+        |ORDER BY n_pair DESC, brand_a, brand_b LIMIT 25""".stripMargin,
+
+    "q172_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events),
+        |steps AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM e),
+        |trans AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM trans GROUP BY 1)
+        |SELECT from_type, to_type, n, round(n / n_from, 6) AS p
+        |FROM trans JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q161_expectations" ->
       """WITH m AS (SELECT
