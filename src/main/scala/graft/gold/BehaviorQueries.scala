@@ -215,6 +215,40 @@ object BehaviorQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // Rolling 7-day distinct users from MERGEABLE daily HLL sketches —
+    // the 100 TB pattern: sketch each day once (one pass over raw),
+    // answer every rolling window by UNIONING seven kilobyte-sized
+    // registers instead of rescanning a week of raw events. The window
+    // union runs over the ~30-row daily frame (rangeBetween on the day
+    // number, so calendar gaps would not silently shrink the window);
+    // the estimate is checked against the EXACT rolling distinct (grid
+    // join — the tiny day frame broadcasts against one more pass, used
+    // here only as the gate's ground truth). Oracle pins the exact
+    // counts and the q66-style envelope boolean.
+    "q173_rolling_distinct" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val withNum = e.withColumn("daynum",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+      val daily = withNum.groupBy(col("day"), col("daynum"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val w = Window.orderBy("daynum").rangeBetween(-6, 0)
+      val est = daily.withColumn("est",
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+        .select(col("day"), col("daynum"), col("est"))
+      val days = daily.select(col("daynum").as("d_end"), col("day").as("d_day"))
+      val exact = broadcast(days)
+        .join(withNum,
+          col("daynum") >= col("d_end") - 6 && col("daynum") <= col("d_end"))
+        .groupBy(col("d_day").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      exact.join(est, "day")
+        .select(col("day"), col("n_users_7d"),
+          (abs(col("est") - col("n_users_7d")) <= col("n_users_7d") * lit(0.05))
+            .as("sketch_ok"))
+        .orderBy("day")
+    },
+
     // Deequ-style expectation suite over lineitem: eight constraints
     // (row count, composite-key uniqueness, completeness, ranges, value
     // set, freshness) evaluated from ONE fused aggregation pass, then
@@ -375,6 +409,17 @@ object BehaviorQueries {
         |SELECT from_type, to_type, n, round(n / n_from, 6) AS p
         |FROM trans JOIN tot USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // q173: exact rolling distinct via the same 7-day grid; the sketch
+    // estimate is engine-defined, so the envelope boolean pins TRUE
+    // (the q66/q142 contract pattern).
+    "q173_rolling_distinct" ->
+      """WITH e AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM e)
+        |SELECT d.day, count(DISTINCT e.user_id)::BIGINT AS n_users_7d,
+        |  true AS sketch_ok
+        |FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q161_expectations" ->
       """WITH m AS (SELECT

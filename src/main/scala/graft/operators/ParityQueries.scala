@@ -614,6 +614,27 @@ object ParityQueries {
         .agg(count(lit(1)).as("n_members"))
         .withColumn("unconverged", lit(0L))
         .orderBy("entity_id")
+    },
+
+    // The PlanSpec review as a runtime operator: PlanAdvisor audits
+    // four canonical plans — a clean broadcast-join aggregate (positive
+    // no_findings sentinel), a forced cartesian, a broadcast
+    // nested-loop cross join, and a global (unpartitioned) window —
+    // and the oracle pins the exact finding set. Deterministic because
+    // the planner is: same Spark version, same tiny inputs, same hints.
+    "q174_plan_advisor" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val clean = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      val cart = t(s, dir, "region").hint("shuffle_replicate_nl")
+        .crossJoin(t(s, dir, "nation"))
+      val bnlj = t(s, dir, "region").crossJoin(broadcast(t(s, dir, "nation")))
+      val gwin = t(s, dir, "events")
+        .withColumn("rn", row_number().over(Window.orderBy(col("ts"))))
+      PlanAdvisor.audit(s, Seq("clean" -> clean, "cartesian" -> cart,
+        "cross_broadcast" -> bnlj, "global_window" -> gwin))
+        .orderBy("case_name", "check_name")
     }
   )
 
@@ -1011,6 +1032,19 @@ object ParityQueries {
         |  ((n * 32 + total - 1) // total)::BIGINT AS salt
         |FROM c, t
         |ORDER BY n DESC, user_id
-        |LIMIT 5""".stripMargin
+        |LIMIT 5""".stripMargin,
+
+    // q174: the advisor's verdicts are plan facts pinned literally —
+    // the global window flags BOTH as a window hazard and as the
+    // single-partition exchange it plans into.
+    "q174_plan_advisor" ->
+      """SELECT * FROM (VALUES
+        |  ('cartesian', 'cartesian-product', 'critical'),
+        |  ('clean', 'no_findings', 'ok'),
+        |  ('cross_broadcast', 'nested-loop-join', 'warn'),
+        |  ('global_window', 'global-window', 'warn'),
+        |  ('global_window', 'single-partition-exchange', 'warn'))
+        |  AS t(case_name, check_name, severity)
+        |ORDER BY case_name, check_name""".stripMargin
   )
 }
