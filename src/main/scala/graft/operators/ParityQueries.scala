@@ -635,6 +635,21 @@ object ParityQueries {
       PlanAdvisor.audit(s, Seq("clean" -> clean, "cartesian" -> cart,
         "cross_broadcast" -> bnlj, "global_window" -> gwin))
         .orderBy("case_name", "check_name")
+    },
+
+    // Group-aware k-fold: all of a source's documents share a fold (the
+    // leakage guarantee), folds assigned by the deterministic md5 key.
+    // Audit = per-(fold, lang) doc/source counts, plus the
+    // source-in-one-fold invariant computed FOR REAL on both sides.
+    "q175_group_kfold" -> { (s, dir) =>
+      val folded = Sampling.groupKFold(t(s, dir, "documents"), "source", k = 5)
+      val audit = folded.groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+      val leak = folded.groupBy(col("source"))
+        .agg(countDistinct(col("fold")).as("nf"))
+        .agg((max(col("nf")) === 1L).as("no_leakage"))
+      audit.crossJoin(broadcast(leak)).orderBy("fold", "lang")
     }
   )
 
@@ -1037,6 +1052,24 @@ object ParityQueries {
     // q174: the advisor's verdicts are plan facts pinned literally —
     // the global window flags BOTH as a window hazard and as the
     // single-partition exchange it plans into.
+    "q175_group_kfold" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source,
+        |    (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 5)::BIGINT AS fold
+        |  FROM (SELECT doc_id, lang, source, md5(source) AS h FROM documents)),
+        |audit AS (
+        |  SELECT fold, lang, count(*)::BIGINT AS n_docs,
+        |    count(DISTINCT source)::BIGINT AS n_sources
+        |  FROM f GROUP BY 1, 2),
+        |leak AS (
+        |  SELECT max(nf) = 1 AS no_leakage FROM (
+        |    SELECT source, count(DISTINCT fold) AS nf FROM f GROUP BY 1))
+        |SELECT fold, lang, n_docs, n_sources, no_leakage
+        |FROM audit, leak ORDER BY fold, lang""".stripMargin,
+
     "q174_plan_advisor" ->
       """SELECT * FROM (VALUES
         |  ('cartesian', 'cartesian-product', 'critical'),

@@ -221,4 +221,19 @@ object Sampling {
       .filter(col("n_copies") > 0L)
       .select(col(strataCol), col(idCol), col("n_copies"))
   }
+
+  /** Group-aware k-fold assignment: every row of a group lands in the
+    * SAME fold (the leakage guarantee cross-validation needs when rows
+    * within a group are correlated — same source, same user, same
+    * near-dup cluster), with groups spread over folds by the engine's
+    * deterministic md5 key (the ShuffleShard recipe, so the oracle
+    * mirrors it symbol-for-symbol). Per-stratum balance is statistical
+    * (hash-uniform over groups), not enforced — enforcing it would
+    * reintroduce the leakage channel the operator exists to close.
+    */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k > 1 && k <= 65536, s"k $k outside [2, 65536]")
+    df.withColumn("fold",
+      pmod(ShuffleShard.hex4(md5(col(groupCol).cast("string"))), lit(k)).cast("long"))
+  }
 }

@@ -29,7 +29,7 @@ object ShuffleShard {
     * symbol-for-symbol (no BASE conversion builtins shared by both
     * engines).
     */
-  private def hex4(h: Column): Column =
+  private[operators] def hex4(h: Column): Column =
     Seq(4096, 256, 16, 1).zipWithIndex.map { case (mult, i) =>
       (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1) * lit(mult)
     }.reduce(_ + _)
