@@ -249,6 +249,39 @@ object BehaviorQueries {
         .orderBy("day")
     },
 
+    // Discrete-time conversion/survival curve with right-censoring: for
+    // each day offset d, among users whose observation window (signup →
+    // corpus horizon) covers d, the fraction whose first purchase after
+    // signup happened within d days. Each day is an independent
+    // integer-ratio (no product-limit float chains); day arithmetic is
+    // exact integer µs division on both sides.
+    "q177_survival_curve" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .join(signup, "user_id")
+        .filter(col("ts") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val horizon = e.agg(max(col("ts")).as("tmax"))
+      val users = signup.join(conv, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"),
+          expr("(unix_micros(t1) - unix_micros(t0)) div 86400000000").as("conv_day"),
+          expr("(unix_micros(tmax) - unix_micros(t0)) div 86400000000").as("censor_day"))
+      val days = t(s, dir, "events").sparkSession.range(0, 15).toDF("d")
+      users.crossJoin(broadcast(days))
+        .filter(col("censor_day") >= col("d"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_observable"),
+          sum(when(col("conv_day").isNotNull && col("conv_day") <= col("d"), 1L)
+            .otherwise(0L)).as("n_converted"))
+        .withColumn("conversion_rate",
+          round(col("n_converted") / col("n_observable"), 6))
+        .orderBy("d")
+    },
+
     // Deequ-style expectation suite over lineitem: eight constraints
     // (row count, composite-key uniqueness, completeness, ranges, value
     // set, freshness) evaluated from ONE fused aggregation pass, then
@@ -419,6 +452,26 @@ object BehaviorQueries {
         |SELECT d.day, count(DISTINCT e.user_id)::BIGINT AS n_users_7d,
         |  true AS sketch_ok
         |FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q177_survival_curve" ->
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |su AS (SELECT user_id, min(ts) AS t0 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |cv AS (SELECT e.user_id, min(ts) AS t1 FROM e JOIN su USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t0 GROUP BY 1),
+        |hz AS (SELECT max(ts) AS tmax FROM e),
+        |u AS (SELECT su.user_id,
+        |    (epoch_us(t1) - epoch_us(t0)) // 86400000000 AS conv_day,
+        |    (epoch_us(tmax) - epoch_us(t0)) // 86400000000 AS censor_day
+        |  FROM su LEFT JOIN cv USING (user_id), hz),
+        |dd AS (SELECT unnest(range(0, 15)) AS d)
+        |SELECT d, count(*)::BIGINT AS n_observable,
+        |  sum(CASE WHEN conv_day IS NOT NULL AND conv_day <= d
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+        |  round(sum(CASE WHEN conv_day IS NOT NULL AND conv_day <= d
+        |      THEN 1 ELSE 0 END) / count(*), 6) AS conversion_rate
+        |FROM u, dd WHERE censor_day >= d
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q161_expectations" ->

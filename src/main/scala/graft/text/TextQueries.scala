@@ -408,6 +408,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Classifier calibration (reliability table): exact-decile bins of
+    // the frozen q93 margin vs the empirical positive rate of a
+    // deterministic label (n_chars ≥ 500). Bins ride the two-pass
+    // exact-rank QuantileBucket (never a global window); the oracle
+    // replays margin, ranks, and per-bin aggregates.
+    "q176_calibration" -> { (s, dir) =>
+      // rank on the 6-dp ROUNDED margin: the raw double differs in the
+      // last ulp between engines (different summation order), which
+      // can swap two near-tied docs across a bucket boundary
+      val scored = docs(s, dir).select(col("doc_id"),
+        round(call_function("graft_hash_logit", col("text"),
+          typedlit(clfFrozenWeights), lit(0.25)), 6).as("z"),
+        when(col("n_chars") >= 500, 1L).otherwise(0L).as("label"))
+      val binned = graft.operators.QuantileBucket
+        .bucketed(scored.select(col("doc_id"), col("z")), "doc_id", "z", k = 10)
+        .select(col("id").as("doc_id"), col("bucket"))
+      scored.join(binned, "doc_id")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("label")).as("n_pos"),
+          round(avg(col("z")), 6).as("mean_margin"))
+        .withColumn("pos_rate", round(col("n_pos") / col("n"), 6))
+        .orderBy("bucket")
+    },
+
     "q91_bpe_tokens" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -794,6 +819,40 @@ object TextQueries {
         |ORDER BY n_uses DESC, piece LIMIT 30""".stripMargin,
 
     "q169_viterbi_tokens" -> viterbiOracle(maxWordLen = 16, maxPieceLen = 6),
+
+    // q176: the q93 margin replay feeding the q101 exact-rank decile
+    // rule, then per-bin integer counts and 6-dp rounded means.
+    "q176_calibration" ->
+      """WITH w AS (
+        |  SELECT list_transform(range(0, 64),
+        |    j -> (((j * 37 + 11) % 21) - 10) / 10.0) AS ws),
+        |toks AS (
+        |  SELECT doc_id, t
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_transform(range(1, length(t) + 1), i -> unicode(substr(t, i, 1))),
+        |      (a, c) -> (a * 31 + c) % 64) % 64 AS hh
+        |  FROM toks),
+        |sc AS (
+        |  SELECT doc_id, sum(ws[hh + 1]) AS tw
+        |  FROM h CROSS JOIN w GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, round(0.25 + coalesce(tw, 0.0), 6) AS z,
+        |    CASE WHEN d.n_chars >= 500 THEN 1 ELSE 0 END AS label
+        |  FROM documents d LEFT JOIN sc USING (doc_id)),
+        |r AS (
+        |  SELECT doc_id, z, label,
+        |    row_number() OVER (ORDER BY z, doc_id) AS rk
+        |  FROM scored),
+        |nn AS (SELECT count(*) AS c FROM scored)
+        |SELECT (((rk - 1) * 10) // c)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n, sum(label)::BIGINT AS n_pos,
+        |  round(avg(z), 6) AS mean_margin,
+        |  round(sum(label) / count(*), 6) AS pos_rate
+        |FROM r, nn GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q33: fingerprint values are engine-defined; the counts are pure
     // text-content facts (see the query comment). Fingerprints hash the
