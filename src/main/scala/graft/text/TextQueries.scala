@@ -433,6 +433,21 @@ object TextQueries {
         .orderBy("bucket")
     },
 
+    // The SQL entry surface: a query authored as PURE SQL text over a
+    // registered view, exercising a graft native function
+    // (graft_tokens) through the SparkSessionExtensions registration —
+    // proof the engine's function surface is reachable from
+    // `spark.sql(...)` exactly as from the DataFrame API.
+    "q178_sql_interface" -> { (s, dir) =>
+      docs(s, dir).createOrReplaceTempView("graft_documents_v")
+      s.sql(
+        """SELECT lang, count(*) AS n_docs,
+          |  sum(size(graft_tokens(text))) AS total_tokens,
+          |  round(avg(n_chars), 2) AS avg_chars
+          |FROM graft_documents_v
+          |GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
     "q91_bpe_tokens" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -819,6 +834,16 @@ object TextQueries {
         |ORDER BY n_uses DESC, piece LIMIT 30""".stripMargin,
 
     "q169_viterbi_tokens" -> viterbiOracle(maxWordLen = 16, maxPieceLen = 6),
+
+    // q178: graft_tokens has split(text, '\s+', -1) semantics — edge
+    // whitespace yields edge empty tokens, and DuckDB's
+    // regexp_split_to_array keeps the same empties (the q33 parity
+    // note), so len() agrees with size() exactly.
+    "q178_sql_interface" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(len(regexp_split_to_array(text, '\s+')))::BIGINT AS total_tokens,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q176: the q93 margin replay feeding the q101 exact-rank decile
     // rule, then per-bin integer counts and 6-dp rounded means.
