@@ -201,5 +201,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case None => throw new IllegalArgumentException(
           "graft_viterbi_stats(text, pieces, weights) with literal string/long arrays")
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_add"),
+      new ExpressionInfo(classOf[VecElementwise].getName, "graft_vec_add"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_vec_add(arrayA, arrayB)")
+        VecElementwise(children(0), children(1), subtract = false)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_sub"),
+      new ExpressionInfo(classOf[VecElementwise].getName, "graft_vec_sub"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_vec_sub(arrayA, arrayB)")
+        VecElementwise(children(0), children(1), subtract = true)
+      }))
   }
 }

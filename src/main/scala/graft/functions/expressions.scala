@@ -1253,3 +1253,51 @@ case class ViterbiStats(child: Expression, pieces: Seq[String], weights: Seq[Lon
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Elementwise vector add/subtract over two array<double> columns —
+  * `graft_vec_add(a, b)` / `graft_vec_sub(a, b)` → array<double> of the
+  * common-prefix length. Each element is the single IEEE double op
+  * `a[i] ± b[i]` (no re-association), so results are bit-identical to
+  * any engine evaluating the same per-element arithmetic — the property
+  * the IVF-PQ residual/reconstruction oracle replay rests on. A null
+  * element on either side yields a null element (the testdata carries
+  * none). The zip_with HOF computes the same values but is
+  * CodegenFallback and allocates a lambda frame per element; this is one
+  * primitive loop via [[VecArith.combine]], inlined in whole-stage
+  * codegen.
+  */
+object VecArith {
+  def combine(a: ArrayData, b: ArrayData, sign: Double): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        out(i) = a.getDouble(i) + sign * b.getDouble(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class VecElementwise(left: Expression, right: Expression, subtract: Boolean)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = if (subtract) "graft_vec_sub" else "graft_vec_add"
+
+  private def sign: Double = if (subtract) -1.0 else 1.0
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecArith.combine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], sign)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecArith.combine($a, $b, ${sign});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -108,6 +108,16 @@ object ParityQueries {
       |  SELECT k + 4000000, md5((k + 7000000)::VARCHAR)
       |  FROM c WHERE k % 10 = 0)"""
 
+  /** SQL twin of [[ShuffleShard.hexLong]]: Σ (strpos−1)·16^k over the
+    * first `digits` hex chars of expression `e` — one definition
+    * generates every width so engine and oracle cannot drift.
+    */
+  private def hexSql(e: String, digits: Int): String =
+    (0 until digits).map(i =>
+      s"(strpos('0123456789abcdef', substr($e, ${i + 1}, 1)) - 1)::BIGINT" +
+        s" * ${1L << (4 * (digits - 1 - i))}"
+    ).mkString("(", " + ", ")")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1: column-name normalization (transformer.py:95-112) as a projection
     // rename — "Order Key"→order_key, " Quantity (units) "→quantity_units,
@@ -650,6 +660,76 @@ object ParityQueries {
         .agg(countDistinct(col("fold")).as("nf"))
         .agg((max(col("nf")) === 1L).as("no_leakage"))
       audit.crossJoin(broadcast(leak)).orderBy("fold", "lang")
+    },
+
+    // Weighted systematic resampling: exactly 100 selections over the
+    // documents table with inclusion counts ∝ length(text), decided by
+    // pure integer arithmetic on the md5-ordered mass line — the oracle
+    // recomputes every copy count (identity-exact, not just sizes,
+    // unlike the hash-priority samplers q60/q90 whose oracles check
+    // counts because xxhash64 has no DuckDB twin).
+    "q180_systematic_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("weight"))
+      Sampling.systematic(docs, "doc_id", "weight", k = 100)
+        .select(col("id").as("doc_id"), col("weight"), col("n_copies"))
+        .orderBy("doc_id")
+    },
+
+    // Physical storage audit: per-column value/null counts read from
+    // the parquet FOOTERS (no data pages touched — StorageAudit), cross
+    // -checked for real against the data they describe. The audited
+    // numbers and the consistency verdict go through the hash gate; the
+    // oracle recomputes the data side, so a footer misparse (or a
+    // footer↔data divergence — the integrity property pushdown and
+    // data-skipping silently trust) fails the gate on either column.
+    "q181_parquet_audit" -> { (s, dir) =>
+      val footer = graft.sources.StorageAudit
+        .footerStats(s, s"$dir/documents.parquet")
+        .groupBy(col("column"))
+        .agg(sum(col("n_values")).as("fv"), sum(col("n_nulls")).as("fn"))
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = count(lit(1)).as("n") +:
+        cols.map(c => count(col(c)).as(s"c_$c"))
+      val stackExpr = cols.map(c => s"'$c', n - c_$c").mkString(
+        s"stack(${cols.size}, ", ", ", ") as (col_name, data_nulls)")
+      val dataSide = t(s, dir, "documents")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n"), expr(stackExpr))
+      footer.withColumnRenamed("column", "col_name")
+        .join(broadcast(dataSide), "col_name")
+        .select(col("col_name"),
+          col("fv").as("n_rows"),
+          col("fn").as("n_nulls"),
+          (col("fv") === col("n") && col("fn") === col("data_nulls"))
+            .as("footer_consistent"))
+        .orderBy("col_name")
+    },
+
+    // Export-integrity manifest: per training shard, the row count, the
+    // character mass, and an ORDER-INSENSITIVE content fingerprint (sum
+    // of the first 8 md5 hex digits of "doc_id:text" per row — every
+    // term < 2^32, so a shard sums exactly in a long out to ~2^31 rows).
+    // This is the receipt a 100 TB export run ships with its shards: a
+    // re-run, a backfill, or a second engine must land byte-identical
+    // manifests, and any lost/duplicated/mutated row moves at least one
+    // (shard, count, fingerprint) triple. One shard-keyed exchange — the
+    // fingerprint is embarrassingly aggregable, no ordering needed.
+    "q182_export_manifest" -> { (s, dir) =>
+      // Shard key recomputed inline (same md5/hex arithmetic as
+      // ShuffleShard.assign, which q100 gates) — the manifest then needs
+      // NO join and no within-shard ordering: one scan, one shard-keyed
+      // partial+final aggregation.
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("shard", pmod(ShuffleShard.hexLong(
+          md5(col("doc_id").cast("string")), 4), lit(10L)))
+        .withColumn("fp", ShuffleShard.hexLong(
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 8))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          sum(col("fp")).as("content_fingerprint"))
+        .orderBy("shard")
     }
   )
 
@@ -1078,6 +1158,60 @@ object ParityQueries {
         |  ('global_window', 'global-window', 'warn'),
         |  ('global_window', 'single-partition-exchange', 'warn'))
         |  AS t(case_name, check_name, severity)
-        |ORDER BY case_name, check_name""".stripMargin
+        |ORDER BY case_name, check_name""".stripMargin,
+
+    // q180: the full mass-line replay — same md5 order, same integer
+    // point-count formula cnt(a) = (a + W − 1) // (2W); HUGEINT keeps
+    // the 2k·cum products exact (the engine's BigInt branch).
+    "q180_systematic_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id, length(text)::BIGINT AS w,
+        |         md5(doc_id::VARCHAR) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, w,
+        |    sum(w) OVER (ORDER BY h, id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM w),
+        |t AS (SELECT sum(w)::HUGEINT AS tw FROM w),
+        |sel AS (
+        |  SELECT id, w,
+        |    ((200 * cum::HUGEINT + tw - 1) // (2 * tw)
+        |     - (200 * (cum - w)::HUGEINT + tw - 1) // (2 * tw))::BIGINT AS n_copies
+        |  FROM c CROSS JOIN t)
+        |SELECT id AS doc_id, w AS weight, n_copies
+        |FROM sel WHERE n_copies > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // q181: the oracle recomputes the DATA side of the footer↔data
+    // contract; `footer_consistent` is literal true here precisely
+    // because the engine computes it for real — a footer misparse
+    // flips it to false and the hash gate catches the divergence.
+    "q181_parquet_audit" ->
+      """WITH d AS (
+        |  SELECT count(*) AS n, count(doc_id) AS c1, count(text) AS c2,
+        |         count(lang) AS c3, count(source) AS c4, count(n_chars) AS c5
+        |  FROM documents)
+        |SELECT col_name, n_rows, n_nulls, footer_consistent FROM (
+        |  SELECT 'doc_id' AS col_name, n::BIGINT AS n_rows,
+        |         (n - c1)::BIGINT AS n_nulls, true AS footer_consistent FROM d
+        |  UNION ALL SELECT 'text', n, n - c2, true FROM d
+        |  UNION ALL SELECT 'lang', n, n - c3, true FROM d
+        |  UNION ALL SELECT 'source', n, n - c4, true FROM d
+        |  UNION ALL SELECT 'n_chars', n, n - c5, true FROM d)
+        |ORDER BY col_name""".stripMargin,
+
+    // q182: the whole manifest is md5 + integer arithmetic — shard keys
+    // and fingerprints replay symbol-for-symbol ([[hexSql]] twins
+    // ShuffleShard.hexLong/hex4).
+    "q182_export_manifest" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, md5(doc_id::VARCHAR) AS h,
+         |         md5(doc_id::VARCHAR || ':' || text) AS fh
+         |  FROM documents)
+         |SELECT (${hexSql("h", 4)} % 10)::BIGINT AS shard,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(length(text))::BIGINT AS n_chars,
+         |  sum(${hexSql("fh", 8)})::BIGINT AS content_fingerprint
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -236,4 +236,99 @@ object Sampling {
     df.withColumn("fold",
       pmod(ShuffleShard.hex4(md5(col(groupCol).cast("string"))), lit(k)).cast("long"))
   }
+
+  /** Weighted SYSTEMATIC (low-variance) sampling — draw exactly `k`
+    * selections with per-row inclusion count proportional to integer
+    * `weightCol`, deterministically and exactly: lay the rows out on a
+    * [0, W) mass line in md5(id) order (the [[ShuffleShard]] key — a
+    * pure-function permutation, not engine randomness), place k
+    * equispaced selection points t_i = (2i+1)·W/(2k), and give each row
+    * one copy per point inside its weight interval. This is the
+    * particle-filter "systematic resampling" scheme applied to corpus
+    * construction: Σ n_copies = k ALWAYS, each row's count is
+    * floor-or-ceil of its expectation k·w/W (minimum variance), and —
+    * unlike Efraimidis-Spirakis exponential-race sampling — the whole
+    * decision is integer arithmetic, so any engine replays it
+    * bit-for-bit (q180's DuckDB oracle recomputes every copy count).
+    *
+    * Scale shape: the classic two-pass distributed prefix sum
+    * ([[BudgetSelect]]'s pattern): range-partition by the md5 key, one
+    * skinny per-partition totals pass (P rows to the driver), then one
+    * emit pass cumulating within partitions against broadcast offsets.
+    * No global window, no SinglePartition exchange; selection-point
+    * indices are O(1) closed-form per row, not a per-point join.
+    *
+    * Copy counts multiply 2k into the running mass, so the products can
+    * exceed Long near (corpus mass) × k ≈ 2^63; partitions switch to
+    * BigInt arithmetic exactly when `2k·W` would overflow — same
+    * values, no silent wrap (the spec pins the BigInt path against the
+    * Long path).
+    *
+    * @return (id, weight, n_copies) for rows with n_copies ≥ 1.
+    */
+  def systematic(
+      rows: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      partitions: Int = 0
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val base = rows
+      .select(col(idCol).cast("long").as("id"),
+        md5(col(idCol).cast("string")).as("h"),
+        col(weightCol).cast("long").as("w"))
+      .repartitionByRange(p, col("h"), col("id"))
+      .sortWithinPartitions(col("h"), col("id"))
+      .as[(Long, String, Long)]
+      .localCheckpoint()
+
+    // Totals pass: per-partition mass + min weight. A negative weight
+    // breaks interval monotonicity — fail loudly, never select wrong.
+    val stats = base.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var sum = 0L
+        var min = Long.MaxValue
+        it.foreach { r => sum += r._3; if (r._3 < min) min = r._3 }
+        Iterator.single((pid, sum, min))
+      }
+      .collect().sortBy(_._1)
+    val minW = stats.map(_._3).foldLeft(Long.MaxValue)(math.min)
+    require(minW == Long.MaxValue || minW >= 0, s"negative weight $minW in $weightCol")
+    val offsets = stats.map(_._2).scanLeft(0L)(_ + _)
+    val totalW = offsets.last
+    require(totalW > 0, "total weight is zero — nothing to sample")
+
+    // Emit pass: n_copies = #{i < k : 2k·cumBefore ≤ (2i+1)·W < 2k·cumAfter}
+    //          = idx(2k·cumAfter) − idx(2k·cumBefore),
+    // idx(a) = floor((a + W − 1) / (2W)) — the count of selection points
+    // strictly below mass a/2k, naturally capped at k because cum ≤ W.
+    val useBig = totalW > Long.MaxValue / (2L * k)
+    val selected = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      if (useBig) {
+        val w2 = BigInt(totalW) * 2
+        val kk = BigInt(2L * k)
+        def idx(a: BigInt): Long = ((a + totalW - 1) / w2).toLong
+        it.flatMap { case (id, _, w) =>
+          val before = cum; cum += w
+          val n = idx(kk * cum) - idx(kk * before)
+          if (n > 0) Iterator.single((id, w, n)) else Iterator.empty
+        }
+      } else {
+        val w2 = 2L * totalW
+        val kk = 2L * k
+        def idx(a: Long): Long = (a + totalW - 1) / w2
+        it.flatMap { case (id, _, w) =>
+          val before = cum; cum += w
+          val n = idx(kk * cum) - idx(kk * before)
+          if (n > 0) Iterator.single((id, w, n)) else Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(selected).toDF("id", "weight", "n_copies")
+  }
 }

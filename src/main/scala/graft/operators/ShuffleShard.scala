@@ -34,6 +34,19 @@ object ShuffleShard {
       (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1) * lit(mult)
     }.reduce(_ + _)
 
+  /** Long value of the first `digits` hex chars of `h` (digits ≤ 15) —
+    * the general form of [[hex4]], long-cast per term so an 8-digit
+    * fingerprint (values to 2^32) cannot overflow int arithmetic. Same
+    * instr/substring formulation, so oracles mirror it symbol-for-symbol.
+    */
+  private[graft] def hexLong(h: Column, digits: Int): Column = {
+    require(digits >= 1 && digits <= 15, s"digits $digits outside [1, 15]")
+    (0 until digits).map { i =>
+      (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1).cast("long") *
+        lit(1L << (4 * (digits - 1 - i)))
+    }.reduce(_ + _)
+  }
+
   /** (id, shard, pos): deterministic shard in [0, nShards) and 1-based
     * position within the shard. `nShards` must be ≤ 65536 (the key draws
     * 16 bits; enough for ~64 TB of 1 GB shards — double the hex digits

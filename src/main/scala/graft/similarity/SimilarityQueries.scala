@@ -405,6 +405,21 @@ object SimilarityQueries {
 
     "q163_pca_project" -> { (s, dir) =>
       PcaPower.project(s, emb(s, dir), qBits = 16, vBits = 10, iters = 8)
+    },
+
+    // IVF-PQ — the composed production vector index (q28 prunes but
+    // ships exact vectors; q139 compresses but scans every code; this
+    // does both): coarse 4-cell Lloyd (2 iters) → residuals → 4×16-dim
+    // residual PQ codebooks (ksub=4, 2 iters) → ADC top-5 restricted to
+    // each query's 2 nearest cells. Every training round, the residual
+    // subtraction, the probe ranking and the ADC chain replay in DuckDB.
+    "q179_ivfpq" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val index = IvfPq.build(e, "vec_id", "embedding",
+        nCells = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+      IvfPq.probe(e.filter(col("vec_id") % 37 === 0), "vec_id", "embedding",
+        index, nProbe = 2, k = 5)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -699,7 +714,50 @@ object SimilarityQueries {
 
     "q162_pca_power" -> PcaPower.traceOracle(qBits = 16, vBits = 10, iters = 8),
 
-    "q163_pca_project" -> PcaPower.projectOracle(qBits = 16, vBits = 10, iters = 8)
+    "q163_pca_project" -> PcaPower.projectOracle(qBits = 16, vBits = 10, iters = 8),
+
+    // q179: full IVF-PQ replay — coarse Lloyd rounds, exact elementwise
+    // residuals, 4 residual-subspace Lloyd trainings, CellArgmin encode,
+    // probe-cell ranking (same distance chain + lowest-cell tie-break as
+    // graft_cell_topk) and the ADC top-5 over coarse+residual
+    // reconstructions, all unrolled.
+    "q179_ivfpq" ->
+      s"""$ivfPqReplayCtes,
+         |qs AS (SELECT vec_id AS query_id, v AS q FROM emb WHERE vec_id % 37 = 0),
+         |probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT qs.query_id, c.cell,
+         |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+         |        (list_dot_product(qs.q, qs.q) - 2.0 * list_dot_product(qs.q, c.c))
+         |          + list_dot_product(c.c, c.c), c.cell) AS rn
+         |    FROM qs CROSS JOIN gc2 c) t
+         |  WHERE rn <= 2),
+         |fullrecon AS (
+         |  SELECT codes.vec_id, codes.cell,
+         |    list_transform(range(1, len(g.c) + 1),
+         |      i -> g.c[i] + (b0.c || b1.c || b2.c || b3.c)[i]) AS r
+         |  FROM codes
+         |  JOIN gc2 g ON g.cell = codes.cell
+         |  JOIN r0c2 b0 ON b0.cell = codes.code0
+         |  JOIN r1c2 b1 ON b1.cell = codes.code1
+         |  JOIN r2c2 b2 ON b2.cell = codes.code2
+         |  JOIN r3c2 b3 ON b3.cell = codes.code3),
+         |scored AS (
+         |  SELECT p.query_id, r.vec_id,
+         |    (list_dot_product(qs.q, qs.q) - 2.0 * list_dot_product(qs.q, r.r))
+         |      + list_dot_product(r.r, r.r) AS score
+         |  FROM probe p
+         |  JOIN fullrecon r ON r.cell = p.cell
+         |  JOIN qs ON qs.query_id = p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank::INT AS rank, vec_id,
+         |  round(score, 6) AS adc_dist
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
   )
 
   /** Generic Lloyd replay CTE block over a (vec_id, v DOUBLE[]) source:
@@ -767,5 +825,33 @@ object SimilarityQueries {
        |         c.cell AS code2, d.cell AS code3
        |  FROM s0a3 a JOIN s1a3 b USING (vec_id)
        |       JOIN s2a3 c USING (vec_id) JOIN s3a3 d USING (vec_id))"""
+  }
+
+  /** q179's IVF-PQ replay: coarse Lloyd (g*, k=4, 2 iters → final assign
+    * ga3 against gc2), exact elementwise residuals, one 2-iteration
+    * Lloyd per 16-dim residual subspace (r{i}*), and the codes frame
+    * carrying BOTH the coarse cell and the four residual codes.
+    */
+  private def ivfPqReplayCtes: String = {
+    val sub = (0 until 4).map { i =>
+      val lo = i * 16 + 1
+      val hi = (i + 1) * 16
+      s"""r${i}e AS (SELECT vec_id, v[$lo:$hi] AS v FROM resid),
+         |${lloydCtes(s"r${i}e", s"r$i", k = 4, iters = 2)}"""
+    }.mkString(",\n|")
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${lloydCtes("emb", "g", k = 4, iters = 2)},
+       |resid AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - c.c[i]) AS v
+       |  FROM ga3 a JOIN gc2 c USING (cell)),
+       |$sub,
+       |codes AS (
+       |  SELECT a.vec_id, rs.cell, a.cell AS code0, b.cell AS code1,
+       |         c.cell AS code2, d.cell AS code3
+       |  FROM r0a3 a JOIN r1a3 b USING (vec_id)
+       |       JOIN r2a3 c USING (vec_id) JOIN r3a3 d USING (vec_id)
+       |       JOIN resid rs USING (vec_id))"""
   }
 }

@@ -1,0 +1,104 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical storage audit — the footer-level companion of the logical
+  * profiler (§2 A5-A7): per column-chunk statistics read straight from
+  * parquet footers, WITHOUT scanning any data pages. At 100 TB this is
+  * the tool that answers "which columns pay for this table's footprint,
+  * is the encoder earning its keep, do the footer statistics actually
+  * agree with the data" — per file the cost is one footer read (a few
+  * KB at the file tail), so auditing a million-file table is a
+  * million-footer job, not a 100 TB scan.
+  *
+  * Scale shape: the FILE LIST is the distributed collection — footers
+  * are read executor-side (`flatMap` over the list), so the driver
+  * never holds more than the file names, and the audit parallelizes to
+  * however many files exist. The Hadoop conf travels as a plain
+  * property map (Configuration itself is not serializable), so `s3a://`
+  * credentials/settings reach executors the same way Spark's own
+  * readers ship them.
+  *
+  * Trust note: these are the SAME footers Spark's scans trust for
+  * predicate pushdown, so "footer ↔ data" consistency (q181 checks it
+  * for real on both engines) is exactly the integrity property
+  * data-skipping rests on.
+  */
+object StorageAudit {
+
+  /** Per column-chunk footer stats of every parquet file at `path` (a
+    * file, or a directory searched one level deep — the layout Spark
+    * writes). Columns: file, row_group, column (dotted path), n_values
+    * (value count incl. nulls), n_nulls (from footer statistics; −1
+    * when the writer omitted them), compressed_bytes,
+    * uncompressed_bytes.
+    */
+  def footerStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val st = fs.getFileStatus(p)
+    val files: Seq[String] =
+      if (st.isFile) Seq(st.getPath.toString)
+      else fs.listStatus(p).toSeq
+        .filter(_.isFile)
+        .map(_.getPath)
+        .filter { f => val n = f.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") }
+        .map(_.toString)
+    require(files.nonEmpty, s"no parquet files under $path")
+
+    // Configuration is a Writable, not Serializable — ship its entries.
+    val confMap = hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toMap
+    val slices = math.min(files.size, spark.sparkContext.defaultParallelism)
+
+    spark.sparkContext.parallelize(files, slices)
+      .flatMap { file =>
+        val conf = new Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(file), conf))
+        try {
+          reader.getFooter.getBlocks.asScala.zipWithIndex.flatMap {
+            case (block, rg) =>
+              block.getColumns.asScala.map { c =>
+                val stats = c.getStatistics
+                val nulls =
+                  if (stats != null && stats.isNumNullsSet) stats.getNumNulls
+                  else -1L
+                (file, rg, c.getPath.toDotString, c.getValueCount, nulls,
+                  c.getTotalSize, c.getTotalUncompressedSize)
+              }
+          }.toVector
+        } finally reader.close()
+      }
+      .toDF("file", "row_group", "column", "n_values", "n_nulls",
+        "compressed_bytes", "uncompressed_bytes")
+  }
+
+  /** Table-level rollup: per column across every file and row group —
+    * total values, footer null count, byte totals and the achieved
+    * compression ratio (rounded; uncompressed/compressed).
+    */
+  def columnSummary(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    footerStats(spark, path)
+      .groupBy(col("column"))
+      .agg(
+        countDistinct(col("file")).as("n_files"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_values")).as("n_values"),
+        sum(col("n_nulls")).as("n_nulls"),
+        sum(col("compressed_bytes")).as("compressed_bytes"),
+        sum(col("uncompressed_bytes")).as("uncompressed_bytes"),
+        round(sum(col("uncompressed_bytes")).cast("double") /
+          sum(col("compressed_bytes")), 4).as("compression_ratio"))
+  }
+}

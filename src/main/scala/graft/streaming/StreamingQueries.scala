@@ -262,6 +262,51 @@ object StreamingQueries {
           .localCheckpoint(true)
           .orderBy("destination")
       } finally ScratchDirs.release(scratch)
+    },
+
+    // Streaming top-k: hourly event-type leaders maintained by a REAL
+    // StreamingQuery — windowed counts in UPDATE mode, each micro-batch
+    // upserting its refreshed (window, type) cumulative counts through a
+    // transactional MERGE (TxTable.mergeSink), the streaming-upsert
+    // aggregation pattern that stays exact under ANY micro-batch split
+    // (multiple batches forced via maxFilesPerTrigger; the planted
+    // every-10th copies shift counts deterministically, proving real
+    // accumulation rather than a single-batch collapse). The watermark
+    // is deliberately generous so nothing drops as late — at production
+    // lateness bounds it also evicts window state; rows already merged
+    // stay correct either way. Final ranking (top-3 per window) is a
+    // batch window over the committed table.
+    "q183_streaming_topk" -> { (s, dir) =>
+      val (stream, scratch) = plantedEventStream(s, dir, "graft-stream-topk")
+      try {
+        val tableDir = s"$scratch/table"
+        val ckptDir = s"$scratch/ckpt"
+        val counts = stream
+          .withWatermark("ts", "3650 days")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .count()
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("count").as("n_events"))
+        val q = counts.writeStream
+          .outputMode("update")
+          .foreachBatch(graft.sinks.TxTable.mergeSink(
+            tableDir, Seq("window_start", "event_type")))
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"))
+          .orderBy(col("n_events").desc, col("event_type"))
+        graft.sinks.TxTable.read(s, tableDir)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("window_start"), col("rnk"), col("event_type"),
+            col("n_events"))
+          .localCheckpoint(true)
+          .orderBy("window_start", "rnk")
+      } finally ScratchDirs.release(scratch)
     }
   )
 
@@ -340,6 +385,28 @@ object StreamingQueries {
         |SELECT 'ontime', count(*)::BIGINT, count(DISTINCT user_id)::BIGINT,
         |  min(ts), max(ts)
         |FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
-        |ORDER BY destination""".stripMargin
+        |ORDER BY destination""".stripMargin,
+
+    // q183: streaming-upsert aggregation is exact under any micro-batch
+    // split, so the committed counts equal the batch recompute over
+    // events ∪ planted copies; date_trunc('hour') ≡ Spark's
+    // window(ts, '1 hour').start.
+    "q183_streaming_topk" ->
+      """WITH ev AS (
+        |  SELECT ts::TIMESTAMP AS ts, event_type FROM events
+        |  UNION ALL
+        |  SELECT ts::TIMESTAMP, event_type FROM events WHERE event_id % 10 = 0),
+        |c AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    count(*)::BIGINT AS n_events
+        |  FROM ev GROUP BY 1, 2),
+        |r AS (
+        |  SELECT window_start, event_type, n_events,
+        |    row_number() OVER (PARTITION BY window_start
+        |                       ORDER BY n_events DESC, event_type) AS rnk
+        |  FROM c)
+        |SELECT window_start, rnk::INT AS rnk, event_type, n_events
+        |FROM r WHERE rnk <= 3
+        |ORDER BY window_start, rnk""".stripMargin
   )
 }

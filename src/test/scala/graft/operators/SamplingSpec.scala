@@ -105,4 +105,54 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got.filter(_._2 == 3L).map(_._1) == expectExtra)
   }
+
+  private val weighted = (1L to 500L).map(i => (i, 1L + (i * 7919L) % 97L))
+    .toDF("id", "w")
+
+  test("systematic: Σ n_copies = k exactly, counts bracket the expectation") {
+    for (k <- Seq(1, 17, 100, 499, 1200)) {
+      val res = Sampling.systematic(weighted, "id", "w", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(res.map(_._3).sum == k, s"k=$k total copies")
+      // Each row's count is floor-or-ceil of k·w/W (systematic sampling's
+      // minimum-variance law).
+      val totalW = weighted.agg(sum(col("w"))).head.getLong(0)
+      res.foreach { case (id, w, n) =>
+        val exp = k.toDouble * w / totalW
+        assert(n >= math.floor(exp) - 1e-9 && n <= math.ceil(exp) + 1e-9,
+          s"k=$k id=$id copies $n vs expectation $exp")
+      }
+    }
+  }
+
+  test("systematic is invariant to input partitioning and to uniform weight scaling") {
+    def run(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      Sampling.systematic(df, "id", "w", k = 73, partitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val a = run(weighted, 4)
+    assert(run(weighted.repartition(11), 4) == a, "partitioning changed the sample")
+    assert(run(weighted, 9) == a, "prefix-sum partition count changed the sample")
+    val scaled = weighted.select(col("id"), (col("w") * 1000L).as("w"))
+    assert(run(scaled, 4).map { case (id, n) => (id, n) } == a,
+      "uniform weight scaling changed the sample")
+  }
+
+  test("systematic: BigInt branch agrees with the Long branch") {
+    // Same weights blown up so 2k·W overflows Long (W ≈ 2.4e17, k = 400:
+    // 2kW ≈ 2e20 > 2^63) while W itself still fits — selected multiset
+    // must be identical to the small-weight run because the decision
+    // depends only on w/W ratios.
+    val big = weighted.select(col("id"), (col("w") * 10000000000000L).as("w"))
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Sampling.systematic(df, "id", "w", k = 400)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(counts(big) == counts(weighted))
+  }
+
+  test("systematic rejects negative weights and zero total mass") {
+    val neg = Seq((1L, 5L), (2L, -1L)).toDF("id", "w")
+    assertThrows[IllegalArgumentException](Sampling.systematic(neg, "id", "w", 3).collect())
+    val zero = Seq((1L, 0L), (2L, 0L)).toDF("id", "w")
+    assertThrows[IllegalArgumentException](Sampling.systematic(zero, "id", "w", 3).collect())
+  }
 }

@@ -60,4 +60,21 @@ class ShuffleShardSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p)
     assert(!p.contains("rangepartitioning"), p)
   }
+
+  test("hexLong generalizes hex4 exactly and decodes full-width hex") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("00000000", "ffffffff", "0123abcd", "deadbeef").toDF("h")
+      .select(col("h"),
+        ShuffleShard.hexLong(col("h"), 4).as("l4"),
+        ShuffleShard.hexLong(col("h"), 8).as("l8"))
+    df.collect().foreach { r =>
+      val h = r.getString(0)
+      assert(r.getLong(1) == java.lang.Long.parseLong(h.take(4), 16), h)
+      assert(r.getLong(2) == java.lang.Long.parseLong(h, 16), h)
+    }
+    // q182's fingerprint width: 8 hex digits reach 2^32 − 1 without
+    // int overflow in the column arithmetic.
+    assert(df.filter(col("h") === "ffffffff").head.getLong(2) == 4294967295L)
+  }
 }
