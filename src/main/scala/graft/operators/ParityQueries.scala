@@ -730,6 +730,30 @@ object ParityQueries {
           sum(length(col("text"))).as("n_chars"),
           sum(col("fp")).as("content_fingerprint"))
         .orderBy("shard")
+    },
+
+    // Curriculum ordering — the final training-sequence layout: every
+    // document gets an exact global POSITION that walks the quality
+    // deciles best-first (q101's exact bucketing), deterministically
+    // shuffled within each decile by the md5 key. The composite
+    // curriculum key (9 − decile)·2^32 + hex8(md5(id)) stays < 2^37, so
+    // its double image is EXACT and the position is just a second
+    // two-pass rank — the no-SinglePartition machinery twice, never a
+    // global window, and the decile is recovered arithmetically from
+    // the key (no corpus re-join).
+    "q184_curriculum" -> { (s, dir) =>
+      val dec = QuantileBucket.bucketed(
+        t(s, dir, "documents"), "doc_id", "n_chars", k = 10)
+      val keyed = dec.select(col("id"),
+        ((lit(9L) - col("bucket")) * lit(4294967296L) +
+          ShuffleShard.hexLong(md5(col("id").cast("string")), 8))
+          .cast("double").as("ckey"))
+      QuantileBucket.bucketed(keyed, "id", "ckey", k = 1)
+        .select(col("id").as("doc_id"),
+          (lit(9L) - floor(col("score") / lit(4294967296.0)).cast("long"))
+            .as("quality_decile"),
+          col("rank").as("position"))
+        .orderBy("position")
     }
   )
 
@@ -1212,6 +1236,23 @@ object ParityQueries {
          |  count(*)::BIGINT AS n_docs,
          |  sum(length(text))::BIGINT AS n_chars,
          |  sum(${hexSql("fh", 8)})::BIGINT AS content_fingerprint
-         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q184: q101's decile replay feeding the same composite-key rank —
+    // the < 2^37 key is exact in DOUBLE on both engines.
+    "q184_curriculum" ->
+      s"""WITH r AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY n_chars::DOUBLE, doc_id) rk
+         |  FROM documents),
+         |n AS (SELECT count(*) c FROM documents),
+         |d AS (SELECT doc_id, (((rk - 1) * 10) // c)::BIGINT AS decile
+         |  FROM r, n),
+         |k AS (SELECT doc_id, decile,
+         |    ((9 - decile) * 4294967296 +
+         |      ${hexSql("md5(doc_id::VARCHAR)", 8)})::DOUBLE AS ckey
+         |  FROM d)
+         |SELECT doc_id, decile AS quality_decile,
+         |  row_number() OVER (ORDER BY ckey, doc_id)::BIGINT AS position
+         |FROM k ORDER BY position""".stripMargin
   )
 }
