@@ -420,6 +420,30 @@ object SimilarityQueries {
       IvfPq.probe(e.filter(col("vec_id") % 37 === 0), "vec_id", "embedding",
         index, nProbe = 2, k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // Incremental IVF-PQ probe — the index/probe split (q87/q96/q104's
+    // discipline) for the composed index: the corpus is coarse-assigned
+    // and residual-encoded ONCE, then a NEW batch (exact copies +1M,
+    // negated novels +2M — both arithmetic-exact on both engines)
+    // probes the persisted codes. Probe cost ∝ batch: quantize the
+    // batch, equi-join its probe cells against the code table, ADC-rank
+    // — the corpus is never re-encoded or re-shuffled.
+    "q185_ivfpq_probe" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val maxId = Option(e.agg(max(col("vec_id"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+      require(maxId < 1000000L,
+        s"q185 batch-id shift assumes max(vec_id) < 1000000; got $maxId")
+      val index = IvfPq.build(e, "vec_id", "embedding",
+        nCells = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+      val batch = e.filter(col("vec_id") % 41 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 53 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      IvfPq.probe(batch, "vec_id", "embedding", index, nProbe = 2, k = 3)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -757,6 +781,52 @@ object SimilarityQueries {
          |SELECT query_id, rank::INT AS rank, vec_id,
          |  round(score, 6) AS adc_dist
          |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q185: identical replay, probed by the shifted batch (copy ids
+    // +1M; negated novels +2M — float negation then widening equals
+    // widening then negation, so the batch vectors match bit-for-bit).
+    "q185_ivfpq_probe" ->
+      s"""$ivfPqReplayCtes,
+         |qs AS (
+         |  SELECT vec_id + 1000000 AS query_id, v AS q FROM emb
+         |  WHERE vec_id % 41 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, list_transform(v, x -> -x) FROM emb
+         |  WHERE vec_id % 53 = 0),
+         |probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT qs.query_id, c.cell,
+         |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+         |        (list_dot_product(qs.q, qs.q) - 2.0 * list_dot_product(qs.q, c.c))
+         |          + list_dot_product(c.c, c.c), c.cell) AS rn
+         |    FROM qs CROSS JOIN gc2 c) t
+         |  WHERE rn <= 2),
+         |fullrecon AS (
+         |  SELECT codes.vec_id, codes.cell,
+         |    list_transform(range(1, len(g.c) + 1),
+         |      i -> g.c[i] + (b0.c || b1.c || b2.c || b3.c)[i]) AS r
+         |  FROM codes
+         |  JOIN gc2 g ON g.cell = codes.cell
+         |  JOIN r0c2 b0 ON b0.cell = codes.code0
+         |  JOIN r1c2 b1 ON b1.cell = codes.code1
+         |  JOIN r2c2 b2 ON b2.cell = codes.code2
+         |  JOIN r3c2 b3 ON b3.cell = codes.code3),
+         |scored AS (
+         |  SELECT p.query_id, r.vec_id,
+         |    (list_dot_product(qs.q, qs.q) - 2.0 * list_dot_product(qs.q, r.r))
+         |      + list_dot_product(r.r, r.r) AS score
+         |  FROM probe p
+         |  JOIN fullrecon r ON r.cell = p.cell
+         |  JOIN qs ON qs.query_id = p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY score, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank::INT AS rank, vec_id,
+         |  round(score, 6) AS adc_dist
+         |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin
   )
 
