@@ -13,6 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // The engine's custom whole-operator plans (currently the native
+    // as-of join — graft.plans.AsOfJoinPlan → AsOfJoinExec).
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

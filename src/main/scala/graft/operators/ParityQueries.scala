@@ -754,6 +754,22 @@ object ParityQueries {
             .as("quality_decile"),
           col("rank").as("position"))
         .orderBy("position")
+    },
+
+    // The NATIVE as-of join (q18's semantics through the engine's custom
+    // LogicalPlan → SparkStrategy → SparkPlan operator instead of the
+    // composed union-and-sweep): one shuffle per side at its own width,
+    // streaming two-pointer merge, constant memory per partition.
+    // Same DuckDB ASOF LEFT JOIN oracle as q18.
+    "q186_asof_native" -> { (s, dir) =>
+      val events = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+      val snapshots = t(s, dir, "events")
+        .filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts"), col("value").as("snap_value"))
+      graft.plans.NativeAsOfJoin.backward(events, snapshots,
+        keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightValues = Seq("snap_value"))
+        .orderBy("event_id")
     }
   )
 
@@ -1253,6 +1269,17 @@ object ParityQueries {
          |  FROM d)
          |SELECT doc_id, decile AS quality_decile,
          |  row_number() OVER (ORDER BY ckey, doc_id)::BIGINT AS position
-         |FROM k ORDER BY position""".stripMargin
+         |FROM k ORDER BY position""".stripMargin,
+
+    // q186: DuckDB's own ASOF LEFT JOIN is the oracle for the native
+    // operator — identical to q18's, which gates the composed twin.
+    "q186_asof_native" ->
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP ts, value FROM events),
+        |r AS (SELECT user_id, ts::TIMESTAMP ts, value AS snap_value
+        |      FROM events WHERE event_id % 10 = 0)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  r.ts AS asof_ts, r.snap_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin
   )
 }

@@ -1,0 +1,240 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+
+/** NATIVE backward as-of join — the engine's one custom whole-operator
+  * plan node (SURVEY preference tier (c): LogicalPlan + SparkStrategy +
+  * SparkPlan, registered through `SparkSessionExtensions`), used where
+  * composition genuinely pays a tax: [[graft.operators.AsOfJoin]]
+  * expresses the same semantics as union-and-sweep, which widens both
+  * sides to a common schema, doubles the shuffled row count, and sorts
+  * left rows it immediately filters back out. This operator shuffles
+  * each side once AT ITS OWN WIDTH, sorts per partition, and streams a
+  * two-pointer merge:
+  *
+  *   - distribution: `ClusteredDistribution` on the key for BOTH
+  *     children — EnsureRequirements co-partitions them exactly like a
+  *     sort-merge join (and AQE still applies, since the node only
+  *     states requirements, never plans exchanges itself);
+  *   - ordering: (key asc, time asc) per child, satisfied by local
+  *     sorts, never a global one;
+  *   - execute: per co-partition, one forward pass over both sorted
+  *     streams — O(|L| + |R|) with ONE buffered right row and ONE
+  *     remembered match, no per-key buffering, so an arbitrarily dense
+  *     right side (the case that makes a `l.t >= r.t` theta join
+  *     quadratic) streams in constant memory.
+  *
+  * Semantics match [[graft.operators.AsOfJoin.backward]] on all
+  * non-null keys/times (≤ ties visible, left-outer nulls, exact
+  * (key, time) right duplicates resolved to the same max-xxhash row) —
+  * `NativeAsOfJoinSpec` pins native ≡ composed on randomized inputs and
+  * q186 hash-gates it against DuckDB's ASOF LEFT JOIN. On SQL NULLs the
+  * two differ BY DESIGN: this operator follows join semantics (a null
+  * key or time matches nothing — DuckDB/kdb parity), while the composed
+  * sweep inherits window-partition null grouping (null keys form a
+  * partition and can fill from null-key snapshots). The spec pins both
+  * behaviors explicitly.
+  */
+object NativeAsOfJoin {
+
+  /** Same contract as [[graft.operators.AsOfJoin.backward]]: left
+    * columns, then `asof_<rightTime>`, then the carried right values.
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    // Fresh-alias the right side so a self-join (both sides reading the
+    // same table) cannot carry colliding expression ids into one node.
+    val rAnalyzed = right.queryExecution.analyzed
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    val rOut = rAliases.map(_.toAttribute)
+
+    def res(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n missing on $side side"))
+
+    val carry =
+      if (rightValues.nonEmpty) rightValues
+      else right.columns.toSeq.diff(keyCols :+ rightTime)
+    require(carry.intersect(left.columns.toSeq).isEmpty,
+      s"right value columns ${carry.intersect(left.columns.toSeq)} collide with left columns; alias them first")
+    val lKeys = keyCols.map(res(lPlan.output, _, "left"))
+    val rKeys = keyCols.map(res(rOut, _, "right"))
+    val lTime = res(lPlan.output, leftTime, "left")
+    val rTime = res(rOut, rightTime, "right")
+    require(lKeys.map(_.dataType) == rKeys.map(_.dataType),
+      "as-of key columns must have identical types on both sides")
+    require(lTime.dataType == rTime.dataType,
+      s"as-of time columns must share a type; got ${lTime.dataType} vs ${rTime.dataType}")
+    val rCarry = carry.map(res(rOut, _, "right"))
+    val outAttrs =
+      AttributeReference(s"asof_$rightTime", rTime.dataType, nullable = true)() +:
+        rCarry.map(a => AttributeReference(a.name, a.dataType, nullable = true)())
+
+    GraftPlanBridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTime, rTime, rCarry, outAttrs))
+  }
+}
+
+/** Resolved-by-construction logical node (built from analyzed children,
+  * so every expression is already bound; the analyzer leaves it alone
+  * and [[GraftStrategies]] plans it).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightCarry: Seq[Attribute],
+    outAttrs: Seq[Attribute]
+) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy for the engine's custom nodes, injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` (see
+  * [[graft.functions.GraftExtensions]]).
+  */
+object GraftStrategies extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, carry, out) =>
+      AsOfJoinExec(lk, rk, lt, rt, carry, out, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightCarry: Seq[Expression],
+    outAttrs: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    // The trailing xxhash64 term makes the pick among EXACT (key, time)
+    // right duplicates deterministic — and, because the merge keeps the
+    // LAST row of a tie run, identical to the composed operator's
+    // `last(...) over (order by t, side, xxhash64(struct))`: both
+    // resolve the tie to the max-hash row. Same seed (42), same hashed
+    // values (time + carried columns, in order) as functions.xxhash64
+    // over the carry struct.
+    ((rightKeys :+ rightTime).map(SortOrder(_, Ascending)) :+
+      SortOrder(new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        rightTime +: rightCarry), Ascending)))
+
+  // The probe side's partitioning and ordering survive the merge.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val leftOut = left.output
+    val rightOut = right.output
+    val fullOut = output
+    val nEmit = outAttrs.length
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    val emitExprs = rightTime +: rightCarry
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeysB, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeB), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeB), rightOut)
+      val emitProj = UnsafeProjection.create(emitExprs, rightOut)
+      val resultProj = UnsafeProjection.create(fullOut, leftOut ++ outAttrs)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val nullEmit: InternalRow = new GenericInternalRow(nEmit)
+
+      // One buffered right row (copied — iterators reuse row objects).
+      var rCurr: UnsafeRow = null
+      def advanceRight(): Unit =
+        rCurr =
+          if (rIter.hasNext) rIter.next().asInstanceOf[UnsafeRow].copy()
+          else null
+      advanceRight()
+
+      // The remembered best match: emit image + its key, both copies.
+      var lastEmit: UnsafeRow = null
+      var lastKey: UnsafeRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow)
+        val lUsable = !lKey.anyNull && !lTimeRow.isNullAt(0)
+        if (lUsable) {
+          var advancing = true
+          while (advancing && rCurr != null) {
+            val rKey = rKeyProj(rCurr)
+            if (rKey.anyNull) advanceRight() // null keys join nothing
+            else {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) advanceRight() // keys gone forever (both sorted)
+              else if (c == 0) {
+                val rTimeRow = rTimeProj(rCurr)
+                if (rTimeRow.isNullAt(0)) advanceRight() // null time never matches
+                else if (timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
+                  lastEmit = emitProj(rCurr).copy()
+                  lastKey = rKey.copy()
+                  advanceRight()
+                } else advancing = false
+              } else advancing = false
+            }
+          }
+        }
+        val matched = lUsable && lastKey != null && !lKey.anyNull &&
+          keyOrd.compare(lastKey, lKey) == 0
+        if (matched) numMatched += 1
+        numOutputRows += 1
+        resultProj(joined(lRow, if (matched) lastEmit else nullEmit))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
