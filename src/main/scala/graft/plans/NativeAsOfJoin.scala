@@ -115,11 +115,24 @@ case class AsOfJoinPlan(
 /** Planner strategy for the engine's custom nodes, injected via
   * `SparkSessionExtensions.injectPlannerStrategy` (see
   * [[graft.functions.GraftExtensions]]).
+  *
+  * Like Spark's own JoinSelection, the as-of node has two physical
+  * strategies chosen by the optimizer's size estimate: a dim-sized
+  * right side broadcasts ([[BroadcastAsOfJoinExec]] — the probe side is
+  * NEVER shuffled), anything else co-partitions and merges
+  * ([[AsOfJoinExec]]). The same `autoBroadcastJoinThreshold` knob (and
+  * its -1 off-switch) governs the choice.
   */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, carry, out) =>
-      AsOfJoinExec(lk, rk, lt, rt, carry, out, planLater(l), planLater(r)) :: Nil
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(lk, rk, lt, rt, carry, out, planLater(l), planLater(r))
+        else
+          AsOfJoinExec(lk, rk, lt, rt, carry, out, planLater(l), planLater(r))
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -236,5 +249,138 @@ case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of join — the zero-shuffle strategy for a dim-sized
+  * snapshot side (the 100 TB enrichment case: a trillion-row probe
+  * stream annotated with the latest of a few thousand reference
+  * snapshots). The right side ships whole via a broadcast exchange
+  * (IdentityBroadcastMode); each task builds one hash index keyed by
+  * the join key with per-key time-sorted snapshot arrays, then every
+  * left row is a hash lookup + binary search — the probe side keeps its
+  * partitioning untouched (NO exchange at all on the big side, which
+  * the plan gate in NativeAsOfJoinSpec pins).
+  *
+  * Tie and null semantics are identical to [[AsOfJoinExec]] by
+  * construction: per-key entries sort by (time, xxhash64(time+carry)),
+  * and the search returns the LAST entry with time ≤ t — the max-hash
+  * row among exact ties; null keys/times on either side join nothing.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightCarry: Seq[Expression],
+    outAttrs: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  // The probe side flows through untouched.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val leftOut = left.output
+    val rightOut = right.output
+    val fullOut = output
+    val nEmit = outAttrs.length
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    val emitExprs = rightTime +: rightCarry
+    val tieHash = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      (rightTime +: rightCarry).toSeq)
+
+    left.execute().mapPartitions ({ lIter =>
+      // Per-task index build: |R| is dim-sized by strategy choice, so
+      // this is the same cost class as HashedRelation construction.
+      val rKeyProj = UnsafeProjection.create(rKeysB, rightOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeB), rightOut)
+      val emitProj = UnsafeProjection.create(emitExprs, rightOut)
+      val hashProj = UnsafeProjection.create(Seq(tieHash), rightOut)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, Long, UnsafeRow)]]()
+      val tmp = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[(UnsafeRow, Long, UnsafeRow)]]()
+      broadcastRows.value.foreach { r =>
+        val key = rKeyProj(r)
+        val timeRow = rTimeProj(r)
+        if (!key.anyNull && !timeRow.isNullAt(0)) {
+          val buf = {
+            val existing = tmp.get(key)
+            if (existing != null) existing
+            else {
+              val b = scala.collection.mutable.ArrayBuffer
+                .empty[(UnsafeRow, Long, UnsafeRow)]
+              tmp.put(key.copy(), b)
+              b
+            }
+          }
+          buf += ((timeRow.copy(), hashProj(r).getLong(0), emitProj(r).copy()))
+        }
+      }
+      tmp.forEach { (k, buf) =>
+        index.put(k, buf.sortWith { (a, b) =>
+          val c = timeOrd.compare(a._1, b._1)
+          c < 0 || (c == 0 && a._2 < b._2)
+        }.toArray)
+      }
+
+      val lKeyProj = UnsafeProjection.create(lKeysB, leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeB), leftOut)
+      val resultProj = UnsafeProjection.create(fullOut, leftOut ++ outAttrs)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val nullEmit: InternalRow = new GenericInternalRow(nEmit)
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow)
+        var emit: InternalRow = nullEmit
+        if (!lKey.anyNull && !lTimeRow.isNullAt(0)) {
+          val entries = index.get(lKey)
+          if (entries != null) {
+            // rightmost entry with time <= lTime (ties already sorted
+            // hash-ascending, so "rightmost" is the max-hash row)
+            var lo = 0
+            var hi = entries.length - 1
+            var found = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(entries(mid)._1, lTimeRow) <= 0) {
+                found = mid; lo = mid + 1
+              } else hi = mid - 1
+            }
+            if (found >= 0) { emit = entries(found)._3; numMatched += 1 }
+          }
+        }
+        numOutputRows += 1
+        resultProj(joined(lRow, emit))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }

@@ -18,8 +18,19 @@ class NativeAsOfJoinSpec extends SparkSpec {
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** Run `body` with auto-broadcast off, so the SHUFFLED merge exec is
+    * the strategy under test (the broadcast test below covers the other
+    * path and pins strategy agreement).
+    */
+  private def onMergePath[A](body: => A): A = {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("native ≡ composed on randomized dense inputs (same seed, 3 draws)") {
-    for (seed <- 1 to 3) {
+    onMergePath { for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
       val left = (1 to 400).map(i =>
         (rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong, i.toLong))
@@ -30,10 +41,10 @@ class NativeAsOfJoinSpec extends SparkSpec {
       val composed = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("snap"))
       val native = NativeAsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("snap"))
       assert(canon(native) == canon(composed), s"seed $seed diverged")
-    }
+    } }
   }
 
-  test("null keys/times: native follows SQL join semantics (matches nothing)") {
+  test("null keys/times: native follows SQL join semantics (matches nothing)") { onMergePath {
     val left = Seq[(java.lang.Long, java.lang.Long, Long)](
       (1L, 10L, 1L), (null, 10L, 2L), (1L, null, 3L), (2L, 5L, 4L))
       .toDF("k", "t", "lid")
@@ -54,9 +65,9 @@ class NativeAsOfJoinSpec extends SparkSpec {
       "composed null grouping changed — update the NativeAsOfJoin doc contract")
     // On the non-null rows the two agree exactly.
     assert(cById(1L) == byId(1L) && cById(4L) == byId(4L))
-  }
+  } }
 
-  test("exact (key, time) right duplicates resolve to the SAME row as composed") {
+  test("exact (key, time) right duplicates resolve to the SAME row as composed") { onMergePath {
     val left = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("k", "t", "lid")
     // three snapshots at the identical (key, time) — the pick must be
     // the max-xxhash one on both paths, not sort-order luck.
@@ -69,7 +80,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
     val reparted = NativeAsOfJoin.backward(left, right.repartition(7),
       Seq("k"), "t", "t", Seq("snap"))
     assert(canon(reparted) == canon(native))
-  }
+  } }
 
   test("self-join on the events table: native ≡ composed, and the plan is the custom exec") {
     val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
@@ -92,7 +103,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Union"), "native plan must not union the sides")
   }
 
-  test("constant memory contract: one partition streams a dense right side") {
+  test("constant memory contract: one partition streams a dense right side") { onMergePath {
     // 1 key, 50k right rows, 100 left rows — a per-key buffering
     // implementation would hold 50k rows; the two-pointer merge holds 1.
     val left = (1 to 100).map(i => (1L, i.toLong * 500, i.toLong)).toDF("k", "t", "lid")
@@ -105,6 +116,34 @@ class NativeAsOfJoinSpec extends SparkSpec {
       assert(r.getDouble(4) == math.min(t, 50000L).toDouble,
         s"latest snapshot at t=$t wrong: ${r.getDouble(4)}")
     }
+  } }
+
+  test("broadcast strategy: small right side broadcasts, probe side is never shuffled, results identical to the merge path") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 500).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(800).toLong, i.toLong)).toDF("k", "t", "lid")
+    // duplicates at identical (k, t) included — the tie rule must match too
+    val right = ((1 to 120).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(800).toLong, i * 1.0)) ++
+      Seq((3L, 100L, 901.0), (3L, 100L, 902.0))).toDF("k", "t", "snap")
+
+    val bcast = NativeAsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("snap"))
+    val bPlan = bcast.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastAsOfJoin"), bPlan)
+    assert(bPlan.contains("BroadcastExchange"), bPlan)
+    assert(!bPlan.contains("hashpartitioning"),
+      s"probe side must not shuffle under the broadcast strategy:\n$bPlan")
+
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = NativeAsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("snap"))
+      val mPlan = merged.queryExecution.executedPlan.toString
+      assert(mPlan.contains("AsOfJoin") && !mPlan.contains("BroadcastAsOfJoin"),
+        s"threshold -1 must force the shuffled merge path:\n$mPlan")
+      assert(canon(bcast) == canon(merged),
+        "broadcast and merge strategies must agree row-for-row")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("column collisions and missing columns fail loudly") {
