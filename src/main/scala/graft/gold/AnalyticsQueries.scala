@@ -807,6 +807,49 @@ object AnalyticsQueries {
       top.toDF("term", "exact_n", "est_n")
         .withColumn("overcount", col("est_n") - col("exact_n"))
         .orderBy(col("exact_n").desc, col("term"))
+    },
+
+    // k-anonymity / l-diversity audit — the data-governance gate a
+    // training-data release runs before shipping anything derived from
+    // people: every quasi-identifier combination with fewer than k
+    // members is a re-identification risk, and a group whose SENSITIVE
+    // attribute is near-constant leaks it even at size ≥ k. One
+    // hash-partitioned aggregation over the quasi columns; at 100 TB
+    // the audit shuffles group rows, never people.
+    "q187_k_anonymity" -> { (s, dir) =>
+      val quasi = t(s, dir, "customer")
+        .select(col("c_nationkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_band"),
+          col("c_custkey"))
+      quasi.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(col("acctbal_band")).as("l_diversity"))
+        .withColumn("k_violation", col("group_size") < 5L)
+        .withColumn("l_violation", col("l_diversity") < 2L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // Functional-dependency discovery — schema archaeology for a table
+    // nobody documented: for each candidate LHS→RHS pair, how many LHS
+    // groups see more than one RHS value (0 ⟺ the dependency HOLDS).
+    // Each candidate is one partial+final aggregation keyed on its LHS;
+    // the union is a handful of skinny frames (candidates come from the
+    // schema, not the data).
+    "q188_fd_discovery" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val candidates = Seq(
+        ("doc_id", "source"), ("doc_id", "lang"),
+        ("source", "lang"), ("lang", "source"))
+      candidates.map { case (lhs, rhs) =>
+        docs.groupBy(col(lhs))
+          .agg(countDistinct(col(rhs)).as("n_rhs"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+            col("n_groups"), col("n_violating"),
+            (col("n_violating") === 0L).as("holds"))
+      }.reduce(_.unionByName(_)).orderBy("lhs", "rhs")
     }
   )
 
@@ -1273,6 +1316,43 @@ object AnalyticsQueries {
         |  SELECT term, count(*)::BIGINT AS exact_n FROM toks GROUP BY 1
         |  ORDER BY exact_n DESC, term LIMIT 20)
         |SELECT term, exact_n, exact_n AS est_n, 0::BIGINT AS overcount
-        |FROM exact ORDER BY exact_n DESC, term""".stripMargin
+        |FROM exact ORDER BY exact_n DESC, term""".stripMargin,
+
+    "q187_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*)::BIGINT AS group_size,
+        |  count(DISTINCT (floor(c_acctbal / 1000.0))::BIGINT)::BIGINT
+        |    AS l_diversity,
+        |  count(*) < 5 AS k_violation,
+        |  count(DISTINCT (floor(c_acctbal / 1000.0))::BIGINT) < 2
+        |    AS l_violation
+        |FROM customer
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q188_fd_discovery" ->
+      """SELECT lhs, rhs, n_groups, n_violating, n_violating = 0 AS holds
+        |FROM (
+        |  SELECT 'doc_id' AS lhs, 'source' AS rhs,
+        |    count(*)::BIGINT AS n_groups,
+        |    (count(*) FILTER (WHERE n_rhs > 1))::BIGINT AS n_violating
+        |  FROM (SELECT doc_id, count(DISTINCT source) n_rhs
+        |        FROM documents GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'doc_id', 'lang', count(*)::BIGINT,
+        |    (count(*) FILTER (WHERE n_rhs > 1))::BIGINT
+        |  FROM (SELECT doc_id, count(DISTINCT lang) n_rhs
+        |        FROM documents GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'source', 'lang', count(*)::BIGINT,
+        |    (count(*) FILTER (WHERE n_rhs > 1))::BIGINT
+        |  FROM (SELECT source, count(DISTINCT lang) n_rhs
+        |        FROM documents GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'lang', 'source', count(*)::BIGINT,
+        |    (count(*) FILTER (WHERE n_rhs > 1))::BIGINT
+        |  FROM (SELECT lang, count(DISTINCT source) n_rhs
+        |        FROM documents GROUP BY 1))
+        |ORDER BY lhs, rhs""".stripMargin
   )
 }
