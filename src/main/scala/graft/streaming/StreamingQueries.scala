@@ -307,6 +307,44 @@ object StreamingQueries {
           .localCheckpoint(true)
           .orderBy("window_start", "rnk")
       } finally ScratchDirs.release(scratch)
+    },
+
+    // Streaming as-of enrichment through the engine's CUSTOM operator:
+    // every micro-batch runs graft.plans.NativeAsOfJoin against the
+    // batch-side snapshot table (dim-sized, so the broadcast strategy
+    // fires — the micro-batch is never shuffled). Per-row results
+    // depend only on the row and the static snapshots, so appending
+    // per-batch outputs equals the one-shot batch join whatever the
+    // micro-batch split — which is exactly DuckDB's ASOF LEFT JOIN over
+    // events ∪ planted copies (copies are byte-identical rows; their
+    // doubled outputs sort-tie harmlessly, the q140 discipline).
+    "q189_streaming_asof" -> { (s, dir) =>
+      val (stream, scratch) = plantedEventStream(s, dir, "graft-stream-asof")
+      try {
+        val sinkDir = s"$scratch/sink"
+        val ckptDir = s"$scratch/ckpt"
+        val snaps = graft.sources.Tables.load(s, dir, "events")
+          .filter(col("event_id") % 10 === 0)
+          .select(col("user_id"), col("ts"), col("value").as("snap_value"))
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.plans.NativeAsOfJoin.backward(
+              batch.select("event_id", "user_id", "ts", "value"), snaps,
+              keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+              rightValues = Seq("snap_value"))
+              .write.mode("append").parquet(sinkDir)
+          }
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+
+        s.read.parquet(sinkDir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("asof_ts"), col("snap_value"))
+          .localCheckpoint(true)
+          .orderBy("event_id")
+      } finally ScratchDirs.release(scratch)
     }
   )
 
@@ -407,6 +445,21 @@ object StreamingQueries {
         |  FROM c)
         |SELECT window_start, rnk::INT AS rnk, event_type, n_events
         |FROM r WHERE rnk <= 3
-        |ORDER BY window_start, rnk""".stripMargin
+        |ORDER BY window_start, rnk""".stripMargin,
+
+    // q189: per-micro-batch as-of against static snapshots ≡ the batch
+    // ASOF join over events ∪ planted copies.
+    "q189_streaming_asof" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP ts, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts::TIMESTAMP, value FROM events
+        |  WHERE event_id % 10 = 0),
+        |r AS (SELECT user_id, ts::TIMESTAMP ts, value AS snap_value
+        |      FROM events WHERE event_id % 10 = 0)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  r.ts AS asof_ts, r.snap_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin
   )
 }
