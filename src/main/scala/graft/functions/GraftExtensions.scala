@@ -14,8 +14,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // The engine's custom whole-operator plans (currently the native
-    // as-of join — graft.plans.AsOfJoinPlan → AsOfJoinExec).
+    // as-of join — graft.plans.AsOfJoinPlan → AsOfJoinExec /
+    // BroadcastAsOfJoinExec) plus the optimizer rule that lets filters
+    // push through the custom node down to the scan.
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
 
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),

@@ -112,6 +112,35 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for the custom node, injected via
+  * `injectOptimizerRule`: Catalyst's own PushDownPredicates cannot see
+  * through an unknown plan node, so without this a `filter` applied
+  * ABOVE an as-of join sticks there — the probe side shuffles in full
+  * and the parquet scan reads every row even when the predicate would
+  * have pruned at the source. Any conjunct that references only LEFT
+  * attributes pushes below the node (safe by construction: every output
+  * row is one left row plus columns the predicate does not mention, so
+  * filtering before ≡ filtering after); conjuncts touching the as-of
+  * columns stay above.
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, asOf: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(asOf.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = asOf.copy(left = Filter(pushable.reduce(And), asOf.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Planner strategy for the engine's custom nodes, injected via
   * `SparkSessionExtensions.injectPlannerStrategy` (see
   * [[graft.functions.GraftExtensions]]).

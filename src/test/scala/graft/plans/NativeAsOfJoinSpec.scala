@@ -146,6 +146,40 @@ class NativeAsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("filters on probe-side columns push through the custom node to the scan") {
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val snaps = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("value").as("snap_value"))
+    val joined = NativeAsOfJoin.backward(events, snaps,
+      Seq("user_id"), "ts", "ts", Seq("snap_value"))
+    // mixed predicate: one left-only conjunct (pushable), one touching
+    // the as-of output (must stay above)
+    val filtered = joined.filter(col("event_id") < 100 && col("snap_value").isNotNull)
+
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // the left-only conjunct sits BELOW the as-of node after the rule
+    val asOfIdx = optimized.indexOf("AsOfJoinPlan")
+    assert(asOfIdx >= 0, optimized)
+    assert(optimized.indexOf("event_id", asOfIdx) >= 0 &&
+      optimized.substring(asOfIdx).contains("Filter"),
+      s"pushable conjunct did not move below the node:\n$optimized")
+    assert(optimized.substring(0, asOfIdx).contains("snap_value"),
+      s"as-of-column conjunct must stay above the node:\n$optimized")
+    // and it reaches the parquet scan as a pushed data filter
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [") &&
+      physical.contains("LessThan(event_id,100)"),
+      s"predicate did not reach the scan:\n$physical")
+
+    // semantics unchanged: equals filtering the probe side by hand
+    val manual = NativeAsOfJoin.backward(events.filter(col("event_id") < 100),
+      snaps, Seq("user_id"), "ts", "ts", Seq("snap_value"))
+      .filter(col("snap_value").isNotNull)
+    assert(canon(filtered) == canon(manual))
+  }
+
   test("column collisions and missing columns fail loudly") {
     val l = Seq((1L, 1L, 1L)).toDF("k", "t", "snap")
     val r = Seq((1L, 1L, 1.0)).toDF("k", "t", "snap")
