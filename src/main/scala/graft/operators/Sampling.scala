@@ -306,7 +306,11 @@ object Sampling {
     //          = idx(2k·cumAfter) − idx(2k·cumBefore),
     // idx(a) = floor((a + W − 1) / (2W)) — the count of selection points
     // strictly below mass a/2k, naturally capped at k because cum ≤ W.
-    val useBig = totalW > Long.MaxValue / (2L * k)
+    // Long-path overflow guard covers the FULL expression, not just the
+    // product: idx's numerator reaches 2k·W + W − 1 = (2k+1)·W − 1, so
+    // the switch fires at W > Long.Max/(2k+1) — a plain /(2k) guard
+    // leaves a band where `a + W − 1` wraps negative (review r10).
+    val useBig = totalW > Long.MaxValue / (2L * k + 1)
     val selected = base.rdd.mapPartitionsWithIndex { (pid, it) =>
       var cum = offsets(pid)
       if (useBig) {

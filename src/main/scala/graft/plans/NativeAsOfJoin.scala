@@ -73,6 +73,9 @@ object NativeAsOfJoin {
       else right.columns.toSeq.diff(keyCols :+ rightTime)
     require(carry.intersect(left.columns.toSeq).isEmpty,
       s"right value columns ${carry.intersect(left.columns.toSeq)} collide with left columns; alias them first")
+    val asOfName = s"asof_$rightTime"
+    require(!left.columns.contains(asOfName) && !carry.contains(asOfName),
+      s"output column $asOfName collides with an input column; alias it first")
     val lKeys = keyCols.map(res(lPlan.output, _, "left"))
     val rKeys = keyCols.map(res(rOut, _, "right"))
     val lTime = res(lPlan.output, leftTime, "left")
@@ -231,12 +234,15 @@ case class AsOfJoinExec(
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       val nullEmit: InternalRow = new GenericInternalRow(nEmit)
 
-      // One buffered right row (copied — iterators reuse row objects).
-      var rCurr: UnsafeRow = null
+      // One buffered right row, UNCOPIED: the iterator's backing buffer
+      // is only overwritten by the next rIter.next() call, which happens
+      // exclusively inside advanceRight() — i.e. only once this row has
+      // been consumed or discarded. Values that must outlive an advance
+      // (lastEmit/lastKey) are copied at the point of capture below, so
+      // the merge allocates per MATCH, not per right row (review r10).
+      var rCurr: InternalRow = null
       def advanceRight(): Unit =
-        rCurr =
-          if (rIter.hasNext) rIter.next().asInstanceOf[UnsafeRow].copy()
-          else null
+        rCurr = if (rIter.hasNext) rIter.next() else null
       advanceRight()
 
       // The remembered best match: emit image + its key, both copies.
@@ -281,15 +287,97 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** The probe index: per join key, parallel arrays of time rows and emit
+  * rows sorted by (time, xxhash64 tie-hash). The clean home for the
+  * build would be a custom `BroadcastMode.transform` (the
+  * HashedRelation discipline), but `BroadcastExchangeExec` hard-rejects
+  * any payload type it does not know — so the rows broadcast as-is
+  * (IdentityBroadcastMode) and the index builds executor-side ONCE per
+  * broadcast via [[AsOfIndex.cached]], not once per task (review r10):
+  * the first task to arrive builds, the rest reuse, and the
+  * SoftReference lets the executor drop it under memory pressure.
+  */
+final class AsOfIndex(
+    val map: java.util.HashMap[UnsafeRow, (Array[UnsafeRow], Array[UnsafeRow])]
+) extends Serializable
+
+object AsOfIndex {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[AsOfIndex]]()
+
+  /** The executor-local index for broadcast `id`, building it from
+    * `rows` on first use. Null keys and null times are dropped at build
+    * time (they can never match).
+    */
+  def cached(
+      id: Long,
+      rows: Array[InternalRow],
+      rightKeys: Seq[Expression],
+      rightTime: Expression,
+      rightCarry: Seq[Expression],
+      rightOutput: Seq[Attribute]): AsOfIndex = {
+    val entry = cache.compute(id, (_, prev) => {
+      if (prev != null && prev.get() != null) prev
+      else new java.lang.ref.SoftReference(
+        build(rows, rightKeys, rightTime, rightCarry, rightOutput))
+    })
+    // compute() holds the map bin lock while building, so the reference
+    // we just ensured cannot have been cleared between compute and get
+    // unless the JVM is actively OOM-collecting — rebuild uncached then.
+    val got = entry.get()
+    if (got != null) got
+    else build(rows, rightKeys, rightTime, rightCarry, rightOutput)
+  }
+
+  private def build(
+      rows: Array[InternalRow],
+      rightKeys: Seq[Expression],
+      rightTime: Expression,
+      rightCarry: Seq[Expression],
+      rightOutput: Seq[Attribute]): AsOfIndex = {
+    val keyProj = UnsafeProjection.create(rightKeys, rightOutput)
+    val timeProj = UnsafeProjection.create(Seq(rightTime), rightOutput)
+    val emitProj = UnsafeProjection.create(rightTime +: rightCarry, rightOutput)
+    val hashProj = UnsafeProjection.create(
+      Seq(new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        rightTime +: rightCarry)), rightOutput)
+    val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(rightTime.dataType))
+    val tmp = new java.util.HashMap[UnsafeRow,
+      scala.collection.mutable.ArrayBuffer[(UnsafeRow, Long, UnsafeRow)]]()
+    rows.foreach { r =>
+      val key = keyProj(r)
+      val timeRow = timeProj(r)
+      if (!key.anyNull && !timeRow.isNullAt(0)) {
+        var buf = tmp.get(key)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer.empty[(UnsafeRow, Long, UnsafeRow)]
+          tmp.put(key.copy(), buf)
+        }
+        buf += ((timeRow.copy(), hashProj(r).getLong(0), emitProj(r).copy()))
+      }
+    }
+    val map = new java.util.HashMap[UnsafeRow, (Array[UnsafeRow], Array[UnsafeRow])](
+      tmp.size() * 2)
+    tmp.forEach { (k, buf) =>
+      val sorted = buf.sortWith { (a, b) =>
+        val c = timeOrd.compare(a._1, b._1)
+        c < 0 || (c == 0 && a._2 < b._2)
+      }
+      map.put(k, (sorted.map(_._1).toArray, sorted.map(_._3).toArray))
+    }
+    new AsOfIndex(map)
+  }
+}
+
 /** Broadcast as-of join — the zero-shuffle strategy for a dim-sized
   * snapshot side (the 100 TB enrichment case: a trillion-row probe
   * stream annotated with the latest of a few thousand reference
-  * snapshots). The right side ships whole via a broadcast exchange
-  * (IdentityBroadcastMode); each task builds one hash index keyed by
-  * the join key with per-key time-sorted snapshot arrays, then every
-  * left row is a hash lookup + binary search — the probe side keeps its
-  * partitioning untouched (NO exchange at all on the big side, which
-  * the plan gate in NativeAsOfJoinSpec pins).
+  * snapshots). The right side collects to the driver, builds the
+  * [[AsOfIndex]] once ([[AsOfIndexBroadcastMode]]), and ships ready to
+  * probe; every left row is then a hash lookup + binary search — the
+  * probe side keeps its partitioning untouched (NO exchange at all on
+  * the big side, which the plan gate in NativeAsOfJoinSpec pins).
   *
   * Tie and null semantics are identical to [[AsOfJoinExec]] by
   * construction: per-key entries sort by (time, xxhash64(time+carry)),
@@ -327,7 +415,6 @@ case class BroadcastAsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
-    val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val leftOut = left.output
     val rightOut = right.output
@@ -337,45 +424,14 @@ case class BroadcastAsOfJoinExec(
     val rKeysB = rightKeys
     val lTimeB = leftTime
     val rTimeB = rightTime
-    val emitExprs = rightTime +: rightCarry
-    val tieHash = new org.apache.spark.sql.catalyst.expressions.XxHash64(
-      (rightTime +: rightCarry).toSeq)
+    val rCarryB = rightCarry
 
     left.execute().mapPartitions ({ lIter =>
-      // Per-task index build: |R| is dim-sized by strategy choice, so
-      // this is the same cost class as HashedRelation construction.
-      val rKeyProj = UnsafeProjection.create(rKeysB, rightOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rTimeB), rightOut)
-      val emitProj = UnsafeProjection.create(emitExprs, rightOut)
-      val hashProj = UnsafeProjection.create(Seq(tieHash), rightOut)
+      // Executor-cached build: the first task for this broadcast builds
+      // the index, every later task on the executor reuses it.
+      val index = AsOfIndex.cached(broadcastRows.id, broadcastRows.value,
+        rKeysB, rTimeB, rCarryB, rightOut).map
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
-      val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, Long, UnsafeRow)]]()
-      val tmp = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[(UnsafeRow, Long, UnsafeRow)]]()
-      broadcastRows.value.foreach { r =>
-        val key = rKeyProj(r)
-        val timeRow = rTimeProj(r)
-        if (!key.anyNull && !timeRow.isNullAt(0)) {
-          val buf = {
-            val existing = tmp.get(key)
-            if (existing != null) existing
-            else {
-              val b = scala.collection.mutable.ArrayBuffer
-                .empty[(UnsafeRow, Long, UnsafeRow)]
-              tmp.put(key.copy(), b)
-              b
-            }
-          }
-          buf += ((timeRow.copy(), hashProj(r).getLong(0), emitProj(r).copy()))
-        }
-      }
-      tmp.forEach { (k, buf) =>
-        index.put(k, buf.sortWith { (a, b) =>
-          val c = timeOrd.compare(a._1, b._1)
-          c < 0 || (c == 0 && a._2 < b._2)
-        }.toArray)
-      }
-
       val lKeyProj = UnsafeProjection.create(lKeysB, leftOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeB), leftOut)
       val resultProj = UnsafeProjection.create(fullOut, leftOut ++ outAttrs)
@@ -391,16 +447,17 @@ case class BroadcastAsOfJoinExec(
           if (entries != null) {
             // rightmost entry with time <= lTime (ties already sorted
             // hash-ascending, so "rightmost" is the max-hash row)
+            val times = entries._1
             var lo = 0
-            var hi = entries.length - 1
+            var hi = times.length - 1
             var found = -1
             while (lo <= hi) {
               val mid = (lo + hi) >>> 1
-              if (timeOrd.compare(entries(mid)._1, lTimeRow) <= 0) {
+              if (timeOrd.compare(times(mid), lTimeRow) <= 0) {
                 found = mid; lo = mid + 1
               } else hi = mid - 1
             }
-            if (found >= 0) { emit = entries(found)._3; numMatched += 1 }
+            if (found >= 0) { emit = entries._2(found); numMatched += 1 }
           }
         }
         numOutputRows += 1

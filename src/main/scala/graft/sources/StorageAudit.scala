@@ -85,7 +85,11 @@ object StorageAudit {
 
   /** Table-level rollup: per column across every file and row group —
     * total values, footer null count, byte totals and the achieved
-    * compression ratio (rounded; uncompressed/compressed).
+    * compression ratio (rounded; uncompressed/compressed). A single
+    * chunk whose writer omitted statistics (n_nulls = −1) makes the
+    * column's null total UNKNOWN, reported as −1 — summing the sentinel
+    * in would yield a plausible-looking wrong number instead (review
+    * r10).
     */
   def columnSummary(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -95,7 +99,8 @@ object StorageAudit {
         countDistinct(col("file")).as("n_files"),
         count(lit(1)).as("n_chunks"),
         sum(col("n_values")).as("n_values"),
-        sum(col("n_nulls")).as("n_nulls"),
+        when(min(col("n_nulls")) < 0L, lit(-1L))
+          .otherwise(sum(col("n_nulls"))).as("n_nulls"),
         sum(col("compressed_bytes")).as("compressed_bytes"),
         sum(col("uncompressed_bytes")).as("uncompressed_bytes"),
         round(sum(col("uncompressed_bytes")).cast("double") /

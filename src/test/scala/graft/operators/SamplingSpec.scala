@@ -143,10 +143,24 @@ class SamplingSpec extends SparkSpec {
     // must be identical to the small-weight run because the decision
     // depends only on w/W ratios.
     val big = weighted.select(col("id"), (col("w") * 10000000000000L).as("w"))
-    def counts(df: org.apache.spark.sql.DataFrame) =
-      Sampling.systematic(df, "id", "w", k = 400)
+    def counts(df: org.apache.spark.sql.DataFrame, k: Int = 400) =
+      Sampling.systematic(df, "id", "w", k)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(counts(big) == counts(weighted))
+
+    // The overflow BAND the first guard missed: W just under
+    // Long.Max/(2k) keeps the product 2k·cum in range, but idx()'s
+    // `+ W − 1` addend overflows — the guard must switch to BigInt at
+    // W > Long.Max/(2k+1). Scale so totalW lands inside
+    // (Long.Max/201, Long.Max/200] for k=100, then the copy counts must
+    // still match the small-weight run (pure w/W ratios).
+    val totalSmall = weighted.agg(sum(col("w"))).head.getLong(0)
+    val c = Long.MaxValue / 200 / totalSmall
+    val band = weighted.select(col("id"), (col("w") * c).as("w"))
+    val bandW = band.agg(sum(col("w"))).head.getLong(0)
+    assert(bandW > Long.MaxValue / 201 && bandW <= Long.MaxValue / 200,
+      s"fixture drifted out of the overflow band: $bandW")
+    assert(counts(band, k = 100) == counts(weighted, k = 100))
   }
 
   test("systematic rejects negative weights and zero total mass") {
