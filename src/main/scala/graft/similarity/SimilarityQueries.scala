@@ -444,6 +444,36 @@ object SimilarityQueries {
             transform(col("embedding"), x => -x).as("embedding")))
       IvfPq.probe(batch, "vec_id", "embedding", index, nProbe = 2, k = 3)
         .orderBy("query_id", "rank")
+    },
+
+    // Two-stage retrieval — the production stack end to end: IVF-PQ ADC
+    // produces a compressed-domain SHORTLIST (top-10 codes per query),
+    // and only those few ids re-attach their exact vectors (skinny
+    // id-equi-join) for an exact-cosine re-rank to top-3. The corpus is
+    // scanned in codes; exact floats travel for shortlist×queries rows
+    // only — at 100 TB that is the difference between re-ranking
+    // kilobytes and scanning everything.
+    "q190_ivfpq_rerank" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val index = IvfPq.build(e, "vec_id", "embedding",
+        nCells = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+      val queries = e.filter(col("vec_id") % 37 === 0)
+      val shortlist = IvfPq.probe(queries, "vec_id", "embedding",
+        index, nProbe = 2, k = 10)
+      val vecs = e.select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("cv"))
+      val q = queries.select(col("vec_id").as("query_id"),
+        VectorOps.toDouble(col("embedding")).as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      shortlist.join(vecs, "vec_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("cosine", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
     }
   )
 
@@ -827,7 +857,61 @@ object SimilarityQueries {
          |SELECT query_id, rank::INT AS rank, vec_id,
          |  round(score, 6) AS adc_dist
          |FROM ranked WHERE rank <= 3
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q190: the q179 replay produces the ADC top-10 shortlist; the
+    // re-rank recomputes exact cosines for shortlist ids only, ranked
+    // over the same 6dp-rounded value as the engine.
+    "q190_ivfpq_rerank" ->
+      s"""$ivfPqReplayCtes,
+         |qs AS (SELECT vec_id AS query_id, v AS q FROM emb WHERE vec_id % 37 = 0),
+         |probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT qs.query_id, c.cell,
+         |      row_number() OVER (PARTITION BY qs.query_id ORDER BY
+         |        (list_dot_product(qs.q, qs.q) - 2.0 * list_dot_product(qs.q, c.c))
+         |          + list_dot_product(c.c, c.c), c.cell) AS rn
+         |    FROM qs CROSS JOIN gc2 c) t
+         |  WHERE rn <= 2),
+         |fullrecon AS (
+         |  SELECT codes.vec_id, codes.cell,
+         |    list_transform(range(1, len(g.c) + 1),
+         |      i -> g.c[i] + (b0.c || b1.c || b2.c || b3.c)[i]) AS r
+         |  FROM codes
+         |  JOIN gc2 g ON g.cell = codes.cell
+         |  JOIN r0c2 b0 ON b0.cell = codes.code0
+         |  JOIN r1c2 b1 ON b1.cell = codes.code1
+         |  JOIN r2c2 b2 ON b2.cell = codes.code2
+         |  JOIN r3c2 b3 ON b3.cell = codes.code3),
+         |scored AS (
+         |  SELECT p.query_id, r.vec_id,
+         |    (list_dot_product(qs.q, qs.q) - 2.0 * list_dot_product(qs.q, r.r))
+         |      + list_dot_product(r.r, r.r) AS score
+         |  FROM probe p
+         |  JOIN fullrecon r ON r.cell = p.cell
+         |  JOIN qs ON qs.query_id = p.query_id),
+         |short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY score, vec_id) AS rk
+         |    FROM scored) t WHERE rk <= 10),
+         |rer AS (
+         |  SELECT s.query_id, s.vec_id,
+         |    round(list_dot_product(q.q, c.v)
+         |      / (sqrt(list_dot_product(q.q, q.q))
+         |         * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+         |  FROM short s
+         |  JOIN emb c ON c.vec_id = s.vec_id
+         |  JOIN qs q ON q.query_id = s.query_id),
+         |rr AS (
+         |  SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM rer)
+         |SELECT query_id, rnk::INT AS rnk, vec_id, cosine
+         |FROM rr WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin
   )
 
   /** Generic Lloyd replay CTE block over a (vec_id, v DOUBLE[]) source:
