@@ -180,6 +180,34 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(canon(filtered) == canon(manual))
   }
 
+  test("scale evidence: broadcast as-of moves <5% of the composed sweep's shuffle bytes") {
+    // The wall-clock of q18 vs q186 at bench scale is overhead-bound and
+    // proves nothing; the cost model that matters at 100 TB is WHAT
+    // CROSSES THE SHUFFLE. Composed union-and-sweep shuffles probe ∪
+    // snapshot rows widened to a common schema; broadcast-native
+    // shuffles nothing on the probe side at all.
+    import graft.MetricsProbe
+    val left = (1L to 200000L).map(i => (i % 64, i % 5000, i)).toDF("k", "t", "lid")
+      .repartition(8).localCheckpoint()
+    val right = (1L to 2000L).map(i => (i % 64, i, i * 2.0)).toDF("k", "t", "snap")
+      .localCheckpoint()
+    // consume the carried column — a bare count() lets Catalyst prune
+    // the composed sweep's window away entirely
+    def work(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(count(col("snap"))).head.getLong(0)
+    val composed = MetricsProbe.measure(spark) {
+      work(AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("snap")))
+    }
+    val native = MetricsProbe.measure(spark) {
+      work(NativeAsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("snap")))
+    }
+    assert(native.result == composed.result)
+    assert(composed.shuffleWriteBytes > 1000000L,
+      s"fixture too small to measure: composed wrote ${composed.shuffleWriteBytes}")
+    assert(native.shuffleWriteBytes < composed.shuffleWriteBytes / 20,
+      s"broadcast as-of wrote ${native.shuffleWriteBytes} vs composed ${composed.shuffleWriteBytes}")
+  }
+
   test("column collisions and missing columns fail loudly") {
     val l = Seq((1L, 1L, 1L)).toDF("k", "t", "snap")
     val r = Seq((1L, 1L, 1.0)).toDF("k", "t", "snap")
