@@ -756,6 +756,22 @@ object ParityQueries {
         .orderBy("position")
     },
 
+    // Language-balanced systematic sampling: exactly (40, 25, 15)
+    // weighted selections from en/de/fr — identity-exact per stratum
+    // (WHICH documents, not just how many — the q90/q112 mixture
+    // oracles can only check sizes because their hash priorities have
+    // no DuckDB twin; the md5 mass line does).
+    "q191_lang_systematic" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          length(col("text")).cast("long").as("weight"))
+      Sampling.systematicPerStratum(docs, "lang", "doc_id", "weight",
+        quotas = Map("en" -> 40, "de" -> 25, "fr" -> 15))
+        .select(col("lang"), col("id").as("doc_id"), col("weight"),
+          col("n_copies"))
+        .orderBy("lang", "doc_id")
+    },
+
     // The NATIVE as-of join (q18's semantics through the engine's custom
     // LogicalPlan → SparkStrategy → SparkPlan operator instead of the
     // composed union-and-sweep): one shuffle per side at its own width,
@@ -1270,6 +1286,30 @@ object ParityQueries {
          |SELECT doc_id, decile AS quality_decile,
          |  row_number() OVER (ORDER BY ckey, doc_id)::BIGINT AS position
          |FROM k ORDER BY position""".stripMargin,
+
+    // q191: the q180 replay PER LANGUAGE — each stratum lays its own
+    // md5 mass line with its own quota.
+    "q191_lang_systematic" ->
+      """WITH q(lang, k) AS (VALUES ('en', 40), ('de', 25), ('fr', 15)),
+        |w AS (
+        |  SELECT lang, doc_id AS id, length(text)::BIGINT AS w,
+        |         md5(doc_id::VARCHAR) AS h
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr')),
+        |c AS (
+        |  SELECT lang, id, w,
+        |    sum(w) OVER (PARTITION BY lang ORDER BY h, id
+        |                 ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM w),
+        |t AS (SELECT lang, sum(w)::HUGEINT AS tw FROM w GROUP BY 1),
+        |sel AS (
+        |  SELECT c.lang, c.id, c.w,
+        |    ((2 * q.k * c.cum::HUGEINT + t.tw - 1) // (2 * t.tw)
+        |     - (2 * q.k * (c.cum - c.w)::HUGEINT + t.tw - 1) // (2 * t.tw)
+        |    )::BIGINT AS n_copies
+        |  FROM c JOIN t USING (lang) JOIN q USING (lang))
+        |SELECT lang, id AS doc_id, w AS weight, n_copies
+        |FROM sel WHERE n_copies > 0
+        |ORDER BY lang, doc_id""".stripMargin,
 
     // q186: DuckDB's own ASOF LEFT JOIN is the oracle for the native
     // operator — identical to q18's, which gates the composed twin.

@@ -237,6 +237,35 @@ object Sampling {
       pmod(ShuffleShard.hex4(md5(col(groupCol).cast("string"))), lit(k)).cast("long"))
   }
 
+  /** Per-stratum [[systematic]] sampling — exactly `k_s` weighted
+    * selections from EACH stratum (the language-balancing step of a
+    * corpus mixture, with the same integer-exact identity guarantee as
+    * the global sampler; the hash-priority mixture operators above can
+    * only oracle their SIZES because xxhash64 has no cross-engine twin).
+    * One [[systematic]] pass per listed stratum: strata counts are
+    * schema-scale (a handful of languages/domains), so the driver loop
+    * is a few narrow job pairs, each internally distributed — rows of
+    * unlisted strata are simply never scanned past the stratum filter.
+    *
+    * @return (stratum, id, weight, n_copies), Σ n_copies = Σ quotas.
+    */
+  def systematicPerStratum(
+      rows: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weightCol: String,
+      quotas: Map[String, Int],
+      partitions: Int = 0
+  ): DataFrame = {
+    require(quotas.nonEmpty, "no strata quotas given")
+    quotas.toSeq.sortBy(_._1).map { case (stratum, k) =>
+      systematic(rows.filter(col(strataCol) === stratum),
+        idCol, weightCol, k, partitions)
+        .select(lit(stratum).as(strataCol), col("id"), col("weight"),
+          col("n_copies"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Weighted SYSTEMATIC (low-variance) sampling — draw exactly `k`
     * selections with per-row inclusion count proportional to integer
     * `weightCol`, deterministically and exactly: lay the rows out on a

@@ -163,6 +163,21 @@ class SamplingSpec extends SparkSpec {
     assert(counts(band, k = 100) == counts(weighted, k = 100))
   }
 
+  test("systematicPerStratum: per-stratum totals exact, absent stratum fails loudly") {
+    val rows = (1L to 300L).map(i => (s"g${i % 3}", i, 1L + i % 13)).toDF("g", "id", "w")
+    val out = Sampling.systematicPerStratum(rows, "g", "id", "w",
+      Map("g0" -> 11, "g1" -> 7))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val byStratum = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byStratum == Map("g0" -> 11L, "g1" -> 7L))
+    // selection within a stratum ignores the other strata entirely
+    val solo = Sampling.systematic(rows.filter(col("g") === "g0"), "id", "w", 11)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out.filter(_._1 == "g0").map(t => (t._2, t._3)).toSet == solo)
+    assertThrows[IllegalArgumentException](
+      Sampling.systematicPerStratum(rows, "g", "id", "w", Map("nope" -> 3)).collect())
+  }
+
   test("systematic rejects negative weights and zero total mass") {
     val neg = Seq((1L, 5L), (2L, -1L)).toDF("id", "w")
     assertThrows[IllegalArgumentException](Sampling.systematic(neg, "id", "w", 3).collect())
