@@ -31,7 +31,8 @@ object SparkEntry {
       graft.sinks.TxQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
       graft.gold.AnalyticsQueries.queries ++
-      graft.gold.BehaviorQueries.queries ++ Map(
+      graft.gold.BehaviorQueries.queries ++
+      graft.sources.TarQueries.queries ++ Map(
     // A1-A4 (SURVEY §2.4): hash group-by + multi-agg + arithmetic-in-agg +
     // count + group/order report (reference etl/README.md:679-685 pattern).
     "q1_agg" -> { (s, dir) =>
@@ -58,7 +59,8 @@ object SparkEntry {
       graft.sinks.TxQueries.oracles ++
       graft.streaming.StreamingQueries.oracles ++
       graft.gold.AnalyticsQueries.oracles ++
-      graft.gold.BehaviorQueries.oracles ++ Map(
+      graft.gold.BehaviorQueries.oracles ++
+      graft.sources.TarQueries.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

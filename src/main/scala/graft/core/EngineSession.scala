@@ -81,5 +81,13 @@ object EngineSession {
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.util.SparkStringUtils", org.apache.logging.log4j.Level.ERROR)
+    // "Assume no metadata directory…" + full FileNotFoundException stack:
+    // FileStreamSink.hasMetadata probes every batch-read path for a
+    // streaming `_spark_metadata` dir and logs the miss at WARN with the
+    // exception attached — on a glob path (the tar-shard scans) the probe
+    // ALWAYS throws. Cosmetic; the read proceeds via the glob resolver.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
   }
 }

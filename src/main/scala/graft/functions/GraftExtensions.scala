@@ -224,5 +224,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_vec_sub(arrayA, arrayB)")
         VecElementwise(children(0), children(1), subtract = true)
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_deflate_len(text)")
+        DeflateLen(children.head)
+      }))
   }
 }

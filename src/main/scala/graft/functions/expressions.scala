@@ -1301,3 +1301,87 @@ case class VecElementwise(left: Expression, right: Expression, subtract: Boolean
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Deflate helper behind [[DeflateLen]]: one `Deflater` per thread,
+  * `reset()` between rows — a Deflater wraps native zlib state whose
+  * per-row allocation would dominate the kernel. `nowrap = true` (raw
+  * DEFLATE, no zlib header/adler) and a pinned level keep the byte count
+  * a pure function of the input.
+  */
+object DeflateKernel {
+  final val Level = 6
+
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(Level, true)
+  }
+
+  def deflatedLength(s: UTF8String): Int = {
+    val d = local.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  /** Full compressed payload — spec-only (round-trip proof); the hot
+    * path never materializes it.
+    */
+  def deflateBytes(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(Level, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  def inflateBytes(bytes: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      // Inflater(nowrap=true) requires one extra dummy input byte after
+      // the raw stream (documented java.util.zip quirk).
+      inf.setInput(bytes :+ 0.toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw new java.io.EOFException("truncated deflate stream")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+}
+
+/** DEFLATE-compressed byte count of a string's UTF-8 encoding — the
+  * compression-ratio quality signal (highly repetitive or templated text
+  * compresses far below natural prose; several public curation recipes
+  * threshold on it alongside the heuristic and LM signals). Not
+  * SQL-expressible, so its query is rows-only-checked; DeflateSpec pins
+  * the inflate∘deflate identity and the repetitive≪prose ordering
+  * instead of platform-dependent exact counts.
+  */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_deflate_len"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateKernel.deflatedLength(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.DeflateKernel.deflatedLength($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -850,6 +850,41 @@ object AnalyticsQueries {
             col("n_groups"), col("n_violating"),
             (col("n_violating") === 0L).as("holds"))
       }.reduce(_.unionByName(_)).orderBy("lhs", "rhs")
+    },
+
+    // Sorted-neighborhood blocking (merge/purge): candidate pairs whose
+    // exact global positions in (c_acctbal, c_custkey) order are within
+    // a window of 4 — the ordering-based blocking scheme beside the
+    // engine's LSH/pigeonhole/prefix blockers. Two-pass rank (never a
+    // single-partition window) + block-keyed equi-join; the nation
+    // agreement flag rides along as the match signal a merge/purge pass
+    // would score.
+    "q194_snm_blocking" -> { (s, dir) =>
+      graft.operators.SortedNeighborhood.pairs(
+        t(s, dir, "customer"), idCol = "c_custkey",
+        sortCols = Seq("c_acctbal"), window = 4,
+        carry = Seq("c_nationkey"))
+        .select(col("id_a"), col("id_b"), col("dist"),
+          (col("c_nationkey_a") === col("c_nationkey_b")).as("same_nation"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // k-core of the part co-purchase graph (edges = part pairs sharing
+    // ≥2 distinct orders): iterative peeling, fixed 10 rounds with a
+    // loud convergence assertion, degree agg + double semi-join per
+    // round — no adjacency lists, no driver graph. The oracle unrolls
+    // the identical 10 rounds (generated from the same constant).
+    "q195_kcore" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = li.as("x")
+        .join(li.withColumnRenamed("l_partkey", "r_partkey").as("y"), Seq("l_orderkey"))
+        .where(col("l_partkey") < col("r_partkey"))
+        .groupBy(col("l_partkey").as("a"), col("r_partkey").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select("a", "b")
+      graft.operators.KCore.kcore(edges, k = 2, maxRounds = 10)
+        .orderBy("vertex")
     }
   )
 
@@ -1353,6 +1388,25 @@ object AnalyticsQueries {
         |    (count(*) FILTER (WHERE n_rhs > 1))::BIGINT
         |  FROM (SELECT lang, count(DISTINCT source) n_rhs
         |        FROM documents GROUP BY 1))
-        |ORDER BY lhs, rhs""".stripMargin
+        |ORDER BY lhs, rhs""".stripMargin,
+
+    "q194_snm_blocking" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  b.rn - a.rn AS dist,
+        |  a.c_nationkey = b.c_nationkey AS same_nation
+        |FROM ranked a JOIN ranked b
+        |  ON b.rn > a.rn AND b.rn - a.rn <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q195_kcore" -> graft.operators.KCore.oracleSql(
+      """SELECT x.l_partkey AS a, y.l_partkey AS b
+        |FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+      k = 2, maxRounds = 10)
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling: repeatedly delete every
+  * vertex of degree < k (and its incident edges) until the graph is
+  * stable; what survives is the k-core — the standard "dense part of the
+  * graph" primitive (community seeds, spam/bot rings, robust co-purchase
+  * clusters) the graph family (components, label propagation, PageRank,
+  * triangles) was missing.
+  *
+  * Each round is two skinny distributed steps: a degree aggregation over
+  * the edge list and a double semi-join keeping edges whose BOTH
+  * endpoints survive — no adjacency lists are ever materialized, so a
+  * hot vertex costs its degree in shuffle rows, never a collected
+  * neighbor set. Rounds run a FIXED `maxRounds` times (peeling is
+  * idempotent once stable, and a fixed round count is what a replayable
+  * oracle needs); convergence within the cap is then asserted with one
+  * extra degree check, so an under-provisioned cap fails loudly rather
+  * than returning a non-core. Lineage is cut each round
+  * (`localCheckpoint`) — a 10-round loop of joins would otherwise
+  * compound into one exponential plan.
+  */
+object KCore {
+
+  /** Surviving `(vertex, degree)` rows of the k-core of the undirected
+    * simple graph `edges` (columns `a`, `b`; one row per edge). Degree
+    * is the final within-core degree.
+    */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("vertex"))
+        .unionAll(e.select(col("b").as("vertex")))
+        .groupBy("vertex").agg(count(lit(1)).as("degree"))
+
+    var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint()
+    var round = 0
+    while (round < maxRounds) {
+      val keep = degrees(e).where(col("degree") >= k).select("vertex")
+      e = e
+        .join(keep.withColumnRenamed("vertex", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("vertex", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      round += 1
+    }
+    val fin = degrees(e)
+    val unstable = fin.where(col("degree") < k).limit(1).count()
+    require(unstable == 0L,
+      s"k-core peeling did not converge within $maxRounds rounds — raise maxRounds")
+    fin
+  }
+
+  /** The DuckDB oracle for [[kcore]]: `maxRounds` peel rounds unrolled
+    * as chained CTEs over `edgesSql` (a query yielding columns `a`,`b`).
+    * Generated, not hand-written — both sides share the round count by
+    * construction.
+    */
+  def oracleSql(edgesSql: String, k: Int, maxRounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // e_r references e_{r-1} three times — 10 inlined rounds would
+    // expand to 3^10 copies of the edge scan (observed as fd
+    // exhaustion on the parquet file).
+    val rounds = (1 to maxRounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY v),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT v FROM d$r WHERE c >= $k)
+         |    AND b IN (SELECT v FROM d$r WHERE c >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED ($edgesSql),
+       |$rounds
+       |SELECT CAST(v AS BIGINT) AS vertex, count(*) AS degree FROM (
+       |  SELECT a AS v FROM e$maxRounds UNION ALL SELECT b FROM e$maxRounds)
+       |GROUP BY v ORDER BY vertex""".stripMargin
+  }
+}

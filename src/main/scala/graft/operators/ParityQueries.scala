@@ -19,6 +19,24 @@ import graft.sources.Tables
   */
 object ParityQueries {
 
+  /** Relational contract of `StatefulOps.matchPattern` for the
+    * view→click→purchase / 24h instance — the greedy chain as three
+    * chained min-joins. Shared verbatim by q198 (batch) and q199 (the
+    * streaming run, StreamingQueries): one oracle, two execution modes.
+    */
+  private[graft] val patternMatchOracle: String =
+    """WITH e AS (SELECT user_id, ts::TIMESTAMP ts, event_type FROM events),
+      |s1 AS (SELECT user_id, min(ts) t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts) t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      |SELECT s1.user_id, t1 AS t_start, t3 AS t_end,
+      |  CAST(floor(epoch(t3 - t1)) AS BIGINT) AS span_seconds
+      |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+      |WHERE t3 <= t1 + INTERVAL 24 HOUR
+      |ORDER BY user_id""".stripMargin
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -395,6 +413,26 @@ object ParityQueries {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("total"), 2).as("sum_value"))
         .orderBy("user_id", "session_start")
+    },
+
+    // Sequence/CEP detection (StatefulOps.matchPattern) in batch mode:
+    // first-touch view→click→purchase chains completing within 24h,
+    // O(1) state per user. Differentially checked against the chained
+    // min-join relational formulation; q199 runs the SAME operator as a
+    // real StreamingQuery against the SAME oracle. Distinct from q157:
+    // that reports per-stage funnel counts with per-stage windows; this
+    // emits the matched span per user under one overall deadline — the
+    // CEP shape (Flink-CEP/MATCH_RECOGNIZE class).
+    "q198_pattern_match" -> { (s, dir) =>
+      import s.implicits._
+      val ds = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.StatefulOps.TypedEvent]
+      graft.streaming.StatefulOps
+        .matchPattern(ds, Seq("view", "click", "purchase"),
+          withinMs = 24L * 3600 * 1000)
+        .orderBy("user_id")
+        .toDF()
     },
 
     // Deterministic k-per-group sampling (bottom-k-by-hash via the
@@ -1082,6 +1120,8 @@ object ParityQueries {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q198_pattern_match" -> patternMatchOracle,
 
     "q60_sample_sizes" ->
       """SELECT o_custkey, least(3, count(*)) AS n_sampled

@@ -1,0 +1,248 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar shard packing and scanning.
+  *
+  * Large-scale training corpora ship as directories of POSIX-ustar `.tar`
+  * shards whose members are named `<key>.<ext>` — consecutive members
+  * sharing a key form one multi-component sample (text + label, image +
+  * caption, …). The reference pipeline only reads per-record formats
+  * (extractor.py:41-70: CSV/JSON/parquet); this module adds the sharded
+  * archive layout a 100 TB corpus actually uses, with a pure-JVM ustar
+  * codec (no external tar library exists in this environment, and none is
+  * needed — ustar is a fixed 512-byte-block format).
+  *
+  * Scale design:
+  *  - [[pack]] writes ONE tar per shard key, streaming: members arrive
+  *    through `flatMapSortedGroups`' spill-backed sorted iterator, so task
+  *    memory is O(1 member) regardless of shard size, and the bytes go
+  *    straight to a Hadoop `FileSystem` stream — `file://` here, `s3a://`
+  *    or `hdfs://` unchanged on a cluster. One shuffle (by shard key),
+  *    then sequential appends: exactly the minimum data movement a
+  *    sharded export permits. Writes are idempotent (`create(path,
+  *    overwrite=true)`), so task retries and speculative attempts are
+  *    safe: the last complete attempt wins with identical bytes (member
+  *    order inside a shard is the sort order, not arrival order).
+  *  - [[readMembers]] scans `binaryFile` rows (one per shard, parallel
+  *    across shards) and parses members lazily off the archive buffer.
+  *    Shards should be sized like parquet row groups (hundreds of MB —
+  *    well under the 2 GB `binaryFile` ceiling): at 100 TB that is
+  *    ~200k shards, each a one-task unit of scan parallelism.
+  */
+object TarShards {
+
+  /** One member destined for shard `shard` under member name `name`. */
+  final case class Member(shard: Int, name: String, bytes: Array[Byte])
+
+  /** One parsed member read back from a shard. */
+  final case class ShardMember(shard_file: String, name: String, content: Array[Byte])
+
+  private val Block = 512
+
+  /** Pure ustar codec: fixed 512-byte header blocks, octal ASCII numeric
+    * fields, data padded to the block size, archive terminated by two
+    * zero blocks. Layout per POSIX.1-1988 (public format spec; same
+    * offsets GNU/BSD tar write).
+    */
+  object TarCodec {
+
+    private def putAscii(h: Array[Byte], off: Int, s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+
+    /** Leading-zero octal, (len-1) digits + NUL — the strict common form. */
+    private def putOctal(h: Array[Byte], off: Int, len: Int, v: Long): Unit = {
+      require(v >= 0, s"octal field cannot encode $v")
+      val s = java.lang.Long.toOctalString(v)
+      require(s.length <= len - 1, s"value $v overflows $len-byte octal field")
+      putAscii(h, off, ("0" * (len - 1 - s.length)) + s)
+    }
+
+    def header(name: String, size: Long): Array[Byte] = {
+      val nameBytes = name.getBytes(StandardCharsets.US_ASCII)
+      require(nameBytes.length <= 100, s"ustar member name > 100 bytes: $name")
+      require(new String(nameBytes, StandardCharsets.US_ASCII) == name,
+        s"ustar member name must be ASCII: $name")
+      val h = new Array[Byte](Block)
+      System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
+      putOctal(h, 100, 8, 420)        // mode 0644
+      putOctal(h, 108, 8, 0)          // uid
+      putOctal(h, 116, 8, 0)          // gid
+      putOctal(h, 124, 12, size)
+      putOctal(h, 136, 12, 0)         // mtime pinned to epoch: byte-determinism
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces while summing
+      h(156) = '0'                    // typeflag: regular file
+      putAscii(h, 257, "ustar")       // magic, NUL-terminated by the zero fill
+      putAscii(h, 263, "00")          // version
+      var sum = 0L
+      var i = 0
+      while (i < Block) { sum += (h(i) & 0xff); i += 1 }
+      putOctal(h, 148, 7, sum)        // 6 digits + NUL …
+      h(155) = ' '                    // … + space: the form both tars emit
+      h
+    }
+
+    def writeMember(out: OutputStream, name: String, bytes: Array[Byte]): Unit = {
+      out.write(header(name, bytes.length.toLong))
+      out.write(bytes)
+      val pad = (Block - bytes.length % Block) % Block
+      if (pad > 0) out.write(new Array[Byte](pad))
+    }
+
+    /** Two zero blocks terminate the archive. */
+    def writeTrailer(out: OutputStream): Unit = out.write(new Array[Byte](2 * Block))
+
+    private def isZeroBlock(a: Array[Byte], off: Int): Boolean = {
+      var i = off
+      val end = off + Block
+      while (i < end) { if (a(i) != 0) return false; i += 1 }
+      true
+    }
+
+    private def parseOctal(a: Array[Byte], off: Int, len: Int, what: String): Long = {
+      var v = 0L
+      var seen = false
+      var i = off
+      val end = off + len
+      while (i < end) {
+        val c = a(i) & 0xff
+        if (c >= '0' && c <= '7') { v = (v << 3) | (c - '0'); seen = true }
+        else if (c != 0 && c != ' ')
+          throw new IllegalArgumentException(s"bad octal byte $c in $what at $i")
+        i += 1
+      }
+      require(seen, s"empty octal field: $what")
+      v
+    }
+
+    /** Strict lazy parse: verifies magic + checksum per header, yields
+      * regular-file members, skips other member types (dirs, links) over
+      * their data, stops at the zero-block trailer.
+      */
+    def parse(archive: Array[Byte]): Iterator[(String, Array[Byte])] =
+      new Iterator[(String, Array[Byte])] {
+        private var off = 0
+        private var nextMember: (String, Array[Byte]) = null
+        private var done = false
+
+        private def advance(): Unit = {
+          while (nextMember == null && !done) {
+            if (off + Block > archive.length) {
+              // A well-formed archive ends with the trailer, but padding
+              // to a larger blocking factor is legal; a *partial* block
+              // of nonzero bytes is corruption.
+              require(off >= archive.length, s"truncated header block at $off")
+              done = true
+            } else if (isZeroBlock(archive, off)) {
+              done = true // trailer: everything after must be zero padding
+              var i = off + Block
+              while (i + Block <= archive.length) {
+                require(isZeroBlock(archive, i), s"nonzero block after trailer at $i")
+                i += Block
+              }
+            } else {
+              val magic = new String(archive, off + 257, 5, StandardCharsets.US_ASCII)
+              require(magic == "ustar", s"bad ustar magic at $off: $magic")
+              val stored = parseOctal(archive, off + 148, 8, "chksum")
+              var sum = 0L
+              var i = off
+              while (i < off + Block) { sum += (archive(i) & 0xff); i += 1 }
+              var j = off + 148 // chksum field counts as spaces
+              while (j < off + 156) { sum += ' ' - (archive(j) & 0xff); j += 1 }
+              require(sum == stored, s"checksum mismatch at $off: $sum != $stored")
+              var nameEnd = off
+              while (nameEnd < off + 100 && archive(nameEnd) != 0) nameEnd += 1
+              val name =
+                new String(archive, off, nameEnd - off, StandardCharsets.US_ASCII)
+              val size = parseOctal(archive, off + 124, 12, "size")
+              require(size <= Int.MaxValue, s"member $name too large: $size")
+              val tf = archive(off + 156)
+              val dataOff = off + Block
+              require(dataOff + size <= archive.length, s"truncated member $name")
+              if (tf == '0' || tf == 0) {
+                val data = java.util.Arrays.copyOfRange(
+                  archive, dataOff, dataOff + size.toInt)
+                nextMember = (name, data)
+              }
+              off = dataOff + ((size + Block - 1) / Block * Block).toInt
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); nextMember != null }
+        override def next(): (String, Array[Byte]) = {
+          advance()
+          if (nextMember == null) throw new NoSuchElementException
+          val m = nextMember
+          nextMember = null
+          m
+        }
+      }
+  }
+
+  /** Pack members into one `shard-%05d.tar` per shard key under `outDir`
+    * (any Hadoop-FS URI). Returns the manifest: `(shard, file,
+    * n_members, member_bytes)` — payload bytes, excluding tar framing.
+    * Deterministic: members are written in `name` order within a shard.
+    */
+  def pack(members: Dataset[Member], outDir: String): DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    members
+      .groupByKey(_.shard)
+      .flatMapSortedGroups(col("name")) { (shard: Int, it: Iterator[Member]) =>
+        val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tar")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new BufferedOutputStream(fs.create(path, true))
+        var n = 0L
+        var payload = 0L
+        try {
+          it.foreach { m =>
+            TarCodec.writeMember(out, m.name, m.bytes)
+            n += 1
+            payload += m.bytes.length
+          }
+          TarCodec.writeTrailer(out)
+        } finally out.close()
+        Iterator((shard, path.getName, n, payload))
+      }
+      .toDF("shard", "file", "n_members", "member_bytes")
+  }
+
+  /** Scan every `*.tar` under `dir`: one row per regular-file member,
+    * `(shard_file, name, content)`. Parallelism = number of shards.
+    */
+  def readMembers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"${dir.stripSuffix("/")}/*.tar")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.substring(path.lastIndexOf('/') + 1)
+        TarCodec.parse(bytes).map { case (name, data) =>
+          ShardMember(file, name, data)
+        }
+      }
+      .toDF()
+  }
+
+  /** WebDataset sample grouping: members named `<key>.<ext>` fold into
+    * one row per key with an `ext -> bytes` map. The group-by shuffles
+    * only what a sample join must; component order inside the map is
+    * ext-sorted for determinism.
+    */
+  def samples(members: DataFrame): DataFrame =
+    members
+      .withColumn("key", regexp_extract(col("name"), "^(.*)\\.([^.]+)$", 1))
+      .withColumn("ext", regexp_extract(col("name"), "^(.*)\\.([^.]+)$", 2))
+      .groupBy(col("key"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("ext"), col("content")))))
+        .as("components"))
+}

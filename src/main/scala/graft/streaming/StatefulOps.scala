@@ -155,4 +155,80 @@ object StatefulOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
+
+  final case class TypedEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class PatternState(stage: Int, anchorUs: Long, prevUs: Long, done: Boolean)
+  final case class PatternHit(user_id: Long, t_start: java.sql.Timestamp,
+                              t_end: java.sql.Timestamp, span_seconds: Long)
+
+  /** Sequence/CEP detection with first-touch semantics: per key, anchor
+    * on the EARLIEST `pattern(0)` event, then advance each stage at the
+    * earliest later event of the next stage's type (strictly increasing
+    * event time); emit one [[PatternHit]] iff the chain completes within
+    * `withinMs` of the anchor. Exactly the greedy chain `t1 = min ts(A);
+    * t_i = min ts(p_i) > t_{i-1}; hit ⟺ t_n ≤ t_1 + D` — a relational
+    * recompute the oracle replays with n chained min-joins.
+    *
+    * State is O(1) per key — (stage, anchor, prev, done) — never an
+    * event buffer: the automaton is single-pass over time-ordered
+    * events. Each micro-batch's group iterator is time-sorted before
+    * folding; ACROSS batches the operator requires non-decreasing
+    * per-key event time (log-replay / range-staged ingest — what
+    * q199_streaming_pattern stages by construction). A chain that
+    * completes past the deadline parks in `done` (first-touch: no
+    * re-anchor), as does an emitted hit — repeat completions can't
+    * double-emit under AvailableNow restarts within one run.
+    */
+  def matchPattern(
+      events: Dataset[TypedEvent],
+      pattern: Seq[String],
+      withinMs: Long
+  ): Dataset[PatternHit] = {
+    require(pattern.nonEmpty, "pattern must have at least one stage")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val stages = pattern.toArray
+    val withinUs = withinMs * 1000L
+
+    def toMicros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    def fold(userId: Long, it: Iterator[TypedEvent],
+             state: GroupState[PatternState]): Iterator[PatternHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var st = state.getOption.getOrElse(PatternState(0, 0L, Long.MinValue, done = false))
+      if (st.done) return Iterator.empty // parked: hit emitted or deadline blown
+      var hit: PatternHit = null
+      // time-sort WITHIN the batch; cross-batch order is the caller's
+      // ingest contract (see scaladoc)
+      val sorted = it.toArray.sortBy(e => toMicros(e.ts))
+      var i = 0
+      while (i < sorted.length && !st.done) {
+        val e = sorted(i)
+        val us = toMicros(e.ts)
+        if (e.event_type == stages(st.stage) && us > st.prevUs) {
+          val anchor = if (st.stage == 0) us else st.anchorUs
+          st = PatternState(st.stage + 1, anchor, us, done = false)
+          if (st.stage == stages.length) {
+            st = st.copy(done = true)
+            if (us <= anchor + withinUs)
+              hit = PatternHit(userId, fromMicros(anchor), fromMicros(us),
+                Math.floorDiv(us - anchor, 1000000L))
+          }
+        }
+        i += 1
+      }
+      state.update(st)
+      if (hit == null) Iterator.empty else Iterator.single(hit)
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+  }
 }

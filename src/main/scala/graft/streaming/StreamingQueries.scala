@@ -119,6 +119,59 @@ object StreamingQueries {
       } finally ScratchDirs.release(scratch)
     },
 
+    // Streaming CEP: StatefulOps.matchPattern (q198's batch twin) run
+    // as an actual StreamingQuery. The automaton requires non-decreasing
+    // per-key event time ACROSS micro-batches, so the fixture stages the
+    // stream in event-time order by construction: three ts-range slices
+    // written SEQUENTIALLY as one file each (strictly increasing
+    // mod-times) + maxFilesPerTrigger=1 → three micro-batches in time
+    // order, per-user chains spanning batch boundaries through O(1)
+    // per-key state. Same relational oracle as q198 — the streaming run
+    // must land the exact batch-semantics hits.
+    "q199_streaming_pattern" -> { (s, dir) =>
+      import s.implicits._
+      val raw = graft.sources.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val scratch = ScratchDirs.lease("graft-stream-cep")
+      try {
+        val inDir = s"$scratch/in"
+        val fs = new org.apache.hadoop.fs.Path(inDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+        val Array(t0, t1) = raw
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val cuts = Array(Long.MinValue, t0 + (t1 - t0) / 3, t0 + 2 * ((t1 - t0) / 3), Long.MaxValue)
+        (0 until 3).foreach { i =>
+          val tmp = s"$scratch/tmp$i"
+          raw.where(unix_micros(col("ts")) >= cuts(i) &&
+              unix_micros(col("ts")) < cuts(i + 1))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
+          fs.rename(part, new org.apache.hadoop.fs.Path(s"$inDir/phase-$i.parquet")): Unit
+        }
+        val stream = s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+        val hits = graft.streaming.StatefulOps.matchPattern(
+          stream.as[StatefulOps.TypedEvent],
+          Seq("view", "click", "purchase"), withinMs = 24L * 3600 * 1000)
+        val sinkDir = s"$scratch/sink"
+        val q = hits.writeStream
+          .format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+
+        s.read.parquet(sinkDir)
+          .select(col("user_id"), col("t_start"), col("t_end"), col("span_seconds"))
+          .localCheckpoint(true)
+          .orderBy("user_id")
+      } finally ScratchDirs.release(scratch)
+    },
+
     // Stream-static join — the standard streaming dimension-enrichment
     // pattern: every micro-batch joins against a BATCH-computed frame
     // (per-user order profile) that broadcasts into the stream side; the
@@ -364,6 +417,10 @@ object StreamingQueries {
     "q86_streaming_txmerge" ->
       """SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // One oracle, two execution modes: the streaming CEP run must equal
+    // q198's batch-mode result exactly.
+    "q199_streaming_pattern" -> graft.operators.ParityQueries.patternMatchOracle,
 
     // Stream-static enrichment: the sink holds events ∪ planted copies
     // (no dedup in q140), each left-joined to the per-user order

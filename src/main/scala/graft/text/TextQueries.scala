@@ -93,6 +93,47 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Compression-ratio quality signal (graft_deflate_len, a native
+    // codegen expression over per-thread zlib state): templated or
+    // looping text deflates far below natural prose, a signal the
+    // heuristic (q31) and LM (q88) scores miss. DEFLATE output is not
+    // SQL-expressible, so this one is rows-only-checked by the driver;
+    // DeflateSpec pins the inflate∘deflate identity, null/unicode
+    // edges, and cohort separation instead. The output is an integer
+    // ratio-decile histogram per cohort — a planted repetitive cohort
+    // (every 5th doc's first tokens repeated 40×) must separate from
+    // the originals, and the in-query arithmetic is all-integer so the
+    // dump is byte-stable across runs.
+    "q196_compression_signal" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val rep = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ",
+            array_repeat(substring(col("text"), 1, 24), 40)).as("text"))
+      d.withColumn("cohort", lit("orig"))
+        .unionByName(rep.withColumn("cohort", lit("repetitive")))
+        .withColumn("dl", call_function("graft_deflate_len", col("text")))
+        .withColumn("ratio_decile",
+          expr("int(cast(dl as bigint) * 10 div octet_length(text))"))
+        .groupBy("cohort", "ratio_decile")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("cohort", "ratio_decile")
+    },
+
+    // Unigram (SentencePiece-family) vocabulary training — the
+    // seed-and-prune outer loop with integer Viterbi rounds
+    // (UnigramTrainer). Completes the tokenizer-training family beside
+    // BPE (q97) and WordPiece (q152). The loop involves
+    // corpus-dependent float-free pruning but no SQL-expressible closed
+    // form, so the driver applies the rows-only check;
+    // UnigramTrainerSpec pins the coverage/consistency invariants and
+    // partition-count determinism.
+    "q197_unigram_vocab" -> { (s, dir) =>
+      UnigramTrainer.train(docs(s, dir), "text",
+        UnigramTrainer.Config(maxPieceLen = 5, minCount = 3,
+          maxCandidates = 2048, target = 160, maxRounds = 12))
+    },
+
     // Token counting + surface statistics.
     "q30_text_stats" -> { (s, dir) =>
       docs(s, dir).select(

@@ -410,4 +410,35 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
     assert(p.contains("merge_count"), p)
   }
+
+  test("sorted-neighborhood pairs: block equi-join, no OR-join cartesian, no global window") {
+    val p = plan(operators.SortedNeighborhood.pairs(
+      sources.Tables.load(spark, dir, "customer"),
+      "c_custkey", Seq("c_acctbal"), window = 4))
+    // the windowed self-join must plan as a hash/sort-merge equi-join on
+    // the block key — an OR-join here degenerates to a nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the two-pass rank's window partitions by pid, never SinglePartition
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("k-core rounds are degree aggregates + semi-joins (no adjacency collects)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val p = plan(operators.KCore.kcore(edges, k = 2, maxRounds = 2))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("collect_list"), p)
+  }
+
+  test("CEP pattern match keys one exchange on user_id (state op, no resort join)") {
+    import spark.implicits._
+    val ds = sources.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[streaming.StatefulOps.TypedEvent]
+    val p = plan(streaming.StatefulOps.matchPattern(
+      ds, Seq("view", "click", "purchase"), withinMs = 1000L).toDF())
+    // batch execution lowers flatMapGroupsWithState to MapGroupsExec
+    assert(p.contains("MapGroups"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
 }

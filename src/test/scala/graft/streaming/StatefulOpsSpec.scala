@@ -138,4 +138,61 @@ class StatefulOpsSpec extends SparkSpec {
       Session(1L, ts(20), ts(20), 1L, 5.0),
       Session(2L, ts(7), ts(7), 1L, 4.0)))
   }
+
+  import StatefulOps.{PatternHit, TypedEvent}
+
+  private def ev(u: Long, minute: Int, t: String): TypedEvent =
+    TypedEvent(u, ts(minute), t)
+
+  test("matchPattern batch: greedy first-touch chain with overall deadline") {
+    val out = StatefulOps.matchPattern(
+      Seq(
+        // user 1: A@0, B@2, C@5 → hit, span 300 s
+        ev(1, 0, "A"), ev(1, 2, "B"), ev(1, 5, "C"),
+        // user 2: B before A never counts; chain A@3,B@4 incomplete
+        ev(2, 1, "B"), ev(2, 3, "A"), ev(2, 4, "B"),
+        // user 3: completes but past the 10-min deadline → no hit
+        ev(3, 0, "A"), ev(3, 2, "B"), ev(3, 30, "C"),
+        // user 4: first-touch — the LATER faster chain must NOT re-anchor
+        ev(4, 0, "A"), ev(4, 40, "A"), ev(4, 41, "B"), ev(4, 42, "C")
+      ).toDS(), Seq("A", "B", "C"), withinMs = 10 * 60 * 1000L)
+      .collect().toSeq
+    assert(out == Seq(PatternHit(1L, ts(0), ts(5), 300L)))
+  }
+
+  test("matchPattern: a same-timestamp next-stage event is not strictly after") {
+    val out = StatefulOps.matchPattern(
+      Seq(ev(1, 0, "A"), ev(1, 0, "B"), ev(1, 1, "B"), ev(1, 2, "C")).toDS(),
+      Seq("A", "B", "C"), withinMs = 60 * 60 * 1000L)
+      .collect().toSeq
+    // B@0 is simultaneous with the anchor → stage 2 waits for B@1
+    assert(out == Seq(PatternHit(1L, ts(0), ts(2), 120L)))
+  }
+
+  test("matchPattern streaming: chain advances across micro-batches, emits once") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StatefulOps.matchPattern(
+      input.toDS(), Seq("A", "B", "C"), withinMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("cep").outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, "A"), ev(2, 0, "A"))
+      q.processAllAvailable()
+      assert(spark.table("cep").count() == 0)
+
+      input.addData(ev(1, 2, "B"))
+      q.processAllAvailable()
+      assert(spark.table("cep").count() == 0)
+
+      input.addData(ev(1, 5, "C"), ev(2, 6, "B"))
+      q.processAllAvailable()
+      assert(spark.table("cep").as[PatternHit].collect().toSeq ==
+        Seq(PatternHit(1L, ts(0), ts(5), 300L)))
+
+      // parked after the hit: a second full chain must not re-emit
+      input.addData(ev(1, 20, "A"), ev(1, 21, "B"), ev(1, 22, "C"))
+      q.processAllAvailable()
+      assert(spark.table("cep").count() == 1)
+    } finally q.stop()
+  }
 }
