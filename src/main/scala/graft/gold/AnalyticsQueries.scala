@@ -885,6 +885,37 @@ object AnalyticsQueries {
         .select("a", "b")
       graft.operators.KCore.kcore(edges, k = 2, maxRounds = 10)
         .orderBy("vertex")
+    },
+
+    // TPC-DS Q1 shape — the optimizer stressor TPC-H lacks: a WITH-CTE
+    // consumed TWICE (once as the fact rows, once aggregated into a
+    // per-nation threshold), authored as pure SQL through spark.sql so
+    // Catalyst's CTE planning (not a hand-shared DataFrame) decides
+    // whether the expensive 3-way-join aggregate is computed once.
+    // Returned-lineitem revenue stands in for store_returns; the 1.2×
+    // threshold boundary clears fp noise by 8 orders of magnitude at
+    // both SFs (min relative margin 6.3e-5 at sf0.01).
+    "q200_tpcds_q1" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_v")
+      s.sql(
+        """WITH ctr AS (
+          |  SELECT c_custkey, c_nationkey,
+          |    sum(l_extendedprice * (1.0 - l_discount)) AS ctr_total
+          |  FROM graft_customer_v
+          |  JOIN graft_orders_v ON c_custkey = o_custkey
+          |  JOIN graft_lineitem_v ON o_orderkey = l_orderkey
+          |  WHERE l_returnflag = 'R'
+          |  GROUP BY 1, 2)
+          |SELECT c.c_custkey, c.c_nationkey,
+          |  round(c.ctr_total, 2) AS ctr_total
+          |FROM ctr c
+          |JOIN (SELECT c_nationkey, avg(ctr_total) AS avg_total
+          |      FROM ctr GROUP BY 1) a
+          |  ON c.c_nationkey = a.c_nationkey
+          |WHERE c.ctr_total > 1.2 * a.avg_total
+          |ORDER BY c.c_custkey""".stripMargin)
     }
   )
 
@@ -1407,6 +1438,24 @@ object AnalyticsQueries {
         |FROM lineitem x JOIN lineitem y
         |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-      k = 2, maxRounds = 10)
+      k = 2, maxRounds = 10),
+
+    "q200_tpcds_q1" ->
+      """WITH ctr AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    sum(l_extendedprice * (1.0 - l_discount)) AS ctr_total
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY 1, 2)
+        |SELECT c.c_custkey, c.c_nationkey,
+        |  round(c.ctr_total, 2) AS ctr_total
+        |FROM ctr c
+        |JOIN (SELECT c_nationkey, avg(ctr_total) AS avg_total
+        |      FROM ctr GROUP BY 1) a
+        |  ON c.c_nationkey = a.c_nationkey
+        |WHERE c.ctr_total > 1.2 * a.avg_total
+        |ORDER BY c.c_custkey""".stripMargin
   )
 }

@@ -98,6 +98,39 @@ object TarShards {
     /** Two zero blocks terminate the archive. */
     def writeTrailer(out: OutputStream): Unit = out.write(new Array[Byte](2 * Block))
 
+    /** Header-only scan of an existing archive: `(n_members,
+      * payload_bytes)` by reading each 512-byte header and SKIPPING the
+      * data blocks — O(members) reads, no payload I/O. Used by the
+      * resume path to reconstruct manifest rows for shards it skips.
+      */
+    def scanStats(in: java.io.InputStream): (Long, Long) = {
+      val h = new Array[Byte](Block)
+      var n = 0L
+      var payload = 0L
+      var done = false
+      while (!done) {
+        var got = 0
+        while (got < Block) {
+          val r = in.read(h, got, Block - got)
+          if (r < 0) { require(got == 0, "truncated header"); done = true; got = Block }
+          else got += r
+        }
+        if (!done && h.forall(_ == 0)) done = true
+        else if (!done) {
+          val size = parseOctal(h, 124, 12, "size")
+          val tf = h(156)
+          if (tf == '0' || tf == 0) { n += 1; payload += size }
+          var toSkip = (size + Block - 1) / Block * Block
+          while (toSkip > 0) {
+            val s = in.skip(toSkip)
+            require(s > 0, "truncated member data")
+            toSkip -= s
+          }
+        }
+      }
+      (n, payload)
+    }
+
     private def isZeroBlock(a: Array[Byte], off: Int): Boolean = {
       var i = off
       val end = off + Block
@@ -188,10 +221,24 @@ object TarShards {
 
   /** Pack members into one `shard-%05d.tar` per shard key under `outDir`
     * (any Hadoop-FS URI). Returns the manifest: `(shard, file,
-    * n_members, member_bytes)` — payload bytes, excluding tar framing.
-    * Deterministic: members are written in `name` order within a shard.
+    * n_members, member_bytes, resumed)` — payload bytes, excluding tar
+    * framing. Deterministic: members are written in `name` order within
+    * a shard.
+    *
+    * Commit protocol: each shard writes to `<file>.tmp` and RENAMES to
+    * its final name only after the trailer — a crashed or preempted
+    * task never leaves a half-written final file, and the rename is the
+    * atomic commit marker on hdfs:// (on object stores it is
+    * copy+delete, but the existence of the final name still marks a
+    * COMPLETE shard — the property resume relies on). With
+    * `resume = true`, a shard whose final file already exists is
+    * skipped entirely: its manifest row is reconstructed from a
+    * header-only scan (no payload I/O), which is what makes a restarted
+    * 200k-shard export cost only the missing shards. Determinism makes
+    * skipping sound: the same corpus always produces byte-identical
+    * shards, so an existing complete file IS the correct output.
     */
-  def pack(members: Dataset[Member], outDir: String): DataFrame = {
+  def pack(members: Dataset[Member], outDir: String, resume: Boolean = false): DataFrame = {
     val spark = members.sparkSession
     import spark.implicits._
     members
@@ -199,20 +246,34 @@ object TarShards {
       .flatMapSortedGroups(col("name")) { (shard: Int, it: Iterator[Member]) =>
         val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tar")
         val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = new BufferedOutputStream(fs.create(path, true))
-        var n = 0L
-        var payload = 0L
-        try {
-          it.foreach { m =>
-            TarCodec.writeMember(out, m.name, m.bytes)
-            n += 1
-            payload += m.bytes.length
-          }
-          TarCodec.writeTrailer(out)
-        } finally out.close()
-        Iterator((shard, path.getName, n, payload))
+        if (resume && fs.exists(path)) {
+          val in = fs.open(path)
+          val (n, payload) = try TarCodec.scanStats(in) finally in.close()
+          Iterator((shard, path.getName, n, payload, true))
+        } else {
+          val tmp = new org.apache.hadoop.fs.Path(outDir, path.getName + ".tmp")
+          val out = new BufferedOutputStream(fs.create(tmp, true))
+          var n = 0L
+          var payload = 0L
+          try {
+            it.foreach { m =>
+              TarCodec.writeMember(out, m.name, m.bytes)
+              n += 1
+              payload += m.bytes.length
+            }
+            TarCodec.writeTrailer(out)
+          } finally out.close()
+          fs.delete(path, false)
+          require(fs.rename(tmp, path), s"commit rename failed for $path")
+          Iterator((shard, path.getName, n, payload, false))
+        }
       }
-      .toDF("shard", "file", "n_members", "member_bytes")
+      .toDF("shard", "file", "n_members", "member_bytes", "resumed")
+      // Eager: pack is a side-effecting export, and a lazy manifest
+      // re-runs the packing stage under any plan that samples its input
+      // (an ORDER BY's range-boundary pass executes the stage TWICE,
+      // flipping `resumed` on the second run). One execution, frozen.
+      .localCheckpoint(true)
   }
 
   /** Scan every `*.tar` under `dir`: one row per regular-file member,

@@ -430,6 +430,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("collect_list"), p)
   }
 
+  test("TPC-DS Q1-shape double-consumed CTE plans keyed joins, no cartesian") {
+    val p = plan(gold.AnalyticsQueries.queries("q200_tpcds_q1")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the WITH-CTE consumed twice must not multiply the fact scan beyond
+    // its two consumers (Catalyst either inlines both or reuses one)
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")) <= 2, p)
+  }
+
   test("CEP pattern match keys one exchange on user_id (state op, no resort join)") {
     import spark.implicits._
     val ds = sources.Tables.load(spark, dir, "events")

@@ -53,6 +53,18 @@ class KCoreSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("durable checkpointing yields the identical core (the 100-TB mode)") {
+    val dir = tmpDir("kcore-ckpt")
+    val ephemeral = KCore.kcore(edges(g), k = 2, maxRounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val durable = KCore.kcore(edges(g), k = 2, maxRounds = 4, Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(durable == ephemeral)
+    // rounds actually hit the durable path (early exit may stop before
+    // the cap, but round 1 always materializes)
+    assert(new java.io.File(dir, "round1").exists())
+  }
+
   test("oracle generator unrolls the requested round count") {
     val sql = KCore.oracleSql("SELECT 1 AS a, 2 AS b", k = 2, maxRounds = 3)
     assert((1 to 3).forall(r => sql.contains(s"e$r AS")))

@@ -117,6 +117,46 @@ class TarShardsSpec extends SparkSpec {
     assert(TarCodec.parse(raw).map(_._1).toSeq == Seq("000a.txt", "000b.txt"))
   }
 
+  test("resume skips complete shards (header-only stats) and rebuilds missing ones") {
+    import spark.implicits._
+    val dir = tmpDir("tarresume")
+    val members = spark.createDataset(Seq(
+      TarShards.Member(0, "a.txt", "alpha".getBytes(UTF_8)),
+      TarShards.Member(0, "b.txt", "bb".getBytes(UTF_8)),
+      TarShards.Member(1, "c.txt", "gamma!".getBytes(UTF_8))
+    ))
+    TarShards.pack(members, dir).count()
+    val shard0 = java.nio.file.Paths.get(dir, "shard-00000.tar")
+    val before = java.nio.file.Files.readAllBytes(shard0)
+    // simulate a crashed export: shard 1 missing, a stale tmp left over
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "shard-00001.tar"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-00001.tar.tmp"), Array[Byte](1, 2, 3))
+    val manifest = TarShards.pack(members, dir, resume = true)
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(manifest.toSeq == Seq((0, 2L, 7L, true), (1, 1L, 6L, false)))
+    // the skipped shard's bytes are untouched; no tmp files survive
+    assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(shard0), before))
+    // shard1's rebuild reuses and commits the tmp name: nothing stale survives
+    assert(!new java.io.File(dir).list().exists(_.endsWith(".tmp")))
+    val back = TarShards.readMembers(spark, dir).orderBy("name")
+      .as[(String, String, Array[Byte])].collect()
+    assert(back.map(_._2).toSeq == Seq("a.txt", "b.txt", "c.txt"))
+  }
+
+  test("scanStats matches the true member count and payload across block edges") {
+    val out = new ByteArrayOutputStream()
+    val sizes = Seq(0, 1, 511, 512, 513)
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      TarCodec.writeMember(out, s"m$i.bin", new Array[Byte](n))
+    }
+    TarCodec.writeTrailer(out)
+    val (n, payload) = TarCodec.scanStats(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    assert(n == sizes.length && payload == sizes.map(_.toLong).sum)
+  }
+
   test("samples groups multi-component keys; missing components stay absent") {
     import spark.implicits._
     val dir = tmpDir("tarwds")
