@@ -71,6 +71,47 @@ object BruteForceKnn {
         (col("pos") + 1).cast("int").as("rnk"), col("col.score").as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the k
+    * highest-cosine corpus vectors with a DIFFERENT label — the
+    * most-confusable negatives, which is what makes a contrastive batch
+    * informative (easy random negatives carry no gradient signal). Same
+    * exact broadcast + bounded-top-k shape as [[topK]] (the shuffle
+    * carries exactly k rows per anchor; ties break on neighbor id); at
+    * corpus scale the shortlist comes from an ANN probe (IvfPq/
+    * HyperplaneLsh) re-ranked exactly — the q190 two-stage pattern —
+    * with this as the oracle-checked exact contract.
+    */
+  def hardNegatives(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = widen(vectors.select(
+      col(idCol).as("query_id"),
+      col(labelCol).as("query_label"),
+      VectorOps.toDouble(col(vecCol)).as("qv")))
+      .withColumn("qn", VectorOps.norm(col("qv")))
+    val c = vectors.select(
+      col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"),
+      VectorOps.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorOps.norm(col("cv")))
+
+    q.crossJoin(broadcast(c))
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        VectorOps.cosineFromNorms(VectorOps.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")).as("cosine"))
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(call_function("graft_topk", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), col("query_label"), posexplode(col("top")))
+      .select(col("query_id"), col("query_label"),
+        col("col.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"), col("col.score").as("cosine"))
+  }
+
   /** All pairs (idA < idB) with cosine ≥ threshold — embedding-space
     * near-duplicate detection, exact.
     */

@@ -95,6 +95,15 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Hard-negative mining (contrastive training): per anchor, the 3
+    // most-confusable DIFFERENT-label vectors — exact contract for the
+    // ANN-shortlist + exact-re-rank path a 100 TB run would use (q190).
+    "q201_hard_negatives" -> { (s, dir) =>
+      BruteForceKnn.hardNegatives(emb(s, dir), "vec_id", "embedding", "label", k = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rnk")
+    },
+
     // Oracle-checked recall@1 differential for the LSH path (the recall
     // floor the q25 contract row defers to): the fraction of queries whose LSH best-cosine
     // equals the exact brute-force best must clear a pinned threshold.
@@ -534,6 +543,24 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, rnk, round(cosine, 6) AS cosine
          |FROM r WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "q201_hard_negatives" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) n
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id query_id, a.label query_label, b.vec_id neighbor_id,
+        |    list_dot_product(a.v, b.v) / (a.n * b.n) cosine
+        |  FROM vecs a JOIN vecs b ON a.label != b.label),
+        |r AS (
+        |  SELECT query_id, query_label, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) rnk
+        |  FROM p)
+        |SELECT query_id, query_label, neighbor_id, rnk, round(cosine, 6) AS cosine
+        |FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
 
     // DuckDB cannot run LSH/IVF; it pins the query universe and the
     // contracts the Spark side must prove against its own exact baseline

@@ -25,6 +25,41 @@ object TxQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GDPR/right-to-be-forgotten propagation — the governance composite:
+    // ingest events into a TxTable, transactionally DELETE an erasure
+    // cohort (user_id % 7 = 0), then VACUUM so the pre-delete version is
+    // physically expunged, not merely superseded (time travel to it must
+    // FAIL afterwards — that is the compliance property). The booleans
+    // ride as columns under the hash gate: history shape
+    // (init → delete), pre-vacuum time travel still seeing the full
+    // table, post-vacuum expungement. DuckDB recomputes the surviving
+    // per-type profile relationally.
+    "q202_gdpr_delete" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select("event_id", "user_id", "event_type")
+      val tableDir = graft.core.ScratchDirs.lease("graft-gdpr-q")
+      try {
+        TxTable.init(s, tableDir, ev)
+        TxTable.delete(s, tableDir, "user_id % 7 = 0")
+        val historyOk =
+          TxTable.history(s, tableDir).map(_.operation) == Seq("init", "delete")
+        val timeTravelOk =
+          TxTable.readVersion(s, tableDir, 1L).count() == ev.count()
+        TxTable.vacuum(s, tableDir, keep = 1, graceMs = 0L)
+        val expungedOk =
+          try { TxTable.readVersion(s, tableDir, 1L).count(); false }
+          catch { case _: Throwable => true }
+        TxTable.read(s, tableDir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .withColumn("history_ok", lit(historyOk))
+          .withColumn("time_travel_ok", lit(timeTravelOk))
+          .withColumn("expunged_ok", lit(expungedOk))
+          .localCheckpoint(true)
+          .orderBy("event_type")
+      } finally graft.core.ScratchDirs.release(tableDir)
+    },
+
     // MERGE upsert: base = every 3rd order key, updates = every 2nd
     // (overlap → matched/replace, rest → insert). Doubling the price is an
     // exact double op, so no rounding is needed on either side.
@@ -182,6 +217,14 @@ object TxQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q202_gdpr_delete" ->
+      """SELECT event_type,
+        |  count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  true AS history_ok, true AS time_travel_ok, true AS expunged_ok
+        |FROM events WHERE user_id % 7 != 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q76_txtable_merge" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice
