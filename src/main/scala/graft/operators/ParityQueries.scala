@@ -37,6 +37,28 @@ object ParityQueries {
       |WHERE t3 <= t1 + INTERVAL 24 HOUR
       |ORDER BY user_id""".stripMargin
 
+  /** Relational contract of `StatefulOps.patternOutcomes`: stage mins
+    * are WINDOW-scoped (each ≤ anchor + 24h), one outcome per anchored
+    * user. Shared by q203 (batch) and q204 (streaming with event-time
+    * timeouts) — every anchor's deadline precedes max(ts) by ≥14 days at
+    * both SFs, so the streaming emission set is complete and identical.
+    */
+  private[graft] val patternOutcomeOracle: String =
+    """WITH e AS (SELECT user_id, ts::TIMESTAMP ts, event_type FROM events),
+      |s1 AS (SELECT user_id, min(ts) t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts > t1
+      |         AND ts <= t1 + INTERVAL 24 HOUR GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) t3 FROM e
+      |       JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      |       WHERE event_type = 'purchase' AND e.ts > t2
+      |         AND e.ts <= t1 + INTERVAL 24 HOUR GROUP BY 1)
+      |SELECT s1.user_id, t1 AS t_start,
+      |  1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS stage_reached,
+      |  t3 IS NOT NULL AS matched
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -430,6 +452,23 @@ object ParityQueries {
         .as[graft.streaming.StatefulOps.TypedEvent]
       graft.streaming.StatefulOps
         .matchPattern(ds, Seq("view", "click", "purchase"),
+          withinMs = 24L * 3600 * 1000)
+        .orderBy("user_id")
+        .toDF()
+    },
+
+    // CEP outcomes with abandonment (q198's other half): one row per
+    // ANCHORED user — matched chains plus funnel-drops with the furthest
+    // within-window stage. Batch mode finalizes at end of group; q204
+    // runs the same operator as a stream where abandonment fires via
+    // event-time timeout, against this same oracle.
+    "q203_pattern_outcomes" -> { (s, dir) =>
+      import s.implicits._
+      val ds = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[graft.streaming.StatefulOps.TypedEvent]
+      graft.streaming.StatefulOps
+        .patternOutcomes(ds, Seq("view", "click", "purchase"),
           withinMs = 24L * 3600 * 1000)
         .orderBy("user_id")
         .toDF()
@@ -1122,6 +1161,8 @@ object ParityQueries {
         |ORDER BY user_id, session_start""".stripMargin,
 
     "q198_pattern_match" -> patternMatchOracle,
+
+    "q203_pattern_outcomes" -> patternOutcomeOracle,
 
     "q60_sample_sizes" ->
       """SELECT o_custkey, least(3, count(*)) AS n_sampled

@@ -231,4 +231,99 @@ object StatefulOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
+
+  final case class PatternOutcome(user_id: Long, t_start: java.sql.Timestamp,
+                                  stage_reached: Int, matched: Boolean)
+
+  /** The timeout half of CEP — [[matchPattern]] plus ABANDONMENT: one
+    * [[PatternOutcome]] per anchored key, `matched = true` emitted at the
+    * completing event, `matched = false` with the furthest stage reached
+    * when the deadline expires uncompleted. Stage advances are
+    * window-scoped (an event past `anchor + withinMs` never advances),
+    * so `stage_reached` is "how far within the window" — the funnel-drop
+    * profile. On matched keys this is exactly [[matchPattern]]'s hit set
+    * (the greedy chain's times are minimal, so a within-window chain is
+    * found identically by both).
+    *
+    * Streaming: abandonment fires via EVENT-TIME TIMEOUT at
+    * `anchor + withinMs` — the input gets `withWatermark(ts,
+    * watermarkDelay)` and the state parks as a tombstone after emission
+    * (never removed on timeout: a removal would let a later event
+    * re-anchor and double-emit). Batch: timeouts never fire; the group
+    * is complete, so the outcome is finalized at end of group — same
+    * output, single pass.
+    */
+  def patternOutcomes(
+      events: Dataset[TypedEvent],
+      pattern: Seq[String],
+      withinMs: Long,
+      watermarkDelay: String = "0 seconds"
+  ): Dataset[PatternOutcome] = {
+    require(pattern.nonEmpty, "pattern must have at least one stage")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val stages = pattern.toArray
+    val withinUs = withinMs * 1000L
+
+    def toMicros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def outcome(userId: Long, st: PatternState): PatternOutcome =
+      PatternOutcome(userId, fromMicros(st.anchorUs), st.stage,
+        matched = st.stage == stages.length)
+
+    def fold(userId: Long, it: Iterator[TypedEvent],
+             state: GroupState[PatternState]): Iterator[PatternOutcome] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.update(st.copy(done = true)) // tombstone, not removal
+        return if (st.done) Iterator.empty else Iterator.single(outcome(userId, st))
+      }
+      var st = state.getOption.getOrElse(PatternState(0, 0L, Long.MinValue, done = false))
+      var emitted: PatternOutcome = null
+      if (!st.done) {
+        val sorted = it.toArray.sortBy(e => toMicros(e.ts))
+        var i = 0
+        while (i < sorted.length && !st.done) {
+          val e = sorted(i)
+          val us = toMicros(e.ts)
+          val withinWindow = st.stage == 0 || us <= st.anchorUs + withinUs
+          if (withinWindow && e.event_type == stages(st.stage) && us > st.prevUs) {
+            val anchor = if (st.stage == 0) us else st.anchorUs
+            st = PatternState(st.stage + 1, anchor, us, done = false)
+            if (st.stage == stages.length) {
+              st = st.copy(done = true)
+              emitted = outcome(userId, st)
+            }
+          }
+          i += 1
+        }
+        if (st.stage > 0) {
+          if (!streaming && !st.done) {
+            // batch: the group is complete — finalize the abandonment now
+            emitted = outcome(userId, st)
+            st = st.copy(done = true)
+          }
+          state.update(st)
+          if (streaming && !st.done)
+            state.setTimeoutTimestamp(math.max(
+              Math.floorDiv(st.anchorUs + withinUs, 1000L) + 1,
+              state.getCurrentWatermarkMs() + 1))
+        } else if (state.exists) state.update(st)
+      }
+      if (emitted == null) Iterator.empty else Iterator.single(emitted)
+    }
+
+    val withWm =
+      if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    withWm
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(fold)
+  }
 }

@@ -63,6 +63,47 @@ object StreamingQueries {
     }
   }
 
+  /** q199/q204 staging: the CEP automatons require non-decreasing
+    * per-key event time ACROSS micro-batches, so the fixture stages the
+    * stream in event-time order BY CONSTRUCTION: three ts-range slices
+    * written SEQUENTIALLY as one file each (strictly increasing
+    * mod-times) + maxFilesPerTrigger=1 → three micro-batches in time
+    * order. Leased scratch; release-on-failure between lease and return
+    * (the plantedEventStream pattern).
+    */
+  private def timePhasedEventStream(
+      s: SparkSession, dir: String, prefix: String): (DataFrame, String) = {
+    val raw = graft.sources.Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val scratch = ScratchDirs.lease(prefix)
+    try {
+      val inDir = s"$scratch/in"
+      val fs = new org.apache.hadoop.fs.Path(inDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+      val Array(t0, t1) = raw
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val cuts = Array(Long.MinValue, t0 + (t1 - t0) / 3, t0 + 2 * ((t1 - t0) / 3), Long.MaxValue)
+      (0 until 3).foreach { i =>
+        val tmp = s"$scratch/tmp$i"
+        raw.where(unix_micros(col("ts")) >= cuts(i) &&
+            unix_micros(col("ts")) < cuts(i + 1))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$inDir/phase-$i.parquet")): Unit
+      }
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      (stream, scratch)
+    } catch {
+      case e: Throwable =>
+        ScratchDirs.release(scratch)
+        throw e
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_streaming_dedup" -> { (s, dir) =>
       val (stream, scratch) = plantedEventStream(s, dir, "graft-stream-q")
@@ -120,39 +161,14 @@ object StreamingQueries {
     },
 
     // Streaming CEP: StatefulOps.matchPattern (q198's batch twin) run
-    // as an actual StreamingQuery. The automaton requires non-decreasing
-    // per-key event time ACROSS micro-batches, so the fixture stages the
-    // stream in event-time order by construction: three ts-range slices
-    // written SEQUENTIALLY as one file each (strictly increasing
-    // mod-times) + maxFilesPerTrigger=1 → three micro-batches in time
-    // order, per-user chains spanning batch boundaries through O(1)
-    // per-key state. Same relational oracle as q198 — the streaming run
-    // must land the exact batch-semantics hits.
+    // as an actual StreamingQuery over [[timePhasedEventStream]]'s
+    // event-time-ordered micro-batches — per-user chains span batch
+    // boundaries through O(1) per-key state. Same relational oracle as
+    // q198: the streaming run must land the exact batch-semantics hits.
     "q199_streaming_pattern" -> { (s, dir) =>
       import s.implicits._
-      val raw = graft.sources.Tables.load(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_type"))
-      val scratch = ScratchDirs.lease("graft-stream-cep")
+      val (stream, scratch) = timePhasedEventStream(s, dir, "graft-stream-cep")
       try {
-        val inDir = s"$scratch/in"
-        val fs = new org.apache.hadoop.fs.Path(inDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
-        val Array(t0, t1) = raw
-          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-          .head().toSeq.map(_.asInstanceOf[Long]).toArray
-        val cuts = Array(Long.MinValue, t0 + (t1 - t0) / 3, t0 + 2 * ((t1 - t0) / 3), Long.MaxValue)
-        (0 until 3).foreach { i =>
-          val tmp = s"$scratch/tmp$i"
-          raw.where(unix_micros(col("ts")) >= cuts(i) &&
-              unix_micros(col("ts")) < cuts(i + 1))
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
-          fs.rename(part, new org.apache.hadoop.fs.Path(s"$inDir/phase-$i.parquet")): Unit
-        }
-        val stream = s.readStream.schema(raw.schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(inDir)
         val hits = graft.streaming.StatefulOps.matchPattern(
           stream.as[StatefulOps.TypedEvent],
           Seq("view", "click", "purchase"), withinMs = 24L * 3600 * 1000)
@@ -167,6 +183,36 @@ object StreamingQueries {
 
         s.read.parquet(sinkDir)
           .select(col("user_id"), col("t_start"), col("t_end"), col("span_seconds"))
+          .localCheckpoint(true)
+          .orderBy("user_id")
+      } finally ScratchDirs.release(scratch)
+    },
+
+    // Streaming CEP with ABANDONMENT (q203's streaming twin): matched
+    // outcomes emit at the completing event; uncompleted anchors emit at
+    // the EVENT-TIME TIMEOUT when the watermark passes anchor+24h — the
+    // funnel-drop profile as a stream. Every anchor's deadline sits ≥14
+    // days before max(ts) at both SFs (no straggler ambiguity), so the
+    // streaming output equals q203's complete batch outcome set and the
+    // SAME oracle gates both.
+    "q204_streaming_abandonment" -> { (s, dir) =>
+      import s.implicits._
+      val (stream, scratch) = timePhasedEventStream(s, dir, "graft-stream-aband")
+      try {
+        val outcomes = graft.streaming.StatefulOps.patternOutcomes(
+          stream.as[StatefulOps.TypedEvent],
+          Seq("view", "click", "purchase"), withinMs = 24L * 3600 * 1000)
+        val sinkDir = s"$scratch/sink"
+        val q = outcomes.writeStream
+          .format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+
+        s.read.parquet(sinkDir)
+          .select(col("user_id"), col("t_start"), col("stage_reached"), col("matched"))
           .localCheckpoint(true)
           .orderBy("user_id")
       } finally ScratchDirs.release(scratch)
@@ -421,6 +467,10 @@ object StreamingQueries {
     // One oracle, two execution modes: the streaming CEP run must equal
     // q198's batch-mode result exactly.
     "q199_streaming_pattern" -> graft.operators.ParityQueries.patternMatchOracle,
+
+    // Same principle for the abandonment half: the event-time-timeout
+    // emission set must equal q203's complete batch outcomes.
+    "q204_streaming_abandonment" -> graft.operators.ParityQueries.patternOutcomeOracle,
 
     // Stream-static enrichment: the sink holds events ∪ planted copies
     // (no dedup in q140), each left-joined to the per-user order

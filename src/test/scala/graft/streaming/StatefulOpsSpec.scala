@@ -169,6 +169,62 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out == Seq(PatternHit(1L, ts(0), ts(2), 120L)))
   }
 
+  import StatefulOps.PatternOutcome
+
+  test("patternOutcomes batch: matched, abandoned-with-stage, window-scoped advance") {
+    val out = StatefulOps.patternOutcomes(
+      Seq(
+        // user 1: full chain within 10 min → matched, stage 3
+        ev(1, 0, "A"), ev(1, 2, "B"), ev(1, 5, "C"),
+        // user 2: anchors, B arrives past the deadline → never advances;
+        // abandoned at stage 1
+        ev(2, 0, "A"), ev(2, 30, "B"),
+        // user 3: A then B in window, C late → abandoned at stage 2
+        ev(3, 0, "A"), ev(3, 4, "B"), ev(3, 40, "C"),
+        // user 4: never anchors (no A) → NO outcome row at all
+        ev(4, 1, "B"), ev(4, 2, "C")
+      ).toDS(), Seq("A", "B", "C"), withinMs = 10 * 60 * 1000L)
+      .collect().sortBy(_.user_id).toSeq
+    assert(out == Seq(
+      PatternOutcome(1L, ts(0), 3, matched = true),
+      PatternOutcome(2L, ts(0), 1, matched = false),
+      PatternOutcome(3L, ts(0), 2, matched = false)))
+  }
+
+  test("patternOutcomes streaming: abandonment fires on event-time timeout, once") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StatefulOps.patternOutcomes(
+      input.toDS(), Seq("A", "B", "C"), withinMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("aband").outputMode("append").start()
+    try {
+      // user 1 anchors and completes; user 2 anchors only
+      input.addData(ev(1, 0, "A"), ev(2, 0, "A"))
+      q.processAllAvailable()
+      input.addData(ev(1, 2, "B"), ev(1, 5, "C"))
+      q.processAllAvailable()
+      val afterMatch = spark.table("aband").as[PatternOutcome].collect().toSeq
+      assert(afterMatch == Seq(PatternOutcome(1L, ts(0), 3, matched = true)))
+
+      // watermark must pass user 2's deadline (minute 10): feed a late
+      // unrelated event far beyond it, then another batch so the
+      // advanced watermark is applied and the timeout fires
+      input.addData(ev(9, 50, "X"))
+      q.processAllAvailable()
+      input.addData(ev(9, 51, "X"))
+      q.processAllAvailable()
+      val all = spark.table("aband").as[PatternOutcome].collect().sortBy(_.user_id).toSeq
+      assert(all == Seq(
+        PatternOutcome(1L, ts(0), 3, matched = true),
+        PatternOutcome(2L, ts(0), 1, matched = false)))
+
+      // tombstone: later in-pattern events for user 2 must not re-anchor
+      input.addData(ev(2, 52, "A"), ev(2, 53, "B"), ev(2, 54, "C"))
+      q.processAllAvailable()
+      assert(spark.table("aband").count() == 2)
+    } finally q.stop()
+  }
+
   test("matchPattern streaming: chain advances across micro-batches, emits once") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[TypedEvent]
