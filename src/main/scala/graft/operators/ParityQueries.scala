@@ -739,6 +739,19 @@ object ParityQueries {
       audit.crossJoin(broadcast(leak)).orderBy("fold", "lang")
     },
 
+    // Purged time-series CV (embargo = 6h): per (fold, role) row counts
+    // over events — the adjacency-leakage-safe sibling of q175's
+    // identity-safe folds. All integer-µs arithmetic; DuckDB recomputes
+    // the same bounds/roles from epoch_us.
+    "q205_purged_cv" -> { (s, dir) =>
+      TimeSplit.purgedFolds(t(s, dir, "events"), "ts", k = 5,
+        embargoUs = 6L * 3600 * 1000000)
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("fold", "role")
+    },
+
     // Weighted systematic resampling: exactly 100 selections over the
     // documents table with inclusion counts ∝ length(text), decided by
     // pure integer arithmetic on the md5-ordered mass line — the oracle
@@ -1163,6 +1176,27 @@ object ParityQueries {
     "q198_pattern_match" -> patternMatchOracle,
 
     "q203_pattern_outcomes" -> patternOutcomeOracle,
+
+    // Integer-µs bound/role arithmetic replayed exactly; embargo 6h.
+    "q205_purged_cv" ->
+      """WITH b AS (SELECT min(epoch_us(ts::TIMESTAMP)) t0,
+        |                  max(epoch_us(ts::TIMESTAMP)) t1 FROM events),
+        |f AS (SELECT unnest(generate_series(0, 4)) AS fold),
+        |r AS (
+        |  SELECT f.fold, e.user_id,
+        |    CASE
+        |      WHEN us >= lo AND us < hi THEN 'test'
+        |      WHEN (us >= lo - 21600000000 AND us < lo)
+        |        OR (us >= hi AND us < hi + 21600000000) THEN 'embargo'
+        |      ELSE 'train' END AS role
+        |  FROM (SELECT user_id, epoch_us(ts::TIMESTAMP) us FROM events) e, f, b,
+        |    LATERAL (SELECT
+        |      t0 + ((t1 - t0) * f.fold) // 5 AS lo,
+        |      CASE WHEN f.fold = 4 THEN t1 + 1
+        |           ELSE t0 + ((t1 - t0) * (f.fold + 1)) // 5 END AS hi))
+        |SELECT fold, role, count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM r GROUP BY fold, role ORDER BY fold, role""".stripMargin,
 
     "q60_sample_sizes" ->
       """SELECT o_custkey, least(3, count(*)) AS n_sampled
