@@ -869,8 +869,10 @@ object AnalyticsQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // k-core of the part co-purchase graph (edges = part pairs sharing
-    // ≥2 distinct orders): iterative peeling, fixed 10 rounds with a
+    // k-core of the part co-purchase graph (edges = part pairs with ≥2
+    // co-occurrence lineitem pairings — row pairs, not distinct orders:
+    // a pair co-located twice within ONE order also qualifies, matching
+    // the oracle's HAVING count(*) exactly): iterative peeling with a
     // loud convergence assertion, degree agg + double semi-join per
     // round — no adjacency lists, no driver graph. The oracle unrolls
     // the identical 10 rounds (generated from the same constant).

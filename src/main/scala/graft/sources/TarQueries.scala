@@ -33,9 +33,9 @@ object TarQueries {
             s"$lang|$source".getBytes(StandardCharsets.UTF_8)))
         else Seq(base)
       }
-    // count() forces the pack (a side-effecting action) to finish before
-    // the read plan lists the shard files.
-    TarShards.pack(members, lease).count(): Unit
+    // pack() is eager (its manifest is localCheckpoint(true)-frozen), so
+    // the shards are fully committed when this returns.
+    TarShards.pack(members, lease): Unit
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -241,17 +241,30 @@ object TarShards {
   def pack(members: Dataset[Member], outDir: String, resume: Boolean = false): DataFrame = {
     val spark = members.sparkSession
     import spark.implicits._
+    // The SESSION's Hadoop conf must reach the tasks (s3a credentials,
+    // defaultFS, …) — `new Configuration()` inside a task would see only
+    // classpath defaults and could resolve outDir against a DIFFERENT
+    // filesystem than readMembers' session-conf reads.
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     members
       .groupByKey(_.shard)
       .flatMapSortedGroups(col("name")) { (shard: Int, it: Iterator[Member]) =>
         val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tar")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(hadoopConf.value)
         if (resume && fs.exists(path)) {
           val in = fs.open(path)
           val (n, payload) = try TarCodec.scanStats(in) finally in.close()
           Iterator((shard, path.getName, n, payload, true))
         } else {
-          val tmp = new org.apache.hadoop.fs.Path(outDir, path.getName + ".tmp")
+          // Attempt-unique tmp: concurrent attempts of the same task
+          // (speculation, zombie retry) must not truncate each other's
+          // in-progress stream and rename interleaved bytes to the
+          // final name.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmp = new org.apache.hadoop.fs.Path(
+            outDir, path.getName + s".tmp-$attempt")
           val out = new BufferedOutputStream(fs.create(tmp, true))
           var n = 0L
           var payload = 0L
@@ -264,7 +277,17 @@ object TarShards {
             TarCodec.writeTrailer(out)
           } finally out.close()
           fs.delete(path, false)
-          require(fs.rename(tmp, path), s"commit rename failed for $path")
+          if (!fs.rename(tmp, path)) {
+            // a racing attempt committed first: its output is
+            // byte-identical by determinism — discard ours
+            require(fs.exists(path), s"commit rename failed for $path")
+            fs.delete(tmp, false): Unit
+          }
+          // reap stale tmps left by crashed/preempted attempts of this
+          // shard (ours is gone — renamed or deleted above)
+          fs.globStatus(new org.apache.hadoop.fs.Path(
+            outDir, path.getName + ".tmp-*"))
+            .foreach(st => fs.delete(st.getPath, false))
           Iterator((shard, path.getName, n, payload, false))
         }
       }
@@ -297,12 +320,17 @@ object TarShards {
   /** WebDataset sample grouping: members named `<key>.<ext>` fold into
     * one row per key with an `ext -> bytes` map. The group-by shuffles
     * only what a sample join must; component order inside the map is
-    * ext-sorted for determinism.
+    * ext-sorted for determinism. Members WITHOUT a `.ext` suffix are
+    * outside the WebDataset naming contract and are dropped here (they
+    * would all collapse onto key "" — regexp_extract yields "" on no
+    * match — and then collide as duplicate map keys); [[readMembers]]
+    * still yields them for callers that want raw members.
     */
   def samples(members: DataFrame): DataFrame =
     members
       .withColumn("key", regexp_extract(col("name"), "^(.*)\\.([^.]+)$", 1))
       .withColumn("ext", regexp_extract(col("name"), "^(.*)\\.([^.]+)$", 2))
+      .where(length(col("ext")) > 0)
       .groupBy(col("key"))
       .agg(map_from_entries(array_sort(collect_list(struct(col("ext"), col("content")))))
         .as("components"))

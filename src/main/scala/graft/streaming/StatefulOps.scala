@@ -3,6 +3,23 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** µs ↔ java.sql.Timestamp, shared by every stateful operator in this
+  * package (the event tables carry µs precision; `getTime` alone is
+  * millis). A top-level object: closures reference it through the
+  * static module instance, capturing nothing — unlike a method on the
+  * enclosing (non-serializable) operator object, which would drag
+  * `this` into closure serialization.
+  */
+private[streaming] object TimeUs {
+  def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+}
+
 /** Custom per-key streaming state via flatMapGroupsWithState — the
   * escape hatch for semantics the built-in windows can't express. The
   * example operator here is per-user cumulative accounting with
@@ -105,17 +122,10 @@ object StatefulOps {
     val streaming = events.isStreaming
     val gapUs = gapMs * 1000L
 
-    // Local functions only: anything the fold closure touches ships to
-    // executors, and a reference to this (non-serializable) module object
-    // would fail closure serialization. µs precision throughout — the
-    // event tables carry µs and `getTime` alone is millis.
-    def toMicros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    def fromMicros(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
+    // Conversions live in [[TimeUs]] (static module access — nothing the
+    // fold closure touches drags this non-serializable operator object
+    // into closure serialization).
+    import TimeUs.{fromMicros, toMicros}
     def finalize(userId: Long, s: SessionAgg): Session =
       Session(userId, fromMicros(s.startUs), fromMicros(s.endUs), s.n, s.sum)
 
@@ -186,17 +196,9 @@ object StatefulOps {
   ): Dataset[PatternHit] = {
     require(pattern.nonEmpty, "pattern must have at least one stage")
     import events.sparkSession.implicits._
-    val streaming = events.isStreaming
+    import TimeUs.{fromMicros, toMicros}
     val stages = pattern.toArray
     val withinUs = withinMs * 1000L
-
-    def toMicros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    def fromMicros(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
 
     def fold(userId: Long, it: Iterator[TypedEvent],
              state: GroupState[PatternState]): Iterator[PatternHit] = {
@@ -265,13 +267,7 @@ object StatefulOps {
     val stages = pattern.toArray
     val withinUs = withinMs * 1000L
 
-    def toMicros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    def fromMicros(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
+    import TimeUs.{fromMicros, toMicros}
     def outcome(userId: Long, st: PatternState): PatternOutcome =
       PatternOutcome(userId, fromMicros(st.anchorUs), st.stage,
         matched = st.stage == stages.length)

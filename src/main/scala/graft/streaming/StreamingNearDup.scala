@@ -94,8 +94,7 @@ object StreamingNearDup {
 
     // Local function only — a module-object reference inside the fold
     // would drag non-serializable state into the closure.
-    def toMicros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    import TimeUs.toMicros
 
     def fold(key: (Int, Long), it: Iterator[BucketedDoc],
              state: GroupState[List[Entry]]): Iterator[Candidate] = {

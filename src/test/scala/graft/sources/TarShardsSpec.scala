@@ -128,18 +128,18 @@ class TarShardsSpec extends SparkSpec {
     TarShards.pack(members, dir).count()
     val shard0 = java.nio.file.Paths.get(dir, "shard-00000.tar")
     val before = java.nio.file.Files.readAllBytes(shard0)
-    // simulate a crashed export: shard 1 missing, a stale tmp left over
+    // simulate a crashed export: shard 1 missing, a stale attempt tmp left over
     java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "shard-00001.tar"))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "shard-00001.tar.tmp"), Array[Byte](1, 2, 3))
+      java.nio.file.Paths.get(dir, "shard-00001.tar.tmp-99"), Array[Byte](1, 2, 3))
     val manifest = TarShards.pack(members, dir, resume = true)
       .orderBy("shard").collect()
       .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
     assert(manifest.toSeq == Seq((0, 2L, 7L, true), (1, 1L, 6L, false)))
     // the skipped shard's bytes are untouched; no tmp files survive
     assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(shard0), before))
-    // shard1's rebuild reuses and commits the tmp name: nothing stale survives
-    assert(!new java.io.File(dir).list().exists(_.endsWith(".tmp")))
+    // shard1's rebuild commits its attempt tmp and reaps the stale one
+    assert(!new java.io.File(dir).list().exists(_.contains(".tmp")))
     val back = TarShards.readMembers(spark, dir).orderBy("name")
       .as[(String, String, Array[Byte])].collect()
     assert(back.map(_._2).toSeq == Seq("a.txt", "b.txt", "c.txt"))
