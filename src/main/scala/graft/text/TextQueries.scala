@@ -96,42 +96,57 @@ object TextQueries {
     // Compression-ratio quality signal (graft_deflate_len, a native
     // codegen expression over per-thread zlib state): templated or
     // looping text deflates far below natural prose, a signal the
-    // heuristic (q31) and LM (q88) scores miss. DEFLATE output is not
-    // SQL-expressible, so this one is rows-only-checked by the driver;
-    // DeflateSpec pins the inflate∘deflate identity, null/unicode
-    // edges, and cohort separation instead. The output is an integer
-    // ratio-decile histogram per cohort — a planted repetitive cohort
-    // (every 5th doc's first tokens repeated 40×) must separate from
-    // the originals, and the in-query arithmetic is all-integer so the
-    // dump is byte-stable across runs.
+    // heuristic (q31) and LM (q88) scores miss. DEFLATE byte counts have
+    // no SQL closed form, so the oracle pins a CONTRACT row per cohort
+    // (the q25/q28 convention): SQL-recomputed cohort sizes plus a
+    // pinned separation boolean — the planted repetitive cohort (every
+    // 5th doc's first 24 chars repeated 40×) must land a strictly lower
+    // mean ratio-decile than the originals. DeflateSpec pins the
+    // inflate∘deflate identity and exact kernel values.
     "q196_compression_signal" -> { (s, dir) =>
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val rep = d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat_ws(" ",
             array_repeat(substring(col("text"), 1, 24), 40)).as("text"))
-      d.withColumn("cohort", lit("orig"))
+      val deciled = d.withColumn("cohort", lit("orig"))
         .unionByName(rep.withColumn("cohort", lit("repetitive")))
         .withColumn("dl", call_function("graft_deflate_len", col("text")))
         .withColumn("ratio_decile",
           expr("int(cast(dl as bigint) * 10 div octet_length(text))"))
-        .groupBy("cohort", "ratio_decile")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy("cohort", "ratio_decile")
+      val means = deciled.groupBy("cohort")
+        .agg(count(lit(1)).as("n_docs"), avg(col("ratio_decile")).as("mean_decile"))
+      val separation = means.groupBy()
+        .agg((max(when(col("cohort") === "repetitive", col("mean_decile")))
+          < min(when(col("cohort") === "orig", col("mean_decile"))))
+          .as("separation_ok"))
+      means.select(col("cohort"), col("n_docs"))
+        .crossJoin(broadcast(separation))
+        .orderBy("cohort")
     },
 
     // Unigram (SentencePiece-family) vocabulary training — the
     // seed-and-prune outer loop with integer Viterbi rounds
     // (UnigramTrainer). Completes the tokenizer-training family beside
-    // BPE (q97) and WordPiece (q152). The loop involves
-    // corpus-dependent float-free pruning but no SQL-expressible closed
-    // form, so the driver applies the rows-only check;
-    // UnigramTrainerSpec pins the coverage/consistency invariants and
-    // partition-count determinism.
+    // BPE (q97) and WordPiece (q152). The trained vocab itself has no
+    // SQL closed form (data-dependent pruning rounds), so the oracle
+    // pins a CONTRACT row (the q25/q28 convention): the segmentation's
+    // EXACT corpus coverage — Σ len(piece)·usage must equal the corpus'
+    // non-whitespace char count, which DuckDB recomputes independently —
+    // plus vocab-bound booleans. UnigramTrainerSpec pins the per-piece
+    // invariants and partition-count determinism.
     "q197_unigram_vocab" -> { (s, dir) =>
-      UnigramTrainer.train(docs(s, dir), "text",
-        UnigramTrainer.Config(maxPieceLen = 5, minCount = 3,
-          maxCandidates = 2048, target = 160, maxRounds = 12))
+      val cfg = UnigramTrainer.Config(maxPieceLen = 5, minCount = 3,
+        maxCandidates = 2048, target = 160, maxRounds = 12)
+      val vocab = UnigramTrainer.train(docs(s, dir), "text", cfg)
+      vocab.agg(
+        sum(length(col("piece")).cast("long") * col("usage")).as("covered_chars"),
+        count(lit(1)).as("n_pieces"),
+        max(length(col("piece"))).as("max_piece_len"))
+        .select(
+          col("covered_chars"),
+          (col("n_pieces") > 0L && col("n_pieces") <= cfg.target).as("n_pieces_ok"),
+          (col("max_piece_len") <= cfg.maxPieceLen).as("piece_len_ok"))
     },
 
     // Token counting + surface statistics.
@@ -754,6 +769,26 @@ object TextQueries {
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // q196: contract row per cohort — sizes recomputed relationally, the
+    // deflate-decile separation pinned true (the deflate values
+    // themselves have no SQL twin; DeflateSpec pins the kernel).
+    "q196_compression_signal" ->
+      """SELECT cohort, n_docs, true AS separation_ok FROM (
+        |  SELECT 'orig' AS cohort, count(*)::BIGINT AS n_docs FROM documents
+        |  UNION ALL
+        |  SELECT 'repetitive', count(*)::BIGINT FROM documents
+        |  WHERE doc_id % 5 = 0)
+        |ORDER BY cohort""".stripMargin,
+
+    // q197: exact-coverage contract — the final segmentation's
+    // Σ len(piece)·usage must equal the corpus' non-whitespace char
+    // count, recomputed here without any tokenizer.
+    "q197_unigram_vocab" ->
+      """SELECT
+        |  sum(strlen(regexp_replace(text, '\s+', '', 'g')))::BIGINT AS covered_chars,
+        |  true AS n_pieces_ok, true AS piece_len_ok
+        |FROM documents""".stripMargin,
+
     // q156: both hit lists replay exactly (BM25 per q133's recompute,
     // cosine per q24's list_dot_product parity, ranks from 6dp-rounded
     // scores with doc-id tiebreaks), and RRF is pure integer-rank
