@@ -123,8 +123,14 @@ object TarShards {
           var toSkip = (size + Block - 1) / Block * Block
           while (toSkip > 0) {
             val s = in.skip(toSkip)
-            require(s > 0, "truncated member data")
-            toSkip -= s
+            if (s > 0) toSkip -= s
+            else {
+              // skip() may legitimately return 0 mid-stream (buffer
+              // boundary on some Hadoop FS streams) — only a read() of
+              // -1 proves truncation
+              require(in.read() >= 0, "truncated member data")
+              toSkip -= 1
+            }
           }
         }
       }
@@ -163,6 +169,14 @@ object TarShards {
         private var off = 0
         private var nextMember: (String, Array[Byte]) = null
         private var done = false
+        // GNU 'L' long-name entry: its DATA names the NEXT member
+        private var pendingLongName: String = null
+
+        private def asciiUntilNul(from: Int, max: Int): String = {
+          var end = from
+          while (end < from + max && archive(end) != 0) end += 1
+          new String(archive, from, end - from, StandardCharsets.US_ASCII)
+        }
 
         private def advance(): Unit = {
           while (nextMember == null && !done) {
@@ -189,19 +203,34 @@ object TarShards {
               var j = off + 148 // chksum field counts as spaces
               while (j < off + 156) { sum += ' ' - (archive(j) & 0xff); j += 1 }
               require(sum == stored, s"checksum mismatch at $off: $sum != $stored")
-              var nameEnd = off
-              while (nameEnd < off + 100 && archive(nameEnd) != 0) nameEnd += 1
+              // Foreign-archive name forms (this writer emits neither,
+              // but readMembers scans ANY *.tar): the ustar `prefix`
+              // field (offset 345) carries the directory part of >100-
+              // byte paths, and a GNU 'L' entry carries the next
+              // member's full name as data.
+              val base = asciiUntilNul(off, 100)
+              val prefix = asciiUntilNul(off + 345, 155)
               val name =
-                new String(archive, off, nameEnd - off, StandardCharsets.US_ASCII)
+                if (pendingLongName != null) pendingLongName
+                else if (prefix.nonEmpty) s"$prefix/$base"
+                else base
               val size = parseOctal(archive, off + 124, 12, "size")
               require(size <= Int.MaxValue, s"member $name too large: $size")
               val tf = archive(off + 156)
               val dataOff = off + Block
               require(dataOff + size <= archive.length, s"truncated member $name")
-              if (tf == '0' || tf == 0) {
-                val data = java.util.Arrays.copyOfRange(
-                  archive, dataOff, dataOff + size.toInt)
-                nextMember = (name, data)
+              if (tf == 'L') {
+                var end = dataOff + size.toInt
+                while (end > dataOff && archive(end - 1) == 0) end -= 1
+                pendingLongName =
+                  new String(archive, dataOff, end - dataOff, StandardCharsets.US_ASCII)
+              } else {
+                if (tf == '0' || tf == 0) {
+                  val data = java.util.Arrays.copyOfRange(
+                    archive, dataOff, dataOff + size.toInt)
+                  nextMember = (name, data)
+                }
+                pendingLongName = null
               }
               off = dataOff + ((size + Block - 1) / Block * Block).toInt
             }
@@ -247,7 +276,7 @@ object TarShards {
     // filesystem than readMembers' session-conf reads.
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    members
+    val packed = members
       .groupByKey(_.shard)
       .flatMapSortedGroups(col("name")) { (shard: Int, it: Iterator[Member]) =>
         val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tar")
@@ -257,6 +286,15 @@ object TarShards {
           val (n, payload) = try TarCodec.scanStats(in) finally in.close()
           Iterator((shard, path.getName, n, payload, true))
         } else {
+          // A pre-existing final file outside resume mode is either a
+          // stale different export (caller must clean or pass
+          // resume=true) or corruption — never silently overwrite it.
+          // Checked BEFORE writing: if the name appears later, it can
+          // only be a racing attempt of THIS task, whose bytes are
+          // identical by determinism (the discard path below).
+          require(!fs.exists(path),
+            s"$path already exists — pass resume = true to skip complete " +
+              "shards, or export into a clean directory")
           // Attempt-unique tmp: concurrent attempts of the same task
           // (speculation, zombie retry) must not truncate each other's
           // in-progress stream and rename interleaved bytes to the
@@ -276,27 +314,34 @@ object TarShards {
             }
             TarCodec.writeTrailer(out)
           } finally out.close()
-          fs.delete(path, false)
+          // Commit = one rename, NEVER delete-then-rename: a delete of
+          // the final name could destroy a racing attempt's committed
+          // shard and die before its own rename, leaving the stage
+          // "successful" with the shard missing.
           if (!fs.rename(tmp, path)) {
             // a racing attempt committed first: its output is
             // byte-identical by determinism — discard ours
             require(fs.exists(path), s"commit rename failed for $path")
             fs.delete(tmp, false): Unit
           }
-          // reap stale tmps left by crashed/preempted attempts of this
-          // shard (ours is gone — renamed or deleted above)
+          // Reap OTHER attempts' tmps. Safe post-commit: a still-running
+          // zombie whose tmp vanishes fails its write or rename, lands
+          // in the discard path (the final file exists), and its task
+          // outcome no longer matters — the stage already has a winner.
           fs.globStatus(new org.apache.hadoop.fs.Path(
             outDir, path.getName + ".tmp-*"))
             .foreach(st => fs.delete(st.getPath, false))
           Iterator((shard, path.getName, n, payload, false))
         }
       }
+    // Eager AND driver-held: a lazy manifest re-runs the packing stage
+    // under any plan that samples its input (an ORDER BY's
+    // range-boundary pass executes the stage TWICE, flipping `resumed`
+    // on the second run), and an executor-block localCheckpoint of it
+    // dies unrecoverably with a lost executor. One skinny row per shard
+    // — collect once, rebuild locally.
+    spark.createDataset(packed.collect().toSeq)
       .toDF("shard", "file", "n_members", "member_bytes", "resumed")
-      // Eager: pack is a side-effecting export, and a lazy manifest
-      // re-runs the packing stage under any plan that samples its input
-      // (an ORDER BY's range-boundary pass executes the stage TWICE,
-      // flipping `resumed` on the second run). One execution, frozen.
-      .localCheckpoint(true)
   }
 
   /** Scan every `*.tar` under `dir`: one row per regular-file member,
@@ -324,7 +369,11 @@ object TarShards {
     * outside the WebDataset naming contract and are dropped here (they
     * would all collapse onto key "" — regexp_extract yields "" on no
     * match — and then collide as duplicate map keys); [[readMembers]]
-    * still yields them for callers that want raw members.
+    * still yields them for callers that want raw members. A corpus that
+    * repeats the same `<key>.<ext>` (within or across shards) fails
+    * LOUDLY here via Spark's duplicate-map-key error — sample-component
+    * names are the caller's uniqueness contract, and silently keeping
+    * either copy would hide a corrupted export.
     */
   def samples(members: DataFrame): DataFrame =
     members

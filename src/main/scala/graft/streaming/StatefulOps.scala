@@ -144,9 +144,14 @@ object StatefulOps {
       val wmUs = if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
       val incoming = it.map(e => SessionAgg(toMicros(e.ts), toMicros(e.ts), 1L, e.value))
       val merged = sweep(state.getOption.getOrElse(Nil) ++ incoming)
-      // Closed = the watermark passed the close point; no future event
-      // (all ≥ watermark) can land within gap of it. Batch closes all.
-      val (closed, open) = merged.partition(s => s.endUs + gapUs <= wmUs)
+      // Closed = the watermark passed the close point STRICTLY: Spark
+      // admits events with ts == watermark (late means ts < watermark),
+      // and the inclusive gap rule (the q57-pinned contract — a gap
+      // exactly equal to the threshold extends the session) means such
+      // an event still extends a session ending gap-before it. A `<=`
+      // here sealed exactly at the boundary and split what batch merges.
+      // Batch closes all (wmUs = MaxValue).
+      val (closed, open) = merged.partition(s => s.endUs + gapUs < wmUs)
       if (open.isEmpty) { if (state.exists) state.remove() }
       else {
         state.update(open)
@@ -182,12 +187,22 @@ object StatefulOps {
     * State is O(1) per key — (stage, anchor, prev, done) — never an
     * event buffer: the automaton is single-pass over time-ordered
     * events. Each micro-batch's group iterator is time-sorted before
-    * folding; ACROSS batches the operator requires non-decreasing
-    * per-key event time (log-replay / range-staged ingest — what
-    * q199_streaming_pattern stages by construction). A chain that
-    * completes past the deadline parks in `done` (first-touch: no
-    * re-anchor), as does an emitted hit — repeat completions can't
-    * double-emit under AvailableNow restarts within one run.
+    * folding (the BATCH-mode working set is one key's events in one
+    * task — fine for user-keyed streams, a deliberate cost on
+    * pathologically hot keys); ACROSS batches the operator requires
+    * non-decreasing per-key event time (log-replay / range-staged
+    * ingest — what q199_streaming_pattern stages by construction). A
+    * chain that completes past the deadline parks in `done`
+    * (first-touch: no re-anchor), as does an emitted hit — repeat
+    * completions can't double-emit under AvailableNow restarts within
+    * one run.
+    *
+    * State COUNT ∝ anchored keys and is never evicted here: on a
+    * continuous stream over an unbounded key space, bound it upstream
+    * (key TTL at ingest) or drain bounded corpora per run (the
+    * q199/q204 deployment shape) — silent eviction would either forget
+    * chain progress or re-open double-emission. The same note applies
+    * to [[patternOutcomes]]' parked tombstones.
     */
   def matchPattern(
       events: Dataset[TypedEvent],

@@ -85,6 +85,36 @@ class TarShardsSpec extends SparkSpec {
     assert(back.map(_._1) == Seq("f.txt"))
   }
 
+  test("foreign archives: ustar prefix field and GNU 'L' long names parse correctly") {
+    def withChecksum(h: Array[Byte]): Array[Byte] = {
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      h.foreach(b => sum += (b & 0xff))
+      val oct = java.lang.Long.toOctalString(sum)
+      System.arraycopy((("0" * (6 - oct.length)) + oct).getBytes(UTF_8), 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '.toByte
+      h
+    }
+    val out = new ByteArrayOutputStream()
+    // member with a prefix-split path (dir part at offset 345)
+    val pref = TarCodec.header("leaf.txt", 2)
+    System.arraycopy("some/deep/dir".getBytes(UTF_8), 0, pref, 345, 13)
+    out.write(withChecksum(pref))
+    out.write("hi".getBytes(UTF_8)); out.write(new Array[Byte](510))
+    // GNU long-name entry ('L'): data names the NEXT member
+    val longName = ("x" * 120) + ".bin"
+    val l = TarCodec.header("././@LongLink", longName.length.toLong)
+    l(156) = 'L'.toByte
+    out.write(withChecksum(l))
+    out.write(longName.getBytes(UTF_8))
+    out.write(new Array[Byte](512 - longName.length % 512))
+    TarCodec.writeMember(out, "placeholder", "payload".getBytes(UTF_8))
+    TarCodec.writeTrailer(out)
+    val back = TarCodec.parse(out.toByteArray).toSeq
+    assert(back.map(_._1) == Seq("some/deep/dir/leaf.txt", longName))
+    assert(new String(back(1)._2, UTF_8) == "payload")
+  }
+
   test("member names longer than the ustar field are rejected at write") {
     val out = new ByteArrayOutputStream()
     val long = "x" * 101
