@@ -918,6 +918,29 @@ object AnalyticsQueries {
           |  ON c.c_nationkey = a.c_nationkey
           |WHERE c.ctr_total > 1.2 * a.avg_total
           |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    // RFM segmentation — the classic lifecycle scoring, composed from
+    // the exact-rank machinery (QuantileBucket.fused: one two-pass rank
+    // per signal, never a global window): recency (last order instant),
+    // frequency (order count), monetary (DECIMAL-exact spend — a double
+    // sum's engine-dependent addition order could flip near-tie ranks)
+    // each map to exact quintiles; output = customer counts per (r,f,m)
+    // cell. DuckDB replays the rank → ((rank-1)·5) div N buckets
+    // move for move (the q106 discipline).
+    "q207_rfm_segments" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(
+          unix_micros(max(col("o_orderdate")).cast("timestamp")).as("recency"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+      graft.operators.QuantileBucket.fused(base, "cust",
+        Seq(("recency", true), ("frequency", true), ("monetary", true)), k = 5)
+        .groupBy(col("recency_bucket").as("r"), col("frequency_bucket").as("f"),
+          col("monetary_bucket").as("m"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r", "f", "m")
     }
   )
 
@@ -1458,6 +1481,27 @@ object AnalyticsQueries {
         |      FROM ctr GROUP BY 1) a
         |  ON c.c_nationkey = a.c_nationkey
         |WHERE c.ctr_total > 1.2 * a.avg_total
-        |ORDER BY c.c_custkey""".stripMargin
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q207_rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS cust,
+        |    epoch_us(max(o_orderdate)) AS recency,
+        |    count(*) AS frequency,
+        |    sum(o_totalprice::DECIMAL(18,2)) AS monetary
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) cnt FROM base),
+        |r AS (
+        |  SELECT cust,
+        |    row_number() OVER (ORDER BY recency, cust) rr,
+        |    row_number() OVER (ORDER BY frequency, cust) rf,
+        |    row_number() OVER (ORDER BY monetary, cust) rm
+        |  FROM base)
+        |SELECT
+        |  (((rr - 1) * 5) // cnt)::BIGINT AS r,
+        |  (((rf - 1) * 5) // cnt)::BIGINT AS f,
+        |  (((rm - 1) * 5) // cnt)::BIGINT AS m,
+        |  count(*)::BIGINT AS n_customers
+        |FROM r, n GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

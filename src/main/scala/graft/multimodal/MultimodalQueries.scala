@@ -121,6 +121,53 @@ object MultimodalQueries {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LAION-shape image-text WebDataset round trip — the multimodal
+    // export/ingest composite: per doc, a REAL PNG (formula-rendered,
+    // id-derived dimensions) plus its caption text pack as
+    // `<id>.png`/`<id>.txt` members into tar shards
+    // (sources.TarShards), scan back, fold into samples, and the PNG
+    // header parser recovers the dimensions — which DuckDB recomputes
+    // from the same id arithmetic, so a byte slip anywhere in
+    // encode → tar frame → scan → sample-group → header parse is a
+    // hash fail. Scratch lifecycle: lease + eager decouple + release.
+    "q206_media_shard_export" -> { (s, dir) =>
+      import s.implicits._
+      val lease = graft.core.ScratchDirs.lease("graft-media-wds-")
+      try {
+        val members = graft.sources.Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          // the id column scans as ONE partition at small SF; codec work
+          // must spread across every core (the shuffle moves tiny rows)
+          .repartition(s.sparkContext.defaultParallelism)
+          .flatMap { case (id, text) =>
+            val w = (id % 12 + 2).toInt
+            val h = (id % 10 + 2).toInt
+            val png = Codecs.encodePng(w, h, (x, y) =>
+              (((x * 7 + y * 11 + id) % 256).toInt << 16) | 0x007f7f)
+            Seq(
+              graft.sources.TarShards.Member((id % 8).toInt, f"$id%012d.png", png),
+              graft.sources.TarShards.Member((id % 8).toInt, f"$id%012d.txt",
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        graft.sources.TarShards.pack(members, lease): Unit
+        graft.sources.TarShards
+          .samples(graft.sources.TarShards.readMembers(s, lease))
+          .select(col("key").cast("long").as("doc_id"),
+            element_at(col("components"), "png").as("png"),
+            length(element_at(col("components"), "txt")).cast("long").as("txt_bytes"))
+          .as[(Long, Array[Byte], Long)]
+          .map { case (id, png, txtBytes) =>
+            val meta = ImageHeaders.decode(png).getOrElse(
+              throw new IllegalStateException(s"undecodable PNG for doc $id"))
+            (id, meta.widthPx, meta.heightPx, txtBytes)
+          }
+          .toDF("doc_id", "width_px", "height_px", "txt_bytes")
+          .localCheckpoint(true)
+          .orderBy("doc_id")
+      } finally graft.core.ScratchDirs.release(lease)
+    },
+
     // Metadata + payload accounting + frame-sampling plumbing, all
     // SQL-expressible: per media kind, payload byte totals, the frame
     // count a stride-2 sampler of 256-byte frames would produce, and the
@@ -394,6 +441,13 @@ object MultimodalQueries {
       |     ELSE octet_length(encode(text)) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q206_media_shard_export" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 12 + 2 AS INT) AS width_px,
+        |  CAST(doc_id % 10 + 2 AS INT) AS height_px,
+        |  CAST(strlen(text) AS BIGINT) AS txt_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q34_multimodal_meta" ->
       s"""WITH m AS (
          |  SELECT
