@@ -941,6 +941,33 @@ object AnalyticsQueries {
           col("monetary_bucket").as("m"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("r", "f", "m")
+    },
+
+    // Population-stability-index drift monitor — the standard production
+    // check that a new corpus slice still looks like the reference
+    // (feature drift before it poisons training): fixed-width n_chars
+    // buckets, Laplace-smoothed (+0.5) shares on BOTH sides (empty
+    // one-sided buckets exist in the real data), PSI = Σ (p−q)·ln(p/q)
+    // rounded 6dp, flagged at the classic 0.2 bar. One aggregation +
+    // broadcast totals; DuckDB replays the identical arithmetic.
+    "q209_psi_drift" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(
+        when(col("source") === "src0", lit("ref")).otherwise(lit("cur")).as("cohort"),
+        expr("n_chars div 50").as("b"))
+      val counts = d.groupBy("b").agg(
+        sum(when(col("cohort") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("cohort") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val tot = counts.agg(
+        sum("n_ref").as("rt"), sum("n_cur").as("ct"), count(lit(1)).as("nb"))
+      val scored = counts.crossJoin(broadcast(tot))
+        .withColumn("p", (col("n_ref") + lit(0.5)) / (col("rt") + lit(0.5) * col("nb")))
+        .withColumn("q", (col("n_cur") + lit(0.5)) / (col("ct") + lit(0.5) * col("nb")))
+        .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      val psi = scored.agg(round(sum("term"), 6).as("psi"))
+      scored.select(col("b"), col("n_ref"), col("n_cur"))
+        .crossJoin(broadcast(psi))
+        .withColumn("drifted", col("psi") > 0.2)
+        .orderBy("b")
     }
   )
 
@@ -1502,6 +1529,27 @@ object AnalyticsQueries {
         |  (((rf - 1) * 5) // cnt)::BIGINT AS f,
         |  (((rm - 1) * 5) // cnt)::BIGINT AS m,
         |  count(*)::BIGINT AS n_customers
-        |FROM r, n GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |FROM r, n GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q209_psi_drift" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN source = 'src0' THEN 'ref' ELSE 'cur' END cohort,
+        |    n_chars // 50 AS b
+        |  FROM documents),
+        |counts AS (
+        |  SELECT b,
+        |    count(*) FILTER (WHERE cohort = 'ref') AS n_ref,
+        |    count(*) FILTER (WHERE cohort = 'cur') AS n_cur
+        |  FROM d GROUP BY b),
+        |tot AS (SELECT sum(n_ref) rt, sum(n_cur) ct, count(*) nb FROM counts),
+        |scored AS (
+        |  SELECT b, n_ref, n_cur,
+        |    (n_ref + 0.5) / (rt + 0.5 * nb) AS p,
+        |    (n_cur + 0.5) / (ct + 0.5 * nb) AS q
+        |  FROM counts, tot),
+        |psi AS (SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM scored)
+        |SELECT b, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+        |  psi, psi > 0.2 AS drifted
+        |FROM scored, psi ORDER BY b""".stripMargin
   )
 }

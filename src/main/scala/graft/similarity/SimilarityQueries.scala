@@ -104,6 +104,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     },
 
+    // Matryoshka-style dimension-truncation evaluation: does retrieval
+    // survive keeping only the first 32 of 64 dims (the
+    // storage/compute halving question)? Exact top-1 under full vs
+    // truncated cosine per query, plus the agreement flag — all
+    // SQL-expressible (DuckDB slices the list), so the evaluation
+    // itself is hash-gated, not just its conclusion.
+    "q208_matryoshka_eval" -> { (s, dir) =>
+      val full = emb(s, dir)
+      val half = full.withColumn("embedding", slice(col("embedding"), 1, 32))
+      val fullNn = BruteForceKnn.topK(full, full, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id").as("full_nn"))
+      val halfNn = BruteForceKnn.topK(half, half, "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id").as("half_nn"))
+      fullNn.join(halfNn, "query_id")
+        .select(col("query_id"), col("full_nn"), col("half_nn"),
+          (col("full_nn") === col("half_nn")).as("agree"))
+        .orderBy("query_id")
+    },
+
     // Oracle-checked recall@1 differential for the LSH path (the recall
     // floor the q25 contract row defers to): the fraction of queries whose LSH best-cosine
     // equals the exact brute-force best must clear a pinned threshold.
@@ -543,6 +562,29 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, rnk, round(cosine, 6) AS cosine
          |FROM r WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "q208_matryoshka_eval" ->
+      s"""WITH $vecsSql,
+         |hv AS (
+         |  SELECT vec_id, (embedding::DOUBLE[])[1:32] v,
+         |    sqrt(list_dot_product((embedding::DOUBLE[])[1:32],
+         |                          (embedding::DOUBLE[])[1:32])) n
+         |  FROM embeddings),
+         |fp AS (
+         |  SELECT a.vec_id query_id, b.vec_id neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_dot_product(a.v, b.v) / (a.n * b.n) DESC, b.vec_id) rnk
+         |  FROM vecs a JOIN vecs b ON a.vec_id != b.vec_id),
+         |hp AS (
+         |  SELECT a.vec_id query_id, b.vec_id neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_dot_product(a.v, b.v) / (a.n * b.n) DESC, b.vec_id) rnk
+         |  FROM hv a JOIN hv b ON a.vec_id != b.vec_id)
+         |SELECT f.query_id, f.neighbor_id AS full_nn, h.neighbor_id AS half_nn,
+         |  f.neighbor_id = h.neighbor_id AS agree
+         |FROM (SELECT * FROM fp WHERE rnk = 1) f
+         |JOIN (SELECT * FROM hp WHERE rnk = 1) h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     "q201_hard_negatives" ->
       """WITH vecs AS (
