@@ -89,4 +89,36 @@ object AsOfJoin {
         keyCols.map(col) ++ leftCols.diff(keyCols).map(col) ++
           (s"asof_$rightTime" +: carry).map(c => col("__r")(c).as(c)): _*)
   }
+
+  /** Forward as-of join: for every left row (key, t), attach the right
+    * row with the SMALLEST right-time ≥ t for the same key ("next
+    * snapshot at or after" — the scheduling/SLA/next-touch direction
+    * [[backward]] cannot express). Implemented by time-reversal duality:
+    * forward on t is exactly backward on a negated µs axis (negation
+    * flips ≤ into ≥, so exact-tie snapshots stay visible). Same
+    * single-shuffle union-and-sweep cost model; the snapshot's real time
+    * re-emits as `asof_<rightTime>`. Time columns must be
+    * timestamp-typed (the negation goes through `unix_micros`).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val carry =
+      if (rightValues.nonEmpty) rightValues
+      else right.columns.toSeq.diff(keyCols :+ rightTime)
+    val negL = left
+      .withColumn("__fwd", -unix_micros(col(leftTime).cast("timestamp")))
+    val negR = right
+      .withColumn("__fwd", -unix_micros(col(rightTime).cast("timestamp")))
+      .withColumn("__fwd_rt", col(rightTime))
+      .drop(rightTime)
+    backward(negL, negR, keyCols, "__fwd", "__fwd", carry :+ "__fwd_rt")
+      .withColumn(s"asof_$rightTime", col("__fwd_rt"))
+      .drop("__fwd", "asof___fwd", "__fwd_rt")
+  }
 }

@@ -752,6 +752,20 @@ object ParityQueries {
         .orderBy("fold", "role")
     },
 
+    // Forward as-of join ("next order at or after the event" — the
+    // next-touch direction; q18/q186 cover backward): time-reversal
+    // delegation to the same union-and-sweep, one shuffle. The oracle is
+    // the min-join recompute; ties inclusive (≥).
+    "q210_asof_forward" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+      AsOfJoin.forward(ev, ord, Seq("user_id"), "ts", "o_orderdate")
+        .select(col("event_id"), col("user_id"),
+          col("asof_o_orderdate").as("next_order_ts"))
+        .orderBy("event_id")
+    },
+
     // Weighted systematic resampling: exactly 100 selections over the
     // documents table with inclusion counts ∝ length(text), decided by
     // pure integer arithmetic on the md5-ordered mass line — the oracle
@@ -1176,6 +1190,13 @@ object ParityQueries {
     "q198_pattern_match" -> patternMatchOracle,
 
     "q203_pattern_outcomes" -> patternOutcomeOracle,
+
+    "q210_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP ts FROM events),
+        |o AS (SELECT o_custkey AS user_id, o_orderdate::TIMESTAMP ot FROM orders)
+        |SELECT e.event_id, e.user_id, min(o.ot) AS next_order_ts
+        |FROM e LEFT JOIN o ON e.user_id = o.user_id AND o.ot >= e.ts
+        |GROUP BY 1, 2 ORDER BY event_id""".stripMargin,
 
     // Integer-µs bound/role arithmetic replayed exactly; embargo 6h.
     "q205_purged_cv" ->

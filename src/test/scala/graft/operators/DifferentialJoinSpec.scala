@@ -60,6 +60,30 @@ class DifferentialJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of equals the naive smallest-time-at-or-after theta join") {
+    for (seed <- 1L to 5L) {
+      val (l, r) = randomCase(seed)
+      val left = l.toDF("event_id", "k", "t")
+      val right = r.toDF("k", "rt", "snap")
+
+      val got = AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq("snap"))
+        .select(col("event_id"), col("asof_rt"), col("snap"))
+
+      val naive = left.as("l")
+        .join(right.as("r"), col("l.k") === col("r.k") && col("r.rt") >= col("l.t"), "left")
+        .groupBy(col("event_id"), col("l.t"))
+        .agg(min(col("r.rt")).as("asof_rt"),
+          min_by(col("r.snap"), col("r.rt")).as("snap"))
+        .select(col("event_id"), col("asof_rt"), col("snap"))
+
+      val gotRows = got.collect().map(row => row.getLong(0) ->
+        (Option(row.get(1)), Option(row.get(2)))).toMap
+      val naiveRows = naive.collect().map(row => row.getLong(0) ->
+        (Option(row.get(1)), Option(row.get(2)))).toMap
+      assert(gotRows == naiveRows, s"seed $seed")
+    }
+  }
+
   test("range join equals the naive containment theta join") {
     for (seed <- 1L to 5L) {
       val (l, r) = randomCase(seed)
