@@ -277,6 +277,62 @@ object Pipeline {
     (filters.headOption, limits.headOption.getOrElse(10))
   }
 
+  /** One export's summary: shard files written/skipped + payload totals. */
+  final case class ShardExport(shards: Long, members: Long,
+                               payloadBytes: Long, resumedShards: Long)
+
+  /** `Pipeline export-shards` — the training-export surface: pack a
+    * parquet table's (id, text) rows into WebDataset-style tar shards
+    * ([[graft.sources.TarShards]]), resume-aware (a rerun over a
+    * partially written destination only builds the missing shards).
+    */
+  def exportShards(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outDir: String,
+      nShards: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): ShardExport = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import spark.implicits._
+    val members = spark.read.parquet(inPath)
+      .select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        graft.sources.TarShards.Member(
+          java.lang.Math.floorMod(id, nShards.toLong).toInt,
+          f"$id%020d.txt",
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    val manifest = graft.sources.TarShards.pack(members, outDir, resume = true)
+    val t = manifest.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum("n_members"),
+      org.apache.spark.sql.functions.sum("member_bytes"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("resumed"), 1L).otherwise(0L))).head()
+    ShardExport(t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3))
+  }
+
+  private def exportShardsMain(args: Array[String]): Unit = {
+    val usage =
+      "usage: Pipeline export-shards <inParquet> <outDir> [nShards] [idCol] [textCol]"
+    require(args.length >= 2 && !args(0).startsWith("-"), usage)
+    val nShards = if (args.length > 2) {
+      require(args(2).toIntOption.isDefined, s"nShards must be an int: ${args(2)}\n$usage")
+      args(2).toInt
+    } else 64
+    val spark = graft.core.EngineSession.create()
+    val r = exportShards(spark, args(0), args(1), nShards,
+      idCol = if (args.length > 3) args(3) else "doc_id",
+      textCol = if (args.length > 4) args(4) else "text")
+    println(s"shards=${r.shards} members=${r.members} " +
+      s"payload_bytes=${r.payloadBytes} resumed_shards=${r.resumedShards}")
+    spark.stop()
+  }
+
   private def statusMain(args: Array[String]): Unit = {
     val usage = "usage: Pipeline status <outDir> [RUNNING|SUCCESS|FAILED] [limit]"
     require(args.nonEmpty && !args(0).startsWith("-"), usage)
@@ -310,10 +366,12 @@ object Pipeline {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("status")) return statusMain(args.drop(1))
     if (args.headOption.contains("cleanup")) return cleanupMain(args.drop(1))
+    if (args.headOption.contains("export-shards")) return exportShardsMain(args.drop(1))
     require(args.length >= 2,
       "usage: Pipeline <inPathOrDir> <outDir> [parquet|csv|json] | " +
         "Pipeline status <outDir> [RUNNING|SUCCESS|FAILED] [limit] | " +
-        "Pipeline cleanup <outDir> [--force] [--delete-ledger]")
+        "Pipeline cleanup <outDir> [--force] [--delete-ledger] | " +
+        "Pipeline export-shards <inParquet> <outDir> [nShards] [idCol] [textCol]")
     val spark = graft.core.EngineSession.create()
     val in = args(0)
     val source =
