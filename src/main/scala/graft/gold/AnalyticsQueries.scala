@@ -968,6 +968,22 @@ object AnalyticsQueries {
         .crossJoin(broadcast(psi))
         .withColumn("drifted", col("psi") > 0.2)
         .orderBy("b")
+    },
+
+    // Recursive hierarchy resolution — the WITH RECURSIVE surface Spark
+    // lacks, via pointer doubling (Hierarchy): root + exact depth for
+    // every node of the part category forest (parent = key div 8, keys
+    // 0-7 self-rooted). O(log depth) keyed self-joins instead of a
+    // per-level walk; the oracle IS DuckDB's native WITH RECURSIVE, so
+    // the gate proves the doubling loop ≡ textbook recursion on the
+    // full per-node frame.
+    "q211_hierarchy" -> { (s, dir) =>
+      val nodes = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("node"),
+        when(col("p_partkey") < 8, col("p_partkey"))
+          .otherwise(expr("p_partkey div 8")).cast("long").as("parent"))
+      graft.operators.Hierarchy.rootAndDepth(nodes, maxRounds = 8)
+        .orderBy("node")
     }
   )
 
@@ -1550,6 +1566,21 @@ object AnalyticsQueries {
         |psi AS (SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM scored)
         |SELECT b, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
         |  psi, psi > 0.2 AS drifted
-        |FROM scored, psi ORDER BY b""".stripMargin
+        |FROM scored, psi ORDER BY b""".stripMargin,
+
+    "q211_hierarchy" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT p_partkey::BIGINT AS node,
+        |    (CASE WHEN p_partkey < 8 THEN p_partkey
+        |          ELSE p_partkey // 8 END)::BIGINT AS parent
+        |  FROM part),
+        |walk AS (
+        |  SELECT node, node AS root, 0::BIGINT AS depth
+        |  FROM nodes WHERE node = parent
+        |  UNION ALL
+        |  SELECT n.node, w.root, w.depth + 1
+        |  FROM nodes n JOIN walk w ON n.parent = w.node
+        |  WHERE n.node <> n.parent)
+        |SELECT node, root, depth FROM walk ORDER BY node""".stripMargin
   )
 }
