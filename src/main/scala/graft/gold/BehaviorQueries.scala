@@ -311,6 +311,73 @@ object BehaviorQueries {
           |    max_sd >= timestamp'2001-01-01 00:00:00'
           |) as (check_name, metric, passed)""".stripMargin))
         .orderBy("check_name")
+    },
+
+    // Interval algebra over the event stream: each event opens a session
+    // interval [ts, ts + (event_id % 120 + 1) s); per user, report the
+    // UNION length of the intervals (overlap-free covered time) and the
+    // PEAK CONCURRENCY (max simultaneously-open intervals) — the
+    // utilization/occupancy shape (ad delivery, device sessions, billing
+    // meters) that naive sum-of-durations double-counts. Sweep-line as
+    // pure windows: coverage adds max(0, end - max(start, prev_max_end))
+    // under a (user, start) sort; concurrency is a running sum over
+    // +1/-1 boundary events where ends sort BEFORE starts at the same
+    // instant (half-open intervals). Everything is integer microseconds;
+    // both window families and both aggregations share the user_id
+    // partitioning — one exchange family, never a global sort.
+    "q212_interval_coverage" -> { (s, dir) =>
+      val iv = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          (col("event_id") % 120 + 1) * lit(1000000L)).as("e_us"))
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cov = iv
+        .withColumn("prev_max", max(col("e_us")).over(wPrev))
+        .withColumn("add", greatest(
+          col("e_us") - greatest(col("s_us"), coalesce(col("prev_max"), col("s_us"))),
+          lit(0L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"), sum("add").as("covered_us"))
+      val bounds = iv.select(col("user_id"), col("s_us").as("tick"), lit(1L).as("d"))
+        .unionAll(iv.select(col("user_id"), col("e_us").as("tick"), lit(-1L).as("d")))
+      // Default RANGE frame: peers at the same (tick, d) aggregate
+      // together, so the running sum is tie-order-independent.
+      val wRun = Window.partitionBy("user_id").orderBy("tick", "d")
+      val peak = bounds
+        .withColumn("run", sum(col("d")).over(wRun))
+        .groupBy("user_id")
+        .agg(max("run").as("peak_concurrency"))
+      cov.join(peak, Seq("user_id")).orderBy("user_id")
+    },
+
+    // CUSUM change-point detection on the daily event-type series — the
+    // drift monitor PSI (q209) cannot give: WHERE in time a rate shifted,
+    // not just that two cohorts differ. The sequential recurrence
+    // S_t = max(0, S_{t-1} + dev_t) is closed-formed as
+    // S_t = P_t - min(0, running_min(P)) over the prefix sums P of the
+    // integer deviations dev_t = x_t * D - T (count scaled by day count
+    // minus total: exactly "x_t - mean" with no division) — so the whole
+    // CUSUM is two window passes per event_type, all BIGINT, replayed
+    // exactly by DuckDB. Alarm when 4*S exceeds T*D (cumulative excess
+    // above a quarter of the mean total).
+    "q213_cusum_drift" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("dd"), sum("x").as("tt"))
+      val wp = Window.partitionBy("event_type").orderBy("day")
+      daily.join(tot, Seq("event_type"))
+        .withColumn("dev", col("x") * col("dd") - col("tt"))
+        .withColumn("p", sum(col("dev")).over(wp))
+        .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(wp)))
+        .select(col("event_type"), col("day"), col("x"), col("cusum"),
+          (col("cusum") * 4 > col("tt") * col("dd")).as("alarm"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -499,6 +566,57 @@ object BehaviorQueries {
         |  UNION ALL SELECT 'set_l_returnflag', n_bad_rf::DOUBLE, n_bad_rf = 0 FROM m
         |  UNION ALL SELECT 'freshness_l_shipdate', year(max_sd)::DOUBLE,
         |    max_sd >= TIMESTAMP '2001-01-01 00:00:00' FROM m)
-        |ORDER BY check_name""".stripMargin
+        |ORDER BY check_name""".stripMargin,
+
+    "q212_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts::TIMESTAMP) AS s_us,
+        |    epoch_us(ts::TIMESTAMP) + ((event_id % 120) + 1) * 1000000 AS e_us
+        |  FROM events),
+        |cov AS (
+        |  SELECT user_id,
+        |    greatest(e_us - greatest(s_us,
+        |      coalesce(max(e_us) OVER (PARTITION BY user_id
+        |        ORDER BY s_us, e_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s_us)),
+        |      0) AS adds
+        |  FROM iv),
+        |bounds AS (
+        |  SELECT user_id, s_us AS tick, 1 AS d FROM iv
+        |  UNION ALL
+        |  SELECT user_id, e_us, -1 FROM iv),
+        |conc AS (
+        |  SELECT user_id,
+        |    sum(d) OVER (PARTITION BY user_id ORDER BY tick, d) AS run
+        |  FROM bounds)
+        |SELECT c.user_id, c.n_intervals, c.covered_us, p.peak_concurrency
+        |FROM (SELECT user_id, count(*)::BIGINT AS n_intervals,
+        |        sum(adds)::BIGINT AS covered_us FROM cov GROUP BY 1) c
+        |JOIN (SELECT user_id, max(run)::BIGINT AS peak_concurrency
+        |      FROM conc GROUP BY 1) p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q213_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+        |    count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, count(*)::BIGINT AS dd, sum(x)::BIGINT AS tt
+        |  FROM daily GROUP BY 1),
+        |pre AS (
+        |  SELECT d.event_type, d.day, d.x, t.dd, t.tt,
+        |    sum(d.x * t.dd - t.tt) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day) AS p
+        |  FROM daily d JOIN tot t USING (event_type)),
+        |cus AS (
+        |  SELECT event_type, day, x, dd, tt,
+        |    p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day))
+        |      AS cusum
+        |  FROM pre)
+        |SELECT event_type, day, x, cusum::BIGINT AS cusum,
+        |  cusum * 4 > tt * dd AS alarm
+        |FROM cus ORDER BY event_type, day""".stripMargin
   )
 }

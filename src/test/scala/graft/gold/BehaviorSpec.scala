@@ -99,4 +99,61 @@ class BehaviorSpec extends SparkSpec {
     assert(failedChecks.toSeq == Seq("pk_unique"),
       s"failed: ${failedChecks.mkString(", ")}")
   }
+
+  test("interval coverage/peak match a brute-force sequential sweep") {
+    // Independent recompute: collect the raw events, rebuild the same
+    // intervals, and run the textbook in-memory sweep per user — the
+    // windowed query must agree exactly on every user.
+    val raw = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + (col("event_id") % 120 + 1) * lit(1000000L)).as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = raw.groupBy(_._1).map { case (u, ivs) =>
+      val sorted = ivs.map(t => (t._2, t._3)).sortBy(identity)
+      var maxEnd = Long.MinValue
+      var covered = 0L
+      sorted.foreach { case (s, e) =>
+        covered += math.max(0L, e - math.max(s, if (maxEnd == Long.MinValue) s else maxEnd))
+        maxEnd = math.max(maxEnd, e)
+      }
+      val ticks = ivs.flatMap(t => Seq((t._2, 1), (t._3, -1))).sortBy(identity)
+      var run = 0
+      var peak = 0
+      ticks.foreach { t => run += t._2; peak = math.max(peak, run) }
+      u -> (ivs.size.toLong, covered, peak.toLong)
+    }
+    val got = BehaviorQueries.queries("q212_interval_coverage")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+    // the union length is genuinely shorter than the naive duration sum
+    // somewhere (the query is not just sum(e - s))
+    val naive = raw.groupBy(_._1).map { case (u, ivs) =>
+      u -> ivs.map(t => t._3 - t._2).sum }
+    assert(naive.exists { case (u, n) => n > got(u)._2 })
+  }
+
+  test("closed-form CUSUM equals the sequential recurrence") {
+    val got = BehaviorQueries.queries("q213_cusum_drift")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // Recompute S_t = max(0, S_{t-1} + dev_t) the slow sequential way
+    // from the same daily counts.
+    got.keys.map(_._1).toSeq.distinct.foreach { et =>
+      val days = got.filter(_._1._1 == et).toSeq.sortBy(_._1._2)
+      val xs = days.map(_._2._1)
+      val dd = xs.size.toLong
+      val tt = xs.sum
+      var s = 0L
+      days.zip(xs).foreach { case (((_, _), (_, cusum)), x) =>
+        s = math.max(0L, s + (x * dd - tt))
+        assert(cusum == s, s"cusum mismatch for $et")
+      }
+    }
+    assert(got.nonEmpty)
+  }
 }
