@@ -295,17 +295,30 @@ object Pipeline {
       textCol: String = "text"): ShardExport = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     import spark.implicits._
+    // Null id/text rows are real in corpus parquet; without this guard
+    // they surface as an opaque executor NPE (text.getBytes) or an
+    // encoder null-in-nonnullable error rather than a clean export.
+    // A null key has no shard/name and a null text no payload — drop
+    // them in the SAME pass (accumulator, not a second count() scan of
+    // a possibly-100TB table) and report the count on stderr.
+    val droppedNulls = spark.sparkContext.longAccumulator("export_shards_dropped_nulls")
     val members = spark.read.parquet(inPath)
       .select(org.apache.spark.sql.functions.col(idCol).cast("long"),
         org.apache.spark.sql.functions.col(textCol).cast("string"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        graft.sources.TarShards.Member(
-          java.lang.Math.floorMod(id, nShards.toLong).toInt,
-          f"$id%020d.txt",
-          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .flatMap { row =>
+        if (row.isNullAt(0) || row.isNullAt(1)) { droppedNulls.add(1L); None }
+        else {
+          val id = row.getLong(0)
+          Some(graft.sources.TarShards.Member(
+            java.lang.Math.floorMod(id, nShards.toLong).toInt,
+            f"$id%020d.txt",
+            row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
       }
     val manifest = graft.sources.TarShards.pack(members, outDir, resume = true)
+    if (droppedNulls.value > 0)
+      System.err.println(
+        s"export-shards: dropped ${droppedNulls.value} row(s) with null $idCol/$textCol")
     val t = manifest.agg(
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
       org.apache.spark.sql.functions.sum("n_members"),

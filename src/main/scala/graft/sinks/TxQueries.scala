@@ -45,9 +45,12 @@ object TxQueries {
         val timeTravelOk =
           TxTable.readVersion(s, tableDir, 1L).count() == ev.count()
         TxTable.vacuum(s, tableDir, keep = 1, graceMs = 0L)
+        // Catch ONLY the typed expungement signal: a blanket Throwable
+        // would let an unrelated failure (FS error, OOM, interrupt) pass
+        // the compliance boolean vacuously.
         val expungedOk =
           try { TxTable.readVersion(s, tableDir, 1L).count(); false }
-          catch { case _: Throwable => true }
+          catch { case _: TxTable.VacuumedVersionException => true }
         TxTable.read(s, tableDir)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),

@@ -91,11 +91,25 @@ object TxTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     readVersion(spark, dir, currentVersion(spark, dir))
 
+  /** Thrown by [[readVersion]] when the version IS in the commit log but
+    * its data directory has been physically expunged by [[vacuum]] —
+    * the typed signal compliance checks (GDPR expungement proof) catch,
+    * distinguishable from unrelated failures (FS error, OOM, missing
+    * version).
+    */
+  final class VacuumedVersionException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Time travel to an exact committed version. Reads one commit file. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val c = readCommit(spark, dir, version).getOrElse(
       throw new IllegalArgumentException(s"no committed version $version in $dir"))
-    spark.read.parquet(new Path(dir, c.dataDir).toString)
+    val dataPath = new Path(dir, c.dataDir)
+    if (!fs(spark, dir).exists(dataPath))
+      throw new VacuumedVersionException(
+        s"version $version of $dir is committed but its data " +
+          s"(${c.dataDir}) has been vacuumed")
+    spark.read.parquet(dataPath.toString)
   }
 
   /** Change data feed: classify every key's transition between two

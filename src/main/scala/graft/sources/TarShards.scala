@@ -83,8 +83,9 @@ object TarShards {
       var sum = 0L
       var i = 0
       while (i < Block) { sum += (h(i) & 0xff); i += 1 }
-      putOctal(h, 148, 7, sum)        // 6 digits + NUL …
-      h(155) = ' '                    // … + space: the form both tars emit
+      putOctal(h, 148, 7, sum)        // 6 digits …
+      h(154) = 0                      // … + NUL …
+      h(155) = ' '                    // … + space: "dddddd\0 ", the form GNU/BSD tar emit
       h
     }
 
@@ -285,16 +286,23 @@ object TarShards {
           val in = fs.open(path)
           val (n, payload) = try TarCodec.scanStats(in) finally in.close()
           Iterator((shard, path.getName, n, payload, true))
+        } else if (fs.exists(path)) {
+          // Retry safety (not just resume): a prior attempt of THIS
+          // task may have committed its rename and died before
+          // reporting success — Spark then re-runs the task, and
+          // failing here would deterministically abort the job on
+          // every retry. By determinism the committed bytes are
+          // exactly what this attempt would write, so reconstruct the
+          // manifest row from a header-only scan, like the resume
+          // path (but `resumed = false`: it is THIS export's commit).
+          // Caveat: a stale shard from a DIFFERENT export into the
+          // same directory is indistinguishable from a prior commit
+          // and is accepted as-is — export into a clean directory
+          // (the CLI's export-shards does).
+          val in = fs.open(path)
+          val (n, payload) = try TarCodec.scanStats(in) finally in.close()
+          Iterator((shard, path.getName, n, payload, false))
         } else {
-          // A pre-existing final file outside resume mode is either a
-          // stale different export (caller must clean or pass
-          // resume=true) or corruption — never silently overwrite it.
-          // Checked BEFORE writing: if the name appears later, it can
-          // only be a racing attempt of THIS task, whose bytes are
-          // identical by determinism (the discard path below).
-          require(!fs.exists(path),
-            s"$path already exists — pass resume = true to skip complete " +
-              "shards, or export into a clean directory")
           // Attempt-unique tmp: concurrent attempts of the same task
           // (speculation, zombie retry) must not truncate each other's
           // in-progress stream and rename interleaved bytes to the

@@ -240,7 +240,11 @@ object StatefulOps {
         }
         i += 1
       }
-      state.update(st)
+      // Only persist state for keys that ANCHORED (advanced past stage
+      // 0) or already had state — otherwise every key ever seen grows
+      // the store forever under NoTimeout, violating the scaladoc's
+      // "state COUNT ∝ anchored keys" (mirrors patternOutcomes' guard).
+      if (st.stage > 0 || st.done || state.exists) state.update(st)
       if (hit == null) Iterator.empty else Iterator.single(hit)
     }
 

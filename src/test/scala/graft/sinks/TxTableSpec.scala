@@ -143,7 +143,7 @@ class TxTableSpec extends SparkSpec {
     TxTable.vacuum(spark, dir, keep = 2)
     assert(rows(dir).keySet == Set(1L, 2L, 3L, 4L))        // latest intact
     assert(TxTable.readVersion(spark, dir, 3).count() == 3) // kept
-    intercept[Exception] { TxTable.readVersion(spark, dir, 1).count() } // vacuumed
+    intercept[TxTable.VacuumedVersionException] { TxTable.readVersion(spark, dir, 1).count() } // vacuumed: typed signal
     assert(TxTable.history(spark, dir).length == 4)         // log retained
   }
 
