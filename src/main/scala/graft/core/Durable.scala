@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Round-boundary materialization policy for iterative operators
+  * (k-core, PageRank, label propagation, Lloyd, budget select, …).
+  *
+  * Every multi-round loop must cut lineage at each round or plans
+  * compound exponentially. HOW it cuts is a deployment choice:
+  *
+  *  - `checkpointDir = None` → `localCheckpoint()`: no extra I/O, but
+  *    the materialized blocks live on executors — fine for a short job
+  *    on a stable cluster, fatal for a multi-hour 100 TB job where a
+  *    single executor decommission mid-iteration kills everything.
+  *  - `checkpointDir = Some(dir)` → one parquet round-trip per round
+  *    under `dir/<tag>`: durable against executor loss (HDFS/object
+  *    store), restartable, and the round outputs are inspectable.
+  *
+  * Both produce the same rows; specs for each operator pin
+  * durable ≡ ephemeral per round and in the final result.
+  */
+object Durable {
+
+  def materialize(df: DataFrame, checkpointDir: Option[String], tag: String): DataFrame =
+    checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(d) =>
+        val path = s"$d/$tag"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+    }
+}

@@ -26,29 +26,38 @@ object LabelPropagation {
 
   /** @param edges directed (src, dst) pairs — pass both directions for
     *              an undirected graph (the caller owns orientation)
+    * @param checkpointDir durable round boundaries ([[graft.core.Durable]]):
+    *   `None` = ephemeral `localCheckpoint`; `Some(dir)` = parquet
+    *   rounds, surviving executor loss on a long 100 TB run.
+    *   LabelPropagationSpec pins durable ≡ ephemeral.
     * @return (id, label) with label = the community exemplar (an id)
     */
-  def run(edges: DataFrame, iterations: Int): DataFrame = {
+  def run(edges: DataFrame, iterations: Int,
+          checkpointDir: Option[String] = None): DataFrame = {
+    def mat(df: DataFrame, tag: String): DataFrame =
+      graft.core.Durable.materialize(df, checkpointDir, tag)
     // Materialize the edge list once: it re-enters the join EVERY round,
     // and an expensive upstream derivation (the q141/q165 graphs are a
     // fact-table join + distinct) would otherwise recompute per round.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var labels = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val e = mat(edges.select(col("src"), col("dst")), "edges")
+    var labels = mat(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct()
+        .withColumn("label", col("id")),
+      "labels0")
     val byVotes = Window.partitionBy("id").orderBy(col("n").desc, col("label").asc)
-    for (_ <- 1 to iterations) {
+    for (round <- 1 to iterations) {
       val neighborVotes = e.join(labels, e("src") === labels("id"))
         .select(e("dst").as("id"), col("label"))
       val votes = neighborVotes.unionByName(labels.select(col("id"), col("label")))
-      labels = votes.groupBy(col("id"), col("label"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(byVotes))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("label"))
-        .localCheckpoint()
+      labels = mat(
+        votes.groupBy(col("id"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(byVotes))
+          .filter(col("rn") === 1)
+          .select(col("id"), col("label")),
+        s"labels$round")
     }
     labels
   }

@@ -30,23 +30,32 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** @param edges (src, dst) directed edge list, pre-deduplicated.
+    * @param checkpointDir durable round boundaries ([[graft.core.Durable]]):
+    *   `None` = ephemeral `localCheckpoint` (short jobs); `Some(dir)` =
+    *   parquet rounds — the 100 TB mode, where an executor decommission
+    *   mid-iteration must not restart a multi-hour job. PageRankSpec
+    *   pins durable ≡ ephemeral.
     * @return (id, rank) for every node appearing as src or dst.
     */
   def run(
       edges: DataFrame,
       iterations: Int,
-      damping: Double = 0.85
+      damping: Double = 0.85,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
+    def mat(df: DataFrame, tag: String): DataFrame =
+      graft.core.Durable.materialize(df, checkpointDir, tag)
+    val e = mat(edges.select(col("src").cast("long"), col("dst").cast("long")),
+      "edges")
     // Materialized once like e/nodes — lazy, every iteration's
-    // localCheckpoint would replay this corpus-sized shuffle+agg.
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint()
+    // round boundary would replay this corpus-sized shuffle+agg.
+    val outdeg = mat(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+      "outdeg")
+    val nodes = mat(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct(),
+      "nodes")
     val n = nodes.count()
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -59,13 +68,14 @@ object PageRank {
           (col("rank") / col("outdeg")).cast("decimal(28,15)").as("w"))
         .groupBy(col("dst"))
         .agg(sum(col("w")).cast("double").as("inflow"))
-      ranks = nodes
-        .join(contribs, nodes("id") === contribs("dst"), "left_outer")
-        .select(col("id"),
-          round(lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 12)
-            .as("rank"))
-        .localCheckpoint()
       i += 1
+      ranks = mat(
+        nodes
+          .join(contribs, nodes("id") === contribs("dst"), "left_outer")
+          .select(col("id"),
+            round(lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 12)
+              .as("rank")),
+        s"ranks$i")
     }
     ranks
   }

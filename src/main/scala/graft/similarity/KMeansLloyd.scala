@@ -39,18 +39,27 @@ object KMeansLloyd {
   /** Run `iterations` Lloyd steps from the deterministic lowest-id init.
     * @return final model plus per-vector assignments (id, v, cell).
     */
+  /** @param checkpointDir Lloyd's only cluster-resident loop state is
+    *   the materialized input scan `v` (centroids live on the driver,
+    *   k·dim doubles). `None` = `localCheckpoint` (blocks die with an
+    *   executor, restarting the whole fit on a long run); `Some(dir)` =
+    *   one durable parquet copy every iteration re-reads
+    *   ([[graft.core.Durable]]). KMeansSpec pins durable ≡ ephemeral.
+    */
   def fit(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iterations: Int
+      iterations: Int,
+      checkpointDir: Option[String] = None
   ): Result = {
-    val v = vectors
-      .select(col(idCol).cast("long").as("id"), VectorOps.toDouble(col(vecCol)).as("v"))
-      // One durable scan feeds every iteration — without it each Lloyd
-      // step re-reads and re-casts the source.
-      .localCheckpoint()
+    // One durable scan feeds every iteration — without it each Lloyd
+    // step re-reads and re-casts the source.
+    val v = graft.core.Durable.materialize(
+      vectors.select(col(idCol).cast("long").as("id"),
+        VectorOps.toDouble(col(vecCol)).as("v")),
+      checkpointDir, "vectors")
 
     // Deterministic seed: the k lowest-id vectors, cell index = id rank.
     // k rows collected — bounded by k, not the corpus.

@@ -42,4 +42,19 @@ class PageRankSpec extends SparkSpec {
     assert(a == b)
     assert(a.values.forall(_ > 0.0))
   }
+
+  test("durable checkpointing yields identical ranks (the 100-TB mode)") {
+    val leaves = (1L to 10L)
+    val edges = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L)))
+      .toDF("src", "dst")
+    val dir = tmpDir("pagerank-ckpt")
+    val ephemeral = PageRank.run(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val durable = PageRank.run(edges, iterations = 3, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(durable == ephemeral)
+    // every iteration materialized a durable round, plus the static frames
+    for (t <- Seq("edges", "outdeg", "nodes", "ranks1", "ranks2", "ranks3"))
+      assert(new java.io.File(dir, t).exists(), s"missing durable round $t")
+  }
 }

@@ -62,6 +62,17 @@ class KMeansSpec extends SparkSpec {
     assert(a.centroids == b.centroids)
   }
 
+  test("durable checkpointing yields the identical model (the 100-TB mode)") {
+    val dir = tmpDir("kmeans-ckpt")
+    val ephemeral = KMeansLloyd.fit(emb, "vec_id", "embedding", k, iterations = 2)
+    val durable = KMeansLloyd.fit(emb, "vec_id", "embedding", k, iterations = 2,
+      checkpointDir = Some(dir))
+    assert(durable.model.centroids == ephemeral.model.centroids)
+    assert(new java.io.File(dir, "vectors").exists())
+    assert(durable.assignments.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      == ephemeral.assignments.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap)
+  }
+
   test("inertia does not increase with more Lloyd iterations (mod 6dp rounding wobble)") {
     def total(iters: Int): Double =
       KMeansLloyd.inertia(KMeansLloyd.fit(emb, "vec_id", "embedding", k, iters))
