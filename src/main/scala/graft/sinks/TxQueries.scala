@@ -107,10 +107,20 @@ object TxQueries {
           .withColumn("o_totalprice", col("o_totalprice") * 2)
         TxTable.merge(s, tableDir, updates, Seq("o_orderkey"))
         TxTable.delete(s, tableDir, "o_orderkey % 5 = 0")
+        // v4 EVOLVES the schema mid-history: every 7th key upserted with
+        // a new o_band column (reinserting some deleted keys). The feed
+        // then crosses the evolution boundary and must read at the POST
+        // schema (Delta-CDF contract): pre rows null-fill o_band, so a
+        // key whose only change is the new column populating classifies
+        // as 'update', and deletes carry a null o_band pre image.
+        val evolved = orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_band", (col("o_orderkey") % 4).cast("long"))
+        TxTable.merge(s, tableDir, evolved, Seq("o_orderkey"),
+          allowSchemaEvolution = true)
         val v = TxTable.currentVersion(s, tableDir)
-        require(v == 3L, s"expected init+merge+delete to land at version 3, got $v")
-        TxTable.changes(s, tableDir, fromVersion = 1L, toVersion = 3L,
-          keyCols = Seq("o_orderkey"))
+        require(v == 4L, s"expected init+merge+delete+merge to land at version 4, got $v")
+        TxTable.changes(s, tableDir, fromVersion = 1L, toVersion = 4L,
+          keyCols = Seq("o_orderkey"), allowSchemaEvolution = true)
           .localCheckpoint(true)
           .orderBy("o_orderkey")
       } finally graft.core.ScratchDirs.release(tableDir)
@@ -253,16 +263,27 @@ object TxQueries {
         |  UNION ALL
         |  SELECT * FROM v1
         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)),
-        |v3 AS (SELECT * FROM v2 WHERE o_orderkey % 5 <> 0)
-        |SELECT coalesce(v3.o_orderkey, v1.o_orderkey) AS o_orderkey,
+        |v3 AS (SELECT * FROM v2 WHERE o_orderkey % 5 <> 0),
+        |upd4 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(o_orderkey % 4 AS BIGINT) AS o_band
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |v4 AS (
+        |  SELECT * FROM upd4
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS BIGINT) AS o_band
+        |  FROM v3 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd4))
+        |SELECT coalesce(v4.o_orderkey, v1.o_orderkey) AS o_orderkey,
         |  CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
-        |       WHEN v3.o_orderkey IS NULL THEN 'delete'
-        |       WHEN v1.o_custkey = v3.o_custkey
-        |         AND v1.o_totalprice = v3.o_totalprice THEN 'unchanged'
+        |       WHEN v4.o_orderkey IS NULL THEN 'delete'
+        |       WHEN v1.o_custkey IS NOT DISTINCT FROM v4.o_custkey
+        |         AND v1.o_totalprice IS NOT DISTINCT FROM v4.o_totalprice
+        |         AND v4.o_band IS NULL THEN 'unchanged'
         |       ELSE 'update' END AS change_type,
-        |  coalesce(v3.o_custkey, v1.o_custkey) AS o_custkey,
-        |  coalesce(v3.o_totalprice, v1.o_totalprice) AS o_totalprice
-        |FROM v1 FULL JOIN v3 ON v1.o_orderkey = v3.o_orderkey
+        |  coalesce(v4.o_custkey, v1.o_custkey) AS o_custkey,
+        |  coalesce(v4.o_totalprice, v1.o_totalprice) AS o_totalprice,
+        |  v4.o_band AS o_band
+        |FROM v1 FULL JOIN v4 ON v1.o_orderkey = v4.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
     // Replays the three snapshots and collapses consecutive equal

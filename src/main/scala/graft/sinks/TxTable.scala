@@ -127,19 +127,39 @@ object TxTable {
     * both versions (null-safe, field-wise) is `unchanged`; callers
     * wanting a sparse feed filter it out.
     *
-    * Both snapshots must have identical column sets — a feed across a
-    * schema-evolution boundary has no single row shape and is refused
-    * rather than guessed.
+    * By default both snapshots must have identical column sets — a feed
+    * across a schema-evolution boundary is refused rather than guessed.
+    * With `allowSchemaEvolution = true` the feed is defined AT THE READ
+    * SCHEMA (the `toVersion` snapshot's columns — the Delta CDF
+    * contract): columns the post version added are null-filled in the
+    * pre image (so a row whose only change is the new column being
+    * populated classifies as `update`), columns the post version
+    * dropped vanish from the feed, and shared columns are cast to the
+    * post type. Key columns must exist in both versions — a feed keyed
+    * on a column one side lacks has no join identity.
     */
   def changes(spark: SparkSession, dir: String,
               fromVersion: Long, toVersion: Long,
-              keyCols: Seq[String]): DataFrame = {
-    val pre = readVersion(spark, dir, fromVersion)
+              keyCols: Seq[String],
+              allowSchemaEvolution: Boolean = false): DataFrame = {
+    val rawPre = readVersion(spark, dir, fromVersion)
     val post = readVersion(spark, dir, toVersion)
-    require(pre.columns.sorted.sameElements(post.columns.sorted),
+    require(allowSchemaEvolution ||
+      rawPre.columns.sorted.sameElements(post.columns.sorted),
       s"changes() across a schema change is not defined: " +
-        s"v$fromVersion has [${pre.columns.mkString(",")}], " +
-        s"v$toVersion has [${post.columns.mkString(",")}]")
+        s"v$fromVersion has [${rawPre.columns.mkString(",")}], " +
+        s"v$toVersion has [${post.columns.mkString(",")}] — pass " +
+        "allowSchemaEvolution = true to read the feed at the post schema")
+    require(keyCols.forall(rawPre.columns.contains) &&
+      keyCols.forall(post.columns.contains),
+      s"key columns [${keyCols.mkString(",")}] must exist in both " +
+        s"v$fromVersion and v$toVersion")
+    // Align pre to the read schema: post's columns, post's types.
+    val preCols = rawPre.columns.toSet
+    val pre = rawPre.select(post.schema.fields.map { f =>
+      if (preCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
     val valCols = post.columns.filterNot(keyCols.contains).toSeq
     def packed(df: DataFrame, as: String) =
       df.select(keyCols.map(col) :+ struct(valCols.map(col): _*).as(as): _*)

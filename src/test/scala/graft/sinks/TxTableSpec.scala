@@ -197,13 +197,40 @@ class TxTableSpec extends SparkSpec {
     val self = TxTable.changes(spark, dir, 3L, 3L, Seq("id")).collect()
     assert(self.forall(_.getAs[String]("change_type") == "unchanged"))
 
-    // feed across a schema-evolution boundary is refused, not guessed
+    // feed across a schema-evolution boundary is refused by default, not guessed
     TxTable.merge(spark, dir, Seq((5L, "e", 9L)).toDF("id", "v", "extra"),
       Seq("id"), allowSchemaEvolution = true)                                  // v4
     val e = intercept[IllegalArgumentException] {
       TxTable.changes(spark, dir, 1L, 4L, Seq("id"))
     }
     assert(e.getMessage.contains("schema change"))
+  }
+
+  test("changes across schema evolution reads at the post schema (Delta CDF contract)") {
+    val dir = freshDir()
+    TxTable.init(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))                    // v1
+    TxTable.merge(spark, dir,
+      Seq((2L, "B!", 7L), (5L, "e", 9L)).toDF("id", "v", "extra"),
+      Seq("id"), allowSchemaEvolution = true)                                  // v2
+    TxTable.delete(spark, dir, "id = 3")                                       // v3
+
+    val feed = TxTable.changes(spark, dir, 1L, 3L, Seq("id"),
+      allowSchemaEvolution = true).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("change_type"), r.getAs[String]("v"),
+          Option(r.getAs[java.lang.Long]("extra"))))).toMap
+    assert(feed == Map(
+      1L -> (("unchanged", "a", None)),  // pre null-fills extra; both null → no change
+      2L -> (("update", "B!", Some(7L))),
+      3L -> (("delete", "c", None)),     // pre image at the read schema
+      5L -> (("insert", "e", Some(9L)))))
+
+    // feed keyed on a column one side lacks has no join identity
+    val e = intercept[IllegalArgumentException] {
+      TxTable.changes(spark, dir, 1L, 3L, Seq("extra"), allowSchemaEvolution = true)
+    }
+    assert(e.getMessage.contains("must exist in both"))
   }
 
   test("vacuum(keep = 0) is rejected; keep = 1 leaves the table readable") {
