@@ -32,7 +32,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.queries ++
       graft.gold.AnalyticsQueries.queries ++
       graft.gold.BehaviorQueries.queries ++
-      graft.sources.TarQueries.queries ++ Map(
+      graft.sources.TarQueries.queries ++
+      graft.sources.WarcQueries.queries ++ Map(
     // A1-A4 (SURVEY §2.4): hash group-by + multi-agg + arithmetic-in-agg +
     // count + group/order report (reference etl/README.md:679-685 pattern).
     "q1_agg" -> { (s, dir) =>
@@ -60,7 +61,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.oracles ++
       graft.gold.AnalyticsQueries.oracles ++
       graft.gold.BehaviorQueries.oracles ++
-      graft.sources.TarQueries.oracles ++ Map(
+      graft.sources.TarQueries.oracles ++
+      graft.sources.WarcQueries.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

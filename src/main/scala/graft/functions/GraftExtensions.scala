@@ -232,5 +232,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_deflate_len(text)")
         DeflateLen(children.head)
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_html_text"),
+      new ExpressionInfo(classOf[HtmlExtractText].getName, "graft_html_text"),
+      (children: Seq[Expression]) => children match {
+        case Seq(html, Literal(minChars: Int, IntegerType),
+            Literal(maxLinkPct: Int, IntegerType)) =>
+          HtmlExtractText(html, minChars, maxLinkPct)
+        case _ => throw new IllegalArgumentException(
+          "graft_html_text(html, minChars, maxLinkPct) with literal int thresholds")
+      }))
   }
 }

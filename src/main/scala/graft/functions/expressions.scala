@@ -1385,3 +1385,203 @@ case class DeflateLen(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** HTML → text boilerplate removal — the CCNet/jusText-style extraction
+  * kernel behind `graft_html_text` ([[HtmlExtractText]]): the ingestion
+  * front door for Common-Crawl-shaped corpora. One single-pass state
+  * machine, no regex engine, no DOM allocation:
+  *
+  *  1. `<script>/<style>/<head>/<noscript>/<svg>/<template>/<iframe>`
+  *     subtrees are dropped whole (scan to the matching close tag —
+  *     these elements do not nest in valid HTML).
+  *  2. Comments `<!-- -->` and doctypes are dropped; a bare `<` that
+  *     opens no tag is literal text.
+  *  3. Block-level tags (p, div, h1-h6, li, table cells, nav, footer,
+  *     br, …) delimit candidate text blocks.
+  *  4. Character entities decode inline (`&amp; &lt; &gt; &quot; &apos;
+  *     &nbsp; &copy;`, `&#NNN;`, `&#xHH;`); unknown entities stay
+  *     literal.
+  *  5. Per block, whitespace is collapsed to single spaces and trimmed;
+  *     a block is KEPT iff its normalized length ≥ `minChars` AND its
+  *     link density (decoded non-space chars inside `<a>` ÷ all decoded
+  *     non-space chars) ≤ `maxLinkPct`% — the jusText/CCNet block
+  *     heuristic: navigation and footer chrome is short and link-dense,
+  *     body prose is long and link-sparse.
+  *
+  * Kept blocks join with a single `\n`. Deterministic, allocation-
+  * bounded by the input, executor-safe.
+  */
+object HtmlTextExtractor {
+
+  private val SkipTags =
+    Set("script", "style", "head", "noscript", "svg", "template", "iframe")
+  private val BlockTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "table", "thead", "tbody", "tfoot", "tr", "td", "th", "br", "hr",
+    "section", "article", "header", "footer", "nav", "aside", "main",
+    "blockquote", "pre", "title", "body", "html", "form", "figure",
+    "figcaption", "dl", "dt", "dd", "address", "fieldset", "option",
+    "select", "textarea")
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
+  def extract(html: UTF8String, minChars: Int, maxLinkPct: Int): UTF8String = {
+    val s = html.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder
+    val block = new java.lang.StringBuilder
+    var linkChars = 0
+    var totalChars = 0
+    var linkDepth = 0
+    var i = 0
+
+    def flush(): Unit = {
+      // collapse whitespace runs to single spaces, trim
+      val norm = new java.lang.StringBuilder(block.length)
+      var j = 0
+      var pendingSpace = false
+      while (j < block.length) {
+        val c = block.charAt(j)
+        if (isWs(c)) { if (norm.length > 0) pendingSpace = true }
+        else {
+          if (pendingSpace) { norm.append(' '); pendingSpace = false }
+          norm.append(c)
+        }
+        j += 1
+      }
+      if (norm.length >= minChars &&
+          linkChars * 100L <= maxLinkPct.toLong * totalChars) {
+        if (out.length > 0) out.append('\n')
+        out.append(norm)
+      }
+      block.setLength(0); linkChars = 0; totalChars = 0
+    }
+
+    def appendText(c: Char): Unit = {
+      block.append(c)
+      if (!isWs(c)) {
+        totalChars += 1
+        if (linkDepth > 0) linkChars += 1
+      }
+    }
+
+    // decode the entity starting at s(i) == '&'; returns the next index
+    def entity(at: Int): Int = {
+      var j = at + 1
+      val lim = math.min(n, at + 12)
+      while (j < lim && s.charAt(j) != ';') j += 1
+      if (j >= lim || s.charAt(j) != ';') { appendText('&'); return at + 1 }
+      val name = s.substring(at + 1, j)
+      val decoded: Int = name match {
+        case "amp" => '&'
+        case "lt" => '<'
+        case "gt" => '>'
+        case "quot" => '"'
+        case "apos" => '\''
+        case "nbsp" => ' '
+        case "copy" => 0xa9
+        case _ if name.length > 1 && name.charAt(0) == '#' =>
+          try {
+            val cp =
+              if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
+                Integer.parseInt(name.substring(2), 16)
+              else Integer.parseInt(name.substring(1))
+            if (Character.isValidCodePoint(cp)) cp else -1
+          } catch { case _: NumberFormatException => -1 }
+        case _ => -1
+      }
+      if (decoded < 0) { appendText('&'); at + 1 }
+      else {
+        Character.toChars(decoded).foreach(appendText)
+        j + 1
+      }
+    }
+
+    // s(i) == '<' and s(i+1) starts a name or '/': parse the tag, handle
+    // quotes in attribute values, return index past '>'
+    def tag(at: Int): Int = {
+      var j = at + 1
+      var closing = false
+      if (j < n && s.charAt(j) == '/') { closing = true; j += 1 }
+      val nameStart = j
+      while (j < n && (s.charAt(j).isLetter || s.charAt(j).isDigit)) j += 1
+      val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+      // scan to the closing '>' honoring quoted attribute values
+      var quote: Char = 0
+      while (j < n && (quote != 0 || s.charAt(j) != '>')) {
+        val c = s.charAt(j)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        j += 1
+      }
+      val end = if (j < n) j + 1 else n
+      if (!closing && SkipTags.contains(name)) {
+        flush()
+        // drop the subtree: scan to "</name" then past its '>'
+        val lower = "</" + name
+        var k = end
+        var found = -1
+        while (found < 0 && k + lower.length <= n) {
+          if (s.regionMatches(true, k, lower, 0, lower.length)) found = k
+          else k += 1
+        }
+        if (found < 0) return n // unterminated: rest of input is the subtree
+        var m = found + lower.length
+        while (m < n && s.charAt(m) != '>') m += 1
+        return if (m < n) m + 1 else n
+      }
+      if (BlockTags.contains(name)) flush()
+      if (name == "a") {
+        if (closing) linkDepth = math.max(0, linkDepth - 1)
+        else linkDepth += 1
+      }
+      end
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && s.charAt(i + 1) == '!' && s.charAt(i + 2) == '-' &&
+            s.charAt(i + 3) == '-') {
+          val close = s.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (i + 1 < n && s.charAt(i + 1) == '!') {
+          // doctype / CDATA-ish declaration: skip to '>'
+          val close = s.indexOf('>', i + 1)
+          i = if (close < 0) n else close + 1
+        } else if (i + 1 < n &&
+            (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '/')) {
+          i = tag(i)
+        } else { appendText('<'); i += 1 }
+      } else if (c == '&') {
+        i = entity(i)
+      } else { appendText(c); i += 1 }
+    }
+    flush()
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** `graft_html_text(html, minChars, maxLinkPct)` — boilerplate-removed
+  * text of an HTML document ([[HtmlTextExtractor]]). Blocks shorter than
+  * `minChars` normalized chars or with link density above `maxLinkPct`%
+  * are dropped; survivors join with '\n'.
+  */
+case class HtmlExtractText(child: Expression, minChars: Int, maxLinkPct: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlTextExtractor.extract(input.asInstanceOf[UTF8String], minChars, maxLinkPct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.HtmlTextExtractor.extract($t, $minChars, $maxLinkPct);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,250 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the WARC source + HTML→text extraction —
+  * the pretraining pipeline's ingestion front door
+  * ([[WarcShards]], [[graft.functions.HtmlTextExtractor]]).
+  *
+  * The fixture synthesizes a Common-Crawl-shaped crawl FROM the
+  * `documents` table with a closed-form page template, packs it into 8
+  * real WARC shards (even shards plain, odd shards per-record-gzip — both
+  * read paths exercised in every query), and stages it once per JVM (the
+  * MultimodalQueries corpus-cache pattern). Because the template is
+  * closed-form, DuckDB can rebuild every byte: q214 recomputes the whole
+  * record inventory from SQL string concatenation, and q215's extraction
+  * oracle is simply `documents.text` — boilerplate removal must recover
+  * the planted payload EXACTLY (token-exact, not just statistically).
+  */
+object WarcQueries {
+
+  /** Closed-form page: head chrome (title/style/script — dropped whole),
+    * a link-dense nav, a short h1, the document text as the one real
+    * paragraph, and a link-dense footer with an entity. Extraction with
+    * (minChars=20, maxLinkPct=33) keeps exactly the paragraph:
+    * `Doc <id>` is < 20 chars, nav/footer blocks are link-dense and
+    * short, head never reaches block scoring.
+    */
+  private def pageHtml(id: Long, lang: String, text: String): String =
+    "<!DOCTYPE html><html><head><title>Doc " + id + "</title>" +
+      "<style>p{margin:0}</style><script>var w=1;</script></head>" +
+      "<body><nav><a href=\"/\">home</a> <a href=\"/l/" + lang + "\">" + lang +
+      "</a> <a href=\"/s\">more</a></nav>" +
+      "<h1>Doc " + id + "</h1>" +
+      "<p>" + text + "</p>" +
+      "<footer><a href=\"/p\">prev</a> <a href=\"/n\">next</a> &copy; 2026</footer>" +
+      "</body></html>"
+
+  /** The same template as DuckDB SQL (crlf/html fragments composed in the
+    * oracles below) — single source of truth for the oracle strings.
+    */
+  private val pageHtmlSql: String =
+    "'<!DOCTYPE html><html><head><title>Doc ' || doc_id::VARCHAR || '</title>" +
+      "<style>p{margin:0}</style><script>var w=1;</script></head>" +
+      "<body><nav><a href=\"/\">home</a> <a href=\"/l/' || lang || '\">' || lang || " +
+      "'</a> <a href=\"/s\">more</a></nav>" +
+      "<h1>Doc ' || doc_id::VARCHAR || '</h1>" +
+      "<p>' || text || '</p>" +
+      "<footer><a href=\"/p\">prev</a> <a href=\"/n\">next</a> &copy; 2026</footer>" +
+      "</body></html>'"
+
+  private def requestPayload(id: Long): Array[Byte] =
+    (s"GET /doc/$id HTTP/1.1\r\nHost: example.com\r\nUser-Agent: graft\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+
+  private val warcinfoPayload: Array[Byte] =
+    "software: graft-warc/1.0\r\nformat: WARC/1.0\r\n"
+      .getBytes(StandardCharsets.UTF_8)
+
+  private val NShards = 8
+
+  /** Staged once per JVM per sf dir: build the crawl, pack 8 shards
+    * (even plain / odd gzip), return the shard directory.
+    */
+  private val crawlCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def materializeCrawl(s: SparkSession, dir: String): String =
+    crawlCache.computeIfAbsent(
+      "warc-crawl|" + java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => {
+        import s.implicits._
+        val lease = graft.core.ScratchDirs.lease("graft-warc-crawl-")
+        try {
+          val docs = Tables.load(s, dir, "documents")
+            .select(col("doc_id").cast("long"), col("text"), col("lang"))
+            .as[(Long, String, String)]
+          val pages = docs.flatMap { case (id, text, lang) =>
+            val shard = (id % NShards).toInt
+            val uri = s"http://example.com/doc/$id"
+            Seq(
+              WarcShards.Entry(shard, id * 2 + 1, "request", uri,
+                s"<urn:graft:req:$id>", "application/http;msgtype=request",
+                requestPayload(id)),
+              WarcShards.Entry(shard, id * 2 + 2, "response", uri,
+                s"<urn:graft:resp:$id>", "application/http;msgtype=response",
+                WarcShards.WarcCodec.httpResponse(
+                  pageHtml(id, lang, text).getBytes(StandardCharsets.UTF_8),
+                  "text/html; charset=utf-8")))
+          }
+          val info = s.createDataset((0 until NShards).map { sh =>
+            WarcShards.Entry(sh, 0L, "warcinfo", "",
+              s"<urn:graft:warcinfo:$sh>", "application/warc-fields",
+              warcinfoPayload)
+          })
+          val all = pages.union(info)
+          WarcShards.pack(all.filter(_.shard % 2 == 0), lease, gzip = false): Unit
+          WarcShards.pack(all.filter(_.shard % 2 == 1), lease, gzip = true): Unit
+          lease
+        } catch {
+          case e: Throwable =>
+            graft.core.ScratchDirs.release(lease)
+            throw e
+        }
+      })
+
+  private def stopList = graft.text.TextAnalysis.stopwords
+    .map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Record inventory by WARC type across both layouts (plain + .gz):
+    // counts, payload bytes, and parsed HTTP statuses — every byte of
+    // every payload is recomputed by the oracle from the closed-form
+    // templates, so a framing bug in the codec (CRLF discipline,
+    // Content-Length, gzip member handling) lands as a hash mismatch.
+    "q214_warc_records" -> { (s, dir) =>
+      val crawl = materializeCrawl(s, dir)
+      WarcShards.readRecords(s, crawl)
+        .groupBy(col("warc_type"))
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(col("payload_bytes")).as("payload_bytes"),
+          sum(when(col("http_status") === 200, 1L).otherwise(0L)).as("n_http_ok"))
+        .orderBy(col("warc_type"))
+    },
+
+    // Boilerplate removal recovers the planted text EXACTLY: head
+    // chrome/script/style dropped, nav + footer dropped by the
+    // link-density rule, h1 dropped by the length rule, entities
+    // decoded — the oracle is the documents table itself.
+    "q215_warc_extract" -> { (s, dir) =>
+      val crawl = materializeCrawl(s, dir)
+      WarcShards.readRecords(s, crawl)
+        .where(col("http_status") === 200)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          call_function("graft_html_text",
+            col("body").cast("string"), lit(20), lit(33)).as("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The composed front door: WARC scan → HTML extraction → the
+    // text-analysis stack (marker-word language ID + quality scoring)
+    // over the EXTRACTED text, aggregated per predicted language. The
+    // oracle recomputes the same heuristics from documents.text — green
+    // only if extraction is byte-transparent to downstream curation.
+    "q216_warc_curation" -> { (s, dir) =>
+      val crawl = materializeCrawl(s, dir)
+      val ta = graft.text.TextAnalysis
+      WarcShards.readRecords(s, crawl)
+        .where(col("http_status") === 200)
+        .select(call_function("graft_html_text",
+          col("body").cast("string"), lit(20), lit(33)).as("text"))
+        .select(
+          ta.langId(col("text")).as("lang_pred"),
+          ta.stopwordCount(col("text")).as("n_stop"),
+          ta.qualityScore(col("text")).as("quality"))
+        .groupBy(col("lang_pred"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_stop")).as("sum_stopwords"),
+          // exact in any summation order: quality is a 6dp-rounded value,
+          // so the DECIMAL sum is engine- and partitioning-independent
+          round(sum(col("quality").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_quality"))
+        .orderBy(col("lang_pred"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // crlf spelled as chr(13)||chr(10); every payload rebuilt from the
+    // same closed-form strings the fixture writer used.
+    "q214_warc_records" ->
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS crlf),
+         |page AS (
+         |  SELECT doc_id, $pageHtmlSql AS html FROM documents),
+         |resp AS (
+         |  SELECT doc_id,
+         |    strlen('HTTP/1.1 200 OK' || crlf ||
+         |      'Content-Type: text/html; charset=utf-8' || crlf ||
+         |      'Content-Length: ' || strlen(html)::VARCHAR || crlf || crlf)
+         |      + strlen(html) AS payload
+         |  FROM page, c),
+         |req AS (
+         |  SELECT doc_id,
+         |    strlen('GET /doc/' || doc_id::VARCHAR || ' HTTP/1.1' || crlf ||
+         |      'Host: example.com' || crlf || 'User-Agent: graft' || crlf || crlf)
+         |      AS payload
+         |  FROM documents, c),
+         |info AS (
+         |  SELECT strlen('software: graft-warc/1.0' || crlf ||
+         |    'format: WARC/1.0' || crlf) AS payload
+         |  FROM range(8), c)
+         |SELECT * FROM (
+         |  SELECT 'request' AS warc_type, count(*) AS n_records,
+         |    CAST(sum(payload) AS BIGINT) AS payload_bytes,
+         |    CAST(0 AS BIGINT) AS n_http_ok
+         |  FROM req
+         |  UNION ALL
+         |  SELECT 'response', count(*),
+         |    CAST(sum(payload) AS BIGINT), count(*) FROM resp
+         |  UNION ALL
+         |  SELECT 'warcinfo', count(*),
+         |    CAST(sum(payload) AS BIGINT), CAST(0 AS BIGINT) FROM info)
+         |ORDER BY warc_type""".stripMargin,
+
+    "q215_warc_extract" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    "q216_warc_curation" ->
+      s"""WITH t AS (
+         |  SELECT regexp_split_to_array(lower(text), '\\s+') ltoks,
+         |    len(regexp_split_to_array(text, '\\s+')) n_tok, text
+         |  FROM documents),
+         |m AS (
+         |  SELECT n_tok, text,
+         |    len(list_filter(ltoks, x -> x IN ($stopList))) n_stop,
+         |    len(list_filter(ltoks, x -> x IN ('the','and','of','is','with'))) en,
+         |    len(list_filter(ltoks, x -> x IN ('der','die','und','das','mit'))) de,
+         |    len(list_filter(ltoks, x -> x IN ('le','la','et','les','des'))) fr,
+         |    len(list_filter(ltoks, x -> x IN ('el','los','las','una','con'))) es,
+         |    CASE WHEN length(text) > 0
+         |      THEN length(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+         |        / length(text)
+         |      ELSE 0.0 END p_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT
+         |    CASE
+         |      WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+         |      WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+         |      WHEN fr > 0 AND fr >= es THEN 'fr'
+         |      WHEN es > 0 THEN 'es'
+         |      ELSE 'und' END lang_pred,
+         |    n_stop,
+         |    round((
+         |      (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN n_tok > 0 AND n_stop::DOUBLE / n_tok > 0.01
+         |        THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+         |  FROM m)
+         |SELECT lang_pred, count(*) AS n_docs,
+         |  CAST(sum(n_stop) AS BIGINT) AS sum_stopwords,
+         |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE), 6)
+         |    AS sum_quality
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

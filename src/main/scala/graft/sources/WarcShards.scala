@@ -1,0 +1,325 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, ByteArrayInputStream, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500) source + sink — the ingestion front
+  * door for Common-Crawl-shaped corpora, pure JVM like the ustar codec
+  * ([[TarShards]]). A WARC file is a sequence of records, each framed as
+  *
+  * {{{
+  * WARC/1.0\r\n
+  * WARC-Type: response\r\n
+  * WARC-Record-ID: <urn:...>\r\n
+  * WARC-Target-URI: http://...\r\n        (optional)
+  * Content-Type: application/http...\r\n
+  * Content-Length: N\r\n
+  * \r\n
+  * <N payload bytes>\r\n\r\n
+  * }}}
+  *
+  * Common Crawl ships records individually gzipped and concatenated
+  * (`.warc.gz`); both the plain and per-record-gzip layouts are
+  * supported — the reader detects the 0x1f8b magic and streams through
+  * `GZIPInputStream`, whose multi-member handling makes record framing
+  * independent of gzip member boundaries.
+  *
+  * The reference's extract stage (extractor.py:94-99) is this slot for
+  * CSV/JSON; WARC is the same single-file-parse shape over a framed
+  * binary format. Downstream, [[graft.functions.HtmlTextExtractor]]
+  * turns response bodies into curated text.
+  */
+object WarcShards {
+
+  /** Fixed WARC-Date for synthesized archives: byte-determinism is what
+    * makes [[pack]]'s resume/retry skip sound (same contract as tar).
+    */
+  val FixedDate = "2026-01-01T00:00:00Z"
+
+  /** One record to pack: `ord` orders records within a shard (write
+    * order is part of WARC semantics — warcinfo first, then
+    * request/response pairs).
+    */
+  final case class Entry(
+      shard: Int,
+      ord: Long,
+      warcType: String,
+      targetUri: String,
+      recordId: String,
+      contentType: String,
+      payload: Array[Byte])
+
+  /** Parsed record: named WARC headers pulled out, full payload. */
+  final case class Record(
+      warcType: String,
+      recordId: String,
+      targetUri: String,
+      contentType: String,
+      payload: Array[Byte])
+
+  object WarcCodec {
+
+    private val Crlf = "\r\n".getBytes(StandardCharsets.US_ASCII)
+
+    /** Per-record cap: a few KB of gzip can legally declare a
+      * multi-GB record (decompression bomb) — on an executor that is
+      * an OOM, not an exception you can catch. Checked from the header
+      * BEFORE the payload is read.
+      */
+    val DefaultMaxRecordBytes: Long = 256L * 1024 * 1024
+
+    def writeRecord(out: OutputStream, warcType: String, recordId: String,
+        targetUri: String, contentType: String, payload: Array[Byte]): Unit = {
+      val h = new StringBuilder
+      h.append("WARC/1.0\r\n")
+      h.append("WARC-Type: ").append(warcType).append("\r\n")
+      h.append("WARC-Record-ID: ").append(recordId).append("\r\n")
+      h.append("WARC-Date: ").append(FixedDate).append("\r\n")
+      if (targetUri.nonEmpty)
+        h.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+      if (contentType.nonEmpty)
+        h.append("Content-Type: ").append(contentType).append("\r\n")
+      h.append("Content-Length: ").append(payload.length).append("\r\n")
+      h.append("\r\n")
+      out.write(h.toString.getBytes(StandardCharsets.UTF_8))
+      out.write(payload)
+      out.write(Crlf)
+      out.write(Crlf)
+    }
+
+    /** An HTTP/1.1 200 response payload wrapping `body` — what a
+      * `response` record carries. Content-Length is the body's byte
+      * count, so the full payload is closed-form from the body.
+      */
+    def httpResponse(body: Array[Byte], contentType: String): Array[Byte] = {
+      val h = s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"
+      val hb = h.getBytes(StandardCharsets.UTF_8)
+      val outB = new Array[Byte](hb.length + body.length)
+      System.arraycopy(hb, 0, outB, 0, hb.length)
+      System.arraycopy(body, 0, outB, hb.length, body.length)
+      outB
+    }
+
+    /** Split an HTTP message payload into (status, body). None if the
+      * payload is not an HTTP response (no status line / no blank-line
+      * separator).
+      */
+    def parseHttp(payload: Array[Byte]): Option[(Int, Array[Byte])] = {
+      if (payload.length < 12 ||
+          !new String(payload, 0, 5, StandardCharsets.US_ASCII).equals("HTTP/"))
+        return None
+      // find \r\n\r\n
+      var i = 0
+      var sep = -1
+      while (sep < 0 && i + 3 < payload.length) {
+        if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+            payload(i + 2) == '\r' && payload(i + 3) == '\n') sep = i
+        else i += 1
+      }
+      if (sep < 0) return None
+      val statusLine = new String(payload, 0, math.min(sep, 64),
+        StandardCharsets.US_ASCII)
+      val parts = statusLine.split(" ")
+      val status = if (parts.length >= 2) parts(1).takeWhile(_.isDigit) else ""
+      if (status.isEmpty) return None
+      Some((status.toInt,
+        java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)))
+    }
+
+    /** Read one CRLF-terminated line (without the terminator); None at
+      * clean end-of-stream before any byte.
+      */
+    private def readLine(in: InputStream): Option[String] = {
+      val buf = new java.io.ByteArrayOutputStream(64)
+      var c = in.read()
+      if (c < 0) return None
+      while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+      val b = buf.toByteArray
+      val len = if (b.nonEmpty && b(b.length - 1) == '\r') b.length - 1 else b.length
+      Some(new String(b, 0, len, StandardCharsets.UTF_8))
+    }
+
+    private def readFully(in: InputStream, len: Int): Array[Byte] = {
+      val b = new Array[Byte](len)
+      var got = 0
+      while (got < len) {
+        val r = in.read(b, got, len - got)
+        require(r >= 0, s"truncated WARC payload: wanted $len, got $got")
+        got += r
+      }
+      b
+    }
+
+    /** Strict lazy parse of a (possibly per-record-gzipped) WARC byte
+      * stream. Verifies the version magic, requires Content-Length,
+      * enforces the record cap and the closing CRLF CRLF.
+      */
+    def parse(bytes: Array[Byte],
+        maxRecordBytes: Long = DefaultMaxRecordBytes): Iterator[Record] = {
+      val raw: InputStream =
+        if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+          new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
+        else new ByteArrayInputStream(bytes)
+      new Iterator[Record] {
+        private var nextRec: Record = null
+        private var done = false
+
+        private def advance(): Unit = {
+          while (nextRec == null && !done) {
+            // skip inter-record blank lines, stop at end-of-stream
+            var first: Option[String] = readLine(raw)
+            while (first.exists(_.isEmpty)) first = readLine(raw)
+            first match {
+              case None => done = true
+              case Some(magic) =>
+                require(magic == "WARC/1.0" || magic == "WARC/1.1",
+                  s"not a WARC record header: '$magic'")
+                var warcType = ""; var recordId = ""; var uri = ""
+                var cType = ""; var cLen = -1L
+                var line = readLine(raw).getOrElse(
+                  throw new IllegalArgumentException("truncated WARC header"))
+                while (line.nonEmpty) {
+                  val k = line.indexOf(':')
+                  require(k > 0, s"malformed WARC header line: '$line'")
+                  val key = line.substring(0, k).toLowerCase(java.util.Locale.ROOT)
+                  val v = line.substring(k + 1).trim
+                  key match {
+                    case "warc-type" => warcType = v
+                    case "warc-record-id" => recordId = v
+                    case "warc-target-uri" => uri = v
+                    case "content-type" => cType = v
+                    case "content-length" => cLen = v.toLong
+                    case _ => () // tolerated: unknown headers are legal
+                  }
+                  line = readLine(raw).getOrElse(
+                    throw new IllegalArgumentException("truncated WARC header"))
+                }
+                require(cLen >= 0, "WARC record without Content-Length")
+                require(cLen <= maxRecordBytes,
+                  s"WARC record of $cLen bytes exceeds cap $maxRecordBytes " +
+                    "(decompression-bomb guard)")
+                val payload = readFully(raw, cLen.toInt)
+                nextRec = Record(warcType, recordId, uri, cType, payload)
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); nextRec != null }
+        override def next(): Record = {
+          advance()
+          if (nextRec == null) throw new NoSuchElementException
+          val r = nextRec; nextRec = null; r
+        }
+      }
+    }
+
+    /** Header-only stats `(n_records, payload_bytes)` — the resume path's
+      * manifest reconstruction. Payload bytes are skipped, not parsed
+      * (for `.gz` they still stream through the inflater — gzip has no
+      * random access — but no record object is built).
+      */
+    def scanStats(bytes: Array[Byte]): (Long, Long) = {
+      var n = 0L
+      var payload = 0L
+      parse(bytes).foreach { r => n += 1; payload += r.payload.length }
+      (n, payload)
+    }
+  }
+
+  /** Pack entries into one `shard-%05d.warc[.gz]` per shard key under
+    * `outDir`. Same commit protocol as [[TarShards.pack]]: attempt-unique
+    * tmp + single rename; an existing final file is a prior attempt's (or
+    * resumed run's) commit — byte-determinism (fixed WARC-Date, `ord`
+    * ordering, mtime-free gzip header) makes skipping sound. Returns the
+    * manifest `(shard, file, n_records, payload_bytes, resumed)`.
+    */
+  def pack(entries: Dataset[Entry], outDir: String,
+      gzip: Boolean = false, resume: Boolean = false): DataFrame = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val ext = if (gzip) "warc.gz" else "warc"
+    val packed = entries
+      .groupByKey(_.shard)
+      .flatMapSortedGroups(col("ord"), col("recordId")) {
+        (shard: Int, it: Iterator[Entry]) =>
+          val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.$ext")
+          val fs = path.getFileSystem(hadoopConf.value)
+          def statsRow(resumed: Boolean) = {
+            val len = fs.getFileStatus(path).getLen
+            require(len <= Int.MaxValue, s"$path too large to stat-scan: $len")
+            val in = fs.open(path)
+            val bytes = new Array[Byte](len.toInt)
+            try in.readFully(0, bytes) finally in.close()
+            val (n, p) = WarcCodec.scanStats(bytes)
+            Iterator((shard, path.getName, n, p, resumed))
+          }
+          if (resume && fs.exists(path)) statsRow(resumed = true)
+          else if (fs.exists(path)) statsRow(resumed = false) // prior attempt committed
+          else {
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
+            val tmp = new org.apache.hadoop.fs.Path(
+              outDir, path.getName + s".tmp-$attempt")
+            val rawOut = new BufferedOutputStream(fs.create(tmp, true))
+            val out: OutputStream =
+              if (gzip) new GZIPOutputStream(rawOut, 64 * 1024) else rawOut
+            var n = 0L
+            var payload = 0L
+            try {
+              it.foreach { e =>
+                WarcCodec.writeRecord(out, e.warcType, e.recordId, e.targetUri,
+                  e.contentType, e.payload)
+                n += 1
+                payload += e.payload.length
+              }
+            } finally out.close() // GZIPOutputStream.close finishes + closes raw
+            if (!fs.rename(tmp, path)) {
+              require(fs.exists(path), s"commit rename failed for $path")
+              fs.delete(tmp, false): Unit
+            }
+            fs.globStatus(new org.apache.hadoop.fs.Path(
+              outDir, path.getName + ".tmp-*"))
+              .foreach(st => fs.delete(st.getPath, false))
+            Iterator((shard, path.getName, n, payload, false))
+          }
+      }
+    // Eager + driver-held for the same reason as TarShards.pack: a lazy
+    // manifest re-runs the packing stage under plans that sample input.
+    spark.createDataset(packed.collect().toSeq)
+      .toDF("shard", "file", "n_records", "payload_bytes", "resumed")
+  }
+
+  /** Scan every `*.warc` / `*.warc.gz` under `dir`: one row per record
+    * with the HTTP envelope of `response` records already split —
+    * `(file, warc_type, record_id, target_uri, content_type,
+    * payload_bytes, http_status, body)`. For non-HTTP records
+    * `http_status` is null and `body` is the raw payload. Parallelism =
+    * number of shard files (the Common Crawl unit of work); each task
+    * streams one file.
+    */
+  def readRecords(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"${dir.stripSuffix("/")}/*.warc*")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val file = path.substring(path.lastIndexOf('/') + 1)
+        WarcCodec.parse(bytes).map { r =>
+          val http = WarcCodec.parseHttp(r.payload)
+          (file, r.warcType, r.recordId, r.targetUri, r.contentType,
+            r.payload.length.toLong,
+            http.map(_._1), http.map(_._2).getOrElse(r.payload))
+        }
+      }
+      .toDF("file", "warc_type", "record_id", "target_uri", "content_type",
+        "payload_bytes", "http_status", "body")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+import graft.sources.WarcShards.{Entry, WarcCodec}
+
+class WarcShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(warcType: String, id: String, uri: String,
+      payload: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    WarcCodec.writeRecord(out, warcType, id, uri, "text/plain",
+      payload.getBytes(StandardCharsets.UTF_8))
+    out.toByteArray
+  }
+
+  test("codec round trip: write two records, parse them back byte-exact") {
+    val bytes = rec("response", "<urn:1>", "http://e/1", "hello world") ++
+      rec("metadata", "<urn:2>", "", "second payload")
+    val rs = WarcCodec.parse(bytes).toList
+    assert(rs.map(_.warcType) == List("response", "metadata"))
+    assert(rs.map(_.recordId) == List("<urn:1>", "<urn:2>"))
+    assert(rs.head.targetUri == "http://e/1")
+    assert(rs(1).targetUri == "")
+    assert(rs.map(r => new String(r.payload, StandardCharsets.UTF_8)) ==
+      List("hello world", "second payload"))
+  }
+
+  test("per-record gzip: concatenated members parse transparently") {
+    val out = new ByteArrayOutputStream()
+    for (i <- 1 to 3) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      WarcCodec.writeRecord(gz, "resource", s"<urn:$i>", "", "text/plain",
+        s"payload number $i".getBytes(StandardCharsets.UTF_8))
+      gz.finish()
+    }
+    val rs = WarcCodec.parse(out.toByteArray).toList
+    assert(rs.map(r => new String(r.payload, StandardCharsets.UTF_8)) ==
+      (1 to 3).map(i => s"payload number $i").toList)
+  }
+
+  test("strict parse: bad magic, missing length, truncation, bomb cap") {
+    val bad = "HTTP/1.1 200\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+    val e1 = intercept[IllegalArgumentException](WarcCodec.parse(bad).toList)
+    assert(e1.getMessage.contains("not a WARC record"))
+
+    val noLen = "WARC/1.0\r\nWARC-Type: x\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+    val e2 = intercept[IllegalArgumentException](WarcCodec.parse(noLen).toList)
+    assert(e2.getMessage.contains("Content-Length"))
+
+    val full = rec("response", "<urn:1>", "", "hello world")
+    val e3 = intercept[IllegalArgumentException](
+      WarcCodec.parse(full.dropRight(20)).toList)
+    assert(e3.getMessage.contains("truncated"))
+
+    val e4 = intercept[IllegalArgumentException](
+      WarcCodec.parse(full, maxRecordBytes = 4L).toList)
+    assert(e4.getMessage.contains("cap"))
+  }
+
+  test("http envelope parse: status + body; non-http payload is None") {
+    val body = "<html>x</html>".getBytes(StandardCharsets.UTF_8)
+    val payload = WarcCodec.httpResponse(body, "text/html")
+    val Some((status, b)) = WarcCodec.parseHttp(payload)
+    assert(status == 200)
+    assert(java.util.Arrays.equals(b, body))
+    assert(WarcCodec.parseHttp("no http here".getBytes).isEmpty)
+  }
+
+  test("pack + readRecords round trip across plain and gzip shards") {
+    val dir = tmpDir("warc-rt")
+    val entries = (0L until 20L).map { i =>
+      Entry((i % 4).toInt, i, "response", s"http://e/doc/$i", s"<urn:graft:$i>",
+        "application/http;msgtype=response",
+        WarcCodec.httpResponse(s"body text $i".getBytes(StandardCharsets.UTF_8),
+          "text/plain"))
+    }
+    val ds = spark.createDataset(entries)
+    val m1 = WarcShards.pack(ds.filter(_.shard % 2 == 0), dir, gzip = false)
+    val m2 = WarcShards.pack(ds.filter(_.shard % 2 == 1), dir, gzip = true)
+    assert(m1.count() == 2 && m2.count() == 2)
+
+    val back = WarcShards.readRecords(spark, dir)
+    assert(back.count() == 20)
+    val rows = back.collect()
+    assert(rows.forall(_.getAs[Int]("http_status") == 200))
+    val texts = rows.map(r =>
+      new String(r.getAs[Array[Byte]]("body"), StandardCharsets.UTF_8)).toSet
+    assert(texts == (0L until 20L).map(i => s"body text $i").toSet)
+    // both layouts actually on disk
+    val files = new java.io.File(dir).list().toSet
+    assert(files.exists(_.endsWith(".warc")) && files.exists(_.endsWith(".warc.gz")))
+  }
+
+  test("pack is deterministic; resume skips complete shards with exact stats") {
+    val dir1 = tmpDir("warc-det1")
+    val dir2 = tmpDir("warc-det2")
+    val entries = (0L until 10L).map { i =>
+      Entry(0, i, "resource", s"http://e/$i", s"<urn:$i>", "text/plain",
+        s"payload $i".getBytes(StandardCharsets.UTF_8))
+    }
+    val ds = spark.createDataset(entries)
+    WarcShards.pack(ds, dir1, gzip = true): Unit
+    WarcShards.pack(ds, dir2, gzip = true): Unit
+    val f1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir1, "shard-00000.warc.gz"))
+    val f2 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, "shard-00000.warc.gz"))
+    assert(java.util.Arrays.equals(f1, f2), "gzip shards must be byte-identical")
+
+    val resumed = WarcShards.pack(ds, dir1, gzip = true, resume = true).collect()
+    assert(resumed.length == 1)
+    val r = resumed.head
+    assert(r.getAs[Boolean]("resumed"))
+    assert(r.getAs[Long]("n_records") == 10L)
+    assert(r.getAs[Long]("payload_bytes") ==
+      entries.map(_.payload.length.toLong).sum)
+  }
+}
