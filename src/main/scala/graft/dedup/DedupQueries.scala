@@ -323,6 +323,31 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style line-level exact dedup ([[LineDedup]]): the corpus is
+    // rebuilt as multi-line pages with planted boilerplate — a mailing-
+    // list header and copyright footer on every doc (freq = corpus
+    // size), a 'special offer' line on every 3rd doc, a 'group marker
+    // k' line shared by doc_id%100 cohorts, and the real text split
+    // into two unique lines. With maxFreq = 10 the ubiquitous chrome
+    // dies, cohort markers live or die by the SF-dependent cohort size,
+    // and the prose always survives in original order — all recomputed
+    // line-exactly by the oracle.
+    "q217_line_dedup" -> { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val built = docs(s, dir).select(
+        col("doc_id"),
+        // concat_ws skips the null CASE branch natively
+        concat_ws("\n",
+          lit("join our mailing list today"),
+          concat_ws(" ", slice(ws, 1, 7)),
+          concat_ws(" ", slice(ws, 8, 1000000)),
+          when(col("doc_id") % 3 === 0, lit("special offer for subscribers")),
+          concat(lit("group marker "), (col("doc_id") % 100).cast("string")),
+          lit("all rights reserved 2026")).as("text"))
+      LineDedup.dedup(built, "doc_id", "text", maxFreq = 10)
+        .orderBy("doc_id")
+    },
+
     // Thresholded decontamination verdict (q58's split, but the
     // RefinedWeb fraction rule instead of any-overlap): every corpus doc
     // with its benchmark-overlap fraction and the quarantine verdict at
@@ -609,6 +634,34 @@ object DedupQueries {
         |  (len(tk.ts) - coalesce(k.n_kept, 0))::BIGINT AS n_removed
         |FROM toks tk LEFT JOIN keptagg k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Same planted page construction, then line frequencies and the
+    // ordered rebuild — string_agg skips the over-the-bar CASE nulls,
+    // generate_subscripts supplies the original line order.
+    "q217_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |built AS (
+        |  SELECT doc_id, list_filter([
+        |      'join our mailing list today',
+        |      array_to_string(ws[1:7], ' '),
+        |      array_to_string(ws[8:], ' '),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'special offer for subscribers' END,
+        |      'group marker ' || (doc_id % 100)::VARCHAR,
+        |      'all rights reserved 2026'
+        |    ], x -> x IS NOT NULL) AS lines
+        |  FROM w),
+        |l AS (
+        |  SELECT doc_id, generate_subscripts(lines, 1) AS ord,
+        |    unnest(lines) AS line
+        |  FROM built),
+        |c AS (SELECT line, count(*) AS freq FROM l GROUP BY 1),
+        |f AS (SELECT l.doc_id, l.line, l.ord, c.freq FROM l JOIN c USING (line))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN freq <= 10 THEN line END,
+        |    chr(10) ORDER BY ord), '') AS text,
+        |  CAST(count(*) FILTER (WHERE freq <= 10) AS BIGINT) AS n_lines_kept,
+        |  CAST(count(*) FILTER (WHERE freq > 10) AS BIGINT) AS n_lines_dropped
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q58_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),

@@ -1,0 +1,64 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CCNet-style line-level exact deduplication — sub-document dedup at
+  * line granularity: hash every line of every document, find lines whose
+  * corpus-wide occurrence count exceeds a bar, and rebuild each document
+  * from its surviving lines in original order. The most commonly applied
+  * boilerplate-removal pass in public pretraining pipelines (CCNet §3.1
+  * removes duplicated lines before LM filtering; headers, cookie
+  * banners, share buttons and copyright footers all die here), and the
+  * line-granular complement of [[CrossDocNgrams]]' span trimming and the
+  * document-level exact dedup (reference transformer.py:151-171 is the
+  * whole-row special case).
+  *
+  * Scale shape: one explode (narrow), one partial+final count
+  * aggregation on the line (map-side combine collapses a
+  * corpus-ubiquitous line to one row per map partition BEFORE the
+  * shuffle — a window `count() over (partition by line)` would instead
+  * ship every occurrence of every hot line to one reducer), a left join
+  * of lines against the usually-tiny over-the-bar set (AQE picks a
+  * broadcast at runtime when it fits; skew-join splitting covers the
+  * hot-line probe side when it does not), and one groupBy(id) rebuild.
+  * Nothing driver-resident.
+  */
+object LineDedup {
+
+  /** Rebuild each document without its over-represented lines.
+    *
+    * @param maxFreq a line is dropped from EVERY document when its total
+    *   occurrence count across the corpus exceeds this bar
+    * @param sep line separator (split AND rejoin)
+    * @return one row per input document: `idCol`, `textCol` (kept lines
+    *   joined with `sep`; empty string when every line dropped),
+    *   `n_lines_kept`, `n_lines_dropped`
+    */
+  def dedup(docs: DataFrame, idCol: String, textCol: String,
+      maxFreq: Long, sep: String = "\n"): DataFrame = {
+    require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
+    val lines = docs.select(
+      col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val over = lines.groupBy(col("__line"))
+      .agg(count(lit(1)).as("__freq"))
+      .where(col("__freq") > maxFreq)
+      .select(col("__line"), lit(true).as("__drop"))
+    lines.join(over, Seq("__line"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        // kept lines, original order: nulls (dropped) vanish from
+        // collect_list, struct sort restores position order
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__drop").isNull, struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line")),
+          sep).as(textCol),
+        sum(when(col("__drop").isNull, 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).as("n_lines_dropped"))
+      .withColumnRenamed("__id", idCol)
+  }
+}

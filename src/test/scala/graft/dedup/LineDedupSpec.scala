@@ -1,0 +1,50 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("drops lines above the bar, keeps order, rebuilds empty docs as ''") {
+    // 'chrome' appears 3x, 'shared' 2x, prose lines once each
+    val docs = Seq(
+      (1L, "chrome\nalpha prose one\nshared\nbeta prose one"),
+      (2L, "chrome\nalpha prose two\nshared"),
+      (3L, "chrome")
+    ).toDF("id", "text")
+    val out = LineDedup.dedup(docs, "id", "text", maxFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // maxFreq = 2: 'chrome' (3) dropped; 'shared' (2) at the bar, kept
+    assert(out(1L) == (("alpha prose one\nshared\nbeta prose one", 3L, 1L)))
+    assert(out(2L) == (("alpha prose two\nshared", 2L, 1L)))
+    assert(out(3L) == (("", 0L, 1L))) // every line dropped: empty rebuild
+  }
+
+  test("threshold boundary: maxFreq = 1 keeps only corpus-unique lines") {
+    val docs = Seq(
+      (1L, "dup\nunique a"),
+      (2L, "dup\nunique b")
+    ).toDF("id", "text")
+    val out = LineDedup.dedup(docs, "id", "text", maxFreq = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unique a", 2L -> "unique b"))
+  }
+
+  test("order restoration survives shuffled aggregation on many lines") {
+    val text = (0 until 50).map(i => s"line number $i of doc").mkString("\n")
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val out = LineDedup.dedup(docs, "id", "text", maxFreq = 5)
+      .head().getString(1)
+    assert(out == text) // all unique → byte-identical rebuild
+  }
+
+  test("counting is by occurrences, not documents") {
+    // 'rep' occurs 3 times in ONE doc: occurrences 3 > maxFreq 2 → dropped
+    val docs = Seq((1L, "rep\nrep\nrep\nkeep me here")).toDF("id", "text")
+    val out = LineDedup.dedup(docs, "id", "text", maxFreq = 2)
+      .head()
+    assert(out.getString(1) == "keep me here")
+    assert(out.getLong(3) == 3L)
+  }
+}
