@@ -52,7 +52,10 @@ object Curation {
       chunks: Long,
       // docs whose TEXT lost a duplicated span (doc count is unchanged
       // by the span-trim stage); 0 when the stage is off
-      spans_trimmed: Long = 0L)
+      spans_trimmed: Long = 0L,
+      // docs whose TEXT lost over-represented lines (doc count is
+      // unchanged by the line-dedup stage); 0 when the stage is off
+      lines_deduped: Long = 0L)
 
   /** @param docs       (idCol, textCol) corpus
     * @param benchmark  optional eval set to decontaminate against
@@ -63,6 +66,14 @@ object Curation {
     * @param neardupThreshold Jaccard threshold for duplicate clustering
     * @param sampleFraction deterministic keep-fraction of the clean pool
     * @param maxTokens  chunk budget for the context windows
+    * @param lineDedupMaxFreq when set, a CCNet-style LINE-level exact
+    *                   dedup stage ([[graft.dedup.LineDedup]]) runs
+    *                   FIRST — before the quality gate, the CCNet order:
+    *                   boilerplate lines (headers, cookie banners,
+    *                   footers) whose corpus-wide occurrence count
+    *                   exceeds this bar are cut from every document, so
+    *                   quality scoring and everything downstream see the
+    *                   de-chromed text. Rewrites text, never drops docs.
     * @param spanTrimMinRun when set, a duplicated-span REMOVAL stage
     *                   (`CrossDocNgrams.trim`, w=8, minDocs=2) runs on
     *                   the dedup survivors BEFORE decontamination: every
@@ -92,6 +103,7 @@ object Curation {
       neardupThreshold: Double = 0.5,
       sampleFraction: Double = 1.0,
       maxTokens: Int = 512,
+      lineDedupMaxFreq: Option[Long] = None,
       spanTrimMinRun: Option[Int] = None,
       checkpointDir: Option[String] = None
   ): (org.apache.spark.sql.Dataset[Chunker.DocChunk], Report) = {
@@ -115,7 +127,22 @@ object Curation {
           (c, c.count())
       }
 
-    val input = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val rawInput = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+
+    // 0. optional line-level dedup (CCNet order: before quality — the
+    // chrome must be gone before the quality heuristics score the text).
+    // Doc count is unchanged, so the input count can still observe the
+    // post-stage frame.
+    val (input, linesDedupedN) = lineDedupMaxFreq match {
+      case Some(bar) =>
+        val d = graft.dedup.LineDedup.dedup(rawInput, "id", "text", bar)
+          .select(col("id"), col("text"),
+            (col("n_lines_dropped") > 0L).as("__ld"))
+        val (b, _) = boundary(d, "line_dedup")
+        val n = b.filter(col("__ld")).count()
+        (b.select(col("id"), col("text")), n)
+      case None => (rawInput, 0L)
+    }
 
     // 1. quality gate (scan-side heuristics, narrow). In durable mode
     // the input count observes the same action as the quality write
@@ -222,6 +249,6 @@ object Curation {
       "chunks")
 
     (chunksDf.as[Chunker.DocChunk], Report(inputN, qualityN, exactN, nearN,
-      semanticN, decontamN, sampledN, chunksN, spansTrimmedN))
+      semanticN, decontamN, sampledN, chunksN, spansTrimmedN, linesDedupedN))
   }
 }

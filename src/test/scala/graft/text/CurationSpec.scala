@@ -111,4 +111,32 @@ class CurationSpec extends SparkSpec {
     assert(r0.spans_trimmed == 0L)
     assert(chunks0.collect().exists(_.text.contains("quick brown")))
   }
+
+  test("line-dedup stage: chrome lines die FIRST, doc count unchanged, report counts affected docs") {
+    // Every doc shares a boilerplate line; each also carries a unique
+    // prose line long and diverse enough to pass quality and dedup.
+    def prose(tag: String) =
+      (1 to 30).map(i => s"$tag$i word$tag$i").mkString(" ")
+    val chrome = "subscribe to our newsletter today"
+    val d = Seq(
+      (1L, s"$chrome\n${prose("a")}"),
+      (2L, s"$chrome\n${prose("b")}"),
+      (3L, s"$chrome\n${prose("c")}"),
+      (4L, prose("d"))).toDF("doc_id", "text")
+
+    val (chunks, r) = Curation.run(d, "doc_id", "text",
+      lineDedupMaxFreq = Some(2L))
+    assert(r.input_docs == 4L, r.toString)     // line dedup never drops docs
+    assert(r.lines_deduped == 3L, r.toString)  // the three chrome carriers
+    assert(r.after_sample == 4L, r.toString)
+    val texts = chunks.collect().groupBy(_.doc_id)
+      .view.mapValues(_.sortBy(_.chunk_idx).map(_.text).mkString(" ")).toMap
+    assert(texts.values.forall(!_.contains("subscribe to our newsletter")), texts)
+    assert(texts(4L).contains("d1 wordd1"))
+
+    // off by default
+    val (chunks0, r0) = Curation.run(d, "doc_id", "text")
+    assert(r0.lines_deduped == 0L)
+    assert(chunks0.collect().exists(_.text.contains("subscribe")))
+  }
 }
