@@ -23,32 +23,59 @@ import graft.core.ScratchDirs
   */
 object StreamingQueries {
 
-  /** Shared q82/q86 setup — one recipe, two sinks: stage the events
-    * table plus a second batch of planted exact-duplicate files (a copy
-    * of every 10th event) into a watched dir, and open a schema'd
-    * readStream over it. `ts` normalization (nanos-long OR µs-NTZ parquet
-    * → TimestampType, see sources.Tables) happens on the BATCH load
+  /** Watched-dir INPUTS are staged once per JVM per sf dir (the
+    * MultimodalQueries corpus-cache pattern, keyed on the normalized
+    * absolute path): the input files never change across invocations,
+    * and bench runs each query cold+3×warm — without the cache every
+    * run would re-write the events table into scratch, and the timer
+    * would measure fixture writes instead of the stream. The cached
+    * lease is held for the JVM lifetime; per-invocation scratch holds
+    * only sink / checkpoint / table dirs (fresh checkpoints are what
+    * let the same input dir stream repeatedly).
+    */
+  private val stagedInputCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedInput(dir: String, name: String)(
+      build: String => Unit): String =
+    stagedInputCache.computeIfAbsent(
+      name + "|" + java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => {
+        val lease = ScratchDirs.lease(s"graft-$name-")
+        // Release-on-failure between lease and return (the
+        // materializeGifCorpus pattern): a throw from the staging
+        // writes must not pin the lease forever.
+        try { val in = s"$lease/in"; build(in); in }
+        catch {
+          case e: Throwable =>
+            ScratchDirs.release(lease)
+            throw e
+        }
+      })
+
+  /** Shared q82/q86/q140/q145/q183/q189 setup — one recipe, many sinks:
+    * the events table plus a second batch of planted exact-duplicate
+    * files (a copy of every 10th event) in a watched dir (staged once
+    * per JVM, see [[stagedInputCache]]), and a schema'd readStream over
+    * it. `ts` normalization (nanos-long OR µs-NTZ parquet →
+    * TimestampType, see sources.Tables) happens on the BATCH load
     * before staging, so the staged files are always TIMESTAMP_MICROS
     * (EngineSession's outputTimestampType) and the stream schema needs no
     * per-encoding conversion — the same values the oracles' `::TIMESTAMP`
     * read produces.
-    * @return (stream ready to transform, scratch root for sink/ckpt dirs)
+    * @return (stream ready to transform, scratch root for sink/ckpt dirs —
+    *         leased for the WHOLE query body, released in the caller's
+    *         finally)
     */
   private def plantedEventStream(
       s: SparkSession, dir: String, prefix: String): (DataFrame, String) = {
     val raw = graft.sources.Tables.load(s, dir, "events")
-    // Leased, not merely fresh: the dir stays alive for the WHOLE query
-    // body (StreamingQuery run + sink read-back) regardless of how many
-    // other invocations overlap — released in the query's finally.
+    val inDir = stagedInput(dir, "stream-planted") { in =>
+      raw.write.mode("overwrite").parquet(in)
+      raw.filter(col("event_id") % 10 === 0).write.mode("append").parquet(in)
+    }
     val scratch = ScratchDirs.lease(prefix)
-    // Release-on-failure between lease and return (the
-    // materializeGifCorpus pattern): a throw from the staging writes or
-    // stream construction must not pin the lease forever — the caller's
-    // finally only covers the tuple once it has it (ADVICE r8).
     try {
-      val inDir = s"$scratch/in"
-      raw.write.mode("overwrite").parquet(inDir)
-      raw.filter(col("event_id") % 10 === 0).write.mode("append").parquet(inDir)
       // maxFilesPerTrigger forces MULTIPLE micro-batches under
       // AvailableNow, so cross-batch paths (dedup state, repeated MERGE
       // commits) actually run rather than collapsing into one batch.
@@ -75,24 +102,26 @@ object StreamingQueries {
       s: SparkSession, dir: String, prefix: String): (DataFrame, String) = {
     val raw = graft.sources.Tables.load(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_type"))
-    val scratch = ScratchDirs.lease(prefix)
-    try {
-      val inDir = s"$scratch/in"
-      val fs = new org.apache.hadoop.fs.Path(inDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+    val inDir = stagedInput(dir, "stream-phased") { in =>
+      val root = new org.apache.hadoop.fs.Path(in)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
       val Array(t0, t1) = raw
         .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
       val cuts = Array(Long.MinValue, t0 + (t1 - t0) / 3, t0 + 2 * ((t1 - t0) / 3), Long.MaxValue)
       (0 until 3).foreach { i =>
-        val tmp = s"$scratch/tmp$i"
+        val tmp = s"$in-tmp$i"
         raw.where(unix_micros(col("ts")) >= cuts(i) &&
             unix_micros(col("ts")) < cuts(i + 1))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
-        fs.rename(part, new org.apache.hadoop.fs.Path(s"$inDir/phase-$i.parquet")): Unit
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$in/phase-$i.parquet")): Unit
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
       }
+    }
+    val scratch = ScratchDirs.lease(prefix)
+    try {
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir)
@@ -319,23 +348,23 @@ object StreamingQueries {
     // audit — exactly the split the oracle recomputes relationally.
     "q170_streaming_late_data" -> { (s, dir) =>
       val raw = graft.sources.Tables.load(s, dir, "events")
-      val scratch = ScratchDirs.lease("graft-stream-late")
-      try {
-        val inDir = s"$scratch/in"
+      val inDir = stagedInput(dir, "stream-late") { in =>
         val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
         raw.filter(col("ts") >= cutoff).coalesce(1)
-          .write.mode("overwrite").parquet(s"$inDir/batch1")
+          .write.mode("overwrite").parquet(s"$in/batch1")
         raw.filter(col("ts") < cutoff).coalesce(1)
-          .write.mode("overwrite").parquet(s"$inDir/batch2")
-        val fs = new org.apache.hadoop.fs.Path(inDir)
+          .write.mode("overwrite").parquet(s"$in/batch2")
+        val fs = new org.apache.hadoop.fs.Path(in)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         def stamp(sub: String, t: Long): Unit = fs
-          .listStatus(new org.apache.hadoop.fs.Path(s"$inDir/$sub"))
+          .listStatus(new org.apache.hadoop.fs.Path(s"$in/$sub"))
           .filter(_.getPath.getName.endsWith(".parquet"))
           .foreach(f => fs.setTimes(f.getPath, t, -1))
         stamp("batch1", 1000000L)
         stamp("batch2", 2000000L)
-
+      }
+      val scratch = ScratchDirs.lease("graft-stream-late")
+      try {
         val sinkDir = s"$scratch/sink"
         val lateDir = s"$scratch/late"
         val q = s.readStream.schema(raw.schema)
