@@ -348,6 +348,25 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // keepFirst line dedup on the same planted pages: every line keeps
+    // exactly its corpus-first (doc_id, pos) occurrence — doc 0 keeps
+    // the chrome, everyone later loses it; each 'group marker k' line
+    // survives only in its cohort's smallest doc.
+    "q219_line_keepfirst" -> { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val built = docs(s, dir).select(
+        col("doc_id"),
+        concat_ws("\n",
+          lit("join our mailing list today"),
+          concat_ws(" ", slice(ws, 1, 7)),
+          concat_ws(" ", slice(ws, 8, 1000000)),
+          when(col("doc_id") % 3 === 0, lit("special offer for subscribers")),
+          concat(lit("group marker "), (col("doc_id") % 100).cast("string")),
+          lit("all rights reserved 2026")).as("text"))
+      LineDedup.keepFirst(built, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Thresholded decontamination verdict (q58's split, but the
     // RefinedWeb fraction rule instead of any-overlap): every corpus doc
     // with its benchmark-overlap fraction and the quarantine verdict at
@@ -661,6 +680,35 @@ object DedupQueries {
         |    chr(10) ORDER BY ord), '') AS text,
         |  CAST(count(*) FILTER (WHERE freq <= 10) AS BIGINT) AS n_lines_kept,
         |  CAST(count(*) FILTER (WHERE freq > 10) AS BIGINT) AS n_lines_dropped
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same pages; first occurrence = row_number 1 over (line → doc_id,
+    // ord), mirroring the engine's min-struct aggregation.
+    "q219_line_keepfirst" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |built AS (
+        |  SELECT doc_id, list_filter([
+        |      'join our mailing list today',
+        |      array_to_string(ws[1:7], ' '),
+        |      array_to_string(ws[8:], ' '),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'special offer for subscribers' END,
+        |      'group marker ' || (doc_id % 100)::VARCHAR,
+        |      'all rights reserved 2026'
+        |    ], x -> x IS NOT NULL) AS lines
+        |  FROM w),
+        |l AS (
+        |  SELECT doc_id, generate_subscripts(lines, 1) AS ord,
+        |    unnest(lines) AS line
+        |  FROM built),
+        |f AS (
+        |  SELECT doc_id, line, ord,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+        |  FROM l)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+        |    chr(10) ORDER BY ord), '') AS text,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_lines_kept,
+        |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_lines_dropped
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q58_contamination" ->

@@ -61,4 +61,41 @@ object LineDedup {
         sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).as("n_lines_dropped"))
       .withColumnRenamed("__id", idCol)
   }
+
+  /** The other standard CCNet semantics: every line keeps exactly its
+    * FIRST occurrence (smallest `(id, pos)` across the corpus — a total
+    * deterministic order) and loses all later ones. Where [[dedup]]
+    * removes over-represented boilerplate from every document,
+    * `keepFirst` preserves corpus-wide line uniqueness — one copy of
+    * each repeated paragraph survives, in the earliest document that
+    * carried it.
+    *
+    * Scale shape: one explode, one min-aggregation on the line (partial
+    * aggregation collapses hot lines map-side), one equi-join of
+    * occurrences against their line's minimum — all keyed on the line,
+    * AQE-skew-safe — and the same ordered rebuild.
+    */
+  def keepFirst(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs.select(
+      col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val first = lines.groupBy(col("__line"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    lines.join(first, Seq("__line"))
+      .withColumn("__keep",
+        col("__first.__id") === col("__id") && col("__first.__pos") === col("__pos"))
+      .groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line")),
+          sep).as(textCol),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_lines_dropped"))
+      .withColumnRenamed("__id", idCol)
+  }
 }

@@ -306,8 +306,11 @@ object WarcShards {
     */
   def readRecords(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Brace alternation, NOT "*.warc*": the loose glob would also match
+    // a crashed attempt's ".warc.tmp-N" leftovers and fail the whole
+    // scan on their truncated bytes.
     spark.read.format("binaryFile")
-      .load(s"${dir.stripSuffix("/")}/*.warc*")
+      .load(s"${dir.stripSuffix("/")}/{*.warc,*.warc.gz}")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

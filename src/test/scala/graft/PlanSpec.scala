@@ -224,6 +224,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_lang_scores"), p)
   }
 
+  test("HTML text extraction stays inside whole-stage codegen") {
+    val q = sources.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.call_function("graft_html_text",
+        concat(lit("<p>"), col("text"), lit("</p>")),
+        lit(20), lit(33)).as("t"))
+    val p = plan(q)
+    assert("""\*\(\d+\) Project \[graft_html_text""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("native shingle hashing stays inside whole-stage codegen") {
     val q = sources.Tables.load(spark, dir, "documents")
       .select(dedup.Shingles.shingleSet(col("text")).as("sh"))

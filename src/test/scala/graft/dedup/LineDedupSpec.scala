@@ -39,6 +39,22 @@ class LineDedupSpec extends SparkSpec {
     assert(out == text) // all unique → byte-identical rebuild
   }
 
+  test("keepFirst: earliest (id, pos) occurrence survives, all later die") {
+    val docs = Seq(
+      (2L, "shared para\nunique two"),
+      (1L, "unique one\nshared para\nshared para"),
+      (3L, "shared para")
+    ).toDF("id", "text")
+    val out = LineDedup.keepFirst(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 carries the corpus-first 'shared para' (id=1, pos=1); its own
+    // second copy (pos=2) and every other doc's copy die
+    assert(out(1L) == (("unique one\nshared para", 2L, 1L)))
+    assert(out(2L) == (("unique two", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 1L)))
+  }
+
   test("counting is by occurrences, not documents") {
     // 'rep' occurs 3 times in ONE doc: occurrences 3 > maxFreq 2 → dropped
     val docs = Seq((1L, "rep\nrep\nrep\nkeep me here")).toDF("id", "text")

@@ -83,6 +83,10 @@ class WarcShardsSpec extends SparkSpec {
     val m2 = WarcShards.pack(ds.filter(_.shard % 2 == 1), dir, gzip = true)
     assert(m1.count() == 2 && m2.count() == 2)
 
+    // a crashed attempt's tmp leftover must NOT enter the scan
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-00099.warc.tmp-7"),
+      "garbage not a warc".getBytes(StandardCharsets.UTF_8))
     val back = WarcShards.readRecords(spark, dir)
     assert(back.count() == 20)
     val rows = back.collect()
