@@ -79,15 +79,25 @@ object WarcQueries {
           val pages = docs.flatMap { case (id, text, lang) =>
             val shard = (id % NShards).toInt
             val uri = s"http://example.com/doc/$id"
+            val html = pageHtml(id, lang, text).getBytes(StandardCharsets.UTF_8)
+            val ct = "text/html; charset=utf-8"
+            // all three wire shapes real captures carry, by doc cohort:
+            // plain Content-Length, gzip Content-Encoding, chunked
+            // Transfer-Encoding — the reader must hand extraction the
+            // same entity bytes for every cohort (q215's oracle is the
+            // cohort-blind documents table).
+            val http = (id % 3) match {
+              case 0 => WarcShards.WarcCodec.httpResponse(html, ct)
+              case 1 => WarcShards.WarcCodec.httpResponseGzip(html, ct)
+              case _ => WarcShards.WarcCodec.httpResponseChunked(html, ct, chunkSize = 100)
+            }
             Seq(
               WarcShards.Entry(shard, id * 2 + 1, "request", uri,
                 s"<urn:graft:req:$id>", "application/http;msgtype=request",
                 requestPayload(id)),
               WarcShards.Entry(shard, id * 2 + 2, "response", uri,
                 s"<urn:graft:resp:$id>", "application/http;msgtype=response",
-                WarcShards.WarcCodec.httpResponse(
-                  pageHtml(id, lang, text).getBytes(StandardCharsets.UTF_8),
-                  "text/html; charset=utf-8")))
+                http))
           }
           val info = s.createDataset((0 until NShards).map { sh =>
             WarcShards.Entry(sh, 0L, "warcinfo", "",
@@ -109,18 +119,20 @@ object WarcQueries {
     .map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Record inventory by WARC type across both layouts (plain + .gz):
-    // counts, payload bytes, and parsed HTTP statuses — every byte of
-    // every payload is recomputed by the oracle from the closed-form
-    // templates, so a framing bug in the codec (CRLF discipline,
-    // Content-Length, gzip member handling) lands as a hash mismatch.
+    // Record inventory by WARC type across both file layouts (plain +
+    // .gz) AND all three HTTP wire shapes (Content-Length / gzip
+    // Content-Encoding / chunked Transfer-Encoding): counts, DECODED
+    // body bytes, parsed statuses. The oracle recomputes every decoded
+    // byte from the closed-form templates; a framing bug anywhere
+    // (record CRLF discipline, Content-Length, gzip members, chunk
+    // framing, body inflation) breaks the stream or the byte totals.
     "q214_warc_records" -> { (s, dir) =>
       val crawl = materializeCrawl(s, dir)
       WarcShards.readRecords(s, crawl)
         .groupBy(col("warc_type"))
         .agg(
           count(lit(1)).as("n_records"),
-          sum(col("payload_bytes")).as("payload_bytes"),
+          sum(length(col("body"))).as("body_bytes"),
           sum(when(col("http_status") === 200, 1L).otherwise(0L)).as("n_http_ok"))
         .orderBy(col("warc_type"))
     },
@@ -227,40 +239,35 @@ object WarcQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // crlf spelled as chr(13)||chr(10); every payload rebuilt from the
-    // same closed-form strings the fixture writer used.
+    // crlf spelled as chr(13)||chr(10); body bytes are the DECODED
+    // entity bytes — the page html for responses (whatever the wire
+    // encoding), the raw payload for request/warcinfo records.
     "q214_warc_records" ->
       s"""WITH c AS (SELECT chr(13) || chr(10) AS crlf),
          |page AS (
          |  SELECT doc_id, $pageHtmlSql AS html FROM documents),
-         |resp AS (
-         |  SELECT doc_id,
-         |    strlen('HTTP/1.1 200 OK' || crlf ||
-         |      'Content-Type: text/html; charset=utf-8' || crlf ||
-         |      'Content-Length: ' || strlen(html)::VARCHAR || crlf || crlf)
-         |      + strlen(html) AS payload
-         |  FROM page, c),
+         |resp AS (SELECT doc_id, strlen(html) AS body FROM page),
          |req AS (
          |  SELECT doc_id,
          |    strlen('GET /doc/' || doc_id::VARCHAR || ' HTTP/1.1' || crlf ||
          |      'Host: example.com' || crlf || 'User-Agent: graft' || crlf || crlf)
-         |      AS payload
+         |      AS body
          |  FROM documents, c),
          |info AS (
          |  SELECT strlen('software: graft-warc/1.0' || crlf ||
-         |    'format: WARC/1.0' || crlf) AS payload
+         |    'format: WARC/1.0' || crlf) AS body
          |  FROM range(8), c)
          |SELECT * FROM (
          |  SELECT 'request' AS warc_type, count(*) AS n_records,
-         |    CAST(sum(payload) AS BIGINT) AS payload_bytes,
+         |    CAST(sum(body) AS BIGINT) AS body_bytes,
          |    CAST(0 AS BIGINT) AS n_http_ok
          |  FROM req
          |  UNION ALL
          |  SELECT 'response', count(*),
-         |    CAST(sum(payload) AS BIGINT), count(*) FROM resp
+         |    CAST(sum(body) AS BIGINT), count(*) FROM resp
          |  UNION ALL
          |  SELECT 'warcinfo', count(*),
-         |    CAST(sum(payload) AS BIGINT), CAST(0 AS BIGINT) FROM info)
+         |    CAST(sum(body) AS BIGINT), CAST(0 AS BIGINT) FROM info)
          |ORDER BY warc_type""".stripMargin,
 
     "q215_warc_extract" ->

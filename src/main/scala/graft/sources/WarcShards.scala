@@ -105,11 +105,93 @@ object WarcShards {
       outB
     }
 
+    /** An HTTP/1.1 200 response whose body rides `Transfer-Encoding:
+      * chunked` (one chunk per `chunkSize` bytes) — the other wire shape
+      * real captures carry. For fixtures and round-trip tests.
+      */
+    def httpResponseChunked(body: Array[Byte], contentType: String,
+        chunkSize: Int = 256): Array[Byte] = {
+      require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+      val out = new java.io.ByteArrayOutputStream(body.length + 128)
+      out.write((s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n").getBytes(StandardCharsets.UTF_8))
+      var off = 0
+      while (off < body.length) {
+        val n = math.min(chunkSize, body.length - off)
+        out.write(s"${n.toHexString}\r\n".getBytes(StandardCharsets.US_ASCII))
+        out.write(body, off, n)
+        out.write('\r'); out.write('\n')
+        off += n
+      }
+      out.write("0\r\n\r\n".getBytes(StandardCharsets.US_ASCII))
+      out.toByteArray
+    }
+
+    /** An HTTP/1.1 200 response whose body is gzip Content-Encoding. */
+    def httpResponseGzip(body: Array[Byte], contentType: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
+      val gz = new GZIPOutputStream(bos)
+      gz.write(body); gz.finish()
+      val enc = bos.toByteArray
+      val h = s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+        s"Content-Encoding: gzip\r\nContent-Length: ${enc.length}\r\n\r\n"
+      val hb = h.getBytes(StandardCharsets.UTF_8)
+      val outB = new Array[Byte](hb.length + enc.length)
+      System.arraycopy(hb, 0, outB, 0, hb.length)
+      System.arraycopy(enc, 0, outB, hb.length, enc.length)
+      outB
+    }
+
+    private def dechunk(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(raw.length)
+      var i = 0
+      var done = false
+      while (!done) {
+        // chunk-size line (hex, optional ;extensions), CRLF
+        var j = i
+        while (j < raw.length && raw(j) != '\r') j += 1
+        require(j + 1 < raw.length && raw(j + 1) == '\n',
+          "malformed chunked body: missing CRLF after chunk size")
+        val sizeLine = new String(raw, i, j - i, StandardCharsets.US_ASCII)
+        val size = Integer.parseInt(sizeLine.takeWhile(c =>
+          Character.digit(c, 16) >= 0), 16)
+        i = j + 2
+        if (size == 0) done = true
+        else {
+          require(i + size + 2 <= raw.length, "truncated chunked body")
+          out.write(raw, i, size)
+          require(raw(i + size) == '\r' && raw(i + size + 1) == '\n',
+            "malformed chunked body: missing CRLF after chunk data")
+          i += size + 2
+        }
+      }
+      out.toByteArray
+    }
+
+    private def gunzip(raw: Array[Byte], cap: Long): Array[Byte] = {
+      val in = new GZIPInputStream(new ByteArrayInputStream(raw), 64 * 1024)
+      val out = new java.io.ByteArrayOutputStream(math.min(raw.length.toLong * 4, cap).toInt)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        require(out.size() <= cap,
+          s"gzip body inflated past cap $cap (decompression-bomb guard)")
+        n = in.read(buf)
+      }
+      out.toByteArray
+    }
+
     /** Split an HTTP message payload into (status, body). None if the
       * payload is not an HTTP response (no status line / no blank-line
-      * separator).
+      * separator). The two wire transforms real captures carry are
+      * undone here — `Transfer-Encoding: chunked` is de-chunked and
+      * `Content-Encoding: gzip` inflated (in that order, per RFC 9112;
+      * inflation rides the same decompression-bomb cap as record
+      * parsing) — so downstream extraction always sees entity bytes.
       */
-    def parseHttp(payload: Array[Byte]): Option[(Int, Array[Byte])] = {
+    def parseHttp(payload: Array[Byte],
+        maxBodyBytes: Long = DefaultMaxRecordBytes): Option[(Int, Array[Byte])] = {
       if (payload.length < 12 ||
           !new String(payload, 0, 5, StandardCharsets.US_ASCII).equals("HTTP/"))
         return None
@@ -122,13 +204,21 @@ object WarcShards {
         else i += 1
       }
       if (sep < 0) return None
-      val statusLine = new String(payload, 0, math.min(sep, 64),
-        StandardCharsets.US_ASCII)
-      val parts = statusLine.split(" ")
+      val head = new String(payload, 0, sep, StandardCharsets.US_ASCII)
+      val lines = head.split("\r\n")
+      val parts = lines(0).split(" ")
       val status = if (parts.length >= 2) parts(1).takeWhile(_.isDigit) else ""
       if (status.isEmpty) return None
-      Some((status.toInt,
-        java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)))
+      def hdr(name: String): Option[String] = lines.iterator.drop(1)
+        .map(_.split(":", 2))
+        .collectFirst { case Array(k, v)
+          if k.trim.equalsIgnoreCase(name) => v.trim.toLowerCase(java.util.Locale.ROOT) }
+      var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+      if (hdr("Transfer-Encoding").exists(_.contains("chunked")))
+        body = dechunk(body)
+      if (hdr("Content-Encoding").exists(e => e == "gzip" || e == "x-gzip"))
+        body = gunzip(body, maxBodyBytes)
+      Some((status.toInt, body))
     }
 
     /** Read one CRLF-terminated line (without the terminator); None at

@@ -70,6 +70,25 @@ class WarcShardsSpec extends SparkSpec {
     assert(WarcCodec.parseHttp("no http here".getBytes).isEmpty)
   }
 
+  test("chunked and gzip bodies decode to the same entity bytes") {
+    val body = ("x" * 950 + " tail").getBytes(StandardCharsets.UTF_8)
+    val Some((s1, b1)) = WarcCodec.parseHttp(
+      WarcCodec.httpResponseChunked(body, "text/html", chunkSize = 100))
+    assert(s1 == 200 && java.util.Arrays.equals(b1, body))
+    val Some((s2, b2)) = WarcCodec.parseHttp(
+      WarcCodec.httpResponseGzip(body, "text/html"))
+    assert(s2 == 200 && java.util.Arrays.equals(b2, body))
+    // bomb cap applies to the INFLATED size
+    val e = intercept[IllegalArgumentException](WarcCodec.parseHttp(
+      WarcCodec.httpResponseGzip(("y" * 100000).getBytes, "text/html"),
+      maxBodyBytes = 1000L))
+    assert(e.getMessage.contains("cap"))
+    // malformed chunk framing fails loudly, not silently
+    val bad = WarcCodec.httpResponseChunked(body, "text/html", chunkSize = 100)
+    bad(bad.length - 3) = 'X' // corrupt the terminating 0-chunk CRLF
+    intercept[IllegalArgumentException](WarcCodec.parseHttp(bad))
+  }
+
   test("pack + readRecords round trip across plain and gzip shards") {
     val dir = tmpDir("warc-rt")
     val entries = (0L until 20L).map { i =>
