@@ -889,6 +889,31 @@ object AnalyticsQueries {
         .orderBy("vertex")
     },
 
+    // Multi-source weighted shortest paths (distance-to-nearest-seed)
+    // over the q141 supplier↔customer trade graph — the distance class
+    // of graph analytics (ConnectedComponents: connectivity, PageRank:
+    // propagation, KCore: density). Integer edge weights derived from
+    // the pair BEFORE mirroring (symmetric), every 10th supplier as the
+    // seed set; distributed Bellman-Ford relaxation (frontier ⋈ edges +
+    // min-agg per round, fixpoint early-exit, loud convergence assert).
+    // BIGINT-exact state, so the fixed-round unrolled oracle replays
+    // hash-identical (the q141/q195 iteration-replay discipline).
+    "q221_sssp" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + 1000000L).as("supp"),
+          col("o_custkey").as("cust"))
+        .distinct()
+        .withColumn("w", (col("supp") + col("cust")) % 7 + 1)
+      val edges = pairs.select(col("supp").as("src"), col("cust").as("dst"), col("w"))
+        .unionAll(pairs.select(col("cust").as("src"), col("supp").as("dst"), col("w")))
+      val sources = pairs.select(col("supp").as("id"))
+        .where(col("id") % 10 === 0).distinct()
+      graft.operators.ShortestPaths.run(edges, sources, maxRounds = 10)
+        .orderBy("id")
+    },
+
     // TPC-DS Q1 shape — the optimizer stressor TPC-H lacks: a WITH-CTE
     // consumed TWICE (once as the fact rows, once aggregated into a
     // per-nation threshold), authored as pure SQL through spark.sql so
@@ -1507,6 +1532,21 @@ object AnalyticsQueries {
         |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
       k = 2, maxRounds = 10),
+
+    "q221_sssp" -> graft.operators.ShortestPaths.oracleSql(
+      """SELECT supp AS src, cust AS dst, w FROM (
+        |  SELECT supp, cust, (supp + cust) % 7 + 1 AS w FROM (
+        |    SELECT DISTINCT l_suppkey + 1000000 AS supp, o_custkey AS cust
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey))
+        |UNION ALL
+        |SELECT cust, supp, w FROM (
+        |  SELECT supp, cust, (supp + cust) % 7 + 1 AS w FROM (
+        |    SELECT DISTINCT l_suppkey + 1000000 AS supp, o_custkey AS cust
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey))""".stripMargin,
+      """SELECT DISTINCT l_suppkey + 1000000 AS id
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_suppkey % 10 = 0""".stripMargin,
+      maxRounds = 10),
 
     "q200_tpcds_q1" ->
       """WITH ctr AS (
