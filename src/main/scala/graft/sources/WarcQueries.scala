@@ -181,6 +181,60 @@ object WarcQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The STREAMING front door: a `binaryFile` file-source readStream
+    // over the same staged crawl (maxFilesPerTrigger=2 → four real
+    // micro-batches across the 8 shards, both layouts interleaved),
+    // each batch decoding WARC framing + HTTP wire shapes and running
+    // boilerplate removal — the continuous-ingestion twin of q215,
+    // hash-equal to the SAME oracle (documents.text). This is the 100 TB
+    // shape: Common Crawl drops land in a watched prefix and flow through
+    // extraction incrementally, one shard file per task, no reprocessing
+    // of already-seen shards (file-source tracking via the checkpoint).
+    "q222_warc_stream" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val crawl = materializeCrawl(s, dir)
+      val scratch = graft.core.ScratchDirs.lease("graft-warc-stream-")
+      try {
+        val sinkDir = s"$scratch/sink"
+        val ckptDir = s"$scratch/ckpt"
+        val records = s.readStream.format("binaryFile")
+          // file-source streams need the schema up front; binaryFile's
+          // is fixed (path, modificationTime, length, content)
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "2")
+          .load(s"${crawl.stripSuffix("/")}/{*.warc,*.warc.gz}")
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (_, bytes) =>
+            WarcShards.WarcCodec.parse(bytes).flatMap { r =>
+              WarcShards.WarcCodec.parseHttp(r.payload).collect {
+                case (200, body) => (r.targetUri, body)
+              }
+            }
+          }
+          .toDF("target_uri", "body")
+        val extracted = records.select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          call_function("graft_html_text",
+            col("body").cast("string"), lit(20), lit(33)).as("text"))
+        val q = extracted.writeStream
+          .format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // Eager localCheckpoint: the ScratchDirs contract — the returned
+        // frame must not read sinkDir after a later invocation reaps it.
+        s.read.parquet(sinkDir)
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
+          .orderBy("doc_id")
+      } finally graft.core.ScratchDirs.release(scratch)
+    },
+
     // The full front-door composite the verdict asked for: WARC scan →
     // HTML extraction → the EXACT q73 curation pipeline (planted copies,
     // quality gate, exact + near-dup dedup, span trim, decontamination,
@@ -271,6 +325,10 @@ object WarcQueries {
          |ORDER BY warc_type""".stripMargin,
 
     "q215_warc_extract" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    // the streaming twin lands on the identical corpus-recovery contract
+    "q222_warc_stream" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
 
     "q220_url_canonicalize" -> {
