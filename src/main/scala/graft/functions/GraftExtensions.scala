@@ -234,6 +234,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfc(text)")
+        NfcNormalize(children.head)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "graft_fix_mojibake"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_fix_mojibake(text)")
+        FixMojibake(children.head)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_html_text"),
       new ExpressionInfo(classOf[HtmlExtractText].getName, "graft_html_text"),
       (children: Seq[Expression]) => children match {

@@ -1585,3 +1585,141 @@ case class HtmlExtractText(child: Expression, minChars: Int, maxLinkPct: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Unicode text-repair kernels behind `graft_nfc` ([[NfcNormalize]]) and
+  * `graft_fix_mojibake` ([[FixMojibake]]) — the encoding-hygiene pass a
+  * crawl corpus needs before any byte-level dedup or tokenization:
+  * visually-identical strings in different normal forms (e + U+0301 vs
+  * é) hash differently, split token statistics, and defeat exact dedup;
+  * CP1252-mis-decoded UTF-8 ("Ã©" for "é" — the classic mojibake of web
+  * text round-tripped through a legacy default charset) poisons
+  * language-ID and quality scoring. Public-pattern reference: the fix
+  * pipeline of the ftfy tool and the normalization front of CCNet.
+  */
+object TextFixKernels {
+
+  /** Unicode NFC normalization. Fast path: `isNormalized` is a scan with
+    * no allocation, and real corpora are overwhelmingly already-NFC.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** char → the CP1252 byte that decodes to it, for bytes 0x80..0xFF
+    * (Java's windows-1252 maps the five undefined positions to their C1
+    * controls, so the table is total and bijective on this range).
+    */
+  private val cp1252Inverse: Array[Int] = {
+    val inv = Array.fill(0x10000)(-1)
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    var b = 0x80
+    while (b <= 0xFF) {
+      val ch = new String(Array(b.toByte), cs).charAt(0)
+      inv(ch.toInt) = b
+      b += 1
+    }
+    inv
+  }
+
+  /** Repair UTF-8-bytes-decoded-as-CP1252 mojibake, conservatively:
+    * each maximal run of characters that CP1252 could have produced from
+    * high bytes is mapped back to those bytes and strictly re-decoded as
+    * UTF-8 — the run is replaced ONLY if the whole run decodes (all-or-
+    * nothing per run, so a lone genuine 'é', or mixed legitimate Latin-1
+    * prose, is never touched: its byte run is not valid UTF-8). Single
+    * pass; doubly-encoded text needs two applications. ASCII is identity.
+    */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var suspicious = false
+    while (i < n && !suspicious) {
+      suspicious = cp1252Inverse(str.charAt(i).toInt) >= 0
+      i += 1
+    }
+    if (!suspicious) return s
+    val out = new java.lang.StringBuilder(n)
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (cp1252Inverse(c.toInt) < 0) {
+        out.append(c)
+        i += 1
+      } else {
+        var j = i
+        while (j < n && cp1252Inverse(str.charAt(j).toInt) >= 0) j += 1
+        val run = str.substring(i, j)
+        // a single high char can never be a complete multi-byte sequence
+        if (j - i < 2) out.append(run)
+        else {
+          val bytes = new Array[Byte](j - i)
+          var k = 0
+          while (k < j - i) {
+            bytes(k) = cp1252Inverse(str.charAt(i + k).toInt).toByte
+            k += 1
+          }
+          try {
+            dec.reset()
+            out.append(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+          } catch {
+            case _: java.nio.charset.CharacterCodingException => out.append(run)
+          }
+        }
+        i = j
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** The corruption [[fixMojibake]] inverts — UTF-8 bytes decoded as
+    * CP1252. Fixture/test helper (and documentation of the model).
+    */
+  def mojibake(s: String): String =
+    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+}
+
+/** `graft_nfc(text)` — Unicode NFC normalization ([[TextFixKernels]]). */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextFixKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextFixKernels.nfc($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_fix_mojibake(text)` — CP1252-mojibake repair ([[TextFixKernels]]). */
+case class FixMojibake(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fix_mojibake"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextFixKernels.fixMojibake(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextFixKernels.fixMojibake($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -93,6 +93,50 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Unicode NFC normalization (graft_nfc, a native codegen expression
+    // over java.text.Normalizer) — the encoding-hygiene pass before any
+    // byte-level dedup/tokenization: NFD spellings (e + U+0301) hash
+    // differently from their composed twins and defeat exact dedup. The
+    // fixture plants decomposed sequences in the ASCII corpus (every 'e'
+    // → e+COMBINING ACUTE, every 'o' → o+COMBINING DIAERESIS); the
+    // oracle recomputes with DuckDB's own nfc_normalize — two
+    // independent Unicode implementations must agree byte-for-byte.
+    "q223_nfc_normalize" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val nfd = regexp_replace(
+        regexp_replace(col("text"), "e", "e" + "\u0301"), "o", "o" + "\u0308")
+      d.select(col("doc_id"),
+          nfd.as("text_nfd"),
+          call_function("graft_nfc", nfd).as("text_nfc"))
+        .select(col("doc_id"),
+          length(col("text_nfd")).as("len_nfd"),
+          length(col("text_nfc")).as("len_nfc"),
+          col("text_nfc"))
+        .orderBy(col("doc_id"))
+    },
+
+    // CP1252-mojibake repair (graft_fix_mojibake): UTF-8 bytes that were
+    // once decoded as windows-1252 ("Ã©" for "é" — the classic crawl
+    // corruption) are detected as maximal CP1252-representable runs and
+    // strictly re-decoded, all-or-nothing per run, so genuine Latin-1
+    // prose is never touched. The fixture appends a per-doc garbled
+    // snippet (the kernel's own corruption model applied to four
+    // non-ASCII snippets covering Latin accents and CJK); repair must
+    // recover the clean suffix EXACTLY while leaving the ASCII body
+    // untouched — the oracle simply writes the clean text.
+    "q224_fix_mojibake" -> { (s, dir) =>
+      val snippets = Seq("caf\u00e9", "na\u00efve", "Z\u00fcrich",
+        "\u65e5\u672c\u8a9e")
+      val garbled = snippets.map(graft.functions.TextFixKernels.mojibake)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val pick = element_at(
+        array(garbled.map(lit): _*), (col("doc_id") % 4 + 1).cast("int"))
+      d.select(col("doc_id"),
+          call_function("graft_fix_mojibake",
+            concat(col("text"), lit(" "), pick)).as("text_fixed"))
+        .orderBy(col("doc_id"))
+    },
+
     // Compression-ratio quality signal (graft_deflate_len, a native
     // codegen expression over per-thread zlib state): templated or
     // looping text deflates far below natural prose, a signal the
@@ -769,6 +813,33 @@ object TextQueries {
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // q223: DuckDB's own nfc_normalize (utf8proc) against graft_nfc
+    // (java.text.Normalizer) over the same planted NFD corruption — two
+    // independent Unicode implementations agreeing byte-for-byte.
+    "q223_nfc_normalize" ->
+      """WITH nfd AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, 'e', 'e' || chr(769)),
+        |            'o', 'o' || chr(776)) AS text_nfd
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text_nfd) AS len_nfd,
+        |  length(nfc_normalize(text_nfd)) AS len_nfc,
+        |  nfc_normalize(text_nfd) AS text_nfc
+        |FROM nfd ORDER BY doc_id""".stripMargin,
+
+    // q224: repair must recover the clean snippet exactly and leave the
+    // ASCII body untouched — the oracle writes the clean text directly
+    // (snippet literals built with chr() so both sides are
+    // codepoint-deterministic, never editor-normalization-dependent).
+    "q224_fix_mojibake" ->
+      """SELECT doc_id, text || ' ' || CASE doc_id % 4
+        |    WHEN 0 THEN 'caf' || chr(233)
+        |    WHEN 1 THEN 'na' || chr(239) || 've'
+        |    WHEN 2 THEN 'Z' || chr(252) || 'rich'
+        |    ELSE chr(26085) || chr(26412) || chr(35486) END AS text_fixed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // q196: contract row per cohort — sizes recomputed relationally, the
     // deflate-decile separation pinned true (the deflate values
     // themselves have no SQL twin; DeflateSpec pins the kernel).
