@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
+  /** One row per (doc, line). NULL text is treated as the empty string
+    * (one empty line) — `split(NULL)` is NULL and a bare posexplode
+    * would silently DROP the whole document from the rebuilt output,
+    * violating the one-row-per-input-document contract (ADVICE r11).
+    */
+  private def splitLines(docs: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    docs.select(
+      col(idCol).as("__id"),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+
   /** Rebuild each document without its over-represented lines.
     *
     * @param maxFreq a line is dropped from EVERY document when its total
@@ -38,10 +51,7 @@ object LineDedup {
   def dedup(docs: DataFrame, idCol: String, textCol: String,
       maxFreq: Long, sep: String = "\n"): DataFrame = {
     require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
-    val lines = docs.select(
-      col(idCol).as("__id"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("__pos", "__line")))
+    val lines = splitLines(docs, idCol, textCol, sep)
     val over = lines.groupBy(col("__line"))
       .agg(count(lit(1)).as("__freq"))
       .where(col("__freq") > maxFreq)
@@ -77,10 +87,7 @@ object LineDedup {
     */
   def keepFirst(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
-    val lines = docs.select(
-      col(idCol).as("__id"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("__pos", "__line")))
+    val lines = splitLines(docs, idCol, textCol, sep)
     val first = lines.groupBy(col("__line"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
     lines.join(first, Seq("__line"))

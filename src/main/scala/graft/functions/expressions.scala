@@ -1518,12 +1518,21 @@ object HtmlTextExtractor {
       val end = if (j < n) j + 1 else n
       if (!closing && SkipTags.contains(name)) {
         flush()
-        // drop the subtree: scan to "</name" then past its '>'
+        // drop the subtree: scan to "</name" then past its '>'. The
+        // prefix match alone would let "</header>" close a <head> skip
+        // (and "</scripted>" a <script> skip), leaking the rest of the
+        // skipped subtree into the text — so the char after the name
+        // must end the tag name (the HTML5 script-end rule: '>', '/',
+        // or whitespace).
         val lower = "</" + name
         var k = end
         var found = -1
         while (found < 0 && k + lower.length <= n) {
-          if (s.regionMatches(true, k, lower, 0, lower.length)) found = k
+          val boundary = k + lower.length >= n || {
+            val c = s.charAt(k + lower.length)
+            c == '>' || c == '/' || isWs(c)
+          }
+          if (boundary && s.regionMatches(true, k, lower, 0, lower.length)) found = k
           else k += 1
         }
         if (found < 0) return n // unterminated: rest of input is the subtree
