@@ -47,6 +47,20 @@ object Bench {
   /** 2-decimal variant for the compact stdout line (length budget). */
   private def num2(v: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(v))
 
+  /** Stable fingerprint of the benched query set: SHA-256 (16 hex chars)
+    * over the sorted query names. Embedded in `bench_detail.json` and
+    * `BENCH_RECORD.md` at record time; `BenchRecordSpec` recomputes it
+    * from `SparkEntry.queries` and FAILS when the committed record no
+    * longer describes the current battery — the r10–r12 staleness class
+    * where queries were added without re-recording and the headline
+    * numbers silently described a smaller set.
+    */
+  def querySetHash(names: Iterable[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(names.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -147,8 +161,9 @@ object Bench {
     // "parsed": null for this reason. The stdout line below is the
     // parseable record; this file is the human/debug record.
     val protocol = s""""cold_runs":1,"warm_runs":$warmRuns,"warm_stat":"median""""
+    val setHash = querySetHash(SparkEntry.queries.keys)
     val detail =
-      s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","value_warm":${num(totalWarm)},$protocol,"queries":${row(num, _._2)},"queries_warm":${row(num, _._3)},"failed":$failedJson,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","value_warm":${num(totalWarm)},$protocol,"query_set_hash":${q(setHash)},"query_count":${SparkEntry.queries.size},"queries":${row(num, _._2)},"queries_warm":${row(num, _._3)},"failed":$failedJson,"sf":${q(sfDir)}}"""
     // A dev subset run (SPARK_GRAFT_ONLY) must NOT clobber the committed
     // full-battery record — that is exactly the stale-number class the
     // r7 verdict flagged.
@@ -173,6 +188,10 @@ object Bench {
            |slow outlier on a host with a documented ~15% wall-clock swing).
            |Slowest warm medians: $slowest.
            |Full per-query cold+warm detail: `bench_detail.json`.
+           |
+           |Query set: ${SparkEntry.queries.size} queries, hash `$setHash` —
+           |BenchRecordSpec fails the build when `SparkEntry.queries` diverges
+           |from this record; re-run `graft.Bench` (full battery) to re-record.
            |""".stripMargin
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RECORD.md"),
         record.getBytes("UTF-8"))

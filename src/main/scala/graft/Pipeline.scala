@@ -301,6 +301,11 @@ object Pipeline {
     // A null key has no shard/name and a null text no payload — drop
     // them in the SAME pass (accumulator, not a second count() scan of
     // a possibly-100TB table) and report the count on stderr.
+    // DIAGNOSTIC ONLY: Spark accumulators in transformations (this is a
+    // flatMap, not an action) re-count on task retry and speculative
+    // re-execution, so under failures the number can OVER-state the
+    // true drop count. The export itself is unaffected (retried output
+    // is deterministic); do not gate correctness on this value.
     val droppedNulls = spark.sparkContext.longAccumulator("export_shards_dropped_nulls")
     val members = spark.read.parquet(inPath)
       .select(org.apache.spark.sql.functions.col(idCol).cast("long"),

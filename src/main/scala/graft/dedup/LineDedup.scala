@@ -30,11 +30,18 @@ object LineDedup {
     * (one empty line) — `split(NULL)` is NULL and a bare posexplode
     * would silently DROP the whole document from the rebuilt output,
     * violating the one-row-per-input-document contract (ADVICE r11).
+    * The synthesized line is flagged `__synth` so [[dedup]] can keep it
+    * out of the corpus frequency counts: it is a placeholder keeping the
+    * document alive, not a real line, and counting it would let a pile
+    * of NULL documents push the `""` line over the bar and collapse
+    * blank-line separators (`"a\n\nb"` → `"a\nb"`) corpus-wide
+    * (ADVICE r12).
     */
   private def splitLines(docs: DataFrame, idCol: String, textCol: String,
       sep: String): DataFrame =
     docs.select(
       col(idCol).as("__id"),
+      col(textCol).isNull.as("__synth"),
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__line")))
@@ -52,10 +59,13 @@ object LineDedup {
       maxFreq: Long, sep: String = "\n"): DataFrame = {
     require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
     val lines = splitLines(docs, idCol, textCol, sep)
-    val over = lines.groupBy(col("__line"))
+    // synthesized NULL-placeholder lines neither count toward a line's
+    // corpus frequency nor get dropped by it (see splitLines)
+    val over = lines.where(!col("__synth")).groupBy(col("__line"))
       .agg(count(lit(1)).as("__freq"))
       .where(col("__freq") > maxFreq)
       .select(col("__line"), lit(true).as("__drop"))
+    val keep = col("__drop").isNull || col("__synth")
     lines.join(over, Seq("__line"), "left")
       .groupBy(col("__id"))
       .agg(
@@ -64,11 +74,11 @@ object LineDedup {
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("__drop").isNull, struct(col("__pos"), col("__line"))))),
+              when(keep, struct(col("__pos"), col("__line"))))),
             x => x.getField("__line")),
           sep).as(textCol),
-        sum(when(col("__drop").isNull, 1L).otherwise(0L)).as("n_lines_kept"),
-        sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).as("n_lines_dropped"))
+        sum(when(keep, 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(!keep, 1L).otherwise(0L)).as("n_lines_dropped"))
       .withColumnRenamed("__id", idCol)
   }
 

@@ -1528,11 +1528,14 @@ object HtmlTextExtractor {
         var k = end
         var found = -1
         while (found < 0 && k + lower.length <= n) {
-          val boundary = k + lower.length >= n || {
-            val c = s.charAt(k + lower.length)
-            c == '>' || c == '/' || isWs(c)
-          }
-          if (boundary && s.regionMatches(true, k, lower, 0, lower.length)) found = k
+          // regionMatches first: it fail-fasts on the first char at the
+          // (overwhelmingly common) non-matching position; the boundary
+          // check only runs on an actual "</name" hit
+          if (s.regionMatches(true, k, lower, 0, lower.length) &&
+              (k + lower.length >= n || {
+                val c = s.charAt(k + lower.length)
+                c == '>' || c == '/' || isWs(c)
+              })) found = k
           else k += 1
         }
         if (found < 0) return n // unterminated: rest of input is the subtree

@@ -282,26 +282,32 @@ object TarShards {
       .flatMapSortedGroups(col("name")) { (shard: Int, it: Iterator[Member]) =>
         val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tar")
         val fs = path.getFileSystem(hadoopConf.value)
+        // Adopt a pre-existing final file as a prior commit — resume
+        // (earlier run of this export) or retry safety (a prior attempt
+        // of THIS task committed its rename and died before reporting;
+        // failing would deterministically abort the job on every
+        // retry) — but only after a member-count check: by determinism
+        // a prior commit of this export has exactly this group's member
+        // count, so a mismatch means the file is a STALE shard from a
+        // DIFFERENT export left in a non-clean output directory (ADVICE
+        // r11). Adopting it would ship a manifest row describing bytes
+        // that are not this dataset's; fail loudly instead.
+        def adopt(resumed: Boolean) = {
+          val in = fs.open(path)
+          val (n, payload) = try TarCodec.scanStats(in) finally in.close()
+          var expected = 0L
+          while (it.hasNext) { it.next(); expected += 1 }
+          require(n == expected,
+            s"$path already exists with $n members but this export's " +
+              s"shard $shard has $expected — stale shard from a different " +
+              "export in a non-clean output directory; delete it or " +
+              "export into a clean directory")
+          Iterator((shard, path.getName, n, payload, resumed))
+        }
         if (resume && fs.exists(path)) {
-          val in = fs.open(path)
-          val (n, payload) = try TarCodec.scanStats(in) finally in.close()
-          Iterator((shard, path.getName, n, payload, true))
+          adopt(resumed = true)
         } else if (fs.exists(path)) {
-          // Retry safety (not just resume): a prior attempt of THIS
-          // task may have committed its rename and died before
-          // reporting success — Spark then re-runs the task, and
-          // failing here would deterministically abort the job on
-          // every retry. By determinism the committed bytes are
-          // exactly what this attempt would write, so reconstruct the
-          // manifest row from a header-only scan, like the resume
-          // path (but `resumed = false`: it is THIS export's commit).
-          // Caveat: a stale shard from a DIFFERENT export into the
-          // same directory is indistinguishable from a prior commit
-          // and is accepted as-is — export into a clean directory
-          // (the CLI's export-shards does).
-          val in = fs.open(path)
-          val (n, payload) = try TarCodec.scanStats(in) finally in.close()
-          Iterator((shard, path.getName, n, payload, false))
+          adopt(resumed = false)
         } else {
           // Attempt-unique tmp: concurrent attempts of the same task
           // (speculation, zombie retry) must not truncate each other's

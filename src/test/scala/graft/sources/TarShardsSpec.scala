@@ -175,6 +175,33 @@ class TarShardsSpec extends SparkSpec {
     assert(back.map(_._2).toSeq == Seq("a.txt", "b.txt", "c.txt"))
   }
 
+  test("a stale shard from a DIFFERENT export is rejected, not adopted") {
+    // regression (ADVICE r11): a pre-existing final file is adopted as a
+    // prior commit of THIS export only when its member count matches
+    // what this export would write; a foreign shard must fail loudly
+    // instead of shipping a manifest row describing someone else's bytes
+    import spark.implicits._
+    val dir = tmpDir("tarstale")
+    // "different export": shard 0 written with ONE member
+    TarShards.pack(spark.createDataset(Seq(
+      TarShards.Member(0, "old.txt", "old".getBytes(UTF_8)))), dir).count()
+    // this export's shard 0 has TWO members → resume must reject
+    val members = spark.createDataset(Seq(
+      TarShards.Member(0, "a.txt", "alpha".getBytes(UTF_8)),
+      TarShards.Member(0, "b.txt", "bb".getBytes(UTF_8))))
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.pack(members, dir, resume = true).count()
+    }
+    assert(e.getMessage.contains("stale shard") ||
+      Option(e.getCause).exists(_.getMessage.contains("stale shard")))
+    // matching count → adopted cleanly (the legitimate resume/retry path)
+    val again = TarShards.pack(spark.createDataset(Seq(
+      TarShards.Member(0, "old.txt", "old".getBytes(UTF_8)))), dir, resume = true)
+      .collect()
+    assert(again.map(r => (r.getInt(0), r.getLong(2), r.getBoolean(4))).toSeq ==
+      Seq((0, 1L, true)))
+  }
+
   test("scanStats matches the true member count and payload across block edges") {
     val out = new ByteArrayOutputStream()
     val sizes = Seq(0, 1, 511, 512, 513)

@@ -72,6 +72,26 @@ class HtmlTextSpec extends AnyFunSuite {
       == "plain text with no markup at all, long enough")
   }
 
+  test("end-tag boundary: </header> does not close a <head> skip") {
+    // regression (ADVICE r11): the skip-subtree scan for "</head" must
+    // require a tag-name boundary char after the name — "</header>" is a
+    // DIFFERENT tag and must not terminate the <head> skip, or the rest
+    // of the head subtree (here: a <style> body) leaks into the text
+    val html = "<head><header>chrome text inside the head subtree</header>" +
+      "<style>p { color: red } stylesheet noise long enough</style></head>" +
+      "<p>real body prose that is long enough to keep</p>"
+    assert(x(html, minChars = 5) == "real body prose that is long enough to keep")
+  }
+
+  test("end-tag boundary: </scripted> does not close a <script> skip") {
+    val html = "<script>var s = '</scripted>'; leaked script body text here;" +
+      "</script><p>the only real prose block long enough to keep</p>"
+    assert(x(html, minChars = 5) == "the only real prose block long enough to keep")
+    // whitespace and '/' after the name ARE valid boundaries
+    assert(x("<script>x</script ><p>kept prose long enough here</p>", minChars = 5)
+      == "kept prose long enough here")
+  }
+
   test("expression is codegen-compatible end to end") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
