@@ -88,6 +88,25 @@ object IncrementalIngest {
   ): DataFrame =
     stages(corpusIndex, batch, idCol, textCol, threshold, checkpoint = false).survivors
 
+  /** One cycle, eagerly: the survivor frame PLUS the per-stage counts
+    * `(n_batch, n_after_exact, n_after_intra, n_survivors)` — what a
+    * `foreachBatch` ingest sink needs without running the stage chain
+    * twice ([[survivors]] then [[report]] would). The survivor frame is
+    * localCheckpoint-bounded, so appending it to a sink does not re-run
+    * the dedup stages.
+    */
+  def cycle(
+      corpusIndex: MinHashDedup.Index,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5
+  ): (DataFrame, Array[Long]) = {
+    val st = stages(corpusIndex, batch, idCol, textCol, threshold, checkpoint = true)
+    val surv = st.survivors.localCheckpoint()
+    (surv, Array(st.batch.count(), st.exact.count(), st.intra.count(), surv.count()))
+  }
+
   /** Per-stage row counts for one ingest cycle — the operational report
     * (what arrived, what each stage removed, what got in). Four bounded
     * actions over checkpointed stage frames.

@@ -92,9 +92,12 @@ object WarcQueries {
               case _ => WarcShards.WarcCodec.httpResponseChunked(html, ct, chunkSize = 100)
             }
             Seq(
+              // the request carries WARC-Concurrent-To → its response
+              // (the Common Crawl pairing key; URI alone is ambiguous in
+              // real crawls, which refetch URIs across segments)
               WarcShards.Entry(shard, id * 2 + 1, "request", uri,
                 s"<urn:graft:req:$id>", "application/http;msgtype=request",
-                requestPayload(id)),
+                requestPayload(id), concurrentTo = s"<urn:graft:resp:$id>"),
               WarcShards.Entry(shard, id * 2 + 2, "response", uri,
                 s"<urn:graft:resp:$id>", "application/http;msgtype=response",
                 http))
@@ -289,6 +292,169 @@ object WarcQueries {
           round(sum(col("quality").cast("decimal(18,6)")).cast("double"), 6)
             .as("sum_quality"))
         .orderBy(col("lang_pred"))
+    },
+
+    // Request↔response pairing via `WARC-Concurrent-To` — the Common
+    // Crawl pairing key (readRecords surfaces it as `concurrent_to`).
+    // Real crawls refetch URIs across segments, so URI-keyed pairing is
+    // ambiguous; the record-id join is exact. Scale shape: one equi-join
+    // keyed on the response record id (shuffle-partitioned, AQE-safe) —
+    // never a URI self-join. Oracle: each document contributes exactly
+    // one pair with closed-form request/entity byte counts.
+    "q225_warc_pairing" -> { (s, dir) =>
+      val crawl = materializeCrawl(s, dir)
+      val recs = WarcShards.readRecords(s, crawl)
+      val resp = recs.where(col("warc_type") === "response")
+        .select(col("record_id").as("resp_id"),
+          col("target_uri").as("resp_uri"),
+          length(col("body")).cast("long").as("resp_body_bytes"))
+      val req = recs.where(col("warc_type") === "request")
+        .select(col("target_uri").as("req_uri"),
+          col("concurrent_to"), col("payload_bytes").as("req_bytes"))
+      req.join(resp, col("concurrent_to") === col("resp_id"))
+        .select(
+          regexp_extract(col("resp_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          (col("req_uri") === col("resp_uri")).as("uri_match"),
+          col("req_bytes"), col("resp_body_bytes"))
+        .orderBy(col("doc_id"))
+    },
+
+    // WET sidecar round trip — the crawl loop's EXPORT side: WARC scan →
+    // HTML extraction → [[WarcShards.packWet]] conversion shards →
+    // readRecords back. Green iff the text survives byte-exactly
+    // (oracle: documents.text, the q215 contract) AND every conversion
+    // record's WARC-Refers-To still names its source response record.
+    "q226_wet_export" -> { (s, dir) =>
+      val crawl = materializeCrawl(s, dir)
+      val extracted = WarcShards.readRecords(s, crawl)
+        .where(col("http_status") === 200)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"),
+          col("record_id").as("refers_to"),
+          call_function("graft_html_text",
+            col("body").cast("string"), lit(20), lit(33)).as("text"))
+      val scratch = graft.core.ScratchDirs.lease("graft-wet-q")
+      try {
+        // pack is eager (driver-held manifest), so the shards exist
+        // before the read-back plan runs
+        WarcShards.packWet(extracted, s"$scratch/wet", nShards = 4): Unit
+        val id = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+        WarcShards.readRecords(s, s"$scratch/wet")
+          .where(col("warc_type") === "conversion")
+          .select(
+            id.cast("long").as("doc_id"),
+            col("body").cast("string").as("text"),
+            (col("refers_to") ===
+              concat(lit("<urn:graft:resp:"), id, lit(">"))).as("refers_ok"))
+          .localCheckpoint(true)
+          .orderBy(col("doc_id"))
+      } finally graft.core.ScratchDirs.release(scratch)
+    },
+
+    // The CONTINUOUS-CRAWL LOOP (r11/r12 verdicts' top task), composed
+    // end to end: a binaryFile readStream over the staged crawl
+    // (maxFilesPerTrigger=1 → 8 REAL micro-batches, one shard each) →
+    // WARC framing + HTTP decode + HTML extraction → URL-canonical
+    // dedup key ([[UrlOps.canonicalize]]; planted recrawl noise arrives
+    // under case-mangled/tracking-param URI variants that must collapse)
+    // → [[graft.dedup.IncrementalIngest.cycle]] against a FIXED corpus
+    // index inside foreachBatch (the q86 sink pattern) → survivors
+    // appended + a per-batch stage-count ledger row. Batches are keyed
+    // by shard (each micro-batch is exactly one shard file), so the
+    // per-batch counts are deterministic and DuckDB recomputes the FULL
+    // cycle per shard: URL collapse, min-id exact dedup, intra-batch
+    // exact-Jaccard components, corpus text-match kill, cross-corpus
+    // Jaccard probe. `sink_match` pins survivors-appended == ledger.
+    //
+    // 100 TB shape: crawl drops stream through a watched prefix; every
+    // stage is proportional to the BATCH (the corpus index is built once
+    // and amortized across batches); one shard file per task.
+    "q227_stream_crawl_ingest" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val crawl = materializeCrawl(s, dir)
+      val corpus = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 =!= 0)
+      val index = graft.dedup.MinHashDedup.buildIndex(corpus, "doc_id", "text")
+      val scratch = graft.core.ScratchDirs.lease("graft-crawl-ingest-")
+      try {
+        val sinkDir = s"$scratch/survivors"
+        val ledgerDir = s"$scratch/ledger"
+        val ckptDir = s"$scratch/ckpt"
+        val extracted = s.readStream.format("binaryFile")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .option("maxFilesPerTrigger", "1")
+          .load(s"${crawl.stripSuffix("/")}/{*.warc,*.warc.gz}")
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (_, bytes) =>
+            WarcShards.WarcCodec.parse(bytes).flatMap { r =>
+              WarcShards.WarcCodec.parseHttp(r.payload).collect {
+                case (200, body) =>
+                  (r.targetUri, new String(body, StandardCharsets.UTF_8))
+              }
+            }
+          }
+          .toDF("uri", "html")
+          .select(
+            regexp_extract(col("uri"), "/doc/([0-9]+)$", 1)
+              .cast("long").as("doc_id"),
+            col("uri"),
+            call_function("graft_html_text",
+              col("html"), lit(20), lit(33)).as("text"))
+        // recrawl noise: every 7th doc ALSO arrives under a dirty URI
+        val withVariants = extracted.unionByName(
+          extracted.filter(col("doc_id") % 7 === 0)
+            .withColumn("uri", concat(lit("HTTP://Example.COM:80/doc/"),
+              col("doc_id").cast("string"), lit("?utm_source=feed#frag"))))
+        val q = withVariants.writeStream
+          .foreachBatch { (batch0: DataFrame, _: Long) =>
+            // AvailableNow can fire an empty timeout batch — skip it
+            if (!batch0.isEmpty) {
+              val sp = batch0.sparkSession
+              import sp.implicits._
+              val b = batch0.localCheckpoint()
+              val shards = b.select((col("doc_id") % 8).as("sh"))
+                .distinct().as[Long].collect()
+              require(shards.length == 1,
+                s"expected one shard file per micro-batch, got cohorts " +
+                  s"${shards.sorted.mkString(",")} — per-shard ledger counts " +
+                  "would be meaningless")
+              val nBatch = b.count()
+              val urlDeduped = graft.dedup.ExactDedup.keepFirst(
+                b.withColumn("canonical_url", UrlOps.canonicalize(col("uri"))),
+                Seq("canonical_url"), Seq(col("uri")))
+                .select(col("doc_id"), col("text"))
+              val (surv, counts) = graft.dedup.IncrementalIngest.cycle(
+                index, urlDeduped, "doc_id", "text")
+              surv.select(col("doc_id")).write.mode("append").parquet(sinkDir)
+              Seq((shards.head, nBatch, counts(0), counts(1), counts(2),
+                counts(3)))
+                .toDF("shard", "n_batch", "n_after_url", "n_after_exact",
+                  "n_after_intra", "n_survivors")
+                .write.mode("append").parquet(ledgerDir)
+            }
+          }
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val ledger = s.read.parquet(ledgerDir)
+        val sunk = s.read.parquet(sinkDir)
+          .groupBy((col("doc_id") % 8).as("shard"))
+          .agg(count(lit(1)).as("n_sunk"))
+        ledger.join(sunk, Seq("shard"), "left")
+          .select(col("shard"), col("n_batch"), col("n_after_url"),
+            col("n_after_exact"), col("n_after_intra"), col("n_survivors"),
+            (coalesce(col("n_sunk"), lit(0L)) === col("n_survivors"))
+              .as("sink_match"))
+          .localCheckpoint(true)
+          .orderBy(col("shard"))
+      } finally graft.core.ScratchDirs.release(scratch)
     }
   )
 
@@ -326,6 +492,110 @@ object WarcQueries {
 
     "q215_warc_extract" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    // one pair per document; request bytes and DECODED response entity
+    // bytes are closed-form from the fixture templates
+    "q225_warc_pairing" ->
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS crlf),
+         |page AS (
+         |  SELECT doc_id, $pageHtmlSql AS html FROM documents)
+         |SELECT doc_id, true AS uri_match,
+         |  CAST(strlen('GET /doc/' || doc_id::VARCHAR || ' HTTP/1.1' || crlf ||
+         |    'Host: example.com' || crlf || 'User-Agent: graft' || crlf || crlf)
+         |    AS BIGINT) AS req_bytes,
+         |  CAST(strlen(html) AS BIGINT) AS resp_body_bytes
+         |FROM page, c ORDER BY doc_id""".stripMargin,
+
+    // byte-exact WET round trip: extraction recovers documents.text
+    // (q215), the conversion shards must hand it back unchanged with
+    // the refers-to link intact
+    "q226_wet_export" ->
+      "SELECT doc_id, text, true AS refers_ok FROM documents ORDER BY doc_id",
+
+    // Full-cycle recompute of the streaming crawl loop, per shard
+    // cohort (shard = doc_id % 8; each micro-batch is one shard file):
+    // URL canonicalization collapse (the same canonicalizeSql as q220),
+    // min-id-per-text exact dedup, intra-shard exact-Jaccard trigram
+    // components (recursive closure), corpus text-match kill against
+    // documents with doc_id % 5 <> 0, and the cross-corpus Jaccard
+    // probe — the q80/q81 oracle discipline applied per batch.
+    // sink_match is structurally true: survivors appended == ledger.
+    "q227_stream_crawl_ingest" -> {
+      val canon = UrlOps.canonicalizeSql("url")
+      s"""WITH RECURSIVE
+         |u AS (
+         |  SELECT doc_id,
+         |    'http://example.com/doc/' || doc_id::VARCHAR AS url
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    'HTTP://Example.COM:80/doc/' || doc_id::VARCHAR ||
+         |      '?utm_source=feed#frag'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |cu AS (SELECT doc_id, $canon AS canon FROM u),
+         |urlkept AS (SELECT min(doc_id) AS doc_id FROM cu GROUP BY canon),
+         |ex AS (
+         |  SELECT d.doc_id % 8 AS shard, min(k.doc_id) AS bid, d.text
+         |  FROM urlkept k JOIN documents d ON d.doc_id = k.doc_id
+         |  GROUP BY d.doc_id % 8, d.text),
+         |btoks AS (SELECT bid, string_split(text, ' ') ts FROM ex),
+         |bidx AS (SELECT bid, ts, unnest(range(1, len(ts) - 1)) i
+         |         FROM btoks WHERE len(ts) >= 3),
+         |bsh AS (SELECT DISTINCT bid,
+         |          ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] s FROM bidx),
+         |bsz AS (SELECT bid, count(*) n FROM bsh GROUP BY 1),
+         |binter AS (
+         |  SELECT a.bid ba, b.bid bb, count(*) c
+         |  FROM bsh a JOIN bsh b
+         |    ON a.s = b.s AND a.bid < b.bid AND a.bid % 8 = b.bid % 8
+         |  GROUP BY 1, 2),
+         |bedges AS (
+         |  SELECT ba, bb FROM binter
+         |  JOIN bsz x ON x.bid = ba JOIN bsz y ON y.bid = bb
+         |  WHERE c * 1.0 / (x.n + y.n - c) >= 0.5),
+         |bsym AS (SELECT ba s, bb d FROM bedges UNION ALL SELECT bb, ba FROM bedges),
+         |breach AS (
+         |  SELECT bid AS id, bid AS r FROM ex
+         |  UNION
+         |  SELECT breach.id, bsym.d FROM breach JOIN bsym ON breach.r = bsym.s),
+         |intra AS (
+         |  SELECT id AS bid FROM (SELECT id, min(r) comp FROM breach GROUP BY id)
+         |  WHERE id = comp),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |noexact AS (
+         |  SELECT i.bid FROM intra i JOIN ex ON ex.bid = i.bid
+         |  WHERE ex.text NOT IN (SELECT text FROM corpus)),
+         |ctoks AS (SELECT doc_id, string_split(text, ' ') ts FROM corpus),
+         |cidx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) i
+         |         FROM ctoks WHERE len(ts) >= 3),
+         |csh AS (SELECT DISTINCT doc_id,
+         |          ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] s FROM cidx),
+         |csz AS (SELECT doc_id, count(*) n FROM csh GROUP BY 1),
+         |xinter AS (
+         |  SELECT b.bid, c.doc_id, count(*) cc
+         |  FROM bsh b JOIN noexact i ON i.bid = b.bid JOIN csh c ON b.s = c.s
+         |  GROUP BY 1, 2),
+         |xhit AS (
+         |  SELECT DISTINCT x.bid FROM xinter x
+         |  JOIN bsz bz ON bz.bid = x.bid JOIN csz cz ON cz.doc_id = x.doc_id
+         |  WHERE cc * 1.0 / (bz.n + cz.n - cc) >= 0.5),
+         |surv AS (SELECT bid FROM noexact WHERE bid NOT IN (SELECT bid FROM xhit)),
+         |nb AS (SELECT doc_id % 8 AS shard, count(*)::BIGINT n_batch
+         |       FROM u GROUP BY 1),
+         |nurl AS (SELECT doc_id % 8 AS shard, count(*)::BIGINT n_after_url
+         |         FROM urlkept GROUP BY 1),
+         |nex AS (SELECT shard, count(*)::BIGINT n_after_exact FROM ex GROUP BY 1),
+         |nintra AS (SELECT bid % 8 AS shard, count(*)::BIGINT n_after_intra
+         |           FROM intra GROUP BY 1),
+         |nsurv AS (SELECT bid % 8 AS shard, count(*)::BIGINT n_survivors
+         |          FROM surv GROUP BY 1)
+         |SELECT nb.shard::BIGINT AS shard, n_batch, n_after_url, n_after_exact,
+         |  n_after_intra, coalesce(n_survivors, 0)::BIGINT AS n_survivors,
+         |  true AS sink_match
+         |FROM nb JOIN nurl USING (shard) JOIN nex USING (shard)
+         |  JOIN nintra USING (shard) LEFT JOIN nsurv USING (shard)
+         |ORDER BY shard""".stripMargin
+    },
 
     // the streaming twin lands on the identical corpus-recovery contract
     "q222_warc_stream" ->

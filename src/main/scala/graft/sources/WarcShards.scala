@@ -51,7 +51,9 @@ object WarcShards {
       targetUri: String,
       recordId: String,
       contentType: String,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      concurrentTo: String = "",
+      refersTo: String = "")
 
   /** Parsed record: named WARC headers pulled out, full payload. */
   final case class Record(
@@ -59,7 +61,9 @@ object WarcShards {
       recordId: String,
       targetUri: String,
       contentType: String,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      concurrentTo: String = "",
+      refersTo: String = "")
 
   object WarcCodec {
 
@@ -73,12 +77,17 @@ object WarcShards {
     val DefaultMaxRecordBytes: Long = 256L * 1024 * 1024
 
     def writeRecord(out: OutputStream, warcType: String, recordId: String,
-        targetUri: String, contentType: String, payload: Array[Byte]): Unit = {
+        targetUri: String, contentType: String, payload: Array[Byte],
+        concurrentTo: String = "", refersTo: String = ""): Unit = {
       val h = new StringBuilder
       h.append("WARC/1.0\r\n")
       h.append("WARC-Type: ").append(warcType).append("\r\n")
       h.append("WARC-Record-ID: ").append(recordId).append("\r\n")
       h.append("WARC-Date: ").append(FixedDate).append("\r\n")
+      if (concurrentTo.nonEmpty)
+        h.append("WARC-Concurrent-To: ").append(concurrentTo).append("\r\n")
+      if (refersTo.nonEmpty)
+        h.append("WARC-Refers-To: ").append(refersTo).append("\r\n")
       if (targetUri.nonEmpty)
         h.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
       if (contentType.nonEmpty)
@@ -245,56 +254,96 @@ object WarcShards {
       b
     }
 
-    /** Strict lazy parse of a (possibly per-record-gzipped) WARC byte
-      * stream. Verifies the version magic, requires Content-Length,
-      * enforces the record cap and the closing CRLF CRLF.
+    /** Discard exactly `len` bytes. `skip` on an inflater stream can
+      * return 0 without reaching EOF, so fall back to draining reads.
       */
-    def parse(bytes: Array[Byte],
+    private def skipFully(in: InputStream, len: Long): Unit = {
+      var left = len
+      val buf = new Array[Byte](8 * 1024)
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s > 0) left -= s
+        else {
+          val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+          require(r >= 0, s"truncated WARC payload: $left bytes short")
+          left -= r
+        }
+      }
+    }
+
+    /** The parsed framing of one record header: named headers plus the
+      * declared payload length. None at clean end-of-stream.
+      */
+    private def readHeader(raw: InputStream,
+        maxRecordBytes: Long): Option[(String, String, String, String, String, String, Long)] = {
+      // skip inter-record blank lines, stop at end-of-stream
+      var first: Option[String] = readLine(raw)
+      while (first.exists(_.isEmpty)) first = readLine(raw)
+      first.map { magic =>
+        require(magic == "WARC/1.0" || magic == "WARC/1.1",
+          s"not a WARC record header: '$magic'")
+        var warcType = ""; var recordId = ""; var uri = ""
+        var cType = ""; var concTo = ""; var refTo = ""; var cLen = -1L
+        var line = readLine(raw).getOrElse(
+          throw new IllegalArgumentException("truncated WARC header"))
+        while (line.nonEmpty) {
+          val k = line.indexOf(':')
+          require(k > 0, s"malformed WARC header line: '$line'")
+          val key = line.substring(0, k).toLowerCase(java.util.Locale.ROOT)
+          val v = line.substring(k + 1).trim
+          key match {
+            case "warc-type" => warcType = v
+            case "warc-record-id" => recordId = v
+            case "warc-target-uri" => uri = v
+            case "warc-concurrent-to" => concTo = v
+            case "warc-refers-to" => refTo = v
+            case "content-type" => cType = v
+            case "content-length" => cLen = v.toLong
+            case _ => () // tolerated: unknown headers are legal
+          }
+          line = readLine(raw).getOrElse(
+            throw new IllegalArgumentException("truncated WARC header"))
+        }
+        require(cLen >= 0, "WARC record without Content-Length")
+        require(cLen <= maxRecordBytes,
+          s"WARC record of $cLen bytes exceeds cap $maxRecordBytes " +
+            "(decompression-bomb guard)")
+        (warcType, recordId, uri, cType, concTo, refTo, cLen)
+      }
+    }
+
+    /** Sniff the 0x1f8b gzip magic without consuming the stream. */
+    private def maybeGunzip(in: InputStream): InputStream = {
+      val pb = new java.io.PushbackInputStream(in, 2)
+      val b0 = pb.read(); val b1 = pb.read()
+      if (b1 >= 0) pb.unread(b1)
+      if (b0 >= 0) pb.unread(b0)
+      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 64 * 1024) else pb
+    }
+
+    /** Strict lazy parse of a (possibly per-record-gzipped) WARC stream.
+      * Verifies the version magic, requires Content-Length, enforces the
+      * record cap. STREAMING: per-call memory is one record's payload
+      * (cap-bounded), never the shard — a 1 GB Common Crawl shard parses
+      * in O(maxRecordBytes), which is what makes the binaryFile-free
+      * [[WarcShards.readRecords]] and the resume stat-scan safe at real
+      * shard sizes. Does not close `in`.
+      */
+    def parseStream(in: InputStream,
         maxRecordBytes: Long = DefaultMaxRecordBytes): Iterator[Record] = {
-      val raw: InputStream =
-        if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-          new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
-        else new ByteArrayInputStream(bytes)
+      val raw = maybeGunzip(new java.io.BufferedInputStream(in, 64 * 1024))
       new Iterator[Record] {
         private var nextRec: Record = null
         private var done = false
 
         private def advance(): Unit = {
-          while (nextRec == null && !done) {
-            // skip inter-record blank lines, stop at end-of-stream
-            var first: Option[String] = readLine(raw)
-            while (first.exists(_.isEmpty)) first = readLine(raw)
-            first match {
+          if (nextRec == null && !done) {
+            readHeader(raw, maxRecordBytes) match {
               case None => done = true
-              case Some(magic) =>
-                require(magic == "WARC/1.0" || magic == "WARC/1.1",
-                  s"not a WARC record header: '$magic'")
-                var warcType = ""; var recordId = ""; var uri = ""
-                var cType = ""; var cLen = -1L
-                var line = readLine(raw).getOrElse(
-                  throw new IllegalArgumentException("truncated WARC header"))
-                while (line.nonEmpty) {
-                  val k = line.indexOf(':')
-                  require(k > 0, s"malformed WARC header line: '$line'")
-                  val key = line.substring(0, k).toLowerCase(java.util.Locale.ROOT)
-                  val v = line.substring(k + 1).trim
-                  key match {
-                    case "warc-type" => warcType = v
-                    case "warc-record-id" => recordId = v
-                    case "warc-target-uri" => uri = v
-                    case "content-type" => cType = v
-                    case "content-length" => cLen = v.toLong
-                    case _ => () // tolerated: unknown headers are legal
-                  }
-                  line = readLine(raw).getOrElse(
-                    throw new IllegalArgumentException("truncated WARC header"))
-                }
-                require(cLen >= 0, "WARC record without Content-Length")
-                require(cLen <= maxRecordBytes,
-                  s"WARC record of $cLen bytes exceeds cap $maxRecordBytes " +
-                    "(decompression-bomb guard)")
+              case Some((warcType, recordId, uri, cType, concTo, refTo, cLen)) =>
                 val payload = readFully(raw, cLen.toInt)
-                nextRec = Record(warcType, recordId, uri, cType, payload)
+                nextRec = Record(warcType, recordId, uri, cType, payload, concTo,
+                  refTo)
             }
           }
         }
@@ -308,17 +357,39 @@ object WarcShards {
       }
     }
 
-    /** Header-only stats `(n_records, payload_bytes)` — the resume path's
-      * manifest reconstruction. Payload bytes are skipped, not parsed
-      * (for `.gz` they still stream through the inflater — gzip has no
-      * random access — but no record object is built).
+    /** In-memory convenience overload (fixtures, per-record-gzip tests,
+      * the streaming front door's per-file micro-batch bytes).
       */
-    def scanStats(bytes: Array[Byte]): (Long, Long) = {
+    def parse(bytes: Array[Byte],
+        maxRecordBytes: Long = DefaultMaxRecordBytes): Iterator[Record] =
+      parseStream(new ByteArrayInputStream(bytes), maxRecordBytes)
+
+    /** Header-only stats `(n_records, payload_bytes)` — the resume path's
+      * manifest reconstruction. Payload bytes are SKIPPED, never
+      * materialized (for `.gz` they still stream through the inflater —
+      * gzip has no random access — but no payload array is built):
+      * constant memory regardless of shard or record size. Does not
+      * close `in`.
+      */
+    def scanStats(in: InputStream,
+        maxRecordBytes: Long = DefaultMaxRecordBytes): (Long, Long) = {
+      val raw = maybeGunzip(new java.io.BufferedInputStream(in, 64 * 1024))
       var n = 0L
       var payload = 0L
-      parse(bytes).foreach { r => n += 1; payload += r.payload.length }
+      var h = readHeader(raw, maxRecordBytes)
+      while (h.isDefined) {
+        val len = h.get._7
+        skipFully(raw, len)
+        n += 1
+        payload += len
+        h = readHeader(raw, maxRecordBytes)
+      }
       (n, payload)
     }
+
+    /** In-memory convenience overload. */
+    def scanStats(bytes: Array[Byte]): (Long, Long) =
+      scanStats(new ByteArrayInputStream(bytes))
   }
 
   /** Pack entries into one `shard-%05d.warc[.gz]` per shard key under
@@ -329,12 +400,13 @@ object WarcShards {
     * manifest `(shard, file, n_records, payload_bytes, resumed)`.
     */
   def pack(entries: Dataset[Entry], outDir: String,
-      gzip: Boolean = false, resume: Boolean = false): DataFrame = {
+      gzip: Boolean = false, resume: Boolean = false,
+      baseExt: String = "warc"): DataFrame = {
     val spark = entries.sparkSession
     import spark.implicits._
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val ext = if (gzip) "warc.gz" else "warc"
+    val ext = if (gzip) s"$baseExt.gz" else baseExt
     val packed = entries
       .groupByKey(_.shard)
       .flatMapSortedGroups(col("ord"), col("recordId")) {
@@ -342,12 +414,10 @@ object WarcShards {
           val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.$ext")
           val fs = path.getFileSystem(hadoopConf.value)
           def statsRow(resumed: Boolean) = {
-            val len = fs.getFileStatus(path).getLen
-            require(len <= Int.MaxValue, s"$path too large to stat-scan: $len")
+            // Streamed header-only scan: constant memory however large
+            // the committed shard is (real Common Crawl shards run ~1 GB)
             val in = fs.open(path)
-            val bytes = new Array[Byte](len.toInt)
-            try in.readFully(0, bytes) finally in.close()
-            val (n, p) = WarcCodec.scanStats(bytes)
+            val (n, p) = try WarcCodec.scanStats(in) finally in.close()
             Iterator((shard, path.getName, n, p, resumed))
           }
           if (resume && fs.exists(path)) statsRow(resumed = true)
@@ -365,7 +435,7 @@ object WarcShards {
             try {
               it.foreach { e =>
                 WarcCodec.writeRecord(out, e.warcType, e.recordId, e.targetUri,
-                  e.contentType, e.payload)
+                  e.contentType, e.payload, e.concurrentTo, e.refersTo)
                 n += 1
                 payload += e.payload.length
               }
@@ -386,6 +456,48 @@ object WarcShards {
       .toDF("shard", "file", "n_records", "payload_bytes", "resumed")
   }
 
+  /** Fixed warcinfo payload for WET sidecars (byte-determinism again). */
+  private val WetInfoPayload: Array[Byte] =
+    ("software: graft-wet/1.0\r\nformat: WARC/1.0\r\n" +
+      "conformsTo: ISO 28500\r\n").getBytes(StandardCharsets.UTF_8)
+
+  /** WET sidecar export — the `conversion`-record specialization of
+    * [[pack]] (Common Crawl's `.wet.gz` companions): one conversion
+    * record per document whose payload is the EXTRACTED plain text
+    * (`Content-Type: text/plain`), `WARC-Target-URI` preserved and
+    * `WARC-Refers-To` naming the source response record, led by one
+    * warcinfo record per shard, exactly as real WET files are laid out.
+    * Files are `shard-%05d.wet[.gz]`; [[readRecords]] scans them back
+    * (the glob covers `.wet`), closing the crawl loop's export side:
+    * crawl → extract → curate → WET.
+    *
+    * `docs` columns: `doc_id` (long), `target_uri`, `refers_to`, `text`.
+    * Same commit/resume protocol and scale shape as [[pack]] — one task
+    * per shard, streaming write, attempt-unique tmp + rename.
+    */
+  def packWet(docs: DataFrame, outDir: String, nShards: Int,
+      gzip: Boolean = true, resume: Boolean = false): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val conv = docs
+      .select(col("doc_id").cast("long"), col("target_uri").cast("string"),
+        col("refers_to").cast("string"), col("text").cast("string"))
+      .as[(Long, String, String, String)]
+      .map { case (id, uri, ref, text) =>
+        Entry(java.lang.Math.floorMod(id, nShards.toLong).toInt, id + 1,
+          "conversion", Option(uri).getOrElse(""), s"<urn:graft:wet:$id>",
+          "text/plain",
+          Option(text).getOrElse("").getBytes(StandardCharsets.UTF_8),
+          refersTo = Option(ref).getOrElse(""))
+      }
+    val info = spark.createDataset((0 until nShards).map { sh =>
+      Entry(sh, 0L, "warcinfo", "", s"<urn:graft:wetinfo:$sh>",
+        "application/warc-fields", WetInfoPayload)
+    })
+    pack(conv.union(info), outDir, gzip = gzip, resume = resume, baseExt = "wet")
+  }
+
   /** Scan every `*.warc` / `*.warc.gz` under `dir`: one row per record
     * with the HTTP envelope of `response` records already split —
     * `(file, warc_type, record_id, target_uri, content_type,
@@ -396,23 +508,41 @@ object WarcShards {
     */
   def readRecords(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     // Brace alternation, NOT "*.warc*": the loose glob would also match
     // a crashed attempt's ".warc.tmp-N" leftovers and fail the whole
     // scan on their truncated bytes.
+    //
+    // binaryFile supplies the parallel FILE LISTING only (column pruning
+    // keeps `content` out of the scan — check ReadSchema); each task then
+    // STREAMS its shard through the record parser, so per-task memory is
+    // one record (cap-bounded), not the whole compressed shard. This is
+    // what makes a ~1 GB real Common Crawl shard readable without a
+    // per-task gigabyte buffer, and it also lifts binaryFile's 2 GB
+    // content ceiling off the shard size.
     spark.read.format("binaryFile")
-      .load(s"${dir.stripSuffix("/")}/{*.warc,*.warc.gz}")
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
+      .load(s"${dir.stripSuffix("/")}/{*.warc,*.warc.gz,*.wet,*.wet.gz}")
+      .select(col("path"))
+      .as[String]
+      .flatMap { path =>
         val file = path.substring(path.lastIndexOf('/') + 1)
-        WarcCodec.parse(bytes).map { r =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val in = p.getFileSystem(hadoopConf.value).open(p)
+        // the stream outlives this call (lazy iterator): close with the
+        // task (covers mid-iteration failure; FS stream close is
+        // idempotent) AND at iterator exhaustion (a task over many small
+        // shards must not hold every handle until task end)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        WarcCodec.parseStream(in).map { r =>
           val http = WarcCodec.parseHttp(r.payload)
-          (file, r.warcType, r.recordId, r.targetUri, r.contentType,
-            r.payload.length.toLong,
+          (file, r.warcType, r.recordId, r.targetUri, r.concurrentTo,
+            r.refersTo, r.contentType, r.payload.length.toLong,
             http.map(_._1), http.map(_._2).getOrElse(r.payload))
-        }
+        } ++ { in.close(); Iterator.empty }
       }
-      .toDF("file", "warc_type", "record_id", "target_uri", "content_type",
-        "payload_bytes", "http_status", "body")
+      .toDF("file", "warc_type", "record_id", "target_uri", "concurrent_to",
+        "refers_to", "content_type", "payload_bytes", "http_status", "body")
   }
 }

@@ -118,6 +118,80 @@ class WarcShardsSpec extends SparkSpec {
     assert(files.exists(_.endsWith(".warc")) && files.exists(_.endsWith(".warc.gz")))
   }
 
+  test("readRecords streams shards: binaryFile content column is pruned") {
+    // the scale contract (r11/r12 verdicts): per-task memory is one
+    // record, not the whole compressed shard — the binaryFile scan must
+    // supply the file LISTING only, with `content` pruned out of
+    // ReadSchema, and the task-side stream does the parsing
+    val dir = tmpDir("warc-prune")
+    val entries = (0L until 6L).map { i =>
+      Entry(0, i, "resource", s"http://e/$i", s"<urn:$i>", "text/plain",
+        s"payload $i".getBytes(StandardCharsets.UTF_8))
+    }
+    WarcShards.pack(spark.createDataset(entries), dir, gzip = true): Unit
+    val df = WarcShards.readRecords(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema"), s"expected a file scan leaf:\n$scan")
+    assert(!scan.contains("content"),
+      s"binaryFile content column must be pruned from the scan:\n$scan")
+    assert(df.count() == 6)
+  }
+
+  test("scanStats streams headers and skips payloads: equals full parse") {
+    // one multi-record stream, plain and gzip; the header-only skip path
+    // (used by resume's manifest reconstruction at constant memory) must
+    // agree exactly with the materializing parse
+    val out = new ByteArrayOutputStream()
+    (0 until 50).foreach { i =>
+      WarcCodec.writeRecord(out, "response", s"<urn:$i>", s"http://e/$i",
+        "text/plain", ("x" * (i * 37 % 911)).getBytes(StandardCharsets.UTF_8))
+    }
+    val plain = out.toByteArray
+    val gzBos = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(gzBos)
+    gz.write(plain); gz.finish()
+    for (bytes <- Seq(plain, gzBos.toByteArray)) {
+      val viaParse = WarcCodec.parse(bytes).map(_.payload.length.toLong).toSeq
+      val (n, p) = WarcCodec.scanStats(new java.io.ByteArrayInputStream(bytes))
+      assert(n == 50L && n == viaParse.size.toLong)
+      assert(p == viaParse.sum)
+    }
+  }
+
+  test("WARC-Concurrent-To pairs refetched URIs that URI-keying cannot") {
+    // real crawls refetch the SAME URI across segments: two
+    // request/response pairs share target_uri, and only the
+    // Concurrent-To record-id link pairs them unambiguously
+    val dir = tmpDir("warc-refetch")
+    val uri = "http://example.com/page"
+    val entries = Seq(0L, 1L).flatMap { fetch =>
+      val body = s"fetch number $fetch".getBytes(StandardCharsets.UTF_8)
+      Seq(
+        Entry(0, fetch * 2, "request", uri, s"<urn:req:$fetch>",
+          "application/http;msgtype=request",
+          s"GET /page HTTP/1.1\r\n\r\n".getBytes(StandardCharsets.UTF_8),
+          concurrentTo = s"<urn:resp:$fetch>"),
+        Entry(0, fetch * 2 + 1, "response", uri, s"<urn:resp:$fetch>",
+          "application/http;msgtype=response",
+          WarcCodec.httpResponse(body, "text/plain")))
+    }
+    WarcShards.pack(spark.createDataset(entries), dir): Unit
+    val recs = WarcShards.readRecords(spark, dir).collect()
+    assert(recs.length == 4)
+    // URI keying collides: both responses carry the same target_uri
+    assert(recs.filter(_.getAs[String]("warc_type") == "response")
+      .map(_.getAs[String]("target_uri")).distinct.length == 1)
+    // concurrent_to pairing is exact: each request names its response
+    val pairs = recs.filter(_.getAs[String]("warc_type") == "request")
+      .map(r => r.getAs[String]("record_id") -> r.getAs[String]("concurrent_to"))
+      .toMap
+    assert(pairs == Map("<urn:req:0>" -> "<urn:resp:0>",
+      "<urn:req:1>" -> "<urn:resp:1>"))
+    // non-paired records surface an empty concurrent_to, not null/garbage
+    assert(recs.filter(_.getAs[String]("warc_type") == "response")
+      .forall(_.getAs[String]("concurrent_to") == ""))
+  }
+
   test("pack is deterministic; resume skips complete shards with exact stats") {
     val dir1 = tmpDir("warc-det1")
     val dir2 = tmpDir("warc-det2")
