@@ -27,6 +27,7 @@ object SparkEntry {
       graft.dedup.DedupQueries.queries ++
       graft.similarity.SimilarityQueries.queries ++
       graft.text.TextQueries.queries ++
+      graft.text.LangIdQueries.queries ++
       graft.multimodal.MultimodalQueries.queries ++
       graft.sinks.TxQueries.queries ++
       graft.streaming.StreamingQueries.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       graft.dedup.DedupQueries.oracles ++
       graft.similarity.SimilarityQueries.oracles ++
       graft.text.TextQueries.oracles ++
+      graft.text.LangIdQueries.oracles ++
       graft.multimodal.MultimodalQueries.oracles ++
       graft.sinks.TxQueries.oracles ++
       graft.streaming.StreamingQueries.oracles ++

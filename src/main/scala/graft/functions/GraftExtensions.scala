@@ -176,6 +176,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_lang_scores(text, sets) with a literal array-of-string-arrays sets")
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngram_lang_scores"),
+      new ExpressionInfo(classOf[NgramLangScores].getName, "graft_ngram_lang_scores"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text,
+            Literal(vs: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(StringType, _)),
+            Literal(ws: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(ArrayType(LongType, _), _)),
+            Literal(ds: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(LongType, _))) =>
+          NgramLangScores(text,
+            (0 until vs.numElements()).map(i => vs.getUTF8String(i).toString),
+            (0 until ws.numElements()).map(i => ws.getArray(i).toLongArray().toSeq),
+            ds.toLongArray().toSeq)
+        case _ => throw new IllegalArgumentException(
+          "graft_ngram_lang_scores(text, vocab, weights, defaults) with " +
+            "literal string vocab, long-array-per-language weights, and " +
+            "long defaults")
+      }))
+
     // graft_viterbi / graft_viterbi_stats share one (pieces, weights)
     // literal-unpacking shape.
     def viterbiArgs(children: Seq[Expression]): Option[(Expression, Seq[String], Seq[Long])] =

@@ -1735,3 +1735,89 @@ case class FixMojibake(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Char-n-gram language-ID scoring kernel behind
+  * `graft_ngram_lang_scores(text, vocab, weights, defaults)` — the
+  * trained-profile counterpart of [[MarkerCounter]]: one code-point walk
+  * over the raw text, one map probe per character BIGRAM, integer score
+  * accumulation per language. Grams in the trained vocabulary add that
+  * language's quantized log-probability weight; out-of-vocabulary grams
+  * add the language's smoothing default. All-integer arithmetic (the
+  * weights are bit-quantized at train time, [[graft.text.CharNgramLangId]])
+  * makes the scores engine- and summation-order-independent — a DuckDB
+  * recompute agrees EXACTLY, no float rounding protocol needed.
+  *
+  * Code points, not UTF-16 units: the byte walk uses UTF-8 lead-byte
+  * widths, so CJK text (3-byte chars) grams identically to how SQL
+  * `substr` (both Spark and DuckDB count code points) would build them.
+  */
+object NgramLangScorer {
+
+  def buildIndex(vocab: Seq[String]): java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](vocab.length * 2)
+    vocab.zipWithIndex.foreach { case (g, i) =>
+      m.put(UTF8String.fromString(g), Integer.valueOf(i))
+    }
+    m
+  }
+
+  def score(text: UTF8String, index: java.util.HashMap[UTF8String, Integer],
+      weights: Array[Array[Long]], defaults: Array[Long]): ArrayData = {
+    val bytes = text.getBytes
+    val nLangs = weights.length
+    val scores = new Array[Long](nLangs)
+    var prev = -1 // byte offset of the previous code point's first byte
+    var i = 0
+    while (i < bytes.length) {
+      val w = UTF8String.numBytesForFirstByte(bytes(i))
+      val end = math.min(i + w, bytes.length) // clamp malformed tails
+      if (prev >= 0) {
+        val gram = UTF8String.fromBytes(bytes, prev, end - prev)
+        val idx = index.get(gram)
+        var l = 0
+        if (idx == null) {
+          while (l < nLangs) { scores(l) += defaults(l); l += 1 }
+        } else {
+          val k = idx.intValue()
+          while (l < nLangs) { scores(l) += weights(l)(k); l += 1 }
+        }
+      }
+      prev = i
+      i = end
+    }
+    new GenericArrayData(scores)
+  }
+}
+
+case class NgramLangScores(child: Expression, vocab: Seq[String],
+    weights: Seq[Seq[Long]], defaults: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(weights.length == defaults.length,
+    "one weight row and one default per language")
+  require(weights.forall(_.length == vocab.length),
+    "each language's weight row must align with the vocabulary")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngram_lang_scores"
+
+  @transient private lazy val index = NgramLangScorer.buildIndex(vocab)
+  @transient private lazy val wArr = weights.map(_.toArray).toArray
+  @transient private lazy val dArr = defaults.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramLangScorer.score(input.asInstanceOf[UTF8String], index, wArr, dArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val idxRef = ctx.addReferenceObj("ngramIdx", index,
+        classOf[java.util.HashMap[_, _]].getName)
+      val wRef = ctx.addReferenceObj("ngramW", wArr, "long[][]")
+      val dRef = ctx.addReferenceObj("ngramD", dArr, "long[]")
+      s"${ev.value} = graft.functions.NgramLangScorer.score($t, " +
+        s"(java.util.HashMap) $idxRef, (long[][]) $wRef, (long[]) $dRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

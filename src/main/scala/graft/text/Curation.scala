@@ -55,7 +55,12 @@ object Curation {
       spans_trimmed: Long = 0L,
       // docs whose TEXT lost over-represented lines (doc count is
       // unchanged by the line-dedup stage); 0 when the stage is off
-      lines_deduped: Long = 0L)
+      lines_deduped: Long = 0L,
+      // docs whose TEXT changed under the encoding-hygiene stage
+      // (NFC + mojibake repair); 0 when the stage is off
+      texts_normalized: Long = 0L,
+      // docs surviving the language filter; -1 when the stage is off
+      after_lang: Long = -1L)
 
   /** @param docs       (idCol, textCol) corpus
     * @param benchmark  optional eval set to decontaminate against
@@ -66,6 +71,23 @@ object Curation {
     * @param neardupThreshold Jaccard threshold for duplicate clustering
     * @param sampleFraction deterministic keep-fraction of the clean pool
     * @param maxTokens  chunk budget for the context windows
+    * @param normalizeText when true, an encoding-HYGIENE stage runs
+    *                   FIRST (before even line dedup — the CCNet order:
+    *                   fix the bytes before anything hashes them):
+    *                   `graft_fix_mojibake` then `graft_nfc` rewrite
+    *                   each text, so NFD-decomposed or CP1252-mojibake
+    *                   copies of the same document normalize to
+    *                   identical bytes and exact dedup collapses them
+    *                   instead of letting corrupted twins slip through.
+    *                   Rewrites text, never drops docs.
+    * @param langIdFn   when set, a LANGUAGE FILTER stage runs after line
+    *                   dedup and before the quality gate: docs whose
+    *                   predicted language (`langIdFn(textColumn)`) is
+    *                   not in `keepLangs` are dropped. Pluggable — pass
+    *                   [[TextAnalysis.langId]] for the marker heuristic
+    *                   or a trained [[CharNgramLangId.Model]]'s
+    *                   `predict` for the char-n-gram profiles.
+    * @param keepLangs  language codes the filter keeps (with `langIdFn`)
     * @param lineDedupMaxFreq when set, a CCNet-style LINE-level exact
     *                   dedup stage ([[graft.dedup.LineDedup]]) runs
     *                   FIRST — before the quality gate, the CCNet order:
@@ -105,7 +127,10 @@ object Curation {
       maxTokens: Int = 512,
       lineDedupMaxFreq: Option[Long] = None,
       spanTrimMinRun: Option[Int] = None,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      normalizeText: Boolean = false,
+      langIdFn: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
+      keepLangs: Seq[String] = Seq.empty
   ): (org.apache.spark.sql.Dataset[Chunker.DocChunk], Report) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -127,7 +152,22 @@ object Curation {
           (c, c.count())
       }
 
-    val rawInput = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val rawInput0 = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+
+    // -1. optional encoding hygiene: mojibake repair then NFC, BEFORE
+    // anything hashes or scores the text — corrupted twins must
+    // normalize to identical bytes so exact dedup sees one group.
+    val (rawInput, normalizedN) =
+      if (!normalizeText) (rawInput0, 0L)
+      else {
+        val fixed = call_function("graft_nfc",
+          call_function("graft_fix_mojibake", col("text")))
+        val d = rawInput0.select(col("id"), fixed.as("text"),
+          (fixed =!= col("text")).as("__fx"))
+        val (b, _) = boundary(d, "normalize")
+        val n = b.filter(col("__fx")).count()
+        (b.select(col("id"), col("text")), n)
+      }
 
     // 0. optional line-level dedup (CCNet order: before quality — the
     // chrome must be gone before the quality heuristics score the text).
@@ -144,14 +184,22 @@ object Curation {
       case None => (rawInput, 0L)
     }
 
-    // 1. quality gate (scan-side heuristics, narrow). In durable mode
-    // the input count observes the same action as the quality write
-    // (pre-filter node), saving the separate source pass.
+    // 0.5 + 1. optional language filter, then the quality gate (both
+    // scan-side, narrow). In durable mode the input count observes the
+    // same action as the first downstream write (pre-filter node),
+    // saving the separate source pass.
     val inObs = org.apache.spark.sql.Observation("curation_input")
     val observedInput = checkpointDir.fold(input)(_ =>
       input.observe(inObs, count(lit(1)).as("n")))
+    val (langKept, afterLangN) = langIdFn match {
+      case Some(fn) =>
+        boundary(
+          observedInput.filter(fn(col("text")).isin(keepLangs.map(lit(_)): _*)),
+          "lang")
+      case None => (observedInput, -1L)
+    }
     val (quality, qualityN) = boundary(
-      observedInput.filter(TextAnalysis.qualityScore(col("text")) >= minQuality),
+      langKept.filter(TextAnalysis.qualityScore(col("text")) >= minQuality),
       "quality")
     val inputN = checkpointDir.fold(input.count())(_ =>
       inObs.get.apply("n").asInstanceOf[Long])
@@ -249,6 +297,7 @@ object Curation {
       "chunks")
 
     (chunksDf.as[Chunker.DocChunk], Report(inputN, qualityN, exactN, nearN,
-      semanticN, decontamN, sampledN, chunksN, spansTrimmedN, linesDedupedN))
+      semanticN, decontamN, sampledN, chunksN, spansTrimmedN, linesDedupedN,
+      normalizedN, afterLangN))
   }
 }

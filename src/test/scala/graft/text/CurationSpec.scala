@@ -139,4 +139,52 @@ class CurationSpec extends SparkSpec {
     assert(r0.lines_deduped == 0L)
     assert(chunks0.collect().exists(_.text.contains("subscribe")))
   }
+
+  test("hygiene stage: NFD/mojibake twins collapse in exact dedup; off by default") {
+    // three encodings of the same document: composed, NFD-decomposed,
+    // CP1252-mojibake — with normalizeText they are ONE exact-dedup group
+    val composed = "clean prose words here caf\u00e9 and more prose tail"
+    val nfd = "clean prose words here cafe\u0301 and more prose tail"
+    val moji = "clean prose words here caf\u00c3\u00a9 and more prose tail"
+    val d = Seq((1L, composed), (2L, nfd), (3L, moji), (4L, "a different doc entirely with its own words"))
+      .toDF("doc_id", "text")
+    val (_, r) = Curation.run(d, "doc_id", "text",
+      minQuality = 0.0, neardupThreshold = 1.01, normalizeText = true)
+    assert(r.input_docs == 4L, r.toString)
+    assert(r.texts_normalized == 2L, r.toString) // nfd + moji rewritten
+    assert(r.after_exact_dedup == 2L, r.toString) // one group + the other doc
+    // off by default: the corrupted twins survive as distinct texts
+    val (_, r0) = Curation.run(d, "doc_id", "text",
+      minQuality = 0.0, neardupThreshold = 1.01)
+    assert(r0.texts_normalized == 0L)
+    assert(r0.after_exact_dedup == 4L, r0.toString)
+  }
+
+  test("language filter is pluggable: marker heuristic and trained char-n-gram model") {
+    val d = Seq(
+      (1L, "the good people know that they have been with the world and the people want the good"),
+      (2L, "der und nicht sich auch wenn aber nach wird beim doch jetzt der und nicht sich auch"),
+      (3L, "les une dans pour avec vous mais nous comme bien sans leurs les une dans pour avec"))
+      .toDF("doc_id", "text")
+    // marker-word heuristic plugged in
+    val (_, rm) = Curation.run(d, "doc_id", "text", minQuality = 0.0,
+      neardupThreshold = 1.01,
+      langIdFn = Some(TextAnalysis.langId(_)), keepLangs = Seq("en", "de"))
+    assert(rm.after_lang == 2L, rm.toString)
+    assert(rm.after_sample == 2L, rm.toString)
+    // trained char-n-gram model plugged into the SAME hook
+    val labeled = Seq(("en", "the good people know that they have been with the world"),
+      ("de", "der und nicht sich auch wenn aber nach wird beim doch jetzt"),
+      ("fr", "les une dans pour avec vous mais nous comme bien sans leurs"))
+      .toDF("lang", "text")
+    val model = CharNgramLangId.train(labeled, "text", "lang")
+    val (_, rt) = Curation.run(d, "doc_id", "text", minQuality = 0.0,
+      neardupThreshold = 1.01,
+      langIdFn = Some(model.predict(_)), keepLangs = Seq("fr"))
+    assert(rt.after_lang == 1L, rt.toString)
+    // off by default
+    val (_, r0) = Curation.run(d, "doc_id", "text", minQuality = 0.0,
+      neardupThreshold = 1.01)
+    assert(r0.after_lang == -1L)
+  }
 }
