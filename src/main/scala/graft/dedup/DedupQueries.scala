@@ -210,6 +210,41 @@ object DedupQueries {
         ingestBatch(s, dir), "doc_id", "text")
     },
 
+    // ROLLING ingest — the semantics q80/q227's fixed index cannot show:
+    // four sequential batches (shard = doc_id % 4) where each batch's
+    // SURVIVORS extend the corpus index before the next batch runs
+    // (MinHashDedup.extendIndex — cost ∝ survivors, never a rebuild).
+    // The planted cross-batch duplicate makes the difference LIVE: every
+    // doc with doc_id % 20 = 5 (shard 1) also arrives as a copy (id +
+    // 5000000) of the doc FIVE ids earlier — a shard-0 doc with
+    // doc_id % 5 = 0, i.e. NOT in the base corpus, so only the grown
+    // index can kill the copy; a fixed index would let it through. The oracle unrolls all eight
+    // stages relationally, each one's corpus = base ∪ earlier survivors.
+    "q231_rolling_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text")).localCheckpoint()
+      // 5000000 ≡ 0 (mod 4): the copy stays in its source's shard 1
+      val srcText = d.select((col("doc_id") + 5L).as("doc_id"),
+        col("text").as("src_text"))
+      val plants = d.filter(col("doc_id") % 20 === 5)
+        .join(srcText, "doc_id")
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          col("src_text").as("text"))
+      val all = d.unionByName(plants).localCheckpoint()
+      val corpus0 = d.filter(col("doc_id") % 5 =!= 0)
+      var index = MinHashDedup.buildIndex(corpus0, "doc_id", "text")
+      val ledger = (0 until 4).map { k =>
+        val batch = all.filter(col("doc_id") % 4 === k)
+        val (surv, c) = IncrementalIngest.cycle(index, batch, "doc_id", "text")
+        index = MinHashDedup.extendIndex(index, surv, "doc_id", "text")
+        (k.toLong, c(0), c(1), c(2), c(3))
+      }
+      s.createDataset(ledger)
+        .toDF("shard", "n_batch", "n_after_exact", "n_after_intra",
+          "n_survivors")
+        .orderBy(col("shard"))
+    },
+
     // Same semantics as q48, but with the driver-side union-find DISABLED
     // (maxLocalEdges = 0): this forces the distributed min-label-propagation
     // path — the one a 100 TB edge set would take — so the scale path itself
@@ -466,6 +501,86 @@ object DedupQueries {
       |  WHERE cc * 1.0 / (bz.n + cz.n - cc) >= 0.5),
       |surv AS (SELECT bid FROM noexact WHERE bid NOT IN (SELECT bid FROM xhit))""".stripMargin
 
+  /** DuckDB recompute of the q231 ROLLING ingest: the q80 cycle unrolled
+    * four times, stage k's corpus = base (doc_id % 5 <> 0) ∪ survivors
+    * of stages 0..k-1. Everything reduces to the ID level through two
+    * shared frames — `jsym` (the symmetric exact-Jaccard ≥ 0.5 pair set
+    * over documents) and `tg` (text-group ids, so text equality is tgrp
+    * equality even if the base corpus ever carried duplicate texts) —
+    * because every batch text IS some document's text (plants copy the
+    * doc five ids earlier). Stage CTEs are AS MATERIALIZED: the unrolled
+    * chain references each survivor set up to seven times and inlining
+    * would blow up the plan.
+    */
+  private val rollingIngestSql: String = {
+    val head =
+      s"""$shingleSetsSql,
+         |jsym AS MATERIALIZED (
+         |  SELECT id_a a, id_b b FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+         |tg AS MATERIALIZED (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS tgrp
+         |  FROM documents),
+         |b AS MATERIALIZED (
+         |  SELECT doc_id AS bid, doc_id AS src, doc_id % 4 AS shard
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, doc_id - 5, 1
+         |  FROM documents WHERE doc_id % 20 = 5),
+         |corp0 AS MATERIALIZED (
+         |  SELECT t.tgrp FROM documents d JOIN tg t ON t.doc_id = d.doc_id
+         |  WHERE d.doc_id % 5 <> 0)""".stripMargin
+    val stages = (0 until 4).map { k =>
+      val priorT =
+        if (k == 0) "SELECT tgrp FROM corp0 WHERE false"
+        else (0 until k).map(j => s"SELECT tgrp FROM surv_$j")
+          .mkString(" UNION ALL ")
+      val priorS =
+        if (k == 0) "SELECT bid AS doc FROM b WHERE false"
+        else (0 until k).map(j => s"SELECT src AS doc FROM surv_$j")
+          .mkString(" UNION ALL ")
+      s"""ex_$k AS MATERIALIZED (
+         |  SELECT min(b.bid) AS bid, arg_min(b.src, b.bid) AS src, t.tgrp
+         |  FROM b JOIN tg t ON t.doc_id = b.src WHERE b.shard = $k
+         |  GROUP BY t.tgrp),
+         |prior_t_$k AS MATERIALIZED ($priorT),
+         |prior_s_$k AS MATERIALIZED ($priorS),
+         |edges_$k AS MATERIALIZED (
+         |  SELECT x.bid AS s, y.bid AS d
+         |  FROM ex_$k x JOIN ex_$k y ON x.bid <> y.bid
+         |  JOIN jsym j ON j.a = x.src AND j.b = y.src),
+         |reach_$k AS (
+         |  SELECT bid AS id, bid AS r FROM ex_$k
+         |  UNION
+         |  SELECT reach_$k.id, edges_$k.d FROM reach_$k
+         |  JOIN edges_$k ON reach_$k.r = edges_$k.s),
+         |intra_$k AS MATERIALIZED (
+         |  SELECT id AS bid FROM (
+         |    SELECT id, min(r) AS comp FROM reach_$k GROUP BY id)
+         |  WHERE id = comp),
+         |noex_$k AS MATERIALIZED (
+         |  SELECT e.bid, e.src, e.tgrp
+         |  FROM intra_$k i JOIN ex_$k e ON e.bid = i.bid
+         |  WHERE e.tgrp NOT IN (SELECT tgrp FROM corp0)
+         |    AND e.tgrp NOT IN (SELECT tgrp FROM prior_t_$k)),
+         |surv_$k AS MATERIALIZED (
+         |  SELECT n.bid, n.src, n.tgrp FROM noex_$k n
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM jsym j
+         |    WHERE j.a = n.src AND (
+         |      j.b IN (SELECT d.doc_id FROM documents d WHERE d.doc_id % 5 <> 0)
+         |      OR j.b IN (SELECT doc FROM prior_s_$k))))""".stripMargin
+    }
+    val finals = (0 until 4).map { k =>
+      s"""SELECT $k::BIGINT AS shard,
+         |  (SELECT count(*) FROM b WHERE shard = $k)::BIGINT AS n_batch,
+         |  (SELECT count(*) FROM ex_$k)::BIGINT AS n_after_exact,
+         |  (SELECT count(*) FROM intra_$k)::BIGINT AS n_after_intra,
+         |  (SELECT count(*) FROM surv_$k)::BIGINT AS n_survivors""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH RECURSIVE\n$head,\n${stages.mkString(",\n")}\n$finals\nORDER BY shard"
+  }
+
   /** Transitive closure over the exact-Jaccard ≥ 0.5 edge set — the
     * component oracle shared by q48 (adaptive path) and q75 (forced
     * distributed path); both must produce the identical min-id labeling.
@@ -551,6 +666,9 @@ object DedupQueries {
          |  (SELECT count(*) FROM exact)::BIGINT AS n_after_exact,
          |  (SELECT count(*) FROM intra)::BIGINT AS n_after_intra,
          |  (SELECT count(*) FROM surv)::BIGINT AS n_survivors""".stripMargin,
+
+    "q231_rolling_ingest" -> rollingIngestSql,
+
 
     "q48_dup_components" -> componentsOracle,
 

@@ -139,6 +139,35 @@ object MinHashDedup {
       scanned.select(col("text_hash"), col("text_hash2")).distinct())
   }
 
+  /** Extend an index with newly-accepted docs — the ROLLING-ingest path:
+    * one batch's survivors join the corpus the NEXT batch dedups
+    * against, at cost proportional to the NEW docs (one bounded
+    * [[buildIndex]] scan over them), never a corpus-wide rebuild. The
+    * extension is a frame union on all three index components (banded
+    * postings, shingle sets, text-hash pairs), each side already
+    * checkpoint-bounded by its own build.
+    *
+    * Scale note: after thousands of extensions the union tree itself
+    * becomes the overhead — a long-running ingest loop should
+    * periodically compact the index (write the three frames to parquet
+    * and reload), exactly like any log-structured structure.
+    */
+  def extendIndex(
+      index: Index,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWidth: Int = 3,
+      bands: Int = 32,
+      rows: Int = 4
+  ): Index = {
+    val add = buildIndex(docs, idCol, textCol, shingleWidth, bands, rows)
+    Index(
+      index.buckets.unionByName(add.buckets),
+      index.sets.unionByName(add.sets),
+      index.textHashes.unionByName(add.textHashes))
+  }
+
   /** Probe the index with a NEW batch: pairs (new_id, corpus_id) whose
     * exact Jaccard ≥ `threshold`. Cost is proportional to the BATCH
     * (shingle/signature passes over new docs only) plus an equi-join on

@@ -80,6 +80,34 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(next.count() == 0L, "the second upload of a kept doc must be rejected")
   }
 
+  test("extendIndex: a later batch's copy of an EARLIER batch's survivor dies") {
+    // rolling semantics (q231): batch 1 admits the novel doc; the grown
+    // index must kill batch 2's exact copy AND near-dup of it — a fixed
+    // index (the q80 shape) lets both through
+    val batch1 = Seq((30L, novel)).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (40L, novel),                             // exact copy of 30's text
+      (41L, novel.replace("midnight", "noon")), // near-dup of it
+      (42L, "entirely different words fill this second batch document nicely today")
+    ).toDF("doc_id", "text")
+    val (surv1, c1) = IncrementalIngest.cycle(index, batch1, "doc_id", "text")
+    assert(c1.toSeq == Seq(1L, 1L, 1L, 1L))
+    val grown = MinHashDedup.extendIndex(index, surv1, "doc_id", "text")
+    val rolling = IncrementalIngest.survivors(grown, batch2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(rolling == Seq(42L), s"grown index must kill 40 and 41: $rolling")
+    // differential: the FIXED index admits the copy — the rolling
+    // extension is what changes the answer
+    val fixed = IncrementalIngest.survivors(index, batch2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(fixed == Seq(40L, 42L), s"fixed index baseline moved: $fixed")
+    // the grown NEAR path in isolation (above, 41 dies intra-batch to 40
+    // first): a solo near-dup batch is killed ONLY by the extension
+    val batch3 = Seq((50L, novel.replace("midnight", "dawn"))).toDF("doc_id", "text")
+    assert(IncrementalIngest.survivors(grown, batch3, "doc_id", "text").count() == 0L)
+    assert(IncrementalIngest.survivors(index, batch3, "doc_id", "text").count() == 1L)
+  }
+
   // q80/q81's exact-oracle determinism rests on two PROPERTIES OF THE
   // TESTDATA CORPUS, not of the engine (DedupQueries.ingestBatch scaladoc):
   //   1. ids fit under the +1M/+2M/+3M/+4M provenance shifts;
