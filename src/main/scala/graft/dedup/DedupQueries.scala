@@ -245,6 +245,101 @@ object DedupQueries {
         .orderBy(col("shard"))
     },
 
+    // STREAMING twin of q231 — the SAME rolling semantics (and the SAME
+    // oracle: one-oracle-two-modes, the q198/q199 discipline) under a
+    // real StreamingQuery, composed the way a continuous crawl actually
+    // runs: shard files arrive OVER TIME, and each arrival is drained by
+    // an AvailableNow run that RESUMES from the shared checkpoint — four
+    // stream restarts, each seeing exactly the one new file, with the
+    // grown index carried across restarts on the driver. This makes the
+    // batch order driver-controlled (stage shard k, drain, extend,
+    // repeat), so the rolling ledger is deterministic without relying on
+    // file-listing or modification-time order — the one thing a
+    // maxFilesPerTrigger stream of a pre-staged directory cannot
+    // guarantee. The foreachBatch body enforces the invariant loudly:
+    // exactly one shard cohort per micro-batch, in staged order.
+    //
+    // 100 TB shape: this IS the production loop — a daily crawl drop
+    // lands, the resumed job processes only the new files (checkpointed
+    // source offsets), every stage costs ∝ the drop, and the index grows
+    // by survivors only (extendIndex), with periodic compaction per its
+    // scaladoc. State across restarts is {checkpoint, index frames},
+    // both durable in the real deployment.
+    "q232_stream_rolling_ingest" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val d = docs(s, dir).select(col("doc_id"), col("text")).localCheckpoint()
+      val srcText = d.select((col("doc_id") + 5L).as("doc_id"),
+        col("text").as("src_text"))
+      val plants = d.filter(col("doc_id") % 20 === 5)
+        .join(srcText, "doc_id")
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          col("src_text").as("text"))
+      val all = d.unionByName(plants).localCheckpoint()
+      val corpus0 = d.filter(col("doc_id") % 5 =!= 0)
+      val index = new java.util.concurrent.atomic.AtomicReference(
+        MinHashDedup.buildIndex(corpus0, "doc_id", "text"))
+      val scratch = graft.core.ScratchDirs.lease("graft-rolling-stream-")
+      try {
+        val inDir = new java.io.File(s"$scratch/in"); inDir.mkdirs(): Unit
+        val ledgerDir = s"$scratch/ledger"
+        val ckptDir = s"$scratch/ckpt"
+        val staged = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val drained = new java.util.concurrent.atomic.AtomicLong(0L)
+        (0 until 4).foreach { k =>
+          // stage shard k as ONE parquet file, then drain it
+          val tmp = s"$scratch/tmp_$k"
+          all.filter(col("doc_id") % 4 === k)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part file in $tmp"))
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(inDir, f"shard-$k%04d.parquet").toPath): Unit
+          staged.set(k.toLong)
+          val q = s.readStream
+            .schema("doc_id LONG, text STRING")
+            .format("parquet")
+            .load(inDir.getAbsolutePath)
+            .writeStream
+            .foreachBatch { (batch0: DataFrame, _: Long) =>
+              // AvailableNow can fire an empty timeout batch — skip it
+              if (!batch0.isEmpty) {
+                val sp = batch0.sparkSession
+                import sp.implicits._
+                val b = batch0.localCheckpoint()
+                val cohorts = b.select((col("doc_id") % 4).as("sh"))
+                  .distinct().as[Long].collect()
+                require(cohorts.length == 1 && cohorts.head == staged.get,
+                  s"micro-batch must be exactly the staged shard ${staged.get}, " +
+                    s"got cohorts ${cohorts.sorted.mkString(",")} — the " +
+                    "rolling ledger would be order-scrambled")
+                val (surv, c) = IncrementalIngest.cycle(
+                  index.get, b, "doc_id", "text")
+                index.set(MinHashDedup.extendIndex(
+                  index.get, surv, "doc_id", "text"))
+                Seq((cohorts.head, c(0), c(1), c(2), c(3)))
+                  .toDF("shard", "n_batch", "n_after_exact",
+                    "n_after_intra", "n_survivors")
+                  .write.mode("append").parquet(ledgerDir)
+                drained.incrementAndGet(): Unit
+              }
+            }
+            .option("checkpointLocation", ckptDir)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        require(drained.get == 4L,
+          s"expected 4 drained shard batches, got ${drained.get}")
+        s.read.parquet(ledgerDir)
+          .select(col("shard"), col("n_batch"), col("n_after_exact"),
+            col("n_after_intra"), col("n_survivors"))
+          .localCheckpoint(true)
+          .orderBy(col("shard"))
+      } finally graft.core.ScratchDirs.release(scratch)
+    },
+
     // Same semantics as q48, but with the driver-side union-find DISABLED
     // (maxLocalEdges = 0): this forces the distributed min-label-propagation
     // path — the one a 100 TB edge set would take — so the scale path itself
@@ -669,6 +764,9 @@ object DedupQueries {
 
     "q231_rolling_ingest" -> rollingIngestSql,
 
+    // ONE oracle, two modes (the q198/q199 discipline): the streaming
+    // checkpoint-resumed run must land on the identical rolling ledger.
+    "q232_stream_rolling_ingest" -> rollingIngestSql,
 
     "q48_dup_components" -> componentsOracle,
 

@@ -108,6 +108,52 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(IncrementalIngest.survivors(index, batch3, "doc_id", "text").count() == 1L)
   }
 
+  test("checkpoint-resumed AvailableNow drains see only files staged since the last run") {
+    // the q232 stream-rolling contract: shard files arrive over time and
+    // each drain RESUMES from the shared checkpoint, so batch k contains
+    // exactly the one newly staged file — a Spark source-offset behavior
+    // the rolling ledger's determinism rests on; pin it here so an
+    // upgrade that re-delivers or reorders fails a named spec, not as an
+    // opaque q232 oracle mismatch
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-resume-spec-").toFile
+    try {
+      val inDir = new java.io.File(root, "in"); inDir.mkdirs()
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      (0 until 3).foreach { k =>
+        val tmp = new java.io.File(root, s"tmp_$k").getAbsolutePath
+        Seq((k.toLong, s"file $k payload")).toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(inDir, f"f-$k%04d.parquet").toPath)
+        val q = spark.readStream.schema("doc_id LONG, text STRING")
+          .format("parquet").load(inDir.getAbsolutePath)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              val sp = b.sparkSession; import sp.implicits._
+              seen.synchronized {
+                seen += b.select("doc_id").as[Long].collect().toSeq.sorted: Unit
+              }
+            }
+          }
+          .option("checkpointLocation", new java.io.File(root, "ckpt").getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      assert(seen.toSeq == Seq(Seq(0L), Seq(1L), Seq(2L)),
+        s"resume must deliver exactly the newly staged file per drain: $seen")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root)
+    }
+  }
+
   // q80/q81's exact-oracle determinism rests on two PROPERTIES OF THE
   // TESTDATA CORPUS, not of the engine (DedupQueries.ingestBatch scaladoc):
   //   1. ids fit under the +1M/+2M/+3M/+4M provenance shifts;
