@@ -340,6 +340,30 @@ object DedupQueries {
       } finally graft.core.ScratchDirs.release(scratch)
     },
 
+    // Exact-substring dedup (Lee et al. 2021's ExactSubstr, Spark-first):
+    // spans >= 40 chars appearing verbatim >= 2 times corpus-wide,
+    // detected by char-window hashing + one hash-keyed aggregation
+    // (never pairwise), merged per doc. Corpus = documents ∪ planted
+    // "quotes" (every 9th long doc re-published with its first 150 chars
+    // embedded under fresh chrome — the license/boilerplate shape that
+    // survives document-level dedup). Oracle recomputes every stage from
+    // window STRINGS (the engine groups 64-bit XXH64 window hashes —
+    // equality holds up to collisions, P ~ 1e-8 at sf0.1, over-mark-only
+    // polarity, the q21 determinism argument).
+    "q233_substr_spans" -> { (s, dir) =>
+      ExactSubstr.report(substrCorpus(s, dir), "doc_id", "text", width = 40)
+        .orderBy("doc_id")
+    },
+
+    // The removal side: clean_text = the doc with every duplicated span
+    // cut out (possibly "" when the whole text is duplicated — planted
+    // quotes guarantee both classes live). Oracle rebuilds each cleaned
+    // string from the inter-span segments with ordered string_agg.
+    "q234_substr_scrub" -> { (s, dir) =>
+      ExactSubstr.scrub(substrCorpus(s, dir), "doc_id", "text", width = 40)
+        .orderBy("doc_id")
+    },
+
     // Same semantics as q48, but with the driver-side union-find DISABLED
     // (maxLocalEdges = 0): this forces the distributed min-label-propagation
     // path — the one a 100 TB edge set would take — so the scale path itself
@@ -596,6 +620,52 @@ object DedupQueries {
       |  WHERE cc * 1.0 / (bz.n + cz.n - cc) >= 0.5),
       |surv AS (SELECT bid FROM noexact WHERE bid NOT IN (SELECT bid FROM xhit))""".stripMargin
 
+  /** q233/q234 corpus: documents ∪ a re-published "quote" of every 9th
+    * long doc (its first 150 chars under fresh chrome) — deterministic
+    * cross-doc verbatim spans with exactly known extent.
+    */
+  private def substrCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 9 === 0 && length(col("text")) >= 160)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(lit("QUOTED "), col("doc_id").cast("string"), lit(": "),
+            substring(col("text"), 1, 150), lit(" :ENDQUOTE")).as("text")))
+  }
+
+  /** Shared q233/q234 oracle prefix: the planted corpus, all width-40
+    * char windows (positions in CHARACTERS, matching the kernel), the
+    * over-the-bar window set by STRING equality, and the per-doc merged
+    * spans — the same sorted-interval merge the engine runs (fixed width
+    * ⇒ running max end = previous pos + width).
+    */
+  private val substrSpansPrefix: String =
+    """WITH corpus AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 6000000,
+      |    'QUOTED ' || doc_id::VARCHAR || ': ' || substr(text, 1, 150) || ' :ENDQUOTE'
+      |  FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 160),
+      |w AS MATERIALIZED (
+      |  SELECT doc_id, pos, substr(text, pos, 40) AS win
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(1, greatest(length(text) - 38, 1))) AS pos
+      |        FROM corpus)),
+      |duph AS MATERIALIZED (
+      |  SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+      |mk AS MATERIALIZED (
+      |  SELECT w.doc_id, w.pos FROM w JOIN duph USING (win)),
+      |sp AS MATERIALIZED (
+      |  SELECT doc_id, sid, min(pos) AS s, max(pos) + 40 AS e
+      |  FROM (SELECT doc_id, pos,
+      |          sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      |        FROM (SELECT doc_id, pos,
+      |                CASE WHEN pos > coalesce(lag(pos) OVER (
+      |                    PARTITION BY doc_id ORDER BY pos), -2147483648) + 40
+      |                  THEN 1 ELSE 0 END AS ns
+      |              FROM mk))
+      |  GROUP BY doc_id, sid)""".stripMargin
+
   /** DuckDB recompute of the q231 ROLLING ingest: the q80 cycle unrolled
     * four times, stage k's corpus = base (doc_id % 5 <> 0) ∪ survivors
     * of stages 0..k-1. Everything reduces to the ID level through two
@@ -767,6 +837,36 @@ object DedupQueries {
     // ONE oracle, two modes (the q198/q199 discipline): the streaming
     // checkpoint-resumed run must land on the identical rolling ledger.
     "q232_stream_rolling_ingest" -> rollingIngestSql,
+
+    "q233_substr_spans" ->
+      s"""$substrSpansPrefix
+         |SELECT c.doc_id,
+         |  coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+         |  coalesce(st.dup_chars, 0)::BIGINT AS dup_chars,
+         |  coalesce(st.max_span, 0)::BIGINT AS max_span
+         |FROM corpus c LEFT JOIN (
+         |  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_chars,
+         |    max(e - s) AS max_span
+         |  FROM sp GROUP BY doc_id) st USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "q234_substr_scrub" ->
+      s"""$substrSpansPrefix,
+         |seg AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS a,
+         |    s AS b
+         |  FROM sp
+         |  UNION ALL
+         |  SELECT sp.doc_id, max(sp.e) AS a, min(length(c.text)) + 1 AS b
+         |  FROM sp JOIN corpus c USING (doc_id) GROUP BY sp.doc_id),
+         |agg AS (
+         |  SELECT g.doc_id,
+         |    string_agg(substr(c.text, g.a, g.b - g.a), '' ORDER BY g.a) AS clean
+         |  FROM seg g JOIN corpus c USING (doc_id) GROUP BY g.doc_id)
+         |SELECT c.doc_id, coalesce(a.clean, c.text) AS clean_text
+         |FROM corpus c LEFT JOIN agg a USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
 
     "q48_dup_components" -> componentsOracle,
 

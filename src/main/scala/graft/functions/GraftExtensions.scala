@@ -280,5 +280,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_html_text(html, minChars, maxLinkPct) with literal int thresholds")
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_windows"),
+      new ExpressionInfo(classOf[CharWindowHashes].getName, "graft_char_windows"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(w: Int, IntegerType), Literal(e: Int, IntegerType)) =>
+          CharWindowHashes(text, w, e)
+        case _ => throw new IllegalArgumentException(
+          "graft_char_windows(text, width, every) with literal int width/every")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_ac_scan"),
+      new ExpressionInfo(classOf[AcScan].getName, "graft_ac_scan"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text,
+            Literal(ps: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(LongType, _)),
+            Literal(pats: org.apache.spark.sql.catalyst.util.ArrayData,
+              ArrayType(StringType, _))) =>
+          AcScan(text,
+            (0 until ps.numElements()).map(ps.getLong),
+            (0 until pats.numElements()).map(i => pats.getUTF8String(i).toString))
+        case _ => throw new IllegalArgumentException(
+          "graft_ac_scan(text, pids, patterns) with literal long/string arrays")
+      }))
   }
 }

@@ -1821,3 +1821,313 @@ case class NgramLangScores(child: Expression, vocab: Seq[String],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Width-`w` CHARACTER-window hashes of a string — the primitive behind
+  * exact-substring deduplication ([[graft.dedup.ExactSubstr]]; the
+  * Spark-first realization of the ExactSubstr side of Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better", which the
+  * original implements with a suffix array on one machine).
+  *
+  * One byte scan finds the code-point start offsets (a UTF-8 continuation
+  * byte is >= 0x80, so positions are CHARACTER positions — the same unit
+  * DuckDB's `substr`/`length` count, which is what makes the oracle's
+  * string-equality recompute land on identical window boundaries); each
+  * window hashes its UTF-8 byte range with seed-42 XXH64 (byte equality
+  * <=> string equality, so hash-grouping equals window-text grouping up
+  * to 64-bit collisions — over-MARK-only polarity, P ~ n_windows^2/2^65:
+  * ~1e-8 at the sf0.1 corpus' ~1.3M windows).
+  *
+  * `every` = 1 emits ALL windows (the oracle-exact mode: one row per
+  * character — the shuffle is corpus-chars x 16 bytes after explode).
+  * `every` = k > 1 emits the WINNOWING selection (Schleimer et al. 2003):
+  * the rightmost-minimal hash of every k consecutive windows, deduped —
+  * ~2/(k+1) of the rows with a GUARANTEE (not a probability): any two
+  * identical substrings of length >= w + k - 1 select at least one
+  * identical fingerprint, so duplicated-span DETECTION stays exact for
+  * spans >= w + k - 1 and only the reported span BOUNDARIES loosen by
+  * < k characters per side (ExactSubstrSpec pins the containment/
+  * coverage contract differentially against every=1).
+  */
+object CharWindowHasher {
+  def windows(text: UTF8String, w: Int, every: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    // char start byte-offsets (+ sentinel at len)
+    var nChars = 0
+    var b = 0
+    while (b < len) {
+      if ((text.getByte(b) & 0xc0) != 0x80) nChars += 1
+      b += 1
+    }
+    val m = nChars - w + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    b = 0
+    while (b < len) {
+      if ((text.getByte(b) & 0xc0) != 0x80) { starts(c) = b; c += 1 }
+      b += 1
+    }
+    starts(nChars) = len
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = starts(i)
+      hs(i) = XXH64.hashUnsafeBytes(base, off + s, starts(i + w) - s, 42L)
+      i += 1
+    }
+    val rows: Array[Any] =
+      if (every <= 1) {
+        val out = new Array[Any](m)
+        i = 0
+        while (i < m) {
+          out(i) = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](i + 1, hs(i)))
+          i += 1
+        }
+        out
+      } else {
+        // winnowing: rightmost min per k-window via a monotonic deque
+        // (pop-while->=" keeps the RIGHTMOST minimal — the original
+        // tie-break, which makes selection position-consistent inside
+        // any shared substring); consecutive duplicate selections
+        // collapse. m < k degenerates to one global selection.
+        val k = math.min(every, m)
+        val dq = new Array[Int](m)
+        var head = 0
+        var tail = 0 // exclusive
+        val sel = new scala.collection.mutable.ArrayBuffer[Int](m / k + 1)
+        i = 0
+        while (i < m) {
+          while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+          dq(tail) = i; tail += 1
+          if (head < tail && dq(head) <= i - k) head += 1
+          if (i >= k - 1) {
+            val pick = dq(head)
+            if (sel.isEmpty || sel(sel.length - 1) != pick) sel += pick
+          }
+          i += 1
+        }
+        sel.map(p => new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](p + 1, hs(p))): Any).toArray
+      }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `graft_char_windows(text, w, every)` → array<struct<pos:int,h:bigint>>
+  * — see [[CharWindowHasher]]. `pos` is the 1-based CHARACTER position of
+  * the window start (the unit `substring`/DuckDB `substr` count).
+  */
+case class CharWindowHashes(child: Expression, w: Int, every: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, s"window width must be >= 1, got $w")
+  require(every >= 1, s"winnowing step must be >= 1, got $every")
+  require(every == 1 || every < w,
+    s"winnowing step ($every) must stay under the window width ($w) so " +
+      "selected fingerprints of one true span merge into one reported span")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_char_windows"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharWindowHasher.windows(input.asInstanceOf[UTF8String], w, every)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CharWindowHasher.windows($t, $w, $every);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Aho–Corasick multi-pattern scanner — the blocklist primitive
+  * ([[graft.text.Blocklist]]): ONE automaton pass per document finds
+  * every occurrence of every pattern (O(bytes + hits)), where the naive
+  * plan is |patterns| `instr`/regex passes over the corpus — the
+  * difference between 1× and 10⁴× scan cost for a real bad-phrase list.
+  *
+  * Matching is BYTE-level over UTF-8 (self-synchronizing: byte equality
+  * ⟺ string equality, and a match can never start or end inside a
+  * multi-byte char). Counting is leftmost-greedy NON-overlapping per
+  * pattern — exactly `replace(text, p, '')` arithmetic, which is what
+  * lets DuckDB recompute every count with strlen/replace: occurrences
+  * arrive in end-position order, and one [start > lastEnd] check per hit
+  * replays the left-to-right take-and-jump scan (fixed pattern length
+  * makes earliest-end ≡ earliest-start).
+  *
+  * The goto function is flattened to a full DFA over a dense
+  * state×256 int array at build time (fail links resolved once, so the
+  * scan loop is two array reads per byte). Dense is right for
+  * dictionary-scale lists (1k × 20-byte patterns ≈ 20k states × 256 ×
+  * 4 B ≈ 20 MB — broadcast-variable territory, built once per executor);
+  * a production 10⁵-phrase list (~2M states, ~2 GB dense) would switch
+  * this layout to a double-array (base/check) trie — same automaton,
+  * ~100× smaller.
+  *
+  * Tasks deserialize this object from the plan's reference array, so an
+  * instance-local lazy would rebuild the DFA on EVERY task — at 20 MB a
+  * build, that dominates short tasks. The compiled automaton therefore
+  * lives in an executor-global cache keyed by the pattern-list content
+  * ([[AhoCorasick.compile]]): every task of every query sharing the
+  * blocklist reuses one build per JVM.
+  */
+object AhoCorasick {
+  /** content-keyed executor-global DFA cache; bounded crudely (a JVM
+    * sees a handful of distinct blocklists — on overflow, clear and
+    * rebuild rather than track LRU order)
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Int], Array[Array[Int]])]()
+  private val MaxCached = 8
+
+  private[functions] def compile(
+      patterns: Array[Array[Byte]],
+      build: () => (Array[Int], Array[Array[Int]])): (Array[Int], Array[Array[Int]]) = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    patterns.foreach { p =>
+      md.update((p.length >> 24).toByte); md.update((p.length >> 16).toByte)
+      md.update((p.length >> 8).toByte); md.update(p.length.toByte)
+      md.update(p)
+    }
+    val key = java.util.Base64.getEncoder.encodeToString(md.digest())
+    if (cache.size > MaxCached) cache.clear()
+    cache.computeIfAbsent(key, _ => build())
+  }
+}
+
+class AhoCorasick(pids: Array[Long], patterns: Array[Array[Byte]])
+    extends Serializable {
+  require(pids.length == patterns.length)
+  require(patterns.forall(_.length > 0), "empty blocklist pattern")
+
+  private val nPat = patterns.length
+  @transient private lazy val compiled: (Array[Int], Array[Array[Int]]) =
+    AhoCorasick.compile(patterns, () => buildDfa())
+
+  private def buildDfa(): (Array[Int], Array[Array[Int]]) = {
+    val totalLen = patterns.map(_.length).sum
+    val maxStates = totalLen + 1
+    val next = Array.fill(maxStates * 256)(-1)
+    val ownOut = Array.fill(maxStates)(List.empty[Int])
+    var nStates = 1
+    // trie
+    var p = 0
+    while (p < nPat) {
+      var s = 0
+      val bytes = patterns(p)
+      var i = 0
+      while (i < bytes.length) {
+        val c = bytes(i) & 0xff
+        if (next(s * 256 + c) == -1) { next(s * 256 + c) = nStates; nStates += 1 }
+        s = next(s * 256 + c)
+        i += 1
+      }
+      ownOut(s) = p :: ownOut(s)
+      p += 1
+    }
+    // BFS: fail links resolved INTO the transition table (full DFA) and
+    // output lists collapsed through the fail chain
+    val fail = new Array[Int](nStates)
+    val out = new Array[Array[Int]](nStates)
+    out(0) = ownOut(0).toArray
+    val queue = new java.util.ArrayDeque[Integer]()
+    var c = 0
+    while (c < 256) {
+      val t = next(c)
+      if (t == -1) next(c) = 0
+      else { fail(t) = 0; queue.add(t) }
+      c += 1
+    }
+    while (!queue.isEmpty) {
+      val s = queue.poll().intValue()
+      out(s) = (ownOut(s) ++ out(fail(s))).toArray
+      c = 0
+      while (c < 256) {
+        val t = next(s * 256 + c)
+        if (t == -1) next(s * 256 + c) = next(fail(s) * 256 + c)
+        else { fail(t) = next(fail(s) * 256 + c); queue.add(t) }
+        c += 1
+      }
+    }
+    (next, out)
+  }
+
+  /** Per-pattern non-overlapping counts: array<struct<pid:long,n:long>>,
+    * patterns with zero hits omitted, ordered by pattern index (stable
+    * across rows — pids ship in caller order).
+    */
+  def scan(text: UTF8String): ArrayData = {
+    val (next, out) = compiled
+    val counts = new Array[Long](nPat)
+    val lastEnd = new Array[Int](nPat)
+    java.util.Arrays.fill(lastEnd, -1)
+    val len = text.numBytes()
+    var s = 0
+    var i = 0
+    while (i < len) {
+      s = next(s * 256 + (text.getByte(i) & 0xff))
+      val hits = out(s)
+      var j = 0
+      while (j < hits.length) {
+        val p = hits(j)
+        val start = i - patterns(p).length + 1
+        if (start > lastEnd(p)) { counts(p) += 1; lastEnd(p) = i }
+        j += 1
+      }
+      i += 1
+    }
+    var nHit = 0
+    var p = 0
+    while (p < nPat) { if (counts(p) > 0) nHit += 1; p += 1 }
+    val rows = new Array[Any](nHit)
+    var k = 0
+    p = 0
+    while (p < nPat) {
+      if (counts(p) > 0) {
+        rows(k) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](pids(p), counts(p)))
+        k += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `graft_ac_scan(text, pids, patterns)` → array<struct<pid:long,
+  * n:long>> — see [[AhoCorasick]]. The pattern arrays ride the plan as
+  * literals (a blocklist is dictionary-small); the DFA builds once per
+  * executor through the content-keyed [[AhoCorasick.compile]] cache (a
+  * plain instance-lazy would rebuild per deserialized task).
+  */
+case class AcScan(child: Expression, pids: Seq[Long], patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pid", LongType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_ac_scan"
+
+  @transient private lazy val ac = new AhoCorasick(
+    pids.toArray,
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ac.scan(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val acRef = ctx.addReferenceObj("acAutomaton", ac,
+        classOf[AhoCorasick].getName)
+      s"${ev.value} = $acRef.scan($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -10,9 +10,12 @@ import graft.similarity.HyperplaneLsh
 /** End-to-end corpus curation — the composition the individual operators
   * exist for, in the standard order a pre-training data pipeline runs:
   *
+  *   optional phrase-blocklist filter (Aho–Corasick, UT1 position) →
   *   quality filter → exact dedup → near-dup dedup (LSH + connected
   *   components, keep one doc per duplicate cluster) → optional semantic
   *   dedup (embedding-space LSH pairs, same cluster-and-keep-min) →
+  *   optional exact-substring scrub (char-level corpus-duplicated spans
+  *   cut from the surviving text, `ExactSubstr.scrubFlagged`) →
   *   optional duplicated-span removal (cross-doc-shared 8-gram runs cut
   *   from the surviving text, `CrossDocNgrams.trim`) →
   *   benchmark decontamination → deterministic sampling →
@@ -60,7 +63,12 @@ object Curation {
       // (NFC + mojibake repair); 0 when the stage is off
       texts_normalized: Long = 0L,
       // docs surviving the language filter; -1 when the stage is off
-      after_lang: Long = -1L)
+      after_lang: Long = -1L,
+      // docs surviving the phrase-blocklist filter; -1 when off
+      after_blocklist: Long = -1L,
+      // docs whose TEXT lost a corpus-duplicated exact substring span
+      // (doc count is unchanged by the scrub stage); 0 when off
+      substr_scrubbed: Long = 0L)
 
   /** @param docs       (idCol, textCol) corpus
     * @param benchmark  optional eval set to decontaminate against
@@ -105,6 +113,33 @@ object Curation {
     *                   the cleaned corpus. Trimming rewrites text, never
     *                   drops docs — the report carries how many docs
     *                   lost spans.
+    * @param blocklist  when non-empty, a PHRASE-BLOCKLIST filter stage
+    *                   ((pid, phrase) pairs, UT1-style bad-phrase lists)
+    *                   runs after the language filter and before the
+    *                   quality gate: docs whose total non-overlapping
+    *                   hit count across the whole dictionary exceeds
+    *                   `blocklistMaxHits` are dropped. One Aho–Corasick
+    *                   automaton pass per doc ([[Blocklist]]'s kernel),
+    *                   composed here as a NARROW scan-side filter (the
+    *                   per-doc total folds over the kernel's array with
+    *                   an `aggregate` HOF — no explode, no shuffle).
+    *                   NULL text keeps with zero hits (the [[Blocklist]]
+    *                   verdict contract; it dies at the quality gate).
+    * @param blocklistMaxHits total-hits cap a doc may carry and stay
+    *                   (with `blocklist`; 0 = zero tolerance)
+    * @param substrScrubWidth when set, an EXACT-SUBSTRING scrub stage
+    *                   ([[graft.dedup.ExactSubstr]], Lee et al. 2021)
+    *                   runs on the dedup survivors before the 8-gram
+    *                   span trim: every text span of >= this many chars
+    *                   appearing verbatim >= 2 times in the SURVIVING
+    *                   corpus is cut. Char-exact where the 8-gram trim
+    *                   is token-run-shaped — licenses/boilerplate that
+    *                   cross token boundaries. Rewrites text, never
+    *                   drops docs; the report counts affected docs.
+    * @param substrScrubEvery winnowing step for the scrub stage (1 =
+    *                   oracle-exact all-windows mode; k > 1 = the
+    *                   ~2/(k+1)-volume scale mode, detection exact for
+    *                   spans >= width+k-1, boundaries loosen < k chars)
     * @param checkpointDir when set, stage boundaries are DURABLE: each
     *                   stage writes `$checkpointDir/<stage>` as parquet
     *                   and downstream stages read the files, so a lost
@@ -127,6 +162,10 @@ object Curation {
       maxTokens: Int = 512,
       lineDedupMaxFreq: Option[Long] = None,
       spanTrimMinRun: Option[Int] = None,
+      blocklist: Seq[(Long, String)] = Seq.empty,
+      blocklistMaxHits: Long = 0L,
+      substrScrubWidth: Option[Int] = None,
+      substrScrubEvery: Int = 1,
       checkpointDir: Option[String] = None,
       normalizeText: Boolean = false,
       langIdFn: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
@@ -198,8 +237,24 @@ object Curation {
           "lang")
       case None => (observedInput, -1L)
     }
+    // 0.75 optional phrase-blocklist filter (UT1 position: after the
+    // language gate, before quality) — a narrow scan-side filter: the
+    // per-doc total hit count folds over the Aho–Corasick kernel's
+    // (pid, n) array in-row, so the whole dictionary costs one automaton
+    // pass per doc and zero shuffles.
+    val (blocked, afterBlocklistN) =
+      if (blocklist.isEmpty) (langKept, -1L)
+      else {
+        val totalHits = coalesce(
+          aggregate(
+            call_function("graft_ac_scan", col("text"),
+              typedlit(blocklist.map(_._1)), typedlit(blocklist.map(_._2))),
+            lit(0L), (acc, x) => acc + x.getField("n")),
+          lit(0L))
+        boundary(langKept.filter(totalHits <= blocklistMaxHits), "blocklist")
+      }
     val (quality, qualityN) = boundary(
-      langKept.filter(TextAnalysis.qualityScore(col("text")) >= minQuality),
+      blocked.filter(TextAnalysis.qualityScore(col("text")) >= minQuality),
       "quality")
     val inputN = checkpointDir.fold(input.count())(_ =>
       inObs.get.apply("n").asInstanceOf[Long])
@@ -240,6 +295,24 @@ object Curation {
       case None => (nearDeduped, nearN)
     }
 
+    // 4.5 optional exact-substring scrub (Lee et al. 2021 ExactSubstr):
+    // char-level spans >= width duplicated >= 2 times across the
+    // SURVIVING corpus are cut from the text. Runs before the 8-gram
+    // span trim — char-exact first, token-run-shaped second. Doc count
+    // is unchanged; the report counts docs whose text lost a span.
+    val (substrCleaned, substrScrubbedN) = substrScrubWidth match {
+      case Some(w) =>
+        val t = graft.dedup.ExactSubstr
+          .scrubFlagged(semanticDeduped, "id", "text",
+            width = w, every = substrScrubEvery)
+          .select(col("id"), col("clean_text").as("text"),
+            col("scrubbed").as("__sub"))
+        val (b, _) = boundary(t, "substr_scrub")
+        val n = b.filter(col("__sub")).count()
+        (b.select(col("id"), col("text")), n)
+      case None => (semanticDeduped, 0L)
+    }
+
     // 5. optional duplicated-span removal: runs of ≥ minRun consecutive
     // cross-doc-shared 8-grams are cut from the surviving docs' TEXT
     // (CrossDocNgrams.trim). Doc count is unchanged — the report carries
@@ -253,14 +326,14 @@ object Curation {
         // CrossDocNgramsSpec pins hash ≡ string on the real testdata;
         // collisions are over-trim-only.
         val t = CrossDocNgrams
-          .trim(semanticDeduped, "id", "text", w = 8, minDocs = 2, minRun = minRun,
+          .trim(substrCleaned, "id", "text", w = 8, minDocs = 2, minRun = minRun,
             hashKeys = true)
           .select(col("id"), col("clean_text").as("text"),
             (col("n_removed") > 0L).as("__trimmed"))
         val (b, _) = boundary(t, "span_trim")
         val nTrimmed = b.filter(col("__trimmed")).count()
         (b.select(col("id"), col("text")), nTrimmed)
-      case None => (semanticDeduped, 0L)
+      case None => (substrCleaned, 0L)
     }
 
     // 6. decontamination: drop docs sharing 8-grams with the benchmark
@@ -298,6 +371,6 @@ object Curation {
 
     (chunksDf.as[Chunker.DocChunk], Report(inputN, qualityN, exactN, nearN,
       semanticN, decontamN, sampledN, chunksN, spansTrimmedN, linesDedupedN,
-      normalizedN, afterLangN))
+      normalizedN, afterLangN, afterBlocklistN, substrScrubbedN))
   }
 }

@@ -92,7 +92,73 @@ object TextQueries {
         "widen the oracle ranges before raising the corpus word length")
   }
 
+  /** q235/q236 blocklist: a deterministic phrase dictionary drawn from
+    * the corpus itself (chars 10-30 of every 101st doc, id-capped so the
+    * list stays dictionary-sized at every sf) — every phrase is
+    * guaranteed ≥1 live hit (its source doc), and near-dup plants give
+    * cross-doc hits. Driver-side by design: a blocklist ships with the
+    * job, it is not a distributed table.
+    */
+  private def blocklistPatterns(s: SparkSession, dir: String): Seq[(Long, String)] = {
+    import s.implicits._
+    docs(s, dir)
+      .filter(col("doc_id") % 101 === 3 && col("doc_id") < 3100 &&
+        length(col("text")) >= 31)
+      .select(col("doc_id"), substring(col("text"), 10, 21).as("p"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Aho–Corasick phrase-blocklist scan (text.Blocklist): per-doc
+    // per-phrase NON-overlapping counts in one automaton pass per doc —
+    // O(bytes + hits) for the whole dictionary vs one instr/regex scan
+    // per phrase. The count contract is replace(text, p, '') arithmetic
+    // (leftmost-greedy non-overlapping), which is exactly what the
+    // oracle recomputes with strlen/replace byte math.
+    "q235_blocklist_scan" -> { (s, dir) =>
+      Blocklist.scan(docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", blocklistPatterns(s, dir))
+        .orderBy("doc_id", "pid")
+    },
+
+    // The filter verdict over ALL docs (n_hits ≤ 1 keeps single
+    // self-hits but drops docs matching a second phrase — both classes
+    // live via the near-dup plants).
+    "q236_blocklist_verdict" -> { (s, dir) =>
+      Blocklist.verdict(docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", blocklistPatterns(s, dir), maxHits = 1L)
+        .orderBy("doc_id")
+    },
+
+    // Curation FILTERS composite: the two r13 operators composed into
+    // the pipeline — the phrase blocklist as a scan-side drop stage
+    // (UT1 position, zero tolerance) and the exact-substring scrub
+    // rewriting dedup survivors (Lee et al. 2021). Corpus = documents ∪
+    // planted quotes (the q233 shape) so the scrub has deterministic
+    // cross-doc work; quality neutralized (minQuality=0) and near-dup
+    // disabled (threshold > 1) so the oracle recomputes exactly the
+    // live stages: blocklist drop → keep-first exact dedup → the
+    // duplicated-window mark over the SURVIVING corpus (span extent is
+    // q233/q234's contract; here the composite pins the doc counts).
+    "q237_curation_filters" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.select(col("doc_id").as("id"), col("text"))
+        .unionByName(d
+          .filter(col("doc_id") % 9 === 0 && length(col("text")) >= 160)
+          .select((col("doc_id") + 6000000L).as("id"),
+            concat(lit("QUOTED "), col("doc_id").cast("string"), lit(": "),
+              substring(col("text"), 1, 150), lit(" :ENDQUOTE")).as("text")))
+      val (_, r) = Curation.run(corpus, "id", "text",
+        minQuality = 0.0, neardupThreshold = 1.01,
+        blocklist = blocklistPatterns(s, dir), blocklistMaxHits = 0L,
+        substrScrubWidth = Some(40))
+      Seq((r.input_docs, r.after_blocklist, r.after_quality,
+        r.after_exact_dedup, r.substr_scrubbed))
+        .toDF("input_docs", "after_blocklist", "after_quality",
+          "after_exact_dedup", "substr_scrubbed")
+    },
+
     // Unicode NFC normalization (graft_nfc, a native codegen expression
     // over java.text.Normalizer) — the encoding-hygiene pass before any
     // byte-level dedup/tokenization: NFD spellings (e + U+0301) hash
@@ -812,7 +878,75 @@ object TextQueries {
 
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Shared q235/q236 oracle prefix: the pattern dictionary (mirroring
+    * [[blocklistPatterns]]) and the per-(doc, phrase) non-overlapping
+    * count matrix.
+    */
+  private val blocklistHitsSql: String =
+    """WITH pats AS MATERIALIZED (
+      |  SELECT doc_id AS pid, substr(text, 10, 21) AS p FROM documents
+      |  WHERE doc_id % 101 = 3 AND doc_id < 3100 AND length(text) >= 31),
+      |hits AS MATERIALIZED (
+      |  SELECT d.doc_id, pt.pid,
+      |    (strlen(d.text) - strlen(replace(d.text, pt.p, ''))) // strlen(pt.p) AS n
+      |  FROM documents d CROSS JOIN pats pt)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q235/q236: counts recomputed with strlen/replace BYTE arithmetic —
+    // replace() is leftmost-greedy non-overlapping, the kernel's exact
+    // counting contract; removed-bytes / pattern-bytes divides exactly.
+    "q235_blocklist_scan" ->
+      s"""$blocklistHitsSql
+         |SELECT doc_id, pid, n::BIGINT AS n
+         |FROM hits WHERE n > 0 ORDER BY doc_id, pid""".stripMargin,
+
+    "q236_blocklist_verdict" ->
+      s"""$blocklistHitsSql
+         |SELECT d.doc_id,
+         |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |  coalesce(h.n_patterns, 0)::BIGINT AS n_patterns,
+         |  (coalesce(h.n_hits, 0) <= 1) AS keep
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, sum(n) AS n_hits, count(*) AS n_patterns
+         |  FROM hits WHERE n > 0 GROUP BY doc_id) h USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q237: the composite's live stages recomputed end to end — the
+    // planted corpus, the zero-tolerance blocklist drop (>= 1 occurrence
+    // anywhere ⇔ strpos > 0), keep-first exact dedup (GROUP BY text),
+    // and the width-40 duplicated-window mark over the SURVIVORS (window
+    // STRINGS stand in for the engine's XXH64 hashes — the q233
+    // collision argument). minQuality=0 keeps every doc, so
+    // after_quality = after_blocklist; near-dup is disabled.
+    "q237_curation_filters" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 6000000,
+        |    'QUOTED ' || doc_id::VARCHAR || ': ' || substr(text, 1, 150) || ' :ENDQUOTE'
+        |  FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 160),
+        |pats AS MATERIALIZED (
+        |  SELECT doc_id AS pid, substr(text, 10, 21) AS p FROM documents
+        |  WHERE doc_id % 101 = 3 AND doc_id < 3100 AND length(text) >= 31),
+        |bl AS MATERIALIZED (
+        |  SELECT c.* FROM corpus c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pats pt WHERE strpos(c.text, pt.p) > 0)),
+        |ed AS MATERIALIZED (
+        |  SELECT min(id) AS id, text FROM bl GROUP BY text),
+        |w AS MATERIALIZED (
+        |  SELECT id, substr(text, pos, 40) AS win
+        |  FROM (SELECT id, text,
+        |          unnest(range(1, greatest(length(text) - 38, 1))) AS pos
+        |        FROM ed)),
+        |duph AS MATERIALIZED (
+        |  SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        |scrubbed AS (SELECT DISTINCT w.id FROM w JOIN duph USING (win))
+        |SELECT (SELECT count(*) FROM corpus)::BIGINT AS input_docs,
+        |  (SELECT count(*) FROM bl)::BIGINT AS after_blocklist,
+        |  (SELECT count(*) FROM bl)::BIGINT AS after_quality,
+        |  (SELECT count(*) FROM ed)::BIGINT AS after_exact_dedup,
+        |  (SELECT count(*) FROM scrubbed)::BIGINT AS substr_scrubbed""".stripMargin,
+
     // q223: DuckDB's own nfc_normalize (utf8proc) against graft_nfc
     // (java.text.Normalizer) over the same planted NFD corruption — two
     // independent Unicode implementations agreeing byte-for-byte.

@@ -140,6 +140,62 @@ class CurationSpec extends SparkSpec {
     assert(chunks0.collect().exists(_.text.contains("subscribe")))
   }
 
+  test("blocklist stage: phrase carriers drop before quality, cap counts total hits, off = -1") {
+    def prose(tag: String) =
+      (1 to 30).map(i => s"$tag$i word$tag$i").mkString(" ")
+    val bad = "winning lottery guaranteed"
+    val d = Seq(
+      (1L, s"${prose("a")} $bad"),
+      (2L, prose("b")),
+      (3L, s"$bad ${prose("c")} $bad"),
+      (4L, prose("d"))).toDF("doc_id", "text")
+    val pats = Seq((7L, bad))
+
+    // zero tolerance: both carriers die, clean docs flow through
+    val (_, r0) = Curation.run(d, "doc_id", "text",
+      blocklist = pats, blocklistMaxHits = 0L)
+    assert(r0.input_docs == 4L, r0.toString)
+    assert(r0.after_blocklist == 2L, r0.toString)
+    assert(r0.after_quality <= r0.after_blocklist, r0.toString)
+
+    // cap = 1: the single-hit doc stays, the double-hit doc dies
+    val (_, r1) = Curation.run(d, "doc_id", "text",
+      blocklist = pats, blocklistMaxHits = 1L)
+    assert(r1.after_blocklist == 3L, r1.toString)
+
+    // off by default: report field is the -1 sentinel
+    val (_, rOff) = Curation.run(d, "doc_id", "text")
+    assert(rOff.after_blocklist == -1L, rOff.toString)
+  }
+
+  test("substr-scrub stage: corpus-duplicated char spans leave the text, doc count unchanged") {
+    def prose(tag: String) =
+      (1 to 30).map(i => s"$tag$i word$tag$i").mkString(" ")
+    // a 62-char verbatim run (license-header shape) shared by two docs
+    // whose padding keeps their Jaccard well under the dedup threshold
+    val license = "Licensed under the Apache License Version 2 point 0 the License"
+    val d = Seq(
+      (1L, s"${prose("a")} $license"),
+      (2L, s"$license ${prose("b")}"),
+      (3L, prose("c"))).toDF("doc_id", "text")
+
+    val (chunks, r) = Curation.run(d, "doc_id", "text",
+      substrScrubWidth = Some(40))
+    assert(r.after_sample == 3L, r.toString)      // scrub never drops docs
+    assert(r.substr_scrubbed == 2L, r.toString)   // both sharers lost the run
+    val texts = chunks.collect().groupBy(_.doc_id)
+      .view.mapValues(_.sortBy(_.chunk_idx).map(_.text).mkString(" ")).toMap
+    assert(!texts(1L).contains("Apache License"), texts(1L))
+    assert(!texts(2L).contains("Apache License"), texts(2L))
+    assert(texts(1L).contains("a1 worda1"), texts(1L))
+    assert(texts(3L).contains("c1 wordc1"))
+
+    // off by default: field stays 0 and the run survives
+    val (chunks0, r0) = Curation.run(d, "doc_id", "text")
+    assert(r0.substr_scrubbed == 0L)
+    assert(chunks0.collect().exists(_.text.contains("Apache License")))
+  }
+
   test("hygiene stage: NFD/mojibake twins collapse in exact dedup; off by default") {
     // three encodings of the same document: composed, NFD-decomposed,
     // CP1252-mojibake — with normalizeText they are ONE exact-dedup group
