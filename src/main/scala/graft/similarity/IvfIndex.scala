@@ -119,6 +119,40 @@ object IvfIndex {
       .withColumn("cell", assignCell(col("v"), model))
       .select(col("cell"), col("id"), col("v"), col("n")))
 
+  /** Extend a persisted index with a NEW vector batch against the FROZEN
+    * coarse quantizer — the FAISS `add` analogue, and the embedding-side
+    * twin of `MinHashDedup.extendIndex` (rolling ingest, q231/q232):
+    * cost ∝ batch (one narrow codegen assignment pass + a union of
+    * parquet-backed assignments), never corpus. The model is
+    * deliberately NOT retrained: frozen centroids are what make the
+    * extended index EXACTLY equal a from-scratch rebuild over the union
+    * (same vector → same argmin → same cell; IvfExtendSpec pins frame
+    * equality), and what makes rolling ingest order-insensitive across
+    * batches. Distribution drift therefore shows up as cell SKEW rather
+    * than silent recall decay — watch [[cellOccupancy]] and
+    * retrain+rebuild past a skew budget (the FAISS retrain discipline).
+    */
+  def extendIndex(
+      index: Index, newVectors: DataFrame, idCol: String, vecCol: String): Index =
+    Index(index.model,
+      index.assignments.unionByName(
+        buildIndex(newVectors, idCol, vecCol, index.model).assignments))
+
+  /** Per-cell occupancy of the index: `(cell, n_vectors, share)` —
+    * nCells rows, the drift/skew signal behind the retrain decision. A
+    * healthy index keeps max(share) within a small multiple of
+    * 1/nCells; a drifting ingest concentrates new mass in few cells
+    * long before probe recall visibly decays. (The total lands on the
+    * driver — one long per report, not a single-partition window.)
+    */
+  def cellOccupancy(index: Index): DataFrame = {
+    val total = index.assignments.count()
+    index.assignments.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("share",
+        round(col("n_vectors") / lit(math.max(1L, total).toDouble), 6))
+  }
+
   /** Probe the index with a NEW query batch: per query, the best cosine
     * and candidate count among vectors in its `nProbe` nearest cells
     * (cells partition the corpus, so the plain count IS the distinct

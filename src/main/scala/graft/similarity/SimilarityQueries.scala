@@ -219,6 +219,36 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
+    // ROLLING IVF ingest (IvfIndex.extendIndex, the embedding-side twin
+    // of the q231 minhash rolling index): train + index on the BASE
+    // corpus only, then grow the index with two increment batches
+    // against the FROZEN quantizer — cost ∝ batch. Queries are exact
+    // copies of every 10th vector, base and increment alike: increment
+    // copies reach cosine 1.0 ONLY because the extension landed (the
+    // same structural-exactness argument as q96 — identical vector →
+    // same cell → nearest cell probed first → guaranteed candidate);
+    // IvfExtendSpec pins extended ≡ from-scratch-rebuild frame equality
+    // and the drift/occupancy story.
+    "q238_ivf_extend" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val maxId = Option(e.agg(max(col("vec_id"))).head.get(0))
+        .fold(0L)(_.asInstanceOf[Number].longValue)
+      require(maxId < 1000000L,
+        s"q238 query-id shift assumes max(vec_id) < 1000000; got $maxId")
+      val base = e.filter(col("vec_id") % 4 =!= 0)
+      val model = IvfIndex.train(base, "embedding", nCells = 8)
+      val extended = IvfIndex.extendIndex(
+        IvfIndex.extendIndex(
+          IvfIndex.buildIndex(base, "vec_id", "embedding", model),
+          e.filter(col("vec_id") % 8 === 0), "vec_id", "embedding"),
+        e.filter(col("vec_id") % 8 === 4), "vec_id", "embedding")
+      val queries = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      IvfIndex.probe(queries, extended, "vec_id", "embedding")
+        .select(col("query_id"), col("best_cosine"))
+        .orderBy("query_id")
+    },
+
     // SemDeDup over a corpus with planted exact duplicates (every 10th
     // vector re-appears under a shifted id). The cell-wise greedy
     // keep-first verdict equals the GLOBAL greedy verdict the oracle
@@ -641,6 +671,16 @@ object SimilarityQueries {
     // quantizes to its original's cell and the nearest cell is always
     // probed, so the original is a guaranteed candidate at cosine 1.0.
     "q96_ivf_probe" ->
+      """SELECT vec_id + 1000000 AS query_id, 1.0::DOUBLE AS best_cosine
+        |FROM embeddings WHERE vec_id % 10 = 0
+        |ORDER BY query_id""".stripMargin,
+
+    // q238: q96's structural argument over the EXTENDED index — every
+    // copy (of base AND increment vectors) finds its original at exactly
+    // 1.0 iff the frozen-quantizer extension actually holds the
+    // increments; a missed batch turns its copies' rows < 1.0 and the
+    // hash fails. The rebuild-equality half lives in IvfExtendSpec.
+    "q238_ivf_extend" ->
       """SELECT vec_id + 1000000 AS query_id, 1.0::DOUBLE AS best_cosine
         |FROM embeddings WHERE vec_id % 10 = 0
         |ORDER BY query_id""".stripMargin,
