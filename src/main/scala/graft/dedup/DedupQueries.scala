@@ -620,11 +620,14 @@ object DedupQueries {
       |  WHERE cc * 1.0 / (bz.n + cz.n - cc) >= 0.5),
       |surv AS (SELECT bid FROM noexact WHERE bid NOT IN (SELECT bid FROM xhit))""".stripMargin
 
-  /** q233/q234 corpus: documents ∪ a re-published "quote" of every 9th
-    * long doc (its first 150 chars under fresh chrome) — deterministic
-    * cross-doc verbatim spans with exactly known extent.
+  /** q233/q234/q237 corpus: documents ∪ a re-published "quote" of every
+    * 9th long doc (its first 150 chars under fresh chrome) —
+    * deterministic cross-doc verbatim spans with exactly known extent.
+    * Shared with TextQueries' q237 composite (one definition, engine +
+    * SQL, so the plant rule cannot drift between the span queries and
+    * the curation composite).
     */
-  private def substrCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def substrCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     d.unionByName(
       d.filter(col("doc_id") % 9 === 0 && length(col("text")) >= 160)
@@ -633,6 +636,18 @@ object DedupQueries {
             substring(col("text"), 1, 150), lit(" :ENDQUOTE")).as("text")))
   }
 
+  /** SQL mirror of [[substrCorpus]] — ONE definition of the plant rule
+    * for every oracle over that corpus (q233/q234 here, q237 in
+    * TextQueries).
+    */
+  private[graft] val substrCorpusSql: String =
+    """corpus AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 6000000,
+      |    'QUOTED ' || doc_id::VARCHAR || ': ' || substr(text, 1, 150) || ' :ENDQUOTE'
+      |  FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 160)""".stripMargin
+
   /** Shared q233/q234 oracle prefix: the planted corpus, all width-40
     * char windows (positions in CHARACTERS, matching the kernel), the
     * over-the-bar window set by STRING equality, and the per-doc merged
@@ -640,12 +655,7 @@ object DedupQueries {
     * ⇒ running max end = previous pos + width).
     */
   private val substrSpansPrefix: String =
-    """WITH corpus AS MATERIALIZED (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 6000000,
-      |    'QUOTED ' || doc_id::VARCHAR || ': ' || substr(text, 1, 150) || ' :ENDQUOTE'
-      |  FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 160),
+    s"""WITH $substrCorpusSql,
       |w AS MATERIALIZED (
       |  SELECT doc_id, pos, substr(text, pos, 40) AS win
       |  FROM (SELECT doc_id, text,

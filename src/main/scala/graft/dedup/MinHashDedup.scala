@@ -104,11 +104,21 @@ object MinHashDedup {
     * the corpus"; matching on two domain-separated draws pushes that to
     * ~10^-19 at 10^10 texts while the index stays two longs per text.
     */
-  final case class Index(buckets: DataFrame, sets: DataFrame, textHashes: DataFrame)
+  /** The shingling/banding parameters ride WITH the index: postings
+    * made under different (shingleWidth, bands, rows) live in an
+    * incompatible hash space, so [[extendIndex]] and [[probe]] take
+    * them from here instead of trusting a second call site to repeat
+    * the build's values — the same frozen-parameter law as
+    * `IvfIndex.extendIndex`'s frozen quantizer.
+    */
+  final case class Index(
+      buckets: DataFrame, sets: DataFrame, textHashes: DataFrame,
+      shingleWidth: Int = 3, bands: Int = 32, rows: Int = 4)
 
   /** Build the index for `docs`: buckets (band, bucket, id), sets
-    * (id, shset), and the unfiltered text-hash set. Same shingling/
-    * signature/banding parameters must be used for [[probe]].
+    * (id, shset), and the unfiltered text-hash set. The build parameters
+    * are stored on the returned [[Index]] — [[probe]] and [[extendIndex]]
+    * reuse them, so they cannot diverge from the build.
     */
   def buildIndex(
       docs: DataFrame,
@@ -136,7 +146,8 @@ object MinHashDedup {
     val buckets = bandBuckets(withSig, "id", "sig", bands, rows)
       .select(col("band"), col("bucket"), col("id"))
     Index(buckets, withSets,
-      scanned.select(col("text_hash"), col("text_hash2")).distinct())
+      scanned.select(col("text_hash"), col("text_hash2")).distinct(),
+      shingleWidth, bands, rows)
   }
 
   /** Extend an index with newly-accepted docs — the ROLLING-ingest path:
@@ -156,16 +167,14 @@ object MinHashDedup {
       index: Index,
       docs: DataFrame,
       idCol: String,
-      textCol: String,
-      shingleWidth: Int = 3,
-      bands: Int = 32,
-      rows: Int = 4
+      textCol: String
   ): Index = {
-    val add = buildIndex(docs, idCol, textCol, shingleWidth, bands, rows)
-    Index(
-      index.buckets.unionByName(add.buckets),
-      index.sets.unionByName(add.sets),
-      index.textHashes.unionByName(add.textHashes))
+    val add = buildIndex(docs, idCol, textCol,
+      index.shingleWidth, index.bands, index.rows)
+    index.copy(
+      buckets = index.buckets.unionByName(add.buckets),
+      sets = index.sets.unionByName(add.sets),
+      textHashes = index.textHashes.unionByName(add.textHashes))
   }
 
   /** Probe the index with a NEW batch: pairs (new_id, corpus_id) whose
@@ -181,12 +190,10 @@ object MinHashDedup {
       index: Index,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.5,
-      shingleWidth: Int = 3,
-      bands: Int = 32,
-      rows: Int = 4
+      threshold: Double = 0.5
   ): DataFrame = {
-    val probeIdx = buildIndex(newDocs, idCol, textCol, shingleWidth, bands, rows)
+    val probeIdx = buildIndex(newDocs, idCol, textCol,
+      index.shingleWidth, index.bands, index.rows)
     val cands = probeIdx.buckets.select(col("band"), col("bucket"), col("id").as("new_id"))
       .join(index.buckets.select(col("band"), col("bucket"), col("id").as("corpus_id")),
         Seq("band", "bucket"))

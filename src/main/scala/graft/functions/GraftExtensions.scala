@@ -292,6 +292,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_char_bigrams"),
+      new ExpressionInfo(classOf[CharBigrams].getName, "graft_char_bigrams"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => CharBigrams(text)
+        case _ => throw new IllegalArgumentException(
+          "graft_char_bigrams(text)")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_ac_scan"),
       new ExpressionInfo(classOf[AcScan].getName, "graft_ac_scan"),
       (children: Seq[Expression]) => children match {

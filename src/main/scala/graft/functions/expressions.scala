@@ -1945,6 +1945,68 @@ case class CharWindowHashes(child: Expression, w: Int, every: Int)
     copy(child = newChild)
 }
 
+/** Character-bigram explode in ONE byte pass — the training-side twin of
+  * [[NgramLangScores]]'s code-point walk ([[graft.text.CharNgramLangId]]
+  * trains on these). The obvious SQL framing,
+  * `transform(sequence(1, len-1), i -> substr(text, i, 2))`, is
+  * O(len²): every `substr` re-scans the string from byte 0 to count
+  * code points, so a 100 KB document costs ~10¹⁰ byte reads. Here the
+  * code-point start offsets are found once (a UTF-8 continuation byte
+  * is ≥ 0x80) and each bigram is an O(bigram-bytes) slice of a single
+  * materialized byte array — linear in document length, and the same
+  * code-point framing the DuckDB oracle rebuilds with `substr`.
+  */
+object CharBigramsKernel {
+  def bigrams(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes // one copy; slices below are O(slice)
+    val len = bytes.length
+    var nChars = 0
+    var b = 0
+    while (b < len) {
+      if ((bytes(b) & 0xc0) != 0x80) nChars += 1
+      b += 1
+    }
+    val m = nChars - 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    b = 0
+    while (b < len) {
+      if ((bytes(b) & 0xc0) != 0x80) { starts(c) = b; c += 1 }
+      b += 1
+    }
+    starts(nChars) = len
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + 2) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_char_bigrams(text)` → array<string> — see
+  * [[CharBigramsKernel]]. Empty array below two code points; null in,
+  * null out.
+  */
+case class CharBigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_bigrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharBigramsKernel.bigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CharBigramsKernel.bigrams($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Aho–Corasick multi-pattern scanner — the blocklist primitive
   * ([[graft.text.Blocklist]]): ONE automaton pass per document finds
   * every occurrence of every pattern (O(bytes + hits)), where the naive

@@ -138,19 +138,26 @@ object IvfIndex {
       index.assignments.unionByName(
         buildIndex(newVectors, idCol, vecCol, index.model).assignments))
 
-  /** Per-cell occupancy of the index: `(cell, n_vectors, share)` —
-    * nCells rows, the drift/skew signal behind the retrain decision. A
-    * healthy index keeps max(share) within a small multiple of
-    * 1/nCells; a drifting ingest concentrates new mass in few cells
-    * long before probe recall visibly decays. (The total lands on the
-    * driver — one long per report, not a single-partition window.)
+  /** Per-cell occupancy of the index: `(cell, n_vectors, share)` — one
+    * row for EVERY model cell, zero rows included (a fully-drained cell
+    * is the strongest drift signal, so it must be visible, not absent),
+    * the skew report behind the retrain decision. A healthy index keeps
+    * max(share) within a small multiple of 1/nCells; a drifting ingest
+    * concentrates new mass in few cells long before probe recall
+    * visibly decays. (The total lands on the driver — one long per
+    * report, not a single-partition window.)
     */
   def cellOccupancy(index: Index): DataFrame = {
+    val spark = index.assignments.sparkSession
     val total = index.assignments.count()
-    index.assignments.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_vectors"))
-      .withColumn("share",
-        round(col("n_vectors") / lit(math.max(1L, total).toDouble), 6))
+    val counts = index.assignments.groupBy(col("cell"))
+      .agg(count(lit(1)).as("occ"))
+    spark.range(index.model.nCells).select(col("id").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("occ"), lit(0L)).as("n_vectors"),
+        round(coalesce(col("occ"), lit(0L)) /
+          lit(math.max(1L, total).toDouble), 6).as("share"))
   }
 
   /** Probe the index with a NEW query batch: per query, the best cosine

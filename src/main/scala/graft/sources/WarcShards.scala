@@ -418,6 +418,19 @@ object WarcShards {
             // the committed shard is (real Common Crawl shards run ~1 GB)
             val in = fs.open(path)
             val (n, p) = try WarcCodec.scanStats(in) finally in.close()
+            // Adopt only after a record-count check (the TarShards.pack
+            // stale-shard guard): by byte-determinism a prior commit of
+            // THIS export holds exactly this group's record count, so a
+            // mismatch means a STALE shard from a different export in a
+            // non-clean directory — adopting it would ship a manifest
+            // row describing someone else's bytes. Fail loudly instead.
+            var expected = 0L
+            while (it.hasNext) { it.next(); expected += 1 }
+            require(n == expected,
+              s"$path already exists with $n records but this export's " +
+                s"shard $shard has $expected — stale shard from a " +
+                "different export in a non-clean output directory; " +
+                "delete it or export into a clean directory")
             Iterator((shard, path.getName, n, p, resumed))
           }
           if (resume && fs.exists(path)) statsRow(resumed = true)

@@ -75,14 +75,17 @@ object CharNgramLangId {
   }
 
   /** The character-bigram array of a text column, by code points, with
-    * multiplicity — `substr(text, i, 2)` for i in 1..len-1, exactly the
-    * frame DuckDB rebuilds with `range` + `substr`.
+    * multiplicity — the frame DuckDB rebuilds with `range` + `substr`,
+    * computed by the LINEAR one-pass kernel
+    * ([[graft.functions.CharBigramsKernel]]): the equivalent
+    * `transform(sequence(…), i -> substr(text, i, 2))` framing re-scans
+    * the string per gram (substr counts code points from byte 0), i.e.
+    * O(len²) per document — a silent wall on long documents. NULL text
+    * keeps the historical empty-array contract.
     */
   def bigrams(text: Column): Column =
-    when(length(text) >= 2,
-      transform(sequence(lit(1), length(text) - 1),
-        i => text.substr(i, lit(2))))
-      .otherwise(array().cast("array<string>"))
+    coalesce(call_function("graft_char_bigrams", text),
+      array().cast("array<string>"))
 
   /** Train bigram profiles from a labeled corpus (`textCol`, `langCol`). */
   def train(labeled: DataFrame, textCol: String, langCol: String,
@@ -110,7 +113,18 @@ object CharNgramLangId {
     // OUTSIDE its top-K profile also weighs as c = 0 — the profile IS
     // the model (Cavnar-Trenkle), and the oracle mirrors exactly that.
     val cDense = Array.fill(langs.length, vocab.length)(0L)
+    // (c+1)·Scale must stay inside Long: c < 2^23 (~8.4M occurrences of
+    // ONE gram in one language's training slice). Silent overflow would
+    // wrap negative, max(…,1) it to 1, and hand the language's HOTTEST
+    // gram the minimum weight — wrong models, no error. Guard loudly;
+    // at larger corpora train on a bounded sample (profiles converge
+    // orders of magnitude before any gram hits 8M occurrences).
+    val cMax = Long.MaxValue / Scale - 1L
     profile.foreach { r =>
+      require(r.getLong(2) <= cMax,
+        s"gram '${r.getString(1)}' of lang '${r.getString(0)}' counted " +
+          s"${r.getLong(2)} > $cMax occurrences — integer-exact weights " +
+          "would overflow; train on a bounded sample instead")
       cDense(langs.indexOf(r.getString(0)))(vIdx(r.getString(1))) = r.getLong(2)
     }
     val weights = langs.indices.map { li =>

@@ -142,14 +142,12 @@ object TextQueries {
     // q233/q234's contract; here the composite pins the doc counts).
     "q237_curation_filters" -> { (s, dir) =>
       import s.implicits._
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val corpus = d.select(col("doc_id").as("id"), col("text"))
-        .unionByName(d
-          .filter(col("doc_id") % 9 === 0 && length(col("text")) >= 160)
-          .select((col("doc_id") + 6000000L).as("id"),
-            concat(lit("QUOTED "), col("doc_id").cast("string"), lit(": "),
-              substring(col("text"), 1, 150), lit(" :ENDQUOTE")).as("text")))
-      val (_, r) = Curation.run(corpus, "id", "text",
+      // the SAME planted corpus as q233/q234 — one builder, engine + SQL
+      // (graft.dedup.DedupQueries.substrCorpus/substrCorpusSql), so the
+      // plant rule cannot drift between the span queries and this
+      // composite
+      val corpus = graft.dedup.DedupQueries.substrCorpus(s, dir)
+      val (_, r) = Curation.run(corpus, "doc_id", "text",
         minQuality = 0.0, neardupThreshold = 1.01,
         blocklist = blocklistPatterns(s, dir), blocklistMaxHits = 0L,
         substrScrubWidth = Some(40))
@@ -919,12 +917,7 @@ object TextQueries {
     // collision argument). minQuality=0 keeps every doc, so
     // after_quality = after_blocklist; near-dup is disabled.
     "q237_curation_filters" ->
-      """WITH corpus AS MATERIALIZED (
-        |  SELECT doc_id AS id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 6000000,
-        |    'QUOTED ' || doc_id::VARCHAR || ': ' || substr(text, 1, 150) || ' :ENDQUOTE'
-        |  FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 160),
+      s"""WITH ${graft.dedup.DedupQueries.substrCorpusSql},
         |pats AS MATERIALIZED (
         |  SELECT doc_id AS pid, substr(text, 10, 21) AS p FROM documents
         |  WHERE doc_id % 101 = 3 AND doc_id < 3100 AND length(text) >= 31),
@@ -932,15 +925,15 @@ object TextQueries {
         |  SELECT c.* FROM corpus c
         |  WHERE NOT EXISTS (SELECT 1 FROM pats pt WHERE strpos(c.text, pt.p) > 0)),
         |ed AS MATERIALIZED (
-        |  SELECT min(id) AS id, text FROM bl GROUP BY text),
+        |  SELECT min(doc_id) AS doc_id, text FROM bl GROUP BY text),
         |w AS MATERIALIZED (
-        |  SELECT id, substr(text, pos, 40) AS win
-        |  FROM (SELECT id, text,
+        |  SELECT doc_id, substr(text, pos, 40) AS win
+        |  FROM (SELECT doc_id, text,
         |          unnest(range(1, greatest(length(text) - 38, 1))) AS pos
         |        FROM ed)),
         |duph AS MATERIALIZED (
         |  SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
-        |scrubbed AS (SELECT DISTINCT w.id FROM w JOIN duph USING (win))
+        |scrubbed AS (SELECT DISTINCT w.doc_id FROM w JOIN duph USING (win))
         |SELECT (SELECT count(*) FROM corpus)::BIGINT AS input_docs,
         |  (SELECT count(*) FROM bl)::BIGINT AS after_blocklist,
         |  (SELECT count(*) FROM bl)::BIGINT AS after_quality,

@@ -125,6 +125,26 @@ class DedupSpec extends SparkSpec {
     assert(hits(0).getAs[Double]("jaccard") > 0.9)
   }
 
+  test("extendIndex and probe inherit the BUILD's parameters, never defaults") {
+    val base = (0 until 30).map(i => s"tok${i}a tok${i}b tok${i}c").mkString(" ")
+    val other = (0 until 30).map(i => s"other${i}a other${i}b other${i}c").mkString(" ")
+    // build under NON-default banding: postings made under the defaults
+    // would live in a different hash space and never collide
+    val index = MinHashDedup.buildIndex(docs((1L, base)), "doc_id", "text",
+      shingleWidth = 5, bands = 16, rows = 8)
+    assert(index.shingleWidth == 5 && index.bands == 16 && index.rows == 8)
+    val grown = MinHashDedup.extendIndex(index, docs((2L, other)), "doc_id", "text")
+    assert(grown.bands == 16 && grown.rows == 8 && grown.shingleWidth == 5)
+    // a near-dup of the EXTENSION doc is findable only if the extension
+    // indexed under the build's parameters (and the probe queries under
+    // them too)
+    val nearDup = other.replace("other5a", "other5x")
+    val hits = MinHashDedup.probe(
+      docs((10L, nearDup)), grown, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits == Seq((10L, 2L)), s"cross-space probe lost the pair: $hits")
+  }
+
   test("simhash: identical texts at Hamming 0; nearPairs finds planted copies") {
     val fps = SimHash.fingerprints(
       docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

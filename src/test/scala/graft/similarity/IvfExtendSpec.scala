@@ -61,7 +61,7 @@ class IvfExtendSpec extends SparkSpec {
     val idx = IvfIndex.buildIndex(base, "vec_id", "embedding", model)
 
     val occ = IvfIndex.cellOccupancy(idx).collect()
-    assert(occ.length <= 8 && occ.nonEmpty)
+    assert(occ.length == 8, "every model cell must report, zeros included")
     assert(occ.map(_.getLong(1)).sum == base.count())
     val shareSum = occ.map(_.getDouble(2)).sum
     assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
@@ -77,11 +77,17 @@ class IvfExtendSpec extends SparkSpec {
     assert(dim > 1)
     val after = IvfIndex.cellOccupancy(
       IvfIndex.extendIndex(idx, drifted, "vec_id", "embedding")).collect()
-    val driftedCells = IvfIndex.buildIndex(
-      drifted, "vec_id", "embedding", model)
+    val driftedIdx = IvfIndex.buildIndex(drifted, "vec_id", "embedding", model)
+    val driftedCells = driftedIdx
       .assignments.select(countDistinct($"cell")).head.getLong(0)
     assert(driftedCells <= 2,
       s"a one-direction drift burst should land in very few cells, got $driftedCells")
     assert(after.map(_.getLong(1)).sum == base.count() + 200)
+    // drained cells are REPORTED as zero rows — the strongest drift
+    // signal must be visible, not absent from the report
+    val driftedOcc = IvfIndex.cellOccupancy(driftedIdx).collect()
+    assert(driftedOcc.length == 8)
+    assert(driftedOcc.count(_.getLong(1) == 0L) >= 6,
+      s"expected >= 6 drained cells reported as zeros: ${driftedOcc.mkString(", ")}")
   }
 }

@@ -216,4 +216,29 @@ class WarcShardsSpec extends SparkSpec {
     assert(r.getAs[Long]("payload_bytes") ==
       entries.map(_.payload.length.toLong).sum)
   }
+
+  test("a stale shard from a DIFFERENT export is rejected, not adopted") {
+    // the TarShards.pack stale-shard guard, applied to the WARC twin: a
+    // pre-existing final file is adopted as a prior commit of THIS
+    // export only when its record count matches what this export would
+    // write; a foreign shard must fail loudly instead of shipping a
+    // manifest row describing someone else's bytes
+    val dir = tmpDir("warc-stale")
+    def entries(n: Long) = spark.createDataset((0L until n).map { i =>
+      Entry(0, i, "resource", s"http://e/$i", s"<urn:$i>", "text/plain",
+        s"payload $i".getBytes(StandardCharsets.UTF_8))
+    })
+    // "different export": shard 0 committed with THREE records
+    WarcShards.pack(entries(3), dir, gzip = true): Unit
+    // this export's shard 0 has TEN records → resume must reject
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcShards.pack(entries(10), dir, gzip = true, resume = true).count()
+    }
+    assert(e.getMessage.contains("stale shard") ||
+      Option(e.getCause).exists(_.getMessage.contains("stale shard")), e.getMessage)
+    // matching count → adopted cleanly (the legitimate resume path)
+    val ok = WarcShards.pack(entries(3), dir, gzip = true, resume = true).collect()
+    assert(ok.length == 1 && ok.head.getAs[Boolean]("resumed"))
+    assert(ok.head.getAs[Long]("n_records") == 3L)
+  }
 }

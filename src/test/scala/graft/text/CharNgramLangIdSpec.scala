@@ -62,6 +62,41 @@ class CharNgramLangIdSpec extends SparkSpec {
     assert(tiny.getString(1) == m.langs.head)
   }
 
+  test("bigrams kernel equals the substr framing (ASCII, CJK, supplementary, empty, null)") {
+    // the kernel exists because the transform+substr framing is O(len²)
+    // (substr re-counts code points from byte 0 per gram); both must
+    // produce the identical code-point frame
+    val texts = Seq((1L, "hello world"), (2L, "一丁丂七丄"), (3L, "a𝕏b𝕐c"),
+      (4L, "é"), (5L, ""), (6L, "xy"), (7L, null))
+    val d = texts.toDF("id", "text")
+    def collect(c: org.apache.spark.sql.Column) =
+      d.select($"id", c.as("g")).orderBy("id")
+        .as[(Long, Seq[String])].collect().toSeq
+    val kernel = collect(CharNgramLangId.bigrams($"text"))
+    val naive = collect(
+      when(length($"text") >= 2,
+        transform(sequence(lit(1), length($"text") - 1),
+          i => $"text".substr(i, lit(2))))
+        .otherwise(array().cast("array<string>")))
+    assert(kernel == naive)
+    assert(kernel.find(_._1 == 3L).get._2 == Seq("a𝕏", "𝕏b", "b𝕐", "𝕐c"))
+    assert(kernel.find(_._1 == 7L).get._2 == Seq.empty)
+  }
+
+  test("train refuses a gram count that would overflow the integer-exact weights") {
+    // 200k docs × 50 "ab" repeats: the "ab" bigram counts 10,000,000
+    // > 2^23 - 1, where (c+1)·2^40 leaves Long — silent wrap would hand
+    // the hottest gram the MINIMUM weight; the guard must refuse loudly.
+    // (Short docs, many rows: the bigram kernel's substr is O(len) per
+    // gram, so one huge doc would cost O(len²).)
+    val doc = "ab" * 50
+    val d = spark.range(200000).select(lit(doc).as("text"), lit("xx").as("lang"))
+    val e = intercept[IllegalArgumentException] {
+      CharNgramLangId.train(d, "text", "lang")
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+  }
+
   test("kernel grams by code points: CJK bigrams match SQL substr framing") {
     val m = CharNgramLangId.train(labeled, "text", "lang")
     // score a zh doc via the kernel and via an explicit substr explode +
