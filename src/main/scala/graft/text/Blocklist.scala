@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Phrase-blocklist scanning — the content-filter stage every curation
@@ -33,6 +33,23 @@ object Blocklist {
       call_function("graft_ac_scan", col(textCol),
         typedlit(patterns.map(_._1)), typedlit(patterns.map(_._2)))).as("m"))
       .select(col(idCol), col("m.pid").as("pid"), col("m.n").as("n"))
+  }
+
+  /** Total non-overlapping hits across the whole dictionary as a NARROW
+    * per-row column: an `aggregate` HOF folds the kernel's (pid, n)
+    * array in-row — no explode, no shuffle (CurationSpec gates the plan).
+    * NULL text counts zero. This is the scan-side filter the Curation
+    * blocklist stage runs on; one definition here so the stage and any
+    * other caller cannot drift.
+    */
+  def totalHits(text: Column, patterns: Seq[(Long, String)]): Column = {
+    require(patterns.nonEmpty, "empty blocklist")
+    coalesce(
+      aggregate(
+        call_function("graft_ac_scan", text,
+          typedlit(patterns.map(_._1)), typedlit(patterns.map(_._2))),
+        lit(0L), (acc, x) => acc + x.getField("n")),
+      lit(0L))
   }
 
   /** Per-document verdict over ALL documents: total hits, distinct

@@ -244,15 +244,10 @@ object Curation {
     // pass per doc and zero shuffles.
     val (blocked, afterBlocklistN) =
       if (blocklist.isEmpty) (langKept, -1L)
-      else {
-        val totalHits = coalesce(
-          aggregate(
-            call_function("graft_ac_scan", col("text"),
-              typedlit(blocklist.map(_._1)), typedlit(blocklist.map(_._2))),
-            lit(0L), (acc, x) => acc + x.getField("n")),
-          lit(0L))
-        boundary(langKept.filter(totalHits <= blocklistMaxHits), "blocklist")
-      }
+      else boundary(
+        langKept.filter(
+          Blocklist.totalHits(col("text"), blocklist) <= blocklistMaxHits),
+        "blocklist")
     val (quality, qualityN) = boundary(
       blocked.filter(TextAnalysis.qualityScore(col("text")) >= minQuality),
       "quality")

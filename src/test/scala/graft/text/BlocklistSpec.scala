@@ -53,6 +53,22 @@ class BlocklistSpec extends SparkSpec {
       (3L, 0L, 0L, true)))
   }
 
+  test("totalHits: narrow scan-side column — no exchange, no generate; sums the scan") {
+    val d = Seq((1L, "bad one and bad two"), (2L, "clean"), (3L, null))
+      .toDF("doc_id", "text")
+    val pats = Seq((1L, "bad"), (2L, "two"))
+    // value: in-row fold == sum of the exploded per-phrase counts
+    val hits = d.select($"doc_id",
+      Blocklist.totalHits($"text", pats).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 3L, 2L -> 0L, 3L -> 0L), hits.toString)
+    // plan: the filter Curation's blocklist stage runs must stay narrow —
+    // one kernel pass per row, no explode (Generate), no shuffle (Exchange)
+    val plan = d.filter(Blocklist.totalHits($"text", pats) <= 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan)
+  }
+
   test("differential: one automaton pass equals |patterns| replace scans") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
