@@ -95,8 +95,10 @@ object TextQueries {
   /** q235/q236 blocklist: a deterministic phrase dictionary drawn from
     * the corpus itself (chars 10-30 of every 101st doc, id-capped so the
     * list stays dictionary-sized at every sf) — every phrase is
-    * guaranteed ≥1 live hit (its source doc), and near-dup plants give
-    * cross-doc hits. Driver-side by design: a blocklist ships with the
+    * guaranteed ≥1 live hit (its source doc), and the planted QUOTED
+    * re-publications (the q233/q237 corpus, whose 150-char quotes cover
+    * chars 10-30) give CROSS-doc hits wherever a pattern source is also
+    * a quoted doc. Driver-side by design: a blocklist ships with the
     * job, it is not a distributed table.
     */
   private def blocklistPatterns(s: SparkSession, dir: String): Seq[(Long, String)] = {
@@ -116,16 +118,17 @@ object TextQueries {
     // (leftmost-greedy non-overlapping), which is exactly what the
     // oracle recomputes with strlen/replace byte math.
     "q235_blocklist_scan" -> { (s, dir) =>
-      Blocklist.scan(docs(s, dir).select(col("doc_id"), col("text")),
+      Blocklist.scan(graft.dedup.DedupQueries.substrCorpus(s, dir),
           "doc_id", "text", blocklistPatterns(s, dir))
         .orderBy("doc_id", "pid")
     },
 
-    // The filter verdict over ALL docs (n_hits ≤ 1 keeps single
-    // self-hits but drops docs matching a second phrase — both classes
-    // live via the near-dup plants).
+    // The filter verdict over ALL corpus docs (n_hits ≤ 1 keeps single
+    // self-hits but drops docs matching twice — both classes live: the
+    // QUOTED twins carry their source's phrase, so sources hit once and
+    // any doc quoting a pattern source hits too).
     "q236_blocklist_verdict" -> { (s, dir) =>
-      Blocklist.verdict(docs(s, dir).select(col("doc_id"), col("text")),
+      Blocklist.verdict(graft.dedup.DedupQueries.substrCorpus(s, dir),
           "doc_id", "text", blocklistPatterns(s, dir), maxHits = 1L)
         .orderBy("doc_id")
     },
@@ -881,13 +884,14 @@ object TextQueries {
     * count matrix.
     */
   private val blocklistHitsSql: String =
-    """WITH pats AS MATERIALIZED (
+    s"""WITH ${graft.dedup.DedupQueries.substrCorpusSql},
+      |pats AS MATERIALIZED (
       |  SELECT doc_id AS pid, substr(text, 10, 21) AS p FROM documents
       |  WHERE doc_id % 101 = 3 AND doc_id < 3100 AND length(text) >= 31),
       |hits AS MATERIALIZED (
       |  SELECT d.doc_id, pt.pid,
       |    (strlen(d.text) - strlen(replace(d.text, pt.p, ''))) // strlen(pt.p) AS n
-      |  FROM documents d CROSS JOIN pats pt)""".stripMargin
+      |  FROM corpus d CROSS JOIN pats pt)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q235/q236: counts recomputed with strlen/replace BYTE arithmetic —
@@ -904,7 +908,7 @@ object TextQueries {
          |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
          |  coalesce(h.n_patterns, 0)::BIGINT AS n_patterns,
          |  (coalesce(h.n_hits, 0) <= 1) AS keep
-         |FROM documents d LEFT JOIN (
+         |FROM corpus d LEFT JOIN (
          |  SELECT doc_id, sum(n) AS n_hits, count(*) AS n_patterns
          |  FROM hits WHERE n > 0 GROUP BY doc_id) h USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
