@@ -220,6 +220,12 @@ object DedupQueries {
     // doc_id % 5 = 0, i.e. NOT in the base corpus, so only the grown
     // index can kill the copy; a fixed index would let it through. The oracle unrolls all eight
     // stages relationally, each one's corpus = base ∪ earlier survivors.
+    // The loop also runs the index's log-structured MAINTENANCE step
+    // live: every second extension the index round-trips through
+    // [[MinHashDedup.compactIndex]] — by frame equality the ledger is
+    // identical with or without it (CompactIndexSpec pins this), and the
+    // battery now exercises the bounded-lineage path a real multi-batch
+    // ingest loop must take.
     "q231_rolling_ingest" -> { (s, dir) =>
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id"), col("text")).localCheckpoint()
@@ -233,16 +239,23 @@ object DedupQueries {
       val all = d.unionByName(plants).localCheckpoint()
       val corpus0 = d.filter(col("doc_id") % 5 =!= 0)
       var index = MinHashDedup.buildIndex(corpus0, "doc_id", "text")
-      val ledger = (0 until 4).map { k =>
-        val batch = all.filter(col("doc_id") % 4 === k)
-        val (surv, c) = IncrementalIngest.cycle(index, batch, "doc_id", "text")
-        index = MinHashDedup.extendIndex(index, surv, "doc_id", "text")
-        (k.toLong, c(0), c(1), c(2), c(3))
-      }
-      s.createDataset(ledger)
-        .toDF("shard", "n_batch", "n_after_exact", "n_after_intra",
-          "n_survivors")
-        .orderBy(col("shard"))
+      val scratch = graft.core.ScratchDirs.lease("graft-rolling-compact-")
+      try {
+        val ledger = (0 until 4).map { k =>
+          val batch = all.filter(col("doc_id") % 4 === k)
+          val (surv, c) = IncrementalIngest.cycle(index, batch, "doc_id", "text")
+          index = MinHashDedup.extendIndex(index, surv, "doc_id", "text")
+          if (k % 2 == 1)
+            index = MinHashDedup.compactIndex(index, s"$scratch/compact_$k")
+          (k.toLong, c(0), c(1), c(2), c(3))
+        }
+        // createDataset of a driver-held seq — nothing reads scratch
+        // after the release below
+        s.createDataset(ledger)
+          .toDF("shard", "n_batch", "n_after_exact", "n_after_intra",
+            "n_survivors")
+          .orderBy(col("shard"))
+      } finally graft.core.ScratchDirs.release(scratch)
     },
 
     // STREAMING twin of q231 — the SAME rolling semantics (and the SAME
@@ -318,6 +331,12 @@ object DedupQueries {
                   index.get, b, "doc_id", "text")
                 index.set(MinHashDedup.extendIndex(
                   index.get, surv, "doc_id", "text"))
+                // NOT idempotent under micro-batch RETRY: a replayed
+                // batch would append its ledger row twice. Fine for this
+                // single-drain local test; the production loop must key
+                // writes by batchId (overwrite a batch-scoped partition,
+                // the foreachBatch exactly-once recipe) instead of
+                // blind-appending.
                 Seq((cohorts.head, c(0), c(1), c(2), c(3)))
                   .toDF("shard", "n_batch", "n_after_exact",
                     "n_after_intra", "n_survivors")

@@ -160,8 +160,8 @@ object MinHashDedup {
     *
     * Scale note: after thousands of extensions the union tree itself
     * becomes the overhead — a long-running ingest loop should
-    * periodically compact the index (write the three frames to parquet
-    * and reload), exactly like any log-structured structure.
+    * periodically [[compactIndex]], exactly like any log-structured
+    * structure compacts its segment list.
     */
   def extendIndex(
       index: Index,
@@ -175,6 +175,36 @@ object MinHashDedup {
       buckets = index.buckets.unionByName(add.buckets),
       sets = index.sets.unionByName(add.sets),
       textHashes = index.textHashes.unionByName(add.textHashes))
+  }
+
+  /** Compact a (repeatedly extended) index — the log-structured
+    * maintenance step [[extendIndex]]'s scaladoc prescribes: every
+    * extension stacks one union on all three frames, so past a handful
+    * of batches the plan tree grows linearly (re-analysis cost per
+    * probe) and any recompute replays the whole extension history.
+    * Compaction writes the three frames as parquet under `dir` and
+    * reloads them: lineage depth resets to one scan each, the write is
+    * O(index bytes) once every k extensions (amortized O(survivors) per
+    * batch), and the files double as the index's DURABLE form — the
+    * restart state a real ingest deployment pairs with the streaming
+    * checkpoint (q232's contract). Row-for-row the same index
+    * (CompactIndexSpec pins probe/cycle equality on the q231 fixture);
+    * the frozen shingling/banding parameters ride along unchanged.
+    * Bucket postings land partitioned-by-write on the 64-bit bucket
+    * hash space; at real scale, bucket-sort before writing so the probe
+    * join's scan is clustered.
+    */
+  def compactIndex(index: Index, dir: String): Index = {
+    val spark = index.buckets.sparkSession
+    def roundTrip(df: DataFrame, name: String): DataFrame = {
+      val path = s"${dir.stripSuffix("/")}/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    index.copy(
+      buckets = roundTrip(index.buckets, "buckets"),
+      sets = roundTrip(index.sets, "sets"),
+      textHashes = roundTrip(index.textHashes, "text_hashes"))
   }
 
   /** Probe the index with a NEW batch: pairs (new_id, corpus_id) whose

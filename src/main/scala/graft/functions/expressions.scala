@@ -2039,9 +2039,11 @@ case class CharBigrams(child: Expression)
   * blocklist reuses one build per JVM.
   */
 object AhoCorasick {
-  /** content-keyed executor-global DFA cache; bounded crudely (a JVM
-    * sees a handful of distinct blocklists — on overflow, clear and
-    * rebuild rather than track LRU order)
+  /** content-keyed executor-global DFA cache; bounded by INSERT-REJECT (a
+    * JVM sees a handful of distinct blocklists — a full cache serves hits
+    * and builds misses uncached, instead of clear-on-overflow, which
+    * under 32 concurrent tasks would stampede every in-flight blocklist
+    * into a simultaneous rebuild)
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Int], Array[Array[Int]])]()
@@ -2057,8 +2059,10 @@ object AhoCorasick {
       md.update(p)
     }
     val key = java.util.Base64.getEncoder.encodeToString(md.digest())
-    if (cache.size > MaxCached) cache.clear()
-    cache.computeIfAbsent(key, _ => build())
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else if (cache.size >= MaxCached) build() // full: serve uncached
+    else cache.computeIfAbsent(key, _ => build())
   }
 }
 
@@ -2072,8 +2076,19 @@ class AhoCorasick(pids: Array[Long], patterns: Array[Array[Byte]])
     AhoCorasick.compile(patterns, () => buildDfa())
 
   private def buildDfa(): (Array[Int], Array[Array[Int]]) = {
-    val totalLen = patterns.map(_.length).sum
-    val maxStates = totalLen + 1
+    // Dense layout budget, checked loudly BEFORE allocation: the flat
+    // transition table is (totalLen+1)*256 ints (~1 KB per pattern byte),
+    // so past ~8.3M total pattern bytes the Int multiplication would
+    // overflow into a NegativeArraySizeException (and well before that
+    // the table stops fitting executor memory). A 10⁵⁺-phrase production
+    // list belongs in the double-array (base/check) trie layout the
+    // scaladoc describes, not this dense table.
+    val totalLen = patterns.map(_.length.toLong).sum
+    require(totalLen < Int.MaxValue / 256 - 1,
+      s"blocklist too large for the dense DFA layout: $totalLen pattern " +
+        s"bytes needs a ${(totalLen + 1) * 256 * 4}-byte transition table " +
+        "— switch to a double-array (base/check) trie for lists this size")
+    val maxStates = totalLen.toInt + 1
     val next = Array.fill(maxStates * 256)(-1)
     val ownOut = Array.fill(maxStates)(List.empty[Int])
     var nStates = 1

@@ -138,6 +138,23 @@ object IvfIndex {
       index.assignments.unionByName(
         buildIndex(newVectors, idCol, vecCol, index.model).assignments))
 
+  /** Compact a (repeatedly extended) index — same union-lineage
+    * maintenance as `MinHashDedup.compactIndex`: parquet round-trip of
+    * the assignments frame under `dir`, lineage depth reset to one scan,
+    * files doubling as the index's durable restart form (pair with a
+    * persisted [[Model]] — the centroids are a driver-held literal).
+    * Row-for-row the same index (CompactIndexSpec pins probe equality);
+    * the frozen quantizer rides along unchanged. At real scale,
+    * partition the write by `cell` so the probe join scans only the
+    * nProbe probed cells (the [[Index]] scaladoc's layout note).
+    */
+  def compactIndex(index: Index, dir: String): Index = {
+    val spark = index.assignments.sparkSession
+    val path = s"${dir.stripSuffix("/")}/assignments"
+    index.assignments.write.mode("overwrite").parquet(path)
+    Index(index.model, spark.read.parquet(path))
+  }
+
   /** Per-cell occupancy of the index: `(cell, n_vectors, share)` — one
     * row for EVERY model cell, zero rows included (a fully-drained cell
     * is the strongest drift signal, so it must be visible, not absent),

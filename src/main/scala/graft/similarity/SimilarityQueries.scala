@@ -227,8 +227,11 @@ object SimilarityQueries {
     // copies reach cosine 1.0 ONLY because the extension landed (the
     // same structural-exactness argument as q96 — identical vector →
     // same cell → nearest cell probed first → guaranteed candidate);
-    // IvfExtendSpec pins extended ≡ from-scratch-rebuild frame equality
-    // and the drift/occupancy story.
+    // IvfExtendSpec pins extended ≡ from-scratch-rebuild frame equality,
+    // compaction invisibility, and the drift/occupancy story. Between
+    // the two extensions the index round-trips through
+    // [[IvfIndex.compactIndex]] — the bounded-lineage maintenance step a
+    // long-running ingest loop takes, exercised live in the battery.
     "q238_ivf_extend" -> { (s, dir) =>
       val e = emb(s, dir)
       val maxId = Option(e.agg(max(col("vec_id"))).head.get(0))
@@ -237,16 +240,24 @@ object SimilarityQueries {
         s"q238 query-id shift assumes max(vec_id) < 1000000; got $maxId")
       val base = e.filter(col("vec_id") % 4 =!= 0)
       val model = IvfIndex.train(base, "embedding", nCells = 8)
-      val extended = IvfIndex.extendIndex(
-        IvfIndex.extendIndex(
-          IvfIndex.buildIndex(base, "vec_id", "embedding", model),
-          e.filter(col("vec_id") % 8 === 0), "vec_id", "embedding"),
-        e.filter(col("vec_id") % 8 === 4), "vec_id", "embedding")
-      val queries = e.filter(col("vec_id") % 10 === 0)
-        .withColumn("vec_id", col("vec_id") + 1000000L)
-      IvfIndex.probe(queries, extended, "vec_id", "embedding")
-        .select(col("query_id"), col("best_cosine"))
-        .orderBy("query_id")
+      val scratch = graft.core.ScratchDirs.lease("graft-ivf-compact-")
+      try {
+        val extended = IvfIndex.extendIndex(
+          IvfIndex.compactIndex(
+            IvfIndex.extendIndex(
+              IvfIndex.buildIndex(base, "vec_id", "embedding", model),
+              e.filter(col("vec_id") % 8 === 0), "vec_id", "embedding"),
+            s"$scratch/ivf"),
+          e.filter(col("vec_id") % 8 === 4), "vec_id", "embedding")
+        val queries = e.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L)
+        IvfIndex.probe(queries, extended, "vec_id", "embedding")
+          .select(col("query_id"), col("best_cosine"))
+          // ScratchDirs contract: the result must not read the compacted
+          // parquet after the lease is released below
+          .localCheckpoint(true)
+          .orderBy("query_id")
+      } finally graft.core.ScratchDirs.release(scratch)
     },
 
     // SemDeDup over a corpus with planted exact duplicates (every 10th

@@ -184,39 +184,28 @@ object WarcQueries {
         .orderBy(col("doc_id"))
     },
 
-    // The STREAMING front door: a `binaryFile` file-source readStream
-    // over the same staged crawl (maxFilesPerTrigger=2 → four real
-    // micro-batches across the 8 shards, both layouts interleaved),
-    // each batch decoding WARC framing + HTTP wire shapes and running
-    // boilerplate removal — the continuous-ingestion twin of q215,
-    // hash-equal to the SAME oracle (documents.text). This is the 100 TB
-    // shape: Common Crawl drops land in a watched prefix and flow through
-    // extraction incrementally, one shard file per task, no reprocessing
-    // of already-seen shards (file-source tracking via the checkpoint).
+    // The STREAMING front door: [[WarcShards.readRecordsStream]] over the
+    // same staged crawl (maxFilesPerTrigger=2 → four real micro-batches
+    // across the 8 shards, both layouts interleaved), each batch decoding
+    // WARC framing + HTTP wire shapes and running boilerplate removal —
+    // the continuous-ingestion twin of q215, hash-equal to the SAME
+    // oracle (documents.text). This is the 100 TB shape: Common Crawl
+    // drops land in a watched prefix and flow through extraction
+    // incrementally, no reprocessing of already-seen shards (file-source
+    // tracking via the checkpoint). The source scan lists PATHS only and
+    // each task STREAMS its shard file record-by-record (the batch
+    // reader's contract, one shared parse closure): per-task memory is
+    // one cap-bounded record, never a whole ~1 GB compressed shard.
     "q222_warc_stream" -> { (s, dir) =>
-      import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
       val crawl = materializeCrawl(s, dir)
       val scratch = graft.core.ScratchDirs.lease("graft-warc-stream-")
       try {
         val sinkDir = s"$scratch/sink"
         val ckptDir = s"$scratch/ckpt"
-        val records = s.readStream.format("binaryFile")
-          // file-source streams need the schema up front; binaryFile's
-          // is fixed (path, modificationTime, length, content)
-          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
-          .option("maxFilesPerTrigger", "2")
-          .load(s"${crawl.stripSuffix("/")}/{*.warc,*.warc.gz}")
-          .select(col("path"), col("content"))
-          .as[(String, Array[Byte])]
-          .flatMap { case (_, bytes) =>
-            WarcShards.WarcCodec.parse(bytes).flatMap { r =>
-              WarcShards.WarcCodec.parseHttp(r.payload).collect {
-                case (200, body) => (r.targetUri, body)
-              }
-            }
-          }
-          .toDF("target_uri", "body")
+        val records = WarcShards.readRecordsStream(s, crawl, maxFilesPerTrigger = 2)
+          .where(col("http_status") === 200)
+          .select(col("target_uri"), col("body"))
         val extracted = records.select(
           regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
             .cast("long").as("doc_id"),
@@ -355,23 +344,26 @@ object WarcQueries {
     },
 
     // The CONTINUOUS-CRAWL LOOP (r11/r12 verdicts' top task), composed
-    // end to end: a binaryFile readStream over the staged crawl
-    // (maxFilesPerTrigger=1 → 8 REAL micro-batches, one shard each) →
-    // WARC framing + HTTP decode + HTML extraction → URL-canonical
-    // dedup key ([[UrlOps.canonicalize]]; planted recrawl noise arrives
-    // under case-mangled/tracking-param URI variants that must collapse)
-    // → [[graft.dedup.IncrementalIngest.cycle]] against a FIXED corpus
-    // index inside foreachBatch (the q86 sink pattern) → survivors
-    // appended + a per-batch stage-count ledger row. Batches are keyed
-    // by shard (each micro-batch is exactly one shard file), so the
-    // per-batch counts are deterministic and DuckDB recomputes the FULL
-    // cycle per shard: URL collapse, min-id exact dedup, intra-batch
-    // exact-Jaccard components, corpus text-match kill, cross-corpus
-    // Jaccard probe. `sink_match` pins survivors-appended == ledger.
+    // end to end: [[WarcShards.readRecordsStream]] over the staged crawl
+    // (maxFilesPerTrigger=1 → 8 REAL micro-batches, one shard each; the
+    // source scan lists paths only, each task STREAMS its shard
+    // record-by-record) → WARC framing + HTTP decode + HTML extraction →
+    // URL-canonical dedup key ([[UrlOps.canonicalize]]; planted recrawl
+    // noise arrives under case-mangled/tracking-param URI variants that
+    // must collapse) → [[graft.dedup.IncrementalIngest.cycle]] against a
+    // FIXED corpus index inside foreachBatch (the q86 sink pattern) →
+    // survivors appended + a per-batch stage-count ledger row. Batches
+    // are keyed by shard (each micro-batch is exactly one shard file),
+    // so the per-batch counts are deterministic and DuckDB recomputes
+    // the FULL cycle per shard: URL collapse, min-id exact dedup,
+    // intra-batch exact-Jaccard components, corpus text-match kill,
+    // cross-corpus Jaccard probe. `sink_match` pins survivors-appended
+    // == ledger.
     //
     // 100 TB shape: crawl drops stream through a watched prefix; every
     // stage is proportional to the BATCH (the corpus index is built once
-    // and amortized across batches); one shard file per task.
+    // and amortized across batches); one shard file per task at one
+    // cap-bounded record of memory, whatever the shard size.
     "q227_stream_crawl_ingest" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
@@ -385,21 +377,11 @@ object WarcQueries {
         val sinkDir = s"$scratch/survivors"
         val ledgerDir = s"$scratch/ledger"
         val ckptDir = s"$scratch/ckpt"
-        val extracted = s.readStream.format("binaryFile")
-          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
-          .option("maxFilesPerTrigger", "1")
-          .load(s"${crawl.stripSuffix("/")}/{*.warc,*.warc.gz}")
-          .select(col("path"), col("content"))
-          .as[(String, Array[Byte])]
-          .flatMap { case (_, bytes) =>
-            WarcShards.WarcCodec.parse(bytes).flatMap { r =>
-              WarcShards.WarcCodec.parseHttp(r.payload).collect {
-                case (200, body) =>
-                  (r.targetUri, new String(body, StandardCharsets.UTF_8))
-              }
-            }
-          }
-          .toDF("uri", "html")
+        val extracted = WarcShards
+          .readRecordsStream(s, crawl, maxFilesPerTrigger = 1)
+          .where(col("http_status") === 200)
+          .select(col("target_uri").as("uri"),
+            col("body").cast("string").as("html"))
           .select(
             regexp_extract(col("uri"), "/doc/([0-9]+)$", 1)
               .cast("long").as("doc_id"),
@@ -431,6 +413,12 @@ object WarcQueries {
                 .select(col("doc_id"), col("text"))
               val (surv, counts) = graft.dedup.IncrementalIngest.cycle(
                 index, urlDeduped, "doc_id", "text")
+              // NOT idempotent under micro-batch RETRY: a replayed batch
+              // would double-append survivors and its ledger row. Fine
+              // for this single-drain local test; the production loop
+              // must key both writes by batchId (overwrite a
+              // batch-scoped partition, the foreachBatch exactly-once
+              // recipe) instead of blind-appending.
               surv.select(col("doc_id")).write.mode("append").parquet(sinkDir)
               Seq((shards.head, nBatch, counts(0), counts(1), counts(2),
                 counts(3)))

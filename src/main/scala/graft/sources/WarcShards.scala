@@ -498,6 +498,12 @@ object WarcShards {
         col("refers_to").cast("string"), col("text").cast("string"))
       .as[(Long, String, String, String)]
       .map { case (id, uri, ref, text) =>
+        // ord = id + 1 sorts conversion records AFTER the per-shard
+        // warcinfo record (ord 0); a negative id would collide with or
+        // sort before it, silently breaking the warcinfo-first layout
+        require(id >= 0,
+          s"packWet requires non-negative doc_id (got $id): record order " +
+            "within a shard is ord = doc_id + 1 after the warcinfo record at 0")
         Entry(java.lang.Math.floorMod(id, nShards.toLong).toInt, id + 1,
           "conversion", Option(uri).getOrElse(""), s"<urn:graft:wet:$id>",
           "text/plain",
@@ -523,10 +529,6 @@ object WarcShards {
     import spark.implicits._
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    // Brace alternation, NOT "*.warc*": the loose glob would also match
-    // a crashed attempt's ".warc.tmp-N" leftovers and fail the whole
-    // scan on their truncated bytes.
-    //
     // binaryFile supplies the parallel FILE LISTING only (column pruning
     // keeps `content` out of the scan — check ReadSchema); each task then
     // STREAMS its shard through the record parser, so per-task memory is
@@ -535,27 +537,83 @@ object WarcShards {
     // per-task gigabyte buffer, and it also lifts binaryFile's 2 GB
     // content ceiling off the shard size.
     spark.read.format("binaryFile")
-      .load(s"${dir.stripSuffix("/")}/{*.warc,*.warc.gz,*.wet,*.wet.gz}")
+      .load(shardGlob(dir))
       .select(col("path"))
       .as[String]
-      .flatMap { path =>
-        val file = path.substring(path.lastIndexOf('/') + 1)
-        val p = new org.apache.hadoop.fs.Path(path)
-        val in = p.getFileSystem(hadoopConf.value).open(p)
-        // the stream outlives this call (lazy iterator): close with the
-        // task (covers mid-iteration failure; FS stream close is
-        // idempotent) AND at iterator exhaustion (a task over many small
-        // shards must not hold every handle until task end)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-        WarcCodec.parseStream(in).map { r =>
-          val http = WarcCodec.parseHttp(r.payload)
-          (file, r.warcType, r.recordId, r.targetUri, r.concurrentTo,
-            r.refersTo, r.contentType, r.payload.length.toLong,
-            http.map(_._1), http.map(_._2).getOrElse(r.payload))
-        } ++ { in.close(); Iterator.empty }
-      }
-      .toDF("file", "warc_type", "record_id", "target_uri", "concurrent_to",
-        "refers_to", "content_type", "payload_bytes", "http_status", "body")
+      .flatMap(recordRows(hadoopConf))
+      .toDF(RecordColumns: _*)
+  }
+
+  /** STREAMING twin of [[readRecords]] — the continuous-ingestion front
+    * door: a `binaryFile` file-source readStream over `dir` (new shard
+    * files flow through as micro-batches, already-seen files tracked by
+    * the checkpoint), same columns, same per-task scale shape. The
+    * source scan lists PATHS only (`content` pruned — gated by
+    * WarcShardsSpec's streaming plan check) and each task streams its
+    * shard file through [[WarcCodec.parseStream]], so per-task memory is
+    * one record (cap-bounded), never the compressed shard, and
+    * binaryFile's 2 GB content ceiling does not bound the shard size —
+    * the batch reader's contract, shared via one [[recordRows]] parse
+    * closure so the two paths cannot drift.
+    *
+    * @param maxFilesPerTrigger micro-batch size in shard FILES (the
+    *   Common Crawl unit of work); 0 = leave unset (source default:
+    *   all available files in one batch)
+    */
+  def readRecordsStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.format("binaryFile")
+      // file-source streams need the schema up front; binaryFile's is
+      // fixed (path, modificationTime, length, content)
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val configured =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else reader
+    configured.load(shardGlob(dir))
+      .select(col("path"))
+      .as[String]
+      .flatMap(recordRows(hadoopConf))
+      .toDF(RecordColumns: _*)
+  }
+
+  private val RecordColumns = Seq("file", "warc_type", "record_id",
+    "target_uri", "concurrent_to", "refers_to", "content_type",
+    "payload_bytes", "http_status", "body")
+
+  /** Brace alternation, NOT "*.warc*": the loose glob would also match a
+    * crashed attempt's ".warc.tmp-N" leftovers and fail the whole scan on
+    * their truncated bytes.
+    */
+  private def shardGlob(dir: String): String =
+    s"${dir.stripSuffix("/")}/{*.warc,*.warc.gz,*.wet,*.wet.gz}"
+
+  /** One shard path → record rows, STREAMED: open the file's FS stream,
+    * parse via [[WarcCodec.parseStream]] (per-call memory = one
+    * cap-bounded record), split response records' HTTP envelope. The one
+    * parse closure behind both [[readRecords]] and [[readRecordsStream]].
+    */
+  private def recordRows(
+      hadoopConf: org.apache.spark.util.SerializableConfiguration)(path: String)
+      : Iterator[(String, String, String, String, String, String, String,
+        Long, Option[Int], Array[Byte])] = {
+    val file = path.substring(path.lastIndexOf('/') + 1)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(hadoopConf.value).open(p)
+    // the stream outlives this call (lazy iterator): close with the
+    // task (covers mid-iteration failure; FS stream close is
+    // idempotent) AND at iterator exhaustion (a task over many small
+    // shards must not hold every handle until task end)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+    WarcCodec.parseStream(in).map { r =>
+      val http = WarcCodec.parseHttp(r.payload)
+      (file, r.warcType, r.recordId, r.targetUri, r.concurrentTo,
+        r.refersTo, r.contentType, r.payload.length.toLong,
+        http.map(_._1), http.map(_._2).getOrElse(r.payload))
+    } ++ { in.close(); Iterator.empty }
   }
 }

@@ -171,6 +171,12 @@ object Curation {
       langIdFn: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
       keepLangs: Seq[String] = Seq.empty
   ): (org.apache.spark.sql.Dataset[Chunker.DocChunk], Report) = {
+    // A set langIdFn with an empty keep-list would build a zero-value
+    // isin() that silently drops EVERY document — guard loudly like the
+    // other optional stages (Blocklist requires non-empty patterns).
+    require(langIdFn.isEmpty || keepLangs.nonEmpty,
+      "langIdFn is set but keepLangs is empty — the language filter " +
+        "would drop every document; pass the language codes to keep")
     val spark = docs.sparkSession
     import spark.implicits._
 

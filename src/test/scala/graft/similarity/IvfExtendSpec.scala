@@ -55,6 +55,37 @@ class IvfExtendSpec extends SparkSpec {
       "means the fixture has exact duplicates across the split — fix the split")
   }
 
+  test("compactIndex: parquet round-trip is the same index, frame-exactly") {
+    // the rolling-ingest maintenance step (r13 verdict #2): compaction
+    // must be invisible to every consumer — assignments row-identical,
+    // probes and occupancy frame-equal, model untouched
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val inc = emb.filter($"vec_id" % 8 === 0)
+    val model = IvfIndex.train(base, "embedding", nCells = 8)
+    val extended = IvfIndex.extendIndex(
+      IvfIndex.buildIndex(base, "vec_id", "embedding", model),
+      inc, "vec_id", "embedding")
+    val compacted = IvfIndex.compactIndex(extended, tmpDir("ivf-compact"))
+
+    assert(compacted.model == extended.model)
+    val ea = extended.assignments
+    val ca = compacted.assignments
+    assert(ea.exceptAll(ca).isEmpty && ca.exceptAll(ea).isEmpty,
+      "assignments diverged under compaction")
+    assert(ea.count() == ca.count())
+
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .withColumn("vec_id", $"vec_id" + 1000000L)
+    val pe = IvfIndex.probe(queries, extended, "vec_id", "embedding")
+    val pc = IvfIndex.probe(queries, compacted, "vec_id", "embedding")
+    assert(pe.exceptAll(pc).isEmpty && pc.exceptAll(pe).isEmpty,
+      "probe results diverged under compaction")
+
+    val oe = IvfIndex.cellOccupancy(extended)
+    val oc = IvfIndex.cellOccupancy(compacted)
+    assert(oe.exceptAll(oc).isEmpty && oc.exceptAll(oe).isEmpty)
+  }
+
   test("cellOccupancy: shares sum to 1 over nCells rows; drifted ingest skews") {
     val base = emb.filter($"vec_id" % 4 =!= 0)
     val model = IvfIndex.train(base, "embedding", nCells = 8)
