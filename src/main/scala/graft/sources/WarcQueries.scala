@@ -121,6 +121,45 @@ object WarcQueries {
   private def stopList = graft.text.TextAnalysis.stopwords
     .map(w => s"'$w'").mkString(", ")
 
+  /** Domain-curation fixture: each doc gets a host by doc_id % 6 — two
+    * subdomains (one case-mangled) per registered domain, three
+    * registered domains (`example.com`, `example.co.uk` via the
+    * multi-part-suffix rule, `tracker.net` as the planted bad domain) —
+    * and a synthetic https URI. Single source of truth for the Spark
+    * fixture and the DuckDB oracle CTE.
+    */
+  private val DomainHosts = Seq(
+    "WWW.Example.COM", "cdn.example.com", "Blog.Example.co.uk",
+    "shop.example.co.uk", "ads.tracker.net", "cdn.static.tracker.net")
+
+  private def domainFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val host = element_at(
+      array(DomainHosts.map(lit(_)): _*), (col("doc_id") % 6 + 1).cast("int"))
+    d.withColumn("uri",
+      concat(lit("https://"), host, lit("/doc/"), col("doc_id").cast("string")))
+  }
+
+  /** The oracle's twin of [[domainFixture]] + host extraction +
+    * registered-domain derivation, as a WITH-clause prefix ending in
+    * relation `dom(doc_id, text, host, domain)`.
+    */
+  private def domainFixtureSql: String = {
+    val hostList = DomainHosts.map(h => s"'$h'").mkString(", ")
+    val rd = Domains.registeredDomainSql("host")
+    s"""u AS (
+       |  SELECT doc_id, text,
+       |    'https://' || [$hostList][(doc_id % 6 + 1)::INT] ||
+       |      '/doc/' || doc_id::VARCHAR AS uri
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, text,
+       |    lower(regexp_extract(uri, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1))
+       |      AS host
+       |  FROM u),
+       |dom AS (SELECT doc_id, text, host, $rd AS domain FROM h)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Record inventory by WARC type across both file layouts (plain +
     // .gz) AND all three HTTP wire shapes (Content-Length / gzip
@@ -182,6 +221,30 @@ object WarcQueries {
           min(col("canon")).as("first_canon"),
           countDistinct(col("host")).as("n_hosts"))
         .orderBy(col("doc_id"))
+    },
+
+    // DOMAIN-level aggregation ([[Domains.stats]]) — the per-publisher
+    // report behind C4/RefinedWeb-style domain curation: registered
+    // domain (eTLD+1; case-mangled subdomains collapse, the multi-part
+    // co.uk rule fires) keyed ONE hash aggregation over doc/host/char
+    // counts. Oracle recomputes host extraction and the label rule from
+    // the same fixture arithmetic.
+    "q239_domain_stats" -> { (s, dir) =>
+      graft.sources.Domains.stats(domainFixture(s, dir), "uri", "text")
+        .orderBy(col("domain"))
+    },
+
+    // DOMAIN blocklist ([[Domains.filterBlocked]]) — the URL-level kill
+    // that runs BEFORE any text stage: every doc under the planted bad
+    // registered domain (tracker.net, both its subdomains) dies on the
+    // URI alone; the second blocklist entry matches nothing (set
+    // semantics, not prefix). Output is the post-kill domain report —
+    // the oracle proves the kill by recomputing the surviving groups.
+    "q240_domain_blocklist" -> { (s, dir) =>
+      val kept = graft.sources.Domains.filterBlocked(
+        domainFixture(s, dir), "uri", Seq("tracker.net", "phish.example"))
+      graft.sources.Domains.stats(kept, "uri", "text")
+        .orderBy(col("domain"))
     },
 
     // The STREAMING front door: [[WarcShards.readRecordsStream]] over the
@@ -588,6 +651,22 @@ object WarcQueries {
     // the streaming twin lands on the identical corpus-recovery contract
     "q222_warc_stream" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    "q239_domain_stats" ->
+      s"""WITH $domainFixtureSql
+         |SELECT domain, count(*) AS n_docs,
+         |  count(DISTINCT host) AS n_hosts,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+         |FROM dom GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q240_domain_blocklist" ->
+      s"""WITH $domainFixtureSql
+         |SELECT domain, count(*) AS n_docs,
+         |  count(DISTINCT host) AS n_hosts,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+         |FROM dom
+         |WHERE domain NOT IN ('tracker.net', 'phish.example')
+         |GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q220_url_canonicalize" -> {
       val canon = UrlOps.canonicalizeSql("url")
