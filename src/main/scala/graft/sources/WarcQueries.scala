@@ -223,6 +223,58 @@ object WarcQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CROSS-BATCH URL seen-set ([[graft.dedup.UrlSeenSet]]) — the crawl
+    // loop's URL-stage kill, rolled over four batches: a canonical-URL
+    // hash index grows with each batch's fresh URLs (extendIndex-style,
+    // compacted every second batch) and a planted CROSS-BATCH recrawl
+    // (every shard-1 doc with doc_id % 8 = 1 re-arrives in shard 3 under
+    // a case-mangled/tracking-param variant) dies by exact anti-join
+    // BEFORE any text stage, while a planted INTRA-batch variant (doc_id
+    // % 8 = 3, dirty twin in its own shard 3) dies at within-batch
+    // canonical dedup. The oracle recomputes the whole frontier
+    // relationally: per-shard counts, distinct canons, first-shard-wins.
+    "q241_url_seen_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val originals = d.select((col("doc_id") % 4).as("shard"),
+        concat(lit("http://example.com/doc/"), id).as("url"))
+      val recrawl = d.filter(col("doc_id") % 8 === 1)
+        .select(lit(3L).as("shard"),
+          concat(lit("HTTP://Example.COM:80/doc/"), id,
+            lit("?utm_source=feed#frag")).as("url"))
+      val intradup = d.filter(col("doc_id") % 8 === 3)
+        .select(lit(3L).as("shard"),
+          concat(lit("http://example.com:80/doc/"), id,
+            lit("/?fbclid=zz")).as("url"))
+      val all = originals.unionByName(recrawl).unionByName(intradup)
+        .localCheckpoint()
+      var seen = graft.dedup.UrlSeenSet.empty(s)
+      val scratch = graft.core.ScratchDirs.lease("graft-url-seen-")
+      try {
+        val ledger = (0 until 4).map { k =>
+          val batch = all.filter(col("shard") === k)
+            .withColumn("canon", UrlOps.canonicalize(col("url")))
+            .localCheckpoint()
+          val nBatch = batch.count()
+          val deduped = graft.dedup.ExactDedup.keepFirst(
+            batch, Seq("canon"), Seq(col("url"))).localCheckpoint()
+          val nAfterBatch = deduped.count()
+          val fresh = graft.dedup.UrlSeenSet.filterNew(deduped, "canon", seen)
+            .localCheckpoint()
+          val nNew = fresh.count()
+          seen = graft.dedup.UrlSeenSet.extend(seen, fresh, "canon")
+          if (k % 2 == 1)
+            seen = graft.dedup.UrlSeenSet.compact(seen, s"$scratch/seen_$k")
+          (k.toLong, nBatch, nAfterBatch, nNew)
+        }
+        // driver-held seq — nothing reads scratch after the release below
+        s.createDataset(ledger)
+          .toDF("shard", "n_batch", "n_after_batch", "n_new")
+          .orderBy(col("shard"))
+      } finally graft.core.ScratchDirs.release(scratch)
+    },
+
     // DOMAIN-level aggregation ([[Domains.stats]]) — the per-publisher
     // report behind C4/RefinedWeb-style domain curation: registered
     // domain (eTLD+1; case-mangled subdomains collapse, the multi-part
@@ -651,6 +703,34 @@ object WarcQueries {
     // the streaming twin lands on the identical corpus-recovery contract
     "q222_warc_stream" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+
+    // the frontier recomputed relationally: per-shard arrivals, distinct
+    // canonical URLs within the shard, first-shard-wins across shards
+    "q241_url_seen_ingest" -> {
+      val canon = UrlOps.canonicalizeSql("url")
+      s"""WITH r AS (
+         |  SELECT doc_id % 4 AS shard,
+         |    'http://example.com/doc/' || doc_id::VARCHAR AS url
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 3, 'HTTP://Example.COM:80/doc/' || doc_id::VARCHAR ||
+         |    '?utm_source=feed#frag'
+         |  FROM documents WHERE doc_id % 8 = 1
+         |  UNION ALL
+         |  SELECT 3, 'http://example.com:80/doc/' || doc_id::VARCHAR ||
+         |    '/?fbclid=zz'
+         |  FROM documents WHERE doc_id % 8 = 3),
+         |c AS (SELECT shard, $canon AS canon FROM r),
+         |nb AS (SELECT shard, count(*)::BIGINT AS n_batch FROM c GROUP BY 1),
+         |nd AS (SELECT shard, count(DISTINCT canon)::BIGINT AS n_after_batch
+         |       FROM c GROUP BY 1),
+         |firsts AS (SELECT canon, min(shard) AS shard FROM c GROUP BY 1),
+         |nn AS (SELECT shard, count(*)::BIGINT AS n_new FROM firsts GROUP BY 1)
+         |SELECT nb.shard::BIGINT AS shard, n_batch, n_after_batch,
+         |  coalesce(n_new, 0)::BIGINT AS n_new
+         |FROM nb JOIN nd USING (shard) LEFT JOIN nn USING (shard)
+         |ORDER BY shard""".stripMargin
+    },
 
     "q239_domain_stats" ->
       s"""WITH $domainFixtureSql
