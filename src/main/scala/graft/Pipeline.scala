@@ -351,6 +351,196 @@ object Pipeline {
     spark.stop()
   }
 
+  /** One curation run's summary (the curate twin of [[JobOutcome]]). */
+  final case class CurateOutcome(
+      jobId: String,
+      status: String, // success | failed
+      report: Option[graft.text.Curation.Report],
+      chunksWritten: Long,
+      error: Option[String])
+
+  /** Typed flags for `curate` — parse-time validation, the
+    * [[parseStatusArgs]] discipline: junk errors loudly, nothing
+    * half-applies. Every `None` falls back to the `curate.*` config key.
+    */
+  private[graft] final case class CurateArgs(
+      minQuality: Option[Double] = None,
+      sampleFraction: Option[Double] = None,
+      maxTokens: Option[Int] = None,
+      format: Option[String] = None,
+      shards: Option[Int] = None,
+      blockedDomains: Seq[String] = Nil,
+      dryRun: Boolean = false)
+
+  private[graft] def parseCurateArgs(rest: Seq[String]): CurateArgs = {
+    def dbl(flag: String, v: String): Double = v.toDoubleOption.getOrElse(
+      throw new IllegalArgumentException(s"$flag expects a number, got '$v'"))
+    def int(flag: String, v: String): Int = v.toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"$flag expects an integer, got '$v'"))
+    @annotation.tailrec
+    def loop(args: List[String], acc: CurateArgs): CurateArgs = args match {
+      case Nil => acc
+      case "--dry-run" :: t => loop(t, acc.copy(dryRun = true))
+      case "--min-quality" :: v :: t =>
+        loop(t, acc.copy(minQuality = Some(dbl("--min-quality", v))))
+      case "--sample" :: v :: t =>
+        loop(t, acc.copy(sampleFraction = Some(dbl("--sample", v))))
+      case "--max-tokens" :: v :: t =>
+        loop(t, acc.copy(maxTokens = Some(int("--max-tokens", v))))
+      case "--shards" :: v :: t =>
+        loop(t, acc.copy(shards = Some(int("--shards", v))))
+      case "--format" :: v :: t =>
+        if (v != "parquet" && v != "tar") throw new IllegalArgumentException(
+          s"--format expects parquet|tar, got '$v'")
+        loop(t, acc.copy(format = Some(v)))
+      case "--blocked-domains" :: v :: t =>
+        loop(t, acc.copy(blockedDomains =
+          v.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unrecognized argument: $other")
+    }
+    loop(rest.toList, CurateArgs())
+  }
+
+  /** `Pipeline curate` — config-driven corpus curation end to end,
+    * completing the O3 orchestration surface for the curation stack the
+    * way `run` completes it for E→T→L: read a corpus (a CRAWL directory
+    * of WARC shards goes through streamed record parsing + HTML
+    * extraction + the URL-level domain blocklist; anything else is a
+    * parquet corpus with configurable id/text columns), run the
+    * [[graft.text.Curation]] recipe (quality gate, exact + near-dup
+    * dedup, sampling, chunking — knobs from `curate.*` config overridden
+    * by CLI flags), export the chunks (parquet, or WebDataset-style tar
+    * shards via [[graft.sources.TarShards]]), and ledger the run under
+    * `outDir/_ledger` with the per-stage counts. `dryRun` computes and
+    * prints the full report but writes nothing — no chunks, no ledger.
+    *
+    * Crawl-input doc ids are `xxhash64(record_id)` — record ids are
+    * unique per crawl, so the 64-bit draw is birthday-safe to ~10⁹
+    * records per run (the MinHash textHashes arithmetic).
+    */
+  def curate(
+      spark: SparkSession,
+      inPath: String,
+      outDir: String,
+      config: EngineConfig = EngineConfig.default,
+      args: CurateArgs = CurateArgs()): CurateOutcome = {
+    import org.apache.spark.sql.functions._
+    val minQuality = args.minQuality.getOrElse(
+      config.getDouble("curate.min_quality", 0.5))
+    val sampleFraction = args.sampleFraction.getOrElse(
+      config.getDouble("curate.sample_fraction", 1.0))
+    val maxTokens = args.maxTokens.getOrElse(config.getInt("curate.max_tokens", 512))
+    val format = args.format.getOrElse(
+      config.getString("curate.output_format", "parquet"))
+    require(format == "parquet" || format == "tar",
+      s"curate.output_format must be parquet|tar, got '$format'")
+    val nShards = args.shards.getOrElse(config.getInt("curate.shards", 16))
+    require(nShards > 0, s"curate.shards must be positive, got $nShards")
+    val blocked =
+      if (args.blockedDomains.nonEmpty) args.blockedDomains
+      else config.getString("curate.blocked_domains", "")
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+    val jobId = mintJobId()
+    val t0 = System.nanoTime()
+    val ledger =
+      if (args.dryRun) None
+      else Some(new JobLedger(spark, s"${outDir.stripSuffix("/")}/_ledger"))
+    ledger.foreach(_.startJob(jobId, Map("type" -> "curate", "path" -> inPath)))
+    try {
+      val inP = new org.apache.hadoop.fs.Path(inPath)
+      val fs = inP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val isCrawl = fs.isDirectory(inP) && fs.globStatus(
+        new org.apache.hadoop.fs.Path(
+          s"${inPath.stripSuffix("/")}/{*.warc,*.warc.gz}")).nonEmpty
+      val docs =
+        if (isCrawl) {
+          val recs = graft.sources.WarcShards.readRecords(spark, inPath)
+            .where(col("http_status") === 200)
+            .select(col("target_uri").as("uri"),
+              xxhash64(col("record_id")).as("doc_id"),
+              call_function("graft_html_text",
+                col("body").cast("string"),
+                lit(config.getInt("curate.extract.min_chars", 20)),
+                lit(config.getInt("curate.extract.max_link_pct", 33))).as("text"))
+          val kept =
+            if (blocked.nonEmpty)
+              graft.sources.Domains.filterBlocked(recs, "uri", blocked)
+            else recs
+          kept.select(col("doc_id"), col("text"))
+        } else {
+          val idCol = config.getString("curate.id_col", "doc_id")
+          val textCol = config.getString("curate.text_col", "text")
+          spark.read.parquet(inPath)
+            .select(col(idCol).cast("long").as("doc_id"),
+              col(textCol).cast("string").as("text"))
+        }
+      val (chunks, report) = graft.text.Curation.run(docs, "doc_id", "text",
+        minQuality = minQuality, sampleFraction = sampleFraction,
+        maxTokens = maxTokens)
+      val dest = s"${outDir.stripSuffix("/")}/chunks"
+      if (!args.dryRun) {
+        if (format == "parquet") chunks.toDF().write.mode("overwrite").parquet(dest)
+        else {
+          import spark.implicits._
+          val members = chunks.map { c =>
+            graft.sources.TarShards.Member(
+              java.lang.Math.floorMod(c.doc_id, nShards.toLong).toInt,
+              f"${c.doc_id}%020d_${c.chunk_idx}%05d.txt",
+              Option(c.text).getOrElse("")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          graft.sources.TarShards.pack(members, dest, resume = true): Unit
+        }
+      }
+      val duration = (System.nanoTime() - t0) / 1e9
+      ledger.foreach(_.completeJob(jobId, Map(
+        "status" -> "success",
+        "destination" -> dest,
+        "input_docs" -> report.input_docs.toString,
+        "after_quality" -> report.after_quality.toString,
+        "after_exact_dedup" -> report.after_exact_dedup.toString,
+        "after_neardup" -> report.after_neardup.toString,
+        "after_sample" -> report.after_sample.toString,
+        "rows_loaded" -> report.chunks.toString
+      ), duration))
+      CurateOutcome(jobId, "success", Some(report), report.chunks, None)
+    } catch {
+      case e: Exception =>
+        val sw = new java.io.StringWriter()
+        e.printStackTrace(new java.io.PrintWriter(sw))
+        ledger.foreach(_.failJob(jobId, String.valueOf(e.getMessage), sw.toString))
+        CurateOutcome(jobId, "failed", None, 0L, Some(String.valueOf(e.getMessage)))
+    }
+  }
+
+  private def curateMain(args: Array[String]): Unit = {
+    val usage = "usage: Pipeline curate <inPath> <outDir> [--min-quality X] " +
+      "[--sample F] [--max-tokens N] [--format parquet|tar] [--shards N] " +
+      "[--blocked-domains d1,d2] [--dry-run]"
+    require(args.length >= 2 && !args(0).startsWith("-") && !args(1).startsWith("-"),
+      usage)
+    val parsed =
+      try parseCurateArgs(args.drop(2).toSeq)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"${e.getMessage}\n$usage")
+      }
+    val spark = graft.core.EngineSession.create()
+    val out = curate(spark, args(0), args(1), args = parsed)
+    out.report.foreach { r =>
+      println(s"input=${r.input_docs} quality=${r.after_quality} " +
+        s"exact=${r.after_exact_dedup} neardup=${r.after_neardup} " +
+        s"sampled=${r.after_sample} chunks=${r.chunks}" +
+        (if (parsed.dryRun) " (dry run — nothing written)" else ""))
+    }
+    println(s"job=${out.jobId} status=${out.status}" +
+      out.error.map(e => s" error=$e").getOrElse(""))
+    spark.stop()
+    if (out.status != "success") sys.exit(1)
+  }
+
   private def statusMain(args: Array[String]): Unit = {
     val usage = "usage: Pipeline status <outDir> [RUNNING|SUCCESS|FAILED] [limit]"
     require(args.nonEmpty && !args(0).startsWith("-"), usage)
@@ -385,11 +575,15 @@ object Pipeline {
     if (args.headOption.contains("status")) return statusMain(args.drop(1))
     if (args.headOption.contains("cleanup")) return cleanupMain(args.drop(1))
     if (args.headOption.contains("export-shards")) return exportShardsMain(args.drop(1))
+    if (args.headOption.contains("curate")) return curateMain(args.drop(1))
     require(args.length >= 2,
       "usage: Pipeline <inPathOrDir> <outDir> [parquet|csv|json] | " +
         "Pipeline status <outDir> [RUNNING|SUCCESS|FAILED] [limit] | " +
         "Pipeline cleanup <outDir> [--force] [--delete-ledger] | " +
-        "Pipeline export-shards <inParquet> <outDir> [nShards] [idCol] [textCol]")
+        "Pipeline export-shards <inParquet> <outDir> [nShards] [idCol] [textCol] | " +
+        "Pipeline curate <inPath> <outDir> [--min-quality X] [--sample F] " +
+        "[--max-tokens N] [--format parquet|tar] [--shards N] " +
+        "[--blocked-domains d1,d2] [--dry-run]")
     val spark = graft.core.EngineSession.create()
     val in = args(0)
     val source =

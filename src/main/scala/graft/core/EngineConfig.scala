@@ -54,7 +54,19 @@ object EngineConfig {
     // DISABLED (0) — an enabled default would silently drop oversized
     // batch inputs the reference would have processed.
     "etl.extract.max_file_size_mb" -> "0",
-    "monitoring.cloudwatch.metric_namespace" -> "ETL/Pipeline" // aws_clients.py:182
+    "monitoring.cloudwatch.metric_namespace" -> "ETL/Pipeline", // aws_clients.py:182
+    // `Pipeline curate` recipe (engine extension — no reference analogue):
+    // corpus curation knobs, overridable per-run by CLI flags.
+    "curate.min_quality" -> "0.5",
+    "curate.sample_fraction" -> "1.0",
+    "curate.max_tokens" -> "512",
+    "curate.output_format" -> "parquet", // parquet | tar (WebDataset-style)
+    "curate.shards" -> "16",
+    "curate.blocked_domains" -> "", // comma list; crawl input only
+    "curate.id_col" -> "doc_id", // parquet-corpus input schema
+    "curate.text_col" -> "text",
+    "curate.extract.min_chars" -> "20", // crawl-input HTML extraction
+    "curate.extract.max_link_pct" -> "33"
   )
 
   def default: EngineConfig = EngineConfig()

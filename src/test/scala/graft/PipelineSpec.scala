@@ -188,6 +188,61 @@ class PipelineSpec extends SparkSpec {
     assert(ledger.getJob("job-1").get.getAs[String]("status") == "SUCCESS")
   }
 
+  test("curate subcommand: corpus → curation recipe → sharded export + ledger") {
+    import spark.implicits._
+    val in = tmpDir("curate-in")
+    val out = tmpDir("curate-out")
+    val a = "the quick brown fox jumps over the lazy sleeping dog tonight again"
+    val b = "pack my box with five dozen liquor jugs before the morning train"
+    Seq(
+      (1L, a),                              // survives
+      (2L, a),                              // exact copy → dies at exact dedup
+      (3L, a.replace("again", "quietly")),  // near-dup → dies at near-dup
+      (4L, "!!!!!! ??? ###"),               // junk → dies at the quality gate
+      (5L, b)                               // survives
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+
+    // dry run: full per-stage report, NOTHING written (no chunks, no ledger)
+    val dry = Pipeline.curate(spark, in, out,
+      args = Pipeline.CurateArgs(dryRun = true))
+    assert(dry.status == "success")
+    val r0 = dry.report.get
+    assert(r0.input_docs == 5 && r0.after_quality == 4 &&
+      r0.after_exact_dedup == 3 && r0.after_neardup == 2 && r0.chunks == 2,
+      s"unexpected dry-run report: $r0")
+    val outF = new java.io.File(out)
+    assert(!outF.exists() || outF.list().isEmpty, "dry run wrote output")
+
+    // real run with CLI-shaped flags: WebDataset tar export + ledger row
+    val outcome = Pipeline.curate(spark, in, out,
+      args = Pipeline.parseCurateArgs(Seq("--format", "tar", "--shards", "2")))
+    assert(outcome.status == "success" && outcome.chunksWritten == 2)
+    val back = graft.sources.TarShards.readMembers(spark, s"$out/chunks")
+      .selectExpr("cast(content as string) AS text")
+      .as[String].collect().toSet
+    assert(back == Set(a, b), s"tar round trip lost chunks: $back")
+    val job = new JobLedger(spark, s"$out/_ledger")
+      .getJob(outcome.jobId).get
+    assert(job.getAs[String]("status") == "SUCCESS")
+    val result = job.getAs[Map[String, String]]("job_result")
+    assert(result("rows_loaded") == "2" && result("after_neardup") == "2")
+  }
+
+  test("curate args are typed: junk flags and values error loudly") {
+    intercept[IllegalArgumentException](
+      Pipeline.parseCurateArgs(Seq("--min-quality", "abc")))
+    intercept[IllegalArgumentException](
+      Pipeline.parseCurateArgs(Seq("--frmt", "tar")))
+    intercept[IllegalArgumentException](
+      Pipeline.parseCurateArgs(Seq("--format", "zip")))
+    intercept[IllegalArgumentException](
+      Pipeline.parseCurateArgs(Seq("--shards", "two")))
+    val p = Pipeline.parseCurateArgs(Seq("--min-quality", "0.7",
+      "--sample", "0.5", "--dry-run", "--blocked-domains", "a.com, b.net"))
+    assert(p.minQuality.contains(0.7) && p.sampleFraction.contains(0.5) &&
+      p.dryRun && p.blockedDomains == Seq("a.com", "b.net"))
+  }
+
   test("export-shards packs a parquet table into tar shards; rerun resumes") {
     import spark.implicits._
     val in = tmpDir("export-in")
