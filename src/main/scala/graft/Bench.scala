@@ -61,6 +61,21 @@ object Bench {
     md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Ingest-cycle multiplicity of the deliberately N-cycle composite
+    * queries (every query not listed runs its pipeline once). Emitted
+    * into `bench_detail.json` and `BENCH_RECORD.md` so cross-round TOTAL
+    * drift is attributable mechanically: a composite that drains N real
+    * micro-batches costs ~N× the single-cycle class by construction —
+    * exclude it from per-query cross-round comparisons or normalize by
+    * its cycle count.
+    */
+  val cycles: Map[String, Int] = Map(
+    "q227_stream_crawl_ingest" -> 8, // 8 micro-batch ingest cycles
+    "q231_rolling_ingest" -> 4,      // 4 batch cycles, rolling index
+    "q232_stream_rolling_ingest" -> 4, // 4 checkpoint-resumed drains
+    "q241_url_seen_ingest" -> 4,     // 4 batch cycles, URL seen-set
+    "q242_crawl_loop_rolling" -> 10) // 10 checkpoint-resumed full-loop drains
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -162,8 +177,10 @@ object Bench {
     // parseable record; this file is the human/debug record.
     val protocol = s""""cold_runs":1,"warm_runs":$warmRuns,"warm_stat":"median""""
     val setHash = querySetHash(SparkEntry.queries.keys)
+    val cyclesJson = cycles.toSeq.sortBy(_._1)
+      .map { case (k, n) => q(k) + ":" + n }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","value_warm":${num(totalWarm)},$protocol,"query_set_hash":${q(setHash)},"query_count":${SparkEntry.queries.size},"queries":${row(num, _._2)},"queries_warm":${row(num, _._3)},"failed":$failedJson,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","value_warm":${num(totalWarm)},$protocol,"query_set_hash":${q(setHash)},"query_count":${SparkEntry.queries.size},"cycles":$cyclesJson,"queries":${row(num, _._2)},"queries_warm":${row(num, _._3)},"failed":$failedJson,"sf":${q(sfDir)}}"""
     // A dev subset run (SPARK_GRAFT_ONLY) must NOT clobber the committed
     // full-battery record — that is exactly the stale-number class the
     // r7 verdict flagged.
@@ -178,6 +195,8 @@ object Bench {
       val nOk = results.count(t => t._2 >= 0 && t._3 >= 0)
       val slowest = results.filter(_._3 >= 0).sortBy(-_._3).take(5)
         .map { case (k, _, w) => s"$k ${num2(w)}s" }.mkString(", ")
+      val cyclesLine = cycles.toSeq.sortBy(_._1)
+        .map { case (k, n) => s"$k ×$n" }.mkString(", ")
       val record =
         s"""# Bench record (auto-generated by `graft.Bench` — do not edit)
            |
@@ -188,6 +207,10 @@ object Bench {
            |slow outlier on a host with a documented ~15% wall-clock swing).
            |Slowest warm medians: $slowest.
            |Full per-query cold+warm detail: `bench_detail.json`.
+           |
+           |N-cycle composites (all other queries run their pipeline once):
+           |$cyclesLine — each deliberately drains N full ingest cycles, so
+           |exclude them from per-query cross-round totals or divide by N.
            |
            |Query set: ${SparkEntry.queries.size} queries, hash `$setHash` —
            |BenchRecordSpec fails the build when `SparkEntry.queries` diverges

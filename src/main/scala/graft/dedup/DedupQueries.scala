@@ -562,7 +562,10 @@ object DedupQueries {
     * oracle compares on shingle *strings*; set cardinalities are identical
     * barring xxhash64 collisions within a doc (none at these sizes).
     */
-  private val shingleSetsSql =
+  /** Shared by WarcQueries' crawl-loop oracle (private[graft], not
+    * private: the q242 composite reuses the trigram-Jaccard machinery).
+    */
+  private[graft] val shingleSetsSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
       |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) i FROM toks WHERE len(ts) >= 3),
       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] s FROM idx),

@@ -121,6 +121,52 @@ object WarcQueries {
   private def stopList = graft.text.TextAnalysis.stopwords
     .map(w => s"'$w'").mkString(", ")
 
+  /** "Day 2" recrawl shards for the q242 crawl loop, staged once per JVM
+    * like [[materializeCrawl]]: shard 8 (plain) re-fetches every shard-1
+    * doc (doc_id % 8 = 1) under its ORIGINAL URI with the identical page
+    * — the unchanged-page recrawl the URL seen-set must kill; shard 9
+    * (gzip) re-publishes every shard-5 doc (doc_id % 8 = 5) under a NEW
+    * path (`/page/<id>`) with the identical page — passes every URL
+    * stage and must die at the TEXT stages (base corpus for
+    * doc_id % 5 ≠ 0; the ROLLING index's day-1 survivors for the novel
+    * doc_id % 40 = 5 cohort, which only a grown index can kill).
+    */
+  private val recrawlCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def materializeRecrawl(s: SparkSession, dir: String): String =
+    recrawlCache.computeIfAbsent(
+      "warc-recrawl|" + java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => {
+        import s.implicits._
+        val lease = graft.core.ScratchDirs.lease("graft-warc-recrawl-")
+        try {
+          val docs = Tables.load(s, dir, "documents")
+            .select(col("doc_id").cast("long"), col("text"), col("lang"))
+            .as[(Long, String, String)]
+          val r8 = docs.filter(_._1 % 8 == 1).map { case (id, text, lang) =>
+            WarcShards.Entry(8, id, "response", s"http://example.com/doc/$id",
+              s"<urn:graft:resp:r8:$id>", "application/http;msgtype=response",
+              WarcShards.WarcCodec.httpResponse(
+                pageHtml(id, lang, text).getBytes(StandardCharsets.UTF_8),
+                "text/html; charset=utf-8"))
+          }
+          val r9 = docs.filter(_._1 % 8 == 5).map { case (id, text, lang) =>
+            WarcShards.Entry(9, id, "response", s"http://example.com/page/$id",
+              s"<urn:graft:resp:r9:$id>", "application/http;msgtype=response",
+              WarcShards.WarcCodec.httpResponse(
+                pageHtml(id, lang, text).getBytes(StandardCharsets.UTF_8),
+                "text/html; charset=utf-8"))
+          }
+          WarcShards.pack(r8, lease, gzip = false): Unit
+          WarcShards.pack(r9, lease, gzip = true): Unit
+          lease
+        } catch {
+          case e: Throwable =>
+            graft.core.ScratchDirs.release(lease)
+            throw e
+        }
+      })
+
   /** Domain-curation fixture: each doc gets a host by doc_id % 6 — two
     * subdomains (one case-mangled) per registered domain, three
     * registered domains (`example.com`, `example.co.uk` via the
@@ -272,6 +318,157 @@ object WarcQueries {
         s.createDataset(ledger)
           .toDF("shard", "n_batch", "n_after_batch", "n_new")
           .orderBy(col("shard"))
+      } finally graft.core.ScratchDirs.release(scratch)
+    },
+
+    // THE PRODUCTION CRAWL LOOP, whole — every ingestion operator the
+    // r11–r14 rounds built, composed into ONE rolling run: ten
+    // driver-staged micro-batch drains (the q232 checkpoint-RESUME
+    // pattern — 8 day-1 crawl shards, then 2 day-2 recrawl shards) flow
+    // through the streamed WARC front door → HTML extraction → host
+    // enrichment (doc_id % 6 over [[DomainHosts]], standing in for real
+    // host diversity) + planted dirty-URI noise (doc_id % 7 = 0) →
+    // DOMAIN blocklist kill (tracker.net, [[Domains.filterBlocked]]) →
+    // within-batch canonical-URL dedup → the rolling CROSS-BATCH URL
+    // seen-set ([[graft.dedup.UrlSeenSet]]; day-2 shard 8 re-fetches
+    // shard-1 URIs and dies here WHOLE) → the rolling MinHash text index
+    // ([[graft.dedup.IncrementalIngest.cycle]] + extendIndex; day-2
+    // shard 9 re-publishes shard-5 pages under NEW /page/ URIs, passes
+    // every URL stage, and dies at the text stages — the doc_id % 40 = 5
+    // cohort ONLY against day-1 survivors, i.e. only a grown index kills
+    // it) — with BOTH indexes compacted every third drain
+    // (compactIndex/compact: the maintenance step, invisible by frame
+    // equality). The oracle recomputes the entire ten-batch frontier
+    // relationally: per-batch arrivals, domain kills, canonical classes,
+    // first-batch-wins URL novelty, and the q231-style unrolled rolling
+    // dedup (corpus_k = base ∪ survivors of batches < k).
+    //
+    // 100 TB shape: this IS the deployment loop — daily drops drain from
+    // a watched prefix at one cap-bounded record of memory per task,
+    // every stage costs ∝ the drop (domain/URL kills are scan-side or
+    // skinny anti-joins BEFORE any text work), the two rolling indexes
+    // grow by survivors only, and compaction bounds their lineage.
+    "q242_crawl_loop_rolling" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val crawl = materializeCrawl(s, dir)
+      val recrawl = materializeRecrawl(s, dir)
+      val corpus0 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 =!= 0)
+      val indexRef = new java.util.concurrent.atomic.AtomicReference(
+        graft.dedup.MinHashDedup.buildIndex(corpus0, "doc_id", "text"))
+      val seenRef = new java.util.concurrent.atomic.AtomicReference(
+        graft.dedup.UrlSeenSet.empty(s))
+      val ledger = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Long, Long, Long, Long, Long, Long, Long)]()
+      val scratch = graft.core.ScratchDirs.lease("graft-crawl-loop-")
+      try {
+        val inDir = new java.io.File(s"$scratch/in"); inDir.mkdirs(): Unit
+        val ckptDir = s"$scratch/ckpt"
+        def shardFiles(d: String): Seq[java.io.File] =
+          new java.io.File(d).listFiles().toSeq
+            .filter(_.getName.matches("shard-\\d+\\.warc(\\.gz)?"))
+            .sortBy(_.getName.replaceAll("[^0-9]", "").toInt)
+        val staged = shardFiles(crawl) ++ shardFiles(recrawl)
+        require(staged.size == 10, s"expected 10 shard files, got ${staged.size}")
+        // day-2 shard 8 re-fetches shard-1 docs; shard 9 shard-5 docs
+        def expectCohort(ord: Int): Long =
+          if (ord <= 7) ord.toLong else if (ord == 8) 1L else 5L
+        staged.zipWithIndex.foreach { case (f, ord) =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(inDir, f.getName).toPath): Unit
+          val q = WarcShards.readRecordsStream(s, inDir.getAbsolutePath)
+            .where(col("http_status") === 200)
+            .select(col("target_uri").as("uri"),
+              call_function("graft_html_text",
+                col("body").cast("string"), lit(20), lit(33)).as("text"))
+            .writeStream
+            .foreachBatch { (batch0: DataFrame, _: Long) =>
+              // AvailableNow can fire an empty timeout batch — skip it
+              if (!batch0.isEmpty) {
+                val sp = batch0.sparkSession
+                import sp.implicits._
+                val b0 = batch0.localCheckpoint()
+                val idEx = regexp_extract(
+                  col("uri"), "/(?:doc|page)/([0-9]+)$", 1).cast("long")
+                val base = b0.select(
+                  idEx.as("src"),
+                  when(col("uri").contains("/page/"), idEx + 9000000L)
+                    .otherwise(idEx).as("bid"),
+                  regexp_replace(col("uri"), "^http://example\\.com", "")
+                    .as("path"),
+                  col("text"))
+                val hostv = element_at(
+                  array(DomainHosts.map(lit(_)): _*),
+                  (col("src") % 6 + 1).cast("int"))
+                val clean = base.select(col("bid"), col("src"), col("path"),
+                  col("text"),
+                  concat(lit("http://"), hostv, col("path")).as("uri2"))
+                val noisy = clean.select("bid", "src", "uri2", "text")
+                  .unionByName(clean.filter(col("src") % 7 === 0)
+                    .select(col("bid"), col("src"),
+                      concat(lit("HTTP://"), upper(hostv), lit(":80"),
+                        col("path"), lit("?utm_source=feed#frag")).as("uri2"),
+                      col("text")))
+                  .localCheckpoint()
+                val cohorts = noisy.select((col("src") % 8).as("c"))
+                  .distinct().as[Long].collect()
+                require(cohorts.length == 1 && cohorts.head == expectCohort(ord),
+                  s"drain $ord: expected cohort ${expectCohort(ord)}, got " +
+                    cohorts.sorted.mkString(","))
+                val nBatch = noisy.count()
+                val domKept = graft.sources.Domains.filterBlocked(
+                  noisy, "uri2", Seq("tracker.net")).localCheckpoint()
+                val nDom = domKept.count()
+                val urlDeduped = graft.dedup.ExactDedup.keepFirst(
+                  domKept.withColumn("canon", UrlOps.canonicalize(col("uri2"))),
+                  Seq("canon"), Seq(col("uri2"))).localCheckpoint()
+                val nUrl = urlDeduped.count()
+                val fresh = graft.dedup.UrlSeenSet.filterNew(
+                  urlDeduped, "canon", seenRef.get).localCheckpoint()
+                val nNew = fresh.count()
+                seenRef.set(graft.dedup.UrlSeenSet.extend(
+                  seenRef.get, fresh, "canon"))
+                val row =
+                  if (nNew > 0) {
+                    val (surv, c) = graft.dedup.IncrementalIngest.cycle(
+                      indexRef.get,
+                      fresh.select(col("bid").as("doc_id"), col("text")),
+                      "doc_id", "text")
+                    indexRef.set(graft.dedup.MinHashDedup.extendIndex(
+                      indexRef.get, surv, "doc_id", "text"))
+                    (ord.toLong, nBatch, nDom, nUrl, c(0), c(1), c(2), c(3))
+                  } else (ord.toLong, nBatch, nDom, nUrl, 0L, 0L, 0L, 0L)
+                ledger.add(row): Unit
+                // index maintenance, live in the loop (reads precede the
+                // scratch release below)
+                if (ord % 3 == 2) {
+                  indexRef.set(graft.dedup.MinHashDedup.compactIndex(
+                    indexRef.get, s"$scratch/idx_$ord"))
+                  seenRef.set(graft.dedup.UrlSeenSet.compact(
+                    seenRef.get, s"$scratch/seen_$ord"))
+                }
+              }
+            }
+            .option("checkpointLocation", ckptDir)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val rows = {
+          val it = ledger.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+          while (it.hasNext) buf += it.next()
+          buf.toSeq
+        }
+        require(rows.size == 10, s"expected 10 drained batches, got ${rows.size}")
+        // driver-held seq — nothing reads scratch after the release below
+        s.createDataset(rows)
+          .toDF("ord", "n_batch", "n_after_domain", "n_after_url",
+            "n_new_url", "n_after_exact", "n_after_intra", "n_survivors")
+          .orderBy(col("ord"))
       } finally graft.core.ScratchDirs.release(scratch)
     },
 
@@ -561,7 +758,110 @@ object WarcQueries {
     }
   )
 
+  /** DuckDB recompute of the q242 crawl loop — the rollingIngestSql
+    * discipline over TEN batches with the two URL-side pre-stages bolted
+    * on. Everything reduces to the ID level: every batch text IS some
+    * document's text (`src`), so text equality is `tg` group equality
+    * and near-dup is the shared `jsym` pair set; every batch URL's
+    * canonical class is closed-form from (src % 6 host, path key), so
+    * the seen-set is first-batch-wins over `ck`. Stage k's corpus =
+    * base (doc_id % 5 ≠ 0) ∪ survivors of batches 0..k-1 — day-2
+    * batch 9's doc_id % 40 = 5 cohort is killed ONLY via surv_5, the
+    * rolling-index proof. AS MATERIALIZED throughout: the unrolled
+    * chain references each frame many times.
+    */
+  private def crawlLoopSql: String = {
+    val head =
+      s"""${graft.dedup.DedupQueries.shingleSetsSql},
+         |jsym AS MATERIALIZED (
+         |  SELECT id_a a, id_b b FROM jac WHERE jaccard >= 0.5
+         |  UNION ALL SELECT id_b, id_a FROM jac WHERE jaccard >= 0.5),
+         |tg AS MATERIALIZED (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS tgrp
+         |  FROM documents),
+         |m0 AS MATERIALIZED (
+         |  SELECT doc_id % 8 AS ord, doc_id AS bid, doc_id AS src,
+         |    'doc/' || doc_id::VARCHAR AS ukey
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 8, doc_id, doc_id, 'doc/' || doc_id::VARCHAR
+         |  FROM documents WHERE doc_id % 8 = 1
+         |  UNION ALL
+         |  SELECT 9, doc_id + 9000000, doc_id, 'page/' || doc_id::VARCHAR
+         |  FROM documents WHERE doc_id % 8 = 5),
+         |m AS MATERIALIZED (
+         |  SELECT ord, bid, src, ukey FROM m0
+         |  UNION ALL
+         |  SELECT ord, bid, src, ukey FROM m0 WHERE src % 7 = 0),
+         |dk AS MATERIALIZED (SELECT * FROM m WHERE src % 6 NOT IN (4, 5)),
+         |cku AS (SELECT ord, bid, src,
+         |  ukey || '@' || (src % 6)::VARCHAR AS ck FROM dk),
+         |uk AS MATERIALIZED (
+         |  SELECT ord, ck, min(bid) AS bid, arg_min(src, bid) AS src
+         |  FROM cku GROUP BY ord, ck),
+         |firsts AS MATERIALIZED (SELECT ck, min(ord) AS ford FROM uk GROUP BY ck),
+         |corp0 AS MATERIALIZED (
+         |  SELECT t.tgrp FROM documents d JOIN tg t ON t.doc_id = d.doc_id
+         |  WHERE d.doc_id % 5 <> 0)""".stripMargin
+    val stages = (0 until 10).map { k =>
+      val priorT =
+        if (k == 0) "SELECT tgrp FROM corp0 WHERE false"
+        else (0 until k).map(j => s"SELECT tgrp FROM surv_$j")
+          .mkString(" UNION ALL ")
+      val priorS =
+        if (k == 0) "SELECT src AS doc FROM uk WHERE false"
+        else (0 until k).map(j => s"SELECT src AS doc FROM surv_$j")
+          .mkString(" UNION ALL ")
+      s"""uq_$k AS MATERIALIZED (
+         |  SELECT u.bid, u.src FROM uk u JOIN firsts f ON f.ck = u.ck
+         |  WHERE u.ord = $k AND f.ford = $k),
+         |ex_$k AS MATERIALIZED (
+         |  SELECT min(u.bid) AS bid, arg_min(u.src, u.bid) AS src, t.tgrp
+         |  FROM uq_$k u JOIN tg t ON t.doc_id = u.src
+         |  GROUP BY t.tgrp),
+         |prior_t_$k AS MATERIALIZED ($priorT),
+         |prior_s_$k AS MATERIALIZED ($priorS),
+         |edges_$k AS MATERIALIZED (
+         |  SELECT x.bid AS s, y.bid AS d
+         |  FROM ex_$k x JOIN ex_$k y ON x.bid <> y.bid
+         |  JOIN jsym j ON j.a = x.src AND j.b = y.src),
+         |reach_$k AS (
+         |  SELECT bid AS id, bid AS r FROM ex_$k
+         |  UNION
+         |  SELECT reach_$k.id, edges_$k.d FROM reach_$k
+         |  JOIN edges_$k ON reach_$k.r = edges_$k.s),
+         |intra_$k AS MATERIALIZED (
+         |  SELECT id AS bid FROM (
+         |    SELECT id, min(r) AS comp FROM reach_$k GROUP BY id)
+         |  WHERE id = comp),
+         |noex_$k AS MATERIALIZED (
+         |  SELECT e.bid, e.src, e.tgrp
+         |  FROM intra_$k i JOIN ex_$k e ON e.bid = i.bid
+         |  WHERE e.tgrp NOT IN (SELECT tgrp FROM corp0)
+         |    AND e.tgrp NOT IN (SELECT tgrp FROM prior_t_$k)),
+         |surv_$k AS MATERIALIZED (
+         |  SELECT n.bid, n.src, n.tgrp FROM noex_$k n
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM jsym j
+         |    WHERE j.a = n.src AND (
+         |      j.b IN (SELECT d.doc_id FROM documents d WHERE d.doc_id % 5 <> 0)
+         |      OR j.b IN (SELECT doc FROM prior_s_$k))))""".stripMargin
+    }
+    val finals = (0 until 10).map { k =>
+      s"""SELECT $k::BIGINT AS ord,
+         |  (SELECT count(*) FROM m WHERE ord = $k)::BIGINT AS n_batch,
+         |  (SELECT count(*) FROM dk WHERE ord = $k)::BIGINT AS n_after_domain,
+         |  (SELECT count(*) FROM uk WHERE ord = $k)::BIGINT AS n_after_url,
+         |  (SELECT count(*) FROM uq_$k)::BIGINT AS n_new_url,
+         |  (SELECT count(*) FROM ex_$k)::BIGINT AS n_after_exact,
+         |  (SELECT count(*) FROM intra_$k)::BIGINT AS n_after_intra,
+         |  (SELECT count(*) FROM surv_$k)::BIGINT AS n_survivors""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH RECURSIVE\n$head,\n${stages.mkString(",\n")}\n$finals\nORDER BY ord"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q242_crawl_loop_rolling" -> crawlLoopSql,
     // crlf spelled as chr(13)||chr(10); body bytes are the DECODED
     // entity bytes — the page html for responses (whatever the wire
     // encoding), the raw payload for request/warcinfo records.
