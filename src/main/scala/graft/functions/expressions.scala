@@ -2039,11 +2039,14 @@ case class CharBigrams(child: Expression)
   * blocklist reuses one build per JVM.
   */
 object AhoCorasick {
-  /** content-keyed executor-global DFA cache; bounded by INSERT-REJECT (a
-    * JVM sees a handful of distinct blocklists — a full cache serves hits
-    * and builds misses uncached, instead of clear-on-overflow, which
-    * under 32 concurrent tasks would stampede every in-flight blocklist
-    * into a simultaneous rebuild)
+  /** content-keyed executor-global DFA cache; bounded by EVICT-ONE (a
+    * JVM sees a handful of distinct blocklists). Not clear-on-overflow —
+    * under 32 concurrent tasks a full clear stampedes every in-flight
+    * blocklist into a simultaneous rebuild — and not insert-reject
+    * either: a long-lived executor whose cache filled with old lists
+    * would then rebuild every NEW blocklist on every task forever.
+    * Concurrent evict+insert can transiently overshoot the bound by a
+    * few entries; harmless.
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Int], Array[Array[Int]])]()
@@ -2061,8 +2064,13 @@ object AhoCorasick {
     val key = java.util.Base64.getEncoder.encodeToString(md.digest())
     val hit = cache.get(key)
     if (hit != null) hit
-    else if (cache.size >= MaxCached) build() // full: serve uncached
-    else cache.computeIfAbsent(key, _ => build())
+    else {
+      if (cache.size >= MaxCached) {
+        val victims = cache.keys()
+        if (victims.hasMoreElements) cache.remove(victims.nextElement()): Unit
+      }
+      cache.computeIfAbsent(key, _ => build())
+    }
   }
 }
 

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** robots.txt (RFC 9309, the Robots Exclusion Protocol) — the crawl
+  * loop's POLITENESS gate, the URL-side stage that runs beside the
+  * domain blocklist ([[Domains]]) and the seen-set: parse per-host
+  * robots bodies into (host, agent, rule, prefix) rows, then give every
+  * candidate URL an allow/deny verdict by the RFC's rules:
+  *
+  *  - group selection: the group whose `User-agent` token exactly
+  *    matches the crawler (case-insensitive) if one exists, else the
+  *    `*` group; no applicable group → allowed.
+  *  - rule selection within the group: the LONGEST matching path
+  *    prefix wins; on a length tie the LEAST RESTRICTIVE rule (allow)
+  *    wins; no matching rule → allowed.
+  *  - literal path prefixes only (the RFC core); `*`/`$` wildcard
+  *    expressions are a documented non-goal here — a production list
+  *    with wildcards compiles into the Aho–Corasick / regex kernels the
+  *    engine already has.
+  *
+  * Scale shape: rules tables are per-host and tiny (a few rows per
+  * registered host — broadcast side by construction), so the verdict is
+  * a host equi-join with an in-row prefix filter and one max_by
+  * aggregate per URL: cost ∝ URL batch × rules-per-host, never a
+  * cartesian, never a corpus shuffle.
+  */
+object RobotsTxt {
+
+  /** Parse robots.txt bodies into rule rows `(host, agent, rule,
+    * prefix)` with `rule ∈ {allow, disallow}`. Per RFC 9309: `#`
+    * comments stripped, keys case-insensitive, CRLF tolerated,
+    * consecutive `User-agent` lines share one group, unknown directives
+    * ignored, and an EMPTY prefix (`Disallow:` with no value — the
+    * classic allow-all idiom) parses to no rule row at all.
+    *
+    * Parsing is per-document imperative state (group accumulation), so
+    * it rides a flatMap like the WARC codec — one pass, no UDF in any
+    * hot aggregation path.
+    */
+  def parseRules(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string").as("host"),
+        col(bodyCol).cast("string").as("body"))
+      .as[(String, String)]
+      .flatMap { case (host, body) =>
+        if (host == null || body == null) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+          var agents = List.empty[String]
+          var inGroupRules = false // rules seen since the last User-agent run
+          body.split("\r?\n").iterator.foreach { raw =>
+            val line = raw.takeWhile(_ != '#').trim
+            val k = line.indexOf(':')
+            if (k > 0) {
+              val key = line.substring(0, k).trim.toLowerCase(java.util.Locale.ROOT)
+              val value = line.substring(k + 1).trim
+              key match {
+                case "user-agent" =>
+                  // a User-agent after rules starts a NEW group; one
+                  // inside a User-agent run extends the current group
+                  if (inGroupRules) { agents = Nil; inGroupRules = false }
+                  agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
+                case "allow" | "disallow" =>
+                  inGroupRules = true
+                  if (value.nonEmpty) // empty prefix = allow-all idiom: no rule
+                    agents.foreach(a => out += ((host, a, key, value)))
+                case _ => () // crawl-delay, sitemap, unknown: ignored
+              }
+            }
+          }
+          out.iterator
+        }
+      }
+      .toDF("host", "agent", "rule", "prefix")
+  }
+
+  /** Per-URL allow/deny verdicts for `agent`: `urls` columns plus
+    * `allowed`. Group selection, longest-prefix match, allow-on-tie,
+    * and allowed-by-default all per RFC 9309 (object scaladoc). The
+    * rules side is broadcast (per-host rules are tiny by construction).
+    */
+  def verdicts(urls: DataFrame, urlCol: String, rules: DataFrame,
+      agent: String): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    // group selection per host: specific agent beats '*'
+    val applicable = rules
+      .filter(col("agent") === a || col("agent") === "*")
+      .withColumn("spec", when(col("agent") === a, 1).otherwise(0))
+    val best = applicable
+      .groupBy(col("host")).agg(max(col("spec")).as("best_spec"))
+    val group = applicable.join(best, Seq("host"))
+      .filter(col("spec") === col("best_spec"))
+      .select(col("host").as("r_host"), col("rule"), col("prefix"))
+
+    val withKey = urls
+      .withColumn("__host", UrlOps.host(col(urlCol)))
+      .withColumn("__path",
+        regexp_replace(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""))
+    // host equi-join (broadcast rules) + in-row prefix filter, then ONE
+    // max_by per URL: (prefix length, allow-wins-tie) lexicographic max
+    val matches = withKey
+      .join(broadcast(group), col("__host") === col("r_host"))
+      .filter(col("__path").startsWith(col("prefix")))
+      .groupBy(col(urlCol).as("__u"))
+      .agg(max(struct(length(col("prefix")).as("l"),
+        (col("rule") === "allow").as("a"))).as("m"))
+      .select(col("__u"), col("m.a").as("__match_allowed"))
+    withKey
+      .join(matches, col(urlCol) === col("__u"), "left")
+      .withColumn("allowed", coalesce(col("__match_allowed"), lit(true)))
+      .drop("__u", "__match_allowed", "__host", "__path")
+  }
+
+  /** Drop disallowed URLs — the filter form of [[verdicts]], the shape
+    * the crawl loop composes (beside `Domains.filterBlocked`).
+    */
+  def filterAllowed(urls: DataFrame, urlCol: String, rules: DataFrame,
+      agent: String): DataFrame =
+    verdicts(urls, urlCol, rules, agent).filter(col("allowed")).drop("allowed")
+}

@@ -472,6 +472,48 @@ object WarcQueries {
       } finally graft.core.ScratchDirs.release(scratch)
     },
 
+    // robots.txt POLITENESS gate ([[RobotsTxt]], RFC 9309) — the other
+    // URL-side kill a real crawler runs beside the domain blocklist:
+    // six per-host robots BODIES (comments, CRLF, mixed-case keys, the
+    // empty-Disallow allow-all idiom, an unknown Crawl-delay directive,
+    // multi-group files) are PARSED in-query, then every candidate URL
+    // gets the RFC verdict for agent "GraftBot": specific-agent group
+    // beats *, longest prefix wins, allow wins length ties, no match →
+    // allowed. The oracle declares the expected rule rows directly and
+    // recomputes group selection + longest-match relationally — parser
+    // and verdict engine must both be exact for the hash to land.
+    "q243_robots_filter" -> { (s, dir) =>
+      import s.implicits._
+      val hostsLower = DomainHosts.map(_.toLowerCase(java.util.Locale.ROOT))
+      val bodies = Seq(
+        (hostsLower(0),
+          "# site robots\nUser-Agent: *\nDisallow: /private\nAllow: /private/doc\n"),
+        (hostsLower(1),
+          "User-agent: graftbot\nDisallow: /doc\nUser-agent: *\nDisallow:\n"),
+        (hostsLower(2), "User-agent: *\nDisallow:\nCrawl-delay: 10\n"),
+        (hostsLower(3), "User-agent: *\r\nDisallow: /doc/1\r\n"),
+        (hostsLower(4), "User-agent: *\nDisallow: / # deny all\n"),
+        (hostsLower(5),
+          "User-agent: OtherBot\nAllow: /\nUser-agent: *\nDisallow: /\n")
+      ).toDF("host", "body")
+      val rules = RobotsTxt.parseRules(bodies, "host", "body")
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val host = element_at(
+        array(hostsLower.map(lit(_)): _*), (col("doc_id") % 6 + 1).cast("int"))
+      val urls = d.select(col("doc_id"), lit("doc").as("kind"),
+          concat(lit("https://"), host, lit("/doc/"), id).as("url"))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), lit("priv_doc").as("kind"),
+            concat(lit("https://"), host, lit("/private/doc/"), id).as("url")))
+        .unionByName(d.filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), lit("priv_data").as("kind"),
+            concat(lit("https://"), host, lit("/private/data/"), id).as("url")))
+      RobotsTxt.verdicts(urls, "url", rules, "GraftBot")
+        .select(col("doc_id"), col("kind"), col("allowed"))
+        .orderBy(col("doc_id"), col("kind"))
+    },
+
     // DOMAIN-level aggregation ([[Domains.stats]]) — the per-publisher
     // report behind C4/RefinedWeb-style domain curation: registered
     // domain (eTLD+1; case-mangled subdomains collapse, the multi-part
@@ -862,6 +904,56 @@ object WarcQueries {
 
   val oracles: Map[String, String] = Map(
     "q242_crawl_loop_rolling" -> crawlLoopSql,
+
+    // the EXPECTED rule rows declared directly (the parser must recover
+    // exactly these from the bodies), then RFC 9309 group selection +
+    // longest-match recomputed relationally; key = 2·len + allow makes
+    // longest-wins/allow-on-tie one integer arg_max
+    "q243_robots_filter" -> {
+      val hostList = DomainHosts
+        .map(h => s"'${h.toLowerCase(java.util.Locale.ROOT)}'").mkString(", ")
+      s"""WITH rules(host, agent, rule, prefix) AS (VALUES
+         |  ('www.example.com', '*', 'disallow', '/private'),
+         |  ('www.example.com', '*', 'allow', '/private/doc'),
+         |  ('cdn.example.com', 'graftbot', 'disallow', '/doc'),
+         |  ('shop.example.co.uk', '*', 'disallow', '/doc/1'),
+         |  ('ads.tracker.net', '*', 'disallow', '/'),
+         |  ('cdn.static.tracker.net', 'otherbot', 'allow', '/'),
+         |  ('cdn.static.tracker.net', '*', 'disallow', '/')),
+         |grp AS (
+         |  SELECT host, rule, prefix FROM (
+         |    SELECT *,
+         |      CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END AS spec,
+         |      max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY host) AS bs
+         |    FROM rules WHERE agent IN ('graftbot', '*'))
+         |  WHERE spec = bs),
+         |u AS (
+         |  SELECT doc_id, 'doc' AS kind,
+         |    [$hostList][(doc_id % 6 + 1)::INT] AS host,
+         |    '/doc/' || doc_id::VARCHAR AS path
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'priv_doc', [$hostList][(doc_id % 6 + 1)::INT],
+         |    '/private/doc/' || doc_id::VARCHAR
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 'priv_data', [$hostList][(doc_id % 6 + 1)::INT],
+         |    '/private/data/' || doc_id::VARCHAR
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |m AS (
+         |  SELECT u.doc_id, u.kind, length(g.prefix) AS l,
+         |    CASE WHEN g.rule = 'allow' THEN 1 ELSE 0 END AS aw
+         |  FROM u JOIN grp g
+         |    ON g.host = u.host AND starts_with(u.path, g.prefix)),
+         |best AS (
+         |  SELECT doc_id, kind, arg_max(aw, l * 2 + aw) AS aw_best
+         |  FROM m GROUP BY doc_id, kind)
+         |SELECT u.doc_id, u.kind,
+         |  coalesce(best.aw_best = 1, true) AS allowed
+         |FROM u LEFT JOIN best USING (doc_id, kind)
+         |ORDER BY doc_id, kind""".stripMargin
+    },
     // crlf spelled as chr(13)||chr(10); body bytes are the DECODED
     // entity bytes — the page html for responses (whatever the wire
     // encoding), the raw payload for request/warcinfo records.
