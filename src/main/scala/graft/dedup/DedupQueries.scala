@@ -315,7 +315,7 @@ object DedupQueries {
             .format("parquet")
             .load(inDir.getAbsolutePath)
             .writeStream
-            .foreachBatch { (batch0: DataFrame, _: Long) =>
+            .foreachBatch { (batch0: DataFrame, batchId: Long) =>
               // AvailableNow can fire an empty timeout batch — skip it
               if (!batch0.isEmpty) {
                 val sp = batch0.sparkSession
@@ -331,16 +331,17 @@ object DedupQueries {
                   index.get, b, "doc_id", "text")
                 index.set(MinHashDedup.extendIndex(
                   index.get, surv, "doc_id", "text"))
-                // NOT idempotent under micro-batch RETRY: a replayed
-                // batch would append its ledger row twice. Fine for this
-                // single-drain local test; the production loop must key
-                // writes by batchId (overwrite a batch-scoped partition,
-                // the foreachBatch exactly-once recipe) instead of
-                // blind-appending.
-                Seq((cohorts.head, c(0), c(1), c(2), c(3)))
-                  .toDF("shard", "n_batch", "n_after_exact",
-                    "n_after_intra", "n_survivors")
-                  .write.mode("append").parquet(ledgerDir)
+                // batchId-keyed partition overwrite: a replayed
+                // micro-batch rewrites its own ledger partition instead
+                // of double-appending — exactly-once under retry
+                // ([[graft.streaming.ExactlyOnce]]; batchIds keep
+                // incrementing across the checkpoint-resumed restarts,
+                // so every drain owns a distinct partition)
+                graft.streaming.ExactlyOnce.appendKeyed(
+                  Seq((cohorts.head, c(0), c(1), c(2), c(3)))
+                    .toDF("shard", "n_batch", "n_after_exact",
+                      "n_after_intra", "n_survivors"),
+                  ledgerDir, batchId)
                 drained.incrementAndGet(): Unit
               }
             }

@@ -748,7 +748,7 @@ object WarcQueries {
             .withColumn("uri", concat(lit("HTTP://Example.COM:80/doc/"),
               col("doc_id").cast("string"), lit("?utm_source=feed#frag"))))
         val q = withVariants.writeStream
-          .foreachBatch { (batch0: DataFrame, _: Long) =>
+          .foreachBatch { (batch0: DataFrame, batchId: Long) =>
             // AvailableNow can fire an empty timeout batch — skip it
             if (!batch0.isEmpty) {
               val sp = batch0.sparkSession
@@ -767,18 +767,18 @@ object WarcQueries {
                 .select(col("doc_id"), col("text"))
               val (surv, counts) = graft.dedup.IncrementalIngest.cycle(
                 index, urlDeduped, "doc_id", "text")
-              // NOT idempotent under micro-batch RETRY: a replayed batch
-              // would double-append survivors and its ledger row. Fine
-              // for this single-drain local test; the production loop
-              // must key both writes by batchId (overwrite a
-              // batch-scoped partition, the foreachBatch exactly-once
-              // recipe) instead of blind-appending.
-              surv.select(col("doc_id")).write.mode("append").parquet(sinkDir)
-              Seq((shards.head, nBatch, counts(0), counts(1), counts(2),
-                counts(3)))
-                .toDF("shard", "n_batch", "n_after_url", "n_after_exact",
-                  "n_after_intra", "n_survivors")
-                .write.mode("append").parquet(ledgerDir)
+              // batchId-keyed partition overwrite: a replayed micro-batch
+              // rewrites its own partition instead of double-appending —
+              // exactly-once ledger/survivor semantics under retry
+              // ([[graft.streaming.ExactlyOnce]], the r13 ADVICE item)
+              graft.streaming.ExactlyOnce.appendKeyed(
+                surv.select(col("doc_id")), sinkDir, batchId)
+              graft.streaming.ExactlyOnce.appendKeyed(
+                Seq((shards.head, nBatch, counts(0), counts(1), counts(2),
+                  counts(3)))
+                  .toDF("shard", "n_batch", "n_after_url", "n_after_exact",
+                    "n_after_intra", "n_survivors"),
+                ledgerDir, batchId)
             }
           }
           .option("checkpointLocation", ckptDir)

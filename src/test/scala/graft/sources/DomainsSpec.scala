@@ -30,6 +30,33 @@ class DomainsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("randomized differential: registeredDomain equals a scala reference") {
+    def ref(h: String): String =
+      if (h.matches("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")) h
+      else {
+        val ls = h.split("\\.", -1) // keep trailing empties, like Spark split
+        if (ls.length <= 2) h
+        else {
+          val l2 = ls.takeRight(2).mkString(".")
+          if (Domains.MultiPartSuffixes.contains(l2)) ls.takeRight(3).mkString(".")
+          else l2
+        }
+      }
+    val rnd = new scala.util.Random(777)
+    val labels = Seq("a", "bb", "ccc", "www", "cdn", "x1", "co", "uk", "com",
+      "au", "example", "tracker", "net", "org", "10", "192")
+    val hostsR = (0 until 300).map { _ =>
+      val n = rnd.nextInt(5) + 1
+      Seq.fill(n)(labels(rnd.nextInt(labels.size))).mkString(".")
+    } ++ Seq("192.168.10.1", "10.0.0.1", "a.co.uk", "co.uk", "x.com.au", "a.b.")
+    val got = hostsR.distinct.toDF("host")
+      .select(col("host"), Domains.registeredDomain(col("host")).as("d"))
+      .as[(String, String)].collect().toMap
+    hostsR.distinct.foreach { h =>
+      assert(got(h) == ref(h), s"registeredDomain($h) = ${got(h)}, ref ${ref(h)}")
+    }
+  }
+
   test("filterBlocked: isin and broadcast-anti-join paths agree; null uri kept") {
     val docs = Seq(
       (1L, "https://www.example.com/a"),

@@ -65,4 +65,45 @@ class RobotsTxtSpec extends SparkSpec {
     assert(RobotsTxt.filterAllowed(urls, "url", rules, "Bot")
       .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L, 6L))
   }
+
+  test("randomized differential: verdicts equal a naive RFC 9309 reference") {
+    // the AhoCorasickPropertySpec discipline: random rule sets and URLs,
+    // engine verdicts vs a literal per-URL Scala application of the RFC
+    val rnd = new scala.util.Random(4242)
+    val hosts = Seq("a.com", "b.org", "c.net")
+    val prefixPool = Seq("/", "/a", "/a/b", "/ab", "/b", "/b/c", "/abc")
+    val agentPool = Seq("bot", "*", "other")
+    for (round <- 1 to 5) {
+      val ruleRows = Seq.fill(rnd.nextInt(15) + 5) {
+        (hosts(rnd.nextInt(hosts.size)), agentPool(rnd.nextInt(agentPool.size)),
+          if (rnd.nextBoolean()) "allow" else "disallow",
+          prefixPool(rnd.nextInt(prefixPool.size)))
+      }
+      val urlRows = (0 until 60).map { i =>
+        val h = hosts(rnd.nextInt(hosts.size))
+        val p = prefixPool(rnd.nextInt(prefixPool.size)) +
+          (if (rnd.nextBoolean()) s"/x$i" else "")
+        (i.toLong, s"http://$h$p")
+      }
+      def refVerdict(url: String): Boolean = {
+        val h = url.stripPrefix("http://").takeWhile(_ != '/')
+        val path = url.drop("http://".length + h.length)
+        val applicable = ruleRows.filter(r =>
+          r._1 == h && (r._2 == "bot" || r._2 == "*"))
+        val hasSpec = applicable.exists(_._2 == "bot")
+        val grp = applicable.filter(r => r._2 == (if (hasSpec) "bot" else "*"))
+        val matched = grp.filter(r => path.startsWith(r._4))
+        matched.isEmpty ||
+          matched.map(r => (r._4.length, r._3 == "allow")).max._2
+      }
+      val got = RobotsTxt.verdicts(urlRows.toDF("id", "url"), "url",
+          ruleRows.toDF("host", "agent", "rule", "prefix"), "Bot")
+        .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+      urlRows.foreach { case (id, u) =>
+        assert(got(id) == refVerdict(u),
+          s"round $round: $u → engine ${got(id)}, reference ${refVerdict(u)}\n" +
+            s"rules: ${ruleRows.mkString(", ")}")
+      }
+    }
+  }
 }
