@@ -329,17 +329,22 @@ object WarcQueries {
     // enrichment (doc_id % 6 over [[DomainHosts]], standing in for real
     // host diversity) + planted dirty-URI noise (doc_id % 7 = 0) →
     // DOMAIN blocklist kill (tracker.net, [[Domains.filterBlocked]]) →
+    // robots.txt POLITENESS gate ([[RobotsTxt]] — two planted robots
+    // bodies parsed once, applied per batch: shop.example.co.uk
+    // disallows /doc/1*, cdn.example.com disallows /page — the latter
+    // bites only the day-2 re-published batch) →
     // within-batch canonical-URL dedup → the rolling CROSS-BATCH URL
     // seen-set ([[graft.dedup.UrlSeenSet]]; day-2 shard 8 re-fetches
     // shard-1 URIs and dies here WHOLE) → the rolling MinHash text index
     // ([[graft.dedup.IncrementalIngest.cycle]] + extendIndex; day-2
-    // shard 9 re-publishes shard-5 pages under NEW /page/ URIs, passes
-    // every URL stage, and dies at the text stages — the doc_id % 40 = 5
-    // cohort ONLY against day-1 survivors, i.e. only a grown index kills
-    // it) — with BOTH indexes compacted every third drain
-    // (compactIndex/compact: the maintenance step, invisible by frame
-    // equality). The oracle recomputes the entire ten-batch frontier
-    // relationally: per-batch arrivals, domain kills, canonical classes,
+    // shard 9 re-publishes shard-5 pages under NEW /page/ URIs: its
+    // robots-allowed remainder passes every URL stage and dies at the
+    // text stages — the doc_id % 40 = 5 cohort ONLY against day-1
+    // survivors, i.e. only a grown index kills it) — with BOTH indexes
+    // compacted every third drain (compactIndex/compact: the
+    // maintenance step, invisible by frame equality). The oracle
+    // recomputes the entire ten-batch frontier relationally: per-batch
+    // arrivals, domain and robots kills, canonical classes,
     // first-batch-wins URL novelty, and the q231-style unrolled rolling
     // dedup (corpus_k = base ∪ survivors of batches < k).
     //
@@ -360,8 +365,15 @@ object WarcQueries {
         graft.dedup.MinHashDedup.buildIndex(corpus0, "doc_id", "text"))
       val seenRef = new java.util.concurrent.atomic.AtomicReference(
         graft.dedup.UrlSeenSet.empty(s))
+      // the politeness rules, parsed ONCE from planted robots bodies and
+      // applied to every drain (rules are per-host and tiny — broadcast)
+      val robotsRules = RobotsTxt.parseRules(
+        Seq(("shop.example.co.uk", "User-agent: *\nDisallow: /doc/1\n"),
+            ("cdn.example.com", "User-agent: *\nDisallow: /page\n"))
+          .toDF("host", "body"),
+        "host", "body").localCheckpoint()
       val ledger = new java.util.concurrent.ConcurrentLinkedQueue[
-        (Long, Long, Long, Long, Long, Long, Long, Long)]()
+        (Long, Long, Long, Long, Long, Long, Long, Long, Long)]()
       val scratch = graft.core.ScratchDirs.lease("graft-crawl-loop-")
       try {
         val inDir = new java.io.File(s"$scratch/in"); inDir.mkdirs(): Unit
@@ -421,8 +433,11 @@ object WarcQueries {
                 val domKept = graft.sources.Domains.filterBlocked(
                   noisy, "uri2", Seq("tracker.net")).localCheckpoint()
                 val nDom = domKept.count()
+                val robKept = RobotsTxt.filterAllowed(
+                  domKept, "uri2", robotsRules, "graftbot").localCheckpoint()
+                val nRob = robKept.count()
                 val urlDeduped = graft.dedup.ExactDedup.keepFirst(
-                  domKept.withColumn("canon", UrlOps.canonicalize(col("uri2"))),
+                  robKept.withColumn("canon", UrlOps.canonicalize(col("uri2"))),
                   Seq("canon"), Seq(col("uri2"))).localCheckpoint()
                 val nUrl = urlDeduped.count()
                 val fresh = graft.dedup.UrlSeenSet.filterNew(
@@ -438,8 +453,9 @@ object WarcQueries {
                       "doc_id", "text")
                     indexRef.set(graft.dedup.MinHashDedup.extendIndex(
                       indexRef.get, surv, "doc_id", "text"))
-                    (ord.toLong, nBatch, nDom, nUrl, c(0), c(1), c(2), c(3))
-                  } else (ord.toLong, nBatch, nDom, nUrl, 0L, 0L, 0L, 0L)
+                    (ord.toLong, nBatch, nDom, nRob, nUrl,
+                      c(0), c(1), c(2), c(3))
+                  } else (ord.toLong, nBatch, nDom, nRob, nUrl, 0L, 0L, 0L, 0L)
                 ledger.add(row): Unit
                 // index maintenance, live in the loop (reads precede the
                 // scratch release below)
@@ -459,15 +475,16 @@ object WarcQueries {
         val rows = {
           val it = ledger.iterator()
           val buf = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+            .empty[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
           while (it.hasNext) buf += it.next()
           buf.toSeq
         }
         require(rows.size == 10, s"expected 10 drained batches, got ${rows.size}")
         // driver-held seq — nothing reads scratch after the release below
         s.createDataset(rows)
-          .toDF("ord", "n_batch", "n_after_domain", "n_after_url",
-            "n_new_url", "n_after_exact", "n_after_intra", "n_survivors")
+          .toDF("ord", "n_batch", "n_after_domain", "n_after_robots",
+            "n_after_url", "n_new_url", "n_after_exact", "n_after_intra",
+            "n_survivors")
           .orderBy(col("ord"))
       } finally graft.core.ScratchDirs.release(scratch)
     },
@@ -801,8 +818,8 @@ object WarcQueries {
   )
 
   /** DuckDB recompute of the q242 crawl loop — the rollingIngestSql
-    * discipline over TEN batches with the two URL-side pre-stages bolted
-    * on. Everything reduces to the ID level: every batch text IS some
+    * discipline over TEN batches with the three URL-side pre-stages
+    * (domain blocklist, robots rules, canonical classes) bolted on. Everything reduces to the ID level: every batch text IS some
     * document's text (`src`), so text equality is `tg` group equality
     * and near-dup is the shared `jsym` pair set; every batch URL's
     * canonical class is closed-form from (src % 6 host, path key), so
@@ -836,8 +853,15 @@ object WarcQueries {
          |  UNION ALL
          |  SELECT ord, bid, src, ukey FROM m0 WHERE src % 7 = 0),
          |dk AS MATERIALIZED (SELECT * FROM m WHERE src % 6 NOT IN (4, 5)),
+         |-- robots kills: shop.example.co.uk (src%6=3) disallows /doc/1*,
+         |-- cdn.example.com (src%6=1) disallows /page* (paths = '/'||ukey;
+         |-- dirty-variant query suffixes cannot defeat a prefix rule)
+         |rk AS MATERIALIZED (
+         |  SELECT * FROM dk
+         |  WHERE NOT (src % 6 = 3 AND ukey LIKE 'doc/1%')
+         |    AND NOT (src % 6 = 1 AND ukey LIKE 'page%')),
          |cku AS (SELECT ord, bid, src,
-         |  ukey || '@' || (src % 6)::VARCHAR AS ck FROM dk),
+         |  ukey || '@' || (src % 6)::VARCHAR AS ck FROM rk),
          |uk AS MATERIALIZED (
          |  SELECT ord, ck, min(bid) AS bid, arg_min(src, bid) AS src
          |  FROM cku GROUP BY ord, ck),
@@ -893,6 +917,7 @@ object WarcQueries {
       s"""SELECT $k::BIGINT AS ord,
          |  (SELECT count(*) FROM m WHERE ord = $k)::BIGINT AS n_batch,
          |  (SELECT count(*) FROM dk WHERE ord = $k)::BIGINT AS n_after_domain,
+         |  (SELECT count(*) FROM rk WHERE ord = $k)::BIGINT AS n_after_robots,
          |  (SELECT count(*) FROM uk WHERE ord = $k)::BIGINT AS n_after_url,
          |  (SELECT count(*) FROM uq_$k)::BIGINT AS n_new_url,
          |  (SELECT count(*) FROM ex_$k)::BIGINT AS n_after_exact,
