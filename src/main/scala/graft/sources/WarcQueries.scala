@@ -542,6 +542,29 @@ object WarcQueries {
         .orderBy(col("domain"))
     },
 
+    // Per-DOMAIN quality report — the decision input behind C4-style
+    // domain curation (a domain whose docs mostly fail the quality bar
+    // gets blocklisted wholesale): registered-domain grouping × the
+    // Gopher-style quality score, with the below-bar count per domain.
+    // Oracle recomputes host extraction, the label rule, AND the full
+    // quality arithmetic (q216's recipe) per domain.
+    "q244_domain_quality" -> { (s, dir) =>
+      val f = domainFixture(s, dir)
+      val q = graft.text.TextAnalysis.qualityScore(col("text"))
+      f.select(
+          graft.sources.Domains.registeredDomain(UrlOps.host(col("uri")))
+            .as("domain"),
+          q.as("quality"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          // exact in any summation order: quality is 6dp-rounded, so the
+          // DECIMAL sum is engine- and partitioning-independent (q216)
+          round(sum(col("quality").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_quality"),
+          sum(when(col("quality") < 0.5, 1L).otherwise(0L)).as("n_below_bar"))
+        .orderBy(col("domain"))
+    },
+
     // DOMAIN blocklist ([[Domains.filterBlocked]]) — the URL-level kill
     // that runs BEFORE any text stage: every doc under the planted bad
     // registered domain (tracker.net, both its subdomains) dies on the
@@ -1155,6 +1178,39 @@ object WarcQueries {
          |  count(DISTINCT host) AS n_hosts,
          |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
          |FROM dom GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // q216's quality arithmetic verbatim, grouped by registered domain;
+    // quality values are k/3 rounded to 6dp, so the 0.5 bar is far from
+    // any representable value (no fp-boundary risk)
+    "q244_domain_quality" ->
+      s"""WITH $domainFixtureSql,
+         |t AS (
+         |  SELECT domain, regexp_split_to_array(lower(text), '\\s+') ltoks,
+         |    len(regexp_split_to_array(text, '\\s+')) n_tok, text
+         |  FROM dom),
+         |m AS (
+         |  SELECT domain, n_tok,
+         |    len(list_filter(ltoks, x -> x IN ($stopList))) n_stop,
+         |    CASE WHEN length(text) > 0
+         |      THEN length(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+         |        / length(text)
+         |      ELSE 0.0 END p_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT domain,
+         |    round((
+         |      (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN n_tok > 0 AND n_stop::DOUBLE / n_tok > 0.01
+         |        THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN p_ratio < 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6)
+         |      AS quality
+         |  FROM m)
+         |SELECT domain, count(*) AS n_docs,
+         |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE), 6)
+         |    AS sum_quality,
+         |  CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_below_bar
+         |FROM q GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q240_domain_blocklist" ->
       s"""WITH $domainFixtureSql
