@@ -27,8 +27,17 @@ object UrlSeenSet {
   /** The seen-set: distinct (url_hash, url_hash2) pairs. */
   final case class Index(hashes: DataFrame)
 
+  /** Hash pairs for the NON-NULL URLs only. Spark's `xxhash64` SKIPS
+    * null arguments (it returns the running seed, a non-null constant),
+    * so an unfiltered null URL would plant the deterministic pair
+    * (xxhash64 seed, salt-only hash) in the set — after which every
+    * later null-URL row would be silently killed as "seen". The filter
+    * here makes build/extend unable to plant that pair, whatever the
+    * caller feeds in.
+    */
   private def hashPair(urls: DataFrame, urlCol: String): DataFrame =
-    urls.select(
+    urls.where(col(urlCol).isNotNull)
+      .select(
         xxhash64(col(urlCol)).as("url_hash"),
         xxhash64(lit("graft-url2"), col(urlCol)).as("url_hash2"))
       .distinct()
@@ -47,18 +56,24 @@ object UrlSeenSet {
     Index(hashPair(urls, urlCol).localCheckpoint())
 
   /** Batch rows whose `urlCol` has never been seen — the URL-stage kill.
-    * Null URLs are KEPT (no evidence; `xxhash64(null)` joins nothing).
+    * Null URLs are KEPT (no evidence to kill on): the `isNotNull` join
+    * term means a null row matches nothing, and [[hashPair]] guarantees
+    * the index can never hold the null pair — both sides of the
+    * contract are enforced here, not in the caller.
     */
   def filterNew(batch: DataFrame, urlCol: String, index: Index): DataFrame =
     batch.join(index.hashes,
-      xxhash64(batch(urlCol)) === index.hashes("url_hash") &&
+      batch(urlCol).isNotNull &&
+        xxhash64(batch(urlCol)) === index.hashes("url_hash") &&
         xxhash64(lit("graft-url2"), batch(urlCol)) === index.hashes("url_hash2"),
       "left_anti")
 
   /** Grow the set with a batch's URLs, at cost ∝ the batch. Extend with
     * the [[filterNew]] survivors — already-seen URLs are already in the
     * set, and skipping them keeps the frame duplicate-free (a duplicate
-    * pair would not change anti-join verdicts, only waste bytes).
+    * pair would not change anti-join verdicts, only waste bytes). Null
+    * URLs among the survivors are SAFE to pass: [[hashPair]] drops them,
+    * so they can never poison the set against future null rows.
     */
   def extend(index: Index, batch: DataFrame, urlCol: String): Index =
     Index(index.hashes.unionByName(hashPair(batch, urlCol).localCheckpoint()))

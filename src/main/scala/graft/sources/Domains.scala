@@ -106,13 +106,20 @@ object Domains {
     require(blocked.nonEmpty,
       "empty domain blocklist — a zero-value isin would be ambiguous; " +
         "skip the stage instead")
+    // the derived domain is lowercased (UrlOps.host lowers), so entries
+    // must be too — a verbatim 'Tracker.NET' from config/CLI would
+    // silently match nothing (r14 ADVICE)
+    val entries = blocked.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct
+    require(entries.nonEmpty,
+      "domain blocklist held only blank entries — skip the stage instead")
     val domain = registeredDomain(UrlOps.host(col(uriCol)))
-    if (blocked.size <= IsinMaxDomains)
-      df.filter(!coalesce(domain.isin(blocked.map(lit(_)): _*), lit(false)))
+    if (entries.size <= IsinMaxDomains)
+      df.filter(!coalesce(domain.isin(entries.map(lit(_)): _*), lit(false)))
     else {
       val spark = df.sparkSession
       import spark.implicits._
-      val b = broadcast(blocked.toDF("__blocked_domain"))
+      val b = broadcast(entries.toDF("__blocked_domain"))
       df.join(b, domain === col("__blocked_domain"), "left_anti")
     }
   }

@@ -95,10 +95,14 @@ object RobotsTxt {
       .filter(col("spec") === col("best_spec"))
       .select(col("host").as("r_host"), col("rule"), col("prefix"))
 
+    // RFC 9309 treats a bare-host URL's empty path as "/" — without the
+    // normalization, "" startsWith no prefix and even a host-wide
+    // `Disallow: /` would be bypassed (r14 ADVICE)
+    val rawPath =
+      regexp_replace(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
     val withKey = urls
       .withColumn("__host", UrlOps.host(col(urlCol)))
-      .withColumn("__path",
-        regexp_replace(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""))
+      .withColumn("__path", when(rawPath === "", lit("/")).otherwise(rawPath))
     // host equi-join (broadcast rules) + in-row prefix filter, then ONE
     // max_by per URL: (prefix length, allow-wins-tie) lexicographic max
     val matches = withKey

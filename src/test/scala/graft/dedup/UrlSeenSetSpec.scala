@@ -18,12 +18,16 @@ class UrlSeenSetSpec extends SparkSpec {
     val fresh = UrlSeenSet.filterNew(batch, "canon", seen0)
     assert(fresh.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
 
-    // extend with the survivors: /3 now seen, null contributes one
-    // (null-hash) pair that kills nothing (null joins nothing)
-    val seen1 = UrlSeenSet.extend(seen0, fresh.filter(col("canon").isNotNull), "canon")
-    val batch2 = Seq((4L, "http://a/3"), (5L, "http://a/4")).toDF("id", "canon")
+    // extend with the UNFILTERED survivors — including the null row:
+    // hashPair drops nulls, so the set gains only /3's pair and a later
+    // null URL must STILL be kept (the null-poisoning trap the r14
+    // verdict found: xxhash64(null) is a non-null constant, so an
+    // unfiltered extend used to plant a pair that killed all nulls)
+    val seen1 = UrlSeenSet.extend(seen0, fresh, "canon")
+    val batch2 = Seq((4L, "http://a/3"), (5L, "http://a/4"),
+      (6L, null: String)).toDF("id", "canon")
     assert(UrlSeenSet.filterNew(batch2, "canon", seen1)
-      .select("id").as[Long].collect().toSeq == Seq(5L))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(5L, 6L))
     assert(seen1.hashes.count() == 3L)
   }
 

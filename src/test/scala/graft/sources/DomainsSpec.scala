@@ -79,5 +79,14 @@ class DomainsSpec extends SparkSpec {
     val plan = Domains.filterBlocked(docs, "uri", big)
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"expected a broadcast anti-join:\n$plan")
+    // mixed-case / padded entries (config or CLI verbatim) still match —
+    // the derived domain is lowercased, so entries are normalized too
+    // (r14 ADVICE); blank-only lists are rejected, not silently no-op
+    val mixed = Domains.filterBlocked(docs, "uri", Seq(" Tracker.NET "))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(mixed == Seq(1L, 4L, 5L), s"mixed-case entry kept $mixed")
+    intercept[IllegalArgumentException] {
+      Domains.filterBlocked(docs, "uri", Seq("  ", ""))
+    }
   }
 }

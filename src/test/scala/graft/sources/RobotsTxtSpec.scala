@@ -55,14 +55,17 @@ class RobotsTxtSpec extends SparkSpec {
       (3L, "http://h2.com/p/q/z"),  // /p/q longer allow: allowed
       (4L, "http://h2.com/tie/z"),  // same-length pair: allow wins
       (5L, "http://h2.com/other"),  // no matching rule: allowed
-      (6L, "http://h3.com/x")       // no rules for host: allowed
+      (6L, "http://h3.com/x"),      // no rules for host: allowed
+      (7L, "http://h4.com")         // bare host = path "/": denied (RFC 9309)
     ).toDF("id", "url")
-    val got = RobotsTxt.verdicts(urls, "url", rules, "Bot")
+    val rulesAll = rules.unionByName(
+      Seq(("h4.com", "*", "disallow", "/")).toDF("host", "agent", "rule", "prefix"))
+    val got = RobotsTxt.verdicts(urls, "url", rulesAll, "Bot")
       .select("id", "allowed").as[(Long, Boolean)].collect().toMap
     assert(got == Map(1L -> false, 2L -> false, 3L -> true,
-      4L -> true, 5L -> true, 6L -> true))
+      4L -> true, 5L -> true, 6L -> true, 7L -> false))
     // filterAllowed is the same verdict as a filter
-    assert(RobotsTxt.filterAllowed(urls, "url", rules, "Bot")
+    assert(RobotsTxt.filterAllowed(urls, "url", rulesAll, "Bot")
       .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L, 6L))
   }
 
