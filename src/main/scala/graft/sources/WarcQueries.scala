@@ -374,6 +374,7 @@ object WarcQueries {
         "host", "body").localCheckpoint()
       val ledger = new java.util.concurrent.ConcurrentLinkedQueue[
         (Long, Long, Long, Long, Long, Long, Long, Long, Long)]()
+      val compaction = graft.core.CompactionPolicy(3)
       val scratch = graft.core.ScratchDirs.lease("graft-crawl-loop-")
       try {
         val inDir = new java.io.File(s"$scratch/in"); inDir.mkdirs(): Unit
@@ -458,13 +459,12 @@ object WarcQueries {
                   } else (ord.toLong, nBatch, nDom, nRob, nUrl, 0L, 0L, 0L, 0L)
                 ledger.add(row): Unit
                 // index maintenance, live in the loop (reads precede the
-                // scratch release below)
-                if (ord % 3 == 2) {
-                  indexRef.set(graft.dedup.MinHashDedup.compactIndex(
-                    indexRef.get, s"$scratch/idx_$ord"))
-                  seenRef.set(graft.dedup.UrlSeenSet.compact(
-                    seenRef.get, s"$scratch/seen_$ord"))
-                }
+                // scratch release below) — one CompactionPolicy drives
+                // BOTH rolling indexes
+                indexRef.set(compaction.maybe(ord.toLong, indexRef.get)(
+                  graft.dedup.MinHashDedup.compactIndex(_, s"$scratch/idx_$ord")))
+                seenRef.set(compaction.maybe(ord.toLong, seenRef.get)(
+                  graft.dedup.UrlSeenSet.compact(_, s"$scratch/seen_$ord")))
               }
             }
             .option("checkpointLocation", ckptDir)

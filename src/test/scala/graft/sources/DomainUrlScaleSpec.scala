@@ -87,4 +87,51 @@ class DomainUrlScaleSpec extends SparkSpec {
       f"filterNew shuffle grew ${s8.toDouble / math.max(1L, s1)}%.2f× on an " +
         "8× seen-set — the anti-join is shuffling index-proportional data")
   }
+
+  test("compactBucketed: the corpus-sized index side joins with NO exchange") {
+    // the past-broadcast-threshold regime, runnable: the seen-set is
+    // compacted into a table bucketed on (url_hash, url_hash2) — the
+    // join's exact key set — so filterNew's sort-merge join takes the
+    // scan's bucketing as its distribution. The ONLY shuffle in the plan
+    // is the drop-sized batch moving into the bucket layout; the
+    // index side (the 100 TB frontier) never moves.
+    import graft.dedup.UrlSeenSet
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val seen = UrlSeenSet.build(
+      urls(32000, "old").select(UrlOps.canonicalize(col("uri")).as("canon")),
+      "canon")
+    val bucketed = UrlSeenSet.compactBucketed(
+      seen, tmpDir("url-seen-bucketed"), "graft_seen_bucketed_spec", 8)
+    val batch = urls(2000, "doc")
+      .select(col("doc_id"), UrlOps.canonicalize(col("uri")).as("canon"))
+      .localCheckpoint()
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // past-threshold regime
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan for node collect
+    try {
+      val q = UrlSeenSet.filterNew(batch, "canon", bucketed)
+      assert(q.count() == 2000L) // disjoint key spaces: all new
+      val plan = q.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1,
+        s"expected exactly one exchange (the batch side), got " +
+          s"${exchanges.size}:\n$plan")
+      // the exchange subtree must not contain the bucketed file scan —
+      // i.e. the shuffle is the BATCH moving, never the index
+      val scansUnderExchange =
+        exchanges.head.collect { case s: FileSourceScanExec => s }
+      assert(scansUnderExchange.isEmpty,
+        s"the index-side file scan sits under an exchange — the bucketed " +
+          s"layout is not being used:\n$plan")
+      val indexScans = plan.collect { case s: FileSourceScanExec => s }
+      assert(indexScans.nonEmpty &&
+        indexScans.forall(_.relation.bucketSpec.isDefined),
+        s"expected the index side to be a bucketed table scan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
