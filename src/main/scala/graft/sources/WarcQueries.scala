@@ -321,6 +321,74 @@ object WarcQueries {
       } finally graft.core.ScratchDirs.release(scratch)
     },
 
+    // CHANGE-AWARE RE-CRAWL ([[graft.dedup.UrlSeenSet]]'s content
+    // overloads) — the refresh path a URL-only seen-set cannot express:
+    // day 1 stores every page's URL *and content hash* over three
+    // batches; day 2 (batch 3) re-crawls one cohort UNCHANGED (doc_id %
+    // 8 = 1 — must die at the URL stage as before), re-publishes a
+    // CHANGED page at an UNCHANGED URL (doc_id % 8 = 3, text + "
+    // [updated v2]" — must pass the URL stage and UPSERT its stored
+    // hash), and mints genuinely new URLs (doc_id % 8 = 5 under /page/
+    // — the new-URL path still works); day 3 (batch 4) proves the
+    // SUPERSESSION: the v2 content re-offered at the same URL now dies
+    // (the upsert really replaced v1), while a v3 edit of the
+    // unchanged-cohort page passes. Ledger splits survivors into
+    // new-URL vs changed-content; the oracle recomputes every verdict
+    // relationally from the batch construction. The set is compacted
+    // every second batch (CompactionPolicy) — invisible by contract.
+    //
+    // 100 TB shape: same join as q241's URL kill — two-long equi-join,
+    // index side broadcast or bucket-co-located — plus one index scan
+    // per upsert; content hashes add 8 bytes/URL, not a text copy.
+    "q245_recrawl_refresh" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val id = col("doc_id").cast("string")
+      val url = concat(lit("http://example.com/doc/"), id)
+      val day1 = d.select((col("doc_id") % 3).as("batch"), url.as("url"),
+        col("text"))
+      val day2 = d.filter(col("doc_id") % 8 === 1)
+        .select(lit(3L).as("batch"), url.as("url"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 8 === 3)
+          .select(lit(3L).as("batch"), url.as("url"),
+            concat(col("text"), lit(" [updated v2]")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 8 === 5)
+          .select(lit(3L).as("batch"),
+            concat(lit("http://example.com/page/"), id).as("url"),
+            col("text")))
+      val day3 = d.filter(col("doc_id") % 8 === 1)
+        .select(lit(4L).as("batch"), url.as("url"),
+          concat(col("text"), lit(" [updated v3]")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 8 === 3)
+          .select(lit(4L).as("batch"), url.as("url"),
+            concat(col("text"), lit(" [updated v2]")).as("text")))
+      val all = day1.unionByName(day2).unionByName(day3).localCheckpoint()
+      var seen = graft.dedup.UrlSeenSet.empty(s)
+      val compaction = graft.core.CompactionPolicy(2)
+      val scratch = graft.core.ScratchDirs.lease("graft-recrawl-refresh-")
+      try {
+        val ledger = (0 until 5).map { k =>
+          val batch = all.filter(col("batch") === k).localCheckpoint()
+          val nBatch = batch.count()
+          // the URL-only verdict tells new-URL survivors apart from
+          // changed-content survivors — same index, two probes
+          val nNewUrl = graft.dedup.UrlSeenSet
+            .filterNew(batch, "url", seen).count()
+          val fresh = graft.dedup.UrlSeenSet
+            .filterNew(batch, "url", "text", seen).localCheckpoint()
+          val nKept = fresh.count()
+          seen = graft.dedup.UrlSeenSet.extend(seen, fresh, "url", "text")
+          seen = compaction.maybe(k.toLong, seen)(
+            graft.dedup.UrlSeenSet.compact(_, s"$scratch/seen_$k"))
+          (k.toLong, nBatch, nNewUrl, nKept - nNewUrl, nKept)
+        }
+        // driver-held seq — nothing reads scratch after the release below
+        s.createDataset(ledger)
+          .toDF("batch", "n_batch", "n_new_url", "n_changed", "n_kept")
+          .orderBy(col("batch"))
+      } finally graft.core.ScratchDirs.release(scratch)
+    },
+
     // THE PRODUCTION CRAWL LOOP, whole — every ingestion operator the
     // r11–r14 rounds built, composed into ONE rolling run: ten
     // driver-staged micro-batch drains (the q232 checkpoint-RESUME
@@ -950,8 +1018,64 @@ object WarcQueries {
     s"WITH RECURSIVE\n$head,\n${stages.mkString(",\n")}\n$finals\nORDER BY ord"
   }
 
+  /** DuckDB recompute of the q245 change-aware re-crawl: the frontier's
+    * stored (url → content-version) state is rolled forward batch by
+    * batch with the SAME keep/upsert rule the engine applies — kept iff
+    * the URL is absent from the state OR its stored version differs;
+    * the state then upserts the kept rows. Content versions reduce to
+    * integers because every batch text is `documents.text` plus a
+    * closed-form suffix (equal texts ⇔ equal (url, ver)). Five batches,
+    * unrolled (the q241/q242 discipline).
+    */
+  private def recrawlRefreshSql: String = {
+    val head =
+      s"""b AS MATERIALIZED (
+         |  SELECT doc_id % 3 AS batch, 'doc/' || doc_id::VARCHAR AS url,
+         |    0 AS ver
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 3, 'doc/' || doc_id::VARCHAR, 0
+         |  FROM documents WHERE doc_id % 8 = 1
+         |  UNION ALL
+         |  SELECT 3, 'doc/' || doc_id::VARCHAR, 2
+         |  FROM documents WHERE doc_id % 8 = 3
+         |  UNION ALL
+         |  SELECT 3, 'page/' || doc_id::VARCHAR, 0
+         |  FROM documents WHERE doc_id % 8 = 5
+         |  UNION ALL
+         |  SELECT 4, 'doc/' || doc_id::VARCHAR, 3
+         |  FROM documents WHERE doc_id % 8 = 1
+         |  UNION ALL
+         |  SELECT 4, 'doc/' || doc_id::VARCHAR, 2
+         |  FROM documents WHERE doc_id % 8 = 3),
+         |s0 AS MATERIALIZED (
+         |  SELECT ''::VARCHAR AS url, 0 AS ver WHERE false)""".stripMargin
+    val steps = (0 until 5).map { k =>
+      s"""k$k AS MATERIALIZED (
+         |  SELECT x.url, x.ver
+         |  FROM (SELECT url, ver FROM b WHERE batch = $k) x
+         |  LEFT JOIN s$k ON s$k.url = x.url
+         |  WHERE s$k.url IS NULL OR s$k.ver <> x.ver),
+         |s${k + 1} AS MATERIALIZED (
+         |  SELECT url, ver FROM s$k WHERE url NOT IN (SELECT url FROM k$k)
+         |  UNION ALL SELECT url, ver FROM k$k)""".stripMargin
+    }
+    val finals = (0 until 5).map { k =>
+      s"""SELECT $k::BIGINT AS batch,
+         |  (SELECT count(*) FROM b WHERE batch = $k)::BIGINT AS n_batch,
+         |  (SELECT count(*) FROM b WHERE batch = $k
+         |     AND url NOT IN (SELECT url FROM s$k))::BIGINT AS n_new_url,
+         |  ((SELECT count(*) FROM k$k) -
+         |   (SELECT count(*) FROM b WHERE batch = $k
+         |      AND url NOT IN (SELECT url FROM s$k)))::BIGINT AS n_changed,
+         |  (SELECT count(*) FROM k$k)::BIGINT AS n_kept""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $head,\n${steps.mkString(",\n")}\n$finals\nORDER BY batch"
+  }
+
   val oracles: Map[String, String] = Map(
     "q242_crawl_loop_rolling" -> crawlLoopSql,
+    "q245_recrawl_refresh" -> recrawlRefreshSql,
 
     // the EXPECTED rule rows declared directly (the parser must recover
     // exactly these from the bodies), then RFC 9309 group selection +
