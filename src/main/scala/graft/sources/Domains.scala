@@ -88,6 +88,145 @@ object Domains {
         sum(col("chars")).as("sum_chars"))
   }
 
+  /** Labels deeper than this are never public suffixes in practice (the
+    * real PSL tops out at 5); the cap bounds the per-row probe count
+    * whatever a malformed suffix table claims.
+    */
+  private[sources] val MaxSuffixLabels = 8
+
+  /** Normalize a raw Public-Suffix-List-style table (one `suffixCol`
+    * string per row — plain entries like `co.uk`/`github.io`, wildcard
+    * entries like `*.ck`, exception entries like `!www.ck`; comments
+    * and blank lines already stripped) into one row per LOOKUP KEY with
+    * kind flags. The key is the entry minus its `*.`/`!` marker, so
+    * `ck`-the-exact and `*.ck`-the-wildcard share a row — the match
+    * combiner applies each kind's own label arithmetic.
+    */
+  private[sources] def normalizeSuffixRules(
+      suffixes: DataFrame, suffixCol: String): DataFrame = {
+    val entry = lower(trim(col(suffixCol)))
+    suffixes.select(entry.as("__e"))
+      .where(col("__e").isNotNull && col("__e") =!= "")
+      .select(
+        when(col("__e").startsWith("!"), substring(col("__e"), 2, 1 << 20))
+          .when(col("__e").startsWith("*."), substring(col("__e"), 3, 1 << 20))
+          .otherwise(col("__e")).as("key"),
+        col("__e").startsWith("!").as("exc"),
+        col("__e").startsWith("*.").as("wild"))
+      .groupBy(col("key"))
+      .agg(
+        max(col("exc")).as("has_exc"),
+        max(col("wild")).as("has_wild"),
+        max(!col("exc") && !col("wild")).as("has_exact"))
+  }
+
+  /** Registered domain (eTLD+1) under a DATA-DRIVEN Public Suffix List
+    * — the full-PSL form of [[registeredDomain]] (whose built-in
+    * 16-entry set is a documented subset). Implements the PSL
+    * algorithm: among the rules matching a suffix of the host, an
+    * EXCEPTION rule prevails (its public suffix is the rule minus its
+    * leftmost label); otherwise the rule with the MOST labels (a
+    * wildcard `*.x` matching one label deeper than its base); no match
+    * falls back to the implicit `*` (public suffix = the last label,
+    * registered domain = last two). A host that IS a public suffix
+    * passes through whole, as do IPv4 literals and ≤1-label hosts.
+    *
+    * Scale shape: K sequential BROADCAST hash probes (K = deepest rule,
+    * ≤ [[MaxSuffixLabels]]; the real PSL has K=5) against the ~10k-row
+    * rule table, then one row-local precedence expression — no explode,
+    * no shuffle, no per-row regex. Swapping the literal set for this
+    * changes no downstream plan shape, exactly as the
+    * [[registeredDomain]] scaladoc promised.
+    */
+  def withRegisteredDomain(df: DataFrame, hostCol: String, outCol: String,
+      suffixes: DataFrame, suffixCol: String = "suffix"): DataFrame = {
+    val rules = normalizeSuffixRules(suffixes, suffixCol).localCheckpoint()
+    val deepestRow = rules.agg(max(size(split(col("key"), "\\.")))).head()
+    require(!deepestRow.isNullAt(0),
+      "empty public-suffix table — use the built-in registeredDomain " +
+        "(implicit '*' only) instead of a data-driven lookup with no data")
+    val maxK = math.min(math.max(deepestRow.getInt(0), 1), MaxSuffixLabels)
+
+    val host = lower(col(hostCol))
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val joined = (1 to maxK).foldLeft(df) { (cur, k) =>
+      val r = broadcast(rules.select(
+        col("key").as(s"__psl_key_$k"),
+        col("has_exc").as(s"__psl_xc_$k"),
+        col("has_wild").as(s"__psl_w_$k"),
+        col("has_exact").as(s"__psl_ex_$k")))
+      // the host's k-label suffix; null (joins nothing) when too short
+      val cand = when(n >= k, array_join(slice(labels, -k, k), "."))
+      cur.join(r, cand === col(s"__psl_key_$k"), "left")
+    }
+    // precedence: any exception rule wins (public suffix = rule minus
+    // its leftmost label); else most labels, a wildcard counting one
+    // deeper than its base; else the implicit '*' (one label)
+    val nulls = Seq(lit(null).cast("int"), lit(null).cast("int"))
+    val excPs = greatest(
+      (1 to maxK).map(k => when(col(s"__psl_xc_$k"), lit(k - 1))) ++ nulls: _*)
+    val normPs = greatest(
+      (1 to maxK).flatMap(k => Seq(
+        when(col(s"__psl_w_$k") && n >= k + 1, lit(k + 1)),
+        when(col(s"__psl_ex_$k"), lit(k)))) ++ nulls: _*)
+    val ps = coalesce(excPs, normPs, lit(1))
+    val rd = when(host.isNull, lit(null).cast("string"))
+      .when(host.rlike(Ipv4), host)
+      .when(n <= ps, host)
+      .otherwise(array_join(slice(labels, -(ps + lit(1)), ps + lit(1)), "."))
+    (1 to maxK).foldLeft(joined.withColumn(outCol, rd)) { (cur, k) =>
+      cur.drop(s"__psl_key_$k", s"__psl_xc_$k", s"__psl_w_$k", s"__psl_ex_$k")
+    }
+  }
+
+  /** [[stats]] under a data-driven Public Suffix List: the same single
+    * hash aggregation, with the grouping domain derived by
+    * [[withRegisteredDomain]]'s broadcast probes instead of the literal
+    * rule — the shuffle still carries GROUPS, not rows.
+    */
+  def stats(df: DataFrame, uriCol: String, textCol: String,
+      suffixes: DataFrame): DataFrame =
+    withRegisteredDomain(
+      df.select(UrlOps.host(col(uriCol)).as("__host"),
+        length(col(textCol)).cast("long").as("__chars")),
+      "__host", "domain", suffixes)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__host")).as("n_hosts"),
+        sum(col("__chars")).as("sum_chars"))
+
+  /** [[filterBlocked]] under a data-driven Public Suffix List — the
+    * blocklist kill keyed by the PSL-derived registered domain (a
+    * blocklisted `github.io` PUBLISHER dies without killing every other
+    * `github.io` site, which the literal rule would lump together).
+    */
+  def filterBlocked(df: DataFrame, uriCol: String, blocked: Seq[String],
+      suffixes: DataFrame): DataFrame = {
+    require(blocked.nonEmpty,
+      "empty domain blocklist — a zero-value isin would be ambiguous; " +
+        "skip the stage instead")
+    val entries = blocked.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct
+    require(entries.nonEmpty,
+      "domain blocklist held only blank entries — skip the stage instead")
+    val withD = withRegisteredDomain(
+      df.withColumn("__psl_host", UrlOps.host(col(uriCol))),
+      "__psl_host", "__psl_domain", suffixes)
+    val kept =
+      if (entries.size <= IsinMaxDomains)
+        withD.filter(!coalesce(
+          col("__psl_domain").isin(entries.map(lit(_)): _*), lit(false)))
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val b = broadcast(entries.toDF("__blocked_domain"))
+        withD.join(b, col("__psl_domain") === col("__blocked_domain"),
+          "left_anti")
+      }
+    kept.drop("__psl_host", "__psl_domain")
+  }
+
   /** Past this many blocked domains, [[filterBlocked]] switches the
     * literal `isin` for a broadcast anti-join (an `isin` of thousands of
     * literals bloats the generated code; the broadcast probe is O(1) per

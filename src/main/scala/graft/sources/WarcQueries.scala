@@ -178,6 +178,19 @@ object WarcQueries {
     "WWW.Example.COM", "cdn.example.com", "Blog.Example.co.uk",
     "shop.example.co.uk", "ads.tracker.net", "cdn.static.tracker.net")
 
+  /** PSL-fixture hosts by doc_id % 8 — two `github.io` user sites (one
+    * case-mangled), two `example.com` subdomains, a `co.uk` registrant,
+    * a wildcard-`ck` publisher, the `!www.ck` exception carve-out, and
+    * a bare public suffix (`bar.ck`, passthrough).
+    */
+  private val PslHosts = Seq(
+    "Alice.GitHub.IO", "bob.github.io", "www.example.com", "cdn.example.com",
+    "shop.example.co.uk", "foo.bar.ck", "x.www.ck", "bar.ck")
+
+  /** The q246 rule table: plain, deep, wildcard and exception entries. */
+  private val PslSuffixes = Seq(
+    "com", "uk", "co.uk", "io", "github.io", "ck", "*.ck", "!www.ck")
+
   private def domainFixture(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     val host = element_at(
@@ -630,6 +643,30 @@ object WarcQueries {
           round(sum(col("quality").cast("decimal(18,6)")).cast("double"), 6)
             .as("sum_quality"),
           sum(when(col("quality") < 0.5, 1L).otherwise(0L)).as("n_below_bar"))
+        .orderBy(col("domain"))
+    },
+
+    // DATA-DRIVEN Public Suffix List ([[Domains.withRegisteredDomain]])
+    // — the full-PSL upgrade of q239's literal rule: a planted suffix
+    // table with a deep entry (`github.io` — each USER site is its own
+    // publisher), a wildcard (`*.ck` — one label deeper than its base
+    // is still a public suffix), and an exception (`!www.ck` — carved
+    // back OUT of the wildcard) regroups the corpus by the real PSL
+    // algorithm (exception beats all, else most labels, else the
+    // implicit '*'); hosts that ARE public suffixes pass through whole.
+    // The engine runs it as K broadcast probes + one row-local
+    // precedence expression (zero shuffles before the aggregation —
+    // DomainsSpec plan-gates it); the oracle recomputes the whole rule
+    // relationally (candidate suffix unnest + precedence arg_max).
+    "q246_domain_psl" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val host = element_at(
+        array(PslHosts.map(lit(_)): _*), (col("doc_id") % 8 + 1).cast("int"))
+      val docs = d.withColumn("uri",
+        concat(lit("https://"), host, lit("/doc/"), col("doc_id").cast("string")))
+      graft.sources.Domains.stats(docs, "uri", "text",
+        PslSuffixes.toDF("suffix"))
         .orderBy(col("domain"))
     },
 
@@ -1302,6 +1339,64 @@ object WarcQueries {
          |  count(DISTINCT host) AS n_hosts,
          |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
          |FROM dom GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // the PSL algorithm recomputed relationally: every k-label suffix
+    // of the host is a candidate, candidates join the normalized rule
+    // rows (exception / wildcard / exact, each with its own label
+    // arithmetic), and arg_max over (exception-first, most-labels)
+    // picks the prevailing public suffix; no match = the implicit '*'
+    "q246_domain_psl" -> {
+      val hostList = PslHosts.map(h => s"'$h'").mkString(", ")
+      val sxList = PslSuffixes.map(e => s"('$e')").mkString(", ")
+      s"""WITH sx(entry) AS (VALUES $sxList),
+         |rl AS (
+         |  SELECT CASE WHEN entry LIKE '!%' THEN entry[2:]
+         |              WHEN entry LIKE '*.%' THEN entry[3:]
+         |              ELSE entry END AS key,
+         |    entry LIKE '!%' AS exc, entry LIKE '*.%' AS wild,
+         |    NOT (entry LIKE '!%' OR entry LIKE '*.%') AS ex
+         |  FROM sx),
+         |u AS (
+         |  SELECT doc_id, text,
+         |    'https://' || [$hostList][(doc_id % 8 + 1)::INT] ||
+         |      '/doc/' || doc_id::VARCHAR AS uri
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, text,
+         |    lower(regexp_extract(uri, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]*)', 1))
+         |      AS host
+         |  FROM u),
+         |lab AS (
+         |  SELECT doc_id, text, host, string_split(host, '.') AS ls,
+         |    len(string_split(host, '.')) AS n
+         |  FROM h),
+         |ckey AS (
+         |  SELECT doc_id, n, k, array_to_string(ls[n - k + 1 : n], '.') AS cand
+         |  FROM (SELECT doc_id, n, ls, unnest(range(1, n + 1)) AS k FROM lab)),
+         |m AS (
+         |  SELECT c.doc_id, 2 AS pri, c.k - 1 AS ps
+         |  FROM ckey c JOIN rl r ON r.key = c.cand AND r.exc
+         |  UNION ALL
+         |  SELECT c.doc_id, 1, c.k + 1
+         |  FROM ckey c JOIN rl r ON r.key = c.cand AND r.wild
+         |  WHERE c.n >= c.k + 1
+         |  UNION ALL
+         |  SELECT c.doc_id, 1, c.k
+         |  FROM ckey c JOIN rl r ON r.key = c.cand AND r.ex),
+         |-- (exception-first, most-labels) as ONE integer key: ps < 100
+         |best AS (SELECT doc_id, arg_max(ps, pri * 100 + ps) AS ps
+         |         FROM m GROUP BY doc_id),
+         |dom AS (
+         |  SELECT l.doc_id, l.text, l.host,
+         |    CASE WHEN l.n <= coalesce(b.ps, 1) THEN l.host
+         |         ELSE array_to_string(l.ls[l.n - coalesce(b.ps, 1) : l.n], '.')
+         |    END AS domain
+         |  FROM lab l LEFT JOIN best b USING (doc_id))
+         |SELECT domain, count(*) AS n_docs,
+         |  count(DISTINCT host) AS n_hosts,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+         |FROM dom GROUP BY domain ORDER BY domain""".stripMargin
+    },
 
     // q216's quality arithmetic verbatim, grouped by registered domain;
     // quality values are k/3 rounded to 6dp, so the 0.5 bar is far from

@@ -89,4 +89,138 @@ class DomainsSpec extends SparkSpec {
       Domains.filterBlocked(docs, "uri", Seq("  ", ""))
     }
   }
+
+  // a PSL-style rule table: plain entries, a deep entry (github.io), a
+  // wildcard (*.ck, *.kawasaki.jp), exceptions (!www.ck, !city.kawasaki.jp)
+  private val PslRules = Seq(
+    "com", "uk", "co.uk", "io", "github.io", "ck", "*.ck", "!www.ck",
+    "jp", "*.kawasaki.jp", "!city.kawasaki.jp")
+
+  /** Literal per-host application of the PSL algorithm — the reference
+    * the engine's broadcast-probe form must equal.
+    */
+  private def pslRef(host: String): String = {
+    if (host == null) return null
+    val h = host.toLowerCase(java.util.Locale.ROOT)
+    if (h.matches("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")) return h
+    val labels = h.split("\\.", -1)
+    val n = labels.length
+    def suffix(k: Int) = labels.takeRight(k).mkString(".")
+    val matches = PslRules.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .flatMap { e =>
+        val (kind, key) =
+          if (e.startsWith("!")) ("exc", e.drop(1))
+          else if (e.startsWith("*.")) ("wild", e.drop(2))
+          else ("exact", e)
+        val kl = key.split("\\.", -1).length
+        kind match {
+          case "exc" if n >= kl && suffix(kl) == key => Some((2, kl - 1))
+          case "wild" if n >= kl + 1 && suffix(kl) == key => Some((1, kl + 1))
+          case "exact" if n >= kl && suffix(kl) == key => Some((1, kl))
+          case _ => None
+        }
+      }
+    val ps = if (matches.isEmpty) 1 else matches.max._2
+    if (n <= ps) h else suffix(ps + 1)
+  }
+
+  test("withRegisteredDomain: PSL exact, wildcard, exception, passthrough") {
+    val cases = Seq(
+      "alice.github.io" -> "alice.github.io", // deep exact entry
+      "x.alice.github.io" -> "alice.github.io",
+      "other.io" -> "other.io",               // plain 'io' entry
+      "www.example.com" -> "example.com",
+      "shop.example.co.uk" -> "example.co.uk",
+      "foo.bar.ck" -> "foo.bar.ck",           // *.ck: bar.ck is a PS
+      "x.www.ck" -> "www.ck",                 // !www.ck beats *.ck
+      "www.ck" -> "www.ck",                   // exception host: PS = ck
+      "bar.ck" -> "bar.ck",                   // IS a public suffix: whole
+      "a.b.kawasaki.jp" -> "a.b.kawasaki.jp", // *.kawasaki.jp: b.kawasaki.jp PS
+      "x.city.kawasaki.jp" -> "city.kawasaki.jp", // exception
+      "unknown.zz" -> "unknown.zz",           // no rule: implicit '*'
+      "a.unknown.zz" -> "unknown.zz",
+      "192.168.10.1" -> "192.168.10.1",
+      "UPPER.Example.COM" -> "example.com")   // lowered
+    val got = cases.map(_._1).toDF("host")
+      .transform(Domains.withRegisteredDomain(_, "host", "d",
+        PslRules.toDF("suffix")))
+      .select("host", "d").as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"psl($h) = ${got(h)}, want $want")
+      assert(pslRef(h) == want, s"reference disagrees with the case table " +
+        s"for $h: ${pslRef(h)}") // the reference itself is pinned too
+    }
+    // null host → null domain
+    val n = Seq(Tuple1(null: String)).toDF("host")
+      .transform(Domains.withRegisteredDomain(_, "host", "d",
+        PslRules.toDF("suffix")))
+      .select("d").head
+    assert(n.isNullAt(0))
+    // empty rule table → explicit error, not a silent implicit-'*' engine
+    intercept[IllegalArgumentException] {
+      Domains.withRegisteredDomain(Seq("a.com").toDF("host"), "host", "d",
+        Seq("  ").toDF("suffix"))
+    }
+  }
+
+  test("randomized differential: PSL form equals a literal reference") {
+    val rnd = new scala.util.Random(24601)
+    val pool = Seq("www", "x", "alice", "github", "io", "com", "co", "uk",
+      "ck", "kawasaki", "city", "jp", "example", "bar")
+    val hosts = (0 until 300).map { _ =>
+      (1 to (rnd.nextInt(5) + 1)).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(".")
+    }.distinct
+    val got = hosts.toDF("host")
+      .transform(Domains.withRegisteredDomain(_, "host", "d",
+        PslRules.toDF("suffix")))
+      .select("host", "d").as[(String, String)].collect().toMap
+    hosts.foreach { h =>
+      assert(got(h) == pslRef(h), s"psl($h) = ${got(h)}, ref ${pslRef(h)}")
+    }
+  }
+
+  test("withRegisteredDomain plan: broadcast probes only, zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = (0 until 100).map(i => s"h$i.github.io").toDF("host")
+      .localCheckpoint()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = Domains.withRegisteredDomain(df, "host", "d",
+        PslRules.toDF("suffix"))
+      assert(q.count() == 100L)
+      val shuffles = q.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"the PSL probe chain must be shuffle-free (broadcast joins + " +
+          s"row-local combine):\n${q.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("stats and filterBlocked PSL overloads") {
+    val docs = Seq(
+      (1L, "https://Alice.GitHub.IO/a", "aaaa"),
+      (2L, "https://x.alice.github.io/b", "bb"),
+      (3L, "https://bob.github.io/c", "c"),
+      (4L, "https://www.example.com/d", "dd"),
+      (5L, null: String, "ee")
+    ).toDF("doc_id", "uri", "text")
+    val psl = PslRules.toDF("suffix")
+    val st = Domains.stats(docs, "uri", "text", psl)
+      .orderBy("domain")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // null uri → null host → null domain group (evidence-free rows grouped)
+    assert(st == Seq(
+      (null, 1L, 0L, 2L),
+      ("alice.github.io", 2L, 2L, 6L),
+      ("bob.github.io", 1L, 1L, 1L),
+      ("example.com", 1L, 1L, 2L)))
+    // blocking the PUBLISHER alice.github.io spares bob.github.io
+    val kept = Domains.filterBlocked(docs, "uri", Seq("Alice.github.io"), psl)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L, 5L))
+    // schema passthrough: no __psl temp columns leak
+    assert(kept.columns.toSeq == Seq("doc_id", "uri", "text"))
+  }
 }
