@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** robots.txt (RFC 9309, the Robots Exclusion Protocol) — the crawl
@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   *  - group selection: the group whose `User-agent` token exactly
   *    matches the crawler (case-insensitive) if one exists, else the
   *    `*` group; no applicable group → allowed.
-  *  - rule selection within the group: the LONGEST matching path
-  *    prefix wins; on a length tie the LEAST RESTRICTIVE rule (allow)
-  *    wins; no matching rule → allowed.
-  *  - literal path prefixes only (the RFC core); `*`/`$` wildcard
-  *    expressions are a documented non-goal here — a production list
-  *    with wildcards compiles into the Aho–Corasick / regex kernels the
-  *    engine already has.
+  *  - rule selection within the group: the LONGEST matching rule wins
+  *    (most octets of the PATTERN, RFC 9309 §2.2.2); on a length tie
+  *    the LEAST RESTRICTIVE rule (allow) wins; no matching rule →
+  *    allowed.
+  *  - path patterns per RFC 9309 §2.2.3: literal prefixes match by
+  *    startsWith; `*` matches any character sequence and a TRAILING
+  *    `$` anchors the end of the path (a mid-pattern `$` is literal,
+  *    the Googlebot convention) — wildcard rules compile to anchored
+  *    regexes on the (tiny, broadcast) rules side, literal rules keep
+  *    the cheaper startsWith fast path.
   *
   * Scale shape: rules tables are per-host and tiny (a few rows per
   * registered host — broadcast side by construction), so the verdict is
@@ -77,10 +80,31 @@ object RobotsTxt {
       .toDF("host", "agent", "rule", "prefix")
   }
 
+  /** A rule pattern compiled to an anchored Java/RE2-neutral regex:
+    * specials escaped, `*` → `.*`, a TRAILING `$` → the end anchor.
+    * Pure Column ops over the tiny rules frame — the per-row regex
+    * compile at match time touches only broadcast-side patterns.
+    */
+  private[sources] def patternRegex(pattern: Column): Column = {
+    // escape every regex special EXCEPT '*' (the wildcard survives)
+    val esc = regexp_replace(pattern, "([\\\\.\\[\\]{}()+?^$|\\-])", "\\\\$1")
+    val wild = regexp_replace(esc, "\\*", ".*")
+    val anchored = when(pattern.endsWith("$"),
+      concat(regexp_replace(wild, "\\\\\\$$", ""), lit("$"))).otherwise(wild)
+    concat(lit("^"), anchored)
+  }
+
+  /** True when the pattern needs the regex path ('*' anywhere, or a
+    * trailing '$'); literal prefixes keep startsWith.
+    */
+  private[sources] def isWildcard(pattern: Column): Column =
+    pattern.contains("*") || pattern.endsWith("$")
+
   /** Per-URL allow/deny verdicts for `agent`: `urls` columns plus
-    * `allowed`. Group selection, longest-prefix match, allow-on-tie,
-    * and allowed-by-default all per RFC 9309 (object scaladoc). The
-    * rules side is broadcast (per-host rules are tiny by construction).
+    * `allowed`. Group selection, longest-match (pattern octets),
+    * allow-on-tie, `*`/`$` wildcard patterns, and allowed-by-default
+    * all per RFC 9309 (object scaladoc). The rules side is broadcast
+    * (per-host rules are tiny by construction).
     */
   def verdicts(urls: DataFrame, urlCol: String, rules: DataFrame,
       agent: String): DataFrame = {
@@ -93,7 +117,9 @@ object RobotsTxt {
       .groupBy(col("host")).agg(max(col("spec")).as("best_spec"))
     val group = applicable.join(best, Seq("host"))
       .filter(col("spec") === col("best_spec"))
-      .select(col("host").as("r_host"), col("rule"), col("prefix"))
+      .select(col("host").as("r_host"), col("rule"), col("prefix"),
+        isWildcard(col("prefix")).as("__wild"),
+        patternRegex(col("prefix")).as("__rx"))
 
     // RFC 9309 treats a bare-host URL's empty path as "/" — without the
     // normalization, "" startsWith no prefix and even a host-wide
@@ -103,11 +129,13 @@ object RobotsTxt {
     val withKey = urls
       .withColumn("__host", UrlOps.host(col(urlCol)))
       .withColumn("__path", when(rawPath === "", lit("/")).otherwise(rawPath))
-    // host equi-join (broadcast rules) + in-row prefix filter, then ONE
-    // max_by per URL: (prefix length, allow-wins-tie) lexicographic max
+    // host equi-join (broadcast rules) + in-row pattern filter
+    // (startsWith fast path, regex only for wildcard rules), then ONE
+    // max_by per URL: (pattern length, allow-wins-tie) lexicographic max
     val matches = withKey
       .join(broadcast(group), col("__host") === col("r_host"))
-      .filter(col("__path").startsWith(col("prefix")))
+      .filter(when(col("__wild"), regexp_like(col("__path"), col("__rx")))
+        .otherwise(col("__path").startsWith(col("prefix"))))
       .groupBy(col(urlCol).as("__u"))
       .agg(max(struct(length(col("prefix")).as("l"),
         (col("rule") === "allow").as("a"))).as("m"))

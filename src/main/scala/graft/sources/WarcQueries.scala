@@ -612,6 +612,57 @@ object WarcQueries {
         .orderBy(col("doc_id"), col("kind"))
     },
 
+    // robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the `*`/`$` pattern
+    // forms major sites actually publish, parsed from planted bodies
+    // and judged per URL: end-anchored suffix kills (`/doc/*3$`,
+    // `/*.dat$`), a LITERAL allow losing to a LONGER wildcard disallow
+    // (pattern octets, not match length), an exact-URL-only anchor
+    // (`/doc$` spares `/doc/9`), a bare `*` deny-all, an
+    // agent-specific wildcard group, and the `$`-vs-`*` interplay
+    // (`/private/data$` carves the exact URL out of `/private/*`).
+    // Wildcard rules compile to anchored regexes on the broadcast rules
+    // side; literal rules keep the startsWith fast path. The oracle
+    // declares the expected rule rows WITH independently hand-written
+    // regexes and recomputes group selection + longest-pattern
+    // precedence relationally.
+    "q247_robots_wildcards" -> { (s, dir) =>
+      import s.implicits._
+      val hostsLower = DomainHosts.map(_.toLowerCase(java.util.Locale.ROOT))
+      val bodies = Seq(
+        (hostsLower(0), "User-agent: *\nDisallow: /doc/*3$\nAllow: /doc/13\n"),
+        (hostsLower(1), "User-agent: *\nDisallow: /*.dat$\nAllow: /files/1*\n"),
+        (hostsLower(2),
+          "User-agent: *\nDisallow: /private/*\nAllow: /private/data$\n"),
+        (hostsLower(3),
+          "User-agent: GraftBot\nDisallow: /*/data\nUser-agent: *\nDisallow:\n"),
+        (hostsLower(4), "User-agent: *\nDisallow: *\n"),
+        (hostsLower(5), "User-agent: *\nDisallow: /doc$\n")
+      ).toDF("host", "body")
+      val rules = RobotsTxt.parseRules(bodies, "host", "body")
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val host = element_at(
+        array(hostsLower.map(lit(_)): _*), (col("doc_id") % 6 + 1).cast("int"))
+      val urls = d.select(col("doc_id"), lit("doc").as("kind"),
+          concat(lit("https://"), host, lit("/doc/"), id).as("url"))
+        .unionByName(d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), lit("dat").as("kind"),
+            concat(lit("https://"), host, lit("/files/"), id, lit(".dat"))
+              .as("url")))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lit("bare").as("kind"),
+            concat(lit("https://"), host, lit("/doc")).as("url")))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), lit("pdata").as("kind"),
+            concat(lit("https://"), host, lit("/private/data/"), id).as("url")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit("pexact").as("kind"),
+            concat(lit("https://"), host, lit("/private/data")).as("url")))
+      RobotsTxt.verdicts(urls, "url", rules, "GraftBot")
+        .select(col("doc_id"), col("kind"), col("allowed"))
+        .orderBy(col("doc_id"), col("kind"))
+    },
+
     // DOMAIN-level aggregation ([[Domains.stats]]) — the per-publisher
     // report behind C4/RefinedWeb-style domain curation: registered
     // domain (eTLD+1; case-mangled subdomains collapse, the multi-part
@@ -1163,6 +1214,71 @@ object WarcQueries {
          |FROM u LEFT JOIN best USING (doc_id, kind)
          |ORDER BY doc_id, kind""".stripMargin
     },
+    // the q243 discipline for the wildcard forms: expected rule rows
+    // declared directly with INDEPENDENTLY hand-written regexes (the
+    // parser + pattern compiler must both be exact), group selection +
+    // longest-PATTERN precedence recomputed relationally
+    "q247_robots_wildcards" -> {
+      val hostList = DomainHosts
+        .map(h => s"'${h.toLowerCase(java.util.Locale.ROOT)}'").mkString(", ")
+      s"""WITH rules(host, agent, rule, prefix, wild, rx) AS (VALUES
+         |  ('www.example.com', '*', 'disallow', '/doc/*3$$', true, '^/doc/.*3$$'),
+         |  ('www.example.com', '*', 'allow', '/doc/13', false, NULL),
+         |  ('cdn.example.com', '*', 'disallow', '/*.dat$$', true, '^/.*\\.dat$$'),
+         |  ('cdn.example.com', '*', 'allow', '/files/1*', true, '^/files/1.*'),
+         |  ('blog.example.co.uk', '*', 'disallow', '/private/*', true,
+         |    '^/private/.*'),
+         |  ('blog.example.co.uk', '*', 'allow', '/private/data$$', true,
+         |    '^/private/data$$'),
+         |  ('shop.example.co.uk', 'graftbot', 'disallow', '/*/data', true,
+         |    '^/.*/data'),
+         |  ('ads.tracker.net', '*', 'disallow', '*', true, '^.*'),
+         |  ('cdn.static.tracker.net', '*', 'disallow', '/doc$$', true,
+         |    '^/doc$$')),
+         |grp AS (
+         |  SELECT host, rule, prefix, wild, rx FROM (
+         |    SELECT *,
+         |      CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END AS spec,
+         |      max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY host) AS bs
+         |    FROM rules WHERE agent IN ('graftbot', '*'))
+         |  WHERE spec = bs),
+         |u AS (
+         |  SELECT doc_id, 'doc' AS kind,
+         |    [$hostList][(doc_id % 6 + 1)::INT] AS host,
+         |    '/doc/' || doc_id::VARCHAR AS path
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'dat', [$hostList][(doc_id % 6 + 1)::INT],
+         |    '/files/' || doc_id::VARCHAR || '.dat'
+         |  FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 'bare', [$hostList][(doc_id % 6 + 1)::INT], '/doc'
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 'pdata', [$hostList][(doc_id % 6 + 1)::INT],
+         |    '/private/data/' || doc_id::VARCHAR
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 'pexact', [$hostList][(doc_id % 6 + 1)::INT],
+         |    '/private/data'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |m AS (
+         |  SELECT u.doc_id, u.kind, length(g.prefix) AS l,
+         |    CASE WHEN g.rule = 'allow' THEN 1 ELSE 0 END AS aw
+         |  FROM u JOIN grp g
+         |    ON g.host = u.host AND (CASE WHEN g.wild
+         |      THEN regexp_matches(u.path, g.rx)
+         |      ELSE starts_with(u.path, g.prefix) END)),
+         |best AS (
+         |  SELECT doc_id, kind, arg_max(aw, l * 2 + aw) AS aw_best
+         |  FROM m GROUP BY doc_id, kind)
+         |SELECT u.doc_id, u.kind,
+         |  coalesce(best.aw_best = 1, true) AS allowed
+         |FROM u LEFT JOIN best USING (doc_id, kind)
+         |ORDER BY doc_id, kind""".stripMargin
+    },
+
     // crlf spelled as chr(13)||chr(10); body bytes are the DECODED
     // entity bytes — the page html for responses (whatever the wire
     // encoding), the raw payload for request/warcinfo records.

@@ -69,14 +69,61 @@ class RobotsTxtSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L, 6L))
   }
 
+  /** Literal per-pattern RFC 9309 §2.2.3 matcher, built DIFFERENTLY
+    * from the engine (Pattern.quote segments, not char-class escaping):
+    * `*` spans anything, a trailing `$` anchors the end, everything
+    * else is literal, and an un-anchored pattern is a prefix match.
+    */
+  private def refMatches(pattern: String, path: String): Boolean = {
+    val endAnchor = pattern.endsWith("$")
+    val body = if (endAnchor) pattern.dropRight(1) else pattern
+    val rx = "^" + body.split("\\*", -1)
+      .map(s => if (s.isEmpty) "" else java.util.regex.Pattern.quote(s))
+      .mkString(".*") + (if (endAnchor) "$" else "")
+    java.util.regex.Pattern.compile(rx).matcher(path).find()
+  }
+
+  test("verdicts: wildcard '*' and end-anchor '$' patterns (RFC 9309 §2.2.3)") {
+    val rules = Seq(
+      ("w.com", "*", "disallow", "/doc/*3$"),   // ids ending in 3
+      ("w.com", "*", "allow", "/doc/13"),       // literal, SHORTER than above
+      ("x.com", "*", "disallow", "/*.dat$"),
+      ("x.com", "*", "allow", "/files/1*"),     // longer → wins on overlap
+      ("y.com", "*", "disallow", "*"),          // bare star: everything
+      ("z.com", "*", "disallow", "/doc$")       // exact-URL only
+    ).toDF("host", "agent", "rule", "prefix")
+    val urls = Seq(
+      (1L, "http://w.com/doc/23"),     // *3$ → denied
+      (2L, "http://w.com/doc/24"),     // no match → allowed
+      (3L, "http://w.com/doc/13"),     // both match; 9 > 7 → disallow wins
+      (4L, "http://w.com/doc/134"),    // only the literal allow → allowed
+      (5L, "http://x.com/files/4.dat"),// .dat$ → denied
+      (6L, "http://x.com/files/14.dat"),// allow /files/1* is longer → allowed
+      (7L, "http://x.com/files/4.data"),// $ anchor: .data is NOT .dat → allowed
+      (8L, "http://y.com/anything"),   // bare star → denied
+      (9L, "http://z.com/doc"),        // exact → denied
+      (10L, "http://z.com/doc/9")      // deeper than the anchor → allowed
+    ).toDF("id", "url")
+    val got = RobotsTxt.verdicts(urls, "url", rules, "Bot")
+      .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> true, 7L -> true, 8L -> false, 9L -> false,
+      10L -> true))
+  }
+
   test("randomized differential: verdicts equal a naive RFC 9309 reference") {
     // the AhoCorasickPropertySpec discipline: random rule sets and URLs,
     // engine verdicts vs a literal per-URL Scala application of the RFC
+    // — pattern pool includes '*' and '$' rules (and regex specials
+    // that must stay literal)
     val rnd = new scala.util.Random(4242)
     val hosts = Seq("a.com", "b.org", "c.net")
-    val prefixPool = Seq("/", "/a", "/a/b", "/ab", "/b", "/b/c", "/abc")
+    val prefixPool = Seq("/", "/a", "/a/b", "/ab", "/b", "/b/c", "/abc",
+      "/a*", "/*/b", "/a/b$", "/*b$", "*", "/a.b", "/a+b", "/(a)")
+    val pathPool = Seq("/", "/a", "/a/b", "/ab", "/b", "/b/c", "/abc",
+      "/a/b/c", "/xb", "/a.b", "/a+b", "/(a)", "/aXb")
     val agentPool = Seq("bot", "*", "other")
-    for (round <- 1 to 5) {
+    for (round <- 1 to 8) {
       val ruleRows = Seq.fill(rnd.nextInt(15) + 5) {
         (hosts(rnd.nextInt(hosts.size)), agentPool(rnd.nextInt(agentPool.size)),
           if (rnd.nextBoolean()) "allow" else "disallow",
@@ -84,18 +131,19 @@ class RobotsTxtSpec extends SparkSpec {
       }
       val urlRows = (0 until 60).map { i =>
         val h = hosts(rnd.nextInt(hosts.size))
-        val p = prefixPool(rnd.nextInt(prefixPool.size)) +
+        val p = pathPool(rnd.nextInt(pathPool.size)) +
           (if (rnd.nextBoolean()) s"/x$i" else "")
         (i.toLong, s"http://$h$p")
       }
       def refVerdict(url: String): Boolean = {
         val h = url.stripPrefix("http://").takeWhile(_ != '/')
-        val path = url.drop("http://".length + h.length)
+        val path0 = url.drop("http://".length + h.length)
+        val path = if (path0.isEmpty) "/" else path0
         val applicable = ruleRows.filter(r =>
           r._1 == h && (r._2 == "bot" || r._2 == "*"))
         val hasSpec = applicable.exists(_._2 == "bot")
         val grp = applicable.filter(r => r._2 == (if (hasSpec) "bot" else "*"))
-        val matched = grp.filter(r => path.startsWith(r._4))
+        val matched = grp.filter(r => refMatches(r._4, path))
         matched.isEmpty ||
           matched.map(r => (r._4.length, r._3 == "allow")).max._2
       }
