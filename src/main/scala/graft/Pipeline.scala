@@ -515,6 +515,310 @@ object Pipeline {
     }
   }
 
+  /** One crawl run's summary (the crawl twin of [[CurateOutcome]]). */
+  final case class CrawlOutcome(
+      jobId: String,
+      status: String, // success | failed
+      drains: Long,
+      docsIngested: Long,
+      stateVersion: Option[Int],
+      error: Option[String])
+
+  /** Typed flags for `crawl` — every `None` falls back to a `crawl.*`
+    * config key, the [[CurateArgs]] discipline.
+    */
+  private[graft] final case class CrawlArgs(
+      agent: Option[String] = None,
+      blockedDomains: Seq[String] = Nil,
+      robotsPath: Option[String] = None,
+      corpusPath: Option[String] = None,
+      changeAware: Boolean = false,
+      filesPerDrain: Option[Int] = None,
+      compactEvery: Option[Int] = None,
+      dryRun: Boolean = false)
+
+  private[graft] def parseCrawlArgs(rest: Seq[String]): CrawlArgs = {
+    def int(flag: String, v: String): Int = v.toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"$flag expects an integer, got '$v'"))
+    @annotation.tailrec
+    def loop(args: List[String], acc: CrawlArgs): CrawlArgs = args match {
+      case Nil => acc
+      case "--dry-run" :: t => loop(t, acc.copy(dryRun = true))
+      case "--change-aware" :: t => loop(t, acc.copy(changeAware = true))
+      case "--agent" :: v :: t => loop(t, acc.copy(agent = Some(v)))
+      case "--robots" :: v :: t => loop(t, acc.copy(robotsPath = Some(v)))
+      case "--corpus" :: v :: t => loop(t, acc.copy(corpusPath = Some(v)))
+      case "--files-per-drain" :: v :: t =>
+        loop(t, acc.copy(filesPerDrain = Some(int("--files-per-drain", v))))
+      case "--compact-every" :: v :: t =>
+        loop(t, acc.copy(compactEvery = Some(int("--compact-every", v))))
+      case "--blocked-domains" :: v :: t =>
+        loop(t, acc.copy(blockedDomains =
+          v.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unrecognized argument: $other")
+    }
+    loop(rest.toList, CrawlArgs())
+  }
+
+  /** Versioned durable state under `<outDir>/state`: each completed run
+    * commits `v<N>/{seen,index}` plus a `_COMMITTED` marker (a partial
+    * write from a crash has no marker and is ignored), then deletes
+    * `v<N-1>`. The loader takes the highest committed version.
+    */
+  private def latestStateVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: org.apache.hadoop.fs.Path): Option[Int] = {
+    if (!fs.exists(stateDir)) None
+    else fs.listStatus(stateDir).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.matches("v\\d+") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")))
+          Some(n.drop(1).toInt)
+        else None
+      }
+      .sorted.lastOption
+  }
+
+  /** `Pipeline crawl` — the q242 continuous-crawl loop as a
+    * config-driven CLI, completing the O3 orchestration surface for
+    * ingestion the way `curate` completes it for curation. One
+    * invocation = one `Trigger.AvailableNow` drain of the WATCHED input
+    * directory of WARC shards (the deployment pattern: a scheduler
+    * invokes per drop; the streaming checkpoint under `outDir/ckpt`
+    * skips already-processed shards across invocations). Every drained
+    * micro-batch flows through HTML extraction → domain blocklist
+    * ([[graft.sources.Domains]]) → robots.txt politeness gate
+    * ([[graft.sources.RobotsTxt]], rules from a `(host, body)` parquet)
+    * → within-batch canonical-URL dedup → the ROLLING URL seen-set
+    * (change-aware with `--change-aware`: a re-published CHANGED page
+    * refreshes the corpus) → the rolling MinHash text index — survivors
+    * and a per-drain stage-count ledger land batchId-keyed
+    * ([[graft.streaming.ExactlyOnce]]), so a replayed micro-batch can
+    * never double-append. Both rolling indexes compact to epoch dirs
+    * every `--compact-every` drains in-loop, and every run ends by
+    * committing versioned durable state (`state/v<N>` + marker) that
+    * the next invocation restores — checkpoint + state together make
+    * the loop resumable end to end.
+    *
+    * `dryRun` BATCH-reads the whole input (no checkpoint, no state
+    * mutation, nothing written) and prints the stage counts one drain
+    * of everything would produce.
+    */
+  def crawl(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      config: EngineConfig = EngineConfig.default,
+      args: CrawlArgs = CrawlArgs()): CrawlOutcome = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val out = outDir.stripSuffix("/")
+    val agent = args.agent.getOrElse(config.getString("crawl.agent", "graftbot"))
+    val blocked0 =
+      if (args.blockedDomains.nonEmpty) args.blockedDomains
+      else config.getString("crawl.blocked_domains", "")
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val robotsPath = args.robotsPath.orElse(
+      Some(config.getString("crawl.robots_path", "")).filter(_.nonEmpty))
+    val corpusPath = args.corpusPath.orElse(
+      Some(config.getString("crawl.corpus_path", "")).filter(_.nonEmpty))
+    val changeAware = args.changeAware ||
+      config.getBoolean("crawl.change_aware", default = false)
+    val filesPerDrain = args.filesPerDrain.getOrElse(
+      config.getInt("crawl.files_per_drain", 0))
+    val compactEvery = args.compactEvery.getOrElse(
+      config.getInt("crawl.compact_every", 4))
+    val minChars = config.getInt("crawl.extract.min_chars", 20)
+    val maxLinkPct = config.getInt("crawl.extract.max_link_pct", 33)
+    val policy = graft.core.CompactionPolicy(compactEvery)
+
+    val rules = robotsPath.map { p =>
+      graft.sources.RobotsTxt
+        .parseRules(spark.read.parquet(p), "host", "body")
+        .localCheckpoint()
+    }
+
+    // restore durable state (or seed a fresh index from --corpus)
+    val statePath = new org.apache.hadoop.fs.Path(s"$out/state")
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val restoredV = latestStateVersion(fs, statePath)
+    val seenRef = new java.util.concurrent.atomic.AtomicReference(
+      restoredV.map(v => graft.dedup.UrlSeenSet.load(spark, s"$out/state/v$v/seen"))
+        .getOrElse(graft.dedup.UrlSeenSet.empty(spark)))
+    val indexRef = new java.util.concurrent.atomic.AtomicReference(
+      restoredV
+        .map(v => graft.dedup.MinHashDedup.loadIndex(spark, s"$out/state/v$v/index"))
+        .getOrElse {
+          val corpus = corpusPath
+            .map(p => spark.read.parquet(p)
+              .select(col("doc_id").cast("long"), col("text").cast("string")))
+            .getOrElse(spark.range(0)
+              .select(col("id").as("doc_id"), lit("").as("text")))
+          graft.dedup.MinHashDedup.buildIndex(corpus, "doc_id", "text")
+        })
+
+    def stageCounts(batch0: DataFrame): (Array[Long], DataFrame) = {
+      // one drained batch through the full stage chain; returns the
+      // per-stage counts and the checkpoint-bounded survivor frame
+      val b = batch0.localCheckpoint()
+      val nBatch = b.count()
+      val domKept =
+        if (blocked0.nonEmpty)
+          graft.sources.Domains.filterBlocked(b, "uri", blocked0).localCheckpoint()
+        else b
+      val nDom = domKept.count()
+      val robKept = rules
+        .map(r => graft.sources.RobotsTxt.filterAllowed(domKept, "uri", r, agent)
+          .localCheckpoint())
+        .getOrElse(domKept)
+      val nRob = robKept.count()
+      val urlDeduped = graft.dedup.ExactDedup.keepFirst(
+        robKept.withColumn("canon",
+          graft.sources.UrlOps.canonicalize(col("uri"))),
+        Seq("canon"), Seq(col("uri"))).localCheckpoint()
+      val nUrl = urlDeduped.count()
+      val fresh =
+        (if (changeAware)
+          graft.dedup.UrlSeenSet.filterNew(urlDeduped, "canon", "text", seenRef.get)
+        else
+          graft.dedup.UrlSeenSet.filterNew(urlDeduped, "canon", seenRef.get))
+          .localCheckpoint()
+      val nNew = fresh.count()
+      seenRef.set(
+        if (changeAware)
+          graft.dedup.UrlSeenSet.extend(seenRef.get, fresh, "canon", "text")
+        else graft.dedup.UrlSeenSet.extend(seenRef.get, fresh, "canon"))
+      if (nNew > 0) {
+        val (surv, c) = graft.dedup.IncrementalIngest.cycle(
+          indexRef.get, fresh.select(col("doc_id"), col("uri"), col("text")),
+          "doc_id", "text")
+        indexRef.set(graft.dedup.MinHashDedup.extendIndex(
+          indexRef.get, surv, "doc_id", "text"))
+        (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3)), surv)
+      } else
+        (Array(nBatch, nDom, nRob, nUrl, 0L, 0L, 0L, 0L),
+          fresh.limit(0))
+    }
+
+    def extracted(df: DataFrame): DataFrame = df
+      .where(col("http_status") === 200)
+      .select(
+        xxhash64(col("record_id")).as("doc_id"),
+        col("target_uri").as("uri"),
+        call_function("graft_html_text",
+          col("body").cast("string"), lit(minChars), lit(maxLinkPct)).as("text"))
+
+    if (args.dryRun) {
+      val (c, _) = stageCounts(
+        extracted(graft.sources.WarcShards.readRecords(spark, inDir)))
+      println(s"batch=${c(0)} after_domain=${c(1)} after_robots=${c(2)} " +
+        s"after_url=${c(3)} new_url=${c(4)} after_exact=${c(5)} " +
+        s"after_intra=${c(6)} survivors=${c(7)} (dry run — nothing written)")
+      return CrawlOutcome("(dry-run)", "success", 0L, c(7), restoredV, None)
+    }
+
+    val jobId = mintJobId()
+    val t0 = System.nanoTime()
+    val ledger = new JobLedger(spark, s"$out/_ledger")
+    ledger.startJob(jobId, Map("type" -> "crawl", "path" -> inDir))
+    val drains = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ingested = new java.util.concurrent.atomic.AtomicLong(0L)
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      val q = extracted(
+        graft.sources.WarcShards.readRecordsStream(spark, inDir, filesPerDrain))
+        .writeStream
+        .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+          // AvailableNow can fire an empty timeout batch — skip it
+          if (!batch0.isEmpty) {
+            val sp = batch0.sparkSession
+            import sp.implicits._
+            val (c, surv) = stageCounts(batch0)
+            graft.streaming.ExactlyOnce.appendKeyed(
+              surv.select(col("doc_id"), col("uri"), col("text")),
+              s"$out/docs", batchId)
+            graft.streaming.ExactlyOnce.appendKeyed(
+              Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7)))
+                .toDF("batch_id", "n_batch", "n_after_domain", "n_after_robots",
+                  "n_after_url", "n_new_url", "n_after_exact", "n_after_intra",
+                  "n_survivors"),
+              s"$out/drains", batchId)
+            drains.incrementAndGet(): Unit
+            ingested.addAndGet(c(7)): Unit
+            // in-loop maintenance: epoch compaction bounds index lineage
+            // on long drains; the canonical commit happens at run end
+            indexRef.set(policy.maybe(batchId, indexRef.get)(
+              graft.dedup.MinHashDedup.compactIndex(_,
+                s"$out/state/epoch_$batchId/index")))
+            seenRef.set(policy.maybe(batchId, seenRef.get)(
+              graft.dedup.UrlSeenSet.compact(_,
+                s"$out/state/epoch_$batchId/seen")))
+          }
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      // commit durable state v<N+1>, then reap v<N> and the epoch dirs
+      val nextV = restoredV.map(_ + 1).getOrElse(0)
+      val vdir = s"$out/state/v$nextV"
+      graft.dedup.UrlSeenSet.compact(seenRef.get, s"$vdir/seen"): Unit
+      graft.dedup.MinHashDedup.compactIndex(indexRef.get, s"$vdir/index"): Unit
+      fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"), true).close()
+      restoredV.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$out/state/v$v"), true): Unit
+      }
+      if (fs.exists(statePath)) fs.listStatus(statePath).foreach { st =>
+        if (st.getPath.getName.startsWith("epoch_"))
+          fs.delete(st.getPath, true): Unit
+      }
+
+      val duration = (System.nanoTime() - t0) / 1e9
+      ledger.completeJob(jobId, Map(
+        "status" -> "success",
+        "destination" -> s"$out/docs",
+        "drains" -> drains.get.toString,
+        "rows_loaded" -> ingested.get.toString,
+        "state_version" -> nextV.toString
+      ), duration)
+      CrawlOutcome(jobId, "success", drains.get, ingested.get,
+        Some(nextV), None)
+    } catch {
+      case e: Exception =>
+        val sw = new java.io.StringWriter()
+        e.printStackTrace(new java.io.PrintWriter(sw))
+        ledger.failJob(jobId, String.valueOf(e.getMessage), sw.toString)
+        CrawlOutcome(jobId, "failed", drains.get, ingested.get, restoredV,
+          Some(String.valueOf(e.getMessage)))
+    }
+  }
+
+  private def crawlMain(args: Array[String]): Unit = {
+    val usage = "usage: Pipeline crawl <inDir> <outDir> [--agent NAME] " +
+      "[--blocked-domains d1,d2] [--robots PARQUET] [--corpus PARQUET] " +
+      "[--change-aware] [--files-per-drain N] [--compact-every K] [--dry-run]"
+    require(args.length >= 2 && !args(0).startsWith("-") && !args(1).startsWith("-"),
+      usage)
+    val parsed =
+      try parseCrawlArgs(args.drop(2).toSeq)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"${e.getMessage}\n$usage")
+      }
+    val spark = graft.core.EngineSession.create()
+    val outcome = crawl(spark, args(0), args(1), args = parsed)
+    println(s"job=${outcome.jobId} status=${outcome.status} " +
+      s"drains=${outcome.drains} docs=${outcome.docsIngested}" +
+      outcome.stateVersion.map(v => s" state=v$v").getOrElse("") +
+      outcome.error.map(e => s" error=$e").getOrElse(""))
+    spark.stop()
+    if (outcome.status != "success") sys.exit(1)
+  }
+
   private def curateMain(args: Array[String]): Unit = {
     val usage = "usage: Pipeline curate <inPath> <outDir> [--min-quality X] " +
       "[--sample F] [--max-tokens N] [--format parquet|tar] [--shards N] " +
@@ -576,6 +880,7 @@ object Pipeline {
     if (args.headOption.contains("cleanup")) return cleanupMain(args.drop(1))
     if (args.headOption.contains("export-shards")) return exportShardsMain(args.drop(1))
     if (args.headOption.contains("curate")) return curateMain(args.drop(1))
+    if (args.headOption.contains("crawl")) return crawlMain(args.drop(1))
     require(args.length >= 2,
       "usage: Pipeline <inPathOrDir> <outDir> [parquet|csv|json] | " +
         "Pipeline status <outDir> [RUNNING|SUCCESS|FAILED] [limit] | " +
@@ -583,7 +888,10 @@ object Pipeline {
         "Pipeline export-shards <inParquet> <outDir> [nShards] [idCol] [textCol] | " +
         "Pipeline curate <inPath> <outDir> [--min-quality X] [--sample F] " +
         "[--max-tokens N] [--format parquet|tar] [--shards N] " +
-        "[--blocked-domains d1,d2] [--dry-run]")
+        "[--blocked-domains d1,d2] [--dry-run] | " +
+        "Pipeline crawl <inDir> <outDir> [--agent NAME] " +
+        "[--blocked-domains d1,d2] [--robots PARQUET] [--corpus PARQUET] " +
+        "[--change-aware] [--files-per-drain N] [--compact-every K] [--dry-run]")
     val spark = graft.core.EngineSession.create()
     val in = args(0)
     val source =

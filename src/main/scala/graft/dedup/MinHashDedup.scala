@@ -207,6 +207,23 @@ object MinHashDedup {
       textHashes = roundTrip(index.textHashes, "text_hashes"))
   }
 
+  /** Restore a [[compactIndex]]-written index from its durable form —
+    * the restart path a long-running ingest loop (`Pipeline crawl`)
+    * pairs with its streaming checkpoint. The shingling/banding
+    * parameters are NOT stored in the files (they shape the frames, not
+    * the rows), so the caller must pass the same frozen values the
+    * index was built with — the frozen-parameter law.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      shingleWidth: Int = 3, bands: Int = 32, rows: Int = 4): Index = {
+    val d = dir.stripSuffix("/")
+    Index(
+      spark.read.parquet(s"$d/buckets"),
+      spark.read.parquet(s"$d/sets"),
+      spark.read.parquet(s"$d/text_hashes"),
+      shingleWidth, bands, rows)
+  }
+
   /** Probe the index with a NEW batch: pairs (new_id, corpus_id) whose
     * exact Jaccard ≥ `threshold`. Cost is proportional to the BATCH
     * (shingle/signature passes over new docs only) plus an equi-join on

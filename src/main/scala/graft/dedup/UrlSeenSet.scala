@@ -169,6 +169,12 @@ object UrlSeenSet {
     Index(spark.read.parquet(path))
   }
 
+  /** Restore a [[compact]]-written set from its durable form — the
+    * restart path the crawl CLI pairs with its streaming checkpoint.
+    */
+  def load(spark: SparkSession, dir: String): Index =
+    Index(spark.read.parquet(s"${dir.stripSuffix("/")}/url_hashes"))
+
   /** The past-broadcast-threshold layout: compact into a BUCKETED table
     * (bucketed and sorted on the full join key, (url_hash, url_hash2)),
     * so [[filterNew]] against a corpus-scale set runs as a sort-merge

@@ -228,6 +228,113 @@ class PipelineSpec extends SparkSpec {
     assert(result("rows_loaded") == "2" && result("after_neardup") == "2")
   }
 
+  test("crawl subcommand: resumable drains through the full gate chain + durable state") {
+    import spark.implicits._
+    val in = tmpDir("crawl-in")
+    val out = tmpDir("crawl-out")
+    def page(text: String): Array[Byte] =
+      ("<html><head><title>t</title></head><body><p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def entry(shard: Int, ord: Long, host: String, path: String,
+        text: String) =
+      graft.sources.WarcShards.Entry(shard, ord, "response",
+        s"http://$host$path", s"<urn:test:$shard:$ord>",
+        "application/http;msgtype=response",
+        graft.sources.WarcShards.WarcCodec.httpResponse(
+          page(text), "text/html; charset=utf-8"))
+    val alpha = "the alpha page talks about mountains and rivers flowing north"
+    val beta = "a second page describing oceans tides and the salty breeze"
+    val betaV2 = "a second page describing updated oceans content after the big edit"
+    val gamma = "completely different words about the weather in marseille this morning"
+    // day 1, two shards → two drains at --files-per-drain 1
+    graft.sources.WarcShards.pack(Seq(
+      entry(0, 1, "good.example.com", "/a/1", alpha),
+      entry(0, 2, "ads.tracker.net", "/x/1",
+        "tracker junk that is long enough to pass the extractor"),
+      entry(0, 3, "good.example.com", "/priv/1",
+        "private content long enough to pass the extractor fine"),
+      entry(1, 1, "good.example.com", "/a/2", beta),
+      entry(1, 2, "good.example.com", "/a/1?utm_source=x", alpha)
+    ).toDS(), in): Unit
+    val robotsPq = tmpDir("crawl-robots") + "/robots"
+    Seq(("good.example.com", "User-agent: *\nDisallow: /priv\n"))
+      .toDF("host", "body").write.parquet(robotsPq)
+    val flags = Seq("--robots", robotsPq, "--blocked-domains", "Tracker.NET",
+      "--files-per-drain", "1", "--change-aware")
+
+    // dry run first: full counts over everything, NOTHING written
+    val dry = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags :+ "--dry-run"))
+    assert(dry.status == "success" && dry.docsIngested == 2L,
+      s"unexpected dry-run outcome: $dry")
+    val outF = new java.io.File(out)
+    assert(!outF.exists() || outF.list().isEmpty, "dry run wrote output")
+
+    // run 1: tracker domain dies, /priv dies at robots, the utm variant
+    // of /a/1 dies at the CROSS-drain seen-set
+    val r1 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags))
+    assert(r1.status == "success" && r1.drains == 2L &&
+      r1.docsIngested == 2L && r1.stateVersion.contains(0), s"run 1: $r1")
+    val drains1 = spark.read.parquet(s"$out/drains")
+      .orderBy("batch_id")
+      .select("n_batch", "n_after_domain", "n_after_robots", "n_after_url",
+        "n_new_url", "n_survivors")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(drains1 == Seq(
+      (3L, 2L, 1L, 1L, 1L, 1L),
+      (2L, 2L, 2L, 2L, 1L, 1L)), s"run 1 drain ledger: $drains1")
+
+    // day 2: one new shard — an UNCHANGED re-crawl (dies at the
+    // change-aware seen-set), a CHANGED page at an old URL (passes and
+    // supersedes), and a brand-new page
+    val stage = tmpDir("crawl-day2")
+    graft.sources.WarcShards.pack(Seq(
+      entry(2, 1, "good.example.com", "/a/1", alpha),
+      entry(2, 2, "good.example.com", "/a/2", betaV2),
+      entry(2, 3, "another.example.com", "/n/1", gamma)
+    ).toDS(), stage): Unit
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(stage, "shard-00002.warc"),
+      java.nio.file.Paths.get(in, "shard-00002.warc")): Unit
+
+    // run 2: the checkpoint skips shards 0-1; restored state kills the
+    // re-crawl; v0 state is superseded by v1
+    val r2 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags))
+    assert(r2.status == "success" && r2.drains == 1L &&
+      r2.docsIngested == 2L && r2.stateVersion.contains(1), s"run 2: $r2")
+    assert(!new java.io.File(s"$out/state/v0").exists(), "v0 not reaped")
+    assert(new java.io.File(s"$out/state/v1/_COMMITTED").exists())
+    val drains2 = spark.read.parquet(s"$out/drains").count()
+    assert(drains2 == 3L, s"expected 3 cumulative drain rows, got $drains2")
+    val docs = spark.read.parquet(s"$out/docs")
+      .select("uri").as[String].collect().sorted.toSeq
+    assert(docs == Seq(
+      "http://another.example.com/n/1",
+      "http://good.example.com/a/1",
+      "http://good.example.com/a/2",   // day-1 beta
+      "http://good.example.com/a/2"),  // day-2 superseding v2
+      s"ingested docs: $docs")
+    // the ops ledger recorded both runs
+    val jobs = new JobLedger(spark, s"$out/_ledger").read()
+    assert(jobs.filter(col("status") === "SUCCESS").count() == 2L)
+  }
+
+  test("crawl args are typed: junk flags and values error loudly") {
+    intercept[IllegalArgumentException](
+      Pipeline.parseCrawlArgs(Seq("--files-per-drain", "one")))
+    intercept[IllegalArgumentException](
+      Pipeline.parseCrawlArgs(Seq("--robotz", "x")))
+    intercept[IllegalArgumentException](
+      Pipeline.parseCrawlArgs(Seq("--compact-every", "x")))
+    val p = Pipeline.parseCrawlArgs(Seq("--agent", "MyBot", "--change-aware",
+      "--blocked-domains", "a.com, b.net", "--files-per-drain", "2"))
+    assert(p.agent.contains("MyBot") && p.changeAware &&
+      p.blockedDomains == Seq("a.com", "b.net") &&
+      p.filesPerDrain.contains(2))
+  }
+
   test("curate args are typed: junk flags and values error loudly") {
     intercept[IllegalArgumentException](
       Pipeline.parseCurateArgs(Seq("--min-quality", "abc")))
