@@ -74,7 +74,8 @@ object Bench {
     "q231_rolling_ingest" -> 4,      // 4 batch cycles, rolling index
     "q232_stream_rolling_ingest" -> 4, // 4 checkpoint-resumed drains
     "q241_url_seen_ingest" -> 4,     // 4 batch cycles, URL seen-set
-    "q242_crawl_loop_rolling" -> 10) // 10 checkpoint-resumed full-loop drains
+    "q242_crawl_loop_rolling" -> 10, // 10 checkpoint-resumed full-loop drains
+    "q245_recrawl_refresh" -> 5)     // 5 batch cycles, change-aware seen-set
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
