@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Outlink extraction + RFC 3986 reference resolution — FRONTIER
+  * DISCOVERY, the step that turns a crawl loop into a crawler: fetched
+  * pages yield `<a href>` references, references resolve against the
+  * page URI into absolute URLs, and (after [[UrlOps.canonicalize]], the
+  * domain/robots/seen-set gates) the survivors are the next drain's
+  * fetch list. Pure builtin Column expressions (regex + string ops,
+  * whole-stage codegen, no UDFs) with DuckDB mirrors for the oracles —
+  * the [[UrlOps]] discipline.
+  *
+  * Resolution follows RFC 3986 §5.2 with three crawl-semantics
+  * deviations, each shared with `java.net.URI.resolve` (the randomized
+  * differential's reference) or documented against it:
+  *  - fragments are DROPPED everywhere (a crawler never fetches `#f`);
+  *  - an absolute reference (it has a scheme) is returned verbatim, no
+  *    dot-segment normalization — the JDK behaves the same;
+  *  - dot-segment removal is bounded: ≤ 4 consecutive `./` runs and
+  *    ≤ 8 `../` pop levels per reference (a regex-chain unroll; real
+  *    crawl URLs sit far inside the cap, and the cap is identical in
+  *    the SQL mirror so oracles can't drift).
+  * Out of contract (kept verbatim, never mangled): dot segments inside
+  * a query string, `//`-empty path segments, `../` inside
+  * protocol-relative references.
+  *
+  * Scale shape: everything here is row-local string work inside codegen
+  * — extraction is one regex scan per page, resolution a fixed
+  * expression tree; the frontier's joins/dedup happen in the gate
+  * operators downstream, so discovery adds zero shuffles of its own.
+  */
+object HtmlLinks {
+
+  private val HrefDq = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""
+  private val HrefSq = "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'"
+  private val Scheme = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
+
+  /** All `<a href>` values in the page (double- then single-quoted
+    * attribute forms; empty hrefs dropped), raw and unresolved.
+    */
+  def extract(html: Column): Column =
+    filter(
+      concat(
+        regexp_extract_all(html, lit(HrefDq), lit(1)),
+        regexp_extract_all(html, lit(HrefSq), lit(1))),
+      x => x =!= "")
+
+  /** The DuckDB mirror of [[extract]] over an html-valued SQL
+    * expression (RE2 shares the lazy-quantifier and (?i) syntax).
+    */
+  def extractSql(htmlRef: String): String = {
+    val sq = HrefSq.replace("'", "''") // SQL string literal escaping
+    s"list_filter(regexp_extract_all($htmlRef, '$HrefDq', 1) || " +
+      s"regexp_extract_all($htmlRef, '$sq', 1), x -> x <> '')"
+  }
+
+  /** Bounded RFC 3986 §5.2.4 dot-segment removal (see object scaladoc
+    * for the caps). Group-free patterns so the Spark and DuckDB
+    * replacement syntaxes cannot diverge.
+    */
+  private def removeDots(p: Column): Column = {
+    val noCur = regexp_replace(
+      (1 to 4).foldLeft(p)((c, _) => regexp_replace(c, "/\\./", "/")),
+      "/\\.$", "/")
+    val noUp = regexp_replace(
+      (1 to 8).foldLeft(noCur)((c, _) =>
+        regexp_replace(c, "/[^/]+/\\.\\./", "/")),
+      "/[^/]+/\\.\\.$", "/")
+    // stray leading ups at root pop to root (RFC: ".." above "/" is "/")
+    regexp_replace(
+      (1 to 4).foldLeft(noUp)((c, _) => regexp_replace(c, "^/\\.\\./", "/")),
+      "^/\\.\\.$", "/")
+  }
+
+  /** The same chain as a DuckDB SQL expression builder ('g' flag: Spark
+    * regexp_replace is global, DuckDB's default is first-match).
+    */
+  private def removeDotsSql(p: String): String = {
+    def rep(s: String, pat: String, to: String): String =
+      s"regexp_replace($s, '$pat', '$to', 'g')"
+    val noCur = rep(
+      (1 to 4).foldLeft(p)((c, _) => rep(c, "/\\./", "/")), "/\\.$", "/")
+    val noUp = rep(
+      (1 to 8).foldLeft(noCur)((c, _) => rep(c, "/[^/]+/\\.\\./", "/")),
+      "/[^/]+/\\.\\.$", "/")
+    rep((1 to 4).foldLeft(noUp)((c, _) => rep(c, "^/\\.\\./", "/")),
+      "^/\\.\\.$", "/")
+  }
+
+  /** Resolve reference `ref` against base URI `base` (RFC 3986 §5.2,
+    * crawl semantics — object scaladoc). Null in → null out.
+    */
+  def resolve(base: Column, ref: Column): Column = {
+    val r = regexp_replace(ref, "#.*$", "")
+    val b = regexp_replace(base, "#.*$", "")
+    val scheme = regexp_extract(b, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    val origin = regexp_extract(b, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val bPath = regexp_extract(b, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // base path up to and including its last '/', or '/' when rootless
+    val dir0 = regexp_extract(bPath, "^(.*/)", 1)
+    val dir = when(dir0 === "", lit("/")).otherwise(dir0)
+    when(r.isNull || b.isNull, lit(null).cast("string"))
+      .when(r === "", b)
+      .when(r.rlike(Scheme), r)
+      .when(r.startsWith("//"), concat(scheme, lit(":"), r))
+      .when(r.startsWith("/"), concat(origin, removeDots(r)))
+      .when(r.startsWith("?"), concat(origin, bPath, r))
+      .otherwise(concat(origin, removeDots(concat(dir, r))))
+  }
+
+  /** The DuckDB mirror of [[resolve]] over base/ref SQL expressions —
+    * single source of truth for the oracle strings (same branch order,
+    * same bounded dot-removal chain).
+    */
+  def resolveSql(baseRef: String, refRef: String): String = {
+    val r = s"regexp_replace($refRef, '#.*$$', '')"
+    val b = s"regexp_replace($baseRef, '#.*$$', '')"
+    val scheme = s"regexp_extract($b, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)"
+    val origin = s"regexp_extract($b, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    val bPath =
+      s"regexp_extract($b, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    val dir0 = s"regexp_extract($bPath, '^(.*/)', 1)"
+    val dir = s"(CASE WHEN $dir0 = '' THEN '/' ELSE $dir0 END)"
+    s"""CASE
+       |  WHEN $r IS NULL OR $b IS NULL THEN NULL
+       |  WHEN $r = '' THEN $b
+       |  WHEN regexp_matches($r, '$Scheme') THEN $r
+       |  WHEN starts_with($r, '//') THEN $scheme || ':' || $r
+       |  WHEN starts_with($r, '/') THEN $origin || ${removeDotsSql(r)}
+       |  WHEN starts_with($r, '?') THEN $origin || $bPath || $r
+       |  ELSE $origin || ${removeDotsSql(s"($dir || $r)")}
+       |END""".stripMargin
+  }
+}

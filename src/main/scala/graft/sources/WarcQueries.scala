@@ -612,6 +612,90 @@ object WarcQueries {
         .orderBy(col("doc_id"), col("kind"))
     },
 
+    // FRONTIER DISCOVERY ([[HtmlLinks]]) — the step that turns the
+    // crawl loop into a crawler: every fetched page's `<a href>`
+    // references are extracted, RESOLVED against the page URI (RFC
+    // 3986), canonicalized, aggregated per target, and anti-joined
+    // against the fetched set — the survivors are the next drain's
+    // fetch list. Runs over the REAL staged WARC crawl: the page
+    // template's nav/footer links (`/`, `/l/<lang>`, `/s`, `/p`, `/n`)
+    // are what extraction must recover from the raw bytes. The oracle
+    // chains all three SQL mirrors — extractSql over the rebuilt page
+    // html, resolveSql, canonicalizeSql — so parser, resolver and
+    // canonicalizer must each be exact for the hash to land.
+    //
+    // 100 TB shape: discovery is row-local string work inside codegen
+    // (one regex scan per page, a fixed resolve expression tree); the
+    // only shuffles are the frontier-sized count aggregation and the
+    // anti-join against the seen side — both ∝ links, never the corpus.
+    "q248_link_frontier" -> { (s, dir) =>
+      val crawl = materializeCrawl(s, dir)
+      val pages = WarcShards.readRecords(s, crawl)
+        .where(col("http_status") === 200)
+        .select(col("target_uri").as("base"), col("body").cast("string").as("html"))
+      val links = pages
+        .select(col("base"), explode(HtmlLinks.extract(col("html"))).as("ref"))
+        .select(UrlOps.canonicalize(
+          HtmlLinks.resolve(col("base"), col("ref"))).as("target"))
+      val fetched = pages
+        .select(UrlOps.canonicalize(col("base")).as("target")).distinct()
+      links.groupBy(col("target"))
+        .agg(count(lit(1)).as("n_refs"))
+        .join(fetched, Seq("target"), "left_anti")
+        .orderBy(col("target"))
+    },
+
+    // HOST-LEVEL LINK GRAPH → PageRank — the Common-Crawl-style domain
+    // authority signal curation pipelines join as a quality feature:
+    // synthetic cross-host pages (closed-form from documents — each
+    // cohort links to its +1 and +3 neighbor hosts, plus every non-hub
+    // cohort links to the hub, making the graph irregular) flow through
+    // [[HtmlLinks.extract]]/[[resolve]] (absolute AND protocol-relative
+    // forms) → host edges → symmetric closure (q141's mass-conservation
+    // recipe) → the existing [[graft.operators.PageRank]] for 3
+    // DECIMAL-exact iterations → per-host rank. Hosts become long ids
+    // by xxhash64 for the rank loop and join back for the report; rank
+    // values are id-agnostic, so the oracle replays the iterations
+    // keyed by the host STRING over the same closed-form edge set.
+    "q249_link_graph" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      def h(off: Int) = element_at(
+        array(DomainHosts.map(lit(_)): _*),
+        ((col("doc_id") + off) % 6 + 1).cast("int"))
+      val base = concat(lit("https://"), h(0), lit("/doc/"),
+        col("doc_id").cast("string"))
+      val hub = DomainHosts.head
+      val html = concat(
+        lit("<html><body><p>see <a href=\"https://"), h(1), lit("/doc/"),
+        ((col("doc_id") * 7) % 97).cast("string"),
+        lit("\">a</a> and <a href='//"), h(3), lit("/p/"),
+        col("doc_id").cast("string"),
+        lit("'>b</a> and <a href=\"https://" + hub +
+          "/\">hub</a></p></body></html>"))
+      val links = d.select(base.as("base"), html.as("html"))
+        .select(col("base"), explode(HtmlLinks.extract(col("html"))).as("ref"))
+      val hostPairs = links.select(
+          UrlOps.host(col("base")).as("src"),
+          UrlOps.host(HtmlLinks.resolve(col("base"), col("ref"))).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val edges0 = hostPairs
+        .unionByName(hostPairs.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint()
+      val dim = edges0.select(col("src").as("host"))
+        .unionByName(edges0.select(col("dst").as("host")))
+        .distinct()
+        .withColumn("id", xxhash64(col("host")))
+        .localCheckpoint()
+      val e = edges0.select(
+        xxhash64(col("src")).as("src"), xxhash64(col("dst")).as("dst"))
+      graft.operators.PageRank.run(e, iterations = 3)
+        .join(dim, Seq("id"))
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("host"))
+    },
+
     // robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the `*`/`$` pattern
     // forms major sites actually publish, parsed from planted bodies
     // and judged per URL: end-anchored suffix kills (`/doc/*3$`,
@@ -1214,6 +1298,73 @@ object WarcQueries {
          |FROM u LEFT JOIN best USING (doc_id, kind)
          |ORDER BY doc_id, kind""".stripMargin
     },
+    // the three [[HtmlLinks]]/[[UrlOps]] SQL mirrors CHAINED over the
+    // byte-exact rebuilt page template: extract hrefs from the html,
+    // resolve each against the page URI, canonicalize, count per
+    // target, subtract the fetched set
+    "q248_link_frontier" -> {
+      val resolve = HtmlLinks.resolveSql("base", "ref")
+      val canonT = UrlOps.canonicalizeSql("url")
+      val canonB = UrlOps.canonicalizeSql("base")
+      s"""WITH page AS (
+         |  SELECT doc_id, $pageHtmlSql AS html,
+         |    'http://example.com/doc/' || doc_id::VARCHAR AS base
+         |  FROM documents),
+         |links AS (
+         |  SELECT base, unnest(${HtmlLinks.extractSql("html")}) AS ref
+         |  FROM page),
+         |resolved AS (SELECT $resolve AS url FROM links),
+         |canon AS (SELECT $canonT AS target FROM resolved),
+         |fetched AS (SELECT DISTINCT $canonB AS target FROM page)
+         |SELECT target, count(*)::BIGINT AS n_refs
+         |FROM canon
+         |WHERE target NOT IN (SELECT target FROM fetched)
+         |GROUP BY target ORDER BY target""".stripMargin
+    },
+
+    // the q141 PageRank replay over the closed-form host edge set
+    // (+1 / +3 neighbors, non-hub→hub, symmetric closure, no self
+    // loops): 3 unrolled iterations keyed by the host STRING — rank
+    // values are id-agnostic, so the engine's xxhash64 host ids and the
+    // oracle's string keys must land on identical ranks
+    "q249_link_graph" -> {
+      val hostVals = DomainHosts.zipWithIndex
+        .map { case (h, i) => s"($i, '${h.toLowerCase(java.util.Locale.ROOT)}')" }
+        .mkString(", ")
+      def iter(i: Int): String =
+        s"""r$i AS (
+           |  SELECT nodes.id,
+           |    round(((1.0 - 0.85) / (SELECT n FROM nn))
+           |        + 0.85 * coalesce(c.inflow, 0.0), 12) AS rank
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst,
+           |      sum((r.rank / o.outdeg)::DECIMAL(28,15))::DOUBLE AS inflow
+           |    FROM e
+           |    JOIN r${i - 1} r ON r.id = e.src
+           |    JOIN outdeg o ON o.src = e.src
+           |    GROUP BY 1) c ON c.dst = nodes.id)"""
+      s"""WITH hh(i, host) AS (VALUES $hostVals),
+         |f AS (
+         |  SELECT i AS s, (i + 1) % 6 AS d FROM hh
+         |  UNION ALL SELECT i, (i + 3) % 6 FROM hh
+         |  UNION ALL SELECT i, 0 FROM hh WHERE i <> 0),
+         |eidx AS (
+         |  SELECT DISTINCT s, d FROM (
+         |    SELECT s, d FROM f UNION ALL SELECT d, s FROM f)
+         |  WHERE s <> d),
+         |e AS (
+         |  SELECT a.host AS src, b.host AS dst
+         |  FROM eidx JOIN hh a ON a.i = eidx.s JOIN hh b ON b.i = eidx.d),
+         |outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT id, (1.0 / (SELECT n FROM nn)) AS rank FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id AS host, round(rank, 6) AS rank FROM r3 ORDER BY host""".stripMargin
+    },
+
     // the q243 discipline for the wildcard forms: expected rule rows
     // declared directly with INDEPENDENTLY hand-written regexes (the
     // parser + pattern compiler must both be exact), group selection +

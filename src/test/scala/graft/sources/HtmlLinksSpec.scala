@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class HtmlLinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extract: quoted forms, attribute order, empty hrefs dropped") {
+    val html =
+      """<html><body>
+        |<a href="/a">x</a>
+        |<a class="nav" href="/b?q=1#frag">y</a>
+        |<a href='rel/c'>z</a>
+        |<a href="">empty</a>
+        |<a name="anchor-without-href">w</a>
+        |<img src="/not-a-link.png">
+        |</body></html>""".stripMargin
+    val got = Seq(html).toDF("html")
+      .select(explode(HtmlLinks.extract(col("html"))).as("href"))
+      .as[String].collect().toSeq
+    assert(got == Seq("/a", "/b?q=1#frag", "rel/c"), s"extracted $got")
+  }
+
+  test("resolve: RFC 3986 branch cases (crawl semantics)") {
+    val base = "http://h.com/a/b/c?q=1#top"
+    val cases = Seq(
+      ("", "http://h.com/a/b/c?q=1"),                 // empty → base sans fragment
+      ("https://o.net/x", "https://o.net/x"),          // absolute: verbatim
+      ("//o.net/p", "http://o.net/p"),                 // protocol-relative
+      ("/x/y", "http://h.com/x/y"),                    // absolute path
+      ("/x/../y", "http://h.com/y"),                   // dots in absolute path
+      ("?k=v", "http://h.com/a/b/c?k=v"),              // query-only (RFC §5.3)
+      ("x", "http://h.com/a/b/x"),                     // relative
+      ("x/y", "http://h.com/a/b/x/y"),
+      ("./x", "http://h.com/a/b/x"),
+      ("../x", "http://h.com/a/x"),
+      ("../../x", "http://h.com/x"),
+      ("../../../x", "http://h.com/x"),                // pops above root → root
+      ("x/../y", "http://h.com/a/b/y"),
+      ("x#frag", "http://h.com/a/b/x"),                // fragments dropped
+      ("d?k=v", "http://h.com/a/b/d?k=v"))
+    val got = cases.map(_._1).toDF("ref")
+      .select(col("ref"), HtmlLinks.resolve(lit(base), col("ref")).as("r"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (ref, want) =>
+      assert(got(ref) == want, s"resolve($base, $ref) = ${got(ref)}, want $want")
+    }
+    // rootless base path: merge against "/"
+    val rootless = Seq("x").toDF("ref")
+      .select(HtmlLinks.resolve(lit("http://h.com"), col("ref")))
+      .as[String].head()
+    assert(rootless == "http://h.com/x")
+    // null propagation
+    val n = Seq(Tuple1(null: String)).toDF("ref")
+      .select(HtmlLinks.resolve(lit(base), col("ref"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("randomized differential: resolve equals java.net.URI.resolve") {
+    // the RobotsTxtSpec discipline: random (base, ref) pairs, engine vs
+    // the JDK's RFC 3986 implementation (fragments stripped on both
+    // sides — the documented crawl deviation). Query-only and EMPTY
+    // refs are excluded: the JDK deviates from RFC §5.3 on both (it
+    // dir-merges a bare query, JDK-6394131, and drops the base query on
+    // an empty ref) — the fixed-case table pins the RFC behavior for
+    // those two shapes instead.
+    val rnd = new scala.util.Random(8686)
+    val hosts = Seq("a.com", "b.org:8080", "c.net")
+    val segs = Seq("x", "y1", "doc", "img2", "a.b")
+    def path(n: Int) = (1 to n).map(_ => segs(rnd.nextInt(segs.size)))
+      .mkString("/", "/", "")
+    // base paths are ≥ 3 segments deep and refs pop ≤ 2 levels: the JDK
+    // PRESERVES leading "../" popped above the root (URI.normalize
+    // javadoc) where RFC 3986 removes them — the engine follows the RFC
+    // and the fixed-case table pins that shape ("../../../x" → root)
+    val pairs = (0 until 400).map { _ =>
+      val base = s"http://${hosts(rnd.nextInt(hosts.size))}${path(3)}" +
+        (if (rnd.nextBoolean()) "?q=1" else "") +
+        (if (rnd.nextBoolean()) "#top" else "")
+      val ref = rnd.nextInt(7) match {
+        case 0 => s"https://o.net${path(rnd.nextInt(2) + 1)}"
+        case 1 => s"//o.net${path(1)}"
+        case 2 => path(rnd.nextInt(3) + 1) // absolute path
+        case 3 => // relative with bounded dots: ≤2 pops, optional ./, x/../y
+          ("../" * rnd.nextInt(3)) +
+            (if (rnd.nextBoolean()) "./" else "") +
+            segs(rnd.nextInt(segs.size)) +
+            (if (rnd.nextBoolean()) "/../" + segs(rnd.nextInt(segs.size))
+            else "")
+        case 4 => segs(rnd.nextInt(segs.size)) + "#frag"
+        case 5 => "./" + segs(rnd.nextInt(segs.size))
+        case _ => segs(rnd.nextInt(segs.size)) + "?k=v"
+      }
+      (base, ref)
+    }.distinct
+    def refImpl(base: String, ref: String): String = {
+      val b = new java.net.URI(base)
+      val r = b.resolve(new java.net.URI(ref)).toString
+      r.replaceAll("#.*$", "")
+    }
+    val got = pairs.toDF("base", "ref")
+      .select(col("base"), col("ref"),
+        HtmlLinks.resolve(col("base"), col("ref")).as("r"))
+      .as[(String, String, String)].collect()
+      .map { case (b, r, v) => (b, r) -> v }.toMap
+    pairs.foreach { case (b, r) =>
+      // a ref that is only dot segments can resolve to the directory
+      // itself; both sides must agree on that too
+      assert(got((b, r)) == refImpl(b, r),
+        s"resolve($b, $r): engine ${got((b, r))}, JDK ${refImpl(b, r)}")
+    }
+  }
+}
