@@ -80,6 +80,76 @@ object RobotsTxt {
       .toDF("host", "agent", "rule", "prefix")
   }
 
+  /** `Crawl-delay` directives per (host, agent) — the de-facto
+    * politeness extension (RFC 9309 §2.2.4 "other records", carried by
+    * the user-agent group). Same one-pass state machine as
+    * [[parseRules]] with the SAME group-boundary convention (only
+    * allow/disallow end a user-agent run — a crawl-delay between
+    * user-agent lines leaves the run open); non-positive or
+    * unparseable values are ignored. Feed [[delayFor]] → the
+    * [[CrawlBudget]] politeness cap.
+    */
+  def parseDelays(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string").as("host"),
+        col(bodyCol).cast("string").as("body"))
+      .as[(String, String)]
+      .flatMap { case (host, body) =>
+        if (host == null || body == null) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+          var agents = List.empty[String]
+          var inGroupRules = false
+          body.split("\r?\n").iterator.foreach { raw =>
+            val line = raw.takeWhile(_ != '#').trim
+            val k = line.indexOf(':')
+            if (k > 0) {
+              val key = line.substring(0, k).trim.toLowerCase(java.util.Locale.ROOT)
+              val value = line.substring(k + 1).trim
+              key match {
+                case "user-agent" =>
+                  if (inGroupRules) { agents = Nil; inGroupRules = false }
+                  agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
+                case "allow" | "disallow" =>
+                  inGroupRules = true
+                case "crawl-delay" =>
+                  value.toDoubleOption.filter(_ > 0).foreach { d =>
+                    agents.foreach(a => out += ((host, a, d)))
+                  }
+                case _ => ()
+              }
+            }
+          }
+          out.iterator
+        }
+      }
+      .toDF("host", "agent", "delay_seconds")
+  }
+
+  /** Effective per-host crawl delay for `agent`: the specific-agent
+    * group beats `*` (the [[verdicts]] selection rule), and the MINIMUM
+    * within the chosen group wins — wait the shortest the site asked
+    * for, never longer (multiple directives in one group are a site
+    * authoring quirk; min is deterministic and conservative about
+    * throughput, max would be conservative about politeness — callers
+    * wanting that can aggregate the raw [[parseDelays]] rows). Hosts
+    * with no applicable directive are ABSENT: the budget op's default
+    * applies.
+    */
+  def delayFor(delays: DataFrame, agent: String): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val applicable = delays
+      .filter(col("agent") === a || col("agent") === "*")
+      .withColumn("spec", when(col("agent") === a, 1).otherwise(0))
+    val best = applicable
+      .groupBy(col("host")).agg(max(col("spec")).as("best_spec"))
+    applicable.join(best, Seq("host"))
+      .filter(col("spec") === col("best_spec"))
+      .groupBy(col("host"))
+      .agg(min(col("delay_seconds")).as("delay_seconds"))
+  }
+
   /** A rule pattern compiled to an anchored Java/RE2-neutral regex:
     * specials escaped, `*` → `.*`, a TRAILING `$` → the end anchor.
     * Pure Column ops over the tiny rules frame — the per-row regex

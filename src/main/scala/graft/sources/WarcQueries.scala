@@ -696,6 +696,43 @@ object WarcQueries {
         .orderBy(col("host"))
     },
 
+    // CRAWL-DELAY POLITENESS BUDGET ([[RobotsTxt.parseDelays]] /
+    // [[delayFor]] / [[CrawlBudget.cap]]) — the scheduling stage
+    // between frontier discovery and the next drain: per-host
+    // Crawl-delay directives (agent-specific group beating `*`, a junk
+    // value ignored, an absent robots file and a wrong-agent group both
+    // falling to the default) become floor(horizon/delay) quotas, and
+    // the frontier is capped per host with the skew-safe two-phase
+    // rank. The oracle declares the expected quotas from the planted
+    // bodies and recomputes candidates/kept relationally.
+    "q250_crawl_budget" -> { (s, dir) =>
+      import s.implicits._
+      val hostsLower = DomainHosts.map(_.toLowerCase(java.util.Locale.ROOT))
+      val bodies = Seq(
+        (hostsLower(0), "User-agent: *\nCrawl-delay: 2\n"),
+        (hostsLower(1), "User-agent: GraftBot\nCrawl-delay: 10\nDisallow:\n" +
+          "User-agent: *\nCrawl-delay: 1\n"),
+        (hostsLower(2), "User-agent: *\nCrawl-delay: 0.5\n"),
+        (hostsLower(3), "User-agent: *\nCrawl-delay: abc\n"),
+        // hostsLower(4) publishes no robots file at all
+        (hostsLower(5), "User-agent: OtherBot\nCrawl-delay: 1\n")
+      ).toDF("host", "body")
+      val delays = RobotsTxt.delayFor(
+        RobotsTxt.parseDelays(bodies, "host", "body"), "GraftBot")
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val host = element_at(
+        array(hostsLower.map(lit(_)): _*), (col("doc_id") % 6 + 1).cast("int"))
+      val f = d.select(concat(lit("https://"), host, lit("/doc/"),
+        col("doc_id").cast("string")).as("url")).localCheckpoint()
+      val kept = CrawlBudget.cap(f, "url", delays,
+        horizonSeconds = 60.0, defaultDelaySeconds = 5.0)
+      val cand = f.select(UrlOps.host(col("url")).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_candidates"))
+      val k = kept.select(UrlOps.host(col("url")).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_kept"))
+      cand.join(k, Seq("host")).orderBy(col("host"))
+    },
+
     // robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the `*`/`$` pattern
     // forms major sites actually publish, parsed from planted bodies
     // and judged per URL: end-anchored suffix kills (`/doc/*3$`,
@@ -1363,6 +1400,28 @@ object WarcQueries {
          |${iter(2)},
          |${iter(3)}
          |SELECT id AS host, round(rank, 6) AS rank FROM r3 ORDER BY host""".stripMargin
+    },
+
+    // expected per-host quotas declared from the planted bodies
+    // (horizon 60 / delay, default 5 → 12, liveness floor 1 unused
+    // here), candidates and least(n, quota) recomputed relationally
+    "q250_crawl_budget" -> {
+      val hostList = DomainHosts
+        .map(h => s"'${h.toLowerCase(java.util.Locale.ROOT)}'").mkString(", ")
+      s"""WITH q(host, quota) AS (VALUES
+         |  ('www.example.com', 30),        -- delay 2
+         |  ('cdn.example.com', 6),         -- agent-specific delay 10
+         |  ('blog.example.co.uk', 120),    -- fractional delay 0.5
+         |  ('shop.example.co.uk', 12),     -- junk value → default 5
+         |  ('ads.tracker.net', 12),        -- no robots file → default
+         |  ('cdn.static.tracker.net', 12)),-- wrong-agent group → default
+         |c AS (
+         |  SELECT [$hostList][(doc_id % 6 + 1)::INT] AS host,
+         |    count(*) AS n
+         |  FROM documents GROUP BY 1)
+         |SELECT c.host, CAST(c.n AS BIGINT) AS n_candidates,
+         |  CAST(least(c.n, q.quota) AS BIGINT) AS n_kept
+         |FROM c JOIN q USING (host) ORDER BY host""".stripMargin
     },
 
     // the q243 discipline for the wildcard forms: expected rule rows

@@ -69,6 +69,30 @@ class RobotsTxtSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L, 6L))
   }
 
+  test("parseDelays + delayFor: groups, agent selection, junk values, min-wins") {
+    val bodies = Seq(
+      // specific group (closed by the empty Disallow), then the * group
+      ("h1.com", "User-agent: GraftBot\nCrawl-delay: 10\nDisallow:\n" +
+        "User-agent: *\nCrawl-delay: 1\n"),
+      ("h2.com", "User-agent: *\nCrawl-delay: 0.5\n"),
+      ("h3.com", "User-agent: *\nCrawl-delay: abc\n"),   // junk → no row
+      ("h4.com", "User-agent: *\nCrawl-delay: -3\n"),    // non-positive → no row
+      ("h5.com", "User-agent: OtherBot\nCrawl-delay: 1\n"),
+      // two directives in one group → min wins
+      ("h6.com", "User-agent: *\nCrawl-delay: 7\nCrawl-delay: 4\n")
+    ).toDF("host", "body")
+    val delays = RobotsTxt.parseDelays(bodies, "host", "body")
+    assert(delays.filter(col("host").isin("h3.com", "h4.com")).count() == 0L)
+    val eff = RobotsTxt.delayFor(delays, "GraftBot")
+      .as[(String, Double)].collect().toMap
+    // h5 has no applicable group for this agent → absent (caller default)
+    assert(eff == Map("h1.com" -> 10.0, "h2.com" -> 0.5, "h6.com" -> 4.0))
+    // the '*' crawler sees h1's * group
+    val star = RobotsTxt.delayFor(delays, "SomeOtherBot")
+      .as[(String, Double)].collect().toMap
+    assert(star("h1.com") == 1.0)
+  }
+
   /** Literal per-pattern RFC 9309 §2.2.3 matcher, built DIFFERENTLY
     * from the engine (Pattern.quote segments, not char-class escaping):
     * `*` spans anything, a trailing `$` anchors the end, everything
