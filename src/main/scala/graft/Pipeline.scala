@@ -532,6 +532,7 @@ object Pipeline {
       blockedDomains: Seq[String] = Nil,
       robotsPath: Option[String] = None,
       corpusPath: Option[String] = None,
+      pslPath: Option[String] = None,
       changeAware: Boolean = false,
       filesPerDrain: Option[Int] = None,
       compactEvery: Option[Int] = None,
@@ -548,6 +549,7 @@ object Pipeline {
       case "--agent" :: v :: t => loop(t, acc.copy(agent = Some(v)))
       case "--robots" :: v :: t => loop(t, acc.copy(robotsPath = Some(v)))
       case "--corpus" :: v :: t => loop(t, acc.copy(corpusPath = Some(v)))
+      case "--psl" :: v :: t => loop(t, acc.copy(pslPath = Some(v)))
       case "--files-per-drain" :: v :: t =>
         loop(t, acc.copy(filesPerDrain = Some(int("--files-per-drain", v))))
       case "--compact-every" :: v :: t =>
@@ -633,13 +635,26 @@ object Pipeline {
       config.getInt("crawl.compact_every", 4))
     val minChars = config.getInt("crawl.extract.min_chars", 20)
     val maxLinkPct = config.getInt("crawl.extract.max_link_pct", 33)
+    val horizon = config.getDouble("crawl.horizon_seconds", 60.0)
+    val defaultDelay = config.getDouble("crawl.default_delay_seconds", 5.0)
     val policy = graft.core.CompactionPolicy(compactEvery)
 
-    val rules = robotsPath.map { p =>
-      graft.sources.RobotsTxt
-        .parseRules(spark.read.parquet(p), "host", "body")
-        .localCheckpoint()
-    }
+    val robotsDf = robotsPath.map(p => spark.read.parquet(p).localCheckpoint())
+    val rules = robotsDf.map(r =>
+      graft.sources.RobotsTxt.parseRules(r, "host", "body").localCheckpoint())
+    // Crawl-delay politeness quotas for the discovered frontier; absent
+    // hosts fall to the default inside CrawlBudget.cap
+    val delays = robotsDf
+      .map(r => graft.sources.RobotsTxt.delayFor(
+        graft.sources.RobotsTxt.parseDelays(r, "host", "body"), agent)
+        .localCheckpoint())
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, Double)].toDF("host", "delay_seconds")
+      }
+    val suffixes = args.pslPath
+      .orElse(Some(config.getString("crawl.psl_path", "")).filter(_.nonEmpty))
+      .map(p => spark.read.parquet(p).localCheckpoint())
 
     // restore durable state (or seed a fresh index from --corpus)
     val statePath = new org.apache.hadoop.fs.Path(s"$out/state")
@@ -660,15 +675,49 @@ object Pipeline {
           graft.dedup.MinHashDedup.buildIndex(corpus, "doc_id", "text")
         })
 
-    def stageCounts(batch0: DataFrame): (Array[Long], DataFrame) = {
+    def domainKill(df: DataFrame, uriCol: String): DataFrame =
+      if (blocked0.isEmpty) df
+      else suffixes
+        .map(sx => graft.sources.Domains.filterBlocked(df, uriCol, blocked0, sx))
+        .getOrElse(graft.sources.Domains.filterBlocked(df, uriCol, blocked0))
+
+    /** FRONTIER DISCOVERY from the batch's surviving pages: outlinks →
+      * RFC 3986 resolve → canonicalize → the SAME gates fetched URLs
+      * pass (domain blocklist, robots, the seen-set — which already
+      * holds this batch's own URLs) → the Crawl-delay politeness cap.
+      * The result is the next drain's fetch list; it is NOT added to
+      * the seen-set (nothing has been fetched yet).
+      */
+    def discover(surv: DataFrame): DataFrame = {
+      val targets = surv
+        .select(col("uri").as("base"),
+          explode(graft.sources.HtmlLinks.extract(col("html"))).as("ref"))
+        .select(graft.sources.UrlOps.canonicalize(
+          graft.sources.HtmlLinks.resolve(col("base"), col("ref"))).as("target"))
+        .where(col("target").startsWith("http")) // fetchable schemes only
+        .distinct()
+      val domKept = domainKill(targets, "target")
+      val robKept = rules
+        .map(r => graft.sources.RobotsTxt.filterAllowed(domKept, "target", r, agent))
+        .getOrElse(domKept)
+      val unseen = graft.dedup.UrlSeenSet.filterNew(robKept, "target", seenRef.get)
+      graft.sources.CrawlBudget.cap(unseen, "target", delays,
+        horizon, defaultDelay).localCheckpoint()
+    }
+
+    def stageCounts(batch0: DataFrame): (Array[Long], DataFrame, DataFrame) = {
       // one drained batch through the full stage chain; returns the
-      // per-stage counts and the checkpoint-bounded survivor frame
-      val b = batch0.localCheckpoint()
+      // per-stage counts, the checkpoint-bounded survivor frame, and
+      // the discovered frontier
+      val b = batch0
+        .withColumn("text", call_function("graft_html_text",
+          col("html"), lit(minChars), lit(maxLinkPct)))
+        .localCheckpoint()
       val nBatch = b.count()
-      val domKept =
-        if (blocked0.nonEmpty)
-          graft.sources.Domains.filterBlocked(b, "uri", blocked0).localCheckpoint()
-        else b
+      val domKept = {
+        val k = domainKill(b, "uri")
+        if (k eq b) b else k.localCheckpoint()
+      }
       val nDom = domKept.count()
       val robKept = rules
         .map(r => graft.sources.RobotsTxt.filterAllowed(domKept, "uri", r, agent)
@@ -693,14 +742,17 @@ object Pipeline {
         else graft.dedup.UrlSeenSet.extend(seenRef.get, fresh, "canon"))
       if (nNew > 0) {
         val (surv, c) = graft.dedup.IncrementalIngest.cycle(
-          indexRef.get, fresh.select(col("doc_id"), col("uri"), col("text")),
+          indexRef.get,
+          fresh.select(col("doc_id"), col("uri"), col("text"), col("html")),
           "doc_id", "text")
         indexRef.set(graft.dedup.MinHashDedup.extendIndex(
           indexRef.get, surv, "doc_id", "text"))
-        (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3)), surv)
+        val frontier = discover(surv)
+        (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3),
+          frontier.count()), surv, frontier)
       } else
-        (Array(nBatch, nDom, nRob, nUrl, 0L, 0L, 0L, 0L),
-          fresh.limit(0))
+        (Array(nBatch, nDom, nRob, nUrl, 0L, 0L, 0L, 0L, 0L),
+          fresh.limit(0), fresh.limit(0).select(lit("").as("target")).limit(0))
     }
 
     def extracted(df: DataFrame): DataFrame = df
@@ -708,15 +760,15 @@ object Pipeline {
       .select(
         xxhash64(col("record_id")).as("doc_id"),
         col("target_uri").as("uri"),
-        call_function("graft_html_text",
-          col("body").cast("string"), lit(minChars), lit(maxLinkPct)).as("text"))
+        col("body").cast("string").as("html"))
 
     if (args.dryRun) {
-      val (c, _) = stageCounts(
+      val (c, _, _) = stageCounts(
         extracted(graft.sources.WarcShards.readRecords(spark, inDir)))
       println(s"batch=${c(0)} after_domain=${c(1)} after_robots=${c(2)} " +
         s"after_url=${c(3)} new_url=${c(4)} after_exact=${c(5)} " +
-        s"after_intra=${c(6)} survivors=${c(7)} (dry run — nothing written)")
+        s"after_intra=${c(6)} survivors=${c(7)} frontier=${c(8)} " +
+        "(dry run — nothing written)")
       return CrawlOutcome("(dry-run)", "success", 0L, c(7), restoredV, None)
     }
 
@@ -736,15 +788,17 @@ object Pipeline {
           if (!batch0.isEmpty) {
             val sp = batch0.sparkSession
             import sp.implicits._
-            val (c, surv) = stageCounts(batch0)
+            val (c, surv, frontier) = stageCounts(batch0)
             graft.streaming.ExactlyOnce.appendKeyed(
               surv.select(col("doc_id"), col("uri"), col("text")),
               s"$out/docs", batchId)
             graft.streaming.ExactlyOnce.appendKeyed(
-              Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7)))
+              frontier.select(col("target")), s"$out/frontier", batchId)
+            graft.streaming.ExactlyOnce.appendKeyed(
+              Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7), c(8)))
                 .toDF("batch_id", "n_batch", "n_after_domain", "n_after_robots",
                   "n_after_url", "n_new_url", "n_after_exact", "n_after_intra",
-                  "n_survivors"),
+                  "n_survivors", "n_frontier"),
               s"$out/drains", batchId)
             drains.incrementAndGet(): Unit
             ingested.addAndGet(c(7)): Unit
@@ -800,7 +854,8 @@ object Pipeline {
   private def crawlMain(args: Array[String]): Unit = {
     val usage = "usage: Pipeline crawl <inDir> <outDir> [--agent NAME] " +
       "[--blocked-domains d1,d2] [--robots PARQUET] [--corpus PARQUET] " +
-      "[--change-aware] [--files-per-drain N] [--compact-every K] [--dry-run]"
+      "[--psl PARQUET] [--change-aware] [--files-per-drain N] " +
+      "[--compact-every K] [--dry-run]"
     require(args.length >= 2 && !args(0).startsWith("-") && !args(1).startsWith("-"),
       usage)
     val parsed =
@@ -891,7 +946,8 @@ object Pipeline {
         "[--blocked-domains d1,d2] [--dry-run] | " +
         "Pipeline crawl <inDir> <outDir> [--agent NAME] " +
         "[--blocked-domains d1,d2] [--robots PARQUET] [--corpus PARQUET] " +
-        "[--change-aware] [--files-per-drain N] [--compact-every K] [--dry-run]")
+        "[--psl PARQUET] [--change-aware] [--files-per-drain N] " +
+        "[--compact-every K] [--dry-run]")
     val spark = graft.core.EngineSession.create()
     val in = args(0)
     val source =

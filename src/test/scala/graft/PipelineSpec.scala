@@ -232,28 +232,38 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     val in = tmpDir("crawl-in")
     val out = tmpDir("crawl-out")
-    def page(text: String): Array[Byte] =
-      ("<html><head><title>t</title></head><body><p>" + text +
+    def page(text: String, links: Seq[String]): Array[Byte] = {
+      // outlinks ride a link-dense nav block: extraction drops it (the
+      // WarcQueries template rule), discovery reads it
+      val nav = if (links.isEmpty) ""
+      else links.map(l => s"""<a href="$l">x</a>""").mkString("<nav>", " ", "</nav>")
+      ("<html><head><title>t</title></head><body>" + nav + "<p>" + text +
         "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
     def entry(shard: Int, ord: Long, host: String, path: String,
-        text: String) =
+        text: String, links: Seq[String] = Nil) =
       graft.sources.WarcShards.Entry(shard, ord, "response",
         s"http://$host$path", s"<urn:test:$shard:$ord>",
         "application/http;msgtype=response",
         graft.sources.WarcShards.WarcCodec.httpResponse(
-          page(text), "text/html; charset=utf-8"))
+          page(text, links), "text/html; charset=utf-8"))
     val alpha = "the alpha page talks about mountains and rivers flowing north"
     val beta = "a second page describing oceans tides and the salty breeze"
     val betaV2 = "a second page describing updated oceans content after the big edit"
     val gamma = "completely different words about the weather in marseille this morning"
-    // day 1, two shards → two drains at --files-per-drain 1
+    // day 1, two shards → two drains at --files-per-drain 1. e1's
+    // outlinks exercise every frontier gate: /a/2 is genuinely new
+    // (and gets fetched by the NEXT drain), the tracker link dies at
+    // the domain blocklist, /priv/x at robots, and the self-link at
+    // the seen-set (this drain's own URLs are already recorded).
     graft.sources.WarcShards.pack(Seq(
-      entry(0, 1, "good.example.com", "/a/1", alpha),
+      entry(0, 1, "good.example.com", "/a/1", alpha, Seq(
+        "/a/2", "https://ads.tracker.net/z", "/priv/x", "/a/1")),
       entry(0, 2, "ads.tracker.net", "/x/1",
         "tracker junk that is long enough to pass the extractor"),
       entry(0, 3, "good.example.com", "/priv/1",
         "private content long enough to pass the extractor fine"),
-      entry(1, 1, "good.example.com", "/a/2", beta),
+      entry(1, 1, "good.example.com", "/a/2", beta, Seq("rel/sub")),
       entry(1, 2, "good.example.com", "/a/1?utm_source=x", alpha)
     ).toDS(), in): Unit
     val robotsPq = tmpDir("crawl-robots") + "/robots"
@@ -279,11 +289,18 @@ class PipelineSpec extends SparkSpec {
     val drains1 = spark.read.parquet(s"$out/drains")
       .orderBy("batch_id")
       .select("n_batch", "n_after_domain", "n_after_robots", "n_after_url",
-        "n_new_url", "n_survivors")
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+        "n_new_url", "n_survivors", "n_frontier")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(drains1 == Seq(
-      (3L, 2L, 1L, 1L, 1L, 1L),
-      (2L, 2L, 2L, 2L, 1L, 1L)), s"run 1 drain ledger: $drains1")
+      (3L, 2L, 1L, 1L, 1L, 1L, 1L),   // frontier: /a/2 survives the gates
+      (2L, 2L, 2L, 2L, 1L, 1L, 1L)),  // frontier: /a/rel/sub
+      s"run 1 drain ledger: $drains1")
+    val front1 = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front1 == Seq(
+      "http://good.example.com/a/2",       // discovered drain 1, fetched drain 2
+      "http://good.example.com/a/rel/sub"),
+      s"run 1 frontier: $front1")
 
     // day 2: one new shard — an UNCHANGED re-crawl (dies at the
     // change-aware seen-set), a CHANGED page at an old URL (passes and
@@ -291,8 +308,11 @@ class PipelineSpec extends SparkSpec {
     val stage = tmpDir("crawl-day2")
     graft.sources.WarcShards.pack(Seq(
       entry(2, 1, "good.example.com", "/a/1", alpha),
-      entry(2, 2, "good.example.com", "/a/2", betaV2),
-      entry(2, 3, "another.example.com", "/n/1", gamma)
+      // the changed page's only outlink is already seen → contributes 0;
+      // the new page discovers a protocol-relative link and a query ref
+      entry(2, 2, "good.example.com", "/a/2", betaV2, Seq("/a/1")),
+      entry(2, 3, "another.example.com", "/n/1", gamma, Seq(
+        "//good.example.com/a/9", "?q=1"))
     ).toDS(), stage): Unit
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(stage, "shard-00002.warc"),
@@ -308,6 +328,16 @@ class PipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$out/state/v1/_COMMITTED").exists())
     val drains2 = spark.read.parquet(s"$out/drains").count()
     assert(drains2 == 3L, s"expected 3 cumulative drain rows, got $drains2")
+    // run-2 frontier: the seen self-link contributes nothing; the
+    // protocol-relative and query refs resolve and survive
+    val front2 = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front2 == Seq(
+      "http://another.example.com/n/1?q=1",
+      "http://good.example.com/a/2",
+      "http://good.example.com/a/9",
+      "http://good.example.com/a/rel/sub"),
+      s"run 2 cumulative frontier: $front2")
     val docs = spark.read.parquet(s"$out/docs")
       .select("uri").as[String].collect().sorted.toSeq
     assert(docs == Seq(
@@ -329,10 +359,11 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pipeline.parseCrawlArgs(Seq("--compact-every", "x")))
     val p = Pipeline.parseCrawlArgs(Seq("--agent", "MyBot", "--change-aware",
-      "--blocked-domains", "a.com, b.net", "--files-per-drain", "2"))
+      "--blocked-domains", "a.com, b.net", "--files-per-drain", "2",
+      "--psl", "/tmp/psl.parquet"))
     assert(p.agent.contains("MyBot") && p.changeAware &&
       p.blockedDomains == Seq("a.com", "b.net") &&
-      p.filesPerDrain.contains(2))
+      p.filesPerDrain.contains(2) && p.pslPath.contains("/tmp/psl.parquet"))
   }
 
   test("curate args are typed: junk flags and values error loudly") {

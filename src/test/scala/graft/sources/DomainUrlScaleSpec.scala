@@ -88,6 +88,40 @@ class DomainUrlScaleSpec extends SparkSpec {
         "8× seen-set — the anti-join is shuffling index-proportional data")
   }
 
+  test("change-aware filterNew: broadcast plan; batch-flat shuffle vs 8x set") {
+    import graft.dedup.UrlSeenSet
+    val batch = urls(2000, "doc")
+      .select(col("doc_id"), UrlOps.canonicalize(col("uri")).as("canon"),
+        col("text"))
+      .localCheckpoint()
+    def seenOf(n: Long) = UrlSeenSet.build(
+      urls(n, "old").select(UrlOps.canonicalize(col("uri")).as("canon"),
+        col("text")),
+      "canon", "text")
+    val seen1 = seenOf(4000)
+    val seen8 = seenOf(32000)
+    // the content form is a broadcast LEFT join + row-local filter —
+    // the batch side must not shuffle any more than the URL-only form
+    val plan = UrlSeenSet.filterNew(batch, "canon", "text", seen1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      s"content filterNew against a small seen-set must broadcast:\n$plan")
+    def run(idx: UrlSeenSet.Index): Long =
+      UrlSeenSet.filterNew(batch, "canon", "text", idx).count()
+    assert(run(seen1) == 2000L && run(seen8) == 2000L)
+    def best(idx: UrlSeenSet.Index) = {
+      val a = MetricsProbe.measure(spark)(run(idx))
+      val b = MetricsProbe.measure(spark)(run(idx))
+      math.min(a.shuffleWriteBytes, b.shuffleWriteBytes)
+    }
+    val s1 = best(seen1)
+    val s8 = best(seen8)
+    info(f"content filterNew shuffle write: 1x-set $s1%d B, 8x-set $s8%d B")
+    assert(s8.toDouble / math.max(1L, s1) < 2.0 || s8 == 0L,
+      f"content filterNew shuffle grew ${s8.toDouble / math.max(1L, s1)}%.2f× " +
+        "on an 8× seen-set — the join is shuffling index-proportional data")
+  }
+
   test("compactBucketed: the corpus-sized index side joins with NO exchange") {
     // the past-broadcast-threshold regime, runnable: the seen-set is
     // compacted into a table bucketed on (url_hash, url_hash2) — the
