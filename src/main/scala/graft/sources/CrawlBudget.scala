@@ -34,6 +34,12 @@ object CrawlBudget {
     *   output, broadcast (per-host rows are tiny by construction)
     * @param horizonSeconds the drain window the quota divides
     * @param defaultDelaySeconds delay for hosts absent from `delays`
+    * @param priorityCol when set, the HIGHEST-priority URLs win each
+    *   host's quota (crawl-value scheduling — e.g. a domain-rank or
+    *   quality score joined upstream), with the URL as the
+    *   deterministic tie-break; unset = lexicographic URL order. The
+    *   two-phase skew bound holds for any total order, since both
+    *   phases rank by the same key.
     */
   def cap(
       frontier: DataFrame,
@@ -41,7 +47,8 @@ object CrawlBudget {
       delays: DataFrame,
       horizonSeconds: Double,
       defaultDelaySeconds: Double,
-      skewSalts: Int = 16
+      skewSalts: Int = 16,
+      priorityCol: Option[String] = None
   ): DataFrame = {
     require(horizonSeconds > 0, s"horizon must be positive, got $horizonSeconds")
     require(defaultDelaySeconds > 0,
@@ -56,6 +63,9 @@ object CrawlBudget {
       floor(lit(horizonSeconds) /
         coalesce(col("__delay"), lit(defaultDelaySeconds))).cast("long"))
     val budgeted = withHost.withColumn("__quota", quota)
+    val order = priorityCol
+      .map(p => Seq(col(p).desc, col(urlCol).asc))
+      .getOrElse(Seq(col(urlCol).asc))
     val preCapped =
       if (skewSalts == 1) budgeted
       else {
@@ -63,13 +73,13 @@ object CrawlBudget {
         // per-host rank — a hot host never lands whole on one core
         val salted = Window
           .partitionBy(col("__host"), F.pmod(xxhash64(col(urlCol)), lit(skewSalts)))
-          .orderBy(col(urlCol))
+          .orderBy(order: _*)
         budgeted
           .withColumn("__srn", row_number().over(salted))
           .filter(col("__srn") <= col("__quota"))
           .drop("__srn")
       }
-    val perHost = Window.partitionBy(col("__host")).orderBy(col(urlCol))
+    val perHost = Window.partitionBy(col("__host")).orderBy(order: _*)
     preCapped
       .withColumn("__rn", row_number().over(perHost))
       .filter(col("__rn") <= col("__quota"))

@@ -150,6 +150,21 @@ object RobotsTxt {
       .agg(min(col("delay_seconds")).as("delay_seconds"))
   }
 
+  /** `Sitemap:` directives — per sitemaps.org (and RFC 9309 §2.3's
+    * other-records clause) they are HOST-WIDE, independent of
+    * user-agent groups, so extraction is one pure-Column multiline
+    * regex pass (no state machine): `(host, sitemap_url)` rows, inline
+    * comments stripped, blanks dropped. The URLs feed the fetcher whose
+    * responses [[Sitemaps.urls]] then parses into frontier seeds.
+    */
+  def sitemapRefs(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame =
+    robots.select(col(hostCol).cast("string").as("host"),
+        explode(regexp_extract_all(col(bodyCol).cast("string"),
+          lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^#\\r\\n]+)"),
+          lit(1))).as("sitemap_url"))
+      .select(col("host"), trim(col("sitemap_url")).as("sitemap_url"))
+      .where(col("sitemap_url") =!= "")
+
   /** A rule pattern compiled to an anchored Java/RE2-neutral regex:
     * specials escaped, `*` → `.*`, a TRAILING `$` → the end anchor.
     * Pure Column ops over the tiny rules frame — the per-row regex

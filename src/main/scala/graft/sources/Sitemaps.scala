@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** sitemaps.org XML parsing — the OTHER frontier source beside page
+  * outlinks ([[HtmlLinks]]): sites publish the URLs they WANT crawled
+  * in `<urlset>` documents (and sitemap-index files pointing at more
+  * sitemaps), advertised via robots.txt `Sitemap:` directives
+  * ([[RobotsTxt.sitemapRefs]]). One regex pass pulls the `<loc>`
+  * values; the five predefined XML entities are decoded (`&amp;` LAST,
+  * so `&amp;lt;` round-trips correctly) — sitemap URLs routinely carry
+  * `&amp;` in query strings. Works for both `<urlset>` and
+  * `<sitemapindex>` bodies: a `<loc>` under an index names another
+  * sitemap to fetch, under a urlset a page URL — the caller routes by
+  * which body it fetched. Pure Column ops, DuckDB mirror for oracles.
+  */
+object Sitemaps {
+
+  private val LocRe = "(?is)<loc>\\s*(.*?)\\s*</loc>"
+
+  private def xmlUnescape(s: Column): Column = {
+    val lt = regexp_replace(s, "&lt;", "<")
+    val gt = regexp_replace(lt, "&gt;", ">")
+    val quot = regexp_replace(gt, "&quot;", "\"")
+    val apos = regexp_replace(quot, "&apos;", "'")
+    regexp_replace(apos, "&amp;", "&")
+  }
+
+  /** All `<loc>` values in a sitemap/sitemap-index body, entity-decoded,
+    * blanks dropped.
+    */
+  def urls(xml: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(xml, lit(LocRe), lit(1)),
+        l => xmlUnescape(l)),
+      u => u =!= "")
+
+  /** The DuckDB mirror of [[urls]] over an xml-valued SQL expression. */
+  def urlsSql(xmlRef: String): String = {
+    val dec = "replace(replace(replace(replace(replace(l, " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&apos;', ''''), '&amp;', '&')"
+    s"list_filter(list_transform(" +
+      s"regexp_extract_all($xmlRef, '$LocRe', 1), l -> $dec), u -> u <> '')"
+  }
+}

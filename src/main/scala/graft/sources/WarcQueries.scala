@@ -733,6 +733,98 @@ object WarcQueries {
       cand.join(k, Seq("host")).orderBy(col("host"))
     },
 
+    // PRIORITY-ordered politeness budget — crawl-VALUE scheduling: when
+    // a host's frontier exceeds its quota, the HIGHEST-priority URLs
+    // (a domain-rank or quality score joined upstream; here a planted
+    // closed-form priority) win the slots, URL as the deterministic
+    // tie-break. Zero-padded ids make the tie-break order identical in
+    // both engines; the oracle replays the per-host rank relationally.
+    "q251_frontier_priority" -> { (s, dir) =>
+      import s.implicits._
+      val hostsLower = DomainHosts.map(_.toLowerCase(java.util.Locale.ROOT))
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val host = element_at(
+        array(hostsLower.map(lit(_)): _*), (col("doc_id") % 6 + 1).cast("int"))
+      val f = d.select(
+        concat(lit("https://"), host, lit("/doc/"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+        ((col("doc_id") * 7) % 101).cast("long").as("priority"))
+        .localCheckpoint()
+      val delays = Seq((hostsLower(0), 6.0), (hostsLower(1), 3.0))
+        .toDF("host", "delay_seconds")
+      val kept = CrawlBudget.cap(f, "url", delays,
+        horizonSeconds = 60.0, defaultDelaySeconds = 5.0,
+        priorityCol = Some("priority"))
+      val cand = f.select(UrlOps.host(col("url")).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_candidates"))
+      val k = kept.select(UrlOps.host(col("url")).as("host"), col("priority"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("priority")).as("sum_kept_priority"))
+      cand.join(k, Seq("host")).orderBy(col("host"))
+    },
+
+    // SITEMAP SEEDING ([[RobotsTxt.sitemapRefs]] + [[Sitemaps.urls]]) —
+    // the frontier's other source: robots bodies ADVERTISE sitemaps
+    // (host-wide, group-independent, one with an inline comment),
+    // closed-form urlset XML bodies stand in for the fetched documents
+    // (case-mangled hosts, XML-entity-escaped query strings, padded
+    // <loc> whitespace, a tracking param, a cross-host spam sitemap
+    // listing a blocked domain), and the listed URLs canonicalize and
+    // pass the domain + seen-set gates into per-host seed counts. The
+    // entity decode is load-bearing: the seen-set stores the DECODED
+    // canonical form, so a wrong unescape breaks the kill counts.
+    "q252_sitemap_seed" -> { (s, dir) =>
+      import s.implicits._
+      val hostsLower = DomainHosts.map(_.toLowerCase(java.util.Locale.ROOT))
+      val robots = Seq(
+        (hostsLower(0), "User-agent: *\nDisallow: /x\nSitemap: https://" +
+          hostsLower(0) + "/sitemap.xml # main\n"),
+        (hostsLower(1), "Sitemap: https://" + hostsLower(1) +
+          "/sm/a.xml\nUser-agent: *\nDisallow:\nSitemap: https://" +
+          hostsLower(1) + "/sm/b.xml\n")
+      ).toDF("host", "body")
+      val refs = RobotsTxt.sitemapRefs(robots, "host", "body")
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val entries = d.filter(col("doc_id") % 3 === 0)
+        .select(lit(s"https://${hostsLower(0)}/sitemap.xml").as("sm"),
+          concat(lit("<url><loc>https://WWW.Example.COM/doc/"), id,
+            lit("?a=1&amp;b=2</loc></url>")).as("entry"))
+        .unionByName(d.filter(col("doc_id") % 3 === 1)
+          .select(lit(s"https://${hostsLower(1)}/sm/a.xml").as("sm"),
+            concat(lit("<url><loc> https://" + hostsLower(1) + "/doc/"), id,
+              lit("?utm_source=sm </loc></url>")).as("entry")))
+        .unionByName(d.filter(col("doc_id") % 3 === 2)
+          .select(lit(s"https://${hostsLower(1)}/sm/b.xml").as("sm"),
+            concat(lit("<url><loc>https://ads.tracker.net/doc/"), id,
+              lit("</loc></url>")).as("entry")))
+      val bodies = entries.groupBy(col("sm"))
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", collect_list(col("entry"))), lit("</urlset>")).as("xml"))
+      // only ADVERTISED sitemaps are fetched and parsed
+      val listed = refs.join(bodies, col("sitemap_url") === col("sm"))
+        .select(explode(Sitemaps.urls(col("xml"))).as("u"))
+        .select(UrlOps.canonicalize(col("u")).as("url"))
+        .localCheckpoint()
+      val seen = graft.dedup.UrlSeenSet.build(
+        d.filter(col("doc_id") % 6 === 0)
+          .select(concat(lit("https://www.example.com/doc/"), id,
+            lit("?a=1&b=2")).as("canon")),
+        "canon")
+      val gated = graft.dedup.UrlSeenSet.filterNew(
+        Domains.filterBlocked(listed, "url", Seq("tracker.net")),
+        "url", seen)
+      val l = listed.groupBy(UrlOps.host(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_listed"))
+      val g = gated.groupBy(UrlOps.host(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_seeded"))
+      l.join(g, Seq("host"), "left")
+        .select(col("host"), col("n_listed"),
+          coalesce(col("n_seeded"), lit(0L)).as("n_seeded"))
+        .orderBy(col("host"))
+    },
+
     // robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the `*`/`$` pattern
     // forms major sites actually publish, parsed from planted bodies
     // and judged per URL: end-anchored suffix kills (`/doc/*3$`,
@@ -1401,6 +1493,54 @@ object WarcQueries {
          |${iter(3)}
          |SELECT id AS host, round(rank, 6) AS rank FROM r3 ORDER BY host""".stripMargin
     },
+
+    // per-host priority rank replayed relationally: quotas declared
+    // from the planted delays (h0 60/6=10, h1 60/3=20, default 12),
+    // row_number over (priority DESC, url ASC) — zero-padded urls make
+    // the tie-break identical across engines
+    "q251_frontier_priority" -> {
+      val hostList = DomainHosts
+        .map(h => s"'${h.toLowerCase(java.util.Locale.ROOT)}'").mkString(", ")
+      s"""WITH q(host, quota) AS (VALUES
+         |  ('www.example.com', 10), ('cdn.example.com', 20),
+         |  ('blog.example.co.uk', 12), ('shop.example.co.uk', 12),
+         |  ('ads.tracker.net', 12), ('cdn.static.tracker.net', 12)),
+         |f AS (
+         |  SELECT [$hostList][(doc_id % 6 + 1)::INT] AS host,
+         |    'https://' || [$hostList][(doc_id % 6 + 1)::INT] || '/doc/' ||
+         |      lpad(doc_id::VARCHAR, 8, '0') AS url,
+         |    (doc_id * 7) % 101 AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT f.host, f.priority, q.quota,
+         |    row_number() OVER (PARTITION BY f.host
+         |      ORDER BY f.priority DESC, f.url ASC) AS rn
+         |  FROM f JOIN q USING (host))
+         |SELECT host, count(*)::BIGINT AS n_candidates,
+         |  count(*) FILTER (WHERE rn <= quota)::BIGINT AS n_kept,
+         |  CAST(sum(priority) FILTER (WHERE rn <= quota) AS BIGINT)
+         |    AS sum_kept_priority
+         |FROM r GROUP BY host ORDER BY host""".stripMargin
+    },
+
+    // closed-form seed counts: the advertised sitemaps list the
+    // %3-cohorts; the seen-set holds the %6=0 decoded canonical forms
+    // (a subset of www's %3=0 listing), the spam sitemap's tracker.net
+    // rows all die at the blocklist
+    "q252_sitemap_seed" ->
+      s"""WITH c AS (
+         |  SELECT
+         |    count(*) FILTER (WHERE doc_id % 3 = 0) AS l0,
+         |    count(*) FILTER (WHERE doc_id % 3 = 1) AS l1,
+         |    count(*) FILTER (WHERE doc_id % 3 = 2) AS l2,
+         |    count(*) FILTER (WHERE doc_id % 6 = 3) AS s0
+         |  FROM documents)
+         |SELECT * FROM (
+         |  SELECT 'www.example.com' AS host, l0::BIGINT AS n_listed,
+         |    s0::BIGINT AS n_seeded FROM c
+         |  UNION ALL SELECT 'cdn.example.com', l1::BIGINT, l1::BIGINT FROM c
+         |  UNION ALL SELECT 'ads.tracker.net', l2::BIGINT, 0::BIGINT FROM c)
+         |ORDER BY host""".stripMargin,
 
     // expected per-host quotas declared from the planted bodies
     // (horizon 60 / delay, default 5 → 12, liveness floor 1 unused

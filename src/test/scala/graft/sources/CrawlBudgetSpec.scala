@@ -40,6 +40,21 @@ class CrawlBudgetSpec extends SparkSpec {
     assert(salted.count(_.contains("hot.com")) == 20) // floor(60/3)
   }
 
+  test("priority order: highest-value URLs win the quota; salted agrees") {
+    val f = (0 until 30).map { i =>
+      (f"https://a.com/p/$i%04d", (i * 7) % 30) // priorities permuted
+    }.toDF("url", "priority")
+    val delays = Seq(("a.com", 12.0)).toDF("host", "delay_seconds") // quota 5
+    def run(salts: Int) = CrawlBudget.cap(f, "url", delays, 60.0, 5.0,
+        skewSalts = salts, priorityCol = Some("priority"))
+      .select("priority").as[Int].collect().sorted.toSeq
+    val kept = run(16)
+    // top-5 priorities of (i*7)%30 over i=0..29: each residue appears
+    // once per 30/gcd(7,30)=30 → values are a permutation of 0..29
+    assert(kept == Seq(25, 26, 27, 28, 29), s"kept priorities: $kept")
+    assert(run(1) == kept, "salted priority rank diverged from single window")
+  }
+
   test("invalid knobs are rejected") {
     val f = frontier(Map("a.com" -> 1))
     val d = Seq(("a.com", 1.0)).toDF("host", "delay_seconds")
