@@ -825,6 +825,46 @@ object WarcQueries {
         .orderBy(col("host"))
     },
 
+    // TWO-LEVEL sitemap resolution — how large sites actually publish:
+    // robots advertises ONE <sitemapindex>, whose <loc> entries name
+    // child <urlset> sitemaps (one listed child is never fetched — the
+    // join drops it, the operator does not invent bodies), and the
+    // children's <loc> entries are the page URLs. [[Sitemaps.urls]]
+    // runs at BOTH levels (its body-agnostic contract); per-child URL
+    // and canonical counts, closed-form oracle.
+    "q253_sitemap_index" -> { (s, dir) =>
+      import s.implicits._
+      val h0 = DomainHosts.head.toLowerCase(java.util.Locale.ROOT)
+      val robots = Seq((h0,
+        s"User-agent: *\nDisallow:\nSitemap: https://$h0/sitemap_index.xml\n"))
+        .toDF("host", "body")
+      val refs = RobotsTxt.sitemapRefs(robots, "host", "body")
+      val indexXml = Seq((s"https://$h0/sitemap_index.xml",
+        (0 to 2).map(k => s"<sitemap><loc>https://$h0/sm/$k.xml</loc></sitemap>")
+          .mkString("<sitemapindex>", "",
+            s"<sitemap><loc>https://$h0/sm/missing.xml</loc></sitemap>" +
+              "</sitemapindex>"))).toDF("sm", "xml")
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val childBodies = d
+        .select(concat(lit(s"https://$h0/sm/"),
+            (col("doc_id") % 3).cast("string"), lit(".xml")).as("sm"),
+          concat(lit(s"<url><loc>https://$h0/doc/"), id,
+            lit("</loc></url>")).as("entry"))
+        .groupBy(col("sm"))
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", collect_list(col("entry"))), lit("</urlset>")).as("xml"))
+      val children = refs.join(indexXml, col("sitemap_url") === col("sm"))
+        .select(explode(Sitemaps.urls(col("xml"))).as("child"))
+      val pages = children.join(childBodies, col("child") === col("sm"))
+        .select(col("child").as("sitemap"),
+          explode(Sitemaps.urls(col("xml"))).as("u"))
+      pages.groupBy(col("sitemap"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(UrlOps.canonicalize(col("u"))).as("n_canon"))
+        .orderBy(col("sitemap"))
+    },
+
     // robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the `*`/`$` pattern
     // forms major sites actually publish, parsed from planted bodies
     // and judged per URL: end-anchored suffix kills (`/doc/*3$`,
@@ -1522,6 +1562,24 @@ object WarcQueries {
          |    AS sum_kept_priority
          |FROM r GROUP BY host ORDER BY host""".stripMargin
     },
+
+    // per-child closed-form counts; the never-fetched child named by
+    // the index must be ABSENT, not zero-row-invented
+    "q253_sitemap_index" ->
+      s"""WITH c AS (
+         |  SELECT
+         |    count(*) FILTER (WHERE doc_id % 3 = 0) AS l0,
+         |    count(*) FILTER (WHERE doc_id % 3 = 1) AS l1,
+         |    count(*) FILTER (WHERE doc_id % 3 = 2) AS l2
+         |  FROM documents)
+         |SELECT * FROM (
+         |  SELECT 'https://www.example.com/sm/0.xml' AS sitemap,
+         |    l0::BIGINT AS n_urls, l0::BIGINT AS n_canon FROM c
+         |  UNION ALL SELECT 'https://www.example.com/sm/1.xml',
+         |    l1::BIGINT, l1::BIGINT FROM c
+         |  UNION ALL SELECT 'https://www.example.com/sm/2.xml',
+         |    l2::BIGINT, l2::BIGINT FROM c)
+         |ORDER BY sitemap""".stripMargin,
 
     // closed-form seed counts: the advertised sitemaps list the
     // %3-cohorts; the seen-set holds the %6=0 decoded canonical forms
