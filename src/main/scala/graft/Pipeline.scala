@@ -584,30 +584,81 @@ object Pipeline {
       .sorted.lastOption
   }
 
+  /** Newest committed micro-batch id in a Structured Streaming
+    * checkpoint (the `commits/` HDFSMetadataLog — one file per
+    * committed batch, named by id). Durable-state DELTAS are only
+    * valid up to here: a batch whose foreachBatch wrote deltas but
+    * crashed before the offset commit will REPLAY, so its stale deltas
+    * must be ignored on restore (the replay rewrites them
+    * idempotently).
+    */
+  private def lastCommittedBatch(
+      fs: org.apache.hadoop.fs.FileSystem, ckptDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$ckptDir/commits")
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption)
+      .maxOption
+  }
+
+  private def readIfExists(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[org.apache.spark.sql.DataFrame] =
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      Some(spark.read.parquet(path))
+    else None
+
   /** `Pipeline crawl` — the q242 continuous-crawl loop as a
     * config-driven CLI, completing the O3 orchestration surface for
     * ingestion the way `curate` completes it for curation. One
     * invocation = one `Trigger.AvailableNow` drain of the WATCHED input
     * directory of WARC shards (the deployment pattern: a scheduler
     * invokes per drop; the streaming checkpoint under `outDir/ckpt`
-    * skips already-processed shards across invocations). Every drained
-    * micro-batch flows through HTML extraction → domain blocklist
-    * ([[graft.sources.Domains]]) → robots.txt politeness gate
-    * ([[graft.sources.RobotsTxt]], rules from a `(host, body)` parquet)
-    * → within-batch canonical-URL dedup → the ROLLING URL seen-set
-    * (change-aware with `--change-aware`: a re-published CHANGED page
-    * refreshes the corpus) → the rolling MinHash text index — survivors
-    * and a per-drain stage-count ledger land batchId-keyed
-    * ([[graft.streaming.ExactlyOnce]]), so a replayed micro-batch can
-    * never double-append. Both rolling indexes compact to epoch dirs
-    * every `--compact-every` drains in-loop, and every run ends by
-    * committing versioned durable state (`state/v<N>` + marker) that
-    * the next invocation restores — checkpoint + state together make
-    * the loop resumable end to end.
+    * skips already-processed shards across invocations).
     *
-    * `dryRun` BATCH-reads the whole input (no checkpoint, no state
-    * mutation, nothing written) and prints the stage counts one drain
-    * of everything would produce.
+    * The loop is SELF-HOSTED (r15 verdict): its control surfaces come
+    * from the crawl's own records, not side files —
+    *  - robots.txt bodies are harvested from `/robots.txt` fetches in
+    *    the drops ([[graft.sources.RobotsTxt.fetchesIn]]) and rolled
+    *    latest-fetch-wins per host; a site's robots CHANGE takes
+    *    effect on the next drain. The `--robots` parquet is only a
+    *    SEED (lowest precedence — any self-fetched body supersedes it).
+    *  - 3xx responses yield frontier targets and canonical-alias
+    *    chains ([[graft.sources.RedirectEdges]], written to
+    *    `out/aliases`) instead of being dropped.
+    *  - sitemaps advertised by the rolled robots state are recognized
+    *    when their bodies arrive in a drop: `<urlset>` entries seed
+    *    the frontier, `<sitemapindex>` children become fetch targets
+    *    AND roll into the known-sitemap state for later drains.
+    *
+    * Every drained micro-batch flows through HTML extraction → domain
+    * blocklist ([[graft.sources.Domains]], PSL rules prepared ONCE per
+    * run) → the self-hosted robots gate → within-batch canonical-URL
+    * dedup → the ROLLING URL seen-set (change-aware with
+    * `--change-aware`) → the rolling MinHash text index. Frontier
+    * discovery resolves outlinks against each page's `<base href>`-
+    * aware effective base, unions redirect targets and sitemap seeds,
+    * passes the same gates PLUS an EMITTED-frontier seen-set (a URL is
+    * emitted once across drains, never re-emitted until fetched), and
+    * caps per host under Crawl-delay quotas with the frontier
+    * PRIORITIZED by PageRank over the accumulated host link graph —
+    * hot hosts' quota slots go to their highest-authority targets.
+    *
+    * Durability: survivors, frontier, aliases and the per-drain ledger
+    * land batchId-keyed ([[graft.streaming.ExactlyOnce]]); every
+    * rolled state piece ALSO appends a batchId-keyed DELTA per drain
+    * under `state/deltas/` (seen/emitted hash rows, index extension
+    * frames, robots fetches, discovered sitemaps, host-graph edges),
+    * so a run that dies mid-stream loses nothing the checkpoint
+    * committed: the next invocation restores `state/v<N>` plus the
+    * deltas of COMMITTED batches (replayed batches rewrite their
+    * deltas idempotently). A clean run end compacts everything into
+    * `state/v<N+1>` + `_COMMITTED` and reaps v<N>, the deltas, and the
+    * in-loop epoch compactions.
+    *
+    * `dryRun` BATCH-reads the whole input (no checkpoint, nothing
+    * written) and prints the stage counts one drain of everything
+    * would produce.
     */
   def crawl(
       spark: SparkSession,
@@ -617,6 +668,7 @@ object Pipeline {
       args: CrawlArgs = CrawlArgs()): CrawlOutcome = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     val out = outDir.stripSuffix("/")
     val agent = args.agent.getOrElse(config.getString("crawl.agent", "graftbot"))
     val blocked0 =
@@ -637,34 +689,66 @@ object Pipeline {
     val maxLinkPct = config.getInt("crawl.extract.max_link_pct", 33)
     val horizon = config.getDouble("crawl.horizon_seconds", 60.0)
     val defaultDelay = config.getDouble("crawl.default_delay_seconds", 5.0)
+    val maxHops = config.getInt("crawl.redirect_max_hops", 4)
+    val rankIters = config.getInt("crawl.rank_iterations", 3)
+    // fault injection for the resume contract's spec: fail the run
+    // after N completed drains (0 = off)
+    val failAfter = config.getInt("crawl.fail_after_drains", 0)
     val policy = graft.core.CompactionPolicy(compactEvery)
 
-    val robotsDf = robotsPath.map(p => spark.read.parquet(p).localCheckpoint())
-    val rules = robotsDf.map(r =>
-      graft.sources.RobotsTxt.parseRules(r, "host", "body").localCheckpoint())
-    // Crawl-delay politeness quotas for the discovered frontier; absent
-    // hosts fall to the default inside CrawlBudget.cap
-    val delays = robotsDf
-      .map(r => graft.sources.RobotsTxt.delayFor(
-        graft.sources.RobotsTxt.parseDelays(r, "host", "body"), agent)
-        .localCheckpoint())
-      .getOrElse {
-        import spark.implicits._
-        Seq.empty[(String, Double)].toDF("host", "delay_seconds")
-      }
-    val suffixes = args.pslPath
+    // PSL rules prepared ONCE per run (r15 ADVICE: the per-call form
+    // re-normalizes and re-checkpoints every drain)
+    val preparedPsl = args.pslPath
       .orElse(Some(config.getString("crawl.psl_path", "")).filter(_.nonEmpty))
-      .map(p => spark.read.parquet(p).localCheckpoint())
+      .map(p => graft.sources.Domains.prepareSuffixes(spark.read.parquet(p)))
 
-    // restore durable state (or seed a fresh index from --corpus)
+    // ---- durable state: restore v<N> plus committed-batch deltas ----
     val statePath = new org.apache.hadoop.fs.Path(s"$out/state")
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val restoredV = latestStateVersion(fs, statePath)
-    val seenRef = new java.util.concurrent.atomic.AtomicReference(
-      restoredV.map(v => graft.dedup.UrlSeenSet.load(spark, s"$out/state/v$v/seen"))
-        .getOrElse(graft.dedup.UrlSeenSet.empty(spark)))
-    val indexRef = new java.util.concurrent.atomic.AtomicReference(
-      restoredV
+    val ckptDir = s"$out/ckpt"
+    val committed = lastCommittedBatch(fs, ckptDir)
+    def deltaDir(name: String) = s"$out/state/deltas/$name"
+    def deltasOf(name: String): Option[DataFrame] =
+      readIfExists(spark, fs, deltaDir(name)).map { d =>
+        committed.map(c => d.where(col("batch_id") <= c))
+          .getOrElse(d.limit(0))
+      }
+
+    val seenRef = new java.util.concurrent.atomic.AtomicReference({
+      val base = restoredV
+        .map(v => graft.dedup.UrlSeenSet.load(spark, s"$out/state/v$v/seen"))
+        .getOrElse(graft.dedup.UrlSeenSet.empty(spark))
+      deltasOf("seen") match {
+        case None => base
+        case Some(d) if !changeAware =>
+          graft.dedup.UrlSeenSet.extendWith(base, d)
+        case Some(d) =>
+          // change-aware deltas UPSERT: latest batch wins per URL pair.
+          // This merge costs one shuffle of the set — crash-recovery
+          // only; the committed path above is a plain parquet load.
+          graft.dedup.UrlSeenSet.Index(
+            base.hashes.withColumn("batch_id", lit(-1L))
+              .unionByName(d.select(
+                col("url_hash"), col("url_hash2"), col("content_hash"),
+                col("batch_id")))
+              .groupBy(col("url_hash"), col("url_hash2"))
+              .agg(max_by(col("content_hash"), col("batch_id"))
+                .as("content_hash")))
+      }
+    })
+    val emittedRef = new java.util.concurrent.atomic.AtomicReference({
+      val base = restoredV
+        .filter(v => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$out/state/v$v/emitted")))
+        .map(v => graft.dedup.UrlSeenSet.load(spark, s"$out/state/v$v/emitted"))
+        .getOrElse(graft.dedup.UrlSeenSet.empty(spark))
+      deltasOf("emitted")
+        .map(d => graft.dedup.UrlSeenSet.extendWith(base, d))
+        .getOrElse(base)
+    })
+    val indexRef = new java.util.concurrent.atomic.AtomicReference({
+      val base = restoredV
         .map(v => graft.dedup.MinHashDedup.loadIndex(spark, s"$out/state/v$v/index"))
         .getOrElse {
           val corpus = corpusPath
@@ -673,43 +757,234 @@ object Pipeline {
             .getOrElse(spark.range(0)
               .select(col("id").as("doc_id"), lit("").as("text")))
           graft.dedup.MinHashDedup.buildIndex(corpus, "doc_id", "text")
-        })
+        }
+      (deltasOf("index_buckets"), deltasOf("index_sets"),
+        deltasOf("index_hashes")) match {
+        case (Some(b), Some(s), Some(h)) => base.copy(
+          buckets = base.buckets.unionByName(b.drop("batch_id")),
+          sets = base.sets.unionByName(s.drop("batch_id")),
+          textHashes = base.textHashes.unionByName(h.drop("batch_id")))
+        case _ => base
+      }
+    })
+    // robots bodies: --robots seed (lowest precedence) < committed
+    // state < deltas; resolved latest-fetch-wins per host
+    val robotsRef = new java.util.concurrent.atomic.AtomicReference({
+      val parts = Seq(
+        robotsPath.map(p => spark.read.parquet(p)
+          .select(col("host").cast("string"), col("body").cast("string"))
+          .withColumn("batch_id", lit(-2L))),
+        restoredV.flatMap(v => readIfExists(spark, fs, s"$out/state/v$v/robots"))
+          .map(_.select(col("host"), col("body"))
+            .withColumn("batch_id", lit(-1L))),
+        deltasOf("robots").map(_.select(col("host"), col("body"),
+          col("batch_id").cast("long")))
+      ).flatten
+      if (parts.isEmpty) Seq.empty[(String, String)].toDF("host", "body")
+      else parts.reduce(_ unionByName _)
+        .groupBy(col("host"))
+        .agg(max_by(col("body"), col("batch_id")).as("body"))
+        .localCheckpoint()
+    })
+    val sitemapsRef = new java.util.concurrent.atomic.AtomicReference({
+      val base = restoredV
+        .flatMap(v => readIfExists(spark, fs, s"$out/state/v$v/sitemaps"))
+        .getOrElse(Seq.empty[String].toDF("sitemap_url"))
+      deltasOf("sitemaps")
+        .map(d => base.unionByName(d.select("sitemap_url")).distinct())
+        .getOrElse(base)
+        .localCheckpoint()
+    })
+    val graphRef = new java.util.concurrent.atomic.AtomicReference({
+      val base = restoredV
+        .flatMap(v => readIfExists(spark, fs, s"$out/state/v$v/hostgraph"))
+        .getOrElse(Seq.empty[(String, String)].toDF("src", "dst"))
+      deltasOf("hostgraph")
+        .map(d => base.unionByName(d.select("src", "dst")))
+        .getOrElse(base)
+        .localCheckpoint()
+    })
+
+    // rules + delays derived from the rolled robots state; re-derived
+    // only on drains that actually carried robots fetches
+    def deriveRobots(robots: DataFrame): (DataFrame, DataFrame) = (
+      graft.sources.RobotsTxt.parseRules(robots, "host", "body")
+        .localCheckpoint(),
+      graft.sources.RobotsTxt.delayFor(
+        graft.sources.RobotsTxt.parseDelays(robots, "host", "body"), agent)
+        .localCheckpoint())
+    val (rules0, delays0) = deriveRobots(robotsRef.get)
+    val rulesRef = new java.util.concurrent.atomic.AtomicReference(rules0)
+    val delaysRef = new java.util.concurrent.atomic.AtomicReference(delays0)
 
     def domainKill(df: DataFrame, uriCol: String): DataFrame =
       if (blocked0.isEmpty) df
-      else suffixes
-        .map(sx => graft.sources.Domains.filterBlocked(df, uriCol, blocked0, sx))
+      else preparedPsl
+        .map(p => graft.sources.Domains.filterBlocked(df, uriCol, blocked0, p))
         .getOrElse(graft.sources.Domains.filterBlocked(df, uriCol, blocked0))
 
-    /** FRONTIER DISCOVERY from the batch's surviving pages: outlinks →
-      * RFC 3986 resolve → canonicalize → the SAME gates fetched URLs
-      * pass (domain blocklist, robots, the seen-set — which already
-      * holds this batch's own URLs) → the Crawl-delay politeness cap.
-      * The result is the next drain's fetch list; it is NOT added to
-      * the seen-set (nothing has been fetched yet).
+    /** PageRank over the accumulated host link graph → (host, rank):
+      * the frontier's crawl-value priority. Host-level, so the graph
+      * is orders of magnitude smaller than the frontier; recomputed
+      * per drain from the rolled edge set.
       */
-    def discover(surv: DataFrame): DataFrame = {
-      val targets = surv
-        .select(col("uri").as("base"),
-          explode(graft.sources.HtmlLinks.extract(col("html"))).as("ref"))
-        .select(graft.sources.UrlOps.canonicalize(
-          graft.sources.HtmlLinks.resolve(col("base"), col("ref"))).as("target"))
-        .where(col("target").startsWith("http")) // fetchable schemes only
-        .distinct()
-      val domKept = domainKill(targets, "target")
-      val robKept = rules
-        .map(r => graft.sources.RobotsTxt.filterAllowed(domKept, "target", r, agent))
-        .getOrElse(domKept)
-      val unseen = graft.dedup.UrlSeenSet.filterNew(robKept, "target", seenRef.get)
-      graft.sources.CrawlBudget.cap(unseen, "target", delays,
-        horizon, defaultDelay).localCheckpoint()
+    def hostRanks(): DataFrame = {
+      val g = graphRef.get.distinct().localCheckpoint()
+      if (g.isEmpty) Seq.empty[(String, Double)].toDF("host", "rank")
+      else {
+        val dim = g.select(col("src").as("host"))
+          .unionByName(g.select(col("dst").as("host")))
+          .distinct()
+          .withColumn("id", xxhash64(col("host")))
+          .localCheckpoint()
+        graft.operators.PageRank.run(
+          g.select(xxhash64(col("src")).as("src"),
+            xxhash64(col("dst")).as("dst")), rankIters)
+          .join(dim, Seq("id"))
+          .select(col("host"), col("rank"))
+      }
     }
 
-    def stageCounts(batch0: DataFrame): (Array[Long], DataFrame, DataFrame) = {
-      // one drained batch through the full stage chain; returns the
-      // per-stage counts, the checkpoint-bounded survivor frame, and
-      // the discovered frontier
-      val b = batch0
+    /** FRONTIER assembly from outlinks + redirect targets + sitemap
+      * seeds: canonicalize → fetchable schemes → the SAME gates fetched
+      * URLs pass (domain blocklist, robots, the seen-set — which
+      * already holds this batch's own URLs) → the EMITTED-frontier
+      * seen-set (each target is emitted once across drains) → the
+      * Crawl-delay politeness cap, PRIORITY-ordered by host rank. The
+      * capped output extends the emitted set (budget-dropped targets
+      * stay eligible next drain).
+      */
+    def discover(surv: DataFrame, extraTargets: DataFrame,
+        batchId: Option[Long]): DataFrame = {
+      val outl = surv.select(col("uri"),
+          graft.sources.HtmlLinks.effectiveBase(col("uri"), col("html"))
+            .as("base"),
+          explode(graft.sources.HtmlLinks.extract(col("html"))).as("ref"))
+        .select(col("uri"),
+          graft.sources.HtmlLinks.resolve(col("base"), col("ref")).as("abs"))
+        .where(col("abs").isNotNull)
+        .localCheckpoint()
+      // host link graph: cross-host edges feed the rank
+      val batchEdges = outl.select(
+          graft.sources.UrlOps.host(col("uri")).as("src"),
+          graft.sources.UrlOps.host(col("abs")).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct().localCheckpoint()
+      batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
+        batchEdges, deltaDir("hostgraph"), b))
+      graphRef.set(graphRef.get.unionByName(batchEdges).localCheckpoint())
+
+      val targets = outl
+        .select(graft.sources.UrlOps.canonicalize(col("abs")).as("target"))
+        .unionByName(extraTargets.select(col("target")))
+        .where(col("target").rlike("^https?://")) // fetchable schemes only
+        .distinct()
+      val domKept = domainKill(targets, "target")
+      val robKept = graft.sources.RobotsTxt.filterAllowed(
+        domKept, "target", rulesRef.get, agent)
+      val unseen = graft.dedup.UrlSeenSet.filterNew(robKept, "target", seenRef.get)
+      val unEmitted = graft.dedup.UrlSeenSet.filterNew(
+        unseen, "target", emittedRef.get)
+      val prioritized = unEmitted
+        .withColumn("__thost", graft.sources.UrlOps.host(col("target")))
+        .join(hostRanks().select(col("host").as("__rhost"),
+          col("rank").as("__rank")),
+          col("__thost") === col("__rhost"), "left")
+        .withColumn("__priority", coalesce(col("__rank"), lit(0.0)))
+        .drop("__thost", "__rhost", "__rank")
+      val capped = graft.sources.CrawlBudget.cap(prioritized, "target",
+        delaysRef.get, horizon, defaultDelay,
+        priorityCol = Some("__priority"))
+        .drop("__priority")
+        .localCheckpoint()
+      val emDelta = graft.dedup.UrlSeenSet.deltaRows(capped, "target")
+      batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
+        emDelta, deltaDir("emitted"), b))
+      emittedRef.set(graft.dedup.UrlSeenSet.extendWith(emittedRef.get, emDelta))
+      capped
+    }
+
+    def stageCounts(recs0: DataFrame, batchId: Option[Long])
+        : (Array[Long], DataFrame, DataFrame, DataFrame) = {
+      // one drained batch of RECORDS through the full loop; returns
+      // (per-stage counts, survivors, frontier, redirect aliases).
+      // batchId = None is the dry run: no delta writes.
+      val recs = recs0.localCheckpoint()
+
+      // self-hosted robots: roll this drain's /robots.txt fetches
+      val robFetches = graft.sources.RobotsTxt.fetchesIn(recs).localCheckpoint()
+      val nRobFetch = robFetches.count()
+      if (nRobFetch > 0) {
+        batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
+          robFetches, deltaDir("robots"), b))
+        robotsRef.set(graft.sources.RobotsTxt.rollBodies(
+          robotsRef.get, robFetches).localCheckpoint())
+        val (r, d) = deriveRobots(robotsRef.get)
+        rulesRef.set(r); delaysRef.set(d)
+      }
+
+      // sitemaps: advertised by the rolled robots state + children
+      // discovered from earlier sitemap-index fetches
+      val advertised = graft.sources.RobotsTxt.sitemapRefs(
+        robotsRef.get, "host", "body")
+        .select(graft.sources.UrlOps.canonicalize(col("sitemap_url"))
+          .as("sitemap_url"))
+      val known = advertised.unionByName(sitemapsRef.get)
+        .distinct().localCheckpoint()
+      val ok = recs.where(col("http_status") === 200)
+      val uriCanon = graft.sources.UrlOps.canonicalize(col("target_uri"))
+      val smBodies = ok.withColumn("__c", uriCanon)
+        .join(broadcast(known.select(col("sitemap_url").as("__k"))),
+          col("__c") === col("__k"), "left_semi")
+        .select(col("body").cast("string").as("xml"))
+      val locs = smBodies
+        .select(col("xml").rlike("(?i)<\\s*sitemapindex").as("is_index"),
+          explode(graft.sources.Sitemaps.urls(col("xml"))).as("loc"))
+        .select(col("is_index"),
+          graft.sources.UrlOps.canonicalize(col("loc")).as("loc"))
+        .localCheckpoint()
+      val children = locs.where(col("is_index"))
+        .select(col("loc").as("sitemap_url")).distinct()
+      val newChildren = children
+        .join(sitemapsRef.get.select(col("sitemap_url").as("__e")),
+          col("sitemap_url") === col("__e"), "left_anti")
+        .localCheckpoint()
+      if (!newChildren.isEmpty) {
+        batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
+          newChildren, deltaDir("sitemaps"), b))
+        sitemapsRef.set(sitemapsRef.get.unionByName(newChildren)
+          .localCheckpoint())
+      }
+      val pageSeeds = locs.where(!col("is_index"))
+        .select(col("loc").as("target")).distinct().localCheckpoint()
+      val nSeeds = pageSeeds.count()
+      // sitemaps themselves are fetch targets (advertised ones every
+      // drain — the EMITTED seen-set downstream keeps each a one-time
+      // emission; children once, on discovery)
+      val sitemapTargets = known.select(col("sitemap_url").as("target"))
+        .unionByName(newChildren.select(col("sitemap_url").as("target")))
+
+      // redirects: frontier edges + canonical-alias chains
+      val redirEdges = graft.sources.RedirectEdges.edges(recs).localCheckpoint()
+      val nRedir = redirEdges.count()
+      val aliases = graft.sources.RedirectEdges
+        .resolveChains(redirEdges, maxHops).localCheckpoint()
+      val redirTargets = redirEdges.select(
+        graft.sources.UrlOps.canonicalize(col("dst")).as("target"))
+
+      // corpus pages: 200s minus the control plane (robots + sitemaps)
+      val pathOf = regexp_extract(col("target_uri"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+      val pages = ok.where(pathOf =!= "/robots.txt")
+        .withColumn("__c", uriCanon)
+        .join(broadcast(known.select(col("sitemap_url").as("__k"))),
+          col("__c") === col("__k"), "left_anti")
+        .select(xxhash64(col("record_id")).as("doc_id"),
+          col("target_uri").as("uri"),
+          col("body").cast("string").as("html"))
+
+      val b = pages
         .withColumn("text", call_function("graft_html_text",
           col("html"), lit(minChars), lit(maxLinkPct)))
         .localCheckpoint()
@@ -719,10 +994,8 @@ object Pipeline {
         if (k eq b) b else k.localCheckpoint()
       }
       val nDom = domKept.count()
-      val robKept = rules
-        .map(r => graft.sources.RobotsTxt.filterAllowed(domKept, "uri", r, agent)
-          .localCheckpoint())
-        .getOrElse(domKept)
+      val robKept = graft.sources.RobotsTxt.filterAllowed(
+        domKept, "uri", rulesRef.get, agent).localCheckpoint()
       val nRob = robKept.count()
       val urlDeduped = graft.dedup.ExactDedup.keepFirst(
         robKept.withColumn("canon",
@@ -736,38 +1009,52 @@ object Pipeline {
           graft.dedup.UrlSeenSet.filterNew(urlDeduped, "canon", seenRef.get))
           .localCheckpoint()
       val nNew = fresh.count()
+      val seenDelta =
+        if (changeAware) graft.dedup.UrlSeenSet.deltaRows(fresh, "canon", "text")
+        else graft.dedup.UrlSeenSet.deltaRows(fresh, "canon")
+      batchId.foreach(bid => graft.streaming.ExactlyOnce.appendKeyed(
+        seenDelta, deltaDir("seen"), bid))
       seenRef.set(
-        if (changeAware)
-          graft.dedup.UrlSeenSet.extend(seenRef.get, fresh, "canon", "text")
-        else graft.dedup.UrlSeenSet.extend(seenRef.get, fresh, "canon"))
-      if (nNew > 0) {
-        val (surv, c) = graft.dedup.IncrementalIngest.cycle(
-          indexRef.get,
-          fresh.select(col("doc_id"), col("uri"), col("text"), col("html")),
-          "doc_id", "text")
-        indexRef.set(graft.dedup.MinHashDedup.extendIndex(
-          indexRef.get, surv, "doc_id", "text"))
-        val frontier = discover(surv)
-        (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3),
-          frontier.count()), surv, frontier)
-      } else
-        (Array(nBatch, nDom, nRob, nUrl, 0L, 0L, 0L, 0L, 0L),
-          fresh.limit(0), fresh.limit(0).select(lit("").as("target")).limit(0))
+        if (changeAware) graft.dedup.UrlSeenSet.upsertWith(seenRef.get, seenDelta)
+        else graft.dedup.UrlSeenSet.extendWith(seenRef.get, seenDelta))
+      val (surv, c) =
+        if (nNew > 0) {
+          val (sv, cc) = graft.dedup.IncrementalIngest.cycle(
+            indexRef.get,
+            fresh.select(col("doc_id"), col("uri"), col("text"), col("html")),
+            "doc_id", "text")
+          val add = graft.dedup.MinHashDedup.extension(
+            indexRef.get, sv, "doc_id", "text")
+          batchId.foreach { bid =>
+            graft.streaming.ExactlyOnce.appendKeyed(
+              add.buckets, deltaDir("index_buckets"), bid)
+            graft.streaming.ExactlyOnce.appendKeyed(
+              add.sets, deltaDir("index_sets"), bid)
+            graft.streaming.ExactlyOnce.appendKeyed(
+              add.textHashes, deltaDir("index_hashes"), bid)
+          }
+          indexRef.set(graft.dedup.MinHashDedup.extendWith(indexRef.get, add))
+          (sv, cc)
+        } else
+          (fresh.limit(0), Array(0L, 0L, 0L, 0L))
+      val frontier = discover(surv,
+        redirTargets.unionByName(pageSeeds).unionByName(sitemapTargets),
+        batchId)
+      (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3),
+        frontier.count(), nRedir, nRobFetch, nSeeds), surv, frontier, aliases)
     }
 
-    def extracted(df: DataFrame): DataFrame = df
-      .where(col("http_status") === 200)
-      .select(
-        xxhash64(col("record_id")).as("doc_id"),
-        col("target_uri").as("uri"),
-        col("body").cast("string").as("html"))
+    def records(df: DataFrame): DataFrame = df.select(
+      col("record_id"), col("target_uri"), col("http_status"),
+      col("http_location"), col("body"))
 
     if (args.dryRun) {
-      val (c, _, _) = stageCounts(
-        extracted(graft.sources.WarcShards.readRecords(spark, inDir)))
+      val (c, _, _, _) = stageCounts(
+        records(graft.sources.WarcShards.readRecords(spark, inDir)), None)
       println(s"batch=${c(0)} after_domain=${c(1)} after_robots=${c(2)} " +
         s"after_url=${c(3)} new_url=${c(4)} after_exact=${c(5)} " +
         s"after_intra=${c(6)} survivors=${c(7)} frontier=${c(8)} " +
+        s"redirects=${c(9)} robots_fetches=${c(10)} sitemap_seeds=${c(11)} " +
         "(dry run — nothing written)")
       return CrawlOutcome("(dry-run)", "success", 0L, c(7), restoredV, None)
     }
@@ -780,25 +1067,37 @@ object Pipeline {
     val ingested = new java.util.concurrent.atomic.AtomicLong(0L)
     try {
       import org.apache.spark.sql.streaming.Trigger
-      val q = extracted(
+      val q = records(
         graft.sources.WarcShards.readRecordsStream(spark, inDir, filesPerDrain))
         .writeStream
         .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+          // fault injection FIRST: a prior drain's offsets are already
+          // committed, so failing here opens exactly the window the
+          // delta protocol covers (committed batches whose state would
+          // otherwise live only in memory)
+          if (failAfter > 0 && drains.get >= failAfter)
+            throw new RuntimeException(
+              s"injected failure after $failAfter drain(s) " +
+                "(crawl.fail_after_drains)")
           // AvailableNow can fire an empty timeout batch — skip it
           if (!batch0.isEmpty) {
             val sp = batch0.sparkSession
             import sp.implicits._
-            val (c, surv, frontier) = stageCounts(batch0)
+            val (c, surv, frontier, aliases) = stageCounts(batch0, Some(batchId))
             graft.streaming.ExactlyOnce.appendKeyed(
               surv.select(col("doc_id"), col("uri"), col("text")),
               s"$out/docs", batchId)
             graft.streaming.ExactlyOnce.appendKeyed(
               frontier.select(col("target")), s"$out/frontier", batchId)
             graft.streaming.ExactlyOnce.appendKeyed(
-              Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7), c(8)))
+              aliases, s"$out/aliases", batchId)
+            graft.streaming.ExactlyOnce.appendKeyed(
+              Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7),
+                c(8), c(9), c(10), c(11)))
                 .toDF("batch_id", "n_batch", "n_after_domain", "n_after_robots",
                   "n_after_url", "n_new_url", "n_after_exact", "n_after_intra",
-                  "n_survivors", "n_frontier"),
+                  "n_survivors", "n_frontier", "n_redirects",
+                  "n_robots_fetches", "n_sitemap_seeds"),
               s"$out/drains", batchId)
             drains.incrementAndGet(): Unit
             ingested.addAndGet(c(7)): Unit
@@ -812,20 +1111,28 @@ object Pipeline {
                 s"$out/state/epoch_$batchId/seen")))
           }
         }
-        .option("checkpointLocation", s"$out/ckpt")
+        .option("checkpointLocation", ckptDir)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
 
-      // commit durable state v<N+1>, then reap v<N> and the epoch dirs
+      // commit durable state v<N+1>, then reap v<N>, the deltas, and
+      // the epoch dirs
       val nextV = restoredV.map(_ + 1).getOrElse(0)
       val vdir = s"$out/state/v$nextV"
       graft.dedup.UrlSeenSet.compact(seenRef.get, s"$vdir/seen"): Unit
       graft.dedup.MinHashDedup.compactIndex(indexRef.get, s"$vdir/index"): Unit
+      graft.dedup.UrlSeenSet.compact(emittedRef.get, s"$vdir/emitted"): Unit
+      robotsRef.get.write.mode("overwrite").parquet(s"$vdir/robots")
+      sitemapsRef.get.distinct().write.mode("overwrite")
+        .parquet(s"$vdir/sitemaps")
+      graphRef.get.distinct().write.mode("overwrite")
+        .parquet(s"$vdir/hostgraph")
       fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"), true).close()
       restoredV.foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$out/state/v$v"), true): Unit
       }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/state/deltas"), true): Unit
       if (fs.exists(statePath)) fs.listStatus(statePath).foreach { st =>
         if (st.getPath.getName.startsWith("epoch_"))
           fs.delete(st.getPath, true): Unit

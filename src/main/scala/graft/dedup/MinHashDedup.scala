@@ -168,14 +168,26 @@ object MinHashDedup {
       docs: DataFrame,
       idCol: String,
       textCol: String
-  ): Index = {
-    val add = buildIndex(docs, idCol, textCol,
+  ): Index =
+    extendWith(index, extension(index, docs, idCol, textCol))
+
+  /** The batch's index EXTENSION alone (built under `index`'s frozen
+    * parameters) — the unit the crawl CLI persists per-drain so a
+    * crash between drains cannot lose index state the streaming
+    * checkpoint already committed (r15 ADVICE). [[extendWith]] applies
+    * it; writing its three frames and unioning them share one build.
+    */
+  def extension(index: Index, docs: DataFrame,
+      idCol: String, textCol: String): Index =
+    buildIndex(docs, idCol, textCol,
       index.shingleWidth, index.bands, index.rows)
+
+  /** [[extendIndex]] over a precomputed [[extension]]. */
+  def extendWith(index: Index, add: Index): Index =
     index.copy(
       buckets = index.buckets.unionByName(add.buckets),
       sets = index.sets.unionByName(add.sets),
       textHashes = index.textHashes.unionByName(add.textHashes))
-  }
 
   /** Compact a (repeatedly extended) index — the log-structured
     * maintenance step [[extendIndex]]'s scaladoc prescribes: every

@@ -136,8 +136,35 @@ object UrlSeenSet {
     * never poison the set against future null rows.
     */
   def extend(index: Index, batch: DataFrame, urlCol: String): Index =
+    extendWith(index, deltaRows(batch, urlCol))
+
+  /** A batch's hash-row DELTA — the unit the crawl CLI persists
+    * per-drain (ExactlyOnce-keyed) so a crash between drains cannot
+    * lose state the checkpoint already committed (r15 ADVICE). Same
+    * rows [[extend]] unions; hand them to [[extendWith]]/[[upsertWith]]
+    * so the durable write and the in-memory extension share one
+    * computation.
+    */
+  def deltaRows(batch: DataFrame, urlCol: String): DataFrame =
+    hashRows(batch, urlCol, None).localCheckpoint()
+
+  /** Change-aware delta rows (content hash carried). */
+  def deltaRows(batch: DataFrame, urlCol: String, contentCol: String): DataFrame =
+    hashRows(batch, urlCol, Some(contentCol)).localCheckpoint()
+
+  /** [[extend]] over precomputed [[deltaRows]]. */
+  def extendWith(index: Index, delta: DataFrame): Index =
     Index(index.hashes.unionByName(
-      hashRows(batch, urlCol, None).localCheckpoint()))
+      delta.select("url_hash", "url_hash2", "content_hash")))
+
+  /** Change-aware [[extend]] (upsert) over precomputed [[deltaRows]]. */
+  def upsertWith(index: Index, delta: DataFrame): Index = {
+    val d = delta.select("url_hash", "url_hash2", "content_hash")
+    Index(index.hashes
+      .join(d.select("url_hash", "url_hash2"),
+        Seq("url_hash", "url_hash2"), "left_anti")
+      .unionByName(d))
+  }
 
   /** Change-aware UPSERT: delete-and-insert on the skinny frame — the
     * batch's URLs replace their stored rows (superseding the content
@@ -149,13 +176,8 @@ object UrlSeenSet {
     * batch) per extension; [[compact]] bounds the join lineage.
     */
   def extend(index: Index, batch: DataFrame, urlCol: String,
-      contentCol: String): Index = {
-    val fresh = hashRows(batch, urlCol, Some(contentCol)).localCheckpoint()
-    Index(index.hashes
-      .join(fresh.select("url_hash", "url_hash2"),
-        Seq("url_hash", "url_hash2"), "left_anti")
-      .unionByName(fresh))
-  }
+      contentCol: String): Index =
+    upsertWith(index, deltaRows(batch, urlCol, contentCol))
 
   /** Parquet round-trip under `dir` — bounds the per-extension
     * union/join lineage and doubles as the set's durable restart form

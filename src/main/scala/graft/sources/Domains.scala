@@ -120,6 +120,27 @@ object Domains {
         max(!col("exc") && !col("wild")).as("has_exact"))
   }
 
+  /** A normalized, checkpoint-bounded PSL rule table plus its deepest
+    * rule depth — prepare ONCE per run with [[prepareSuffixes]] and
+    * reuse across every batch/call site. The per-call form of
+    * [[withRegisteredDomain]] normalizes (and eagerly `head()`s) the
+    * rule table on EVERY invocation, which a loop calling it per drain
+    * pays repeatedly while accumulating checkpoint RDDs (r15 ADVICE).
+    */
+  final case class PslRules private[sources] (rules: DataFrame, maxK: Int)
+
+  /** Normalize a raw PSL-style table into its reusable prepared form:
+    * one localCheckpoint + one eager depth probe, total. */
+  def prepareSuffixes(suffixes: DataFrame,
+      suffixCol: String = "suffix"): PslRules = {
+    val rules = normalizeSuffixRules(suffixes, suffixCol).localCheckpoint()
+    val deepestRow = rules.agg(max(size(split(col("key"), "\\.")))).head()
+    require(!deepestRow.isNullAt(0),
+      "empty public-suffix table — use the built-in registeredDomain " +
+        "(implicit '*' only) instead of a data-driven lookup with no data")
+    PslRules(rules, math.min(math.max(deepestRow.getInt(0), 1), MaxSuffixLabels))
+  }
+
   /** Registered domain (eTLD+1) under a DATA-DRIVEN Public Suffix List
     * — the full-PSL form of [[registeredDomain]] (whose built-in
     * 16-entry set is a documented subset). Implements the PSL
@@ -139,13 +160,17 @@ object Domains {
     * [[registeredDomain]] scaladoc promised.
     */
   def withRegisteredDomain(df: DataFrame, hostCol: String, outCol: String,
-      suffixes: DataFrame, suffixCol: String = "suffix"): DataFrame = {
-    val rules = normalizeSuffixRules(suffixes, suffixCol).localCheckpoint()
-    val deepestRow = rules.agg(max(size(split(col("key"), "\\.")))).head()
-    require(!deepestRow.isNullAt(0),
-      "empty public-suffix table — use the built-in registeredDomain " +
-        "(implicit '*' only) instead of a data-driven lookup with no data")
-    val maxK = math.min(math.max(deepestRow.getInt(0), 1), MaxSuffixLabels)
+      suffixes: DataFrame, suffixCol: String = "suffix"): DataFrame =
+    withRegisteredDomain(df, hostCol, outCol,
+      prepareSuffixes(suffixes, suffixCol))
+
+  /** [[withRegisteredDomain]] over a [[prepareSuffixes]]-prepared rule
+    * table — the loop-friendly form: no per-call normalization, no
+    * per-call checkpoint. */
+  def withRegisteredDomain(df: DataFrame, hostCol: String, outCol: String,
+      prepared: PslRules): DataFrame = {
+    val rules = prepared.rules
+    val maxK = prepared.maxK
 
     val host = lower(col(hostCol))
     val labels = split(host, "\\.")
@@ -202,7 +227,13 @@ object Domains {
     * `github.io` site, which the literal rule would lump together).
     */
   def filterBlocked(df: DataFrame, uriCol: String, blocked: Seq[String],
-      suffixes: DataFrame): DataFrame = {
+      suffixes: DataFrame): DataFrame =
+    filterBlocked(df, uriCol, blocked, prepareSuffixes(suffixes))
+
+  /** [[filterBlocked]] over a prepared PSL rule table (the crawl
+    * loop's per-drain call path — prepare once per run). */
+  def filterBlocked(df: DataFrame, uriCol: String, blocked: Seq[String],
+      prepared: PslRules): DataFrame = {
     require(blocked.nonEmpty,
       "empty domain blocklist — a zero-value isin would be ambiguous; " +
         "skip the stage instead")
@@ -212,7 +243,7 @@ object Domains {
       "domain blocklist held only blank entries — skip the stage instead")
     val withD = withRegisteredDomain(
       df.withColumn("__psl_host", UrlOps.host(col(uriCol))),
-      "__psl_host", "__psl_domain", suffixes)
+      "__psl_host", "__psl_domain", prepared)
     val kept =
       if (entries.size <= IsinMaxDomains)
         withD.filter(!coalesce(

@@ -33,8 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object HtmlLinks {
 
-  private val HrefDq = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""
-  private val HrefSq = "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'"
+  // The attribute name requires a delimiter on its left (tag-name
+  // whitespace directly, or any attribute boundary) — without it,
+  // `data-href="..."` would be extracted as an outlink and consume
+  // politeness-budget slots downstream (r15 ADVICE).
+  private val HrefDq = "(?i)<a\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*\"([^\"]*)\""
+  private val HrefSq = "(?i)<a\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*'([^']*)'"
+  private val BaseDq = "(?i)<base\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*\"([^\"]*)\""
+  private val BaseSq = "(?i)<base\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*'([^']*)'"
   private val Scheme = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
 
   /** All `<a href>` values in the page (double- then single-quoted
@@ -51,10 +57,44 @@ object HtmlLinks {
     * expression (RE2 shares the lazy-quantifier and (?i) syntax).
     */
   def extractSql(htmlRef: String): String = {
-    val sq = HrefSq.replace("'", "''") // SQL string literal escaping
-    s"list_filter(regexp_extract_all($htmlRef, '$HrefDq', 1) || " +
+    val dq = HrefDq.replace("'", "''") // SQL string literal escaping
+    val sq = HrefSq.replace("'", "''")
+    s"list_filter(regexp_extract_all($htmlRef, '$dq', 1) || " +
       s"regexp_extract_all($htmlRef, '$sq', 1), x -> x <> '')"
   }
+
+  /** The page's `<base href>` value, or null when absent/empty — the
+    * HTML mechanism that rebases every relative reference on the page.
+    * Documented tie-break: the double-quoted form is consulted before
+    * the single-quoted one (real pages carry at most one `<base>`;
+    * HTML5 itself honors only the first).
+    */
+  def baseHref(html: Column): Column = {
+    val dq = nullif(regexp_extract(html, BaseDq, 1), lit(""))
+    val sq = nullif(regexp_extract(html, BaseSq, 1), lit(""))
+    coalesce(dq, sq)
+  }
+
+  /** The DuckDB mirror of [[baseHref]]. */
+  def baseHrefSql(htmlRef: String): String = {
+    val dq = BaseDq.replace("'", "''")
+    val sq = BaseSq.replace("'", "''")
+    s"coalesce(nullif(regexp_extract($htmlRef, '$dq', 1), ''), " +
+      s"nullif(regexp_extract($htmlRef, '$sq', 1), ''))"
+  }
+
+  /** The EFFECTIVE base for resolving a page's references: its
+    * `<base href>` (itself resolved against the page URI — browsers
+    * accept a relative base) when declared, else the page URI. Pages
+    * using `<base>` mis-resolve EVERY relative link under the naive
+    * page-URI base (r15 verdict #4); feed this to [[resolve]].
+    */
+  def effectiveBase(pageUri: Column, html: Column): Column =
+    coalesce(resolve(pageUri, baseHref(html)), pageUri)
+
+  /** The DuckDB mirror of [[effectiveBase]]. */
+  def effectiveBaseSql(pageUriRef: String, htmlRef: String): String =
+    s"coalesce(${resolveSql(pageUriRef, baseHrefSql(htmlRef))}, $pageUriRef)"
 
   /** Bounded RFC 3986 §5.2.4 dot-segment removal (see object scaladoc
     * for the caps). Group-free patterns so the Spark and DuckDB

@@ -165,6 +165,42 @@ object RobotsTxt {
       .select(col("host"), trim(col("sitemap_url")).as("sitemap_url"))
       .where(col("sitemap_url") =!= "")
 
+  /** The robots.txt FETCHES inside a WARC record batch — the
+    * self-hosted rules source: a real crawler's robots bodies arrive
+    * IN its own drops (fetches of `/robots.txt`, the RFC 9309 §2.3
+    * well-known path), not as a side parquet. Returns one `(host,
+    * body)` row per fetched host; a host fetched twice in one batch
+    * keeps the lexicographically greatest body (deterministic — feed
+    * canonically deduped batches and it never fires). Query strings
+    * are ignored in the path test (RFC: the resource is the path).
+    */
+  def fetchesIn(records: DataFrame,
+      uriCol: String = "target_uri",
+      statusCol: String = "http_status",
+      bodyCol: String = "body"): DataFrame = {
+    val path = regexp_extract(col(uriCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    records
+      .where(col(statusCol) === 200 && path === "/robots.txt")
+      .select(UrlOps.host(col(uriCol)).as("host"),
+        col(bodyCol).cast("string").as("body"))
+      .where(col("host").isNotNull)
+      .groupBy(col("host")).agg(max(col("body")).as("body"))
+  }
+
+  /** Roll a `(host, body)` robots-state frame forward with a drain's
+    * fresh fetches: LATEST-FETCH-WINS per host — a site's robots
+    * CHANGE takes effect on the next drain (RFC 9309 §2.4 caching; a
+    * crawler blind to the change is the kind that gets blocked). Both
+    * frames are per-host-tiny; the delete-and-insert is the
+    * [[graft.dedup.UrlSeenSet.extend]] upsert shape.
+    */
+  def rollBodies(prev: DataFrame, fresh: DataFrame): DataFrame =
+    prev
+      .join(fresh.select(col("host").as("__h")),
+        col("host") === col("__h"), "left_anti")
+      .unionByName(fresh)
+
   /** A rule pattern compiled to an anchored Java/RE2-neutral regex:
     * specials escaped, `*` → `.*`, a TRAILING `$` → the end anchor.
     * Pure Column ops over the tiny rules frame — the per-row regex

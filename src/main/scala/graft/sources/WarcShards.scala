@@ -114,6 +114,34 @@ object WarcShards {
       outB
     }
 
+    /** An HTTP/1.1 3xx redirect response payload — what a crawler's
+      * `response` record carries when the server answered with a
+      * `Location` instead of content (the body is the conventional
+      * short HTML stub real servers attach). For fixtures and the
+      * redirect-harvest tests.
+      */
+    def httpRedirect(status: Int, location: String): Array[Byte] = {
+      require(status >= 300 && status <= 399,
+        s"redirect status must be 3xx, got $status")
+      val reason = status match {
+        case 301 => "Moved Permanently"
+        case 302 => "Found"
+        case 303 => "See Other"
+        case 307 => "Temporary Redirect"
+        case 308 => "Permanent Redirect"
+        case _ => "Redirect"
+      }
+      val body = s"<html><body>$reason</body></html>"
+        .getBytes(StandardCharsets.UTF_8)
+      val h = s"HTTP/1.1 $status $reason\r\nLocation: $location\r\n" +
+        s"Content-Type: text/html\r\nContent-Length: ${body.length}\r\n\r\n"
+      val hb = h.getBytes(StandardCharsets.UTF_8)
+      val outB = new Array[Byte](hb.length + body.length)
+      System.arraycopy(hb, 0, outB, 0, hb.length)
+      System.arraycopy(body, 0, outB, hb.length, body.length)
+      outB
+    }
+
     /** An HTTP/1.1 200 response whose body rides `Transfer-Encoding:
       * chunked` (one chunk per `chunkSize` bytes) — the other wire shape
       * real captures carry. For fixtures and round-trip tests.
@@ -191,16 +219,29 @@ object WarcShards {
       out.toByteArray
     }
 
-    /** Split an HTTP message payload into (status, body). None if the
-      * payload is not an HTTP response (no status line / no blank-line
-      * separator). The two wire transforms real captures carry are
-      * undone here — `Transfer-Encoding: chunked` is de-chunked and
-      * `Content-Encoding: gzip` inflated (in that order, per RFC 9112;
-      * inflation rides the same decompression-bomb cap as record
-      * parsing) — so downstream extraction always sees entity bytes.
+    /** The parsed HTTP response envelope: status, the `Location` header
+      * (redirect target, "" when absent — VERBATIM, not resolved: a
+      * relative Location resolves against the record's target URI
+      * downstream, [[RedirectEdges]]), the `Content-Type` charset
+      * parameter ("" when absent), and the entity body.
       */
-    def parseHttp(payload: Array[Byte],
-        maxBodyBytes: Long = DefaultMaxRecordBytes): Option[(Int, Array[Byte])] = {
+    final case class HttpEnvelope(status: Int, location: String,
+        charset: String, body: Array[Byte])
+
+    /** Split an HTTP message payload into its [[HttpEnvelope]]. None if
+      * the payload is not an HTTP response (no status line / no
+      * blank-line separator). The two wire transforms real captures
+      * carry are undone here — `Transfer-Encoding: chunked` is
+      * de-chunked and `Content-Encoding: gzip` inflated (in that order,
+      * per RFC 9112; inflation rides the same decompression-bomb cap as
+      * record parsing) — so downstream extraction always sees entity
+      * bytes. Named headers the crawl loop needs (`Location` for 3xx
+      * harvesting, the charset for decode) surface here rather than
+      * being re-parsed from raw bytes downstream — the header block is
+      * framed exactly once.
+      */
+    def parseHttpEnvelope(payload: Array[Byte],
+        maxBodyBytes: Long = DefaultMaxRecordBytes): Option[HttpEnvelope] = {
       if (payload.length < 12 ||
           !new String(payload, 0, 5, StandardCharsets.US_ASCII).equals("HTTP/"))
         return None
@@ -222,13 +263,29 @@ object WarcShards {
         .map(_.split(":", 2))
         .collectFirst { case Array(k, v)
           if k.trim.equalsIgnoreCase(name) => v.trim.toLowerCase(java.util.Locale.ROOT) }
+      // Location is case-SENSITIVE in value (URL paths are), unlike the
+      // transform headers above whose values are lowercased tokens
+      val location = lines.iterator.drop(1)
+        .map(_.split(":", 2))
+        .collectFirst { case Array(k, v)
+          if k.trim.equalsIgnoreCase("Location") => v.trim }
+        .getOrElse("")
+      val charset = hdr("Content-Type")
+        .flatMap(ct => "charset=\\s*\"?([^\";\\s]+)".r.findFirstMatchIn(ct)
+          .map(_.group(1)))
+        .getOrElse("")
       var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
       if (hdr("Transfer-Encoding").exists(_.contains("chunked")))
         body = dechunk(body)
       if (hdr("Content-Encoding").exists(e => e == "gzip" || e == "x-gzip"))
         body = gunzip(body, maxBodyBytes)
-      Some((status.toInt, body))
+      Some(HttpEnvelope(status.toInt, location, charset, body))
     }
+
+    /** (status, body) convenience view of [[parseHttpEnvelope]]. */
+    def parseHttp(payload: Array[Byte],
+        maxBodyBytes: Long = DefaultMaxRecordBytes): Option[(Int, Array[Byte])] =
+      parseHttpEnvelope(payload, maxBodyBytes).map(e => (e.status, e.body))
 
     /** Read one CRLF-terminated line (without the terminator); None at
       * clean end-of-stream before any byte.
@@ -582,7 +639,7 @@ object WarcShards {
 
   private val RecordColumns = Seq("file", "warc_type", "record_id",
     "target_uri", "concurrent_to", "refers_to", "content_type",
-    "payload_bytes", "http_status", "body")
+    "payload_bytes", "http_status", "http_location", "http_charset", "body")
 
   /** Brace alternation, NOT "*.warc*": the loose glob would also match a
     * crashed attempt's ".warc.tmp-N" leftovers and fail the whole scan on
@@ -599,7 +656,7 @@ object WarcShards {
   private def recordRows(
       hadoopConf: org.apache.spark.util.SerializableConfiguration)(path: String)
       : Iterator[(String, String, String, String, String, String, String,
-        Long, Option[Int], Array[Byte])] = {
+        Long, Option[Int], Option[String], Option[String], Array[Byte])] = {
     val file = path.substring(path.lastIndexOf('/') + 1)
     val p = new org.apache.hadoop.fs.Path(path)
     val in = p.getFileSystem(hadoopConf.value).open(p)
@@ -610,10 +667,15 @@ object WarcShards {
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
     WarcCodec.parseStream(in).map { r =>
-      val http = WarcCodec.parseHttp(r.payload)
+      val http = WarcCodec.parseHttpEnvelope(r.payload)
       (file, r.warcType, r.recordId, r.targetUri, r.concurrentTo,
         r.refersTo, r.contentType, r.payload.length.toLong,
-        http.map(_._1), http.map(_._2).getOrElse(r.payload))
+        http.map(_.status),
+        // absent headers are NULL columns, not "" (isNotNull filters
+        // compose; "" would silently pass a startsWith test)
+        http.map(_.location).filter(_.nonEmpty),
+        http.map(_.charset).filter(_.nonEmpty),
+        http.map(_.body).getOrElse(r.payload))
     } ++ { in.close(); Iterator.empty }
   }
 }
