@@ -605,7 +605,14 @@ object Pipeline {
       fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[org.apache.spark.sql.DataFrame] =
     if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      Some(spark.read.parquet(path))
+      // a dir holding only _SUCCESS (an EMPTY ExactlyOnce append — the
+      // batch had no rows for this piece) carries no schema to infer;
+      // treat it as absent, same as no write at all
+      try Some(spark.read.parquet(path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" => None
+      }
     else None
 
   /** `Pipeline crawl` — the q242 continuous-crawl loop as a
@@ -970,8 +977,12 @@ object Pipeline {
       val nRedir = redirEdges.count()
       val aliases = graft.sources.RedirectEdges
         .resolveChains(redirEdges, maxHops).localCheckpoint()
-      val redirTargets = redirEdges.select(
-        graft.sources.UrlOps.canonicalize(col("dst")).as("target"))
+      // frontier targets are the chain-resolved FINAL destinations:
+      // an intermediate hop is already known to be a redirect, and a
+      // cyclic chain's members are known dead ends — fetching either
+      // wastes a politeness-budget slot
+      val redirTargets = aliases.select(
+        graft.sources.UrlOps.canonicalize(col("final_dst")).as("target"))
 
       // corpus pages: 200s minus the control plane (robots + sitemaps)
       val pathOf = regexp_extract(col("target_uri"),

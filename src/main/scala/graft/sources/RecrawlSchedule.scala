@@ -40,7 +40,7 @@ object RecrawlSchedule {
       s"base interval must be positive, got $baseIntervalSeconds")
     require(maxIntervalSeconds >= baseIntervalSeconds,
       s"max interval $maxIntervalSeconds < base $baseIntervalSeconds")
-    val w = Window.partitionBy(col(urlCol)).orderBy(col(timeCol))
+    val w = Window.partitionBy(col(urlCol)).orderBy(col("__t"))
     val hist = fetches.select(
         col(urlCol), col(timeCol).cast("double").as("__t"),
         col(hashCol).as("__h"))

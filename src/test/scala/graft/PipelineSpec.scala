@@ -351,6 +351,187 @@ class PipelineSpec extends SparkSpec {
     assert(jobs.filter(col("status") === "SUCCESS").count() == 2L)
   }
 
+  test("crawl is self-hosted: robots from own records, sitemap seeding, " +
+      "redirect harvest, emitted-frontier dedup") {
+    import spark.implicits._
+    val in = tmpDir("selfcrawl-in")
+    val out = tmpDir("selfcrawl-out")
+    val S = "site.example.com"
+    def page(text: String, links: Seq[String]): Array[Byte] = {
+      val nav = if (links.isEmpty) ""
+      else links.map(l => s"""<a href="$l">x</a>""").mkString("<nav>", " ", "</nav>")
+      ("<html><head><title>t</title></head><body>" + nav + "<p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def entry(shard: Int, ord: Long, path: String, payload: Array[Byte],
+        ct: String = "application/http;msgtype=response") =
+      graft.sources.WarcShards.Entry(shard, ord, "response",
+        s"http://$S$path", s"<urn:test:self:$shard:$ord>", ct, payload)
+    def resp(body: Array[Byte], ct: String) =
+      graft.sources.WarcShards.WarcCodec.httpResponse(body, ct)
+    val alpha = "the alpha page talks about mountains and rivers flowing north"
+    val beta = "a second page describing oceans tides and the salty breeze"
+    val gamma = "completely different words about the weather in marseille today"
+    val robots1 = "User-agent: *\nDisallow: /priv\n" +
+      s"Sitemap: http://$S/sitemap.xml\n"
+    val robots2 = "User-agent: *\nDisallow: /s\n" +
+      s"Sitemap: http://$S/sitemap.xml\n"
+    val sitemapXml = "<urlset>" +
+      s"<url><loc>http://$S/s/1</loc></url>" +
+      s"<url><loc>http://$S/s/2</loc></url>" +
+      s"<url><loc>http://$S/priv/s1</loc></url>" +
+      s"<url><loc>http://$S/p/3</loc></url>" +
+      "</urlset>"
+    // drain 1: a robots fetch (self-hosted rules from THIS drop), a page
+    // whose outlinks hit the fresh robots, and a 2-hop redirect chain
+    graft.sources.WarcShards.pack(Seq(
+      entry(0, 1, "/robots.txt",
+        resp(robots1.getBytes("UTF-8"), "text/plain")),
+      entry(0, 2, "/p/1", resp(page(alpha, Seq("/p/2", "/priv/x")),
+        "text/html; charset=utf-8")),
+      entry(0, 3, "/old1",
+        graft.sources.WarcShards.WarcCodec.httpRedirect(301, "/old2")),
+      entry(0, 4, "/old2",
+        graft.sources.WarcShards.WarcCodec.httpRedirect(302, s"http://$S/p/3"))
+    ).toDS(), in): Unit
+    // drain 2: the advertised sitemap's body arrives (recognized via the
+    // rolled robots state) + a frontier page re-linking an emitted URL
+    val stage2 = tmpDir("selfcrawl-d2")
+    graft.sources.WarcShards.pack(Seq(
+      entry(1, 1, "/sitemap.xml",
+        resp(sitemapXml.getBytes("UTF-8"), "application/xml")),
+      entry(1, 2, "/p/2", resp(page(beta, Seq("/p/3")),
+        "text/html; charset=utf-8"))
+    ).toDS(), stage2): Unit
+    // drain 3: a robots CHANGE (now disallowing /s) must gate the very
+    // page fetched beside it
+    val stage3 = tmpDir("selfcrawl-d3")
+    graft.sources.WarcShards.pack(Seq(
+      entry(2, 1, "/robots.txt",
+        resp(robots2.getBytes("UTF-8"), "text/plain")),
+      entry(2, 2, "/s/1", resp(page(gamma, Nil), "text/html; charset=utf-8"))
+    ).toDS(), stage3): Unit
+
+    val flags = Seq("--files-per-drain", "1")
+    val r1 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags))
+    assert(r1.status == "success" && r1.drains == 1L && r1.docsIngested == 1L,
+      s"run 1: $r1")
+    val d1 = spark.read.parquet(s"$out/drains")
+      .select("n_batch", "n_after_robots", "n_new_url", "n_survivors",
+        "n_frontier", "n_redirects", "n_robots_fetches", "n_sitemap_seeds")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // frontier: /p/2 (outlink), /p/3 (redirect FINAL destination — not
+    // the intermediate /old2), /sitemap.xml (advertised fetch target);
+    // /priv/x died at the robots parsed from this very drop
+    assert(d1 == (1L, 1L, 1L, 1L, 3L, 2L, 1L, 0L), s"drain 1: $d1")
+    val aliases = spark.read.parquet(s"$out/aliases")
+      .select("src", "final_dst", "hops")
+      .as[(String, String, Long)].collect().sorted.toSeq
+    assert(aliases == Seq(
+      (s"http://$S/old1", s"http://$S/p/3", 2L),
+      (s"http://$S/old2", s"http://$S/p/3", 1L)),
+      s"redirect aliases: $aliases")
+
+    // drains 2 + 3 (checkpoint resumes past shard 0)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(stage2, "shard-00001.warc"),
+      java.nio.file.Paths.get(in, "shard-00001.warc")): Unit
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(stage3, "shard-00002.warc"),
+      java.nio.file.Paths.get(in, "shard-00002.warc")): Unit
+    val r2 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags))
+    assert(r2.status == "success" && r2.drains == 2L && r2.docsIngested == 1L,
+      s"run 2: $r2")
+    val rows = spark.read.parquet(s"$out/drains").orderBy("batch_id")
+      .select("n_batch", "n_after_robots", "n_new_url", "n_survivors",
+        "n_frontier", "n_redirects", "n_robots_fetches", "n_sitemap_seeds")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows(1) == (1L, 1L, 1L, 1L, 2L, 0L, 0L, 4L),
+      s"drain 2 (sitemap seeds /s/1 + /s/2; /priv/s1 dies at robots, " +
+        s"/p/3 at the emitted set): ${rows(1)}")
+    assert(rows(2) == (1L, 0L, 0L, 0L, 0L, 0L, 1L, 0L),
+      s"drain 3 (the robots change gates the page fetched beside it): " +
+        s"${rows(2)}")
+    // every frontier target was emitted exactly once across all drains
+    val front = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front == Seq(
+      s"http://$S/p/2", s"http://$S/p/3", s"http://$S/s/1", s"http://$S/s/2",
+      s"http://$S/sitemap.xml"),
+      s"cumulative frontier: $front")
+    val docs = spark.read.parquet(s"$out/docs")
+      .select("uri").as[String].collect().sorted.toSeq
+    assert(docs == Seq(s"http://$S/p/1", s"http://$S/p/2"),
+      s"ingested docs (control-plane fetches and the robots-gated /s/1 " +
+        s"excluded): $docs")
+    // the committed state carries every self-hosted piece
+    for (piece <- Seq("seen", "emitted", "robots", "sitemaps", "hostgraph"))
+      assert(new java.io.File(s"$out/state/v1/$piece").exists(),
+        s"state piece $piece missing from v1")
+    val robotsState = spark.read.parquet(s"$out/state/v1/robots")
+      .as[(String, String)].collect().toMap
+    assert(robotsState(S).contains("Disallow: /s"),
+      s"latest robots body not rolled: ${robotsState(S)}")
+  }
+
+  test("crawl killed mid-stream resumes without duplicates " +
+      "(per-drain durable-state deltas)") {
+    import spark.implicits._
+    val in = tmpDir("failcrawl-in")
+    val out = tmpDir("failcrawl-out")
+    def page(text: String): Array[Byte] =
+      ("<html><head><title>t</title></head><body><p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def entry(shard: Int, ord: Long, path: String, text: String) =
+      graft.sources.WarcShards.Entry(shard, ord, "response",
+        s"http://h.example.com$path", s"<urn:test:fail:$shard:$ord>",
+        "application/http;msgtype=response",
+        graft.sources.WarcShards.WarcCodec.httpResponse(
+          page(text), "text/html; charset=utf-8"))
+    val alpha = "the alpha page talks about mountains and rivers flowing north"
+    val beta = "a second page describing oceans tides and the salty breeze"
+    graft.sources.WarcShards.pack(Seq(
+      entry(0, 1, "/a/1", alpha)).toDS(), in): Unit
+    val stage = tmpDir("failcrawl-d2")
+    graft.sources.WarcShards.pack(Seq(
+      entry(1, 1, "/a/1", alpha), // re-crawl: must die at the RESTORED seen-set
+      entry(1, 2, "/a/2", beta)
+    ).toDS(), stage): Unit
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(stage, "shard-00001.warc"),
+      java.nio.file.Paths.get(in, "shard-00001.warc")): Unit
+
+    // run 1 processes drain 1 (checkpoint-committed, deltas written),
+    // then dies before drain 2 — exactly the window where the r15 loop
+    // lost state (it committed only at run end)
+    val failCfg = graft.core.EngineConfig.default
+      .withOverride("crawl.fail_after_drains", "1")
+    val r1 = Pipeline.crawl(spark, in, out, config = failCfg,
+      args = Pipeline.parseCrawlArgs(Seq("--files-per-drain", "1")))
+    assert(r1.status == "failed" && r1.drains == 1L,
+      s"run 1 should die after one drain: $r1")
+    assert(!new java.io.File(s"$out/state/v0").exists(),
+      "no run-end state commit should exist after the crash")
+    assert(new java.io.File(s"$out/state/deltas/seen").exists(),
+      "drain 1's seen delta missing")
+
+    // resume: drain 1's URLs must be restored from the deltas — the
+    // re-crawled /a/1 dies, /a/2 is ingested, nothing duplicates
+    val r2 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(Seq("--files-per-drain", "1")))
+    assert(r2.status == "success" && r2.stateVersion.contains(0),
+      s"resume: $r2")
+    val docs = spark.read.parquet(s"$out/docs")
+      .select("uri").as[String].collect().sorted.toSeq
+    assert(docs == Seq("http://h.example.com/a/1", "http://h.example.com/a/2"),
+      s"docs after resume (no duplicates): $docs")
+    assert(new java.io.File(s"$out/state/v0/_COMMITTED").exists())
+    assert(!new java.io.File(s"$out/state/deltas").exists(),
+      "deltas not reaped by the clean run end")
+  }
+
   test("crawl args are typed: junk flags and values error loudly") {
     intercept[IllegalArgumentException](
       Pipeline.parseCrawlArgs(Seq("--files-per-drain", "one")))

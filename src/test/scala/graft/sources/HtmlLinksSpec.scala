@@ -23,6 +23,71 @@ class HtmlLinksSpec extends SparkSpec {
     assert(got == Seq("/a", "/b?q=1#frag", "rel/c"), s"extracted $got")
   }
 
+  test("extract: attribute-name boundary — data-href is not an outlink") {
+    val html =
+      """<a data-href="/not-a-link" href="/real">x</a>
+        |<a data-href="/only-data">y</a>
+        |<a xhref='/also-not'>z</a>
+        |<a class="n" href='/q'>w</a>""".stripMargin
+    val got = Seq(html).toDF("html")
+      .select(explode(HtmlLinks.extract(col("html"))).as("href"))
+      .as[String].collect().toSeq
+    assert(got == Seq("/real", "/q"), s"extracted $got")
+  }
+
+  test("baseHref + effectiveBase: <base href> rebases relative references") {
+    val rows = Seq(
+      // absolute base, double-quoted
+      ("""<head><base href="http://cdn.h.com/assets/"></head><a href="x">""",
+        "http://page.com/a/b", "http://cdn.h.com/assets/x"),
+      // RELATIVE base resolves against the page URI first
+      ("""<base href='/root/'><a href="x">""",
+        "http://page.com/a/b", "http://page.com/root/x"),
+      // no base → page URI
+      ("""<a href="x">""", "http://page.com/a/b", "http://page.com/a/x"),
+      // data-base-href must not match
+      ("""<base data-href="/decoy"><a href="x">""",
+        "http://page.com/a/b", "http://page.com/a/x"))
+      .toDF("html", "uri", "want")
+    val got = rows.select(
+      HtmlLinks.resolve(
+        HtmlLinks.effectiveBase(col("uri"), col("html")), lit("x")).as("got"),
+      col("want")).as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
+  test("randomized differential: effectiveBase two-step equals JDK two-step") {
+    val rnd = new scala.util.Random(8787)
+    val segs = Seq("x", "y1", "doc", "img2")
+    def path(n: Int) = (1 to n).map(_ => segs(rnd.nextInt(segs.size)))
+      .mkString("/", "/", "/")
+    val cases = (0 until 120).map { _ =>
+      val page = s"http://a.com${path(2)}p"
+      val baseH = rnd.nextInt(3) match {
+        case 0 => s"http://b.org${path(2)}"  // absolute base
+        case 1 => path(1)                    // absolute-path base
+        case _ => segs(rnd.nextInt(segs.size)) + "/" // relative dir base
+      }
+      val ref = segs(rnd.nextInt(segs.size))
+      (page, baseH, ref)
+    }.distinct
+    def jdk(page: String, baseH: String, ref: String): String =
+      new java.net.URI(page).resolve(new java.net.URI(baseH))
+        .resolve(new java.net.URI(ref)).toString.replaceAll("#.*$", "")
+    val got = cases.toDF("page", "bh", "ref")
+      .select(col("page"), col("bh"), col("ref"),
+        HtmlLinks.resolve(
+          HtmlLinks.effectiveBase(col("page"),
+            concat(lit("<base href=\""), col("bh"), lit("\">"))),
+          col("ref")).as("r"))
+      .as[(String, String, String, String)].collect()
+      .map { case (p, b, r, v) => (p, b, r) -> v }.toMap
+    cases.foreach { case (p, b, r) =>
+      assert(got((p, b, r)) == jdk(p, b, r),
+        s"base($p, $b) + $r: engine ${got((p, b, r))}, JDK ${jdk(p, b, r)}")
+    }
+  }
+
   test("resolve: RFC 3986 branch cases (crawl semantics)") {
     val base = "http://h.com/a/b/c?q=1#top"
     val cases = Seq(

@@ -135,6 +135,34 @@ class RobotsTxtSpec extends SparkSpec {
       10L -> true))
   }
 
+  test("fetchesIn: /robots.txt responses only, query ignored, host lowered") {
+    import spark.implicits._
+    val recs = Seq(
+      ("http://A.Example.COM/robots.txt", Some(200), "User-agent: *\n"),
+      ("http://b.com/robots.txt?v=2", Some(200), "Disallow: /\n"), // query ignored
+      ("http://c.com/robots.txt", Some(404), "nope"),   // non-200 dropped
+      ("http://d.com/not-robots.txt", Some(200), "x"),  // wrong path
+      ("http://e.com/dir/robots.txt", Some(200), "x"),  // not AT root
+      (null, Some(200), "x"))
+      .map { case (u, s, b) => (u, s, b.getBytes("UTF-8")) }
+      .toDF("target_uri", "http_status", "body")
+    val got = RobotsTxt.fetchesIn(recs).as[(String, String)]
+      .collect().toMap
+    assert(got == Map(
+      "a.example.com" -> "User-agent: *\n",
+      "b.com" -> "Disallow: /\n"), s"fetches: $got")
+  }
+
+  test("rollBodies: latest fetch wins per host, untouched hosts survive") {
+    import spark.implicits._
+    val prev = Seq(("a.com", "v1"), ("b.com", "v1")).toDF("host", "body")
+    val fresh = Seq(("b.com", "v2"), ("c.com", "v1")).toDF("host", "body")
+    val got = RobotsTxt.rollBodies(prev, fresh)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a.com" -> "v1", "b.com" -> "v2", "c.com" -> "v1"),
+      s"rolled: $got")
+  }
+
   test("randomized differential: verdicts equal a naive RFC 9309 reference") {
     // the AhoCorasickPropertySpec discipline: random rule sets and URLs,
     // engine verdicts vs a literal per-URL Scala application of the RFC
