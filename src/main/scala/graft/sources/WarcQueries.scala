@@ -167,6 +167,54 @@ object WarcQueries {
         }
       })
 
+  /** Redirect shards for q254, staged once per JVM: planted 301/302
+    * chains by doc_id % 4 cohort —
+    *  - %4=0: one hop `/r/<id>` → `/doc/<id>` (a FETCHED URL: the
+    *    chain's target dies at the seen side);
+    *  - %4=1: two hops `/r/<id>` → `/m/<id>` → `/final/<id>`;
+    *  - %4=2: one cross-host hop `/r/<id>` → `other.example.org`;
+    *  - %4=3: a 2-cycle `/r/<id>` ↔ `/c/<id>` (must drop whole).
+    * Relative and absolute Location forms both planted; shard 0 plain,
+    * shard 1 per-record gzip (both read paths in every run).
+    */
+  private val redirectCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def materializeRedirects(s: SparkSession, dir: String): String =
+    redirectCache.computeIfAbsent(
+      "warc-redirects|" + java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => {
+        import s.implicits._
+        val lease = graft.core.ScratchDirs.lease("graft-warc-redirects-")
+        try {
+          val ids = Tables.load(s, dir, "documents")
+            .select(col("doc_id").cast("long")).as[Long]
+          val entries = ids.flatMap { id =>
+            val shard = (id % 2).toInt
+            def red(sub: Int, path: String, status: Int, loc: String) =
+              WarcShards.Entry(shard, id * 4 + sub, "response",
+                s"http://example.com$path", s"<urn:graft:redir:$path:$id>",
+                "application/http;msgtype=response",
+                WarcShards.WarcCodec.httpRedirect(status, loc))
+            (id % 4) match {
+              case 0 => Seq(red(0, s"/r/$id", 301, s"/doc/$id"))
+              case 1 => Seq(red(0, s"/r/$id", 302, s"/m/$id"),
+                red(1, s"/m/$id", 301, s"http://example.com/final/$id"))
+              case 2 => Seq(red(0, s"/r/$id", 301,
+                s"http://other.example.org/x/$id"))
+              case _ => Seq(red(0, s"/r/$id", 301, s"/c/$id"),
+                red(1, s"/c/$id", 302, s"/r/$id"))
+            }
+          }
+          WarcShards.pack(entries.filter(_.shard == 0), lease, gzip = false): Unit
+          WarcShards.pack(entries.filter(_.shard == 1), lease, gzip = true): Unit
+          lease
+        } catch {
+          case e: Throwable =>
+            graft.core.ScratchDirs.release(lease)
+            throw e
+        }
+      })
+
   /** Domain-curation fixture: each doc gets a host by doc_id % 6 — two
     * subdomains (one case-mangled) per registered domain, three
     * registered domains (`example.com`, `example.co.uk` via the
@@ -633,11 +681,27 @@ object WarcQueries {
       val pages = WarcShards.readRecords(s, crawl)
         .where(col("http_status") === 200)
         .select(col("target_uri").as("base"), col("body").cast("string").as("html"))
-      val links = pages
-        .select(col("base"), explode(HtmlLinks.extract(col("html"))).as("ref"))
+      // pages declaring <base href> (r15 verdict #4): every relative
+      // reference rebases onto the declared base, not the page URI —
+      // one cohort's closed-form pages carry an absolute <base> plus a
+      // relative AND an absolute-path ref (the two resolve branches
+      // the rebase changes)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val basePages = d.filter(col("doc_id") % 5 === 0).select(
+        concat(lit("http://example.com/bp/"), id).as("base"),
+        concat(
+          lit("<html><head><base href=\"https://static.example.net/lib/\">" +
+            "</head><body><a href=\"x/"), id,
+          lit("\">a</a> <a href='/abs/"), id,
+          lit("'>b</a></body></html>")).as("html"))
+      val all = pages.unionByName(basePages)
+      val links = all
+        .select(HtmlLinks.effectiveBase(col("base"), col("html")).as("eb"),
+          explode(HtmlLinks.extract(col("html"))).as("ref"))
         .select(UrlOps.canonicalize(
-          HtmlLinks.resolve(col("base"), col("ref"))).as("target"))
-      val fetched = pages
+          HtmlLinks.resolve(col("eb"), col("ref"))).as("target"))
+      val fetched = all
         .select(UrlOps.canonicalize(col("base")).as("target")).distinct()
       links.groupBy(col("target"))
         .agg(count(lit(1)).as("n_refs"))
@@ -863,6 +927,177 @@ object WarcQueries {
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(UrlOps.canonicalize(col("u"))).as("n_canon"))
         .orderBy(col("sitemap"))
+    },
+
+    // REDIRECT HARVEST ([[RedirectEdges]]) — 3xx responses carry the
+    // crawl's cheapest frontier signal: the Location header IS the next
+    // fetch. Over REAL staged WARC shards (plain + per-record gzip, the
+    // headers surfaced by the reader's one framing pass): planted
+    // 301/302 chains per doc_id % 4 cohort — a 1-hop redirect to an
+    // ALREADY-FETCHED URL (the base crawl's /doc/<id>, killed at the
+    // fetched side), a 2-hop chain to a new URL, a cross-host absolute
+    // Location, and a 2-cycle that must drop whole. Per-cohort chain
+    // counts, hop totals, and how many land on unseen targets; the
+    // oracle recomputes all of it closed-form from documents.
+    //
+    // 100 TB shape: edges are 3xx-sized (a slice of the drain), chain
+    // resolution is maxHops small self-joins, the seen probe one
+    // anti-join — nothing touches the corpus.
+    "q254_redirect_edges" -> { (s, dir) =>
+      val crawl = materializeCrawl(s, dir)
+      val redirs = materializeRedirects(s, dir)
+      val recs = WarcShards.readRecords(s, redirs)
+      val chains = RedirectEdges.resolveChains(
+        RedirectEdges.edges(recs), maxHops = 4)
+      val fetched = WarcShards.readRecords(s, crawl)
+        .where(col("http_status") === 200)
+        .select(UrlOps.canonicalize(col("target_uri")).as("t")).distinct()
+      chains
+        .withColumn("cohort",
+          regexp_extract(col("src"), "/(?:r|m|c)/([0-9]+)$", 1)
+            .cast("long") % 4)
+        .join(fetched,
+          UrlOps.canonicalize(col("final_dst")) === col("t"), "left")
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_chains"),
+          sum(col("hops")).cast("long").as("sum_hops"),
+          sum(when(col("t").isNull, 1L).otherwise(0L)).as("n_unseen"))
+        .orderBy(col("cohort"))
+    },
+
+    // SELF-HOSTED ROBOTS ROLL ([[RobotsTxt.fetchesIn]] + [[rollBodies]])
+    // — the rules table derived from the crawl's OWN /robots.txt
+    // fetches, rolled latest-fetch-wins across three drains: day 1
+    // plants permissive bodies for two hosts, day 2 REPLACES host A's
+    // body (Disallow switches from /priv to /doc — the same drain's
+    // fetch list must flip), day 3 shuts host B down entirely. Each
+    // day's candidate URLs are judged under the state AS OF that day;
+    // the oracle recomputes every (day, host) allowed-count closed-form.
+    "q255_robots_rolling" -> { (s, dir) =>
+      import s.implicits._
+      val h0 = "a.example.com"
+      val h1 = "b.example.org"
+      def fetchFrame(rows: Seq[(String, String)]) =
+        rows.map { case (h, b) =>
+          (s"http://$h/robots.txt", 200, b.getBytes(StandardCharsets.UTF_8))
+        }.toDF("target_uri", "http_status", "body")
+      val days = Seq(
+        fetchFrame(Seq(
+          (h0, "User-agent: *\nDisallow: /priv\n"),
+          (h1, "User-agent: *\nDisallow:\n"))),
+        fetchFrame(Seq((h0, "User-agent: *\nDisallow: /doc\n"))),
+        fetchFrame(Seq((h1, "User-agent: *\nDisallow: /\n"))))
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val host = when(col("doc_id") % 2 === 0, lit(h0)).otherwise(lit(h1))
+      val urls = d.select(col("doc_id"),
+          concat(lit("http://"), host, lit("/doc/"), id).as("url"))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            concat(lit("http://"), host, lit("/priv/"), id).as("url")))
+        .localCheckpoint()
+      var state = Seq.empty[(String, String)].toDF("host", "body")
+      val perDay = days.zipWithIndex.map { case (fetches, day) =>
+        state = RobotsTxt.rollBodies(state,
+          RobotsTxt.fetchesIn(fetches)).localCheckpoint()
+        val rules = RobotsTxt.parseRules(state, "host", "body")
+        RobotsTxt.verdicts(urls, "url", rules, "graftbot")
+          .where(col("allowed"))
+          .select(UrlOps.host(col("url")).as("host"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_allowed"))
+          .select(lit(day).cast("long").as("crawl_day"), col("host"),
+            col("n_allowed"))
+      }
+      perDay.reduce(_ unionByName _).orderBy(col("crawl_day"), col("host"))
+    },
+
+    // RANKED FRONTIER — crawl-value scheduling end to end: PageRank
+    // over the q249-shaped host graph (+1/+3 neighbors, non-hub→hub,
+    // symmetric closure) prices each host's authority, every frontier
+    // URL inherits the rank of the host that DISCOVERED it, and
+    // [[CrawlBudget.cap]] spends each target host's Crawl-delay quota
+    // on the highest-rank recommendations first (URL tie-break,
+    // zero-padded ids). Per-host kept counts and the kept-rank total;
+    // the oracle replays the 3 DECIMAL-exact rank iterations keyed by
+    // the host string, then the priority window relationally.
+    "q256_ranked_frontier" -> { (s, dir) =>
+      import s.implicits._
+      val hostsLower = DomainHosts.map(_.toLowerCase(java.util.Locale.ROOT))
+      // the q249 edge set, constructed directly (rank values are
+      // id-agnostic, so they match the string-keyed oracle replay)
+      val idx = (0 until 6)
+      val f = idx.flatMap(i => Seq((i, (i + 1) % 6), (i, (i + 3) % 6))) ++
+        idx.filter(_ != 0).map(i => (i, 0))
+      val sym = (f ++ f.map(_.swap)).distinct.filter(p => p._1 != p._2)
+      val edges = sym.map { case (a, b) => (hostsLower(a), hostsLower(b)) }
+        .toDF("src_h", "dst_h")
+      val dim = edges.select(col("src_h").as("host"))
+        .unionByName(edges.select(col("dst_h").as("host")))
+        .distinct().withColumn("id", xxhash64(col("host")))
+        .localCheckpoint()
+      val ranks = graft.operators.PageRank.run(
+        edges.select(xxhash64(col("src_h")).as("src"),
+          xxhash64(col("dst_h")).as("dst")), iterations = 3)
+        .join(dim, Seq("id"))
+        .select(col("host").as("src_host"), col("rank"))
+        .localCheckpoint()
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val tHost = element_at(array(hostsLower.map(lit(_)): _*),
+        (col("doc_id") % 6 + 1).cast("int"))
+      val sHost = element_at(array(hostsLower.map(lit(_)): _*),
+        ((col("doc_id") * 7 + 1) % 6 + 1).cast("int"))
+      val frontier = d.select(
+          concat(lit("https://"), tHost, lit("/doc/"),
+            lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+          sHost.as("src_host"))
+        .join(broadcast(ranks), Seq("src_host"))
+        .select(col("url"), col("rank").as("priority"))
+        .localCheckpoint()
+      val delays = Seq((hostsLower(0), 6.0), (hostsLower(1), 3.0))
+        .toDF("host", "delay_seconds")
+      val kept = CrawlBudget.cap(frontier, "url", delays,
+        horizonSeconds = 60.0, defaultDelaySeconds = 5.0,
+        priorityCol = Some("priority"))
+      val cand = frontier.select(UrlOps.host(col("url")).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_candidates"))
+      val k = kept.select(UrlOps.host(col("url")).as("host"), col("priority"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("priority")), 6).as("sum_kept_rank"))
+      cand.join(k, Seq("host")).orderBy(col("host"))
+    },
+
+    // ADAPTIVE RE-CRAWL SCHEDULING ([[RecrawlSchedule]]) — WHEN to
+    // refetch, from each URL's planted change history: churners
+    // (hash changes every fetch) keep the base interval, static pages
+    // back off exponentially, a mid-history change restarts the streak,
+    // single observations carry no evidence. Fetch counts and change
+    // patterns vary by doc_id cohorts; the oracle states every
+    // streak/interval closed-form — no replay needed.
+    "q257_recrawl_schedule" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val n = (col("doc_id") % 4 + 1).cast("int")
+      val fetches = d
+        .select(col("doc_id"), n.as("n"),
+          explode(sequence(lit(0), n - 1)).as("k"))
+        .select(col("doc_id"),
+          concat(lit("http://example.com/doc/"),
+            col("doc_id").cast("string")).as("url"),
+          (col("doc_id") * 1000 + col("k") * 100).cast("double").as("t"),
+          when(col("doc_id") % 3 === 0, lit(7L))
+            .when(col("doc_id") % 3 === 1, col("k").cast("long"))
+            .otherwise(when(col("k") < (col("n") / 2).cast("int"), lit(0L))
+              .otherwise(lit(1L))).as("h"))
+      RecrawlSchedule.schedule(fetches, "url", "t", "h",
+          baseIntervalSeconds = 100.0, maxIntervalSeconds = 500.0)
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("n_fetches"), col("unchanged_streak").cast("long")
+            .as("unchanged_streak"),
+          col("interval_seconds"), col("next_fetch"))
+        .orderBy(col("doc_id"))
     },
 
     // robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the `*`/`$` pattern
@@ -1467,21 +1702,33 @@ object WarcQueries {
          |FROM u LEFT JOIN best USING (doc_id, kind)
          |ORDER BY doc_id, kind""".stripMargin
     },
-    // the three [[HtmlLinks]]/[[UrlOps]] SQL mirrors CHAINED over the
-    // byte-exact rebuilt page template: extract hrefs from the html,
-    // resolve each against the page URI, canonicalize, count per
-    // target, subtract the fetched set
+    // the FOUR [[HtmlLinks]]/[[UrlOps]] SQL mirrors CHAINED over the
+    // byte-exact rebuilt page template plus the <base href> cohort:
+    // extract hrefs, derive the EFFECTIVE base (declared <base>
+    // resolved against the page URI, else the page URI), resolve each
+    // ref against it, canonicalize, count per target, subtract the
+    // fetched set
     "q248_link_frontier" -> {
-      val resolve = HtmlLinks.resolveSql("base", "ref")
+      val eb = HtmlLinks.effectiveBaseSql("base", "html")
+      val resolve = HtmlLinks.resolveSql("eb", "ref")
       val canonT = UrlOps.canonicalizeSql("url")
       val canonB = UrlOps.canonicalizeSql("base")
+      val bpHtml = "'<html><head><base href=\"https://static.example.net/lib/\">" +
+        "</head><body><a href=\"x/' || doc_id::VARCHAR || " +
+        "'\">a</a> <a href=''/abs/' || doc_id::VARCHAR || " +
+        "'''>b</a></body></html>'"
       s"""WITH page AS (
          |  SELECT doc_id, $pageHtmlSql AS html,
          |    'http://example.com/doc/' || doc_id::VARCHAR AS base
-         |  FROM documents),
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, $bpHtml,
+         |    'http://example.com/bp/' || doc_id::VARCHAR
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |withbase AS (SELECT base, html, $eb AS eb FROM page),
          |links AS (
-         |  SELECT base, unnest(${HtmlLinks.extractSql("html")}) AS ref
-         |  FROM page),
+         |  SELECT eb, unnest(${HtmlLinks.extractSql("html")}) AS ref
+         |  FROM withbase),
          |resolved AS (SELECT $resolve AS url FROM links),
          |canon AS (SELECT $canonT AS target FROM resolved),
          |fetched AS (SELECT DISTINCT $canonB AS target FROM page)
@@ -1490,6 +1737,128 @@ object WarcQueries {
          |WHERE target NOT IN (SELECT target FROM fetched)
          |GROUP BY target ORDER BY target""".stripMargin
     },
+
+    // per-cohort chain arithmetic closed-form: cohort 0's finals are
+    // all fetched (n_unseen 0), cohort 1 yields TWO chain rows per doc
+    // (src and the intermediate hop, 2+1 hops) on an unseen final,
+    // cohort 2 one cross-host unseen hop, cohort 3 (the cycle) ABSENT
+    "q254_redirect_edges" ->
+      """WITH c AS (SELECT
+        |    count(*) FILTER (WHERE doc_id % 4 = 0) AS n0,
+        |    count(*) FILTER (WHERE doc_id % 4 = 1) AS n1,
+        |    count(*) FILTER (WHERE doc_id % 4 = 2) AS n2
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 0::BIGINT AS cohort, n0::BIGINT AS n_chains,
+        |    n0::BIGINT AS sum_hops, 0::BIGINT AS n_unseen FROM c
+        |  UNION ALL SELECT 1, 2 * n1, 3 * n1, 2 * n1 FROM c
+        |  UNION ALL SELECT 2, n2, n2, n2 FROM c)
+        |ORDER BY cohort""".stripMargin,
+
+    // per-(day, host) allowed counts closed-form from the planted
+    // bodies: day 1 replaces host A's rules whole (latest-fetch-wins),
+    // day 2 shuts host B down — its group row must be ABSENT, not zero
+    "q255_robots_rolling" ->
+      """WITH c AS (SELECT
+        |    count(*) FILTER (WHERE doc_id % 2 = 0) AS ne,
+        |    count(*) FILTER (WHERE doc_id % 2 = 1) AS nodd,
+        |    count(*) FILTER (WHERE doc_id % 6 = 0) AS pe,
+        |    count(*) FILTER (WHERE doc_id % 6 = 3) AS po
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 0::BIGINT AS crawl_day, 'a.example.com' AS host,
+        |    ne::BIGINT AS n_allowed FROM c
+        |  UNION ALL SELECT 0, 'b.example.org', nodd + po FROM c
+        |  UNION ALL SELECT 1, 'a.example.com', pe FROM c
+        |  UNION ALL SELECT 1, 'b.example.org', nodd + po FROM c
+        |  UNION ALL SELECT 2, 'a.example.com', pe FROM c)
+        |ORDER BY crawl_day, host""".stripMargin,
+
+    // the q249 rank replay (3 DECIMAL-exact iterations keyed by the
+    // host string) feeding the q251 priority window: every frontier
+    // URL carries its DISCOVERING host's rank, quotas from the planted
+    // delays (60/6=10, 60/3=20, default 12)
+    "q256_ranked_frontier" -> {
+      val hostList = DomainHosts
+        .map(h => s"'${h.toLowerCase(java.util.Locale.ROOT)}'").mkString(", ")
+      val hostVals = DomainHosts.zipWithIndex
+        .map { case (h, i) => s"($i, '${h.toLowerCase(java.util.Locale.ROOT)}')" }
+        .mkString(", ")
+      def iter(i: Int): String =
+        s"""r$i AS (
+           |  SELECT nodes.id,
+           |    round(((1.0 - 0.85) / (SELECT n FROM nn))
+           |        + 0.85 * coalesce(c.inflow, 0.0), 12) AS rank
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst,
+           |      sum((r.rank / o.outdeg)::DECIMAL(28,15))::DOUBLE AS inflow
+           |    FROM e
+           |    JOIN r${i - 1} r ON r.id = e.src
+           |    JOIN outdeg o ON o.src = e.src
+           |    GROUP BY 1) c ON c.dst = nodes.id)"""
+      s"""WITH hh(i, host) AS (VALUES $hostVals),
+         |f AS (
+         |  SELECT i AS s, (i + 1) % 6 AS d FROM hh
+         |  UNION ALL SELECT i, (i + 3) % 6 FROM hh
+         |  UNION ALL SELECT i, 0 FROM hh WHERE i <> 0),
+         |eidx AS (
+         |  SELECT DISTINCT s, d FROM (
+         |    SELECT s, d FROM f UNION ALL SELECT d, s FROM f)
+         |  WHERE s <> d),
+         |e AS (
+         |  SELECT a.host AS src, b.host AS dst
+         |  FROM eidx JOIN hh a ON a.i = eidx.s JOIN hh b ON b.i = eidx.d),
+         |outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT id, (1.0 / (SELECT n FROM nn)) AS rank FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |q(host, quota) AS (VALUES
+         |  ('www.example.com', 10), ('cdn.example.com', 20),
+         |  ('blog.example.co.uk', 12), ('shop.example.co.uk', 12),
+         |  ('ads.tracker.net', 12), ('cdn.static.tracker.net', 12)),
+         |fr AS (
+         |  SELECT [$hostList][(doc_id % 6 + 1)::INT] AS host,
+         |    'https://' || [$hostList][(doc_id % 6 + 1)::INT] || '/doc/' ||
+         |      lpad(doc_id::VARCHAR, 8, '0') AS url,
+         |    [$hostList][((doc_id * 7 + 1) % 6 + 1)::INT] AS src_host
+         |  FROM documents),
+         |fr2 AS (
+         |  SELECT fr.host, fr.url, r3.rank AS priority
+         |  FROM fr JOIN r3 ON r3.id = fr.src_host),
+         |r AS (
+         |  SELECT fr2.host, fr2.priority, q.quota,
+         |    row_number() OVER (PARTITION BY fr2.host
+         |      ORDER BY fr2.priority DESC, fr2.url ASC) AS rn
+         |  FROM fr2 JOIN q ON q.host = fr2.host)
+         |SELECT host, count(*)::BIGINT AS n_candidates,
+         |  count(*) FILTER (WHERE rn <= quota)::BIGINT AS n_kept,
+         |  round(sum(priority) FILTER (WHERE rn <= quota), 6) AS sum_kept_rank
+         |FROM r GROUP BY host ORDER BY host""".stripMargin
+    },
+
+    // every streak/interval stated closed-form from the cohort
+    // arithmetic (change-every-fetch → 0; never-changed → n−1;
+    // mid-switch at n//2 → n − n//2 − 1; single fetch → 0), base 100
+    // doubling to the 500 clamp
+    "q257_recrawl_schedule" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id % 4 + 1) AS n, (doc_id % 3) AS c
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN c = 0 THEN n - 1
+        |         WHEN c = 1 THEN 0
+        |         ELSE CASE WHEN n = 1 THEN 0 ELSE n - (n // 2) - 1 END
+        |    END AS streak
+        |  FROM p)
+        |SELECT doc_id, n::BIGINT AS n_fetches, streak::BIGINT AS unchanged_streak,
+        |  least(500.0, 100.0 * power(2.0, streak)) AS interval_seconds,
+        |  (doc_id * 1000 + (n - 1) * 100)::DOUBLE
+        |    + least(500.0, 100.0 * power(2.0, streak)) AS next_fetch
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // the q141 PageRank replay over the closed-form host edge set
     // (+1 / +3 neighbors, non-hub→hub, symmetric closure, no self
