@@ -536,6 +536,8 @@ object Pipeline {
       changeAware: Boolean = false,
       filesPerDrain: Option[Int] = None,
       compactEvery: Option[Int] = None,
+      recrawlBase: Option[Int] = None,
+      recrawlMax: Option[Int] = None,
       dryRun: Boolean = false)
 
   private[graft] def parseCrawlArgs(rest: Seq[String]): CrawlArgs = {
@@ -554,6 +556,10 @@ object Pipeline {
         loop(t, acc.copy(filesPerDrain = Some(int("--files-per-drain", v))))
       case "--compact-every" :: v :: t =>
         loop(t, acc.copy(compactEvery = Some(int("--compact-every", v))))
+      case "--recrawl-base" :: v :: t =>
+        loop(t, acc.copy(recrawlBase = Some(int("--recrawl-base", v))))
+      case "--recrawl-max" :: v :: t =>
+        loop(t, acc.copy(recrawlMax = Some(int("--recrawl-max", v))))
       case "--blocked-domains" :: v :: t =>
         loop(t, acc.copy(blockedDomains =
           v.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
@@ -651,11 +657,28 @@ object Pipeline {
     * PRIORITIZED by PageRank over the accumulated host link graph —
     * hot hosts' quota slots go to their highest-authority targets.
     *
+    * REFRESH crawling (`--recrawl-base N`, intervals in drains): every
+    * fetch observation — including unchanged refetches, 304 Not
+    * Modified revalidations, and WARC `revisit` records (the fetcher's
+    * own byte-identical-capture dedup), all of which confirm the
+    * cached copy without ingesting anything — advances a rolling
+    * per-URL schedule ([[graft.sources.RecrawlSchedule]]: churners
+    * keep the base interval, static pages back off exponentially to
+    * `--recrawl-max`). URLs due at the current drain clock re-enter
+    * the frontier through the same domain/robots gates and the
+    * politeness cap, emitted once per fetch GENERATION (emitted-set
+    * key `url#last_fetch`): a due URL becomes re-eligible only after
+    * it is actually refetched. Refetch frontier rows carry the
+    * origin's latest cache validators (`etag`, `last_modified` —
+    * rolled as their own state piece) so a fetcher can send
+    * If-None-Match / If-Modified-Since instead of refetching blind.
+    *
     * Durability: survivors, frontier, aliases and the per-drain ledger
     * land batchId-keyed ([[graft.streaming.ExactlyOnce]]); every
     * rolled state piece ALSO appends a batchId-keyed DELTA per drain
     * under `state/deltas/` (seen/emitted hash rows, index extension
-    * frames, robots fetches, discovered sitemaps, host-graph edges),
+    * frames, robots fetches, discovered sitemaps, host-graph edges,
+    * fetch-observation logs),
     * so a run that dies mid-stream loses nothing the checkpoint
     * committed: the next invocation restores `state/v<N>` plus the
     * deltas of COMMITTED batches (replayed batches rewrite their
@@ -698,6 +721,12 @@ object Pipeline {
     val defaultDelay = config.getDouble("crawl.default_delay_seconds", 5.0)
     val maxHops = config.getInt("crawl.redirect_max_hops", 4)
     val rankIters = config.getInt("crawl.rank_iterations", 3)
+    // refresh crawling: 0 = off; intervals are measured in DRAINS (the
+    // loop's monotone crawl clock — micro-batch ids survive restarts)
+    val recrawlBase = args.recrawlBase.getOrElse(
+      config.getInt("crawl.recrawl_base_drains", 0))
+    val recrawlMax = args.recrawlMax.getOrElse(
+      config.getInt("crawl.recrawl_max_drains", recrawlBase * 64))
     // fault injection for the resume contract's spec: fail the run
     // after N completed drains (0 = off)
     val failAfter = config.getInt("crawl.fail_after_drains", 0)
@@ -811,6 +840,49 @@ object Pipeline {
         .getOrElse(base)
         .localCheckpoint()
     })
+    // refresh-crawl schedule: one row per fetched URL — (url,
+    // last_fetch, last_hash, n_fetches, unchanged_streak), the rolling
+    // form of [[graft.sources.RecrawlSchedule]]. Deltas are per-drain
+    // observation logs; the fold is ORDER-sensitive (the streak), so
+    // crash recovery replays committed drains in batch order.
+    val schedRef = new java.util.concurrent.atomic.AtomicReference({
+      val base = restoredV
+        .flatMap(v => readIfExists(spark, fs, s"$out/state/v$v/recrawl"))
+        .getOrElse(graft.sources.RecrawlSchedule.emptyState(spark))
+      deltasOf("fetchlog") match {
+        case None => base
+        case Some(d) =>
+          val dc = d.localCheckpoint()
+          val bids = dc.select(col("batch_id")).distinct()
+            .orderBy(col("batch_id")).as[Long].collect()
+          bids.foldLeft(base) { (st, bid) =>
+            graft.sources.RecrawlSchedule.advance(st,
+              dc.where(col("batch_id") === bid), "url", "t", "h")
+              .localCheckpoint()
+          }
+      }
+    })
+    // conditional-request hints: the latest validators each URL's
+    // origin sent (`ETag` / `Last-Modified` from 200s and 304s),
+    // rolled latest-fetch-wins — joined onto refetch frontier rows so
+    // a fetcher can send If-None-Match / If-Modified-Since
+    val validatorsRef = new java.util.concurrent.atomic.AtomicReference({
+      val base = restoredV
+        .flatMap(v => readIfExists(spark, fs, s"$out/state/v$v/validators"))
+        .getOrElse(Seq.empty[(String, String, String)]
+          .toDF("url", "etag", "last_modified"))
+      deltasOf("validators") match {
+        case None => base
+        case Some(d) =>
+          base.withColumn("batch_id", lit(-1L))
+            .unionByName(d.select(col("url"), col("etag"),
+              col("last_modified"), col("batch_id").cast("long")))
+            .groupBy(col("url"))
+            .agg(max_by(col("etag"), col("batch_id")).as("etag"),
+              max_by(col("last_modified"), col("batch_id"))
+                .as("last_modified"))
+      }
+    })
 
     // rules + delays derived from the rolled robots state; re-derived
     // only on drains that actually carried robots fetches
@@ -893,7 +965,42 @@ object Pipeline {
       val unseen = graft.dedup.UrlSeenSet.filterNew(robKept, "target", seenRef.get)
       val unEmitted = graft.dedup.UrlSeenSet.filterNew(
         unseen, "target", emittedRef.get)
-      val prioritized = unEmitted
+      // REFETCH pool: URLs whose refresh schedule says they're due,
+      // re-checked against the CURRENT domain/robots gates (both may
+      // have changed since the original fetch) and emitted once per
+      // fetch-GENERATION — the emitted-set key is url#last_fetch, so a
+      // due URL is re-eligible only after it is actually refetched
+      // (which advances last_fetch). Discovery rows keep the plain
+      // target as their emitted key (identical hashes to the pre-
+      // refresh protocol, so restored emitted state stays valid).
+      val pool0 = unEmitted.withColumn("__ekey", col("target"))
+        .withColumn("etag", lit(null).cast("string"))
+        .withColumn("last_modified", lit(null).cast("string"))
+      val pool =
+        if (recrawlBase > 0 && batchId.isDefined) {
+          val due = graft.sources.RecrawlSchedule.due(schedRef.get,
+            batchId.get.toDouble, recrawlBase.toDouble, recrawlMax.toDouble)
+            .select(col("url").as("target"),
+              concat(col("url"), lit("#"),
+                col("last_fetch").cast("long").cast("string")).as("__ekey"))
+          val dueDom = domainKill(due, "target")
+          val dueRob = graft.sources.RobotsTxt.filterAllowed(
+            dueDom, "target", rulesRef.get, agent)
+          val dueNew = graft.dedup.UrlSeenSet.filterNew(
+            dueRob, "__ekey", emittedRef.get).localCheckpoint()
+          // conditional-request hints for the refetch rows: validator
+          // state scanned once (due keys broadcast into the semi
+          // join), then two small-side joins
+          val hints = validatorsRef.get.join(
+            broadcast(dueNew.select(col("target").as("__u"))),
+            col("url") === col("__u"), "left_semi")
+          val hinted = dueNew.join(broadcast(hints),
+              col("target") === col("url"), "left")
+            .select(col("target"), col("__ekey"), col("etag"),
+              col("last_modified"))
+          pool0.unionByName(hinted)
+        } else pool0
+      val prioritized = pool
         .withColumn("__thost", graft.sources.UrlOps.host(col("target")))
         .join(hostRanks().select(col("host").as("__rhost"),
           col("rank").as("__rank")),
@@ -905,7 +1012,7 @@ object Pipeline {
         priorityCol = Some("__priority"))
         .drop("__priority")
         .localCheckpoint()
-      val emDelta = graft.dedup.UrlSeenSet.deltaRows(capped, "target")
+      val emDelta = graft.dedup.UrlSeenSet.deltaRows(capped, "__ekey")
       batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
         emDelta, deltaDir("emitted"), b))
       emittedRef.set(graft.dedup.UrlSeenSet.extendWith(emittedRef.get, emDelta))
@@ -939,7 +1046,14 @@ object Pipeline {
           .as("sitemap_url"))
       val known = advertised.unionByName(sitemapsRef.get)
         .distinct().localCheckpoint()
-      val ok = recs.where(col("http_status") === 200)
+      // revisit records (WARC-Type: revisit — the fetcher's own
+      // URL-level dedup: the capture was byte-identical to an earlier
+      // one, the payload carries response HEADERS only) are NOT pages:
+      // without the warc_type gate their header-only 200 envelope
+      // would flow into extraction as an empty document AND reset the
+      // refresh streak with an empty-text hash
+      val ok = recs.where(col("http_status") === 200 &&
+        col("warc_type") === "response")
       val uriCanon = graft.sources.UrlOps.canonicalize(col("target_uri"))
       val smBodies = ok.withColumn("__c", uriCanon)
         .join(broadcast(known.select(col("sitemap_url").as("__k"))),
@@ -1028,6 +1142,64 @@ object Pipeline {
       seenRef.set(
         if (changeAware) graft.dedup.UrlSeenSet.upsertWith(seenRef.get, seenDelta)
         else graft.dedup.UrlSeenSet.extendWith(seenRef.get, seenDelta))
+      // refresh-crawl bookkeeping: EVERY fetch observation advances
+      // the rolling schedule — the drain's 200s post-URL-dedup
+      // (changed or not: an unchanged refetch grows the streak), plus
+      // UNCHANGED-confirmations that carry no content: 304 Not
+      // Modified revalidations and WARC revisit records (both mean
+      // "fetched, same as the cached copy" — the last known hash is
+      // re-observed, nothing is ingested)
+      val nNotMod =
+        if (recrawlBase > 0) {
+          val fetchObs = urlDeduped.select(col("canon").as("url"),
+            xxhash64(col("text")).as("h"))
+          val notMod = recs.where(
+              (col("http_status") === 304 &&
+                col("warc_type") === "response") ||
+                col("warc_type") === "revisit")
+            .select(uriCanon.as("url")).distinct()
+            .join(broadcast(fetchObs.select(col("url").as("__f"))),
+              col("url") === col("__f"), "left_anti")
+            .select(col("url"))
+          val confirms = schedRef.get
+            .join(broadcast(notMod), Seq("url"))
+            .select(col("url"), col("last_hash").as("h"))
+          val obs = fetchObs.unionByName(confirms)
+            .withColumn("t", lit(batchId.getOrElse(0L).toDouble))
+            .select(col("url"), col("t"), col("h"))
+            .localCheckpoint()
+          batchId.foreach { bid =>
+            graft.streaming.ExactlyOnce.appendKeyed(
+              obs, deltaDir("fetchlog"), bid)
+            schedRef.set(graft.sources.RecrawlSchedule.advance(
+              schedRef.get, obs, "url", "t", "h").localCheckpoint())
+          }
+          confirms.count()
+        } else 0L
+      // validator-hint roll: one row per URL per drain (an origin that
+      // sent ETag/Last-Modified on a 200 or re-sent them on a 304);
+      // the state side is only scanned (batch broadcast into the
+      // anti join), latest drain wins per URL
+      if (recrawlBase > 0) {
+        val valRows = recs.where(col("warc_type") === "response" &&
+            (col("http_status") === 200 || col("http_status") === 304) &&
+            (col("http_etag").isNotNull ||
+              col("http_last_modified").isNotNull))
+          .groupBy(uriCanon.as("url"))
+          .agg(max(col("http_etag")).as("etag"),
+            max(col("http_last_modified")).as("last_modified"))
+          .localCheckpoint()
+        if (!valRows.isEmpty) {
+          batchId.foreach { bid =>
+            graft.streaming.ExactlyOnce.appendKeyed(
+              valRows, deltaDir("validators"), bid)
+            validatorsRef.set(validatorsRef.get
+              .join(broadcast(valRows.select(col("url").as("__v"))),
+                col("url") === col("__v"), "left_anti")
+              .unionByName(valRows).localCheckpoint())
+          }
+        }
+      }
       val (surv, c) =
         if (nNew > 0) {
           val (sv, cc) = graft.dedup.IncrementalIngest.cycle(
@@ -1051,13 +1223,18 @@ object Pipeline {
       val frontier = discover(surv,
         redirTargets.unionByName(pageSeeds).unionByName(sitemapTargets),
         batchId)
+      // refetch emissions are the frontier rows whose emitted key is a
+      // url#generation, not the bare target
+      val nRefetch = frontier.where(col("__ekey") =!= col("target")).count()
       (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3),
-        frontier.count(), nRedir, nRobFetch, nSeeds), surv, frontier, aliases)
+        frontier.count(), nRedir, nRobFetch, nSeeds, nNotMod, nRefetch),
+        surv, frontier, aliases)
     }
 
     def records(df: DataFrame): DataFrame = df.select(
-      col("record_id"), col("target_uri"), col("http_status"),
-      col("http_location"), col("body"))
+      col("record_id"), col("warc_type"), col("target_uri"),
+      col("http_status"), col("http_location"), col("http_etag"),
+      col("http_last_modified"), col("body"))
 
     if (args.dryRun) {
       val (c, _, _, _) = stageCounts(
@@ -1066,6 +1243,7 @@ object Pipeline {
         s"after_url=${c(3)} new_url=${c(4)} after_exact=${c(5)} " +
         s"after_intra=${c(6)} survivors=${c(7)} frontier=${c(8)} " +
         s"redirects=${c(9)} robots_fetches=${c(10)} sitemap_seeds=${c(11)} " +
+        s"not_modified=${c(12)} refetch_emitted=${c(13)} " +
         "(dry run — nothing written)")
       return CrawlOutcome("(dry-run)", "success", 0L, c(7), restoredV, None)
     }
@@ -1099,16 +1277,19 @@ object Pipeline {
               surv.select(col("doc_id"), col("uri"), col("text")),
               s"$out/docs", batchId)
             graft.streaming.ExactlyOnce.appendKeyed(
-              frontier.select(col("target")), s"$out/frontier", batchId)
+              frontier.select(col("target"), col("etag"),
+                col("last_modified")),
+              s"$out/frontier", batchId)
             graft.streaming.ExactlyOnce.appendKeyed(
               aliases, s"$out/aliases", batchId)
             graft.streaming.ExactlyOnce.appendKeyed(
               Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7),
-                c(8), c(9), c(10), c(11)))
+                c(8), c(9), c(10), c(11), c(12), c(13)))
                 .toDF("batch_id", "n_batch", "n_after_domain", "n_after_robots",
                   "n_after_url", "n_new_url", "n_after_exact", "n_after_intra",
                   "n_survivors", "n_frontier", "n_redirects",
-                  "n_robots_fetches", "n_sitemap_seeds"),
+                  "n_robots_fetches", "n_sitemap_seeds", "n_not_modified",
+                  "n_refetch"),
               s"$out/drains", batchId)
             drains.incrementAndGet(): Unit
             ingested.addAndGet(c(7)): Unit
@@ -1139,6 +1320,8 @@ object Pipeline {
         .parquet(s"$vdir/sitemaps")
       graphRef.get.distinct().write.mode("overwrite")
         .parquet(s"$vdir/hostgraph")
+      schedRef.get.write.mode("overwrite").parquet(s"$vdir/recrawl")
+      validatorsRef.get.write.mode("overwrite").parquet(s"$vdir/validators")
       fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"), true).close()
       restoredV.foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$out/state/v$v"), true): Unit
@@ -1173,7 +1356,7 @@ object Pipeline {
     val usage = "usage: Pipeline crawl <inDir> <outDir> [--agent NAME] " +
       "[--blocked-domains d1,d2] [--robots PARQUET] [--corpus PARQUET] " +
       "[--psl PARQUET] [--change-aware] [--files-per-drain N] " +
-      "[--compact-every K] [--dry-run]"
+      "[--compact-every K] [--recrawl-base N] [--recrawl-max N] [--dry-run]"
     require(args.length >= 2 && !args(0).startsWith("-") && !args(1).startsWith("-"),
       usage)
     val parsed =

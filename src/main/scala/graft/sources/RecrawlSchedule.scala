@@ -66,4 +66,81 @@ object RecrawlSchedule {
       .withColumn("next_fetch", col("last_fetch") + col("interval_seconds"))
       .drop("__max_rn", "__last_change_rn")
   }
+
+  // ---- incremental form, for the rolling crawl loop ----
+  //
+  // [[schedule]] recomputes from the FULL fetch history — right for a
+  // batch job, wrong for a per-drain loop at 100 TB (the history table
+  // is fetches-sized and would shuffle whole every drain). The rolling
+  // form keeps one row per URL — (url, last_fetch, last_hash,
+  // n_fetches, unchanged_streak) — and folds each drain's observations
+  // in with ZERO state shuffles: the (small) batch side is broadcast
+  // into one inner join and one anti join, so the state is only ever
+  // SCANNED. RecrawlScheduleSpec pins fold-over-drains ≡ [[schedule]]
+  // over the concatenated history.
+
+  /** Empty rolling state. */
+  def emptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("url", StringType),
+        StructField("last_fetch", DoubleType),
+        StructField("last_hash", LongType),
+        StructField("n_fetches", LongType),
+        StructField("unchanged_streak", IntegerType))))
+  }
+
+  /** Fold one drain's observations into the rolling state. `batch`
+    * must carry AT MOST ONE row per url (the loop's within-drain URL
+    * dedup guarantees it); an unchanged hash extends the streak, a
+    * changed one resets it, a first observation starts at zero —
+    * exactly [[schedule]]'s streak rule, one step at a time.
+    */
+  def advance(state: DataFrame, batch: DataFrame, urlCol: String,
+      timeCol: String, hashCol: String): DataFrame = {
+    val b = batch.select(
+      col(urlCol).as("url"),
+      col(timeCol).cast("double").as("__t"),
+      col(hashCol).cast("long").as("__h"))
+    // state side: scanned twice, never shuffled (batch broadcast both times)
+    val touched = state.join(broadcast(b), Seq("url"))
+    val updated = touched.select(
+      col("url"),
+      col("__t").as("last_fetch"),
+      col("__h").as("last_hash"),
+      (col("n_fetches") + 1L).as("n_fetches"),
+      when(col("last_hash") <=> col("__h"),
+        col("unchanged_streak") + 1).otherwise(lit(0))
+        .cast("int").as("unchanged_streak"))
+    val newcomers = b.join(
+        broadcast(touched.select(col("url").as("__seen"))),
+        col("url") === col("__seen"), "left_anti")
+      .select(col("url"), col("__t").as("last_fetch"),
+        col("__h").as("last_hash"), lit(1L).as("n_fetches"),
+        lit(0).as("unchanged_streak"))
+    state.join(broadcast(b.select(col("url").as("__b"))),
+        col("url") === col("__b"), "left_anti")
+      .unionByName(updated)
+      .unionByName(newcomers)
+  }
+
+  /** URLs DUE for refetch as of crawl-clock `asOf`: one state scan, no
+    * shuffle. Adds the derived `interval_seconds` / `next_fetch`.
+    */
+  def due(state: DataFrame, asOf: Double,
+      baseIntervalSeconds: Double,
+      maxIntervalSeconds: Double): DataFrame = {
+    require(baseIntervalSeconds > 0,
+      s"base interval must be positive, got $baseIntervalSeconds")
+    require(maxIntervalSeconds >= baseIntervalSeconds,
+      s"max interval $maxIntervalSeconds < base $baseIntervalSeconds")
+    val interval = least(lit(maxIntervalSeconds),
+      lit(baseIntervalSeconds) * pow(lit(2.0), col("unchanged_streak")))
+    state
+      .withColumn("interval_seconds", interval)
+      .withColumn("next_fetch", col("last_fetch") + col("interval_seconds"))
+      .where(col("next_fetch") <= lit(asOf))
+  }
 }

@@ -215,6 +215,76 @@ object WarcQueries {
         }
       })
 
+  /** Revalidation fixture (q259/q260): per doc one 200 response
+    * carrying cache validators by cohort — doc_id%3: 0 = strong ETag,
+    * 1 = weak (`W/`-prefixed) ETag, 2 = none; doc_id%2=0 adds a
+    * constant `Last-Modified` — plus, for the even docs, a 304 Not
+    * Modified record at the same URI re-sending the validators with no
+    * body (the conditional-refetch answer), and, for the %3=0 docs, a
+    * WARC `revisit` record (`WARC-Refers-To` names the original; the
+    * payload is the response HEADER block only — the fetcher's
+    * byte-identical-capture dedup, reference WARC/1.1 §6.7.2 shape as
+    * Common Crawl emits it). Shard 0 plain, shard 1 gzip.
+    */
+  private val revalidationCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val RevalLastModified = "Sat, 01 Jun 2024 12:00:00 GMT"
+
+  def materializeRevalidation(s: SparkSession, dir: String): String =
+    revalidationCache.computeIfAbsent(
+      "warc-reval|" + java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => {
+        import s.implicits._
+        val lease = graft.core.ScratchDirs.lease("graft-warc-reval-")
+        try {
+          val ids = Tables.load(s, dir, "documents")
+            .select(col("doc_id").cast("long")).as[Long]
+          val entries = ids.flatMap { id =>
+            val shard = (id % 2).toInt
+            val uri = s"http://example.com/doc/$id"
+            val etag = (id % 3) match {
+              case 0 => "\"v" + id + "\""
+              case 1 => "W/\"v" + id + "\""
+              case _ => ""
+            }
+            val lm = if (id % 2 == 0) RevalLastModified else ""
+            val headers =
+              (if (etag.nonEmpty) Seq("ETag" -> etag) else Nil) ++
+                (if (lm.nonEmpty) Seq("Last-Modified" -> lm) else Nil)
+            val body = s"<html><body>doc $id</body></html>"
+              .getBytes(StandardCharsets.UTF_8)
+            val ok = WarcShards.Entry(shard, id * 3 + 1, "response", uri,
+              s"<urn:graft:reval:200:$id>",
+              "application/http;msgtype=response",
+              WarcShards.WarcCodec.httpResponse(body,
+                "text/html; charset=utf-8", headers))
+            val notMod =
+              if (id % 2 == 0)
+                Seq(WarcShards.Entry(shard, id * 3 + 2, "response", uri,
+                  s"<urn:graft:reval:304:$id>",
+                  "application/http;msgtype=response",
+                  WarcShards.WarcCodec.httpNotModified(etag, lm)))
+              else Nil
+            val revisit =
+              if (id % 3 == 0)
+                Seq(WarcShards.Entry(shard, id * 3 + 3, "revisit", uri,
+                  s"<urn:graft:reval:rev:$id>",
+                  "application/http;msgtype=response",
+                  ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+                    s"ETag: $etag\r\n\r\n").getBytes(StandardCharsets.UTF_8),
+                  refersTo = s"<urn:graft:reval:200:$id>"))
+              else Nil
+            Seq(ok) ++ notMod ++ revisit
+          }
+          WarcShards.pack(entries.filter(_.shard == 0), lease, gzip = false): Unit
+          WarcShards.pack(entries.filter(_.shard == 1), lease, gzip = true): Unit
+          lease
+        } catch {
+          case e: Throwable =>
+            graft.core.ScratchDirs.release(lease)
+            throw e
+        }
+      })
+
   /** Domain-curation fixture: each doc gets a host by doc_id % 6 — two
     * subdomains (one case-mangled) per registered domain, three
     * registered domains (`example.com`, `example.co.uk` via the
@@ -1100,6 +1170,101 @@ object WarcQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REFRESH FRONTIER end to end — the ROLLING form of the schedule
+    // ([[RecrawlSchedule.advance]]/[[due]], the crawl CLI's per-drain
+    // path): fold q257's change cohorts drain by drain on a drain
+    // clock, take the URLs DUE at clock 4, and spend each host's
+    // Crawl-delay quota on the FRESHEST pages first (priority =
+    // -interval: churners beat backed-off static pages). The fold ≡
+    // schedule() equivalence is spec-pinned (RecrawlScheduleSpec);
+    // here the oracle recomputes streaks closed-form per cohort, the
+    // due filter, and the budget window relationally.
+    //
+    // 100 TB shape: the fold never shuffles the state (batch broadcast
+    // into one inner + one anti join per drain), due is one state scan,
+    // the cap is the q250 two-phase skew-safe window.
+    "q258_refresh_frontier" -> { (s, dir) =>
+      import s.implicits._
+      val hostsLower = DomainHosts.map(_.toLowerCase(java.util.Locale.ROOT))
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val n = (col("doc_id") % 4 + 1).cast("int")
+      val host = element_at(array(lit(hostsLower(0)), lit(hostsLower(1))),
+        (col("doc_id") % 2 + 1).cast("int"))
+      val fetches = d
+        .select(col("doc_id"), n.as("n"),
+          explode(sequence(lit(0), n - 1)).as("k"))
+        .select(
+          concat(lit("https://"), host, lit("/doc/"),
+            lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+          col("k").cast("double").as("t"),
+          when(col("doc_id") % 3 === 0, lit(7L))
+            .when(col("doc_id") % 3 === 1, col("k").cast("long"))
+            .otherwise(when(col("k") < (col("n") / 2).cast("int"), lit(0L))
+              .otherwise(lit(1L))).as("h"))
+        .localCheckpoint()
+      val state = (0 until 4).foldLeft(RecrawlSchedule.emptyState(s)) {
+        (st, k) => RecrawlSchedule.advance(st,
+          fetches.where(col("t") === k.toDouble), "url", "t", "h")
+          .localCheckpoint()
+      }
+      val due = RecrawlSchedule.due(state, asOf = 4.0,
+        baseIntervalSeconds = 1.0, maxIntervalSeconds = 8.0)
+      val delays = Seq((hostsLower(0), 6.0), (hostsLower(1), 3.0))
+        .toDF("host", "delay_seconds")
+      CrawlBudget.cap(
+          due.withColumn("freshness", -col("interval_seconds")),
+          "url", delays, horizonSeconds = 12.0, defaultDelaySeconds = 5.0,
+          priorityCol = Some("freshness"))
+        .select(
+          regexp_extract(col("url"), "/doc/0*([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("n_fetches"), col("unchanged_streak").cast("long")
+            .as("unchanged_streak"),
+          col("interval_seconds"), col("next_fetch"))
+        .orderBy(col("doc_id"))
+    },
+
+    // HTTP cache validators through the WARC reader — `http_etag` /
+    // `http_last_modified` surfaced from the one header-block parse
+    // (WarcCodec.parseHttpEnvelope), and 304 Not Modified responses
+    // (a refresh crawler's conditional-request answers) framed with
+    // status + re-sent validators + NO body. Weak ETags keep their
+    // `W/` prefix and quotes VERBATIM (RFC 9110 §8.8.3 — entity tags
+    // are opaque; normalizing them breaks If-None-Match echo).
+    "q259_http_validators" -> { (s, dir) =>
+      val shards = materializeRevalidation(s, dir)
+      WarcShards.readRecords(s, shards)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_etag"), col("http_last_modified"),
+          length(col("body")).cast("long").as("body_len"))
+        .orderBy(col("doc_id"), col("http_status"))
+    },
+
+    // WARC revisit records — the fetcher's byte-identical-capture
+    // dedup, read as first-class rows: `warc_type` distinguishes them
+    // from real responses (a crawl loop that ingests a revisit's
+    // header-only payload as a page mints empty documents and poisons
+    // change detection), `refers_to` names the original capture, the
+    // envelope still parses (status + re-sent validators) and the
+    // entity body is EMPTY regardless of the original's length.
+    "q260_revisit_records" -> { (s, dir) =>
+      val shards = materializeRevalidation(s, dir)
+      WarcShards.readRecords(s, shards)
+        .where(col("warc_type") === "revisit")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("refers_to"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_etag"),
+          length(col("body")).cast("long").as("body_len"))
+        .orderBy(col("doc_id"))
+    },
+
     // robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the `*`/`$` pattern
     // forms major sites actually publish, parsed from planted bodies
     // and judged per URL: end-anchored suffix kills (`/doc/*3$`,
@@ -1859,6 +2024,82 @@ object WarcQueries {
         |  (doc_id * 1000 + (n - 1) * 100)::DOUBLE
         |    + least(500.0, 100.0 * power(2.0, streak)) AS next_fetch
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q257's closed-form streaks + the due filter at clock 4 + the
+    // freshness-priority budget window (quota = floor(horizon/delay):
+    // host0 12/6 = 2, host1 12/3 = 4; priority -interval desc ≡
+    // interval asc, url asc tie-break)
+    "q258_refresh_frontier" -> {
+      val h0 = DomainHosts(0).toLowerCase(java.util.Locale.ROOT)
+      val h1 = DomainHosts(1).toLowerCase(java.util.Locale.ROOT)
+      s"""WITH p AS (
+         |  SELECT doc_id, (doc_id % 4 + 1) AS n, (doc_id % 3) AS c,
+         |    CASE WHEN doc_id % 2 = 0 THEN '$h0' ELSE '$h1' END AS host
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n, host,
+         |    CASE WHEN c = 0 THEN n - 1
+         |         WHEN c = 1 THEN 0
+         |         ELSE CASE WHEN n = 1 THEN 0 ELSE n - (n // 2) - 1 END
+         |    END AS streak
+         |  FROM p),
+         |d AS (
+         |  SELECT doc_id, host, n::BIGINT AS n_fetches,
+         |    streak::BIGINT AS unchanged_streak,
+         |    least(8.0, power(2.0, streak)) AS interval_seconds,
+         |    (n - 1)::DOUBLE + least(8.0, power(2.0, streak)) AS next_fetch,
+         |    'https://' || host || '/doc/' || lpad(doc_id::VARCHAR, 8, '0')
+         |      AS url
+         |  FROM s
+         |  WHERE (n - 1)::DOUBLE + least(8.0, power(2.0, streak)) <= 4.0),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY host
+         |      ORDER BY interval_seconds ASC, url ASC) AS rn,
+         |    CASE WHEN host = '$h0' THEN 2 ELSE 4 END AS quota
+         |  FROM d)
+         |SELECT doc_id, n_fetches, unchanged_streak, interval_seconds,
+         |  next_fetch
+         |FROM r WHERE rn <= quota ORDER BY doc_id""".stripMargin
+    },
+
+    // the planted validators restated closed-form: 200 rows for every
+    // doc (etag cohort by %3, Last-Modified on evens, body = the
+    // 30-chars-plus-id-digits stub), 304 rows for the evens (validators
+    // re-sent, zero-length body)
+    "q259_http_validators" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, (doc_id % 3) AS c3, (doc_id % 2) AS c2
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_id, c2,
+         |    CASE WHEN c3 = 0 THEN '"v' || doc_id || '"'
+         |         WHEN c3 = 1 THEN 'W/"v' || doc_id || '"'
+         |         ELSE NULL END AS http_etag,
+         |    CASE WHEN c2 = 0 THEN '$RevalLastModified'
+         |         ELSE NULL END AS http_last_modified
+         |  FROM p),
+         |r200 AS (
+         |  SELECT doc_id, 200::BIGINT AS http_status, http_etag,
+         |    http_last_modified,
+         |    (30 + length(doc_id::VARCHAR))::BIGINT AS body_len
+         |  FROM v),
+         |r304 AS (
+         |  SELECT doc_id, 304::BIGINT, http_etag, http_last_modified,
+         |    0::BIGINT
+         |  FROM v WHERE c2 = 0)
+         |SELECT * FROM r200 UNION ALL SELECT * FROM r304
+         |ORDER BY doc_id, http_status""".stripMargin,
+
+    // the planted revisit cohort (doc_id%3 = 0) closed-form: original
+    // named by refers_to, 200 envelope, strong ETag re-sent, no body
+    "q260_revisit_records" ->
+      """SELECT doc_id,
+        |  '<urn:graft:reval:200:' || doc_id || '>' AS refers_to,
+        |  200::BIGINT AS http_status,
+        |  '"v' || doc_id || '"' AS http_etag,
+        |  0::BIGINT AS body_len
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     // the q141 PageRank replay over the closed-form host edge set
     // (+1 / +3 neighbors, non-hub→hub, symmetric closure, no self

@@ -103,10 +103,14 @@ object WarcShards {
     /** An HTTP/1.1 200 response payload wrapping `body` — what a
       * `response` record carries. Content-Length is the body's byte
       * count, so the full payload is closed-form from the body.
+      * `extraHeaders` plants additional verbatim header lines (cache
+      * validators for the refresh-crawl fixtures).
       */
-    def httpResponse(body: Array[Byte], contentType: String): Array[Byte] = {
+    def httpResponse(body: Array[Byte], contentType: String,
+        extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+      val extra = extraHeaders.map { case (k, v) => s"$k: $v\r\n" }.mkString
       val h = s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
-        s"Content-Length: ${body.length}\r\n\r\n"
+        extra + s"Content-Length: ${body.length}\r\n\r\n"
       val hb = h.getBytes(StandardCharsets.UTF_8)
       val outB = new Array[Byte](hb.length + body.length)
       System.arraycopy(hb, 0, outB, 0, hb.length)
@@ -140,6 +144,22 @@ object WarcShards {
       System.arraycopy(hb, 0, outB, 0, hb.length)
       System.arraycopy(body, 0, outB, hb.length, body.length)
       outB
+    }
+
+    /** An HTTP/1.1 304 Not Modified payload — what a `response` record
+      * carries when the crawler revalidated with `If-None-Match` /
+      * `If-Modified-Since` and the origin confirmed the cached copy
+      * (RFC 9110 §15.4.5: no body; the validators are re-sent). For
+      * fixtures and the refresh-crawl tests.
+      */
+    def httpNotModified(etag: String = "",
+        lastModified: String = ""): Array[Byte] = {
+      val extra =
+        (if (etag.nonEmpty) s"ETag: $etag\r\n" else "") +
+          (if (lastModified.nonEmpty) s"Last-Modified: $lastModified\r\n"
+           else "")
+      (s"HTTP/1.1 304 Not Modified\r\n$extra\r\n")
+        .getBytes(StandardCharsets.UTF_8)
     }
 
     /** An HTTP/1.1 200 response whose body rides `Transfer-Encoding:
@@ -223,10 +243,14 @@ object WarcShards {
       * (redirect target, "" when absent — VERBATIM, not resolved: a
       * relative Location resolves against the record's target URI
       * downstream, [[RedirectEdges]]), the `Content-Type` charset
-      * parameter ("" when absent), and the entity body.
+      * parameter ("" when absent), the cache validators a refresh
+      * crawler echoes back (`ETag` verbatim incl. quotes/`W/` prefix
+      * per RFC 9110 §8.8.3, `Last-Modified` verbatim — both "" when
+      * absent), and the entity body.
       */
     final case class HttpEnvelope(status: Int, location: String,
-        charset: String, body: Array[Byte])
+        charset: String, etag: String, lastModified: String,
+        body: Array[Byte])
 
     /** Split an HTTP message payload into its [[HttpEnvelope]]. None if
       * the payload is not an HTTP response (no status line / no
@@ -263,13 +287,17 @@ object WarcShards {
         .map(_.split(":", 2))
         .collectFirst { case Array(k, v)
           if k.trim.equalsIgnoreCase(name) => v.trim.toLowerCase(java.util.Locale.ROOT) }
-      // Location is case-SENSITIVE in value (URL paths are), unlike the
-      // transform headers above whose values are lowercased tokens
-      val location = lines.iterator.drop(1)
+      // Location/ETag/Last-Modified are case-SENSITIVE in value (URL
+      // paths; opaque entity tags; HTTP-dates), unlike the transform
+      // headers above whose values are lowercased tokens
+      def hdrVerbatim(name: String): String = lines.iterator.drop(1)
         .map(_.split(":", 2))
         .collectFirst { case Array(k, v)
-          if k.trim.equalsIgnoreCase("Location") => v.trim }
+          if k.trim.equalsIgnoreCase(name) => v.trim }
         .getOrElse("")
+      val location = hdrVerbatim("Location")
+      val etag = hdrVerbatim("ETag")
+      val lastModified = hdrVerbatim("Last-Modified")
       val charset = hdr("Content-Type")
         .flatMap(ct => "charset=\\s*\"?([^\";\\s]+)".r.findFirstMatchIn(ct)
           .map(_.group(1)))
@@ -279,7 +307,8 @@ object WarcShards {
         body = dechunk(body)
       if (hdr("Content-Encoding").exists(e => e == "gzip" || e == "x-gzip"))
         body = gunzip(body, maxBodyBytes)
-      Some(HttpEnvelope(status.toInt, location, charset, body))
+      Some(HttpEnvelope(status.toInt, location, charset, etag,
+        lastModified, body))
     }
 
     /** (status, body) convenience view of [[parseHttpEnvelope]]. */
@@ -639,7 +668,8 @@ object WarcShards {
 
   private val RecordColumns = Seq("file", "warc_type", "record_id",
     "target_uri", "concurrent_to", "refers_to", "content_type",
-    "payload_bytes", "http_status", "http_location", "http_charset", "body")
+    "payload_bytes", "http_status", "http_location", "http_charset",
+    "http_etag", "http_last_modified", "body")
 
   /** Brace alternation, NOT "*.warc*": the loose glob would also match a
     * crashed attempt's ".warc.tmp-N" leftovers and fail the whole scan on
@@ -656,7 +686,8 @@ object WarcShards {
   private def recordRows(
       hadoopConf: org.apache.spark.util.SerializableConfiguration)(path: String)
       : Iterator[(String, String, String, String, String, String, String,
-        Long, Option[Int], Option[String], Option[String], Array[Byte])] = {
+        Long, Option[Int], Option[String], Option[String], Option[String],
+        Option[String], Array[Byte])] = {
     val file = path.substring(path.lastIndexOf('/') + 1)
     val p = new org.apache.hadoop.fs.Path(path)
     val in = p.getFileSystem(hadoopConf.value).open(p)
@@ -675,6 +706,8 @@ object WarcShards {
         // compose; "" would silently pass a startsWith test)
         http.map(_.location).filter(_.nonEmpty),
         http.map(_.charset).filter(_.nonEmpty),
+        http.map(_.etag).filter(_.nonEmpty),
+        http.map(_.lastModified).filter(_.nonEmpty),
         http.map(_.body).getOrElse(r.payload))
     } ++ { in.close(); Iterator.empty }
   }

@@ -532,6 +532,122 @@ class PipelineSpec extends SparkSpec {
       "deltas not reaped by the clean run end")
   }
 
+  test("crawl refresh scheduling: due URLs re-emitted once per fetch " +
+      "generation, 304 confirms grow the streak, backoff holds across runs") {
+    import spark.implicits._
+    val in = tmpDir("recrawl-in")
+    val out = tmpDir("recrawl-out")
+    val H = "site.example.net"
+    def page(text: String): Array[Byte] =
+      ("<html><head><title>t</title></head><body><p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def entry(shard: Int, ord: Long, path: String, payload: Array[Byte],
+        warcType: String = "response", refersTo: String = "") =
+      graft.sources.WarcShards.Entry(shard, ord, warcType,
+        s"http://$H$path", s"<urn:test:recrawl:$shard:$ord>",
+        "application/http;msgtype=response", payload, refersTo = refersTo)
+    def resp(text: String) = graft.sources.WarcShards.WarcCodec
+      .httpResponse(page(text), "text/html; charset=utf-8")
+    val alpha = "the alpha page talks about mountains and rivers flowing north"
+    val beta = "a second page describing oceans tides and the salty breeze"
+    val gamma = "completely different words about the weather in marseille now"
+    val delta = "the delta page rambles at length about trains and stations"
+    val eps = "the epsilon page discusses harbors lighthouses and seagulls"
+    // run 1 — drain 0: /a/1 + /b/1 fetched (/b/1's origin sends an
+    // ETag); drain 1: /c/1 fetched, and the schedule makes /a/1 + /b/1
+    // due (base interval = 1 drain)
+    graft.sources.WarcShards.pack(Seq(
+      entry(0, 1, "/a/1", resp(alpha)),
+      entry(0, 2, "/b/1", graft.sources.WarcShards.WarcCodec.httpResponse(
+        page(beta), "text/html; charset=utf-8", Seq("ETag" -> "\"b1\""))),
+      entry(1, 1, "/c/1", resp(gamma))
+    ).toDS(), in): Unit
+    val flags = Seq("--files-per-drain", "1", "--change-aware",
+      "--recrawl-base", "1")
+    val r1 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags))
+    assert(r1.status == "success" && r1.drains == 2L &&
+      r1.docsIngested == 3L && r1.stateVersion.contains(0), s"run 1: $r1")
+    val led1 = spark.read.parquet(s"$out/drains").orderBy("batch_id")
+      .select("n_not_modified", "n_refetch", "n_frontier")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(led1 == Seq((0L, 0L, 0L), (0L, 2L, 2L)),
+      s"run 1 ledger (drain 1 re-emits the two drain-0 URLs): $led1")
+
+    // run 2 — drain 2: /a/1 refetched UNCHANGED (streak → 1, killed at
+    // the change-aware seen-set, but the fetch is OBSERVED) + a 304
+    // revalidation of /b/1 (same: streak grows, nothing ingested);
+    // /c/1 becomes due. drain 3: /d/1 is fetched and a WARC revisit
+    // record confirms /c/1 unchanged (byte-identical capture — the
+    // payload is response HEADERS only); nothing due (backoff pushed
+    // a/b to drain 4; /c/1's generation is already emitted). drain 4:
+    // /a/1 + /b/1 due AGAIN under their new generation (last_fetch =
+    // 2), plus /d/1's first refresh (fetched at 3, base interval 1);
+    // /c/1's revisit pushed it to drain 5.
+    val stage = tmpDir("recrawl-d2")
+    graft.sources.WarcShards.pack(Seq(
+      entry(2, 1, "/a/1", resp(alpha)),
+      entry(2, 2, "/b/1",
+        graft.sources.WarcShards.WarcCodec.httpNotModified(etag = "\"b1\"")),
+      entry(3, 1, "/d/1", resp(delta)),
+      entry(3, 2, "/c/1",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        warcType = "revisit", refersTo = "<urn:test:recrawl:1:1>"),
+      entry(4, 1, "/e/1", resp(eps))
+    ).toDS(), stage): Unit
+    for (sh <- Seq("shard-00002.warc", "shard-00003.warc", "shard-00004.warc"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(stage, sh),
+        java.nio.file.Paths.get(in, sh)): Unit
+    val r2 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags))
+    assert(r2.status == "success" && r2.drains == 3L &&
+      r2.docsIngested == 2L && r2.stateVersion.contains(1), s"run 2: $r2")
+    val led2 = spark.read.parquet(s"$out/drains").orderBy("batch_id")
+      .select("n_not_modified", "n_refetch", "n_frontier")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(led2 == Seq((0L, 0L, 0L), (0L, 2L, 2L),
+      (1L, 1L, 1L), (1L, 0L, 0L), (0L, 3L, 3L)),
+      s"full drain ledger: $led2")
+    // frontier: each (url, generation) exactly once — a & b twice
+    // (generations 0 and 2), c & d once (one generation each: c's
+    // revisit pushed its next refresh past the horizon, d's first
+    // refresh lands in drain 4). Refetch rows carry the origin's
+    // validators: /b/1's ETag rides BOTH its emissions (rolled from
+    // the drain-0 200, re-confirmed by the drain-2 304); /a/1 and
+    // /d/1 never got validators → null hints.
+    val front = spark.read.parquet(s"$out/frontier")
+      .select("target", "etag").as[(String, Option[String])]
+      .collect().sorted.toSeq
+    assert(front == Seq(
+      (s"http://$H/a/1", None), (s"http://$H/a/1", None),
+      (s"http://$H/b/1", Some("\"b1\"")), (s"http://$H/b/1", Some("\"b1\"")),
+      (s"http://$H/c/1", None), (s"http://$H/d/1", None)),
+      s"cumulative frontier: $front")
+    // the committed schedule state: observation counts + streaks (the
+    // revisit counts as /c/1's second, unchanged observation)
+    val sched = spark.read.parquet(s"$out/state/v1/recrawl")
+      .select("url", "n_fetches", "unchanged_streak")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(sched == Seq(
+      (s"http://$H/a/1", 2L, 1), (s"http://$H/b/1", 2L, 1),
+      (s"http://$H/c/1", 2L, 1), (s"http://$H/d/1", 1L, 0),
+      (s"http://$H/e/1", 1L, 0)),
+      s"committed recrawl state: $sched")
+    // the committed validator state holds exactly the one origin hint
+    val vals = spark.read.parquet(s"$out/state/v1/validators")
+      .select("url", "etag").as[(String, Option[String])]
+      .collect().sorted.toSeq
+    assert(vals == Seq((s"http://$H/b/1", Some("\"b1\""))),
+      s"committed validators: $vals")
+    // the unchanged refetch and the 304 ingested nothing
+    val docs = spark.read.parquet(s"$out/docs")
+      .select("uri").as[String].collect().sorted.toSeq
+    assert(docs == Seq(s"http://$H/a/1", s"http://$H/b/1", s"http://$H/c/1",
+      s"http://$H/d/1", s"http://$H/e/1"), s"ingested docs: $docs")
+  }
+
   test("crawl args are typed: junk flags and values error loudly") {
     intercept[IllegalArgumentException](
       Pipeline.parseCrawlArgs(Seq("--files-per-drain", "one")))
@@ -539,12 +655,16 @@ class PipelineSpec extends SparkSpec {
       Pipeline.parseCrawlArgs(Seq("--robotz", "x")))
     intercept[IllegalArgumentException](
       Pipeline.parseCrawlArgs(Seq("--compact-every", "x")))
+    intercept[IllegalArgumentException](
+      Pipeline.parseCrawlArgs(Seq("--recrawl-base", "daily")))
     val p = Pipeline.parseCrawlArgs(Seq("--agent", "MyBot", "--change-aware",
       "--blocked-domains", "a.com, b.net", "--files-per-drain", "2",
-      "--psl", "/tmp/psl.parquet"))
+      "--psl", "/tmp/psl.parquet", "--recrawl-base", "1",
+      "--recrawl-max", "16"))
     assert(p.agent.contains("MyBot") && p.changeAware &&
       p.blockedDomains == Seq("a.com", "b.net") &&
-      p.filesPerDrain.contains(2) && p.pslPath.contains("/tmp/psl.parquet"))
+      p.filesPerDrain.contains(2) && p.pslPath.contains("/tmp/psl.parquet") &&
+      p.recrawlBase.contains(1) && p.recrawlMax.contains(16))
   }
 
   test("curate args are typed: junk flags and values error loudly") {
