@@ -644,7 +644,10 @@ object Pipeline {
     *    the frontier, `<sitemapindex>` children become fetch targets
     *    AND roll into the known-sitemap state for later drains.
     *
-    * Every drained micro-batch flows through HTML extraction → domain
+    * Every drained micro-batch is ROUTED by HTTP media type (markup/
+    * text → extraction; other 200s → the `out/assets` ledger with
+    * media type + byte size, the hand-off to a multimodal pipeline),
+    * then flows through HTML extraction → domain
     * blocklist ([[graft.sources.Domains]], PSL rules prepared ONCE per
     * run) → the self-hosted robots gate → within-batch canonical-URL
     * dedup → the ROLLING URL seen-set (change-aware with
@@ -1020,10 +1023,11 @@ object Pipeline {
     }
 
     def stageCounts(recs0: DataFrame, batchId: Option[Long])
-        : (Array[Long], DataFrame, DataFrame, DataFrame) = {
+        : (Array[Long], DataFrame, DataFrame, DataFrame, DataFrame) = {
       // one drained batch of RECORDS through the full loop; returns
-      // (per-stage counts, survivors, frontier, redirect aliases).
-      // batchId = None is the dry run: no delta writes.
+      // (per-stage counts, survivors, frontier, redirect aliases,
+      // non-HTML assets). batchId = None is the dry run: no delta
+      // writes.
       val recs = recs0.localCheckpoint()
 
       // self-hosted robots: roll this drain's /robots.txt fetches
@@ -1098,13 +1102,30 @@ object Pipeline {
       val redirTargets = aliases.select(
         graft.sources.UrlOps.canonicalize(col("final_dst")).as("target"))
 
-      // corpus pages: 200s minus the control plane (robots + sitemaps)
+      // corpus candidates: 200s minus the control plane (robots +
+      // sitemaps), then ROUTED by the HTTP media type — only markup/
+      // text goes through HTML extraction (a PDF or image body through
+      // the extractor mints garbage text); everything else lands in
+      // the assets ledger for a downstream multimodal pipeline. An
+      // absent Content-Type routes to extraction (legacy servers —
+      // the min-chars/link-density gates absorb binary noise).
       val pathOf = regexp_extract(col("target_uri"),
         "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-      val pages = ok.where(pathOf =!= "/robots.txt")
+      val nonControl = ok.where(pathOf =!= "/robots.txt")
         .withColumn("__c", uriCanon)
         .join(broadcast(known.select(col("sitemap_url").as("__k"))),
           col("__c") === col("__k"), "left_anti")
+        .localCheckpoint()
+      val extractable = col("http_content_type").isNull ||
+        col("http_content_type").startsWith("text/") ||
+        col("http_content_type") === "application/xhtml+xml"
+      val assets = nonControl.where(!extractable)
+        .select(col("target_uri").as("uri"),
+          col("http_content_type").as("media_type"),
+          length(col("body")).cast("long").as("n_bytes"))
+        .localCheckpoint()
+      val nAssets = assets.count()
+      val pages = nonControl.where(extractable)
         .select(xxhash64(col("record_id")).as("doc_id"),
           col("target_uri").as("uri"),
           col("body").cast("string").as("html"))
@@ -1227,23 +1248,24 @@ object Pipeline {
       // url#generation, not the bare target
       val nRefetch = frontier.where(col("__ekey") =!= col("target")).count()
       (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3),
-        frontier.count(), nRedir, nRobFetch, nSeeds, nNotMod, nRefetch),
-        surv, frontier, aliases)
+        frontier.count(), nRedir, nRobFetch, nSeeds, nNotMod, nRefetch,
+        nAssets),
+        surv, frontier, aliases, assets)
     }
 
     def records(df: DataFrame): DataFrame = df.select(
       col("record_id"), col("warc_type"), col("target_uri"),
-      col("http_status"), col("http_location"), col("http_etag"),
-      col("http_last_modified"), col("body"))
+      col("http_status"), col("http_location"), col("http_content_type"),
+      col("http_etag"), col("http_last_modified"), col("body"))
 
     if (args.dryRun) {
-      val (c, _, _, _) = stageCounts(
+      val (c, _, _, _, _) = stageCounts(
         records(graft.sources.WarcShards.readRecords(spark, inDir)), None)
       println(s"batch=${c(0)} after_domain=${c(1)} after_robots=${c(2)} " +
         s"after_url=${c(3)} new_url=${c(4)} after_exact=${c(5)} " +
         s"after_intra=${c(6)} survivors=${c(7)} frontier=${c(8)} " +
         s"redirects=${c(9)} robots_fetches=${c(10)} sitemap_seeds=${c(11)} " +
-        s"not_modified=${c(12)} refetch_emitted=${c(13)} " +
+        s"not_modified=${c(12)} refetch_emitted=${c(13)} assets=${c(14)} " +
         "(dry run — nothing written)")
       return CrawlOutcome("(dry-run)", "success", 0L, c(7), restoredV, None)
     }
@@ -1272,7 +1294,8 @@ object Pipeline {
           if (!batch0.isEmpty) {
             val sp = batch0.sparkSession
             import sp.implicits._
-            val (c, surv, frontier, aliases) = stageCounts(batch0, Some(batchId))
+            val (c, surv, frontier, aliases, assets) =
+              stageCounts(batch0, Some(batchId))
             graft.streaming.ExactlyOnce.appendKeyed(
               surv.select(col("doc_id"), col("uri"), col("text")),
               s"$out/docs", batchId)
@@ -1283,13 +1306,15 @@ object Pipeline {
             graft.streaming.ExactlyOnce.appendKeyed(
               aliases, s"$out/aliases", batchId)
             graft.streaming.ExactlyOnce.appendKeyed(
+              assets, s"$out/assets", batchId)
+            graft.streaming.ExactlyOnce.appendKeyed(
               Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7),
-                c(8), c(9), c(10), c(11), c(12), c(13)))
+                c(8), c(9), c(10), c(11), c(12), c(13), c(14)))
                 .toDF("batch_id", "n_batch", "n_after_domain", "n_after_robots",
                   "n_after_url", "n_new_url", "n_after_exact", "n_after_intra",
                   "n_survivors", "n_frontier", "n_redirects",
                   "n_robots_fetches", "n_sitemap_seeds", "n_not_modified",
-                  "n_refetch"),
+                  "n_refetch", "n_assets"),
               s"$out/drains", batchId)
             drains.incrementAndGet(): Unit
             ingested.addAndGet(c(7)): Unit

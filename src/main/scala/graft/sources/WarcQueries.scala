@@ -285,6 +285,57 @@ object WarcQueries {
         }
       })
 
+  /** Media-type fixture (q261): one 200 response per doc, the
+    * Content-Type by cohort — doc_id%4: 0 = text/html page, 1 =
+    * image/png (deterministic byte blob), 2 = application/pdf, 3 = NO
+    * Content-Type header at all (legacy servers). Shard 0 plain,
+    * shard 1 gzip.
+    */
+  private val mediaCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def materializeMediaTypes(s: SparkSession, dir: String): String =
+    mediaCache.computeIfAbsent(
+      "warc-media|" + java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => {
+        import s.implicits._
+        val lease = graft.core.ScratchDirs.lease("graft-warc-media-")
+        try {
+          val ids = Tables.load(s, dir, "documents")
+            .select(col("doc_id").cast("long")).as[Long]
+          val entries = ids.map { id =>
+            val shard = (id % 2).toInt
+            def e(path: String, payload: Array[Byte]) =
+              WarcShards.Entry(shard, id, "response",
+                s"http://example.com$path", s"<urn:graft:media:$id>",
+                "application/http;msgtype=response", payload)
+            (id % 4) match {
+              case 0 => e(s"/doc/$id", WarcShards.WarcCodec.httpResponse(
+                s"<html><body>doc $id</body></html>"
+                  .getBytes(StandardCharsets.UTF_8),
+                "text/html; charset=utf-8"))
+              case 1 => e(s"/img/$id.png", WarcShards.WarcCodec.httpResponse(
+                Array.fill[Byte]((id % 50 + 10).toInt)((id % 251).toByte),
+                "image/png"))
+              case 2 => e(s"/pdf/$id", WarcShards.WarcCodec.httpResponse(
+                Array.fill[Byte]((id % 25 + 5).toInt)(37.toByte),
+                "application/pdf"))
+              case _ =>
+                val body = s"plain doc $id".getBytes(StandardCharsets.UTF_8)
+                val h = s"HTTP/1.1 200 OK\r\nContent-Length: ${body.length}\r\n\r\n"
+                  .getBytes(StandardCharsets.UTF_8)
+                e(s"/raw/$id", h ++ body)
+            }
+          }
+          WarcShards.pack(entries.filter(_.shard == 0), lease, gzip = false): Unit
+          WarcShards.pack(entries.filter(_.shard == 1), lease, gzip = true): Unit
+          lease
+        } catch {
+          case e: Throwable =>
+            graft.core.ScratchDirs.release(lease)
+            throw e
+        }
+      })
+
   /** Domain-curation fixture: each doc gets a host by doc_id % 6 — two
     * subdomains (one case-mangled) per registered domain, three
     * registered domains (`example.com`, `example.co.uk` via the
@@ -1265,6 +1316,31 @@ object WarcQueries {
         .orderBy(col("doc_id"))
     },
 
+    // MEDIA-TYPE ROUTING — the crawl loop's extract-vs-asset fork,
+    // keyed on `http_content_type` (the Content-Type media-type token,
+    // lowercased, parameters stripped; NULL when the origin sent no
+    // header — routed to extraction, where the min-chars/link-density
+    // gates absorb binary noise). Markup/text extracts; image/pdf/etc
+    // land in the assets ledger with media type + byte size. The
+    // oracle restates the cohorts and byte counts closed-form.
+    "q261_media_routing" -> { (s, dir) =>
+      val shards = materializeMediaTypes(s, dir)
+      val extractable = col("http_content_type").isNull ||
+        col("http_content_type").startsWith("text/") ||
+        col("http_content_type") === "application/xhtml+xml"
+      WarcShards.readRecords(s, shards)
+        .where(col("warc_type") === "response")
+        .select(
+          coalesce(col("http_content_type"), lit("(absent)"))
+            .as("media_type"),
+          extractable.as("extractable"),
+          length(col("body")).cast("long").as("n_bytes"))
+        .groupBy(col("media_type"), col("extractable"))
+        .agg(count(lit(1)).as("n_responses"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .orderBy(col("media_type"))
+    },
+
     // robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the `*`/`$` pattern
     // forms major sites actually publish, parsed from planted bodies
     // and judged per URL: end-anchored suffix kills (`/doc/*3$`,
@@ -2100,6 +2176,30 @@ object WarcQueries {
         |  0::BIGINT AS body_len
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    // the four planted media cohorts, counts and byte totals restated
+    // closed-form (html 30+digits bytes, png doc_id%50+10, pdf
+    // doc_id%25+5, header-less 10+digits)
+    "q261_media_routing" ->
+      """WITH p AS (SELECT doc_id, (doc_id % 4) AS c FROM documents),
+        |g AS (
+        |  SELECT '(absent)' AS media_type, TRUE AS extractable,
+        |    count(*)::BIGINT AS n_responses,
+        |    sum(10 + length(doc_id::VARCHAR))::BIGINT AS total_bytes
+        |  FROM p WHERE c = 3
+        |  UNION ALL
+        |  SELECT 'application/pdf', FALSE, count(*)::BIGINT,
+        |    sum(doc_id % 25 + 5)::BIGINT
+        |  FROM p WHERE c = 2
+        |  UNION ALL
+        |  SELECT 'image/png', FALSE, count(*)::BIGINT,
+        |    sum(doc_id % 50 + 10)::BIGINT
+        |  FROM p WHERE c = 1
+        |  UNION ALL
+        |  SELECT 'text/html', TRUE, count(*)::BIGINT,
+        |    sum(30 + length(doc_id::VARCHAR))::BIGINT
+        |  FROM p WHERE c = 0)
+        |SELECT * FROM g ORDER BY media_type""".stripMargin,
 
     // the q141 PageRank replay over the closed-form host edge set
     // (+1 / +3 neighbors, non-hub→hub, symmetric closure, no self

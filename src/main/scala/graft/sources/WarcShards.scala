@@ -243,14 +243,16 @@ object WarcShards {
       * (redirect target, "" when absent — VERBATIM, not resolved: a
       * relative Location resolves against the record's target URI
       * downstream, [[RedirectEdges]]), the `Content-Type` charset
-      * parameter ("" when absent), the cache validators a refresh
-      * crawler echoes back (`ETag` verbatim incl. quotes/`W/` prefix
-      * per RFC 9110 §8.8.3, `Last-Modified` verbatim — both "" when
-      * absent), and the entity body.
+      * parameter ("" when absent), the `Content-Type` MEDIA TYPE
+      * (lowercased token before any `;` parameter, "" when absent —
+      * the crawl loop's extract-vs-asset routing key), the cache
+      * validators a refresh crawler echoes back (`ETag` verbatim incl.
+      * quotes/`W/` prefix per RFC 9110 §8.8.3, `Last-Modified`
+      * verbatim — both "" when absent), and the entity body.
       */
     final case class HttpEnvelope(status: Int, location: String,
-        charset: String, etag: String, lastModified: String,
-        body: Array[Byte])
+        charset: String, mediaType: String, etag: String,
+        lastModified: String, body: Array[Byte])
 
     /** Split an HTTP message payload into its [[HttpEnvelope]]. None if
       * the payload is not an HTTP response (no status line / no
@@ -302,12 +304,15 @@ object WarcShards {
         .flatMap(ct => "charset=\\s*\"?([^\";\\s]+)".r.findFirstMatchIn(ct)
           .map(_.group(1)))
         .getOrElse("")
+      val mediaType = hdr("Content-Type")
+        .map(_.split(";")(0).trim)
+        .getOrElse("")
       var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
       if (hdr("Transfer-Encoding").exists(_.contains("chunked")))
         body = dechunk(body)
       if (hdr("Content-Encoding").exists(e => e == "gzip" || e == "x-gzip"))
         body = gunzip(body, maxBodyBytes)
-      Some(HttpEnvelope(status.toInt, location, charset, etag,
+      Some(HttpEnvelope(status.toInt, location, charset, mediaType, etag,
         lastModified, body))
     }
 
@@ -669,7 +674,7 @@ object WarcShards {
   private val RecordColumns = Seq("file", "warc_type", "record_id",
     "target_uri", "concurrent_to", "refers_to", "content_type",
     "payload_bytes", "http_status", "http_location", "http_charset",
-    "http_etag", "http_last_modified", "body")
+    "http_content_type", "http_etag", "http_last_modified", "body")
 
   /** Brace alternation, NOT "*.warc*": the loose glob would also match a
     * crashed attempt's ".warc.tmp-N" leftovers and fail the whole scan on
@@ -687,7 +692,7 @@ object WarcShards {
       hadoopConf: org.apache.spark.util.SerializableConfiguration)(path: String)
       : Iterator[(String, String, String, String, String, String, String,
         Long, Option[Int], Option[String], Option[String], Option[String],
-        Option[String], Array[Byte])] = {
+        Option[String], Option[String], Array[Byte])] = {
     val file = path.substring(path.lastIndexOf('/') + 1)
     val p = new org.apache.hadoop.fs.Path(path)
     val in = p.getFileSystem(hadoopConf.value).open(p)
@@ -706,6 +711,7 @@ object WarcShards {
         // compose; "" would silently pass a startsWith test)
         http.map(_.location).filter(_.nonEmpty),
         http.map(_.charset).filter(_.nonEmpty),
+        http.map(_.mediaType).filter(_.nonEmpty),
         http.map(_.etag).filter(_.nonEmpty),
         http.map(_.lastModified).filter(_.nonEmpty),
         http.map(_.body).getOrElse(r.payload))

@@ -594,6 +594,9 @@ class PipelineSpec extends SparkSpec {
         "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         warcType = "revisit", refersTo = "<urn:test:recrawl:1:1>"),
+      // a non-HTML 200: routed to the assets ledger, never extracted
+      entry(3, 3, "/img/1.png", graft.sources.WarcShards.WarcCodec
+        .httpResponse(Array.fill[Byte](24)(7), "image/png")),
       entry(4, 1, "/e/1", resp(eps))
     ).toDS(), stage): Unit
     for (sh <- Seq("shard-00002.warc", "shard-00003.warc", "shard-00004.warc"))
@@ -641,6 +644,12 @@ class PipelineSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(vals == Seq((s"http://$H/b/1", Some("\"b1\""))),
       s"committed validators: $vals")
+    // the non-HTML 200 landed in the assets ledger, not the corpus
+    val assets = spark.read.parquet(s"$out/assets")
+      .select("uri", "media_type", "n_bytes")
+      .as[(String, String, Long)].collect().toSeq
+    assert(assets == Seq((s"http://$H/img/1.png", "image/png", 24L)),
+      s"assets ledger: $assets")
     // the unchanged refetch and the 304 ingested nothing
     val docs = spark.read.parquet(s"$out/docs")
       .select("uri").as[String].collect().sorted.toSeq
