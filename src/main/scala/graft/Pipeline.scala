@@ -1055,9 +1055,12 @@ object Pipeline {
       // one, the payload carries response HEADERS only) are NOT pages:
       // without the warc_type gate their header-only 200 envelope
       // would flow into extraction as an empty document AND reset the
-      // refresh streak with an empty-text hash
+      // refresh streak with an empty-text hash. TRUNCATED captures
+      // (WARC-Truncated: the writer cut the payload at a length/time
+      // limit) are dropped whole — partial HTML mints partial text,
+      // and a partial-content hash would poison change detection.
       val ok = recs.where(col("http_status") === 200 &&
-        col("warc_type") === "response")
+        col("warc_type") === "response" && col("truncated").isNull)
       val uriCanon = graft.sources.UrlOps.canonicalize(col("target_uri"))
       val smBodies = ok.withColumn("__c", uriCanon)
         .join(broadcast(known.select(col("sitemap_url").as("__k"))),
@@ -1125,10 +1128,14 @@ object Pipeline {
           length(col("body")).cast("long").as("n_bytes"))
         .localCheckpoint()
       val nAssets = assets.count()
+      // charset-aware decode (NOT cast-as-UTF-8): the Content-Type
+      // charset drives the byte decode per row; absent/unknown labels
+      // fall back to UTF-8, malformed input decodes to U+FFFD
       val pages = nonControl.where(extractable)
         .select(xxhash64(col("record_id")).as("doc_id"),
           col("target_uri").as("uri"),
-          col("body").cast("string").as("html"))
+          call_function("graft_decode", col("body"),
+            coalesce(col("http_charset"), lit(""))).as("html"))
 
       val b = pages
         .withColumn("text", call_function("graft_html_text",
@@ -1255,8 +1262,9 @@ object Pipeline {
 
     def records(df: DataFrame): DataFrame = df.select(
       col("record_id"), col("warc_type"), col("target_uri"),
-      col("http_status"), col("http_location"), col("http_content_type"),
-      col("http_etag"), col("http_last_modified"), col("body"))
+      col("truncated"), col("http_status"), col("http_location"),
+      col("http_content_type"), col("http_charset"), col("http_etag"),
+      col("http_last_modified"), col("body"))
 
     if (args.dryRun) {
       val (c, _, _, _, _) = stageCounts(

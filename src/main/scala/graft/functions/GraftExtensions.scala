@@ -271,6 +271,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_decode"),
+      new ExpressionInfo(classOf[CharsetDecode].getName, "graft_decode"),
+      (children: Seq[Expression]) => children match {
+        case Seq(bin, charset) => CharsetDecode(bin, charset)
+        case _ => throw new IllegalArgumentException(
+          "graft_decode(bin, charset)")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_html_text"),
       new ExpressionInfo(classOf[HtmlExtractText].getName, "graft_html_text"),
       (children: Seq[Expression]) => children match {

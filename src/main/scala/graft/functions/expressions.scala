@@ -1736,6 +1736,77 @@ case class FixMojibake(child: Expression)
     copy(child = newChild)
 }
 
+/** Charset-aware byte decoding behind `graft_decode(bin, charset)` —
+  * the crawl loop's body decode. `CAST(body AS STRING)` assumes UTF-8;
+  * a real crawl is ~10-15% legacy-charset pages (ISO-8859-1,
+  * Windows-1252, Shift_JIS, …) whose bytes CAST garbles irreversibly,
+  * poisoning extraction, language-ID and every downstream hash. Spark's
+  * builtin `decode(bin, charset)` takes a LITERAL charset only — the
+  * crawl's charset is a per-row column (the `Content-Type` header), so
+  * this is a per-row kernel: charset objects cached per label
+  * (`Charset.forName` per row would dominate), WHATWG-ish label
+  * aliases Java lacks normalized, unknown/unsupported labels fall back
+  * to UTF-8 (the browser default), malformed/unmappable input decodes
+  * to U+FFFD (browser semantics — deterministic, never throws).
+  */
+object CharsetKernels {
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.charset.Charset]()
+
+  private def resolve(label: String): java.nio.charset.Charset = {
+    val key = label.trim.toLowerCase(java.util.Locale.ROOT)
+    if (key.isEmpty || key == "utf-8" || key == "utf8") Utf8
+    else cache.computeIfAbsent(key, k => {
+      val canon = k match {
+        case "latin-1" | "latin1" | "l1" | "iso8859-1" => "ISO-8859-1"
+        case "unicode-1-1-utf-8" | "x-utf-8" => "UTF-8"
+        case "win-1252" | "x-cp1252" => "windows-1252"
+        case other => other
+      }
+      try java.nio.charset.Charset.forName(canon)
+      catch { case _: Exception => Utf8 }
+    })
+  }
+
+  def decode(bytes: Array[Byte], label: UTF8String): UTF8String = {
+    val cs = resolve(label.toString)
+    if (cs eq Utf8) {
+      // fast path: already UTF-8 on the wire — one validity scan, no
+      // transcode; invalid sequences take the replacing decoder below
+      val s = UTF8String.fromBytes(bytes)
+      if (s.isValid) return s
+    }
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    UTF8String.fromString(
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+  }
+}
+
+/** `graft_decode(bin, charset)` — see [[CharsetKernels]]. */
+case class CharsetDecode(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_decode"
+
+  override protected def nullSafeEval(b: Any, cs: Any): Any =
+    CharsetKernels.decode(b.asInstanceOf[Array[Byte]],
+      cs.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, cs) =>
+      s"${ev.value} = graft.functions.CharsetKernels.decode($b, $cs);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Char-n-gram language-ID scoring kernel behind
   * `graft_ngram_lang_scores(text, vocab, weights, defaults)` — the
   * trained-profile counterpart of [[MarkerCounter]]: one code-point walk

@@ -336,6 +336,70 @@ object WarcQueries {
         }
       })
 
+  /** Charset fixture (q262/q263): one text/plain 200 per doc whose
+    * BYTES are encoded in the charset its Content-Type declares —
+    * doc_id%4: 0 = UTF-8 (incl. astral-free multibyte), 1 = ISO-8859-1,
+    * 2 = windows-1252 (€/œ live in the 0x80-0x9F range Latin-1 maps to
+    * C1 controls — the cohort that catches a Latin-1 shortcut), 3 =
+    * UTF-8 bytes MISLABELED iso-8859-1 (the decode must follow the
+    * label and produce the deterministic mojibake, not sniff). Docs
+    * with doc_id%5=0 add a TRUNCATED capture at `/t/<id>`
+    * (`WARC-Truncated: length`). Shard 0 plain, shard 1 gzip.
+    */
+  private val charsetCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def materializeCharsets(s: SparkSession, dir: String): String =
+    charsetCache.computeIfAbsent(
+      "warc-charsets|" + java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => {
+        import s.implicits._
+        val lease = graft.core.ScratchDirs.lease("graft-warc-charsets-")
+        try {
+          val ids = Tables.load(s, dir, "documents")
+            .select(col("doc_id").cast("long")).as[Long]
+          val entries = ids.flatMap { id =>
+            val shard = (id % 2).toInt
+            def e(ord: Long, path: String, payload: Array[Byte],
+                truncated: String = "") =
+              WarcShards.Entry(shard, ord, "response",
+                s"http://example.com$path", s"<urn:graft:cs:$path:$id>",
+                "application/http;msgtype=response", payload,
+                truncated = truncated)
+            val (text, wire, label) = (id % 4) match {
+              case 0 => (s"café número $id — €",
+                "UTF-8", "utf-8")
+              case 1 => (s"café número $id ±",
+                "ISO-8859-1", "iso-8859-1")
+              case 2 => (s"café € $id œ",
+                "windows-1252", "windows-1252")
+              // mislabel: UTF-8 bytes, iso-8859-1 label — decodes to
+              // deterministic mojibake (é = C3 A9 → Ã©)
+              case _ => (s"café $id", "UTF-8", "iso-8859-1")
+            }
+            val main = e(id * 2, s"/doc/$id",
+              WarcShards.WarcCodec.httpResponse(
+                text.getBytes(java.nio.charset.Charset.forName(wire)),
+                s"text/plain; charset=$label"))
+            val trunc =
+              if (id % 5 == 0)
+                Seq(e(id * 2 + 1, s"/t/$id",
+                  WarcShards.WarcCodec.httpResponse(
+                    "partial co".getBytes(StandardCharsets.UTF_8),
+                    "text/html"),
+                  truncated = "length"))
+              else Nil
+            Seq(main) ++ trunc
+          }
+          WarcShards.pack(entries.filter(_.shard == 0), lease, gzip = false): Unit
+          WarcShards.pack(entries.filter(_.shard == 1), lease, gzip = true): Unit
+          lease
+        } catch {
+          case e: Throwable =>
+            graft.core.ScratchDirs.release(lease)
+            throw e
+        }
+      })
+
   /** Domain-curation fixture: each doc gets a host by doc_id % 6 — two
     * subdomains (one case-mangled) per registered domain, three
     * registered domains (`example.com`, `example.co.uk` via the
@@ -1341,6 +1405,47 @@ object WarcQueries {
         .orderBy(col("media_type"))
     },
 
+    // CHARSET-AWARE BODY DECODE (`graft_decode`, [[graft.functions
+    // .CharsetKernels]]) — the Content-Type charset drives the byte
+    // decode PER ROW (Spark's builtin `decode` takes a literal charset
+    // only): UTF-8 fast-path, ISO-8859-1, windows-1252 (€/œ in the
+    // 0x80-0x9F range a Latin-1 shortcut garbles), and a MISLABELED
+    // cohort whose UTF-8 bytes must decode per the declared Latin-1
+    // label into deterministic mojibake (decode follows the header,
+    // it does not sniff). The oracle restates every decoded string
+    // closed-form — byte-exact agreement or hash mismatch.
+    "q262_charset_decode" -> { (s, dir) =>
+      val shards = materializeCharsets(s, dir)
+      WarcShards.readRecords(s, shards)
+        .where(col("warc_type") === "response" && col("truncated").isNull)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          call_function("graft_decode", col("body"),
+            coalesce(col("http_charset"), lit(""))).as("text"))
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // WARC-Truncated surfacing — captures the writer cut at a
+    // length/time limit carry `WARC-Truncated: <reason>`; the crawl
+    // loop drops them whole (partial HTML mints partial text and a
+    // partial-content hash poisons change detection). The reader
+    // surfaces the reason as a nullable column; absent header = NULL.
+    "q263_truncated_records" -> { (s, dir) =>
+      val shards = materializeCharsets(s, dir)
+      WarcShards.readRecords(s, shards)
+        .where(col("truncated").isNotNull)
+        .select(
+          regexp_extract(col("target_uri"), "/t/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("truncated"),
+          col("http_status").cast("long").as("http_status"),
+          length(col("body")).cast("long").as("body_len"))
+        .orderBy(col("doc_id"))
+    },
+
     // robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the `*`/`$` pattern
     // forms major sites actually publish, parsed from planted bodies
     // and judged per URL: end-anchored suffix kills (`/doc/*3$`,
@@ -2200,6 +2305,31 @@ object WarcQueries {
         |    sum(30 + length(doc_id::VARCHAR))::BIGINT
         |  FROM p WHERE c = 0)
         |SELECT * FROM g ORDER BY media_type""".stripMargin,
+
+    // every decoded string restated closed-form per charset cohort —
+    // incl. the mislabeled cohort's deterministic mojibake
+    // (UTF-8 0xC3 0xA9 read as Latin-1)
+    "q262_charset_decode" ->
+      s"""WITH p AS (SELECT doc_id, (doc_id % 4) AS c FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |    CASE c
+         |      WHEN 0 THEN 'café número ' || doc_id || ' — €'
+         |      WHEN 1 THEN 'café número ' || doc_id || ' ±'
+         |      WHEN 2 THEN 'café € ' || doc_id || ' œ'
+         |      ELSE 'cafÃ© ' || doc_id
+         |    END AS text
+         |  FROM p)
+         |SELECT doc_id, text, length(text)::BIGINT AS n_chars
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // the planted truncated cohort: reason token, parsed envelope, the
+    // 10 bytes the writer kept
+    "q263_truncated_records" ->
+      """SELECT doc_id, 'length' AS truncated, 200::BIGINT AS http_status,
+        |  10::BIGINT AS body_len
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     // the q141 PageRank replay over the closed-form host edge set
     // (+1 / +3 neighbors, non-hub→hub, symmetric closure, no self

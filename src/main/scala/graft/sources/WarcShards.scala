@@ -53,7 +53,8 @@ object WarcShards {
       contentType: String,
       payload: Array[Byte],
       concurrentTo: String = "",
-      refersTo: String = "")
+      refersTo: String = "",
+      truncated: String = "")
 
   /** Parsed record: named WARC headers pulled out, full payload. */
   final case class Record(
@@ -63,7 +64,8 @@ object WarcShards {
       contentType: String,
       payload: Array[Byte],
       concurrentTo: String = "",
-      refersTo: String = "")
+      refersTo: String = "",
+      truncated: String = "")
 
   object WarcCodec {
 
@@ -78,7 +80,8 @@ object WarcShards {
 
     def writeRecord(out: OutputStream, warcType: String, recordId: String,
         targetUri: String, contentType: String, payload: Array[Byte],
-        concurrentTo: String = "", refersTo: String = ""): Unit = {
+        concurrentTo: String = "", refersTo: String = "",
+        truncated: String = ""): Unit = {
       val h = new StringBuilder
       h.append("WARC/1.0\r\n")
       h.append("WARC-Type: ").append(warcType).append("\r\n")
@@ -88,6 +91,8 @@ object WarcShards {
         h.append("WARC-Concurrent-To: ").append(concurrentTo).append("\r\n")
       if (refersTo.nonEmpty)
         h.append("WARC-Refers-To: ").append(refersTo).append("\r\n")
+      if (truncated.nonEmpty)
+        h.append("WARC-Truncated: ").append(truncated).append("\r\n")
       if (targetUri.nonEmpty)
         h.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
       if (contentType.nonEmpty)
@@ -285,27 +290,47 @@ object WarcShards {
       val parts = lines(0).split(" ")
       val status = if (parts.length >= 2) parts(1).takeWhile(_.isDigit) else ""
       if (status.isEmpty) return None
-      def hdr(name: String): Option[String] = lines.iterator.drop(1)
-        .map(_.split(":", 2))
-        .collectFirst { case Array(k, v)
-          if k.trim.equalsIgnoreCase(name) => v.trim.toLowerCase(java.util.Locale.ROOT) }
-      // Location/ETag/Last-Modified are case-SENSITIVE in value (URL
-      // paths; opaque entity tags; HTTP-dates), unlike the transform
-      // headers above whose values are lowercased tokens
-      def hdrVerbatim(name: String): String = lines.iterator.drop(1)
-        .map(_.split(":", 2))
-        .collectFirst { case Array(k, v)
-          if k.trim.equalsIgnoreCase(name) => v.trim }
-        .getOrElse("")
+      // ONE pass over the header lines: split each line once into
+      // (key, value) — the seven named-header lookups below are then
+      // allocation-free scans (a per-lookup iterator-with-split was
+      // measurably hot: the envelope parse runs per record on the
+      // WARC ingest path)
+      val keys = new Array[String](lines.length - 1)
+      val vals = new Array[String](lines.length - 1)
+      var li = 1
+      while (li < lines.length) {
+        val l = lines(li)
+        val k = l.indexOf(':')
+        if (k > 0) {
+          keys(li - 1) = l.substring(0, k).trim
+          vals(li - 1) = l.substring(k + 1).trim
+        } else { keys(li - 1) = ""; vals(li - 1) = "" }
+        li += 1
+      }
+      def hdrVerbatim(name: String): String = {
+        var j = 0
+        while (j < keys.length) {
+          if (keys(j).equalsIgnoreCase(name)) return vals(j)
+          j += 1
+        }
+        ""
+      }
+      // transform headers' values are lowercased tokens;
+      // Location/ETag/Last-Modified stay case-SENSITIVE in value (URL
+      // paths; opaque entity tags; HTTP-dates)
+      def hdr(name: String): Option[String] =
+        Some(hdrVerbatim(name)).filter(_.nonEmpty)
+          .map(_.toLowerCase(java.util.Locale.ROOT))
       val location = hdrVerbatim("Location")
       val etag = hdrVerbatim("ETag")
       val lastModified = hdrVerbatim("Last-Modified")
-      val charset = hdr("Content-Type")
+      val contentType = hdr("Content-Type")
+      val charset = contentType
         .flatMap(ct => "charset=\\s*\"?([^\";\\s]+)".r.findFirstMatchIn(ct)
           .map(_.group(1)))
         .getOrElse("")
-      val mediaType = hdr("Content-Type")
-        .map(_.split(";")(0).trim)
+      val mediaType = contentType
+        .map(ct => { val s = ct.indexOf(';'); if (s < 0) ct else ct.substring(0, s).trim })
         .getOrElse("")
       var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
       if (hdr("Transfer-Encoding").exists(_.contains("chunked")))
@@ -366,7 +391,7 @@ object WarcShards {
       * declared payload length. None at clean end-of-stream.
       */
     private def readHeader(raw: InputStream,
-        maxRecordBytes: Long): Option[(String, String, String, String, String, String, Long)] = {
+        maxRecordBytes: Long): Option[(String, String, String, String, String, String, String, Long)] = {
       // skip inter-record blank lines, stop at end-of-stream
       var first: Option[String] = readLine(raw)
       while (first.exists(_.isEmpty)) first = readLine(raw)
@@ -374,7 +399,8 @@ object WarcShards {
         require(magic == "WARC/1.0" || magic == "WARC/1.1",
           s"not a WARC record header: '$magic'")
         var warcType = ""; var recordId = ""; var uri = ""
-        var cType = ""; var concTo = ""; var refTo = ""; var cLen = -1L
+        var cType = ""; var concTo = ""; var refTo = ""; var trunc = ""
+        var cLen = -1L
         var line = readLine(raw).getOrElse(
           throw new IllegalArgumentException("truncated WARC header"))
         while (line.nonEmpty) {
@@ -388,6 +414,8 @@ object WarcShards {
             case "warc-target-uri" => uri = v
             case "warc-concurrent-to" => concTo = v
             case "warc-refers-to" => refTo = v
+            case "warc-truncated" =>
+              trunc = v.toLowerCase(java.util.Locale.ROOT)
             case "content-type" => cType = v
             case "content-length" => cLen = v.toLong
             case _ => () // tolerated: unknown headers are legal
@@ -399,7 +427,7 @@ object WarcShards {
         require(cLen <= maxRecordBytes,
           s"WARC record of $cLen bytes exceeds cap $maxRecordBytes " +
             "(decompression-bomb guard)")
-        (warcType, recordId, uri, cType, concTo, refTo, cLen)
+        (warcType, recordId, uri, cType, concTo, refTo, trunc, cLen)
       }
     }
 
@@ -431,10 +459,11 @@ object WarcShards {
           if (nextRec == null && !done) {
             readHeader(raw, maxRecordBytes) match {
               case None => done = true
-              case Some((warcType, recordId, uri, cType, concTo, refTo, cLen)) =>
+              case Some((warcType, recordId, uri, cType, concTo, refTo,
+                  trunc, cLen)) =>
                 val payload = readFully(raw, cLen.toInt)
                 nextRec = Record(warcType, recordId, uri, cType, payload, concTo,
-                  refTo)
+                  refTo, trunc)
             }
           }
         }
@@ -469,7 +498,7 @@ object WarcShards {
       var payload = 0L
       var h = readHeader(raw, maxRecordBytes)
       while (h.isDefined) {
-        val len = h.get._7
+        val len = h.get._8
         skipFully(raw, len)
         n += 1
         payload += len
@@ -539,7 +568,8 @@ object WarcShards {
             try {
               it.foreach { e =>
                 WarcCodec.writeRecord(out, e.warcType, e.recordId, e.targetUri,
-                  e.contentType, e.payload, e.concurrentTo, e.refersTo)
+                  e.contentType, e.payload, e.concurrentTo, e.refersTo,
+                  e.truncated)
                 n += 1
                 payload += e.payload.length
               }
@@ -672,9 +702,10 @@ object WarcShards {
   }
 
   private val RecordColumns = Seq("file", "warc_type", "record_id",
-    "target_uri", "concurrent_to", "refers_to", "content_type",
-    "payload_bytes", "http_status", "http_location", "http_charset",
-    "http_content_type", "http_etag", "http_last_modified", "body")
+    "target_uri", "concurrent_to", "refers_to", "truncated",
+    "content_type", "payload_bytes", "http_status", "http_location",
+    "http_charset", "http_content_type", "http_etag",
+    "http_last_modified", "body")
 
   /** Brace alternation, NOT "*.warc*": the loose glob would also match a
     * crashed attempt's ".warc.tmp-N" leftovers and fail the whole scan on
@@ -690,9 +721,10 @@ object WarcShards {
     */
   private def recordRows(
       hadoopConf: org.apache.spark.util.SerializableConfiguration)(path: String)
-      : Iterator[(String, String, String, String, String, String, String,
-        Long, Option[Int], Option[String], Option[String], Option[String],
-        Option[String], Option[String], Array[Byte])] = {
+      : Iterator[(String, String, String, String, String, String,
+        Option[String], String, Long, Option[Int], Option[String],
+        Option[String], Option[String], Option[String], Option[String],
+        Array[Byte])] = {
     val file = path.substring(path.lastIndexOf('/') + 1)
     val p = new org.apache.hadoop.fs.Path(path)
     val in = p.getFileSystem(hadoopConf.value).open(p)
@@ -705,7 +737,8 @@ object WarcShards {
     WarcCodec.parseStream(in).map { r =>
       val http = WarcCodec.parseHttpEnvelope(r.payload)
       (file, r.warcType, r.recordId, r.targetUri, r.concurrentTo,
-        r.refersTo, r.contentType, r.payload.length.toLong,
+        r.refersTo, Some(r.truncated).filter(_.nonEmpty),
+        r.contentType, r.payload.length.toLong,
         http.map(_.status),
         // absent headers are NULL columns, not "" (isNotNull filters
         // compose; "" would silently pass a startsWith test)
