@@ -657,6 +657,47 @@ class PipelineSpec extends SparkSpec {
       s"http://$H/d/1", s"http://$H/e/1"), s"ingested docs: $docs")
   }
 
+  test("a due refetch respects the CURRENT robots state: a robots change " +
+      "suppresses the re-emission of an already-fetched URL") {
+    import spark.implicits._
+    val in = tmpDir("recrawl-rob-in")
+    val out = tmpDir("recrawl-rob-out")
+    val H = "h.example.org"
+    def page(text: String): Array[Byte] =
+      ("<html><head><title>t</title></head><body><p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def entry(shard: Int, ord: Long, path: String, payload: Array[Byte]) =
+      graft.sources.WarcShards.Entry(shard, ord, "response",
+        s"http://$H$path", s"<urn:test:rr:$shard:$ord>",
+        "application/http;msgtype=response", payload)
+    def resp(body: Array[Byte], ct: String) =
+      graft.sources.WarcShards.WarcCodec.httpResponse(body, ct)
+    val alpha = "the alpha page talks about mountains and rivers flowing north"
+    val beta = "a second page describing oceans tides and the salty breeze"
+    // drain 0: permissive robots + /a/1 and /b/1 fetched. drain 1: the
+    // robots body CHANGES to disallow /a — /a/1 is due (base = 1 drain)
+    // but must die at the robots gate; /b/1 is due and re-emits.
+    graft.sources.WarcShards.pack(Seq(
+      entry(0, 1, "/robots.txt",
+        resp("User-agent: *\nDisallow:\n".getBytes("UTF-8"), "text/plain")),
+      entry(0, 2, "/a/1", resp(page(alpha), "text/html; charset=utf-8")),
+      entry(0, 3, "/b/1", resp(page(beta), "text/html; charset=utf-8")),
+      entry(1, 1, "/robots.txt",
+        resp("User-agent: *\nDisallow: /a\n".getBytes("UTF-8"), "text/plain"))
+    ).toDS(), in): Unit
+    val r = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(Seq("--files-per-drain", "1",
+        "--change-aware", "--recrawl-base", "1")))
+    assert(r.status == "success" && r.drains == 2L, s"run: $r")
+    val front = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front == Seq(s"http://$H/b/1"),
+      s"only the still-allowed URL re-emits: $front")
+    val led = spark.read.parquet(s"$out/drains").orderBy("batch_id")
+      .select("n_refetch").as[Long].collect().toSeq
+    assert(led == Seq(0L, 1L), s"refetch counts: $led")
+  }
+
   test("crawl args are typed: junk flags and values error loudly") {
     intercept[IllegalArgumentException](
       Pipeline.parseCrawlArgs(Seq("--files-per-drain", "one")))
