@@ -173,15 +173,32 @@ object RobotsTxt {
     * keeps the lexicographically greatest body (deterministic — feed
     * canonically deduped batches and it never fires). Query strings
     * are ignored in the path test (RFC: the resource is the path).
+    *
+    * Only full `response` captures qualify (`warc_type = 'response'`
+    * AND `truncated IS NULL`). This gate is load-bearing: a WARC
+    * `revisit` record for robots.txt (the fetcher's byte-identical-
+    * capture dedup — header-only payload, so the envelope parses to
+    * status 200 with an EMPTY body) is the COMMON case in refresh
+    * crawls, and rolling its empty body latest-wins would erase the
+    * host's Disallow rules — empty robots = allow-all, the exact
+    * RFC 9309 failure the self-hosted roll exists to prevent. A
+    * `WARC-Truncated` capture likewise carries a partial (more
+    * permissive) rule set. Both are no-ops here: a revisit CONFIRMS
+    * the rolled body, it never replaces it. The column names are
+    * parameters so fixture frames must carry them — a frame without
+    * the columns fails analysis loudly rather than skipping the gate.
     */
   def fetchesIn(records: DataFrame,
       uriCol: String = "target_uri",
       statusCol: String = "http_status",
-      bodyCol: String = "body"): DataFrame = {
+      bodyCol: String = "body",
+      typeCol: String = "warc_type",
+      truncatedCol: String = "truncated"): DataFrame = {
     val path = regexp_extract(col(uriCol),
       "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     records
-      .where(col(statusCol) === 200 && path === "/robots.txt")
+      .where(col(statusCol) === 200 && path === "/robots.txt" &&
+        col(typeCol) === "response" && col(truncatedCol).isNull)
       .select(UrlOps.host(col(uriCol)).as("host"),
         col(bodyCol).cast("string").as("body"))
       .where(col("host").isNotNull)

@@ -1152,26 +1152,40 @@ object WarcQueries {
 
     // SELF-HOSTED ROBOTS ROLL ([[RobotsTxt.fetchesIn]] + [[rollBodies]])
     // — the rules table derived from the crawl's OWN /robots.txt
-    // fetches, rolled latest-fetch-wins across three drains: day 1
+    // fetches, rolled latest-fetch-wins across five drains: day 1
     // plants permissive bodies for two hosts, day 2 REPLACES host A's
     // body (Disallow switches from /priv to /doc — the same drain's
-    // fetch list must flip), day 3 shuts host B down entirely. Each
+    // fetch list must flip), day 3 shuts host B down entirely, day 4
+    // carries a REVISIT capture of host A's robots (header-only 200,
+    // EMPTY body — the fetcher's byte-identical dedup, the refresh
+    // crawl's common case) which must NOT erase A's Disallow, and day
+    // 5 a WARC-Truncated partial capture of A's robots (permissive
+    // prefix of a stricter file) which must NOT roll either. Each
     // day's candidate URLs are judged under the state AS OF that day;
     // the oracle recomputes every (day, host) allowed-count closed-form.
     "q255_robots_rolling" -> { (s, dir) =>
       import s.implicits._
       val h0 = "a.example.com"
       val h1 = "b.example.org"
-      def fetchFrame(rows: Seq[(String, String)]) =
-        rows.map { case (h, b) =>
-          (s"http://$h/robots.txt", 200, b.getBytes(StandardCharsets.UTF_8))
-        }.toDF("target_uri", "http_status", "body")
+      def fetchFrame(rows: Seq[(String, String, String, Option[String])]) =
+        rows.map { case (h, b, wt, tr) =>
+          (s"http://$h/robots.txt", 200, b.getBytes(StandardCharsets.UTF_8),
+            wt, tr)
+        }.toDF("target_uri", "http_status", "body", "warc_type", "truncated")
       val days = Seq(
         fetchFrame(Seq(
-          (h0, "User-agent: *\nDisallow: /priv\n"),
-          (h1, "User-agent: *\nDisallow:\n"))),
-        fetchFrame(Seq((h0, "User-agent: *\nDisallow: /doc\n"))),
-        fetchFrame(Seq((h1, "User-agent: *\nDisallow: /\n"))))
+          (h0, "User-agent: *\nDisallow: /priv\n", "response", None),
+          (h1, "User-agent: *\nDisallow:\n", "response", None))),
+        fetchFrame(Seq(
+          (h0, "User-agent: *\nDisallow: /doc\n", "response", None))),
+        fetchFrame(Seq(
+          (h1, "User-agent: *\nDisallow: /\n", "response", None))),
+        // a revisit's envelope parses to 200 with an EMPTY body —
+        // latest-wins would turn A's Disallow into allow-all
+        fetchFrame(Seq((h0, "", "revisit", None))),
+        // a truncated capture carries a permissive PARTIAL rule set
+        fetchFrame(Seq(
+          (h0, "User-agent: *\nDisallow:\n", "response", Some("length")))))
       val d = Tables.load(s, dir, "documents").select(col("doc_id"))
       val id = col("doc_id").cast("string")
       val host = when(col("doc_id") % 2 === 0, lit(h0)).otherwise(lit(h1))
@@ -2103,7 +2117,10 @@ object WarcQueries {
 
     // per-(day, host) allowed counts closed-form from the planted
     // bodies: day 1 replaces host A's rules whole (latest-fetch-wins),
-    // day 2 shuts host B down — its group row must be ABSENT, not zero
+    // day 2 shuts host B down — its group row must be ABSENT, not
+    // zero — and days 3/4 are NO-OPS: the revisit (empty body) and
+    // the truncated permissive capture must leave A's day-1 Disallow
+    // standing (rows identical to day 2's A row)
     "q255_robots_rolling" ->
       """WITH c AS (SELECT
         |    count(*) FILTER (WHERE doc_id % 2 = 0) AS ne,
@@ -2117,7 +2134,9 @@ object WarcQueries {
         |  UNION ALL SELECT 0, 'b.example.org', nodd + po FROM c
         |  UNION ALL SELECT 1, 'a.example.com', pe FROM c
         |  UNION ALL SELECT 1, 'b.example.org', nodd + po FROM c
-        |  UNION ALL SELECT 2, 'a.example.com', pe FROM c)
+        |  UNION ALL SELECT 2, 'a.example.com', pe FROM c
+        |  UNION ALL SELECT 3, 'a.example.com', pe FROM c
+        |  UNION ALL SELECT 4, 'a.example.com', pe FROM c)
         |ORDER BY crawl_day, host""".stripMargin,
 
     // the q249 rank replay (3 DECIMAL-exact iterations keyed by the

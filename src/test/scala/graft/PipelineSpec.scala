@@ -698,6 +698,62 @@ class PipelineSpec extends SparkSpec {
     assert(led == Seq(0L, 1L), s"refetch counts: $led")
   }
 
+  test("a robots revisit or truncated capture never erases the rolled " +
+      "rules: Disallow survives a header-only refetch") {
+    import spark.implicits._
+    val in = tmpDir("robrev-in")
+    val out = tmpDir("robrev-out")
+    val H = "rv.example.org"
+    def page(text: String, links: Seq[String]): Array[Byte] = {
+      val nav = if (links.isEmpty) ""
+      else links.map(l => s"""<a href="$l">x</a>""").mkString("<nav>", " ", "</nav>")
+      ("<html><head><title>t</title></head><body>" + nav + "<p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def entry(shard: Int, ord: Long, path: String, payload: Array[Byte],
+        warcType: String = "response", truncated: String = "") =
+      graft.sources.WarcShards.Entry(shard, ord, warcType,
+        s"http://$H$path", s"<urn:test:robrev:$shard:$ord>",
+        "application/http;msgtype=response", payload, truncated = truncated)
+    def resp(body: Array[Byte], ct: String) =
+      graft.sources.WarcShards.WarcCodec.httpResponse(body, ct)
+    val alpha = "the alpha page talks about mountains and rivers flowing north"
+    val beta = "a second page describing oceans tides and the salty breeze"
+    // drain 0: robots disallows /priv; /p/1 links into /priv and /p/2 —
+    // only /p/2 survives. drain 1: the fetcher deduped an UNCHANGED
+    // robots.txt into a REVISIT record (header-only 200, empty body)
+    // and a TRUNCATED permissive capture arrived too; /p/2's outlinks
+    // again include /priv/b — it must STILL die at the robots gate.
+    graft.sources.WarcShards.pack(Seq(
+      entry(0, 1, "/robots.txt",
+        resp("User-agent: *\nDisallow: /priv\n".getBytes("UTF-8"),
+          "text/plain")),
+      entry(0, 2, "/p/1", resp(page(alpha, Seq("/priv/a", "/p/2")),
+        "text/html; charset=utf-8")),
+      entry(1, 1, "/robots.txt",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        warcType = "revisit"),
+      entry(1, 2, "/robots.txt",
+        resp("User-agent: *\nDisallow:\n".getBytes("UTF-8"), "text/plain"),
+        truncated = "length"),
+      entry(1, 3, "/p/2", resp(page(beta, Seq("/priv/b", "/p/3")),
+        "text/html; charset=utf-8"))
+    ).toDS(), in): Unit
+    val r = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(Seq("--files-per-drain", "1")))
+    assert(r.status == "success" && r.drains == 2L, s"run: $r")
+    val front = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front == Seq(s"http://$H/p/2", s"http://$H/p/3"),
+      s"frontier (every /priv outlink dead under the SURVIVING rules): $front")
+    // the committed robots state still carries the day-0 body
+    val robotsState = spark.read.parquet(s"$out/state/v0/robots")
+      .select("host", "body").as[(String, String)].collect().toMap
+    assert(robotsState(H).contains("Disallow: /priv"),
+      s"rolled robots body was overwritten: ${robotsState.get(H)}")
+  }
+
   test("crawl args are typed: junk flags and values error loudly") {
     intercept[IllegalArgumentException](
       Pipeline.parseCrawlArgs(Seq("--files-per-drain", "one")))

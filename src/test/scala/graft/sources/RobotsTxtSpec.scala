@@ -135,17 +135,26 @@ class RobotsTxtSpec extends SparkSpec {
       10L -> true))
   }
 
-  test("fetchesIn: /robots.txt responses only, query ignored, host lowered") {
+  test("fetchesIn: /robots.txt full responses only, query ignored, host lowered") {
     import spark.implicits._
+    val none: Option[String] = None
     val recs = Seq(
-      ("http://A.Example.COM/robots.txt", Some(200), "User-agent: *\n"),
-      ("http://b.com/robots.txt?v=2", Some(200), "Disallow: /\n"), // query ignored
-      ("http://c.com/robots.txt", Some(404), "nope"),   // non-200 dropped
-      ("http://d.com/not-robots.txt", Some(200), "x"),  // wrong path
-      ("http://e.com/dir/robots.txt", Some(200), "x"),  // not AT root
-      (null, Some(200), "x"))
-      .map { case (u, s, b) => (u, s, b.getBytes("UTF-8")) }
-      .toDF("target_uri", "http_status", "body")
+      ("http://A.Example.COM/robots.txt", Some(200), "User-agent: *\n",
+        "response", none),
+      ("http://b.com/robots.txt?v=2", Some(200), "Disallow: /\n",
+        "response", none),                                   // query ignored
+      ("http://c.com/robots.txt", Some(404), "nope", "response", none),
+      ("http://d.com/not-robots.txt", Some(200), "x", "response", none),
+      ("http://e.com/dir/robots.txt", Some(200), "x", "response", none),
+      // a revisit's header-only payload parses to 200 + EMPTY body —
+      // admitting it would erase the host's rolled rules (allow-all)
+      ("http://f.com/robots.txt", Some(200), "", "revisit", none),
+      // a truncated capture is a PARTIAL (more permissive) rule set
+      ("http://g.com/robots.txt", Some(200), "User-agent: *\n",
+        "response", Some("length")),
+      (null, Some(200), "x", "response", none))
+      .map { case (u, s, b, wt, tr) => (u, s, b.getBytes("UTF-8"), wt, tr) }
+      .toDF("target_uri", "http_status", "body", "warc_type", "truncated")
     val got = RobotsTxt.fetchesIn(recs).as[(String, String)]
       .collect().toMap
     assert(got == Map(
