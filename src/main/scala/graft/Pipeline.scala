@@ -745,6 +745,22 @@ object Pipeline {
     val statePath = new org.apache.hadoop.fs.Path(s"$out/state")
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val restoredV = latestStateVersion(fs, statePath)
+    // Output-schema migration guard (r16 ADVICE): resuming over a
+    // directory written by a pre-refresh build would APPEND wider-
+    // schema parquet next to the old files, and a plain read then
+    // picks one footer's schema nondeterministically (etag hints can
+    // silently vanish). Refuse loudly instead of corrupting.
+    for ((dir, marker) <- Seq("frontier" -> "etag", "drains" -> "n_assets")) {
+      // readIfExists: an empty dir (a killed run's bare _SUCCESS, or
+      // no committed files yet) carries no schema — nothing to guard
+      if (readIfExists(spark, fs, s"$out/$dir")
+          .exists(d => !d.columns.contains(marker)))
+        throw new IllegalStateException(
+          s"$out/$dir was written by an older build (missing column " +
+            s"'$marker'): this output directory is not resumable across " +
+            "the schema change — crawl into a fresh outDir, or backfill " +
+            s"the column into the existing $dir parquet first")
+    }
     val ckptDir = s"$out/ckpt"
     val committed = lastCommittedBatch(fs, ckptDir)
     def deltaDir(name: String) = s"$out/state/deltas/$name"
@@ -907,8 +923,14 @@ object Pipeline {
 
     /** PageRank over the accumulated host link graph → (host, rank):
       * the frontier's crawl-value priority. Host-level, so the graph
-      * is orders of magnitude smaller than the frontier; recomputed
-      * per drain from the rolled edge set.
+      * is orders of magnitude smaller than the frontier — but still
+      * STATE, and state is scanned, never shuffled, on ordinary
+      * drains: this recompute runs only on the CompactionPolicy
+      * cadence (and at bootstrap), its result held in [[ranksRef]]
+      * and persisted beside the host graph (r16 verdict #3 — a
+      * per-drain recompute is state-proportional work that grows with
+      * crawl history, not batch size). Rank staleness is bounded by
+      * the cadence: ≤ compactEvery drains.
       */
     def hostRanks(): DataFrame = {
       val g = graphRef.get.distinct().localCheckpoint()
@@ -926,6 +948,15 @@ object Pipeline {
           .select(col("host"), col("rank"))
       }
     }
+    // durable rank state: restored from the committed version when
+    // present (a scan — no graph shuffle at startup), else one
+    // bootstrap compute over the restored graph
+    val ranksRef = new java.util.concurrent.atomic.AtomicReference(
+      restoredV
+        .flatMap(v => readIfExists(spark, fs, s"$out/state/v$v/hostranks"))
+        .map(_.select(col("host"), col("rank")))
+        .getOrElse(hostRanks())
+        .localCheckpoint())
 
     /** FRONTIER assembly from outlinks + redirect targets + sitemap
       * seeds: canonicalize → fetchable schemes → the SAME gates fetched
@@ -1001,12 +1032,28 @@ object Pipeline {
               col("target") === col("url"), "left")
             .select(col("target"), col("__ekey"), col("etag"),
               col("last_modified"))
-          pool0.unionByName(hinted)
+          // a URL fetched but never EMITTED (bootstrap/seeded shards)
+          // can be both a discovery row and a due row in one drain —
+          // two frontier rows for one target would spend the host's
+          // politeness quota twice and command a double fetch (r16
+          // ADVICE). The due row wins: it carries the validator hints.
+          pool0.join(broadcast(hinted.select(col("target").as("__d"))),
+              col("target") === col("__d"), "left_anti")
+            .unionByName(hinted)
         } else pool0
-      val prioritized = pool
+      // rank lookup without shuffling the rank STATE: the pool's host
+      // set (batch-sized) broadcasts into a semi join that filters the
+      // scanned state down to batch-relevant rows, which then broadcast
+      // back onto the pool — the validatorsRef shape
+      val pooled = pool
         .withColumn("__thost", graft.sources.UrlOps.host(col("target")))
-        .join(hostRanks().select(col("host").as("__rhost"),
-          col("rank").as("__rank")),
+        .localCheckpoint()
+      val relevantRanks = ranksRef.get.join(
+          broadcast(pooled.select(col("__thost").as("__h")).distinct()),
+          col("host") === col("__h"), "left_semi")
+        .select(col("host").as("__rhost"), col("rank").as("__rank"))
+      val prioritized = pooled
+        .join(broadcast(relevantRanks),
           col("__thost") === col("__rhost"), "left")
         .withColumn("__priority", coalesce(col("__rank"), lit(0.0)))
         .drop("__thost", "__rhost", "__rank")
@@ -1122,7 +1169,12 @@ object Pipeline {
       val extractable = col("http_content_type").isNull ||
         col("http_content_type").startsWith("text/") ||
         col("http_content_type") === "application/xhtml+xml"
-      val assets = nonControl.where(!extractable)
+      // the assets route obeys the SAME policy surfaces as the page
+      // route (r16 ADVICE): a blocked domain's or robots-disallowed
+      // PDF must not reach the multimodal hand-off either
+      val assets = graft.sources.RobotsTxt.filterAllowed(
+          domainKill(nonControl.where(!extractable), "target_uri"),
+          "target_uri", rulesRef.get, agent)
         .select(col("target_uri").as("uri"),
           col("http_content_type").as("media_type"),
           length(col("body")).cast("long").as("n_bytes"))
@@ -1334,6 +1386,10 @@ object Pipeline {
             seenRef.set(policy.maybe(batchId, seenRef.get)(
               graft.dedup.UrlSeenSet.compact(_,
                 s"$out/state/epoch_$batchId/seen")))
+            // host ranks refresh on the same cadence — the one graph
+            // shuffle the loop performs, amortized over K drains
+            ranksRef.set(policy.maybe(batchId, ranksRef.get)(_ =>
+              hostRanks().localCheckpoint()))
           }
         }
         .option("checkpointLocation", ckptDir)
@@ -1353,6 +1409,7 @@ object Pipeline {
         .parquet(s"$vdir/sitemaps")
       graphRef.get.distinct().write.mode("overwrite")
         .parquet(s"$vdir/hostgraph")
+      ranksRef.get.write.mode("overwrite").parquet(s"$vdir/hostranks")
       schedRef.get.write.mode("overwrite").parquet(s"$vdir/recrawl")
       validatorsRef.get.write.mode("overwrite").parquet(s"$vdir/validators")
       fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"), true).close()

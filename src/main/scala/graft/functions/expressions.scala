@@ -1755,19 +1755,42 @@ object CharsetKernels {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.charset.Charset]()
 
+  // The label is ATTACKER-CONTROLLED (a Content-Type parameter):
+  // adversarial pages minting unique charset= tokens must not grow
+  // executor memory without bound over a long crawl (r16 ADVICE).
+  // Labels over the length cap skip the cache entirely (no real
+  // charset name is near 40 chars — IANA's longest is ~45 for
+  // Extended_UNIX_Code_* but its WHATWG labels are all shorter), and
+  // the cache itself is size-capped: on overflow, unknown labels fall
+  // back to UTF-8 uncached (correctness unchanged, lookup just loses
+  // its memoization for the junk tail).
+  private val MaxLabelLen = 40
+  private val MaxCacheSize = 1024
+
+  private def canonOf(k: String): java.nio.charset.Charset = {
+    val canon = k match {
+      case "latin-1" | "latin1" | "l1" | "iso8859-1" => "ISO-8859-1"
+      case "unicode-1-1-utf-8" | "x-utf-8" => "UTF-8"
+      case "win-1252" | "x-cp1252" => "windows-1252"
+      case other => other
+    }
+    try java.nio.charset.Charset.forName(canon)
+    catch { case _: Exception => Utf8 }
+  }
+
   private def resolve(label: String): java.nio.charset.Charset = {
     val key = label.trim.toLowerCase(java.util.Locale.ROOT)
     if (key.isEmpty || key == "utf-8" || key == "utf8") Utf8
-    else cache.computeIfAbsent(key, k => {
-      val canon = k match {
-        case "latin-1" | "latin1" | "l1" | "iso8859-1" => "ISO-8859-1"
-        case "unicode-1-1-utf-8" | "x-utf-8" => "UTF-8"
-        case "win-1252" | "x-cp1252" => "windows-1252"
-        case other => other
+    else if (key.length > MaxLabelLen) Utf8
+    else {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val cs = canonOf(key)
+        if (cache.size < MaxCacheSize) cache.putIfAbsent(key, cs): Unit
+        cs
       }
-      try java.nio.charset.Charset.forName(canon)
-      catch { case _: Exception => Utf8 }
-    })
+    }
   }
 
   def decode(bytes: Array[Byte], label: UTF8String): UTF8String = {

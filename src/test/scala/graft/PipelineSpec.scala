@@ -698,6 +698,114 @@ class PipelineSpec extends SparkSpec {
     assert(led == Seq(0L, 1L), s"refetch counts: $led")
   }
 
+  test("host ranks are durable state on the compaction cadence: " +
+      "staleness bounded by K drains, recompute only when the policy fires") {
+    import spark.implicits._
+    val in = tmpDir("rank-in")
+    val out = tmpDir("rank-out")
+    def page(text: String, links: Seq[String]): Array[Byte] = {
+      val nav = if (links.isEmpty) ""
+      else links.map(l => s"""<a href="$l">x</a>""").mkString("<nav>", " ", "</nav>")
+      ("<html><head><title>t</title></head><body>" + nav + "<p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def entry(shard: Int, host: String, links: Seq[String]) =
+      graft.sources.WarcShards.Entry(shard, 1L, "response",
+        s"http://$host/p", s"<urn:test:rank:$shard>",
+        "application/http;msgtype=response",
+        graft.sources.WarcShards.WarcCodec.httpResponse(
+          page(s"a page of host $host with words enough to pass extraction $shard",
+            links), "text/html; charset=utf-8"))
+    def h(i: Int) = s"h$i.example.org"
+    // drains 0/1/2 each add one cross-host edge; compact-every 2 fires
+    // the rank recompute at the END of drain 1 only
+    graft.sources.WarcShards.pack(Seq(
+      entry(0, h(0), Seq(s"http://${h(1)}/x")),
+      entry(1, h(2), Seq(s"http://${h(3)}/x")),
+      entry(2, h(4), Seq(s"http://${h(5)}/x"))
+    ).toDS(), in): Unit
+    val flags = Seq("--files-per-drain", "1", "--compact-every", "2")
+    val r1 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags))
+    assert(r1.status == "success" && r1.drains == 3L, s"run 1: $r1")
+    // the persisted ranks reflect the graph AS OF the drain-1 firing:
+    // drain-2's hosts are absent (staleness ≤ K = 2 drains by design)
+    val ranks1 = spark.read.parquet(s"$out/state/v0/hostranks")
+      .select("host").as[String].collect().toSet
+    assert(ranks1 == Set(h(0), h(1), h(2), h(3)),
+      s"v0 ranks (recomputed at drain 1, drain-2 hosts stale-out): $ranks1")
+    // the full graph IS durable — only the rank derivation is amortized
+    val graph1 = spark.read.parquet(s"$out/state/v0/hostgraph").count()
+    assert(graph1 == 3L, s"v0 hostgraph edges: $graph1")
+
+    // resume with drain 3: the policy fires (3 % 2 == 1) and the
+    // recompute folds in everything accumulated since
+    val stage = tmpDir("rank-d3")
+    graft.sources.WarcShards.pack(Seq(
+      entry(3, h(6), Seq(s"http://${h(7)}/x"))).toDS(), stage): Unit
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(stage, "shard-00003.warc"),
+      java.nio.file.Paths.get(in, "shard-00003.warc")): Unit
+    val r2 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags))
+    assert(r2.status == "success" && r2.drains == 1L, s"run 2: $r2")
+    val ranks2 = spark.read.parquet(s"$out/state/v1/hostranks")
+      .select("host").as[String].collect().toSet
+    assert(ranks2 == (0 to 7).map(h).toSet,
+      s"v1 ranks (drain-3 firing catches up the whole graph): $ranks2")
+  }
+
+  test("a non-recompute drain never shuffles the host graph: resume-drain " +
+      "shuffle bytes are flat in the accumulated graph size") {
+    import spark.implicits._
+    def page(text: String, links: Seq[String]): Array[Byte] = {
+      val nav = if (links.isEmpty) ""
+      else links.map(l => s"""<a href="$l">x</a>""").mkString("<nav>", " ", "</nav>")
+      ("<html><head><title>t</title></head><body>" + nav + "<p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def entry(shard: Int, host: String, links: Seq[String]) =
+      graft.sources.WarcShards.Entry(shard, 1L, "response",
+        s"http://$host/p", s"<urn:test:rankflat:$shard>",
+        "application/http;msgtype=response",
+        graft.sources.WarcShards.WarcCodec.httpResponse(
+          page("seed page with words enough to pass the extraction gates",
+            links), "text/html; charset=utf-8"))
+    // two crawls, same day-2 shard, 64×-different accumulated host
+    // graphs (seed page fans out to 8 vs 512 hosts). With the rank
+    // recompute amortized away (--compact-every 1000), the resume
+    // drain must cost the SAME shuffle bytes under both — the graph
+    // (like every other state piece) is scanned, never shuffled.
+    def resumeShuffle(nHosts: Int, tag: String): Long = {
+      val in = tmpDir(s"rankflat-$tag-in")
+      val out = tmpDir(s"rankflat-$tag-out")
+      val links = (0 until nHosts).map(i => s"http://f$i.$tag.example.org/x")
+      graft.sources.WarcShards.pack(Seq(
+        entry(0, s"seed.$tag.example.org", links)).toDS(), in): Unit
+      val flags = Seq("--files-per-drain", "1", "--compact-every", "1000")
+      val r1 = Pipeline.crawl(spark, in, out,
+        args = Pipeline.parseCrawlArgs(flags))
+      assert(r1.status == "success", s"seed run ($tag): $r1")
+      val stage = tmpDir(s"rankflat-$tag-d2")
+      graft.sources.WarcShards.pack(Seq(
+        entry(1, s"day2.$tag.example.org",
+          Seq(s"http://next.$tag.example.org/x"))).toDS(), stage): Unit
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(stage, "shard-00001.warc"),
+        java.nio.file.Paths.get(in, "shard-00001.warc")): Unit
+      val m = MetricsProbe.measure(spark) {
+        val r2 = Pipeline.crawl(spark, in, out,
+          args = Pipeline.parseCrawlArgs(flags))
+        assert(r2.status == "success" && r2.drains == 1L, s"resume ($tag): $r2")
+      }
+      m.shuffleReadBytes
+    }
+    val small = resumeShuffle(8, "s")
+    val big = resumeShuffle(512, "b")
+    assert(big <= small * 1.10 + 64 * 1024,
+      s"resume-drain shuffle grew with graph size: small=$small big=$big")
+  }
+
   test("a robots revisit or truncated capture never erases the rolled " +
       "rules: Disallow survives a header-only refetch") {
     import spark.implicits._

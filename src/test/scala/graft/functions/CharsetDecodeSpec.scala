@@ -45,6 +45,20 @@ class CharsetDecodeSpec extends SparkSpec {
     assert(dec(junk, "utf-16").nonEmpty)
   }
 
+  test("kernel: adversarial labels are bounded — overlong labels decode " +
+      "as UTF-8 and a junk-label flood cannot grow memory unboundedly") {
+    // labels are attacker-controlled Content-Type parameters: over the
+    // length cap → UTF-8 fallback, same answer as any unknown label
+    val long = "x" * 200
+    assert(dec("café".getBytes("UTF-8"), long) == "café")
+    // a flood of unique junk labels stays correct (each falls back to
+    // UTF-8); the cache size cap is internal, this pins the behavior
+    // under exactly the minting pattern the cap defends against
+    (0 until 3000).foreach { i =>
+      assert(dec("ok".getBytes("UTF-8"), s"junk-charset-$i") == "ok")
+    }
+  }
+
   test("graft_decode end to end in SQL with a per-row charset column") {
     val rows = Seq(
       ("café".getBytes("UTF-8"), "utf-8"),
