@@ -750,7 +750,7 @@ object Pipeline {
     // schema parquet next to the old files, and a plain read then
     // picks one footer's schema nondeterministically (etag hints can
     // silently vanish). Refuse loudly instead of corrupting.
-    for ((dir, marker) <- Seq("frontier" -> "etag", "drains" -> "n_assets")) {
+    for ((dir, marker) <- Seq("frontier" -> "etag", "drains" -> "n_failed")) {
       // readIfExists: an empty dir (a killed run's bare _SUCCESS, or
       // no committed files yet) carries no schema — nothing to guard
       if (readIfExists(spark, fs, s"$out/$dir")
@@ -860,25 +860,37 @@ object Pipeline {
         .localCheckpoint()
     })
     // refresh-crawl schedule: one row per fetched URL — (url,
-    // last_fetch, last_hash, n_fetches, unchanged_streak), the rolling
-    // form of [[graft.sources.RecrawlSchedule]]. Deltas are per-drain
-    // observation logs; the fold is ORDER-sensitive (the streak), so
-    // crash recovery replays committed drains in batch order.
+    // last_fetch, last_hash, n_fetches, unchanged_streak, fail_streak,
+    // gone, retry_after), the rolling form of
+    // [[graft.sources.RecrawlSchedule]]. Deltas are per-drain
+    // observation logs (fetchlog = successes, faillog = 4xx/5xx refetch
+    // answers); the fold is ORDER-sensitive (the streaks), so crash
+    // recovery replays committed drains in batch order, successes
+    // before failures within a drain — the live loop's ordering.
+    // withFailureDefaults migrates a pre-failure-era committed state.
     val schedRef = new java.util.concurrent.atomic.AtomicReference({
-      val base = restoredV
-        .flatMap(v => readIfExists(spark, fs, s"$out/state/v$v/recrawl"))
-        .getOrElse(graft.sources.RecrawlSchedule.emptyState(spark))
-      deltasOf("fetchlog") match {
-        case None => base
-        case Some(d) =>
-          val dc = d.localCheckpoint()
-          val bids = dc.select(col("batch_id")).distinct()
-            .orderBy(col("batch_id")).as[Long].collect()
-          bids.foldLeft(base) { (st, bid) =>
-            graft.sources.RecrawlSchedule.advance(st,
-              dc.where(col("batch_id") === bid), "url", "t", "h")
-              .localCheckpoint()
-          }
+      val base = graft.sources.RecrawlSchedule.withFailureDefaults(
+        restoredV
+          .flatMap(v => readIfExists(spark, fs, s"$out/state/v$v/recrawl"))
+          .getOrElse(graft.sources.RecrawlSchedule.emptyState(spark)))
+      val okLog = deltasOf("fetchlog").map(_.localCheckpoint())
+      val failLog = deltasOf("faillog").map(_.localCheckpoint())
+      if (okLog.isEmpty && failLog.isEmpty) base
+      else {
+        val bids = (okLog.toSeq ++ failLog.toSeq)
+          .map(_.select(col("batch_id")))
+          .reduce(_ unionByName _)
+          .distinct().orderBy(col("batch_id")).as[Long].collect()
+        bids.foldLeft(base) { (st, bid) =>
+          val s1 = okLog.map(d => graft.sources.RecrawlSchedule.advance(
+              st, d.where(col("batch_id") === bid), "url", "t", "h"))
+            .getOrElse(st)
+          failLog.map(d => graft.sources.RecrawlSchedule.advanceFailures(
+              s1, d.where(col("batch_id") === bid),
+              "url", "t", "status", "retry_after"))
+            .getOrElse(s1)
+            .localCheckpoint()
+        }
       }
     })
     // conditional-request hints: the latest validators each URL's
@@ -1229,7 +1241,7 @@ object Pipeline {
       // Modified revalidations and WARC revisit records (both mean
       // "fetched, same as the cached copy" — the last known hash is
       // re-observed, nothing is ingested)
-      val nNotMod =
+      val (nNotMod, nFailed) =
         if (recrawlBase > 0) {
           val fetchObs = urlDeduped.select(col("canon").as("url"),
             xxhash64(col("text")).as("h"))
@@ -1248,14 +1260,42 @@ object Pipeline {
             .withColumn("t", lit(batchId.getOrElse(0L).toDouble))
             .select(col("url"), col("t"), col("h"))
             .localCheckpoint()
+          // FAILED refetch answers (4xx/5xx responses) are schedule
+          // observations too — dropping them permanently stalled the
+          // URL (its emitted generation was spent and nothing ever
+          // advanced last_fetch; r16 verdict #2). A URL that ALSO
+          // succeeded or revalidated this drain is a success — the
+          // failure row is the one that yields. Retry-After: numeric
+          // (delta-seconds) form honored; HTTP-date forms are wall
+          // time, which the drain clock has no axis for → null.
+          val fails = recs.where(col("warc_type") === "response" &&
+              col("http_status").between(400, 599))
+            .select(uriCanon.as("url"),
+              col("http_status").cast("int").as("status"),
+              regexp_extract(coalesce(col("http_retry_after"), lit("")),
+                "^[0-9]{1,9}$", 0).as("__ra"))
+            .groupBy(col("url"))
+            .agg(max(col("status")).as("status"),
+              max(when(col("__ra") === "", lit(null).cast("double"))
+                .otherwise(col("__ra").cast("double"))).as("retry_after"))
+            .join(broadcast(obs.select(col("url").as("__o"))),
+              col("url") === col("__o"), "left_anti")
+            .withColumn("t", lit(batchId.getOrElse(0L).toDouble))
+            .select(col("url"), col("t"), col("status"), col("retry_after"))
+            .localCheckpoint()
           batchId.foreach { bid =>
             graft.streaming.ExactlyOnce.appendKeyed(
               obs, deltaDir("fetchlog"), bid)
-            schedRef.set(graft.sources.RecrawlSchedule.advance(
-              schedRef.get, obs, "url", "t", "h").localCheckpoint())
+            graft.streaming.ExactlyOnce.appendKeyed(
+              fails, deltaDir("faillog"), bid)
+            schedRef.set(graft.sources.RecrawlSchedule.advanceFailures(
+              graft.sources.RecrawlSchedule.advance(
+                schedRef.get, obs, "url", "t", "h"),
+              fails, "url", "t", "status", "retry_after")
+              .localCheckpoint())
           }
-          confirms.count()
-        } else 0L
+          (confirms.count(), fails.count())
+        } else (0L, 0L)
       // validator-hint roll: one row per URL per drain (an origin that
       // sent ETag/Last-Modified on a 200 or re-sent them on a 304);
       // the state side is only scanned (batch broadcast into the
@@ -1308,7 +1348,7 @@ object Pipeline {
       val nRefetch = frontier.where(col("__ekey") =!= col("target")).count()
       (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3),
         frontier.count(), nRedir, nRobFetch, nSeeds, nNotMod, nRefetch,
-        nAssets),
+        nAssets, nFailed),
         surv, frontier, aliases, assets)
     }
 
@@ -1316,7 +1356,8 @@ object Pipeline {
       col("record_id"), col("warc_type"), col("target_uri"),
       col("truncated"), col("http_status"), col("http_location"),
       col("http_content_type"), col("http_charset"), col("http_etag"),
-      col("http_last_modified"), col("body"))
+      col("http_last_modified"), col("http_retry_after"),
+      col("http_content_encoding"), col("http_x_robots_tag"), col("body"))
 
     if (args.dryRun) {
       val (c, _, _, _, _) = stageCounts(
@@ -1326,7 +1367,7 @@ object Pipeline {
         s"after_intra=${c(6)} survivors=${c(7)} frontier=${c(8)} " +
         s"redirects=${c(9)} robots_fetches=${c(10)} sitemap_seeds=${c(11)} " +
         s"not_modified=${c(12)} refetch_emitted=${c(13)} assets=${c(14)} " +
-        "(dry run — nothing written)")
+        s"failed=${c(15)} (dry run — nothing written)")
       return CrawlOutcome("(dry-run)", "success", 0L, c(7), restoredV, None)
     }
 
@@ -1369,12 +1410,12 @@ object Pipeline {
               assets, s"$out/assets", batchId)
             graft.streaming.ExactlyOnce.appendKeyed(
               Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7),
-                c(8), c(9), c(10), c(11), c(12), c(13), c(14)))
+                c(8), c(9), c(10), c(11), c(12), c(13), c(14), c(15)))
                 .toDF("batch_id", "n_batch", "n_after_domain", "n_after_robots",
                   "n_after_url", "n_new_url", "n_after_exact", "n_after_intra",
                   "n_survivors", "n_frontier", "n_redirects",
                   "n_robots_fetches", "n_sitemap_seeds", "n_not_modified",
-                  "n_refetch", "n_assets"),
+                  "n_refetch", "n_assets", "n_failed"),
               s"$out/drains", batchId)
             drains.incrementAndGet(): Unit
             ingested.addAndGet(c(7)): Unit

@@ -79,7 +79,15 @@ object RecrawlSchedule {
   // SCANNED. RecrawlScheduleSpec pins fold-over-drains ≡ [[schedule]]
   // over the concatenated history.
 
-  /** Empty rolling state. */
+  /** Empty rolling state. Beyond the success-path columns, the state
+    * carries FAILURE bookkeeping (r16 verdict #2 — without it a
+    * transient 503 permanently exits a URL from the refresh loop):
+    * `fail_streak` (consecutive trailing failed refetches), `gone`
+    * (tombstone: k consecutive failures ending in 404/410 — the
+    * origin said the resource no longer exists) and `retry_after`
+    * (the origin's `Retry-After` seconds from the latest failure,
+    * honored as a floor on the next-fetch delay).
+    */
   def emptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
@@ -89,14 +97,33 @@ object RecrawlSchedule {
         StructField("last_fetch", DoubleType),
         StructField("last_hash", LongType),
         StructField("n_fetches", LongType),
-        StructField("unchanged_streak", IntegerType))))
+        StructField("unchanged_streak", IntegerType),
+        StructField("fail_streak", IntegerType),
+        StructField("gone", BooleanType),
+        StructField("retry_after", DoubleType))))
   }
 
-  /** Fold one drain's observations into the rolling state. `batch`
-    * must carry AT MOST ONE row per url (the loop's within-drain URL
-    * dedup guarantees it); an unchanged hash extends the streak, a
-    * changed one resets it, a first observation starts at zero —
-    * exactly [[schedule]]'s streak rule, one step at a time.
+  /** Backfill the failure columns onto a state frame persisted before
+    * they existed (an older crawl's committed `recrawl` piece) — the
+    * load-path migration: absent columns get their pristine defaults.
+    */
+  def withFailureDefaults(state: DataFrame): DataFrame = {
+    val c = state.columns.toSet
+    val s1 = if (c("fail_streak")) state
+      else state.withColumn("fail_streak", lit(0))
+    val s2 = if (c("gone")) s1 else s1.withColumn("gone", lit(false))
+    if (c("retry_after")) s2
+    else s2.withColumn("retry_after", lit(null).cast("double"))
+  }
+
+  /** Fold one drain's SUCCESS observations into the rolling state.
+    * `batch` must carry AT MOST ONE row per url (the loop's
+    * within-drain URL dedup guarantees it); an unchanged hash extends
+    * the streak, a changed one resets it, a first observation starts
+    * at zero — exactly [[schedule]]'s streak rule, one step at a
+    * time. A success CLEARS the failure bookkeeping: the resource
+    * answered, so fail_streak → 0, gone → false, retry_after → null
+    * (a 200 after a tombstone proves the origin resurrected the URL).
     */
   def advance(state: DataFrame, batch: DataFrame, urlCol: String,
       timeCol: String, hashCol: String): DataFrame = {
@@ -113,23 +140,81 @@ object RecrawlSchedule {
       (col("n_fetches") + 1L).as("n_fetches"),
       when(col("last_hash") <=> col("__h"),
         col("unchanged_streak") + 1).otherwise(lit(0))
-        .cast("int").as("unchanged_streak"))
+        .cast("int").as("unchanged_streak"),
+      lit(0).as("fail_streak"),
+      lit(false).as("gone"),
+      lit(null).cast("double").as("retry_after"))
     val newcomers = b.join(
         broadcast(touched.select(col("url").as("__seen"))),
         col("url") === col("__seen"), "left_anti")
       .select(col("url"), col("__t").as("last_fetch"),
         col("__h").as("last_hash"), lit(1L).as("n_fetches"),
-        lit(0).as("unchanged_streak"))
+        lit(0).as("unchanged_streak"), lit(0).as("fail_streak"),
+        lit(false).as("gone"), lit(null).cast("double").as("retry_after"))
     state.join(broadcast(b.select(col("url").as("__b"))),
         col("url") === col("__b"), "left_anti")
       .unionByName(updated)
       .unionByName(newcomers)
   }
 
-  /** URLs DUE for refetch as of crawl-clock `asOf`: one state scan, no
-    * shuffle. Adds the derived `interval_seconds` / `next_fetch`.
+  /** Fold one drain's FAILED refetch answers (4xx/5xx) into the
+    * rolling state — the observation the r16 loop dropped on the
+    * floor, permanently stalling the URL (its emitted generation was
+    * spent and nothing ever advanced `last_fetch`). Semantics:
+    *
+    *  - only URLs already IN the state are touched (a 404 for a URL
+    *    the schedule never tracked is noise, not an observation);
+    *  - `last_fetch` ADVANCES to the failure time — this mints the
+    *    next emitted generation, so the URL re-enters the frontier
+    *    after its backoff instead of stalling forever;
+    *  - `fail_streak` increments; `n_fetches` / `unchanged_streak` /
+    *    `last_hash` are untouched (no content evidence either way);
+    *  - `gone` latches when the streak reaches `goneAfter` AND the
+    *    current answer is 404/410 (the resource is gone, not the
+    *    server sick) — [[due]] stops emitting tombstoned rows;
+    *  - `retry_after` records the origin's request (seconds; callers
+    *    pre-parse HTTP-date forms or pass null), honored by [[due]]
+    *    as a floor on the next-fetch delay (RFC 9110 §10.2.3 — 429/
+    *    503 answers that name a delay must not be hammered sooner).
+    *
+    * Same 100 TB shape as [[advance]]: the state is scanned, never
+    * shuffled — the (small) failure batch broadcasts into one inner
+    * and two anti joins. `batch` carries at most one row per url.
     */
-  def due(state: DataFrame, asOf: Double,
+  def advanceFailures(state: DataFrame, batch: DataFrame, urlCol: String,
+      timeCol: String, statusCol: String,
+      retryAfterCol: String, goneAfter: Int = 3): DataFrame = {
+    require(goneAfter > 0, s"goneAfter must be positive, got $goneAfter")
+    val b = batch.select(
+      col(urlCol).as("url"),
+      col(timeCol).cast("double").as("__t"),
+      col(statusCol).cast("int").as("__s"),
+      col(retryAfterCol).cast("double").as("__ra"))
+    val touched = state.join(broadcast(b), Seq("url"))
+    val bumped = (col("fail_streak") + 1).cast("int")
+    val updated = touched.select(
+      col("url"),
+      col("__t").as("last_fetch"),
+      col("last_hash"),
+      col("n_fetches"),
+      col("unchanged_streak"),
+      bumped.as("fail_streak"),
+      (col("gone") ||
+        (bumped >= goneAfter && col("__s").isin(404, 410))).as("gone"),
+      col("__ra").as("retry_after"))
+    state.join(broadcast(b.select(col("url").as("__b"))),
+        col("url") === col("__b"), "left_anti")
+      .unionByName(updated)
+  }
+
+  /** The derived schedule over the CURRENT state — one scan, no
+    * shuffle: `interval_seconds` doubles in the LONGER of the two
+    * streaks (an unchanged page and an erroring page both earn
+    * backoff), `next_fetch` additionally floors the delay at the
+    * origin's `retry_after`, and `eligible` is the not-tombstoned
+    * flag [[due]] filters on.
+    */
+  def scheduleOf(state: DataFrame,
       baseIntervalSeconds: Double,
       maxIntervalSeconds: Double): DataFrame = {
     require(baseIntervalSeconds > 0,
@@ -137,10 +222,24 @@ object RecrawlSchedule {
     require(maxIntervalSeconds >= baseIntervalSeconds,
       s"max interval $maxIntervalSeconds < base $baseIntervalSeconds")
     val interval = least(lit(maxIntervalSeconds),
-      lit(baseIntervalSeconds) * pow(lit(2.0), col("unchanged_streak")))
+      lit(baseIntervalSeconds) * pow(lit(2.0),
+        greatest(col("unchanged_streak"), col("fail_streak"))))
     state
       .withColumn("interval_seconds", interval)
-      .withColumn("next_fetch", col("last_fetch") + col("interval_seconds"))
-      .where(col("next_fetch") <= lit(asOf))
+      .withColumn("next_fetch", col("last_fetch") +
+        greatest(col("interval_seconds"), coalesce(col("retry_after"), lit(0.0))))
+      .withColumn("eligible", !col("gone"))
   }
+
+  /** URLs DUE for refetch as of crawl-clock `asOf`: one state scan, no
+    * shuffle. Tombstoned (`gone`) rows never emit; failure streaks
+    * back the URL off exactly like unchanged streaks; a `Retry-After`
+    * floors the delay ([[scheduleOf]]).
+    */
+  def due(state: DataFrame, asOf: Double,
+      baseIntervalSeconds: Double,
+      maxIntervalSeconds: Double): DataFrame =
+    scheduleOf(state, baseIntervalSeconds, maxIntervalSeconds)
+      .where(col("eligible") && col("next_fetch") <= lit(asOf))
+      .drop("eligible")
 }

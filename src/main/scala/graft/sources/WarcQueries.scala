@@ -1353,6 +1353,68 @@ object WarcQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ERROR-STATUS FEEDBACK in the refresh loop
+    // ([[RecrawlSchedule.advanceFailures]] / [[scheduleOf]]) — the
+    // observations a refresh crawler gets when a refetch FAILS, folded
+    // drain by drain beside the success path: a transient 503 backs
+    // the URL off (and `Retry-After` floors the delay) but the next
+    // generation still mints — the URL is NOT stalled; a later 200
+    // clears the failure streak (and an unchanged body still grows the
+    // unchanged streak); three consecutive failures ending in 404
+    // tombstone the row out of `due` forever. Cohorts by doc_id % 6:
+    //   0: 200 → 503(Retry-After: 4) → 200 unchanged   (recovered)
+    //   1: 200 → 404 → 404 → 404                       (tombstoned)
+    //   2: 200 → 503(Retry-After: 3)                   (RA floors delay)
+    //   3: 200 → 503 → 200 CHANGED                     (streak reset)
+    //   4: 200 → 404 → 404                             (2 strikes: alive)
+    //   5: 200 → 503                                   (plain backoff)
+    // The oracle restates every streak/interval/next-fetch closed-form.
+    "q264_refetch_errors" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .localCheckpoint()
+      val c6 = col("doc_id") % 6
+      val url = concat(lit("http://example.com/doc/"),
+        col("doc_id").cast("string"))
+      val nullRa = lit(null).cast("double")
+      val succ = d.select(url.as("url"), lit(0.0).as("t"), lit(1L).as("h"))
+        .unionByName(d.filter(c6 === 0 || c6 === 3)
+          .select(url.as("url"), lit(2.0).as("t"),
+            when(c6 === 3, 2L).otherwise(1L).as("h")))
+        .localCheckpoint()
+      val fails = d
+        .select(url.as("url"), lit(1.0).as("t"),
+          when(c6.isin(1L, 4L), 404).otherwise(503).as("status"),
+          when(c6 === 0, 4.0).when(c6 === 2, 3.0).otherwise(nullRa).as("ra"))
+        .unionByName(d.filter(c6.isin(1L, 4L))
+          .select(url.as("url"), lit(2.0).as("t"), lit(404).as("status"),
+            nullRa.as("ra")))
+        .unionByName(d.filter(c6 === 1)
+          .select(url.as("url"), lit(3.0).as("t"), lit(404).as("status"),
+            nullRa.as("ra")))
+        .localCheckpoint()
+      var st = RecrawlSchedule.emptyState(s)
+      for (t <- 0 to 3) {
+        st = RecrawlSchedule.advance(st,
+          succ.where(col("t") === t.toDouble), "url", "t", "h")
+          .localCheckpoint()
+        st = RecrawlSchedule.advanceFailures(st,
+          fails.where(col("t") === t.toDouble), "url", "t", "status", "ra")
+          .localCheckpoint()
+      }
+      RecrawlSchedule.scheduleOf(st,
+          baseIntervalSeconds = 1.0, maxIntervalSeconds = 8.0)
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("n_fetches"),
+          col("unchanged_streak").cast("long").as("unchanged_streak"),
+          col("fail_streak").cast("long").as("fail_streak"),
+          col("gone"),
+          col("interval_seconds"), col("next_fetch"),
+          (col("eligible") && col("next_fetch") <= 4.0).as("is_due"))
+        .orderBy(col("doc_id"))
+    },
+
     // HTTP cache validators through the WARC reader — `http_etag` /
     // `http_last_modified` surfaced from the one header-block parse
     // (WarcCodec.parseHttpEnvelope), and 304 Not Modified responses
@@ -2261,6 +2323,29 @@ object WarcQueries {
          |  next_fetch
          |FROM r WHERE rn <= quota ORDER BY doc_id""".stripMargin
     },
+
+    // every cohort's terminal state restated closed-form: n_fetches
+    // counts successes only, the failure streak backs off exactly like
+    // the unchanged streak (2^max of the two, clamped at 8), the
+    // Retry-After of the LATEST failure floors the delay (cohort 2:
+    // greatest(2, 3) = 3), and only the 3-strikes-ending-in-404 cohort
+    // is tombstoned (gone, never due)
+    "q264_refetch_errors" ->
+      """WITH p AS (SELECT doc_id, (doc_id % 6) AS c FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN c IN (0, 3) THEN 2 ELSE 1 END)::BIGINT AS n_fetches,
+        |  (CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT AS unchanged_streak,
+        |  (CASE c WHEN 1 THEN 3 WHEN 4 THEN 2 WHEN 2 THEN 1 WHEN 5 THEN 1
+        |    ELSE 0 END)::BIGINT AS fail_streak,
+        |  (c = 1) AS gone,
+        |  (CASE c WHEN 0 THEN 2.0 WHEN 1 THEN 8.0 WHEN 2 THEN 2.0
+        |    WHEN 3 THEN 1.0 WHEN 4 THEN 4.0 ELSE 2.0 END)::DOUBLE
+        |    AS interval_seconds,
+        |  (CASE c WHEN 0 THEN 4.0 WHEN 1 THEN 11.0 WHEN 2 THEN 4.0
+        |    WHEN 3 THEN 3.0 WHEN 4 THEN 6.0 ELSE 3.0 END)::DOUBLE
+        |    AS next_fetch,
+        |  (c IN (0, 2, 3, 5)) AS is_due
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // the planted validators restated closed-form: 200 rows for every
     // doc (etag cohort by %3, Last-Modified on evens, body = the

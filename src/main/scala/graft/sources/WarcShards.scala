@@ -257,7 +257,8 @@ object WarcShards {
       */
     final case class HttpEnvelope(status: Int, location: String,
         charset: String, mediaType: String, etag: String,
-        lastModified: String, body: Array[Byte])
+        lastModified: String, retryAfter: String,
+        contentEncoding: String, xRobotsTag: String, body: Array[Byte])
 
     /** Split an HTTP message payload into its [[HttpEnvelope]]. None if
       * the payload is not an HTTP response (no status line / no
@@ -324,6 +325,13 @@ object WarcShards {
       val location = hdrVerbatim("Location")
       val etag = hdrVerbatim("ETag")
       val lastModified = hdrVerbatim("Last-Modified")
+      // Retry-After (RFC 9110 §10.2.3): verbatim — seconds or an
+      // HTTP-date; the refresh loop parses the numeric form and treats
+      // dates as absent (a crawl clock has no wall-time axis)
+      val retryAfter = hdrVerbatim("Retry-After")
+      // X-Robots-Tag (the header twin of robots META): lowercased
+      // directive list, "" when absent
+      val xRobotsTag = hdr("X-Robots-Tag").getOrElse("")
       val contentType = hdr("Content-Type")
       val charset = contentType
         .flatMap(ct => "charset=\\s*\"?([^\";\\s]+)".r.findFirstMatchIn(ct)
@@ -335,10 +343,18 @@ object WarcShards {
       var body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
       if (hdr("Transfer-Encoding").exists(_.contains("chunked")))
         body = dechunk(body)
-      if (hdr("Content-Encoding").exists(e => e == "gzip" || e == "x-gzip"))
+      // gzip is undone here (body becomes entity bytes and the surfaced
+      // encoding clears); any OTHER token (br, zstd, …) survives as the
+      // column value so the crawl loop can fence the still-compressed
+      // body instead of minting garbage text — the JDK has no brotli
+      // codec (the H.264/MP3 precedent: route, never guess)
+      var contentEncoding = hdr("Content-Encoding").getOrElse("")
+      if (contentEncoding == "gzip" || contentEncoding == "x-gzip") {
         body = gunzip(body, maxBodyBytes)
+        contentEncoding = ""
+      } else if (contentEncoding == "identity") contentEncoding = ""
       Some(HttpEnvelope(status.toInt, location, charset, mediaType, etag,
-        lastModified, body))
+        lastModified, retryAfter, contentEncoding, xRobotsTag, body))
     }
 
     /** (status, body) convenience view of [[parseHttpEnvelope]]. */
@@ -705,7 +721,8 @@ object WarcShards {
     "target_uri", "concurrent_to", "refers_to", "truncated",
     "content_type", "payload_bytes", "http_status", "http_location",
     "http_charset", "http_content_type", "http_etag",
-    "http_last_modified", "body")
+    "http_last_modified", "http_retry_after", "http_content_encoding",
+    "http_x_robots_tag", "body")
 
   /** Brace alternation, NOT "*.warc*": the loose glob would also match a
     * crashed attempt's ".warc.tmp-N" leftovers and fail the whole scan on
@@ -724,6 +741,7 @@ object WarcShards {
       : Iterator[(String, String, String, String, String, String,
         Option[String], String, Long, Option[Int], Option[String],
         Option[String], Option[String], Option[String], Option[String],
+        Option[String], Option[String], Option[String],
         Array[Byte])] = {
     val file = path.substring(path.lastIndexOf('/') + 1)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -747,6 +765,9 @@ object WarcShards {
         http.map(_.mediaType).filter(_.nonEmpty),
         http.map(_.etag).filter(_.nonEmpty),
         http.map(_.lastModified).filter(_.nonEmpty),
+        http.map(_.retryAfter).filter(_.nonEmpty),
+        http.map(_.contentEncoding).filter(_.nonEmpty),
+        http.map(_.xRobotsTag).filter(_.nonEmpty),
         http.map(_.body).getOrElse(r.payload))
     } ++ { in.close(); Iterator.empty }
   }

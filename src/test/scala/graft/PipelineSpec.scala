@@ -657,6 +657,92 @@ class PipelineSpec extends SparkSpec {
       s"http://$H/d/1", s"http://$H/e/1"), s"ingested docs: $docs")
   }
 
+  test("crawl refresh failure feedback: a transient 503 backs off but " +
+      "re-emits (no permanent stall), 3x404 tombstones, a 200 resurrects") {
+    import spark.implicits._
+    val in = tmpDir("refail-in")
+    val out = tmpDir("refail-out")
+    val H = "err.example.net"
+    def page(text: String): Array[Byte] =
+      ("<html><head><title>t</title></head><body><p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def entry(shard: Int, ord: Long, path: String, payload: Array[Byte]) =
+      graft.sources.WarcShards.Entry(shard, ord, "response",
+        s"http://$H$path", s"<urn:test:refail:$shard:$ord>",
+        "application/http;msgtype=response", payload)
+    def resp(text: String) = graft.sources.WarcShards.WarcCodec
+      .httpResponse(page(text), "text/html; charset=utf-8")
+    def err(status: Int, reason: String, extra: String = "") =
+      (s"HTTP/1.1 $status $reason\r\n" + extra + "Content-Length: 0\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val alpha = "the alpha page talks about mountains and rivers flowing north"
+    val beta = "a second page describing oceans tides and the salty breeze"
+    val gamma = "completely different words about the weather in marseille now"
+    val delta = "the delta page rambles at length about trains and stations"
+    // drain 0: /a/1 + /b/1 fetched. drain 1: /a/1 answers 503 (with
+    // Retry-After: 2) and /b/1 404 — both must ADVANCE the schedule
+    // (lf=1, fail_streak=1), not stall. drain 2: /b/1 404 again; /c/1
+    // appears. drain 3: /b/1's third 404 → tombstone; /d/1 appears;
+    // /a/1 comes due (1 + max(2^1, RA 2) = 3) and re-emits under its
+    // FAILURE generation — the r16 stall fixed. drain 4: /a/1 answers
+    // 200 unchanged → failure streak clears, unchanged streak grows.
+    graft.sources.WarcShards.pack(Seq(
+      entry(0, 1, "/a/1", resp(alpha)),
+      entry(0, 2, "/b/1", resp(beta)),
+      entry(1, 1, "/a/1", err(503, "Service Unavailable", "Retry-After: 2\r\n")),
+      entry(1, 2, "/b/1", err(404, "Not Found")),
+      entry(2, 1, "/b/1", err(404, "Not Found")),
+      entry(2, 2, "/c/1", resp(gamma)),
+      entry(3, 1, "/d/1", resp(delta)),
+      entry(3, 2, "/b/1", err(404, "Not Found")),
+      entry(4, 1, "/a/1", resp(alpha))
+    ).toDS(), in): Unit
+    val flags = Seq("--files-per-drain", "1", "--change-aware",
+      "--recrawl-base", "1")
+    val r1 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags))
+    assert(r1.status == "success" && r1.drains == 5L, s"run 1: $r1")
+    val led = spark.read.parquet(s"$out/drains").orderBy("batch_id")
+      .select("n_failed", "n_refetch", "n_frontier")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(led == Seq((0L, 0L, 0L), (2L, 0L, 0L), (1L, 0L, 0L),
+      (1L, 2L, 2L), (0L, 1L, 1L)),
+      s"drain ledger (failures consumed; a re-emits at drain 3): $led")
+    // frontier: /a/1 under its failure-minted generation, /c/1 and
+    // /d/1 under their first refresh; /b/1 NEVER (tombstoned before
+    // any due window opened)
+    val front = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front == Seq(s"http://$H/a/1", s"http://$H/c/1", s"http://$H/d/1"),
+      s"frontier: $front")
+    val sched1 = spark.read.parquet(s"$out/state/v0/recrawl")
+      .select("url", "n_fetches", "unchanged_streak", "fail_streak", "gone")
+      .as[(String, Long, Int, Int, Boolean)].collect().sorted.toSeq
+    assert(sched1 == Seq(
+      (s"http://$H/a/1", 2L, 1, 0, false),
+      (s"http://$H/b/1", 1L, 0, 3, true),
+      (s"http://$H/c/1", 1L, 0, 0, false),
+      (s"http://$H/d/1", 1L, 0, 0, false)),
+      s"committed schedule after run 1: $sched1")
+
+    // run 2: /b/1 answers 200 again — the origin resurrected it; the
+    // tombstone clears and the streaks restart from the success
+    val stage = tmpDir("refail-d5")
+    graft.sources.WarcShards.pack(Seq(
+      entry(5, 1, "/b/1", resp(beta))).toDS(), stage): Unit
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(stage, "shard-00005.warc"),
+      java.nio.file.Paths.get(in, "shard-00005.warc")): Unit
+    val r2 = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(flags))
+    assert(r2.status == "success" && r2.drains == 1L, s"run 2: $r2")
+    val b2 = spark.read.parquet(s"$out/state/v1/recrawl")
+      .where(col("url") === s"http://$H/b/1")
+      .select("n_fetches", "unchanged_streak", "fail_streak", "gone")
+      .as[(Long, Int, Int, Boolean)].head()
+    assert(b2 == ((2L, 1, 0, false)), s"resurrected /b/1 state: $b2")
+  }
+
   test("a due refetch respects the CURRENT robots state: a robots change " +
       "suppresses the re-emission of an already-fetched URL") {
     import spark.implicits._

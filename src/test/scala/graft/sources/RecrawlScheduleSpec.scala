@@ -101,6 +101,64 @@ class RecrawlScheduleSpec extends SparkSpec {
     assert(got == Seq(("u", 2L, 1), ("v", 1L, 0), ("w", 1L, 0)), s"$got")
   }
 
+  test("advanceFailures: advances the generation, backs off, tombstones " +
+      "on 404 strikes, ignores unknown urls, stays exchange-free") {
+    val s0 = RecrawlSchedule.advance(RecrawlSchedule.emptyState(spark),
+      Seq(("u", 0.0, 1L), ("v", 0.0, 1L)).toDF("url", "t", "h"),
+      "url", "t", "h").localCheckpoint()
+    // one 503 with Retry-After: last_fetch ADVANCES (the stall fix),
+    // fail streak starts, the unknown url "x" is ignored
+    val s1 = RecrawlSchedule.advanceFailures(s0,
+      Seq(("u", 1.0, 503, Some(9.0)), ("x", 1.0, 404, None))
+        .toDF("url", "t", "status", "ra"),
+      "url", "t", "status", "ra").localCheckpoint()
+    val plan = RecrawlSchedule.advanceFailures(s0,
+      Seq(("u", 1.0, 503, Option.empty[Double]))
+        .toDF("url", "t", "status", "ra"),
+      "url", "t", "status", "ra").queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"state side shuffled:\n$plan")
+    val u1 = s1.where($"url" === "u")
+      .select("last_fetch", "fail_streak", "gone", "retry_after")
+      .as[(Double, Int, Boolean, Option[Double])].head()
+    assert(u1 == ((1.0, 1, false, Some(9.0))), s"u after one 503: $u1")
+    assert(s1.count() == 2, "unknown url minted a state row")
+    // Retry-After floors the delay: interval 2^1 = 2 but next = lf + 9
+    val du = RecrawlSchedule.scheduleOf(s1, 1.0, 8.0)
+      .where($"url" === "u").select("interval_seconds", "next_fetch")
+      .as[(Double, Double)].head()
+    assert(du == ((2.0, 10.0)), s"RA-floored schedule: $du")
+    // two more failures ENDING in 404 → tombstoned, due() never emits
+    val s3 = Seq(2.0, 3.0).foldLeft(s1) { (st, t) =>
+      RecrawlSchedule.advanceFailures(st,
+        Seq(("u", t, 404, Option.empty[Double])).toDF("url", "t", "status", "ra"),
+        "url", "t", "status", "ra").localCheckpoint()
+    }
+    val u3 = s3.where($"url" === "u").select("fail_streak", "gone")
+      .as[(Int, Boolean)].head()
+    assert(u3 == ((3, true)), s"u after 3 strikes: $u3")
+    assert(RecrawlSchedule.due(s3, asOf = 1e9, 1.0, 8.0)
+      .where($"url" === "u").isEmpty, "tombstoned url still due")
+    // a success resurrects: streaks clear, gone drops
+    val s4 = RecrawlSchedule.advance(s3,
+      Seq(("u", 4.0, 1L)).toDF("url", "t", "h"), "url", "t", "h")
+    val u4 = s4.where($"url" === "u")
+      .select("n_fetches", "unchanged_streak", "fail_streak", "gone")
+      .as[(Long, Int, Int, Boolean)].head()
+    assert(u4 == ((2L, 1, 0, false)), s"u after resurrection: $u4")
+  }
+
+  test("withFailureDefaults migrates a pre-failure-era state frame") {
+    val old = Seq(("u", 1.0, 1L, 2L, 1))
+      .toDF("url", "last_fetch", "last_hash", "n_fetches", "unchanged_streak")
+    val got = RecrawlSchedule.withFailureDefaults(old)
+      .select("url", "fail_streak", "gone", "retry_after")
+      .as[(String, Int, Boolean, Option[Double])].head()
+    assert(got == (("u", 0, false, None)), s"migrated: $got")
+    // already-migrated frames pass through unchanged
+    assert(RecrawlSchedule.withFailureDefaults(
+      RecrawlSchedule.emptyState(spark)).columns.count(_ == "gone") == 1)
+  }
+
   test("schedule: parameter validation") {
     val f = Seq(("u", 1.0, 1L)).toDF("url", "t", "h")
     intercept[IllegalArgumentException](
