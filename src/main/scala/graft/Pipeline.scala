@@ -750,7 +750,8 @@ object Pipeline {
     // schema parquet next to the old files, and a plain read then
     // picks one footer's schema nondeterministically (etag hints can
     // silently vanish). Refuse loudly instead of corrupting.
-    for ((dir, marker) <- Seq("frontier" -> "etag", "drains" -> "n_failed")) {
+    for ((dir, marker) <- Seq("frontier" -> "etag", "drains" -> "n_canonical",
+        "aliases" -> "kind")) {
       // readIfExists: an empty dir (a killed run's bare _SUCCESS, or
       // no committed files yet) carries no schema — nothing to guard
       if (readIfExists(spark, fs, s"$out/$dir")
@@ -1214,6 +1215,28 @@ object Pipeline {
       val robKept = graft.sources.RobotsTxt.filterAllowed(
         domKept, "uri", rulesRef.get, agent).localCheckpoint()
       val nRob = robKept.count()
+      // `rel=canonical` aliases — the HTML-declared twin of the 3xx
+      // chain (CMSes stamp it on every URL variant; on large sites it
+      // outnumbers redirect aliases). Harvested post-policy-gates; a
+      // relative canonical resolves against the page's effective base;
+      // the self-canonical no-op (the common case) is dropped. The
+      // declared target joins the frontier through the same gates as
+      // any discovery.
+      val canonPairs = robKept.select(col("uri").as("src"),
+          graft.sources.UrlOps.canonicalize(
+            graft.sources.HtmlLinks.resolve(
+              graft.sources.HtmlLinks.effectiveBase(col("uri"), col("html")),
+              graft.sources.HtmlLinks.canonicalHref(col("html"))))
+            .as("final_dst"))
+        .where(col("final_dst").isNotNull &&
+          col("final_dst") =!= graft.sources.UrlOps.canonicalize(col("src")))
+        .localCheckpoint()
+      val nCanon = canonPairs.count()
+      val allAliases = aliases.withColumn("kind", lit("redirect"))
+        .unionByName(canonPairs.withColumn("hops", lit(1))
+          .withColumn("kind", lit("canonical"))
+          .select(col("src"), col("final_dst"), col("hops"), col("kind")))
+      val canonTargets = canonPairs.select(col("final_dst").as("target"))
       val urlDeduped = graft.dedup.ExactDedup.keepFirst(
         robKept.withColumn("canon",
           graft.sources.UrlOps.canonicalize(col("uri"))),
@@ -1341,15 +1364,16 @@ object Pipeline {
         } else
           (fresh.limit(0), Array(0L, 0L, 0L, 0L))
       val frontier = discover(surv,
-        redirTargets.unionByName(pageSeeds).unionByName(sitemapTargets),
+        redirTargets.unionByName(pageSeeds).unionByName(sitemapTargets)
+          .unionByName(canonTargets),
         batchId)
       // refetch emissions are the frontier rows whose emitted key is a
       // url#generation, not the bare target
       val nRefetch = frontier.where(col("__ekey") =!= col("target")).count()
       (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3),
         frontier.count(), nRedir, nRobFetch, nSeeds, nNotMod, nRefetch,
-        nAssets, nFailed),
-        surv, frontier, aliases, assets)
+        nAssets, nFailed, nCanon),
+        surv, frontier, allAliases, assets)
     }
 
     def records(df: DataFrame): DataFrame = df.select(
@@ -1367,7 +1391,7 @@ object Pipeline {
         s"after_intra=${c(6)} survivors=${c(7)} frontier=${c(8)} " +
         s"redirects=${c(9)} robots_fetches=${c(10)} sitemap_seeds=${c(11)} " +
         s"not_modified=${c(12)} refetch_emitted=${c(13)} assets=${c(14)} " +
-        s"failed=${c(15)} (dry run — nothing written)")
+        s"failed=${c(15)} canonical=${c(16)} (dry run — nothing written)")
       return CrawlOutcome("(dry-run)", "success", 0L, c(7), restoredV, None)
     }
 
@@ -1410,12 +1434,12 @@ object Pipeline {
               assets, s"$out/assets", batchId)
             graft.streaming.ExactlyOnce.appendKeyed(
               Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7),
-                c(8), c(9), c(10), c(11), c(12), c(13), c(14), c(15)))
+                c(8), c(9), c(10), c(11), c(12), c(13), c(14), c(15), c(16)))
                 .toDF("batch_id", "n_batch", "n_after_domain", "n_after_robots",
                   "n_after_url", "n_new_url", "n_after_exact", "n_after_intra",
                   "n_survivors", "n_frontier", "n_redirects",
                   "n_robots_fetches", "n_sitemap_seeds", "n_not_modified",
-                  "n_refetch", "n_assets", "n_failed"),
+                  "n_refetch", "n_assets", "n_failed", "n_canonical"),
               s"$out/drains", batchId)
             drains.incrementAndGet(): Unit
             ingested.addAndGet(c(7)): Unit

@@ -42,6 +42,16 @@ object HtmlLinks {
   private val BaseDq = "(?i)<base\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*\"([^\"]*)\""
   private val BaseSq = "(?i)<base\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*'([^']*)'"
   private val Scheme = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
+  // <link rel="canonical" href=...> in either attribute order (both
+  // appear in the wild); the quote class is shared ["'] — canonical
+  // URLs never carry the other quote mid-value in practice, and the
+  // same class keeps the DuckDB mirror byte-identical
+  private val CanonRelFirst =
+    "(?i)<link\\s[^>]*?rel\\s*=\\s*[\"']canonical[\"'][^>]*?" +
+      "href\\s*=\\s*[\"']([^\"']*)[\"']"
+  private val CanonHrefFirst =
+    "(?i)<link\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"'][^>]*?" +
+      "rel\\s*=\\s*[\"']canonical[\"']"
 
   /** All `<a href>` values in the page (double- then single-quoted
     * attribute forms; empty hrefs dropped), raw and unresolved.
@@ -81,6 +91,27 @@ object HtmlLinks {
     val sq = BaseSq.replace("'", "''")
     s"coalesce(nullif(regexp_extract($htmlRef, '$dq', 1), ''), " +
       s"nullif(regexp_extract($htmlRef, '$sq', 1), ''))"
+  }
+
+  /** The page's `<link rel="canonical">` href, or null when absent —
+    * the HTML-declared alias (more common than 3xx aliases on large
+    * sites: CMSes stamp it on every URL variant). Raw and unresolved:
+    * a RELATIVE canonical resolves against [[effectiveBase]] like any
+    * other reference. Documented tie-break: the rel-before-href
+    * attribute order is consulted first; real pages carry at most one
+    * canonical, and HTML semantics honor the first.
+    */
+  def canonicalHref(html: Column): Column =
+    coalesce(
+      nullif(regexp_extract(html, CanonRelFirst, 1), lit("")),
+      nullif(regexp_extract(html, CanonHrefFirst, 1), lit("")))
+
+  /** The DuckDB mirror of [[canonicalHref]]. */
+  def canonicalHrefSql(htmlRef: String): String = {
+    val rf = CanonRelFirst.replace("'", "''")
+    val hf = CanonHrefFirst.replace("'", "''")
+    s"coalesce(nullif(regexp_extract($htmlRef, '$rf', 1), ''), " +
+      s"nullif(regexp_extract($htmlRef, '$hf', 1), ''))"
   }
 
   /** The EFFECTIVE base for resolving a page's references: its

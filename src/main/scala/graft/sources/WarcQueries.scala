@@ -1150,6 +1150,40 @@ object WarcQueries {
         .orderBy(col("cohort"))
     },
 
+    // `rel=canonical` ALIASES ([[HtmlLinks.canonicalHref]]) — the
+    // HTML-declared twin of the 3xx alias chain, by doc_id % 4 cohort:
+    // an absolute canonical, a RELATIVE canonical resolving against a
+    // `<base href>` (the trap: page-URI resolution mints the wrong
+    // alias), the href-before-rel attribute order, and the
+    // self-canonical no-op (the common case — excluded, it aliases
+    // nothing). The oracle rebuilds the pages in SQL and runs the
+    // DuckDB MIRRORS of the same extraction + base + resolution chain.
+    "q265_canonical_alias" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val uri = concat(lit("http://example.com/doc/"), id)
+      val c4 = col("doc_id") % 4
+      val linkTag = when(c4 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://canon.example.com/c/"),
+          id, lit("\">")))
+        .when(c4 === 1, concat(
+          lit("<base href=\"https://base.example.org/dir/\">" +
+            "<link rel=\"canonical\" href=\"../c/"), id, lit("\">")))
+        .when(c4 === 2, concat(
+          lit("<link href=\"/alt/"), id, lit("\" rel=\"canonical\">")))
+        .otherwise(concat(
+          lit("<link rel=\"canonical\" href=\"/doc/"), id, lit("\">")))
+      val html = concat(lit("<html><head><title>t</title>"), linkTag,
+        lit("</head><body><p>x</p></body></html>"))
+      d.select(col("doc_id"), uri.as("src"), html.as("html"))
+        .select(col("doc_id"), col("src"),
+          HtmlLinks.resolve(
+            HtmlLinks.effectiveBase(col("src"), col("html")),
+            HtmlLinks.canonicalHref(col("html"))).as("canonical"))
+        .where(col("canonical").isNotNull && col("canonical") =!= col("src"))
+        .orderBy(col("doc_id"))
+    },
+
     // SELF-HOSTED ROBOTS ROLL ([[RobotsTxt.fetchesIn]] + [[rollBodies]])
     // — the rules table derived from the crawl's OWN /robots.txt
     // fetches, rolled latest-fetch-wins across five drains: day 1
@@ -2176,6 +2210,32 @@ object WarcQueries {
         |  UNION ALL SELECT 1, 2 * n1, 3 * n1, 2 * n1 FROM c
         |  UNION ALL SELECT 2, n2, n2, n2 FROM c)
         |ORDER BY cohort""".stripMargin,
+
+    // the same pages rebuilt in SQL, pushed through the DuckDB mirrors
+    // of canonical extraction + effective-base + RFC 3986 resolution —
+    // extraction regexes and the resolution chain must agree byte-wise
+    "q265_canonical_alias" -> {
+      val canon = HtmlLinks.resolveSql(
+        HtmlLinks.effectiveBaseSql("src", "html"),
+        HtmlLinks.canonicalHrefSql("html"))
+      s"""WITH p AS (
+         |  SELECT doc_id, doc_id % 4 AS c, doc_id::VARCHAR AS i
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, 'http://example.com/doc/' || i AS src,
+         |    '<html><head><title>t</title>' ||
+         |    CASE c
+         |      WHEN 0 THEN '<link rel="canonical" href="https://canon.example.com/c/' || i || '">'
+         |      WHEN 1 THEN '<base href="https://base.example.org/dir/"><link rel="canonical" href="../c/' || i || '">'
+         |      WHEN 2 THEN '<link href="/alt/' || i || '" rel="canonical">'
+         |      ELSE '<link rel="canonical" href="/doc/' || i || '">'
+         |    END || '</head><body><p>x</p></body></html>' AS html
+         |  FROM p),
+         |r AS (SELECT doc_id, src, ($canon) AS canonical FROM h)
+         |SELECT doc_id, src, canonical FROM r
+         |WHERE canonical IS NOT NULL AND canonical <> src
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // per-(day, host) allowed counts closed-form from the planted
     // bodies: day 1 replaces host A's rules whole (latest-fetch-wins),

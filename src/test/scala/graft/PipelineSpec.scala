@@ -657,6 +657,49 @@ class PipelineSpec extends SparkSpec {
       s"http://$H/d/1", s"http://$H/e/1"), s"ingested docs: $docs")
   }
 
+  test("crawl harvests rel=canonical into the alias ledger and the " +
+      "frontier; self-canonicals are no-ops") {
+    import spark.implicits._
+    val in = tmpDir("canon-in")
+    val out = tmpDir("canon-out")
+    val H = "cn.example.org"
+    def entry(ord: Long, path: String, html: String) =
+      graft.sources.WarcShards.Entry(0, ord, "response",
+        s"http://$H$path", s"<urn:test:canon:$ord>",
+        "application/http;msgtype=response",
+        graft.sources.WarcShards.WarcCodec.httpResponse(
+          html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          "text/html; charset=utf-8"))
+    val p1 = "<html><head><title>t</title>" +
+      "<link rel=\"canonical\" href=\"/canon/1\"></head>" +
+      "<body><nav><a href=\"/p/2\">x</a></nav>" +
+      "<p>the alpha page talks about mountains and rivers flowing north</p>" +
+      "</body></html>"
+    // self-canonical: the common CMS stamp — aliases nothing
+    val p3 = "<html><head><title>t</title>" +
+      "<link rel=\"canonical\" href=\"/p/3\"></head>" +
+      "<body><p>a second page describing oceans tides and the breeze</p>" +
+      "</body></html>"
+    graft.sources.WarcShards.pack(Seq(
+      entry(1, "/p/1", p1), entry(2, "/p/3", p3)).toDS(), in): Unit
+    val r = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(Seq("--files-per-drain", "1")))
+    assert(r.status == "success" && r.drains == 1L, s"run: $r")
+    val aliases = spark.read.parquet(s"$out/aliases")
+      .select("src", "final_dst", "hops", "kind")
+      .as[(String, String, Int, String)].collect().toSeq
+    assert(aliases == Seq(
+      (s"http://$H/p/1", s"http://$H/canon/1", 1, "canonical")),
+      s"alias ledger: $aliases")
+    val front = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front == Seq(s"http://$H/canon/1", s"http://$H/p/2"),
+      s"frontier (canonical target + outlink): $front")
+    val led = spark.read.parquet(s"$out/drains")
+      .select("n_canonical").as[Long].head()
+    assert(led == 1L, s"n_canonical: $led")
+  }
+
   test("crawl refresh failure feedback: a transient 503 backs off but " +
       "re-emits (no permanent stall), 3x404 tombstones, a 200 resurrects") {
     import spark.implicits._

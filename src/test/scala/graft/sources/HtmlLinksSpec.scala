@@ -35,6 +35,26 @@ class HtmlLinksSpec extends SparkSpec {
     assert(got == Seq("/real", "/q"), s"extracted $got")
   }
 
+  test("canonicalHref: both attribute orders, either quote form, null " +
+      "when absent, first declaration wins") {
+    val rows = Seq(
+      ("""<link rel="canonical" href="https://c.example/x">""",
+        Some("https://c.example/x")),
+      ("""<link href='/alt/1' rel='canonical'>""", Some("/alt/1")),
+      // extra attributes between rel and href
+      ("""<link rel="canonical" type="text/html" href="/c">""", Some("/c")),
+      // a stylesheet link is not a canonical
+      ("""<link rel="stylesheet" href="/style.css">""", None),
+      // rel-first form consulted before href-first: first wins
+      ("""<link rel="canonical" href="/first">""" +
+        """<link href="/second" rel="canonical">""", Some("/first")),
+      ("<p>no links at all</p>", None))
+    val got = rows.map(_._1).toDF("html")
+      .select(HtmlLinks.canonicalHref(col("html")).as("c"))
+      .as[Option[String]].collect().toSeq
+    assert(got == rows.map(_._2), s"canonicals: $got")
+  }
+
   test("baseHref + effectiveBase: <base href> rebases relative references") {
     val rows = Seq(
       // absolute base, double-quoted
