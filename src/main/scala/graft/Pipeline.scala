@@ -750,7 +750,7 @@ object Pipeline {
     // schema parquet next to the old files, and a plain read then
     // picks one footer's schema nondeterministically (etag hints can
     // silently vanish). Refuse loudly instead of corrupting.
-    for ((dir, marker) <- Seq("frontier" -> "etag", "drains" -> "n_canonical",
+    for ((dir, marker) <- Seq("frontier" -> "etag", "drains" -> "n_noindex",
         "aliases" -> "kind")) {
       // readIfExists: an empty dir (a killed run's bare _SUCCESS, or
       // no committed files yet) carries no schema — nothing to guard
@@ -980,12 +980,16 @@ object Pipeline {
       * capped output extends the emitted set (budget-dropped targets
       * stay eligible next drain).
       */
-    def discover(surv: DataFrame, extraTargets: DataFrame,
+    def discover(linkPages: DataFrame, extraTargets: DataFrame,
         batchId: Option[Long]): DataFrame = {
-      val outl = surv.select(col("uri"),
+      // FOLLOWABLE anchors only: rel=nofollow (and sponsored/ugc)
+      // links are not editorial endorsements — seeding the frontier
+      // from them is how link spam farms a crawler
+      val outl = linkPages.select(col("uri"),
           graft.sources.HtmlLinks.effectiveBase(col("uri"), col("html"))
             .as("base"),
-          explode(graft.sources.HtmlLinks.extract(col("html"))).as("ref"))
+          explode(graft.sources.HtmlLinks.extractFollowable(col("html")))
+            .as("ref"))
         .select(col("uri"),
           graft.sources.HtmlLinks.resolve(col("base"), col("ref")).as("abs"))
         .where(col("abs").isNotNull)
@@ -1199,12 +1203,26 @@ object Pipeline {
       val pages = nonControl.where(extractable)
         .select(xxhash64(col("record_id")).as("doc_id"),
           col("target_uri").as("uri"),
+          col("http_x_robots_tag").as("__xrt"),
           call_function("graft_decode", col("body"),
             coalesce(col("http_charset"), lit(""))).as("html"))
 
+      // page-level robots directives: the X-Robots-Tag header and the
+      // robots META, combined (either source can set either flag).
+      // `noindex` pages are excluded from the corpus but still advance
+      // the refresh schedule and (unless nofollow) yield outlinks;
+      // `nofollow` pages never seed the frontier.
+      val pageDirs = concat_ws(",",
+        coalesce(col("__xrt"), lit("")),
+        coalesce(graft.sources.HtmlLinks.metaRobots(col("html")), lit("")))
       val b = pages
         .withColumn("text", call_function("graft_html_text",
           col("html"), lit(minChars), lit(maxLinkPct)))
+        .withColumn("__noindex",
+          graft.sources.HtmlLinks.hasRobotsDirective(pageDirs, "noindex"))
+        .withColumn("__nofollow",
+          graft.sources.HtmlLinks.hasRobotsDirective(pageDirs, "nofollow"))
+        .drop("__xrt")
         .localCheckpoint()
       val nBatch = b.count()
       val domKept = {
@@ -1343,11 +1361,17 @@ object Pipeline {
           }
         }
       }
+      // noindex pages never enter the ingest cycle (they must not
+      // reach the corpus OR the dedup index), but they already
+      // advanced the schedule and the seen-set above
+      val indexable = fresh.where(!col("__noindex")).localCheckpoint()
+      val nNoindex = nNew - indexable.count()
       val (surv, c) =
-        if (nNew > 0) {
+        if (nNew > nNoindex) {
           val (sv, cc) = graft.dedup.IncrementalIngest.cycle(
             indexRef.get,
-            fresh.select(col("doc_id"), col("uri"), col("text"), col("html")),
+            indexable.select(col("doc_id"), col("uri"), col("text"),
+              col("html"), col("__nofollow")),
             "doc_id", "text")
           val add = graft.dedup.MinHashDedup.extension(
             indexRef.get, sv, "doc_id", "text")
@@ -1363,7 +1387,15 @@ object Pipeline {
           (sv, cc)
         } else
           (fresh.limit(0), Array(0L, 0L, 0L, 0L))
-      val frontier = discover(surv,
+      // frontier discovery reads corpus survivors PLUS the
+      // noindex-but-followable pages (real crawlers keep walking
+      // through noindex hubs — category pages are the classic case);
+      // page-level nofollow kills the page's whole outlink yield
+      val linkPages = surv.where(!col("__nofollow"))
+        .select(col("uri"), col("html"))
+        .unionByName(fresh.where(col("__noindex") && !col("__nofollow"))
+          .select(col("uri"), col("html")))
+      val frontier = discover(linkPages,
         redirTargets.unionByName(pageSeeds).unionByName(sitemapTargets)
           .unionByName(canonTargets),
         batchId)
@@ -1372,7 +1404,7 @@ object Pipeline {
       val nRefetch = frontier.where(col("__ekey") =!= col("target")).count()
       (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3),
         frontier.count(), nRedir, nRobFetch, nSeeds, nNotMod, nRefetch,
-        nAssets, nFailed, nCanon),
+        nAssets, nFailed, nCanon, nNoindex),
         surv, frontier, allAliases, assets)
     }
 
@@ -1391,7 +1423,8 @@ object Pipeline {
         s"after_intra=${c(6)} survivors=${c(7)} frontier=${c(8)} " +
         s"redirects=${c(9)} robots_fetches=${c(10)} sitemap_seeds=${c(11)} " +
         s"not_modified=${c(12)} refetch_emitted=${c(13)} assets=${c(14)} " +
-        s"failed=${c(15)} canonical=${c(16)} (dry run — nothing written)")
+        s"failed=${c(15)} canonical=${c(16)} noindex=${c(17)} " +
+        "(dry run — nothing written)")
       return CrawlOutcome("(dry-run)", "success", 0L, c(7), restoredV, None)
     }
 
@@ -1434,12 +1467,14 @@ object Pipeline {
               assets, s"$out/assets", batchId)
             graft.streaming.ExactlyOnce.appendKeyed(
               Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7),
-                c(8), c(9), c(10), c(11), c(12), c(13), c(14), c(15), c(16)))
+                c(8), c(9), c(10), c(11), c(12), c(13), c(14), c(15), c(16),
+                c(17)))
                 .toDF("batch_id", "n_batch", "n_after_domain", "n_after_robots",
                   "n_after_url", "n_new_url", "n_after_exact", "n_after_intra",
                   "n_survivors", "n_frontier", "n_redirects",
                   "n_robots_fetches", "n_sitemap_seeds", "n_not_modified",
-                  "n_refetch", "n_assets", "n_failed", "n_canonical"),
+                  "n_refetch", "n_assets", "n_failed", "n_canonical",
+                  "n_noindex"),
               s"$out/drains", batchId)
             drains.incrementAndGet(): Unit
             ingested.addAndGet(c(7)): Unit

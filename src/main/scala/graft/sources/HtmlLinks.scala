@@ -63,6 +63,57 @@ object HtmlLinks {
         regexp_extract_all(html, lit(HrefSq), lit(1))),
       x => x =!= "")
 
+  /** The FOLLOWABLE `<a href>` values: [[extract]] minus anchors whose
+    * `rel` carries `nofollow` (or its `sponsored`/`ugc` refinements —
+    * all three mean "this link is not an editorial endorsement"; a
+    * crawler seeding its frontier from them is what link spam farms).
+    * One tag-level pass: extract whole opening tags, drop the
+    * nofollow-ish ones, then pull each tag's href. Order note: unlike
+    * [[extract]] (all double-quoted hrefs, then all single-quoted),
+    * this yields hrefs in DOCUMENT order — downstream frontier
+    * assembly treats outlinks as a set, so the difference is
+    * immaterial there.
+    */
+  def extractFollowable(html: Column): Column = {
+    val tags = regexp_extract_all(html, lit("(?i)<a\\s[^>]*>"), lit(0))
+    val followTags = filter(tags, t =>
+      !t.rlike("(?i)rel\\s*=\\s*[\"'][^\"']*(nofollow|sponsored|ugc)"))
+    filter(
+      transform(followTags, t =>
+        coalesce(
+          nullif(regexp_extract(t, HrefDq, 1), lit("")),
+          nullif(regexp_extract(t, HrefSq, 1), lit("")))),
+      x => x.isNotNull)
+  }
+
+  // <meta name="robots" content="..."> in either attribute order —
+  // the page-level twin of the X-Robots-Tag header
+  private val MetaRobotsNameFirst =
+    "(?i)<meta\\s[^>]*?name\\s*=\\s*[\"']robots[\"'][^>]*?" +
+      "content\\s*=\\s*[\"']([^\"']*)[\"']"
+  private val MetaRobotsContentFirst =
+    "(?i)<meta\\s[^>]*?content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*?" +
+      "name\\s*=\\s*[\"']robots[\"']"
+
+  /** The page's robots META directive list (`<meta name="robots"
+    * content="noindex, nofollow">`), lowercased, or null when absent.
+    * Crawler-specific meta names (`googlebot` etc.) are out of scope —
+    * this engine honors the generic name, like the header twin.
+    */
+  def metaRobots(html: Column): Column =
+    lower(coalesce(
+      nullif(regexp_extract(html, MetaRobotsNameFirst, 1), lit("")),
+      nullif(regexp_extract(html, MetaRobotsContentFirst, 1), lit(""))))
+
+  /** True when a robots directive LIST (meta content and/or
+    * X-Robots-Tag values; comma/space separated) carries `directive`
+    * as a whole token. `none` ≡ `noindex, nofollow` (the de-facto
+    * convention), so callers testing either directive also match it.
+    */
+  def hasRobotsDirective(directives: Column, directive: String): Column =
+    directives.isNotNull &&
+      directives.rlike(s"(?i)(^|[\\s,])($directive|none)([\\s,]|$$)")
+
   /** The DuckDB mirror of [[extract]] over an html-valued SQL
     * expression (RE2 shares the lazy-quantifier and (?i) syntax).
     */

@@ -1150,6 +1150,48 @@ object WarcQueries {
         .orderBy(col("cohort"))
     },
 
+    // ROBOTS META / X-Robots-Tag / rel=nofollow
+    // ([[HtmlLinks.metaRobots]] / [[hasRobotsDirective]] /
+    // [[extractFollowable]]) — the in-page and in-header robots
+    // directives a real crawler honors beyond robots.txt. Meta cohort
+    // by doc_id % 4 ("index, follow" / "noindex" / "nofollow" /
+    // "none" — the last ≡ noindex,nofollow), an X-Robots-Tag header
+    // cohort on doc_id % 5 = 0 (either source can set either flag),
+    // and anchor cohorts by parity (a rel=nofollow and a
+    // rel=sponsored anchor that must not count as followable). The
+    // oracle restates every flag and count closed-form.
+    "q266_robots_meta" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val c4 = col("doc_id") % 4
+      val meta = when(c4 === 0, lit("index, follow"))
+        .when(c4 === 1, lit("noindex"))
+        .when(c4 === 2, lit("nofollow"))
+        .otherwise(lit("none"))
+      val anchors = when(col("doc_id") % 2 === 0, concat(
+          lit("<a href=\"/p/"), id, lit("\">a</a><a href=\"/q/"), id,
+          lit("\">b</a><a rel=\"nofollow\" href=\"/x/"), id,
+          lit("\">c</a>")))
+        .otherwise(concat(
+          lit("<a href=\"/p/"), id, lit("\">a</a><a href=\"/y/"), id,
+          lit("\" rel=\"sponsored\">d</a>")))
+      val html = concat(
+        lit("<html><head><meta name=\"robots\" content=\""), meta,
+        lit("\"></head><body>"), anchors, lit("</body></html>"))
+      val xrt = when(col("doc_id") % 5 === 0, lit("noindex"))
+        .otherwise(lit(null).cast("string"))
+      val dirs = concat_ws(",", coalesce(col("xrt"), lit("")),
+        coalesce(HtmlLinks.metaRobots(col("html")), lit("")))
+      d.select(col("doc_id"), html.as("html"), xrt.as("xrt"))
+        .select(col("doc_id"),
+          HtmlLinks.hasRobotsDirective(dirs, "noindex").as("noindex"),
+          HtmlLinks.hasRobotsDirective(dirs, "nofollow").as("nofollow"),
+          size(HtmlLinks.extract(col("html"))).cast("long").as("n_links"),
+          size(HtmlLinks.extractFollowable(col("html"))).cast("long")
+            .as("n_follow_links"))
+        .orderBy(col("doc_id"))
+    },
+
     // `rel=canonical` ALIASES ([[HtmlLinks.canonicalHref]]) — the
     // HTML-declared twin of the 3xx alias chain, by doc_id % 4 cohort:
     // an absolute canonical, a RELATIVE canonical resolving against a
@@ -2210,6 +2252,21 @@ object WarcQueries {
         |  UNION ALL SELECT 1, 2 * n1, 3 * n1, 2 * n1 FROM c
         |  UNION ALL SELECT 2, n2, n2, n2 FROM c)
         |ORDER BY cohort""".stripMargin,
+
+    // flags and counts restated closed-form: noindex from the meta
+    // cohort (1, 3 — "none" counts) OR the header cohort (%5 = 0);
+    // nofollow from the meta cohort (2, 3); followable anchors exclude
+    // the rel=nofollow and rel=sponsored plants
+    "q266_robots_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 4 AS c, doc_id % 5 AS f, doc_id % 2 AS e
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (c IN (1, 3) OR f = 0) AS noindex,
+        |  (c IN (2, 3)) AS nofollow,
+        |  (CASE WHEN e = 0 THEN 3 ELSE 2 END)::BIGINT AS n_links,
+        |  (CASE WHEN e = 0 THEN 2 ELSE 1 END)::BIGINT AS n_follow_links
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // the same pages rebuilt in SQL, pushed through the DuckDB mirrors
     // of canonical extraction + effective-base + RFC 3986 resolution —

@@ -700,6 +700,68 @@ class PipelineSpec extends SparkSpec {
     assert(led == 1L, s"n_canonical: $led")
   }
 
+  test("crawl honors robots META / X-Robots-Tag / rel=nofollow: noindex " +
+      "stays out of the corpus but follows; nofollow never seeds") {
+    import spark.implicits._
+    val in = tmpDir("meta-in")
+    val out = tmpDir("meta-out")
+    val H = "meta.example.org"
+    def page(meta: String, text: String, links: Seq[(String, Boolean)]) = {
+      val m = if (meta.isEmpty) ""
+      else s"""<meta name="robots" content="$meta">"""
+      val nav = if (links.isEmpty) ""
+      else links.map { case (l, nf) =>
+        if (nf) s"""<a rel="nofollow" href="$l">x</a>"""
+        else s"""<a href="$l">x</a>"""
+      }.mkString("<nav>", " ", "</nav>")
+      s"<html><head><title>t</title>$m</head><body>$nav<p>$text</p></body></html>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def entry(ord: Long, path: String, body: Array[Byte],
+        extraHeaders: Seq[(String, String)] = Nil) =
+      graft.sources.WarcShards.Entry(0, ord, "response",
+        s"http://$H$path", s"<urn:test:meta:$ord>",
+        "application/http;msgtype=response",
+        graft.sources.WarcShards.WarcCodec.httpResponse(body,
+          "text/html; charset=utf-8", extraHeaders))
+    val tA = "the alpha page talks about mountains and rivers flowing north"
+    val tB = "a second page describing oceans tides and the salty breeze"
+    val tC = "completely different words about the weather in marseille today"
+    val tD = "the delta page rambles at length about trains and stations"
+    graft.sources.WarcShards.pack(Seq(
+      // plain page: ingested; plain anchor seeds, nofollow anchor never
+      entry(1, "/a", page("", tA,
+        Seq(("/a1", false), ("/a2", true)))),
+      // meta noindex: NOT ingested, outlink still seeds
+      entry(2, "/b", page("noindex", tB, Seq(("/b1", false)))),
+      // X-Robots-Tag nofollow: ingested, outlink never seeds
+      entry(3, "/c", page("", tC, Seq(("/c1", false))),
+        extraHeaders = Seq("X-Robots-Tag" -> "nofollow")),
+      // meta none (= noindex, nofollow): neither
+      entry(4, "/d", page("none", tD, Seq(("/d1", false))))
+    ).toDS(), in): Unit
+    val r = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(Seq("--files-per-drain", "1",
+        "--recrawl-base", "1")))
+    assert(r.status == "success" && r.drains == 1L, s"run: $r")
+    val docs = spark.read.parquet(s"$out/docs")
+      .select("uri").as[String].collect().sorted.toSeq
+    assert(docs == Seq(s"http://$H/a", s"http://$H/c"),
+      s"corpus (noindex pages excluded): $docs")
+    val front = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front == Seq(s"http://$H/a1", s"http://$H/b1"),
+      s"frontier (nofollow anchors and nofollow pages seed nothing): $front")
+    val led = spark.read.parquet(s"$out/drains")
+      .select("n_noindex", "n_survivors").as[(Long, Long)].head()
+    assert(led == ((2L, 2L)), s"noindex/survivor counts: $led")
+    // noindex pages still advance the refresh schedule (all four URLs)
+    val sched = spark.read.parquet(s"$out/state/v0/recrawl")
+      .select("url").as[String].collect().sorted.toSeq
+    assert(sched == Seq(s"http://$H/a", s"http://$H/b", s"http://$H/c",
+      s"http://$H/d"), s"schedule urls: $sched")
+  }
+
   test("crawl refresh failure feedback: a transient 503 backs off but " +
       "re-emits (no permanent stall), 3x404 tombstones, a 200 resurrects") {
     import spark.implicits._
