@@ -751,7 +751,7 @@ object Pipeline {
     // picks one footer's schema nondeterministically (etag hints can
     // silently vanish). Refuse loudly instead of corrupting.
     for ((dir, marker) <- Seq("frontier" -> "etag", "drains" -> "n_noindex",
-        "aliases" -> "kind")) {
+        "aliases" -> "kind", "assets" -> "reason")) {
       // readIfExists: an empty dir (a killed run's bare _SUCCESS, or
       // no committed files yet) carries no schema — nothing to guard
       if (readIfExists(spark, fs, s"$out/$dir")
@@ -1183,9 +1183,17 @@ object Pipeline {
         .join(broadcast(known.select(col("sitemap_url").as("__k"))),
           col("__c") === col("__k"), "left_anti")
         .localCheckpoint()
-      val extractable = col("http_content_type").isNull ||
+      // markup/text goes to extraction — UNLESS the body is still
+      // compressed under a Content-Encoding the JDK cannot undo (br,
+      // zstd: the reader inflates gzip and surfaces any other token).
+      // Decoding such bytes as text mints garbage; they are fenced
+      // into the assets ledger with an explicit reason instead (the
+      // H.264/MP3 codec precedent: route, never guess).
+      val typeExtractable = col("http_content_type").isNull ||
         col("http_content_type").startsWith("text/") ||
         col("http_content_type") === "application/xhtml+xml"
+      val extractable = typeExtractable &&
+        col("http_content_encoding").isNull
       // the assets route obeys the SAME policy surfaces as the page
       // route (r16 ADVICE): a blocked domain's or robots-disallowed
       // PDF must not reach the multimodal hand-off either
@@ -1194,7 +1202,11 @@ object Pipeline {
           "target_uri", rulesRef.get, agent)
         .select(col("target_uri").as("uri"),
           col("http_content_type").as("media_type"),
-          length(col("body")).cast("long").as("n_bytes"))
+          length(col("body")).cast("long").as("n_bytes"),
+          when(col("http_content_encoding").isNotNull,
+            concat(lit("unsupported-encoding:"),
+              col("http_content_encoding")))
+            .otherwise(lit("media-type")).as("reason"))
         .localCheckpoint()
       val nAssets = assets.count()
       // charset-aware decode (NOT cast-as-UTF-8): the Content-Type

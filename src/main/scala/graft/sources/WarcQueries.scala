@@ -302,13 +302,13 @@ object WarcQueries {
         try {
           val ids = Tables.load(s, dir, "documents")
             .select(col("doc_id").cast("long")).as[Long]
-          val entries = ids.map { id =>
+          val entries = ids.flatMap { id =>
             val shard = (id % 2).toInt
             def e(path: String, payload: Array[Byte]) =
               WarcShards.Entry(shard, id, "response",
                 s"http://example.com$path", s"<urn:graft:media:$id>",
                 "application/http;msgtype=response", payload)
-            (id % 4) match {
+            val main = (id % 4) match {
               case 0 => e(s"/doc/$id", WarcShards.WarcCodec.httpResponse(
                 s"<html><body>doc $id</body></html>"
                   .getBytes(StandardCharsets.UTF_8),
@@ -325,6 +325,22 @@ object WarcQueries {
                   .getBytes(StandardCharsets.UTF_8)
                 e(s"/raw/$id", h ++ body)
             }
+            // brotli cohort: a text/html 200 whose body rides
+            // `Content-Encoding: br` — the JDK has no brotli codec, so
+            // the reader must SURFACE the token (body left compressed)
+            // and the loop fence it out of extraction
+            val br =
+              if (id % 7 == 0) {
+                val payload = Array.fill[Byte]((id % 30 + 5).toInt)(66.toByte)
+                val h = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+                  "Content-Encoding: br\r\n" +
+                  s"Content-Length: ${payload.length}\r\n\r\n")
+                  .getBytes(StandardCharsets.UTF_8)
+                Seq(WarcShards.Entry(shard, id + 1000000L, "response",
+                  s"http://example.com/br/$id", s"<urn:graft:media:br:$id>",
+                  "application/http;msgtype=response", h ++ payload))
+              } else Nil
+            Seq(main) ++ br
           }
           WarcShards.pack(entries.filter(_.shard == 0), lease, gzip = false): Unit
           WarcShards.pack(entries.filter(_.shard == 1), lease, gzip = true): Unit
@@ -1541,20 +1557,23 @@ object WarcQueries {
     // oracle restates the cohorts and byte counts closed-form.
     "q261_media_routing" -> { (s, dir) =>
       val shards = materializeMediaTypes(s, dir)
-      val extractable = col("http_content_type").isNull ||
+      val extractable = (col("http_content_type").isNull ||
         col("http_content_type").startsWith("text/") ||
-        col("http_content_type") === "application/xhtml+xml"
+        col("http_content_type") === "application/xhtml+xml") &&
+        col("http_content_encoding").isNull
       WarcShards.readRecords(s, shards)
         .where(col("warc_type") === "response")
         .select(
           coalesce(col("http_content_type"), lit("(absent)"))
             .as("media_type"),
+          coalesce(col("http_content_encoding"), lit("(none)"))
+            .as("encoding"),
           extractable.as("extractable"),
           length(col("body")).cast("long").as("n_bytes"))
-        .groupBy(col("media_type"), col("extractable"))
+        .groupBy(col("media_type"), col("encoding"), col("extractable"))
         .agg(count(lit(1)).as("n_responses"),
           sum(col("n_bytes")).as("total_bytes"))
-        .orderBy(col("media_type"))
+        .orderBy(col("media_type"), col("encoding"))
     },
 
     // CHARSET-AWARE BODY DECODE (`graft_decode`, [[graft.functions
@@ -2503,29 +2522,36 @@ object WarcQueries {
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY doc_id""".stripMargin,
 
-    // the four planted media cohorts, counts and byte totals restated
+    // the five planted media cohorts, counts and byte totals restated
     // closed-form (html 30+digits bytes, png doc_id%50+10, pdf
-    // doc_id%25+5, header-less 10+digits)
+    // doc_id%25+5, header-less 10+digits, and the brotli cohort:
+    // text/html but still-compressed under Content-Encoding: br →
+    // NOT extractable, body = the doc_id%30+5 wire bytes verbatim)
     "q261_media_routing" ->
       """WITH p AS (SELECT doc_id, (doc_id % 4) AS c FROM documents),
         |g AS (
-        |  SELECT '(absent)' AS media_type, TRUE AS extractable,
+        |  SELECT '(absent)' AS media_type, '(none)' AS encoding,
+        |    TRUE AS extractable,
         |    count(*)::BIGINT AS n_responses,
         |    sum(10 + length(doc_id::VARCHAR))::BIGINT AS total_bytes
         |  FROM p WHERE c = 3
         |  UNION ALL
-        |  SELECT 'application/pdf', FALSE, count(*)::BIGINT,
+        |  SELECT 'application/pdf', '(none)', FALSE, count(*)::BIGINT,
         |    sum(doc_id % 25 + 5)::BIGINT
         |  FROM p WHERE c = 2
         |  UNION ALL
-        |  SELECT 'image/png', FALSE, count(*)::BIGINT,
+        |  SELECT 'image/png', '(none)', FALSE, count(*)::BIGINT,
         |    sum(doc_id % 50 + 10)::BIGINT
         |  FROM p WHERE c = 1
         |  UNION ALL
-        |  SELECT 'text/html', TRUE, count(*)::BIGINT,
+        |  SELECT 'text/html', '(none)', TRUE, count(*)::BIGINT,
         |    sum(30 + length(doc_id::VARCHAR))::BIGINT
-        |  FROM p WHERE c = 0)
-        |SELECT * FROM g ORDER BY media_type""".stripMargin,
+        |  FROM p WHERE c = 0
+        |  UNION ALL
+        |  SELECT 'text/html', 'br', FALSE, count(*)::BIGINT,
+        |    sum(doc_id % 30 + 5)::BIGINT
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT * FROM g ORDER BY media_type, encoding""".stripMargin,
 
     // every decoded string restated closed-form per charset cohort —
     // incl. the mislabeled cohort's deterministic mojibake

@@ -597,6 +597,12 @@ class PipelineSpec extends SparkSpec {
       // a non-HTML 200: routed to the assets ledger, never extracted
       entry(3, 3, "/img/1.png", graft.sources.WarcShards.WarcCodec
         .httpResponse(Array.fill[Byte](24)(7), "image/png")),
+      // a text/html 200 still compressed under brotli: fenced to the
+      // assets ledger too (no JDK codec — extraction would mint noise)
+      entry(3, 4, "/br/1",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Content-Encoding: br\r\nContent-Length: 9\r\n\r\nBBBBBBBBB")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
       entry(4, 1, "/e/1", resp(eps))
     ).toDS(), stage): Unit
     for (sh <- Seq("shard-00002.warc", "shard-00003.warc", "shard-00004.warc"))
@@ -644,11 +650,14 @@ class PipelineSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(vals == Seq((s"http://$H/b/1", Some("\"b1\""))),
       s"committed validators: $vals")
-    // the non-HTML 200 landed in the assets ledger, not the corpus
+    // the non-HTML 200 and the brotli-compressed page both landed in
+    // the assets ledger, not the corpus, each with its routing reason
     val assets = spark.read.parquet(s"$out/assets")
-      .select("uri", "media_type", "n_bytes")
-      .as[(String, String, Long)].collect().toSeq
-    assert(assets == Seq((s"http://$H/img/1.png", "image/png", 24L)),
+      .select("uri", "media_type", "n_bytes", "reason")
+      .as[(String, String, Long, String)].collect().sorted.toSeq
+    assert(assets == Seq(
+      (s"http://$H/br/1", "text/html", 9L, "unsupported-encoding:br"),
+      (s"http://$H/img/1.png", "image/png", 24L, "media-type")),
       s"assets ledger: $assets")
     // the unchanged refetch and the 304 ingested nothing
     val docs = spark.read.parquet(s"$out/docs")

@@ -70,6 +70,30 @@ class WarcShardsSpec extends SparkSpec {
     assert(WarcCodec.parseHttp("no http here".getBytes).isEmpty)
   }
 
+  test("envelope surfaces Retry-After, X-Robots-Tag and a non-gzip " +
+      "Content-Encoding (body left compressed)") {
+    val body = "<html>x</html>".getBytes(StandardCharsets.UTF_8)
+    val Some(env) = WarcCodec.parseHttpEnvelope(WarcCodec.httpResponse(
+      body, "text/html",
+      Seq("Retry-After" -> "120", "X-Robots-Tag" -> "NoIndex, nofollow")))
+    assert(env.retryAfter == "120" && env.xRobotsTag == "noindex, nofollow",
+      s"retryAfter=${env.retryAfter} xrt=${env.xRobotsTag}")
+    assert(env.contentEncoding == "", "absent encoding must surface empty")
+    // gzip is inflated and the surfaced encoding CLEARS; br survives
+    // verbatim with the body untouched (no JDK brotli codec — the
+    // crawl loop fences on the token)
+    val Some(gz) = WarcCodec.parseHttpEnvelope(
+      WarcCodec.httpResponseGzip(body, "text/html"))
+    assert(gz.contentEncoding == "" && java.util.Arrays.equals(gz.body, body))
+    val wire = Array.fill[Byte](9)(66)
+    val h = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Encoding: BR\r\nContent-Length: ${wire.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val Some(br) = WarcCodec.parseHttpEnvelope(h ++ wire)
+    assert(br.contentEncoding == "br" && java.util.Arrays.equals(br.body, wire),
+      s"br: enc=${br.contentEncoding} bodyLen=${br.body.length}")
+  }
+
   test("chunked and gzip bodies decode to the same entity bytes") {
     val body = ("x" * 950 + " tail").getBytes(StandardCharsets.UTF_8)
     val Some((s1, b1)) = WarcCodec.parseHttp(
