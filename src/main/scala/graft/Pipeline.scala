@@ -1005,11 +1005,19 @@ object Pipeline {
         batchEdges, deltaDir("hostgraph"), b))
       graphRef.set(graphRef.get.unionByName(batchEdges).localCheckpoint())
 
+      // per-URL priority TIER beside the host rank: provenance is a
+      // crawl-value signal the loop already has — a sitemap-advertised
+      // URL (the site's own recommendation) outranks a redirect- or
+      // canonical-declared target, which outranks a plain outlink.
+      // Quotas window PER HOST, so the tier decides order among
+      // same-host candidates (where the host rank is a constant) and
+      // the rank decides nothing less than it did before.
       val targets = outl
         .select(graft.sources.UrlOps.canonicalize(col("abs")).as("target"))
-        .unionByName(extraTargets.select(col("target")))
+        .withColumn("__tier", lit(0.0))
+        .unionByName(extraTargets.select(col("target"), col("__tier")))
         .where(col("target").rlike("^https?://")) // fetchable schemes only
-        .distinct()
+        .groupBy(col("target")).agg(max(col("__tier")).as("__tier"))
       val domKept = domainKill(targets, "target")
       val robKept = graft.sources.RobotsTxt.filterAllowed(
         domKept, "target", rulesRef.get, agent)
@@ -1033,7 +1041,8 @@ object Pipeline {
             batchId.get.toDouble, recrawlBase.toDouble, recrawlMax.toDouble)
             .select(col("url").as("target"),
               concat(col("url"), lit("#"),
-                col("last_fetch").cast("long").cast("string")).as("__ekey"))
+                col("last_fetch").cast("long").cast("string")).as("__ekey"),
+              lit(0.0).as("__tier"))
           val dueDom = domainKill(due, "target")
           val dueRob = graft.sources.RobotsTxt.filterAllowed(
             dueDom, "target", rulesRef.get, agent)
@@ -1047,8 +1056,8 @@ object Pipeline {
             col("url") === col("__u"), "left_semi")
           val hinted = dueNew.join(broadcast(hints),
               col("target") === col("url"), "left")
-            .select(col("target"), col("__ekey"), col("etag"),
-              col("last_modified"))
+            .select(col("target"), col("__ekey"), col("__tier"),
+              col("etag"), col("last_modified"))
           // a URL fetched but never EMITTED (bootstrap/seeded shards)
           // can be both a discovery row and a due row in one drain —
           // two frontier rows for one target would spend the host's
@@ -1072,12 +1081,13 @@ object Pipeline {
       val prioritized = pooled
         .join(broadcast(relevantRanks),
           col("__thost") === col("__rhost"), "left")
-        .withColumn("__priority", coalesce(col("__rank"), lit(0.0)))
+        .withColumn("__priority",
+          coalesce(col("__rank"), lit(0.0)) + col("__tier"))
         .drop("__thost", "__rhost", "__rank")
       val capped = graft.sources.CrawlBudget.cap(prioritized, "target",
         delaysRef.get, horizon, defaultDelay,
         priorityCol = Some("__priority"))
-        .drop("__priority")
+        .drop("__priority", "__tier")
         .localCheckpoint()
       val emDelta = graft.dedup.UrlSeenSet.deltaRows(capped, "__ekey")
       batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
@@ -1407,9 +1417,13 @@ object Pipeline {
         .select(col("uri"), col("html"))
         .unionByName(fresh.where(col("__noindex") && !col("__nofollow"))
           .select(col("uri"), col("html")))
+      // provenance tiers: sitemap-advertised (2) > redirect/canonical
+      // final destinations (1) > plain outlinks (0, added in discover)
       val frontier = discover(linkPages,
-        redirTargets.unionByName(pageSeeds).unionByName(sitemapTargets)
-          .unionByName(canonTargets),
+        redirTargets.withColumn("__tier", lit(1.0))
+          .unionByName(pageSeeds.withColumn("__tier", lit(2.0)))
+          .unionByName(sitemapTargets.withColumn("__tier", lit(2.0)))
+          .unionByName(canonTargets.withColumn("__tier", lit(1.0))),
         batchId)
       // refetch emissions are the frontier rows whose emitted key is a
       // url#generation, not the bare target

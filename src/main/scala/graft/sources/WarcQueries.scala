@@ -1338,12 +1338,20 @@ object WarcQueries {
         (col("doc_id") % 6 + 1).cast("int"))
       val sHost = element_at(array(hostsLower.map(lit(_)): _*),
         ((col("doc_id") * 7 + 1) % 6 + 1).cast("int"))
+      // per-URL provenance boost beside the host rank (the crawl
+      // loop's tier protocol): doc_id % 11 = 0 marks the
+      // sitemap-advertised cohort — same host, same rank, but the
+      // site's own recommendation must win the quota window over a
+      // deep outlink (+2.0, the loop's sitemap tier)
       val frontier = d.select(
+          col("doc_id"),
           concat(lit("https://"), tHost, lit("/doc/"),
             lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
           sHost.as("src_host"))
         .join(broadcast(ranks), Seq("src_host"))
-        .select(col("url"), col("rank").as("priority"))
+        .select(col("url"),
+          (col("rank") + when(col("doc_id") % 11 === 0, 2.0)
+            .otherwise(0.0)).as("priority"))
         .localCheckpoint()
       val delays = Seq((hostsLower(0), 6.0), (hostsLower(1), 3.0))
         .toDF("host", "delay_seconds")
@@ -2383,13 +2391,15 @@ object WarcQueries {
          |  ('blog.example.co.uk', 12), ('shop.example.co.uk', 12),
          |  ('ads.tracker.net', 12), ('cdn.static.tracker.net', 12)),
          |fr AS (
-         |  SELECT [$hostList][(doc_id % 6 + 1)::INT] AS host,
+         |  SELECT doc_id, [$hostList][(doc_id % 6 + 1)::INT] AS host,
          |    'https://' || [$hostList][(doc_id % 6 + 1)::INT] || '/doc/' ||
          |      lpad(doc_id::VARCHAR, 8, '0') AS url,
          |    [$hostList][((doc_id * 7 + 1) % 6 + 1)::INT] AS src_host
          |  FROM documents),
          |fr2 AS (
-         |  SELECT fr.host, fr.url, r3.rank AS priority
+         |  SELECT fr.host, fr.url,
+         |    r3.rank + (CASE WHEN fr.doc_id % 11 = 0 THEN 2.0 ELSE 0.0 END)
+         |      AS priority
          |  FROM fr JOIN r3 ON r3.id = fr.src_host),
          |r AS (
          |  SELECT fr2.host, fr2.priority, q.quota,

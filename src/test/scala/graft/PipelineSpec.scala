@@ -709,6 +709,41 @@ class PipelineSpec extends SparkSpec {
     assert(led == 1L, s"n_canonical: $led")
   }
 
+  test("frontier provenance tiers: when the politeness quota binds, a " +
+      "redirect-declared target outranks plain outlinks on the same host") {
+    import spark.implicits._
+    val in = tmpDir("tier-in")
+    val out = tmpDir("tier-out")
+    val S = "src.example.org"
+    val T = "tgt.example.org"
+    val html = ("<html><head><title>t</title></head><body>" +
+      s"""<nav><a href="http://$T/out/a">x</a> <a href="http://$T/out/b">y</a></nav>""" +
+      "<p>the alpha page talks about mountains and rivers flowing north</p>" +
+      "</body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    graft.sources.WarcShards.pack(Seq(
+      graft.sources.WarcShards.Entry(0, 1, "response", s"http://$S/p",
+        "<urn:test:tier:1>", "application/http;msgtype=response",
+        graft.sources.WarcShards.WarcCodec.httpResponse(html,
+          "text/html; charset=utf-8")),
+      graft.sources.WarcShards.Entry(0, 2, "response", s"http://$T/r",
+        "<urn:test:tier:2>", "application/http;msgtype=response",
+        graft.sources.WarcShards.WarcCodec.httpRedirect(301,
+          s"http://$T/final"))
+    ).toDS(), in): Unit
+    // horizon 5 s / default delay 5 s → quota 1 URL per host per drain:
+    // of the three same-host candidates (/out/a, /out/b at tier 0,
+    // /final at tier 1), only the redirect-declared target may emit
+    val r = Pipeline.crawl(spark, in, out,
+      config = graft.core.EngineConfig(
+        Map("crawl.horizon_seconds" -> "5"), env = Map.empty),
+      args = Pipeline.parseCrawlArgs(Seq("--files-per-drain", "1")))
+    assert(r.status == "success" && r.drains == 1L, s"run: $r")
+    val front = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front == Seq(s"http://$T/final"),
+      s"quota-1 frontier (tier 1 beats tier 0): $front")
+  }
+
   test("crawl honors robots META / X-Robots-Tag / rel=nofollow: noindex " +
       "stays out of the corpus but follows; nofollow never seeds") {
     import spark.implicits._
