@@ -1262,11 +1262,19 @@ object Pipeline {
       // the self-canonical no-op (the common case) is dropped. The
       // declared target joins the frontier through the same gates as
       // any discovery.
-      val canonPairs = robKept.select(col("uri").as("src"),
+      // two steps so the html regexes (extraction + base) run once per
+      // page and the resolve when-tree — which expands its input refs
+      // ~6× — reads the skinny materialized columns, not the html
+      val canonRaw = robKept
+        .where(graft.sources.HtmlLinks.canonicalHref(col("html")).isNotNull)
+        .select(col("uri").as("src"),
+          graft.sources.HtmlLinks.canonicalHref(col("html")).as("__raw"),
+          graft.sources.HtmlLinks.effectiveBase(col("uri"), col("html"))
+            .as("__base"))
+        .localCheckpoint()
+      val canonPairs = canonRaw.select(col("src"),
           graft.sources.UrlOps.canonicalize(
-            graft.sources.HtmlLinks.resolve(
-              graft.sources.HtmlLinks.effectiveBase(col("uri"), col("html")),
-              graft.sources.HtmlLinks.canonicalHref(col("html"))))
+            graft.sources.HtmlLinks.resolve(col("__base"), col("__raw")))
             .as("final_dst"))
         .where(col("final_dst").isNotNull &&
           col("final_dst") =!= graft.sources.UrlOps.canonicalize(col("src")))

@@ -1233,11 +1233,17 @@ object WarcQueries {
           lit("<link rel=\"canonical\" href=\"/doc/"), id, lit("\">")))
       val html = concat(lit("<html><head><title>t</title>"), linkTag,
         lit("</head><body><p>x</p></body></html>"))
-      d.select(col("doc_id"), uri.as("src"), html.as("html"))
+      // two materialized steps: the html regexes (extraction + base)
+      // run ONCE per row, then the resolve when-tree — whose branch
+      // expansion references its inputs ~6× — reads the cheap
+      // materialized columns instead of re-running the html regexes
+      // multiplicatively (measured 13 s → ~1 s at sf0.1)
+      d.select(col("doc_id"), uri.as("src"),
+          HtmlLinks.canonicalHref(html).as("raw"),
+          HtmlLinks.effectiveBase(uri, html).as("base"))
+        .localCheckpoint()
         .select(col("doc_id"), col("src"),
-          HtmlLinks.resolve(
-            HtmlLinks.effectiveBase(col("src"), col("html")),
-            HtmlLinks.canonicalHref(col("html"))).as("canonical"))
+          HtmlLinks.resolve(col("base"), col("raw")).as("canonical"))
         .where(col("canonical").isNotNull && col("canonical") =!= col("src"))
         .orderBy(col("doc_id"))
     },
@@ -1494,10 +1500,11 @@ object WarcQueries {
         .localCheckpoint()
       var st = RecrawlSchedule.emptyState(s)
       for (t <- 0 to 3) {
-        st = RecrawlSchedule.advance(st,
-          succ.where(col("t") === t.toDouble), "url", "t", "h")
-          .localCheckpoint()
-        st = RecrawlSchedule.advanceFailures(st,
+        // one checkpoint per clock tick (after BOTH folds): plan depth
+        // stays bounded at two fold layers, half the materializations
+        st = RecrawlSchedule.advanceFailures(
+          RecrawlSchedule.advance(st,
+            succ.where(col("t") === t.toDouble), "url", "t", "h"),
           fails.where(col("t") === t.toDouble), "url", "t", "status", "ra")
           .localCheckpoint()
       }
