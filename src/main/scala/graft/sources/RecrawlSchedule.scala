@@ -207,6 +207,30 @@ object RecrawlSchedule {
       .unionByName(updated)
   }
 
+  /** Collapse one drain's RAW failed-refetch responses (possibly
+    * several per URL — a drain can carry both a 404 and a 503 for one
+    * URL) to ONE representative observation per URL, for
+    * [[advanceFailures]]: a terminal 404/410 beats any transient
+    * answer (the gone-latch must see it even when a 5xx arrived
+    * beside it), then the highest status wins; `retry_after` stays
+    * PAIRED with the chosen response — independent per-column maxes
+    * would marry a 404's status to a 503's Retry-After (r17 verdict
+    * "what's wrong" #3). One aggregation over the (small) failure
+    * batch; the struct max is lexicographic, so the selected
+    * (status, retry_after) pair always comes from a single real row.
+    */
+  def representativeFailures(responses: DataFrame, urlCol: String,
+      statusCol: String, retryAfterCol: String): DataFrame =
+    responses
+      .groupBy(col(urlCol).as("url"))
+      .agg(max(struct(
+        when(col(statusCol).cast("int").isin(404, 410), 1).otherwise(0)
+          .as("g"),
+        col(statusCol).cast("int").as("status"),
+        col(retryAfterCol).cast("double").as("ra"))).as("m"))
+      .select(col("url"), col("m.status").as("status"),
+        col("m.ra").as("retry_after"))
+
   /** The derived schedule over the CURRENT state — one scan, no
     * shuffle: `interval_seconds` doubles in the LONGER of the two
     * streaks (an unchanged page and an erroring page both earn

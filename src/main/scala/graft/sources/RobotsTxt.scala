@@ -218,6 +218,72 @@ object RobotsTxt {
         col("host") === col("__h"), "left_anti")
       .unionByName(fresh)
 
+  /** One `(host, status)` row per host whose `/robots.txt` ANSWERED in
+    * this record batch, any status — the input to the RFC 9309 §2.3.1.4
+    * server-error latch ([[rollErrors]]). Per host the MINIMUM status
+    * wins: a drain carrying both a 503 and a retried 200 for one host's
+    * robots got a definitive answer (the 200), so the error latch must
+    * not set. Unlike [[fetchesIn]] this keeps non-200 answers — a 5xx
+    * here is exactly the observation the latch exists for.
+    */
+  def answersIn(records: DataFrame,
+      uriCol: String = "target_uri",
+      statusCol: String = "http_status",
+      typeCol: String = "warc_type"): DataFrame = {
+    val path = regexp_extract(col(uriCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    records
+      .where(col(typeCol) === "response" && path === "/robots.txt" &&
+        col(statusCol).isNotNull)
+      .select(UrlOps.host(col(uriCol)).as("host"),
+        col(statusCol).cast("int").as("status"))
+      .where(col("host").isNotNull)
+      .groupBy(col("host")).agg(min(col("status")).as("status"))
+  }
+
+  /** Roll the per-host robots SERVER-ERROR state `(host, err_since)`
+    * forward with one drain's [[answersIn]] rows at crawl-clock `t`:
+    * a 5xx answer latches `err_since = t` for a host not already
+    * latched (the EARLIEST error starts the cached window — RFC 9309
+    * §2.3.1.4: a cached copy MAY serve for a reasonable period, after
+    * which persistent server error means complete disallow); any
+    * sub-500 answer (fresh rules, a 404 = no-robots allow-all, even a
+    * redirect) clears the latch. State is scanned, never shuffled —
+    * the per-drain answer set is broadcast into the anti joins.
+    */
+  def rollErrors(prev: DataFrame, answers: DataFrame, t: Double): DataFrame = {
+    val errs = answers.where(col("status") >= 500).select(col("host"))
+    val clears = answers.where(col("status") < 500)
+      .select(col("host").as("__c"))
+    val kept = prev.join(broadcast(clears),
+      col("host") === col("__c"), "left_anti")
+    val newErrs = errs
+      .join(broadcast(prev.select(col("host").as("__e"))),
+        col("host") === col("__e"), "left_anti")
+      .select(col("host"), lit(t).as("err_since"))
+    kept.unionByName(newErrs)
+  }
+
+  /** The EFFECTIVE rules under the server-error latch: hosts whose
+    * robots has been answering 5xx for at least `cachedWindow` drains
+    * (as of crawl-clock `asOf`) gate to COMPLETE DISALLOW — their
+    * parsed rules are REPLACED by a single `Disallow: /` (replaced,
+    * not augmented: a surviving longer `Allow:` rule would win the
+    * longest-match tie-break and defeat the RFC's mandate). Inside
+    * the window the cached rules apply unchanged. The error state is
+    * per-host-tiny — both joins broadcast it.
+    */
+  def withErrorDisallow(rules: DataFrame, errState: DataFrame,
+      asOf: Double, cachedWindow: Double): DataFrame = {
+    val due = errState
+      .where(lit(asOf) - col("err_since") >= lit(cachedWindow))
+      .select(col("host"))
+    rules.join(broadcast(due.select(col("host").as("__h"))),
+        col("host") === col("__h"), "left_anti")
+      .unionByName(due.select(col("host"), lit("*").as("agent"),
+        lit("disallow").as("rule"), lit("/").as("prefix")))
+  }
+
   /** A rule pattern compiled to an anchored Java/RE2-neutral regex:
     * specials escaped, `*` → `.*`, a TRAILING `$` → the end anchor.
     * Pure Column ops over the tiny rules frame — the per-row regex

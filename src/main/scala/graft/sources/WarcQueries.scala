@@ -1168,40 +1168,56 @@ object WarcQueries {
 
     // ROBOTS META / X-Robots-Tag / rel=nofollow
     // ([[HtmlLinks.metaRobots]] / [[hasRobotsDirective]] /
-    // [[extractFollowable]]) — the in-page and in-header robots
-    // directives a real crawler honors beyond robots.txt. Meta cohort
-    // by doc_id % 4 ("index, follow" / "noindex" / "nofollow" /
-    // "none" — the last ≡ noindex,nofollow), an X-Robots-Tag header
-    // cohort on doc_id % 5 = 0 (either source can set either flag),
-    // and anchor cohorts by parity (a rel=nofollow and a
-    // rel=sponsored anchor that must not count as followable). The
-    // oracle restates every flag and count closed-form.
+    // [[scopedDirectives]] / [[extractFollowable]]) — the in-page and
+    // in-header robots directives a real crawler honors beyond
+    // robots.txt. Meta cohort by doc_id % 4 ("index, follow" /
+    // "noindex" / SPLIT-META "nofollow" beside a second robots meta
+    // carrying "noarchive" (the union trap: honoring only the FIRST
+    // tag loses the nofollow when tag order flips — planted
+    // noarchive-first — and `none`-implies must NOT fire for
+    // noarchive) / "none" ≡ noindex,nofollow), an X-Robots-Tag cohort
+    // by doc_id % 5 (0 = generic "noindex"; 1 = "googlebot: noindex"
+    // — ANOTHER crawler's opt-out, ignored for graftbot; 2 =
+    // "graftbot: noindex" — our own scoped form, honored), and anchor
+    // cohorts by parity: evens plant a QUOTED rel=nofollow, an
+    // UNQUOTED rel=nofollow (valid HTML — must drop), and a
+    // rel="nofollowme" (substring trap — must keep); odds a
+    // rel=sponsored. The oracle restates every flag and count
+    // closed-form.
     "q266_robots_meta" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents").select(col("doc_id"))
       val id = col("doc_id").cast("string")
       val c4 = col("doc_id") % 4
-      val meta = when(c4 === 0, lit("index, follow"))
-        .when(c4 === 1, lit("noindex"))
-        .when(c4 === 2, lit("nofollow"))
-        .otherwise(lit("none"))
+      val meta = when(c4 === 0, lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .when(c4 === 1, lit("<meta name=\"robots\" content=\"noindex\">"))
+        .when(c4 === 2, lit("<meta content=\"noarchive\" name=\"robots\">" +
+          "<meta name=\"robots\" content=\"nofollow\">"))
+        .otherwise(lit("<meta name=\"robots\" content=\"none\">"))
       val anchors = when(col("doc_id") % 2 === 0, concat(
           lit("<a href=\"/p/"), id, lit("\">a</a><a href=\"/q/"), id,
           lit("\">b</a><a rel=\"nofollow\" href=\"/x/"), id,
-          lit("\">c</a>")))
+          lit("\">c</a><a rel=nofollow href=\"/u/"), id,
+          lit("\">e</a><a rel=\"nofollowme\" href=\"/v/"), id,
+          lit("\">f</a>")))
         .otherwise(concat(
           lit("<a href=\"/p/"), id, lit("\">a</a><a href=\"/y/"), id,
           lit("\" rel=\"sponsored\">d</a>")))
       val html = concat(
-        lit("<html><head><meta name=\"robots\" content=\""), meta,
-        lit("\"></head><body>"), anchors, lit("</body></html>"))
-      val xrt = when(col("doc_id") % 5 === 0, lit("noindex"))
+        lit("<html><head>"), meta,
+        lit("</head><body>"), anchors, lit("</body></html>"))
+      val c5 = col("doc_id") % 5
+      val xrt = when(c5 === 0, lit("noindex"))
+        .when(c5 === 1, lit("googlebot: noindex"))
+        .when(c5 === 2, lit("graftbot: noindex"))
         .otherwise(lit(null).cast("string"))
-      val dirs = concat_ws(",", coalesce(col("xrt"), lit("")),
+      val dirs = concat_ws(",",
+        coalesce(HtmlLinks.scopedDirectives(col("xrt"), "graftbot"), lit("")),
         coalesce(HtmlLinks.metaRobots(col("html")), lit("")))
       d.select(col("doc_id"), html.as("html"), xrt.as("xrt"))
         .select(col("doc_id"),
           HtmlLinks.hasRobotsDirective(dirs, "noindex").as("noindex"),
           HtmlLinks.hasRobotsDirective(dirs, "nofollow").as("nofollow"),
+          HtmlLinks.hasRobotsDirective(dirs, "noarchive").as("noarchive"),
           size(HtmlLinks.extract(col("html"))).cast("long").as("n_links"),
           size(HtmlLinks.extractFollowable(col("html"))).cast("long")
             .as("n_follow_links"))
@@ -1473,7 +1489,16 @@ object WarcQueries {
     //   2: 200 → 503(Retry-After: 3)                   (RA floors delay)
     //   3: 200 → 503 → 200 CHANGED                     (streak reset)
     //   4: 200 → 404 → 404                             (2 strikes: alive)
-    //   5: 200 → 503                                   (plain backoff)
+    //   5: 200 → 503 (+500 w/ RA:7 same drain)         (plain backoff)
+    // Two drains carry MIXED per-URL failures, collapsed to ONE
+    // representative observation by [[RecrawlSchedule
+    // .representativeFailures]] (the crawl loop's pre-fold step):
+    // cohort 1's tombstoning drain also carries a 503 — the 404 must
+    // win or the gone-latch never fires (independent max(status)
+    // picks 503); cohort 5's drain pairs a 503 (no Retry-After) with
+    // a 500 carrying Retry-After: 7 — the chosen 503's NULL RA must
+    // ride along, not the other row's 7 (which would wrongly floor
+    // next_fetch at 8 instead of 3).
     // The oracle restates every streak/interval/next-fetch closed-form.
     "q264_refetch_errors" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents").select(col("doc_id"))
@@ -1491,11 +1516,17 @@ object WarcQueries {
         .select(url.as("url"), lit(1.0).as("t"),
           when(c6.isin(1L, 4L), 404).otherwise(503).as("status"),
           when(c6 === 0, 4.0).when(c6 === 2, 3.0).otherwise(nullRa).as("ra"))
+        .unionByName(d.filter(c6 === 5) // same-drain second failure
+          .select(url.as("url"), lit(1.0).as("t"), lit(500).as("status"),
+            lit(7.0).as("ra")))
         .unionByName(d.filter(c6.isin(1L, 4L))
           .select(url.as("url"), lit(2.0).as("t"), lit(404).as("status"),
             nullRa.as("ra")))
         .unionByName(d.filter(c6 === 1)
           .select(url.as("url"), lit(3.0).as("t"), lit(404).as("status"),
+            nullRa.as("ra")))
+        .unionByName(d.filter(c6 === 1) // beside the latching 404
+          .select(url.as("url"), lit(3.0).as("t"), lit(503).as("status"),
             nullRa.as("ra")))
         .localCheckpoint()
       var st = RecrawlSchedule.emptyState(s)
@@ -1505,7 +1536,10 @@ object WarcQueries {
         st = RecrawlSchedule.advanceFailures(
           RecrawlSchedule.advance(st,
             succ.where(col("t") === t.toDouble), "url", "t", "h"),
-          fails.where(col("t") === t.toDouble), "url", "t", "status", "ra")
+          RecrawlSchedule.representativeFailures(
+            fails.where(col("t") === t.toDouble), "url", "status", "ra")
+            .withColumn("t", lit(t.toDouble)),
+          "url", "t", "status", "retry_after")
           .localCheckpoint()
       }
       RecrawlSchedule.scheduleOf(st,
@@ -2291,15 +2325,25 @@ object WarcQueries {
     // cohort (1, 3 — "none" counts) OR the header cohort (%5 = 0);
     // nofollow from the meta cohort (2, 3); followable anchors exclude
     // the rel=nofollow and rel=sponsored plants
+    // closed-form truth per cohort: noindex from the meta cohorts 1/3
+    // plus the GENERIC (f=0) and OWN-AGENT (f=2) X-Robots-Tag forms —
+    // the googlebot-scoped f=1 cohort is ANOTHER crawler's opt-out and
+    // must stay indexable; nofollow from meta cohorts 2 (the SECOND
+    // robots meta of the split pair — first-tag-only parsing loses it)
+    // and 3; noarchive ONLY from cohort 2's first meta (`none` must
+    // not imply it); evens carry 5 anchors of which the quoted AND
+    // unquoted rel=nofollow drop while rel="nofollowme" survives the
+    // whole-token test
     "q266_robots_meta" ->
       """WITH p AS (
         |  SELECT doc_id, doc_id % 4 AS c, doc_id % 5 AS f, doc_id % 2 AS e
         |  FROM documents)
         |SELECT doc_id,
-        |  (c IN (1, 3) OR f = 0) AS noindex,
+        |  (c IN (1, 3) OR f IN (0, 2)) AS noindex,
         |  (c IN (2, 3)) AS nofollow,
-        |  (CASE WHEN e = 0 THEN 3 ELSE 2 END)::BIGINT AS n_links,
-        |  (CASE WHEN e = 0 THEN 2 ELSE 1 END)::BIGINT AS n_follow_links
+        |  (c = 2) AS noarchive,
+        |  (CASE WHEN e = 0 THEN 5 ELSE 2 END)::BIGINT AS n_links,
+        |  (CASE WHEN e = 0 THEN 3 ELSE 1 END)::BIGINT AS n_follow_links
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // the same pages rebuilt in SQL, pushed through the DuckDB mirrors
@@ -2482,7 +2526,12 @@ object WarcQueries {
     // the unchanged streak (2^max of the two, clamped at 8), the
     // Retry-After of the LATEST failure floors the delay (cohort 2:
     // greatest(2, 3) = 3), and only the 3-strikes-ending-in-404 cohort
-    // is tombstoned (gone, never due)
+    // is tombstoned (gone, never due). Two rows discriminate the
+    // mixed-drain representative pick: cohort 1's gone=true needs the
+    // 404 to beat the same-drain 503 (independent max(status) reads
+    // 503 and never latches), and cohort 5's next_fetch=3.0 needs the
+    // chosen 503's NULL Retry-After (pairing the other row's RA:7
+    // would floor it at 8.0)
     "q264_refetch_errors" ->
       """WITH p AS (SELECT doc_id, (doc_id % 6) AS c FROM documents)
         |SELECT doc_id,

@@ -806,6 +806,54 @@ class PipelineSpec extends SparkSpec {
       s"http://$H/d"), s"schedule urls: $sched")
   }
 
+  test("crawl runs the URL-level policy gates BEFORE extraction: a " +
+      "blocked-domain or robots-disallowed page's html never reaches " +
+      "the graft_html_text kernel") {
+    import spark.implicits._
+    val in = tmpDir("gate-order-in")
+    val out = tmpDir("gate-order-out")
+    def page(text: String): Array[Byte] =
+      ("<html><head><title>t</title></head><body><p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def entry(ord: Long, host: String, path: String, text: String) =
+      graft.sources.WarcShards.Entry(0, ord, "response",
+        s"http://$host$path", s"<urn:test:gateord:$ord>",
+        "application/http;msgtype=response",
+        graft.sources.WarcShards.WarcCodec.httpResponse(
+          page(text), "text/html; charset=utf-8"))
+    graft.sources.WarcShards.pack(Seq(
+      entry(1, "good.example.com", "/a/1",
+        "the alpha page talks about mountains and rivers flowing north"),
+      entry(2, "good.example.com", "/a/2",
+        "a second page describing oceans tides and the salty breeze"),
+      entry(3, "ads.tracker.net", "/x/1",
+        "tracker junk that is long enough to pass the extractor fine"),
+      entry(4, "good.example.com", "/priv/1",
+        "private content long enough to pass the extractor easily")
+    ).toDS(), in): Unit
+    val robotsPq = tmpDir("gate-order-robots") + "/robots"
+    Seq(("good.example.com", "User-agent: *\nDisallow: /priv\n"))
+      .toDF("host", "body").write.parquet(robotsPq)
+    val counter = graft.functions.HtmlTextExtractor.invocations
+    counter.reset()
+    graft.functions.HtmlTextExtractor.countInvocations = true
+    try {
+      val r = Pipeline.crawl(spark, in, out,
+        args = Pipeline.parseCrawlArgs(Seq(
+          "--robots", robotsPq, "--blocked-domains", "tracker.net",
+          "--files-per-drain", "1")))
+      assert(r.status == "success" && r.drains == 1L, s"run: $r")
+    } finally graft.functions.HtmlTextExtractor.countInvocations = false
+    val led = spark.read.parquet(s"$out/drains")
+      .select("n_batch", "n_after_domain", "n_after_robots")
+      .as[(Long, Long, Long)].head()
+    assert(led == ((4L, 3L, 2L)), s"stage counts: $led")
+    // extraction ran exactly once per POST-GATE page — the blocked
+    // and disallowed pages never fed the kernel (r17 verdict #2)
+    assert(counter.sum() == 2L,
+      s"extraction invocations: ${counter.sum()} (want n_after_robots=2)")
+  }
+
   test("crawl refresh failure feedback: a transient 503 backs off but " +
       "re-emits (no permanent stall), 3x404 tombstones, a 200 resurrects") {
     import spark.implicits._

@@ -45,12 +45,19 @@ class CharsetDecodeSpec extends SparkSpec {
     assert(dec(junk, "utf-16").nonEmpty)
   }
 
-  test("kernel: adversarial labels are bounded — overlong labels decode " +
-      "as UTF-8 and a junk-label flood cannot grow memory unboundedly") {
+  test("kernel: adversarial labels are bounded — overlong junk labels " +
+      "fall back to UTF-8 and a junk-label flood cannot grow memory " +
+      "unboundedly, but an over-cap REAL label still resolves") {
     // labels are attacker-controlled Content-Type parameters: over the
-    // length cap → UTF-8 fallback, same answer as any unknown label
+    // length cap the CACHE is skipped but resolution still runs —
+    // junk falls back to UTF-8 like any unknown label
     val long = "x" * 200
     assert(dec("café".getBytes("UTF-8"), long) == "café")
+    // the one registered IANA name longer than the cap (45 chars) must
+    // decode as EUC-JP, not forced-UTF-8 mojibake (r17 ADVICE)
+    val eucjp = "Extended_UNIX_Code_Packed_Format_for_Japanese"
+    assert(eucjp.length > 40)
+    assert(dec("日本語".getBytes("EUC-JP"), eucjp) == "日本語")
     // a flood of unique junk labels stays correct (each falls back to
     // UTF-8); the cache size cap is internal, this pins the behavior
     // under exactly the minting pattern the cap defends against

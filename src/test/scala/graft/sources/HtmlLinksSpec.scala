@@ -197,4 +197,77 @@ class HtmlLinksSpec extends SparkSpec {
         s"resolve($b, $r): engine ${got((b, r))}, JDK ${refImpl(b, r)}")
     }
   }
+
+  test("extractFollowable: unquoted rel values drop, whole-token test " +
+      "(rel=nofollowme is followable), sponsored/ugc tokens drop") {
+    val html =
+      """<a href="/a">keep</a>
+        |<a rel="nofollow" href="/b">drop-dq</a>
+        |<a rel='ugc' href="/c">drop-sq</a>
+        |<a rel=nofollow href="/d">drop-unquoted</a>
+        |<a rel="nofollowme" href="/e">keep-substring</a>
+        |<a rel="external sponsored" href="/f">drop-multi-token</a>
+        |<a rel="me external" href="/g">keep-other-rel</a>
+        |<a rel=author href="/h">keep-unquoted-other</a>""".stripMargin
+    val got = Seq(html).toDF("html")
+      .select(explode(HtmlLinks.extractFollowable(col("html"))).as("href"))
+      .as[String].collect().toSeq
+    assert(got == Seq("/a", "/e", "/g", "/h"), s"followable $got")
+  }
+
+  test("metaRobots: ALL robots metas union (split directives across " +
+      "tags, both attribute orders); hasRobotsDirective whole-token + " +
+      "`none` implies only noindex/nofollow") {
+    val split = "<head><meta content=\"noarchive\" name=\"robots\">" +
+      "<meta name=\"robots\" content=\"nofollow\"></head>"
+    val rows = Seq(
+      (split, true, false),
+      ("<meta name=\"robots\" content=\"noindex, nofollow\">", false, true),
+      ("<meta name=\"viewport\" content=\"width=1\">", false, false))
+      .toDF("html", "wantArchive", "wantIndex")
+      .select(
+        HtmlLinks.metaRobots(col("html")).as("dirs"),
+        col("wantArchive"), col("wantIndex"))
+      .select(
+        HtmlLinks.hasRobotsDirective(col("dirs"), "noarchive")
+          .as("noarchive"),
+        HtmlLinks.hasRobotsDirective(col("dirs"), "nofollow").as("nofollow"),
+        HtmlLinks.hasRobotsDirective(col("dirs"), "noindex").as("noindex"),
+        col("wantArchive"), col("wantIndex"))
+      .collect()
+    val r0 = rows(0)
+    assert(r0.getBoolean(0) && r0.getBoolean(1) && !r0.getBoolean(2),
+      s"split metas: $r0")
+    val r1 = rows(1)
+    assert(!r1.getBoolean(0) && r1.getBoolean(1) && r1.getBoolean(2),
+      s"plain list: $r1")
+    val r2 = rows(2)
+    assert(!r2.getBoolean(0) && !r2.getBoolean(1) && !r2.getBoolean(2),
+      s"non-robots meta: $r2")
+    // `none` ≡ noindex + nofollow but NOT other directives
+    val none = Seq("none").toDF("d").select(
+      HtmlLinks.hasRobotsDirective(col("d"), "noindex").as("ni"),
+      HtmlLinks.hasRobotsDirective(col("d"), "nofollow").as("nf"),
+      HtmlLinks.hasRobotsDirective(col("d"), "noarchive").as("na")).head()
+    assert(none.getBoolean(0) && none.getBoolean(1) && !none.getBoolean(2),
+      s"none implications: $none")
+  }
+
+  test("scopedDirectives: generic passes, own-agent scope applies, " +
+      "foreign scope drops, directive-name 'scopes' are values") {
+    val got = Seq(
+      "noindex, nofollow",            // generic
+      "graftbot: noindex",            // our scope
+      "GraftBot: nofollow",           // case-insensitive scope
+      "googlebot: noindex",           // another crawler's opt-out
+      "unavailable_after: 25 Jun 2030 15:00:00 PST", // value directive
+      "max-snippet: 20")              // value directive
+      .toDF("h")
+      .select(HtmlLinks.scopedDirectives(col("h"), "graftbot").as("d"))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(
+      Some("noindex, nofollow"), Some("noindex"), Some("nofollow"),
+      None, Some("unavailable_after: 25 Jun 2030 15:00:00 PST"),
+      Some("max-snippet: 20")), s"scoped $got")
+  }
 }

@@ -147,6 +147,22 @@ class RecrawlScheduleSpec extends SparkSpec {
     assert(u4 == ((2L, 1, 0, false)), s"u after resurrection: $u4")
   }
 
+  test("representativeFailures: a terminal 404 beats a same-drain 503 " +
+      "and retry_after stays paired with the chosen response") {
+    val raw = Seq(
+      ("u", 503, Some(30.0)), ("u", 404, Option.empty[Double]), // terminal wins
+      ("v", 503, Option.empty[Double]), ("v", 500, Some(7.0)),  // 503 wins, RA stays null
+      ("w", 429, Some(5.0))                                     // singleton passthrough
+    ).toDF("url", "status", "ra")
+    val got = RecrawlSchedule.representativeFailures(raw, "url", "status", "ra")
+      .orderBy("url")
+      .as[(String, Int, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("u", 404, None),   // independent maxes would read (503, 30.0)
+      ("v", 503, None),   // independent maxes would read (503, 7.0)
+      ("w", 429, Some(5.0))), s"representatives: $got")
+  }
+
   test("withFailureDefaults migrates a pre-failure-era state frame") {
     val old = Seq(("u", 1.0, 1L, 2L, 1))
       .toDF("url", "last_fetch", "last_hash", "n_fetches", "unchanged_streak")
