@@ -724,6 +724,11 @@ object Pipeline {
     val defaultDelay = config.getDouble("crawl.default_delay_seconds", 5.0)
     val maxHops = config.getInt("crawl.redirect_max_hops", 4)
     val rankIters = config.getInt("crawl.rank_iterations", 3)
+    // RFC 9309 §2.3.1.4 server-error window, in DRAINS: a host whose
+    // robots.txt keeps answering 5xx serves its cached rules for this
+    // many drains, then gates to complete disallow until a sub-500
+    // answer clears the latch (0 disables the latch entirely)
+    val robotsErrWindow = config.getInt("crawl.robots_error_drains", 4)
     // refresh crawling: 0 = off; intervals are measured in DRAINS (the
     // loop's monotone crawl clock — micro-batch ids survive restarts)
     val recrawlBase = args.recrawlBase.getOrElse(
@@ -916,6 +921,29 @@ object Pipeline {
       }
     })
 
+    // robots server-error latch (host, err_since): restored, then the
+    // committed drains' answer logs replayed in batch order (the roll
+    // is order-sensitive: earliest error opens the window, any sub-500
+    // answer closes it)
+    val robotsErrRef = new java.util.concurrent.atomic.AtomicReference({
+      val base = restoredV
+        .flatMap(v => readIfExists(spark, fs, s"$out/state/v$v/robotserr"))
+        .getOrElse(Seq.empty[(String, Double)].toDF("host", "err_since"))
+      deltasOf("robotserr") match {
+        case None => base
+        case Some(d) =>
+          val log = d.localCheckpoint()
+          val bids = log.select(col("batch_id")).distinct()
+            .orderBy(col("batch_id")).as[Long].collect()
+          bids.foldLeft(base) { (st, bid) =>
+            graft.sources.RobotsTxt.rollErrors(st,
+              log.where(col("batch_id") === bid)
+                .select(col("host"), col("status")),
+              bid.toDouble).localCheckpoint()
+          }
+      }
+    })
+
     // rules + delays derived from the rolled robots state; re-derived
     // only on drains that actually carried robots fetches
     def deriveRobots(robots: DataFrame): (DataFrame, DataFrame) = (
@@ -927,6 +955,11 @@ object Pipeline {
     val (rules0, delays0) = deriveRobots(robotsRef.get)
     val rulesRef = new java.util.concurrent.atomic.AtomicReference(rules0)
     val delaysRef = new java.util.concurrent.atomic.AtomicReference(delays0)
+    // the rules every gate actually consults THIS drain: the parsed
+    // rules, wrapped by the server-error complete-disallow once a
+    // host's 5xx window expires — refreshed at the top of each drain
+    // (the latch depends on the drain clock, not on robots fetches)
+    val effRulesRef = new java.util.concurrent.atomic.AtomicReference(rules0)
 
     def domainKill(df: DataFrame, uriCol: String): DataFrame =
       if (blocked0.isEmpty) df
@@ -1020,7 +1053,7 @@ object Pipeline {
         .groupBy(col("target")).agg(max(col("__tier")).as("__tier"))
       val domKept = domainKill(targets, "target")
       val robKept = graft.sources.RobotsTxt.filterAllowed(
-        domKept, "target", rulesRef.get, agent)
+        domKept, "target", effRulesRef.get, agent)
       val unseen = graft.dedup.UrlSeenSet.filterNew(robKept, "target", seenRef.get)
       val unEmitted = graft.dedup.UrlSeenSet.filterNew(
         unseen, "target", emittedRef.get)
@@ -1045,7 +1078,7 @@ object Pipeline {
               lit(0.0).as("__tier"))
           val dueDom = domainKill(due, "target")
           val dueRob = graft.sources.RobotsTxt.filterAllowed(
-            dueDom, "target", rulesRef.get, agent)
+            dueDom, "target", effRulesRef.get, agent)
           val dueNew = graft.dedup.UrlSeenSet.filterNew(
             dueRob, "__ekey", emittedRef.get).localCheckpoint()
           // conditional-request hints for the refetch rows: validator
@@ -1115,6 +1148,28 @@ object Pipeline {
         val (r, d) = deriveRobots(robotsRef.get)
         rulesRef.set(r); delaysRef.set(d)
       }
+      // RFC 9309 server-error latch: every robots ANSWER (any status)
+      // rolls the per-host error state — a 5xx opens the cached
+      // window, a sub-500 answer closes it; once a host's window
+      // expires the effective rules gate it to complete disallow
+      if (robotsErrWindow > 0) {
+        val robAnswers = graft.sources.RobotsTxt.answersIn(recs)
+          .localCheckpoint()
+        if (!robAnswers.isEmpty) {
+          batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
+            robAnswers, deltaDir("robotserr"), b))
+          robotsErrRef.set(graft.sources.RobotsTxt.rollErrors(
+            robotsErrRef.get, robAnswers,
+            batchId.getOrElse(0L).toDouble).localCheckpoint())
+        }
+      }
+      val errSt = robotsErrRef.get
+      effRulesRef.set(
+        if (robotsErrWindow > 0 && !errSt.isEmpty)
+          graft.sources.RobotsTxt.withErrorDisallow(rulesRef.get, errSt,
+            batchId.getOrElse(0L).toDouble, robotsErrWindow.toDouble)
+            .localCheckpoint()
+        else rulesRef.get)
 
       // sitemaps: advertised by the rolled robots state + children
       // discovered from earlier sitemap-index fetches
@@ -1209,7 +1264,7 @@ object Pipeline {
       // PDF must not reach the multimodal hand-off either
       val assets = graft.sources.RobotsTxt.filterAllowed(
           domainKill(nonControl.where(!extractable), "target_uri"),
-          "target_uri", rulesRef.get, agent)
+          "target_uri", effRulesRef.get, agent)
         .select(col("target_uri").as("uri"),
           col("http_content_type").as("media_type"),
           length(col("body")).cast("long").as("n_bytes"),
@@ -1239,7 +1294,7 @@ object Pipeline {
       val domKept = domainKill(pages, "uri")
       val nDom = domKept.count()
       val robKeptRaw = graft.sources.RobotsTxt.filterAllowed(
-        domKept, "uri", rulesRef.get, agent)
+        domKept, "uri", effRulesRef.get, agent)
       // charset-aware decode (NOT cast-as-UTF-8) on the gate
       // survivors only: the Content-Type charset drives the byte
       // decode per row; absent/unknown labels fall back to UTF-8,
@@ -1564,6 +1619,7 @@ object Pipeline {
       ranksRef.get.write.mode("overwrite").parquet(s"$vdir/hostranks")
       schedRef.get.write.mode("overwrite").parquet(s"$vdir/recrawl")
       validatorsRef.get.write.mode("overwrite").parquet(s"$vdir/validators")
+      robotsErrRef.get.write.mode("overwrite").parquet(s"$vdir/robotserr")
       fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"), true).close()
       restoredV.foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$out/state/v$v"), true): Unit

@@ -1264,42 +1264,60 @@ object WarcQueries {
         .orderBy(col("doc_id"))
     },
 
-    // SELF-HOSTED ROBOTS ROLL ([[RobotsTxt.fetchesIn]] + [[rollBodies]])
-    // — the rules table derived from the crawl's OWN /robots.txt
-    // fetches, rolled latest-fetch-wins across five drains: day 1
-    // plants permissive bodies for two hosts, day 2 REPLACES host A's
-    // body (Disallow switches from /priv to /doc — the same drain's
-    // fetch list must flip), day 3 shuts host B down entirely, day 4
-    // carries a REVISIT capture of host A's robots (header-only 200,
-    // EMPTY body — the fetcher's byte-identical dedup, the refresh
-    // crawl's common case) which must NOT erase A's Disallow, and day
-    // 5 a WARC-Truncated partial capture of A's robots (permissive
-    // prefix of a stricter file) which must NOT roll either. Each
-    // day's candidate URLs are judged under the state AS OF that day;
-    // the oracle recomputes every (day, host) allowed-count closed-form.
+    // SELF-HOSTED ROBOTS ROLL ([[RobotsTxt.fetchesIn]] + [[rollBodies]]
+    // + the RFC 9309 §2.3.1.4 server-error latch [[answersIn]] /
+    // [[rollErrors]] / [[withErrorDisallow]]) — the rules table derived
+    // from the crawl's OWN /robots.txt fetches, rolled latest-fetch-wins
+    // across nine drains: day 1 plants permissive bodies for two hosts,
+    // day 2 REPLACES host A's body (Disallow switches from /priv to
+    // /doc — the same drain's fetch list must flip), day 3 shuts host B
+    // down entirely, day 4 carries a REVISIT capture of host A's robots
+    // (header-only 200, EMPTY body — the fetcher's byte-identical
+    // dedup, the refresh crawl's common case) which must NOT erase A's
+    // Disallow, day 5 a WARC-Truncated partial capture of A's robots
+    // (permissive prefix of a stricter file) which must NOT roll
+    // either; then the 5xx arc: day 6 A's robots answers 503 — the
+    // CACHED rules keep applying (days 6 and 7, window = 2 drains) —
+    // until day 8 crosses the window and A gates to COMPLETE DISALLOW
+    // (its host row goes ABSENT, and the latch must REPLACE A's rules:
+    // its old `Disallow: /doc` would otherwise leave /priv allowed),
+    // and day 9's fresh permissive 200 clears the latch and rolls the
+    // new body (allow-all). Each day's candidate URLs are judged under
+    // the state AS OF that day; the oracle recomputes every (day, host)
+    // allowed-count closed-form.
     "q255_robots_rolling" -> { (s, dir) =>
       import s.implicits._
       val h0 = "a.example.com"
       val h1 = "b.example.org"
-      def fetchFrame(rows: Seq[(String, String, String, Option[String])]) =
-        rows.map { case (h, b, wt, tr) =>
-          (s"http://$h/robots.txt", 200, b.getBytes(StandardCharsets.UTF_8),
+      def fetchFrame(rows: Seq[(String, Int, String, String, Option[String])]) =
+        rows.map { case (h, st, b, wt, tr) =>
+          (s"http://$h/robots.txt", st, b.getBytes(StandardCharsets.UTF_8),
             wt, tr)
         }.toDF("target_uri", "http_status", "body", "warc_type", "truncated")
       val days = Seq(
         fetchFrame(Seq(
-          (h0, "User-agent: *\nDisallow: /priv\n", "response", None),
-          (h1, "User-agent: *\nDisallow:\n", "response", None))),
+          (h0, 200, "User-agent: *\nDisallow: /priv\n", "response", None),
+          (h1, 200, "User-agent: *\nDisallow:\n", "response", None))),
         fetchFrame(Seq(
-          (h0, "User-agent: *\nDisallow: /doc\n", "response", None))),
+          (h0, 200, "User-agent: *\nDisallow: /doc\n", "response", None))),
         fetchFrame(Seq(
-          (h1, "User-agent: *\nDisallow: /\n", "response", None))),
+          (h1, 200, "User-agent: *\nDisallow: /\n", "response", None))),
         // a revisit's envelope parses to 200 with an EMPTY body —
         // latest-wins would turn A's Disallow into allow-all
-        fetchFrame(Seq((h0, "", "revisit", None))),
+        fetchFrame(Seq((h0, 200, "", "revisit", None))),
         // a truncated capture carries a permissive PARTIAL rule set
         fetchFrame(Seq(
-          (h0, "User-agent: *\nDisallow:\n", "response", Some("length")))))
+          (h0, 200, "User-agent: *\nDisallow:\n", "response", Some("length")))),
+        // the server-error arc: a 503 answer (empty body — fetchesIn
+        // ignores it, answersIn latches it) ...
+        fetchFrame(Seq((h0, 503, "", "response", None))),
+        // ... a quiet day inside the cached window ...
+        fetchFrame(Nil),
+        // ... a quiet day PAST the window (complete disallow) ...
+        fetchFrame(Nil),
+        // ... and the recovering permissive 200
+        fetchFrame(Seq(
+          (h0, 200, "User-agent: *\nDisallow:\n", "response", None))))
       val d = Tables.load(s, dir, "documents").select(col("doc_id"))
       val id = col("doc_id").cast("string")
       val host = when(col("doc_id") % 2 === 0, lit(h0)).otherwise(lit(h1))
@@ -1310,10 +1328,15 @@ object WarcQueries {
             concat(lit("http://"), host, lit("/priv/"), id).as("url")))
         .localCheckpoint()
       var state = Seq.empty[(String, String)].toDF("host", "body")
+      var errState = Seq.empty[(String, Double)].toDF("host", "err_since")
       val perDay = days.zipWithIndex.map { case (fetches, day) =>
         state = RobotsTxt.rollBodies(state,
           RobotsTxt.fetchesIn(fetches)).localCheckpoint()
-        val rules = RobotsTxt.parseRules(state, "host", "body")
+        errState = RobotsTxt.rollErrors(errState,
+          RobotsTxt.answersIn(fetches), day.toDouble).localCheckpoint()
+        val rules = RobotsTxt.withErrorDisallow(
+          RobotsTxt.parseRules(state, "host", "body"),
+          errState, day.toDouble, cachedWindow = 2.0)
         RobotsTxt.verdicts(urls, "url", rules, "graftbot")
           .where(col("allowed"))
           .select(UrlOps.host(col("url")).as("host"))
@@ -2375,9 +2398,14 @@ object WarcQueries {
     // per-(day, host) allowed counts closed-form from the planted
     // bodies: day 1 replaces host A's rules whole (latest-fetch-wins),
     // day 2 shuts host B down — its group row must be ABSENT, not
-    // zero — and days 3/4 are NO-OPS: the revisit (empty body) and
-    // the truncated permissive capture must leave A's day-1 Disallow
-    // standing (rows identical to day 2's A row)
+    // zero — days 3/4 are NO-OPS: the revisit (empty body) and the
+    // truncated permissive capture must leave A's day-1 Disallow
+    // standing (rows identical to day 2's A row); day 5's 503 keeps
+    // the CACHED rules serving through day 6 (window = 2 drains), day
+    // 7 crosses the window → A gates to complete disallow (NO day-7
+    // rows at all — under mere rule-AUGMENTATION instead of
+    // replacement, A's /priv rows would survive), and day 8's fresh
+    // permissive 200 clears the latch (allow-all: ne + pe)
     "q255_robots_rolling" ->
       """WITH c AS (SELECT
         |    count(*) FILTER (WHERE doc_id % 2 = 0) AS ne,
@@ -2393,7 +2421,10 @@ object WarcQueries {
         |  UNION ALL SELECT 1, 'b.example.org', nodd + po FROM c
         |  UNION ALL SELECT 2, 'a.example.com', pe FROM c
         |  UNION ALL SELECT 3, 'a.example.com', pe FROM c
-        |  UNION ALL SELECT 4, 'a.example.com', pe FROM c)
+        |  UNION ALL SELECT 4, 'a.example.com', pe FROM c
+        |  UNION ALL SELECT 5, 'a.example.com', pe FROM c
+        |  UNION ALL SELECT 6, 'a.example.com', pe FROM c
+        |  UNION ALL SELECT 8, 'a.example.com', ne + pe FROM c)
         |ORDER BY crawl_day, host""".stripMargin,
 
     // the q249 rank replay (3 DECIMAL-exact iterations keyed by the

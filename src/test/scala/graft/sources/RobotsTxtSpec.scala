@@ -172,6 +172,47 @@ class RobotsTxtSpec extends SparkSpec {
       s"rolled: $got")
   }
 
+  test("server-error latch: 5xx opens the cached window (earliest wins), " +
+      "a sub-500 answer clears it, expiry REPLACES the host's rules " +
+      "with complete disallow") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("host", "err_since")
+    // a drain carrying both a 503 and a retried 200 for one host's
+    // robots got its definitive answer — no latch
+    val mixed = RobotsTxt.rollErrors(empty,
+      Seq(("a.com", 503), ("a.com", 200)).toDF("host", "status")
+        .groupBy("host").agg(min("status").as("status")),
+      t = 0.0)
+    assert(mixed.isEmpty, "mixed 503+200 drain latched")
+    // latch at t=1; a second 5xx at t=2 keeps the EARLIEST err_since
+    val e1 = RobotsTxt.rollErrors(empty,
+      Seq(("a.com", 503)).toDF("host", "status"), t = 1.0)
+    val e2 = RobotsTxt.rollErrors(e1,
+      Seq(("a.com", 500)).toDF("host", "status"), t = 2.0)
+    assert(e2.as[(String, Double)].collect().toSeq == Seq(("a.com", 1.0)),
+      "earliest err_since not kept")
+    // inside the window the cached rules serve; past it the host's
+    // rules are REPLACED (the old longer Allow must not win the
+    // longest-match tie against the synthetic Disallow: /)
+    val rules = Seq(
+      ("a.com", "*", "allow", "/pub"), ("a.com", "*", "disallow", "/priv"),
+      ("b.com", "*", "disallow", "/x"))
+      .toDF("host", "agent", "rule", "prefix")
+    val urls = Seq("http://a.com/pub/1", "http://b.com/ok").toDF("url")
+    def allowed(asOf: Double) = RobotsTxt.verdicts(urls, "url",
+        RobotsTxt.withErrorDisallow(rules, e2, asOf, cachedWindow = 2.0),
+        "bot")
+      .where(col("allowed")).select("url").as[String].collect().sorted.toSeq
+    assert(allowed(2.0) == Seq("http://a.com/pub/1", "http://b.com/ok"),
+      "cached window not honored")
+    assert(allowed(3.0) == Seq("http://b.com/ok"),
+      "expired window did not gate to complete disallow")
+    // recovery: a 200 answer clears the latch
+    val e3 = RobotsTxt.rollErrors(e2,
+      Seq(("a.com", 200)).toDF("host", "status"), t = 4.0)
+    assert(e3.isEmpty, "sub-500 answer did not clear the latch")
+  }
+
   test("randomized differential: verdicts equal a naive RFC 9309 reference") {
     // the AhoCorasickPropertySpec discipline: random rule sets and URLs,
     // engine verdicts vs a literal per-URL Scala application of the RFC
