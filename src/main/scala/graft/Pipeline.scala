@@ -538,6 +538,7 @@ object Pipeline {
       compactEvery: Option[Int] = None,
       recrawlBase: Option[Int] = None,
       recrawlMax: Option[Int] = None,
+      controlRefresh: Option[Int] = None,
       dryRun: Boolean = false)
 
   private[graft] def parseCrawlArgs(rest: Seq[String]): CrawlArgs = {
@@ -560,6 +561,8 @@ object Pipeline {
         loop(t, acc.copy(recrawlBase = Some(int("--recrawl-base", v))))
       case "--recrawl-max" :: v :: t =>
         loop(t, acc.copy(recrawlMax = Some(int("--recrawl-max", v))))
+      case "--control-refresh" :: v :: t =>
+        loop(t, acc.copy(controlRefresh = Some(int("--control-refresh", v))))
       case "--blocked-domains" :: v :: t =>
         loop(t, acc.copy(blockedDomains =
           v.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
@@ -735,6 +738,12 @@ object Pipeline {
       config.getInt("crawl.recrawl_base_drains", 0))
     val recrawlMax = args.recrawlMax.getOrElse(
       config.getInt("crawl.recrawl_max_drains", recrawlBase * 64))
+    // control-plane refresh cadence, in DRAINS: a robots.txt / known
+    // sitemap whose last observed fetch is at least this old is
+    // re-asked-for through the frontier (0 = off — the frontier then
+    // never asks for its own control surfaces, the r17 staleness gap)
+    val controlRefresh = args.controlRefresh.getOrElse(
+      config.getInt("crawl.control_refresh_drains", 0))
     // fault injection for the resume contract's spec: fail the run
     // after N completed drains (0 = off)
     val failAfter = config.getInt("crawl.fail_after_drains", 0)
@@ -756,7 +765,7 @@ object Pipeline {
     // picks one footer's schema nondeterministically (etag hints can
     // silently vanish). Refuse loudly instead of corrupting.
     for ((dir, marker) <- Seq("frontier" -> "etag", "drains" -> "n_noindex",
-        "aliases" -> "kind", "assets" -> "reason")) {
+        "drains" -> "n_control", "aliases" -> "kind", "assets" -> "reason")) {
       // readIfExists: an empty dir (a killed run's bare _SUCCESS, or
       // no committed files yet) carries no schema — nothing to guard
       if (readIfExists(spark, fs, s"$out/$dir")
@@ -921,6 +930,27 @@ object Pipeline {
       }
     })
 
+    // control-plane fetch ages (url, last_fetch): restored, then the
+    // committed drains' observation logs replayed in batch order
+    // (latest-wins upserts — replay order only matters across drains)
+    val controlRef = new java.util.concurrent.atomic.AtomicReference({
+      val base = restoredV
+        .flatMap(v => readIfExists(spark, fs, s"$out/state/v$v/control"))
+        .getOrElse(graft.sources.ControlPlane.emptyState(spark))
+      deltasOf("control") match {
+        case None => base
+        case Some(d) =>
+          val log = d.localCheckpoint()
+          val bids = log.select(col("batch_id")).distinct()
+            .orderBy(col("batch_id")).as[Long].collect()
+          bids.foldLeft(base) { (st, bid) =>
+            graft.sources.ControlPlane.observe(st,
+              log.where(col("batch_id") === bid), "url", bid.toDouble)
+              .localCheckpoint()
+          }
+      }
+    })
+
     // robots server-error latch (host, err_since): restored, then the
     // committed drains' answer logs replayed in batch order (the roll
     // is order-sensitive: earliest error opens the window, any sub-500
@@ -1014,7 +1044,7 @@ object Pipeline {
       * stay eligible next drain).
       */
     def discover(linkPages: DataFrame, extraTargets: DataFrame,
-        batchId: Option[Long]): DataFrame = {
+        controlTargets: DataFrame, batchId: Option[Long]): DataFrame = {
       // FOLLOWABLE anchors only: rel=nofollow (and sponsored/ugc)
       // links are not editorial endorsements — seeding the frontier
       // from them is how link spam farms a crawler
@@ -1068,7 +1098,8 @@ object Pipeline {
       val pool0 = unEmitted.withColumn("__ekey", col("target"))
         .withColumn("etag", lit(null).cast("string"))
         .withColumn("last_modified", lit(null).cast("string"))
-      val pool =
+        .withColumn("__ctl", lit(false))
+      val withDue =
         if (recrawlBase > 0 && batchId.isDefined) {
           val due = graft.sources.RecrawlSchedule.due(schedRef.get,
             batchId.get.toDouble, recrawlBase.toDouble, recrawlMax.toDouble)
@@ -1090,7 +1121,7 @@ object Pipeline {
           val hinted = dueNew.join(broadcast(hints),
               col("target") === col("url"), "left")
             .select(col("target"), col("__ekey"), col("__tier"),
-              col("etag"), col("last_modified"))
+              col("etag"), col("last_modified"), lit(false).as("__ctl"))
           // a URL fetched but never EMITTED (bootstrap/seeded shards)
           // can be both a discovery row and a due row in one drain —
           // two frontier rows for one target would spend the host's
@@ -1100,6 +1131,29 @@ object Pipeline {
               col("target") === col("__d"), "left_anti")
             .unionByName(hinted)
         } else pool0
+      // control-plane refresh rows (stale robots.txt / sitemaps, due
+      // per [[graft.sources.ControlPlane]]): domain-gated, but NOT
+      // robots-gated — robots.txt must stay fetchable even under a
+      // full Disallow (RFC 9309 exempts the control file; an
+      // error-latched host could otherwise never clear its own latch)
+      // — and NOT seen-set-gated (the whole point is a refetch);
+      // generation-keyed like due refetches, deduped against any
+      // same-drain discovery row for the same target (the r16 pool
+      // discipline — one politeness slot per target per drain).
+      val pool =
+        if (controlRefresh > 0 && batchId.isDefined) {
+          val ctl = domainKill(controlTargets, "target")
+          val ctlNew = graft.dedup.UrlSeenSet.filterNew(
+              ctl, "__ekey", emittedRef.get)
+            .withColumn("etag", lit(null).cast("string"))
+            .withColumn("last_modified", lit(null).cast("string"))
+            .select(col("target"), col("__ekey"), col("__tier"),
+              col("etag"), col("last_modified"), col("__ctl"))
+            .localCheckpoint()
+          withDue.join(broadcast(ctlNew.select(col("target").as("__ct"))),
+              col("target") === col("__ct"), "left_anti")
+            .unionByName(ctlNew)
+        } else withDue
       // rank lookup without shuffling the rank STATE: the pool's host
       // set (batch-sized) broadcasts into a semi join that filters the
       // scanned state down to batch-relevant rows, which then broadcast
@@ -1222,6 +1276,41 @@ object Pipeline {
       val sitemapTargets = known.select(col("sitemap_url").as("target"))
         .unionByName(newChildren.select(col("sitemap_url").as("target")))
 
+      // control-plane refresh: observe this drain's robots/sitemap
+      // answers (any status — an answer proves the ask worked), then
+      // re-ask for the stale ones through the frontier so the rolled
+      // robots state and seed set can never silently age out
+      val pathOf = regexp_extract(col("target_uri"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+      val drainT = batchId.getOrElse(0L).toDouble
+      if (controlRefresh > 0) {
+        val robotsFetched = recs
+          .where(col("warc_type") === "response" && pathOf === "/robots.txt")
+          .select(uriCanon.as("url"))
+        val smFetched = recs.where(col("warc_type") === "response")
+          .select(uriCanon.as("url"))
+          .join(broadcast(known.select(col("sitemap_url").as("__k"))),
+            col("url") === col("__k"), "left_semi")
+        val ctlFetched = robotsFetched.unionByName(smFetched)
+          .distinct().localCheckpoint()
+        if (!ctlFetched.isEmpty) {
+          batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
+            ctlFetched, deltaDir("control"), b))
+          controlRef.set(graft.sources.ControlPlane.observe(
+            controlRef.get, ctlFetched, "url", drainT).localCheckpoint())
+        }
+      }
+      val ctlTargets =
+        if (controlRefresh > 0 && batchId.isDefined)
+          graft.sources.ControlPlane.due(
+              controlRef.get, drainT, controlRefresh.toDouble)
+            .select(col("url").as("target"),
+              concat(col("url"), lit("#"),
+                col("last_fetch").cast("long").cast("string")).as("__ekey"),
+              lit(3.0).as("__tier"), lit(true).as("__ctl"))
+        else Seq.empty[(String, String, Double, Boolean)]
+          .toDF("target", "__ekey", "__tier", "__ctl")
+
       // redirects: frontier edges + canonical-alias chains
       val redirEdges = graft.sources.RedirectEdges.edges(recs).localCheckpoint()
       val nRedir = redirEdges.count()
@@ -1241,8 +1330,6 @@ object Pipeline {
       // the assets ledger for a downstream multimodal pipeline. An
       // absent Content-Type routes to extraction (legacy servers —
       // the min-chars/link-density gates absorb binary noise).
-      val pathOf = regexp_extract(col("target_uri"),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
       val nonControl = ok.where(pathOf =!= "/robots.txt")
         .withColumn("__c", uriCanon)
         .join(broadcast(known.select(col("sitemap_url").as("__k"))),
@@ -1505,13 +1592,16 @@ object Pipeline {
           .unionByName(pageSeeds.withColumn("__tier", lit(2.0)))
           .unionByName(sitemapTargets.withColumn("__tier", lit(2.0)))
           .unionByName(canonTargets.withColumn("__tier", lit(1.0))),
-        batchId)
+        ctlTargets, batchId)
       // refetch emissions are the frontier rows whose emitted key is a
-      // url#generation, not the bare target
-      val nRefetch = frontier.where(col("__ekey") =!= col("target")).count()
+      // url#generation, not the bare target; control-refresh asks are
+      // counted apart (also generation-keyed, but control-plane rows)
+      val nRefetch = frontier.where(col("__ekey") =!= col("target") &&
+        !col("__ctl")).count()
+      val nControl = frontier.where(col("__ctl")).count()
       (Array(nBatch, nDom, nRob, nUrl, nNew, c(1), c(2), c(3),
         frontier.count(), nRedir, nRobFetch, nSeeds, nNotMod, nRefetch,
-        nAssets, nFailed, nCanon, nNoindex),
+        nAssets, nFailed, nCanon, nNoindex, nControl),
         surv, frontier, allAliases, assets)
     }
 
@@ -1531,7 +1621,7 @@ object Pipeline {
         s"redirects=${c(9)} robots_fetches=${c(10)} sitemap_seeds=${c(11)} " +
         s"not_modified=${c(12)} refetch_emitted=${c(13)} assets=${c(14)} " +
         s"failed=${c(15)} canonical=${c(16)} noindex=${c(17)} " +
-        "(dry run — nothing written)")
+        s"control=${c(18)} (dry run — nothing written)")
       return CrawlOutcome("(dry-run)", "success", 0L, c(7), restoredV, None)
     }
 
@@ -1575,13 +1665,13 @@ object Pipeline {
             graft.streaming.ExactlyOnce.appendKeyed(
               Seq((batchId, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7),
                 c(8), c(9), c(10), c(11), c(12), c(13), c(14), c(15), c(16),
-                c(17)))
+                c(17), c(18)))
                 .toDF("batch_id", "n_batch", "n_after_domain", "n_after_robots",
                   "n_after_url", "n_new_url", "n_after_exact", "n_after_intra",
                   "n_survivors", "n_frontier", "n_redirects",
                   "n_robots_fetches", "n_sitemap_seeds", "n_not_modified",
                   "n_refetch", "n_assets", "n_failed", "n_canonical",
-                  "n_noindex"),
+                  "n_noindex", "n_control"),
               s"$out/drains", batchId)
             drains.incrementAndGet(): Unit
             ingested.addAndGet(c(7)): Unit
@@ -1620,6 +1710,7 @@ object Pipeline {
       schedRef.get.write.mode("overwrite").parquet(s"$vdir/recrawl")
       validatorsRef.get.write.mode("overwrite").parquet(s"$vdir/validators")
       robotsErrRef.get.write.mode("overwrite").parquet(s"$vdir/robotserr")
+      controlRef.get.write.mode("overwrite").parquet(s"$vdir/control")
       fs.create(new org.apache.hadoop.fs.Path(s"$vdir/_COMMITTED"), true).close()
       restoredV.foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$out/state/v$v"), true): Unit
@@ -1654,7 +1745,8 @@ object Pipeline {
     val usage = "usage: Pipeline crawl <inDir> <outDir> [--agent NAME] " +
       "[--blocked-domains d1,d2] [--robots PARQUET] [--corpus PARQUET] " +
       "[--psl PARQUET] [--change-aware] [--files-per-drain N] " +
-      "[--compact-every K] [--recrawl-base N] [--recrawl-max N] [--dry-run]"
+      "[--compact-every K] [--recrawl-base N] [--recrawl-max N] " +
+      "[--control-refresh N] [--dry-run]"
     require(args.length >= 2 && !args(0).startsWith("-") && !args(1).startsWith("-"),
       usage)
     val parsed =

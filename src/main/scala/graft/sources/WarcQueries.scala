@@ -1579,6 +1579,77 @@ object WarcQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CONTROL-PLANE REFRESH ([[ControlPlane]]) — the loop asking for
+    // its OWN control surfaces: per-host robots.txt ages on the drain
+    // clock ([[ControlPlane.observe]]), stale entries re-emit through
+    // the frontier ([[due]], cadence 2 drains) GENERATION-keyed like
+    // due refetches — one ask per (url, last_fetch) until the fetch
+    // actually lands. Five ticks, cohorts by doc_id % 3: cohort 0's
+    // host answers the tick-2 ask with a CHANGED body (Disallow flips
+    // from /priv to /doc — the refreshed rules must gate the probe
+    // URL), cohort 1 never answers (its spent generation must NOT
+    // re-emit: one ask, not one per tick), cohort 2 re-answers
+    // unchanged (and earns a second ask at tick 4, like cohort 0).
+    // The oracle restates emissions/ages/verdicts closed-form.
+    "q267_control_refresh" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .localCheckpoint()
+      val c3 = col("doc_id") % 3
+      val host = concat(lit("h"), col("doc_id").cast("string"),
+        lit(".example.com"))
+      val rUrl = concat(lit("http://"), host, lit("/robots.txt"))
+      val v1 = "User-agent: *\nDisallow: /priv\n"
+      val v2 = "User-agent: *\nDisallow: /doc\n"
+      // the scripted fetcher: tick-0 bootstrap for all hosts, tick-2
+      // answers only for cohorts 0 (changed) and 2 (unchanged)
+      val answers = d
+        .select(lit(0.0).as("t"), host.as("host"), lit(v1).as("body"),
+          rUrl.as("url"))
+        .unionByName(d.filter(c3 === 0)
+          .select(lit(2.0).as("t"), host.as("host"), lit(v2).as("body"),
+            rUrl.as("url")))
+        .unionByName(d.filter(c3 === 2)
+          .select(lit(2.0).as("t"), host.as("host"), lit(v1).as("body"),
+            rUrl.as("url")))
+        .localCheckpoint()
+      var ctl = ControlPlane.emptyState(s)
+      var robots = Seq.empty[(String, String)].toDF("host", "body")
+      var emitted = graft.dedup.UrlSeenSet.empty(s)
+      val emissionFrames = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      for (t <- 0 to 4) {
+        // ask FIRST (the frontier emits off the state as of this tick;
+        // answers land afterwards, the loop's drain semantics)
+        val due = ControlPlane.due(ctl, t.toDouble, everyDrains = 2.0)
+          .select(col("url").as("target"),
+            concat(col("url"), lit("#"),
+              col("last_fetch").cast("long").cast("string")).as("__ekey"))
+        val fresh = graft.dedup.UrlSeenSet.filterNew(due, "__ekey", emitted)
+          .localCheckpoint()
+        emitted = graft.dedup.UrlSeenSet.extend(emitted, fresh, "__ekey")
+        emissionFrames += fresh.select(col("target"))
+        val ans = answers.where(col("t") === t.toDouble)
+        ctl = ControlPlane.observe(ctl, ans, "url", t.toDouble)
+          .localCheckpoint()
+        robots = RobotsTxt.rollBodies(robots,
+          ans.select(col("host"), col("body"))).localCheckpoint()
+      }
+      val nEm = emissionFrames.reduce(_ unionByName _)
+        .groupBy(col("target")).agg(count(lit(1)).as("n_emissions"))
+      val probe = d.select(col("doc_id"),
+        concat(lit("http://"), host, lit("/doc/1")).as("purl"),
+        rUrl.as("target"))
+      val rules = RobotsTxt.parseRules(robots, "host", "body")
+      RobotsTxt.verdicts(probe, "purl", rules, "graftbot")
+        .join(nEm, Seq("target"))
+        .join(ctl.select(col("url").as("target"), col("last_fetch")),
+          Seq("target"))
+        .select(col("doc_id"), col("n_emissions"), col("last_fetch"),
+          col("allowed").as("doc_allowed"))
+        .orderBy(col("doc_id"))
+    },
+
     // HTTP cache validators through the WARC reader — `http_etag` /
     // `http_last_modified` surfaced from the one header-block parse
     // (WarcCodec.parseHttpEnvelope), and 304 Not Modified responses
@@ -2578,6 +2649,20 @@ object WarcQueries {
         |    WHEN 3 THEN 3.0 WHEN 4 THEN 6.0 ELSE 3.0 END)::DOUBLE
         |    AS next_fetch,
         |  (c IN (0, 2, 3, 5)) AS is_due
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // the refresh timeline restated closed-form: every host is asked
+    // at tick 2 (bootstrap age 2 ≥ cadence); answering hosts (cohorts
+    // 0/2) age-reset to 2 and earn a SECOND ask at tick 4, the silent
+    // cohort 1 keeps its spent generation (one ask total, last_fetch
+    // pinned at the bootstrap); only cohort 0's refreshed body gates
+    // the /doc probe
+    "q267_control_refresh" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS c FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN c = 1 THEN 1 ELSE 2 END)::BIGINT AS n_emissions,
+        |  (CASE WHEN c = 1 THEN 0.0 ELSE 2.0 END)::DOUBLE AS last_fetch,
+        |  (c <> 0) AS doc_allowed
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // the planted validators restated closed-form: 200 rows for every

@@ -940,6 +940,75 @@ class PipelineSpec extends SparkSpec {
     assert(b2 == ((2L, 1, 0, false)), s"resurrected /b/1 state: $b2")
   }
 
+  test("crawl control-plane refresh: stale robots.txt and sitemaps are " +
+      "re-asked-for through the frontier (generation-keyed), and the " +
+      "answered refetch's robots change gates the same drain") {
+    import spark.implicits._
+    val in = tmpDir("ctlref-in")
+    val out = tmpDir("ctlref-out")
+    val S = "ctl.example.org"
+    def page(text: String, links: Seq[String] = Nil): Array[Byte] = {
+      val nav = if (links.isEmpty) ""
+      else links.map(l => s"""<a href="$l">x</a>""").mkString("<nav>", " ", "</nav>")
+      ("<html><head><title>t</title></head><body>" + nav + "<p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def entry(shard: Int, ord: Long, path: String, payload: Array[Byte]) =
+      graft.sources.WarcShards.Entry(shard, ord, "response",
+        s"http://$S$path", s"<urn:test:ctl:$shard:$ord>",
+        "application/http;msgtype=response", payload)
+    def resp(body: Array[Byte], ct: String) =
+      graft.sources.WarcShards.WarcCodec.httpResponse(body, ct)
+    val alpha = "the alpha page talks about mountains and rivers flowing north"
+    val beta = "a second page describing oceans tides and the salty breeze"
+    val gamma = "completely different words about the weather in marseille today"
+    val robots1 = s"User-agent: *\nDisallow: /priv\nSitemap: http://$S/sitemap.xml\n"
+    val robots2 = s"User-agent: *\nDisallow: /s\nSitemap: http://$S/sitemap.xml\n"
+    val sitemapXml = s"<urlset><url><loc>http://$S/s/1</loc></url></urlset>"
+    // drain 0: robots + a page; drain 1: the sitemap body + a page;
+    // drain 2: a page only — the drain-0 robots is now 2 drains old →
+    // the frontier ASKS for it; drain 3: the fetcher answers the ask
+    // with a CHANGED body (now disallowing /s) that must gate the page
+    // fetched beside it, and the sitemap (fetched at 1) comes due.
+    graft.sources.WarcShards.pack(Seq(
+      entry(0, 1, "/robots.txt", resp(robots1.getBytes("UTF-8"), "text/plain")),
+      entry(0, 2, "/p/1", resp(page(alpha, Seq("/p/2")), "text/html; charset=utf-8")),
+      entry(1, 1, "/sitemap.xml", resp(sitemapXml.getBytes("UTF-8"), "application/xml")),
+      entry(1, 2, "/p/2", resp(page(beta), "text/html; charset=utf-8")),
+      entry(2, 1, "/s/1", resp(page(gamma), "text/html; charset=utf-8")),
+      entry(3, 1, "/robots.txt", resp(robots2.getBytes("UTF-8"), "text/plain")),
+      entry(3, 2, "/s/2", resp(page(gamma), "text/html; charset=utf-8"))
+    ).toDS(), in): Unit
+    val r = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(Seq("--files-per-drain", "1",
+        "--control-refresh", "2")))
+    assert(r.status == "success" && r.drains == 4L, s"run: $r")
+    val led = spark.read.parquet(s"$out/drains").orderBy("batch_id")
+      .select("n_control", "n_robots_fetches")
+      .as[(Long, Long)].collect().toSeq
+    assert(led == Seq((0L, 1L), (0L, 0L), (1L, 0L), (1L, 1L)),
+      s"control asks per drain (robots due at 2, sitemap due at 3): $led")
+    // frontier: the robots ask rides its generation exactly once; the
+    // sitemap appears twice — the advertised discovery emission (drain
+    // 0) and the drain-3 control refresh under its generation key
+    val front = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front == Seq(
+      s"http://$S/p/2", s"http://$S/robots.txt", s"http://$S/s/1",
+      s"http://$S/sitemap.xml", s"http://$S/sitemap.xml"),
+      s"cumulative frontier: $front")
+    // the refreshed robots gated /s/2 in its own drain
+    val docs = spark.read.parquet(s"$out/docs")
+      .select("uri").as[String].collect().sorted.toSeq
+    assert(docs == Seq(s"http://$S/p/1", s"http://$S/p/2", s"http://$S/s/1"),
+      s"ingested docs (/s/2 gated by the refreshed robots): $docs")
+    // committed control ages: robots re-observed at 3, sitemap at 1
+    val ctl = spark.read.parquet(s"$out/state/v0/control")
+      .as[(String, Double)].collect().toMap
+    assert(ctl == Map(s"http://$S/robots.txt" -> 3.0,
+      s"http://$S/sitemap.xml" -> 1.0), s"control state: $ctl")
+  }
+
   test("a due refetch respects the CURRENT robots state: a robots change " +
       "suppresses the re-emission of an already-fetched URL") {
     import spark.implicits._
