@@ -1497,18 +1497,28 @@ object Pipeline {
           // Retry-After from the SAME observation (r17 verdict #3).
           // Retry-After: numeric (delta-seconds) form honored;
           // HTTP-date forms are wall time, which the drain clock has
-          // no axis for → null.
+          // no axis for → null. NO-RESPONSE attempts (WARC metadata/
+          // resource records carrying an outcome line — a timeout or
+          // DNS failure leaves no response capture at all) join the
+          // same path with status 0: they back off and re-mint the
+          // generation like a 5xx, but can never latch the tombstone,
+          // and any real response for the URL outranks them in the
+          // representative pick.
+          val respFails = recs.where(col("warc_type") === "response" &&
+              col("http_status").between(400, 599))
+            .select(uriCanon.as("url"),
+              col("http_status").cast("int").as("status"),
+              when(regexp_extract(
+                coalesce(col("http_retry_after"), lit("")),
+                "^[0-9]{1,9}$", 0) === "", lit(null).cast("double"))
+                .otherwise(col("http_retry_after").cast("double"))
+                .as("__ra"))
+          val attemptFails = graft.sources.RecrawlSchedule
+            .attemptFailures(recs)
+            .select(col("url"), lit(0).as("status"),
+              lit(null).cast("double").as("__ra"))
           val fails = graft.sources.RecrawlSchedule.representativeFailures(
-              recs.where(col("warc_type") === "response" &&
-                  col("http_status").between(400, 599))
-                .select(uriCanon.as("url"),
-                  col("http_status").cast("int").as("status"),
-                  when(regexp_extract(
-                    coalesce(col("http_retry_after"), lit("")),
-                    "^[0-9]{1,9}$", 0) === "", lit(null).cast("double"))
-                    .otherwise(col("http_retry_after").cast("double"))
-                    .as("__ra")),
-              "url", "status", "__ra")
+              respFails.unionByName(attemptFails), "url", "status", "__ra")
             .join(broadcast(obs.select(col("url").as("__o"))),
               col("url") === col("__o"), "left_anti")
             .withColumn("t", lit(batchId.getOrElse(0L).toDouble))

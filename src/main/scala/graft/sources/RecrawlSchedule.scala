@@ -207,6 +207,33 @@ object RecrawlSchedule {
       .unionByName(updated)
   }
 
+  /** Fetch-ATTEMPT observations out of a drain's WARC records — the
+    * failures that leave NO response record at all: a refetch that
+    * times out, fails DNS resolution, or is dropped mid-handshake
+    * produces no `response` capture, so nothing advances `last_fetch`
+    * and the URL's spent emitted generation never re-mints (the r16
+    * stall class, fixed for 4xx/5xx responses only). Real fetchers
+    * record such attempts as WARC `metadata`/`resource` records whose
+    * warc-fields body carries an outcome line (`outcome: timeout`,
+    * `fetch-outcome: dns-error` — both spellings seen in the wild);
+    * any outcome other than a success token is a failure observation.
+    * Returns `(url, outcome)` with the URL canonicalized; feed to the
+    * failure path with a non-HTTP status (0) so it backs off like a
+    * 5xx but can never latch the 404/410 tombstone.
+    */
+  def attemptFailures(records: DataFrame,
+      uriCol: String = "target_uri",
+      typeCol: String = "warc_type",
+      bodyCol: String = "body"): DataFrame =
+    records
+      .where(col(typeCol).isin("metadata", "resource"))
+      .select(UrlOps.canonicalize(col(uriCol)).as("url"),
+        lower(regexp_extract(col(bodyCol).cast("string"),
+          "(?im)^[ \\t]*(?:fetch-)?outcome[ \\t]*:[ \\t]*([a-zA-Z0-9_-]+)",
+          1)).as("outcome"))
+      .where(col("url").isNotNull && col("outcome") =!= "" &&
+        !col("outcome").isin("success", "ok", "fetched"))
+
   /** Collapse one drain's RAW failed-refetch responses (possibly
     * several per URL — a drain can carry both a 404 and a 503 for one
     * URL) to ONE representative observation per URL, for

@@ -1579,6 +1579,81 @@ object WarcQueries {
         .orderBy(col("doc_id"))
     },
 
+    // FETCH-ATTEMPT OBSERVATIONS ([[RecrawlSchedule.attemptFailures]])
+    // — the failures that leave NO response record: a timed-out or
+    // DNS-failed refetch writes only a WARC metadata/resource attempt
+    // record (`outcome: timeout`), which must advance the schedule
+    // like a 5xx (backoff + generation re-mint, the r16 stall class)
+    // but can never latch the 404/410 tombstone. Cohorts by doc_id%4:
+    //   0: 200 → timeout → 200 unchanged   (recovered; streak grows)
+    //   1: 200 → timeout → timeout → dns-error via a `resource`
+    //      record with the `fetch-outcome:` spelling — fail_streak 3
+    //      yet NEVER gone (no HTTP 404 evidence)
+    //   2: 200 → timeout + 404 response in ONE drain — the response
+    //      outranks the attempt in the representative pick
+    //   3: 200 only                        (baseline)
+    // The oracle restates every terminal state closed-form.
+    "q268_fetch_attempts" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .localCheckpoint()
+      val c4 = col("doc_id") % 4
+      val url = concat(lit("http://example.com/doc/"),
+        col("doc_id").cast("string"))
+      val succ = d.select(url.as("url"), lit(0.0).as("t"), lit(1L).as("h"))
+        .unionByName(d.filter(c4 === 0)
+          .select(url.as("url"), lit(2.0).as("t"), lit(1L).as("h")))
+        .localCheckpoint()
+      // attempt records, WARC-shaped (the reader's envelope columns)
+      def attempt(frame: org.apache.spark.sql.DataFrame, wt: String,
+          body: String) =
+        frame.select(url.as("target_uri"), lit(wt).as("warc_type"),
+          lit(body.getBytes(StandardCharsets.UTF_8)).as("body"))
+      val attempts = Seq(
+        (1.0, attempt(d.filter(c4.isin(0L, 1L, 2L)), "metadata",
+          "outcome: timeout\r\nvia: graft-fetcher\r\n")),
+        (2.0, attempt(d.filter(c4 === 1), "metadata",
+          "outcome: timeout\r\n")),
+        (3.0, attempt(d.filter(c4 === 1), "resource",
+          "fetch-outcome: dns-error\r\n")))
+      val respFails = d.filter(c4 === 2)
+        .select(url.as("url"), lit(1.0).as("t"), lit(404).as("status"),
+          lit(null).cast("double").as("ra"))
+        .localCheckpoint()
+      var st = RecrawlSchedule.emptyState(s)
+      for (t <- 0 to 3) {
+        val att = attempts.filter(_._1 == t.toDouble).map(_._2)
+          .reduceOption(_ unionByName _)
+          .map(a => RecrawlSchedule.attemptFailures(a)
+            .select(col("url"), lit(0).as("status"),
+              lit(null).cast("double").as("ra")))
+          .getOrElse(Seq.empty[(String, Int, Option[Double])]
+            .toDF("url", "status", "ra"))
+        val raw = respFails.where(col("t") === t.toDouble)
+          .select(col("url"), col("status"), col("ra"))
+          .unionByName(att)
+        st = RecrawlSchedule.advanceFailures(
+          RecrawlSchedule.advance(st,
+            succ.where(col("t") === t.toDouble), "url", "t", "h"),
+          RecrawlSchedule.representativeFailures(raw, "url", "status", "ra")
+            .withColumn("t", lit(t.toDouble)),
+          "url", "t", "status", "retry_after")
+          .localCheckpoint()
+      }
+      RecrawlSchedule.scheduleOf(st,
+          baseIntervalSeconds = 1.0, maxIntervalSeconds = 8.0)
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long")
+            .as("doc_id"),
+          col("n_fetches"),
+          col("unchanged_streak").cast("long").as("unchanged_streak"),
+          col("fail_streak").cast("long").as("fail_streak"),
+          col("gone"),
+          col("interval_seconds"), col("next_fetch"),
+          (col("eligible") && col("next_fetch") <= 4.0).as("is_due"))
+        .orderBy(col("doc_id"))
+    },
+
     // CONTROL-PLANE REFRESH ([[ControlPlane]]) — the loop asking for
     // its OWN control surfaces: per-host robots.txt ages on the drain
     // clock ([[ControlPlane.observe]]), stale entries re-emit through
@@ -2649,6 +2724,27 @@ object WarcQueries {
         |    WHEN 3 THEN 3.0 WHEN 4 THEN 6.0 ELSE 3.0 END)::DOUBLE
         |    AS next_fetch,
         |  (c IN (0, 2, 3, 5)) AS is_due
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // every terminal state closed-form: attempts advance last_fetch
+    // (the stall fix) and back off like 5xx failures, the dns-error
+    // resource record reaches streak 3 with gone STILL false (no 404
+    // evidence — attempt failures can never tombstone), the mixed
+    // drain's 404 response outranks the same drain's timeout attempt,
+    // and cohort 0's recovery clears the streak
+    "q268_fetch_attempts" ->
+      """WITH p AS (SELECT doc_id, (doc_id % 4) AS c FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN c = 0 THEN 2 ELSE 1 END)::BIGINT AS n_fetches,
+        |  (CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT AS unchanged_streak,
+        |  (CASE c WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS fail_streak,
+        |  false AS gone,
+        |  (CASE c WHEN 0 THEN 2.0 WHEN 1 THEN 8.0 WHEN 2 THEN 2.0
+        |    ELSE 1.0 END)::DOUBLE AS interval_seconds,
+        |  (CASE c WHEN 0 THEN 4.0 WHEN 1 THEN 11.0 WHEN 2 THEN 3.0
+        |    ELSE 1.0 END)::DOUBLE AS next_fetch,
+        |  (c <> 1) AS is_due
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // the refresh timeline restated closed-form: every host is asked

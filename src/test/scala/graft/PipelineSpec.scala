@@ -1009,6 +1009,66 @@ class PipelineSpec extends SparkSpec {
       s"http://$S/sitemap.xml" -> 1.0), s"control state: $ctl")
   }
 
+  test("crawl accepts fetch-attempt records: a timed-out refetch (WARC " +
+      "metadata, no response) backs off and re-emits instead of " +
+      "stalling its generation forever") {
+    import spark.implicits._
+    val in = tmpDir("attempt-in")
+    val out = tmpDir("attempt-out")
+    val H = "att.example.net"
+    def page(text: String): Array[Byte] =
+      ("<html><head><title>t</title></head><body><p>" + text +
+        "</p></body></html>").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def entry(shard: Int, ord: Long, path: String, text: String) =
+      graft.sources.WarcShards.Entry(shard, ord, "response",
+        s"http://$H$path", s"<urn:test:att:$shard:$ord>",
+        "application/http;msgtype=response",
+        graft.sources.WarcShards.WarcCodec.httpResponse(
+          page(text), "text/html; charset=utf-8"))
+    val texts = Seq(
+      "the alpha page talks about mountains and rivers flowing north",
+      "a second page describing oceans tides and the salty breeze",
+      "completely different words about the weather in marseille now",
+      "the delta page rambles at length about trains and stations",
+      "the epsilon page discusses harbors lighthouses and seagulls")
+    // drain 0: /a/1 fetched. drain 1: /a/1 due → emitted (generation
+    // 0). drain 2: the fetcher TIMES OUT on /a/1 — only a metadata
+    // attempt record arrives; without it the spent generation would
+    // stall forever. drain 4: /a/1 due again (2 + 2^1) → re-emits
+    // under its failure-minted generation.
+    graft.sources.WarcShards.pack(Seq(
+      entry(0, 1, "/a/1", texts(0)),
+      entry(1, 1, "/b/1", texts(1)),
+      graft.sources.WarcShards.Entry(2, 1, "metadata", s"http://$H/a/1",
+        "<urn:test:att:2:1>", "application/warc-fields",
+        "outcome: timeout\r\nvia: graft-fetcher\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      entry(2, 2, "/c/1", texts(2)),
+      entry(3, 1, "/d/1", texts(3)),
+      entry(4, 1, "/e/1", texts(4))
+    ).toDS(), in): Unit
+    val r = Pipeline.crawl(spark, in, out,
+      args = Pipeline.parseCrawlArgs(Seq("--files-per-drain", "1",
+        "--change-aware", "--recrawl-base", "1")))
+    assert(r.status == "success" && r.drains == 5L, s"run: $r")
+    val led = spark.read.parquet(s"$out/drains").orderBy("batch_id")
+      .select("n_failed", "n_refetch")
+      .as[(Long, Long)].collect().toSeq
+    assert(led == Seq((0L, 0L), (0L, 1L), (1L, 1L), (0L, 1L), (0L, 2L)),
+      s"drain ledger (attempt consumed at 2; /a/1 re-emits at 4): $led")
+    val front = spark.read.parquet(s"$out/frontier")
+      .select("target").as[String].collect().sorted.toSeq
+    assert(front == Seq(s"http://$H/a/1", s"http://$H/a/1",
+      s"http://$H/b/1", s"http://$H/c/1", s"http://$H/d/1"),
+      s"frontier (two /a/1 generations): $front")
+    val a = spark.read.parquet(s"$out/state/v0/recrawl")
+      .where(col("url") === s"http://$H/a/1")
+      .select("last_fetch", "n_fetches", "fail_streak", "gone")
+      .as[(Double, Long, Int, Boolean)].head()
+    assert(a == ((2.0, 1L, 1, false)),
+      s"/a/1 schedule after the attempt: $a")
+  }
+
   test("a due refetch respects the CURRENT robots state: a robots change " +
       "suppresses the re-emission of an already-fetched URL") {
     import spark.implicits._
