@@ -37,6 +37,29 @@ object Sitemaps {
         l => xmlUnescape(l)),
       u => u =!= "")
 
+  private val UrlBlockRe = "(?is)<url>(.*?)</url>"
+  private val LastmodRe = "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>"
+
+  /** The `<url>` ENTRIES of a urlset with their freshness hint:
+    * `array<struct<loc, lastmod>>` — `lastmod` is the raw W3C-datetime
+    * string (null when the entry carries none; sitemaps.org makes it
+    * optional). The hint is exactly the prior an adaptive re-crawl
+    * schedule can seed intervals from
+    * ([[RecrawlSchedule.seedFromLastmod]]): a recently-modified URL
+    * deserves the base revisit interval, a years-old one starts backed
+    * off. [[urls]] stays the loc-only extractor (it also reads
+    * `<sitemapindex>` bodies, whose `<sitemap>` blocks this parser
+    * deliberately ignores).
+    */
+  def entries(xml: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(xml, lit(UrlBlockRe), lit(1)),
+        b => struct(
+          xmlUnescape(regexp_extract(b, LocRe, 1)).as("loc"),
+          nullif(regexp_extract(b, LastmodRe, 1), lit("")).as("lastmod"))),
+      e => e.getField("loc") =!= "")
+
   /** The DuckDB mirror of [[urls]] over an xml-valued SQL expression. */
   def urlsSql(xmlRef: String): String = {
     val dec = "replace(replace(replace(replace(replace(l, " +

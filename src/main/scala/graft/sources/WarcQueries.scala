@@ -1579,6 +1579,74 @@ object WarcQueries {
         .orderBy(col("doc_id"))
     },
 
+    // SITEMAP LASTMOD SEEDING ([[Sitemaps.entries]] +
+    // [[RecrawlSchedule.seedFromLastmod]]) — the freshness prior a
+    // site DECLARES: a urlset entry's <lastmod> seeds the re-crawl
+    // interval the schedule would otherwise learn only after several
+    // wasted refetches. Per doc a two-entry urlset (one entry with a
+    // cohort-aged lastmod, one without — optional per sitemaps.org);
+    // ages by doc_id % 5 span under-base (streak 0) through
+    // clamp-at-max (streak 3). The first real fetch KEEPS the seeded
+    // streak (no change evidence against the prior), a second
+    // unchanged fetch (even docs) grows it normally, the un-hinted
+    // twin starts at streak 0, and re-seeding a known URL is a no-op
+    // (real observations outrank declared hints). Closed-form oracle.
+    "q269_sitemap_lastmod" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .localCheckpoint()
+      // ages vs asOf = 2026-01-02T00:00:00Z: 1800 s (< base → 0),
+      // 7200 (→ 1), 16200 (→ 2), 32400 (→ 3), 10 days (clamp → 3)
+      val lastmods = Seq("2026-01-01T23:30:00Z", "2026-01-01T22:00:00Z",
+        "2026-01-01T19:30:00Z", "2026-01-01T15:00:00Z",
+        "2025-12-23T00:00:00Z")
+      val lm = element_at(array(lastmods.map(lit(_)): _*),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val url = concat(lit("http://example.com/doc/"),
+        col("doc_id").cast("string"))
+      val xml = concat(lit("<urlset><url><loc>"), url,
+        lit("</loc><lastmod>"), lm, lit("</lastmod></url><url><loc>"),
+        url, lit("?skip=1</loc></url></urlset>"))
+      val asOf = 1767312000.0 // 2026-01-02T00:00:00Z
+      val seeds = d.select(col("doc_id"),
+          explode(Sitemaps.entries(xml)).as("e"))
+        .select(col("e.loc").as("url"),
+          unix_timestamp(to_timestamp(col("e.lastmod"))).cast("double")
+            .as("lm"))
+        .localCheckpoint()
+      var st = RecrawlSchedule.seedFromLastmod(
+        RecrawlSchedule.emptyState(s), seeds, "url", "lm", asOf,
+        baseIntervalSeconds = 3600.0, maxIntervalSeconds = 28800.0)
+      // re-seeding known URLs with a different hint is a no-op
+      st = RecrawlSchedule.seedFromLastmod(st,
+        seeds.where(col("lm").isNotNull).withColumn("lm", lit(0.0)),
+        "url", "lm", asOf,
+        baseIntervalSeconds = 3600.0, maxIntervalSeconds = 28800.0)
+        .localCheckpoint()
+      val fetch1 = d.select(url.as("url"), lit(asOf + 600.0).as("t"),
+          lit(1L).as("h"))
+        .unionByName(d.select(concat(url, lit("?skip=1")).as("url"),
+          lit(asOf + 600.0).as("t"), lit(1L).as("h")))
+      st = RecrawlSchedule.advance(st, fetch1, "url", "t", "h")
+        .localCheckpoint()
+      val fetch2 = d.filter(col("doc_id") % 2 === 0)
+        .select(url.as("url"), lit(asOf + 1200.0).as("t"), lit(1L).as("h"))
+        .unionByName(d.filter(col("doc_id") % 2 === 0)
+          .select(concat(url, lit("?skip=1")).as("url"),
+            lit(asOf + 1200.0).as("t"), lit(1L).as("h")))
+      st = RecrawlSchedule.advance(st, fetch2, "url", "t", "h")
+        .localCheckpoint()
+      RecrawlSchedule.scheduleOf(st,
+          baseIntervalSeconds = 3600.0, maxIntervalSeconds = 28800.0)
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")
+            .as("doc_id"),
+          (!col("url").contains("?")).as("seeded"),
+          col("n_fetches"),
+          col("unchanged_streak").cast("long").as("unchanged_streak"),
+          col("interval_seconds"))
+        .orderBy(col("doc_id"), col("seeded"))
+    },
+
     // FETCH-ATTEMPT OBSERVATIONS ([[RecrawlSchedule.attemptFailures]])
     // — the failures that leave NO response record: a timed-out or
     // DNS-failed refetch writes only a WARC metadata/resource attempt
@@ -2725,6 +2793,36 @@ object WarcQueries {
         |    AS next_fetch,
         |  (c IN (0, 2, 3, 5)) AS is_due
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // seeded streaks closed-form from the cohort ages (0/1/2/3/3,
+    // the last clamped at log2(max/base)); the first fetch keeps the
+    // seed, the evens' second unchanged fetch adds one; the un-hinted
+    // ?skip twin walks the ordinary 0-then-1 path
+    "q269_sitemap_lastmod" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id % 5) AS c, (doc_id % 2) AS e
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, e,
+        |    (CASE c WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 3 END)
+        |      AS s0
+        |  FROM p)
+        |SELECT * FROM (
+        |  SELECT doc_id, true AS seeded,
+        |    (CASE WHEN e = 0 THEN 2 ELSE 1 END)::BIGINT AS n_fetches,
+        |    (s0 + CASE WHEN e = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS unchanged_streak,
+        |    least(28800.0, 3600.0 * power(2.0,
+        |      s0 + CASE WHEN e = 0 THEN 1 ELSE 0 END))::DOUBLE
+        |      AS interval_seconds
+        |  FROM s
+        |  UNION ALL
+        |  SELECT doc_id, false,
+        |    (CASE WHEN e = 0 THEN 2 ELSE 1 END)::BIGINT,
+        |    (CASE WHEN e = 0 THEN 1 ELSE 0 END)::BIGINT,
+        |    (CASE WHEN e = 0 THEN 7200.0 ELSE 3600.0 END)::DOUBLE
+        |  FROM p)
+        |ORDER BY doc_id, seeded""".stripMargin,
 
     // every terminal state closed-form: attempts advance last_fetch
     // (the stall fix) and back off like 5xx failures, the dns-error

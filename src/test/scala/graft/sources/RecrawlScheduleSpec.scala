@@ -163,6 +163,52 @@ class RecrawlScheduleSpec extends SparkSpec {
       ("w", 429, Some(5.0))), s"representatives: $got")
   }
 
+  test("seedFromLastmod: age-derived streak priors survive the first " +
+      "fetch, known urls are never re-seeded, seeds are never due") {
+    val seeds = Seq(
+      ("fresh", Some(990.0)),   // age 10 < base → streak 0
+      ("old", Some(200.0)),     // age 800 → floor(log2(8)) = 3 → clamp 3? max/base=8 → cap 3
+      ("ancient", Some(-1e6)),  // clamped at log2(max/base) = 3
+      ("nohint", Option.empty[Double])) // no lastmod → not seeded
+      .toDF("url", "lm")
+    val st0 = RecrawlSchedule.seedFromLastmod(
+      RecrawlSchedule.emptyState(spark), seeds, "url", "lm",
+      asOf = 1000.0, baseIntervalSeconds = 100.0,
+      maxIntervalSeconds = 800.0)
+    val got0 = st0.select("url", "n_fetches", "unchanged_streak")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(got0 == Seq(("ancient", 0L, 3), ("fresh", 0L, 0), ("old", 0L, 3)),
+      s"seeded state: $got0")
+    // seeds never emit from due() — their first fetch is discovery's
+    assert(RecrawlSchedule.due(st0, asOf = 1e9, 100.0, 800.0).isEmpty,
+      "a never-fetched seed row was due")
+    // a real observation outranks a later hint: re-seeding is a no-op
+    val st1 = RecrawlSchedule.seedFromLastmod(st0,
+      Seq(("fresh", Some(-1e6))).toDF("url", "lm"), "url", "lm",
+      asOf = 1000.0, baseIntervalSeconds = 100.0,
+      maxIntervalSeconds = 800.0)
+    assert(st1.where($"url" === "fresh").count() == 1)
+    // the first fetch KEEPS the seeded streak (no change evidence
+    // against the prior); the second unchanged fetch grows it, a
+    // changed one resets it
+    val f1 = RecrawlSchedule.advance(st1,
+      Seq(("old", 1000.0, 7L), ("fresh", 1000.0, 7L)).toDF("url", "t", "h"),
+      "url", "t", "h")
+    val g1 = f1.where($"url".isin("old", "fresh"))
+      .select("url", "n_fetches", "unchanged_streak")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(g1 == Seq(("fresh", 1L, 0), ("old", 1L, 3)),
+      s"after first fetch: $g1")
+    val f2 = RecrawlSchedule.advance(f1,
+      Seq(("old", 1100.0, 7L), ("fresh", 1100.0, 9L)).toDF("url", "t", "h"),
+      "url", "t", "h")
+    val g2 = f2.where($"url".isin("old", "fresh"))
+      .select("url", "n_fetches", "unchanged_streak")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(g2 == Seq(("fresh", 2L, 0), ("old", 2L, 4)),
+      s"after second fetch (old unchanged, fresh changed): $g2")
+  }
+
   test("withFailureDefaults migrates a pre-failure-era state frame") {
     val old = Seq(("u", 1.0, 1L, 2L, 1))
       .toDF("url", "last_fetch", "last_hash", "n_fetches", "unchanged_streak")

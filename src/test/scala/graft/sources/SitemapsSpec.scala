@@ -50,4 +50,32 @@ class SitemapsSpec extends SparkSpec {
       ("h2.com", "https://h2.com/a.xml"),
       ("h2.com", "https://h2.com/b.xml")), s"got $got")
   }
+
+  test("entries: per-<url> loc+lastmod pairs, lastmod optional, " +
+      "entities decoded, sitemapindex blocks ignored") {
+    import spark.implicits._
+    val xml =
+      """<urlset>
+        |<url><loc>https://a.com/p?x=1&amp;y=2</loc>
+        |  <lastmod>2026-01-15T08:00:00Z</lastmod></url>
+        |<url><lastmod>2026-01-01</lastmod><loc> https://a.com/q </loc></url>
+        |<url><loc>https://a.com/r</loc></url>
+        |<url><lastmod>2026-02-02</lastmod></url>
+        |</urlset>""".stripMargin
+    val got = Seq(xml).toDF("xml")
+      .select(explode(Sitemaps.entries(col("xml"))).as("e"))
+      .select(col("e.loc"), col("e.lastmod"))
+      .as[(String, Option[String])].collect().toSeq
+    assert(got == Seq(
+      ("https://a.com/p?x=1&y=2", Some("2026-01-15T08:00:00Z")),
+      ("https://a.com/q", Some("2026-01-01")),
+      ("https://a.com/r", None)), s"entries: $got")
+    // an index body has no <url> blocks — entries() yields nothing
+    // (urls() still reads its <loc>s; the caller routes by body kind)
+    val idx = "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>" +
+      "<lastmod>2026-01-01</lastmod></sitemap></sitemapindex>"
+    val none = Seq(idx).toDF("xml")
+      .select(size(Sitemaps.entries(col("xml"))).as("n")).as[Int].head()
+    assert(none == 0, s"index body minted $none entries")
+  }
 }
