@@ -3,6 +3,7 @@ package graft
 import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max, xxhash64}
 
 /** Benchmark main: every SparkEntry query against SPARK_GRAFT_SF_DIR
   * (default sf0.1), one JSON line on stdout for the driver. Failed
@@ -92,6 +93,58 @@ object Bench {
     // query in the report.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // ---- host-load probe (r17 verdict #1: make the channel
+    // noise-proof, don't hope for calm weather) ----
+    // A tiny FIXED CPU-bound measurement (pure codegen hash-sum over a
+    // range, all cores, ~0.1 s) brackets the battery: its runtime moves
+    // with CPU steal / co-tenant load and with nothing else. The
+    // opening reading (median of 5 after 2 warm-ups) anchors the
+    // record; a re-probe every ~20 queries (median of 3, outside every
+    // timed window) that drifts beyond the tolerance IN EITHER
+    // DIRECTION (a slow opening is as disqualifying as a slow middle)
+    // ABORTS the record: non-zero exit, no file writes — a degraded
+    // window can never be committed. SPARK_GRAFT_PROBE=off disables
+    // (dev only); SPARK_GRAFT_PROBE_TOLERANCE tunes the ratio
+    // (default 1.25 = the verdict's 25%).
+    val probeEnabled = !sys.env.get("SPARK_GRAFT_PROBE").contains("off")
+    val probeTolerance =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_TOLERANCE", "1.25").toDouble
+    val probeEvery = 20
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      // max, not sum: full-range hash values overflow a long SUM under
+      // ANSI mode; the work (20M hashes across all cores) is identical
+      spark.range(0L, 20000000L, 1L, cpus)
+        .select(max(xxhash64(col("id")))).collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    def probeMedian(n: Int): Double = {
+      val xs = Seq.fill(n)(probeOnce()).sorted
+      xs((n - 1) / 2)
+    }
+    val probeOpen: Double =
+      if (probeEnabled) { probeOnce(); probeOnce(); probeMedian(5) }
+      else 0.0
+    // (query-index, probe-median) readings, opening included
+    val probeLog = scala.collection.mutable.ArrayBuffer[(Int, Double)](
+      0 -> probeOpen)
+    def probeCheck(afterQueries: Int, haveRecord: Boolean): Unit =
+      if (probeEnabled) {
+        val m = probeMedian(3)
+        probeLog += afterQueries -> m
+        val drift = math.max(m / probeOpen, probeOpen / m)
+        if (drift > probeTolerance && haveRecord) {
+          // the record is void: say why on ONE parseable line, write
+          // nothing, exit non-zero — the driver must see a failed
+          // channel, never a degraded number
+          println(s"""{"metric":"total","value":-1.0,"unit":"sec","aborted":"probe-drift","probe_open":${num(probeOpen)},"probe_now":${num(m)},"drift":${num(drift)},"tolerance":${num(probeTolerance)},"after_queries":$afterQueries,"sf":${q(sfDir)}}""")
+          spark.stop()
+          sys.exit(2)
+        } else if (drift > probeTolerance)
+          System.err.println(f"[bench] probe drift $drift%.2fx after " +
+            s"$afterQueries queries (dev subset — not aborting)")
+      }
+
     // Dev-only subset filter (comma-separated names); the driver sets no
     // filter and always benches the full battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
@@ -135,7 +188,9 @@ object Bench {
       System.gc()
     }
 
-    val results = selected.map { case (name, fn) =>
+    val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi > 0 && qi % probeEvery == 0)
+        probeCheck(qi, haveRecord = only.isEmpty)
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
@@ -164,6 +219,9 @@ object Bench {
       // -1 marks a failed run (NaN is not valid JSON)
       (name, cold.getOrElse(-1.0), warm.getOrElse(-1.0))
     }
+    // closing probe: the record is only committed when the window
+    // ENDED as calm as it opened
+    probeCheck(selected.size, haveRecord = only.isEmpty)
     def row(fmt: Double => String, sel: ((String, Double, Double)) => Double): String =
       results.map { case t @ (k, _, _) => q(k) + ":" + fmt(sel(t)) }.mkString("{", ",", "}")
     val totalCold = results.map(_._2).filter(_ >= 0).sum
@@ -180,8 +238,21 @@ object Bench {
     val setHash = querySetHash(SparkEntry.queries.keys)
     val cyclesJson = cycles.toSeq.sortBy(_._1)
       .map { case (k, n) => q(k) + ":" + n }.mkString("{", ",", "}")
+    // cycle-unit normalization (the adjudication protocol, recomputed
+    // IN the record so the criterion is auditable per record): each
+    // N-cycle composite counts N units, every other query 1; the r2
+    // self-anchored baseline is 0.91 s/unit COLD at sf0.1, and the
+    // acceptance bar is ratio <= 2.0.
+    val cycleUnits = selected.map { case (n, _) => cycles.getOrElse(n, 1) }.sum
+    val secPerUnit = if (cycleUnits > 0) totalCold / cycleUnits else 0.0
+    val unitRatio = secPerUnit / 0.91
+    val probeDriftMax =
+      if (probeLog.size > 1)
+        probeLog.map(p => math.max(p._2 / probeOpen, probeOpen / p._2)).max
+      else 1.0
+    val probeJson = s""""probe":{"open":${num(probeOpen)},"max_drift":${num(probeDriftMax)},"tolerance":${num(probeTolerance)},"readings":${probeLog.map(p => s"[${p._1},${num(p._2)}]").mkString("[", ",", "]")}}"""
     val detail =
-      s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","value_warm":${num(totalWarm)},$protocol,"query_set_hash":${q(setHash)},"query_count":${SparkEntry.queries.size},"cycles":$cyclesJson,"queries":${row(num, _._2)},"queries_warm":${row(num, _._3)},"failed":$failedJson,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","value_warm":${num(totalWarm)},$protocol,"query_set_hash":${q(setHash)},"query_count":${SparkEntry.queries.size},"cycles":$cyclesJson,"cycle_units":$cycleUnits,"sec_per_unit_cold":${num(secPerUnit)},"unit_ratio_vs_r2":${num(unitRatio)},$probeJson,"queries":${row(num, _._2)},"queries_warm":${row(num, _._3)},"failed":$failedJson,"sf":${q(sfDir)}}"""
     // A dev subset run (SPARK_GRAFT_ONLY) must NOT clobber the committed
     // full-battery record — that is exactly the stale-number class the
     // r7 verdict flagged.
@@ -208,6 +279,17 @@ object Bench {
            |slow outlier on a host with a documented ~15% wall-clock swing).
            |Slowest warm medians: $slowest.
            |Full per-query cold+warm detail: `bench_detail.json`.
+           |
+           |Cycle-unit criterion (auditable per record): $cycleUnits units →
+           |${num2(secPerUnit)} s/unit cold = **${num2(unitRatio)}×** the r2 anchor
+           |(0.91 s/unit cold at sf0.1; acceptance bar ≤ 2.0×).
+           |
+           |Host-load probe: opening ${num(probeOpen)} s (median-of-5 fixed
+           |CPU reference), max drift ${num2(probeDriftMax)}× across
+           |${probeLog.size} readings, tolerance ${num2(probeTolerance)}× —
+           |a reading outside tolerance ABORTS the record (exit 2, nothing
+           |written), so a committed record is a calm-window record by
+           |construction.
            |
            |N-cycle composites (all other queries run their pipeline once):
            |$cyclesLine — each deliberately drains N full ingest cycles, so
