@@ -724,8 +724,7 @@ object WarcQueries {
           val q = WarcShards.readRecordsStream(s, inDir.getAbsolutePath)
             .where(col("http_status") === 200)
             .select(col("target_uri").as("uri"),
-              call_function("graft_html_text",
-                col("body").cast("string"), lit(20), lit(33)).as("text"))
+              col("body").cast("string").as("html"))
             .writeStream
             .foreachBatch { (batch0: DataFrame, _: Long) =>
               // AvailableNow can fire an empty timeout batch — skip it
@@ -741,19 +740,19 @@ object WarcQueries {
                     .otherwise(idEx).as("bid"),
                   regexp_replace(col("uri"), "^http://example\\.com", "")
                     .as("path"),
-                  col("text"))
+                  col("html"))
                 val hostv = element_at(
                   array(DomainHosts.map(lit(_)): _*),
                   (col("src") % 6 + 1).cast("int"))
                 val clean = base.select(col("bid"), col("src"), col("path"),
-                  col("text"),
+                  col("html"),
                   concat(lit("http://"), hostv, col("path")).as("uri2"))
-                val noisy = clean.select("bid", "src", "uri2", "text")
+                val noisy = clean.select("bid", "src", "uri2", "html")
                   .unionByName(clean.filter(col("src") % 7 === 0)
                     .select(col("bid"), col("src"),
                       concat(lit("HTTP://"), upper(hostv), lit(":80"),
                         col("path"), lit("?utm_source=feed#frag")).as("uri2"),
-                      col("text")))
+                      col("html")))
                   .localCheckpoint()
                 val cohorts = noisy.select((col("src") % 8).as("c"))
                   .distinct().as[Long].collect()
@@ -761,11 +760,19 @@ object WarcQueries {
                   s"drain $ord: expected cohort ${expectCohort(ord)}, got " +
                     cohorts.sorted.mkString(","))
                 val nBatch = noisy.count()
+                // URL-only gates FIRST, extraction on the survivors
+                // only (the loop's r18 discipline: the drop's most
+                // expensive kernel must not run on rows the domain
+                // blocklist or robots verdict is about to throw away)
                 val domKept = graft.sources.Domains.filterBlocked(
-                  noisy, "uri2", Seq("tracker.net")).localCheckpoint()
+                  noisy, "uri2", Seq("tracker.net"))
                 val nDom = domKept.count()
                 val robKept = RobotsTxt.filterAllowed(
-                  domKept, "uri2", robotsRules, "graftbot").localCheckpoint()
+                    domKept, "uri2", robotsRules, "graftbot")
+                  .withColumn("text", call_function("graft_html_text",
+                    col("html"), lit(20), lit(33)))
+                  .drop("html")
+                  .localCheckpoint()
                 val nRob = robKept.count()
                 val urlDeduped = graft.dedup.ExactDedup.keepFirst(
                   robKept.withColumn("canon", UrlOps.canonicalize(col("uri2"))),
