@@ -144,7 +144,18 @@ object Bench {
     var probeAnchor = probeOpen
     def probeCheck(afterQueries: Int, haveRecord: Boolean): Unit =
       if (probeEnabled) {
-        val m = probeMin(5)
+        val first = probeMin(5)
+        // one settle-and-retry before declaring the window degraded: a
+        // single hot point can be a 10-second co-tenant burst or the
+        // tail of the previous query's concurrent GC — neither poisons
+        // a 35-minute record the way a SUSTAINED window does (attempt
+        // 3 died at query 160 on a spike the host had shed moments
+        // later). Only a reading still hot after the pause aborts.
+        val m =
+          if (first / math.min(probeAnchor, first) > probeTolerance) {
+            Thread.sleep(10000)
+            math.min(first, probeMin(5))
+          } else first
         probeLog += afterQueries -> m
         probeAnchor = math.min(probeAnchor, m)
         val drift = m / probeAnchor
