@@ -1337,10 +1337,15 @@ object WarcQueries {
       var state = Seq.empty[(String, String)].toDF("host", "body")
       var errState = Seq.empty[(String, Double)].toDF("host", "err_since")
       val perDay = days.zipWithIndex.map { case (fetches, day) =>
-        state = RobotsTxt.rollBodies(state,
-          RobotsTxt.fetchesIn(fetches)).localCheckpoint()
-        errState = RobotsTxt.rollErrors(errState,
-          RobotsTxt.answersIn(fetches), day.toDouble).localCheckpoint()
+        // checkpoint the rolled states every third day only: the
+        // frames are two-host tiny and the roll plans nest shallowly,
+        // so per-day materialization jobs dominate the query's cost
+        // (the q264 checkpoint-halving lesson)
+        def cp(df: org.apache.spark.sql.DataFrame) =
+          if (day % 3 == 2) df.localCheckpoint() else df
+        state = cp(RobotsTxt.rollBodies(state, RobotsTxt.fetchesIn(fetches)))
+        errState = cp(RobotsTxt.rollErrors(errState,
+          RobotsTxt.answersIn(fetches), day.toDouble))
         val rules = RobotsTxt.withErrorDisallow(
           RobotsTxt.parseRules(state, "host", "body"),
           errState, day.toDouble, cachedWindow = 2.0)
@@ -1770,7 +1775,11 @@ object WarcQueries {
         org.apache.spark.sql.DataFrame]
       for (t <- 0 to 4) {
         // ask FIRST (the frontier emits off the state as of this tick;
-        // answers land afterwards, the loop's drain semantics)
+        // answers land afterwards, the loop's drain semantics).
+        // Checkpoints only where a frame is consumed more than once
+        // (fresh) or the fold would otherwise nest five ticks deep
+        // (tick-2 states) — the frames are corpus-sized-small and
+        // per-tick materialization jobs dominate the cost otherwise.
         val due = ControlPlane.due(ctl, t.toDouble, everyDrains = 2.0)
           .select(col("url").as("target"),
             concat(col("url"), lit("#"),
@@ -1780,10 +1789,11 @@ object WarcQueries {
         emitted = graft.dedup.UrlSeenSet.extend(emitted, fresh, "__ekey")
         emissionFrames += fresh.select(col("target"))
         val ans = answers.where(col("t") === t.toDouble)
-        ctl = ControlPlane.observe(ctl, ans, "url", t.toDouble)
-          .localCheckpoint()
-        robots = RobotsTxt.rollBodies(robots,
-          ans.select(col("host"), col("body"))).localCheckpoint()
+        def cp(df: org.apache.spark.sql.DataFrame) =
+          if (t == 2) df.localCheckpoint() else df
+        ctl = cp(ControlPlane.observe(ctl, ans, "url", t.toDouble))
+        robots = cp(RobotsTxt.rollBodies(robots,
+          ans.select(col("host"), col("body"))))
       }
       val nEm = emissionFrames.reduce(_ unionByName _)
         .groupBy(col("target")).agg(count(lit(1)).as("n_emissions"))
