@@ -96,7 +96,7 @@ object Bench {
     // ---- host-load probe (r17 verdict #1: make the channel
     // noise-proof, don't hope for calm weather) ----
     // A FIXED CPU-bound measurement (pure codegen hash scan over a
-    // 400M range, all cores, ~0.3-0.5 s — compute-dominated, so task
+    // 4B range, all cores, ~1 s — compute-dominated, so task
     // scheduling overhead is a small fraction) brackets the battery:
     // its runtime moves with CPU steal / co-tenant load and with
     // little else. ANCHOR = the RUNNING MINIMUM of all readings — the
@@ -121,22 +121,27 @@ object Bench {
     def probeOnce(): Double = {
       val t0 = System.nanoTime()
       // max, not sum: full-range hash values overflow a long SUM under
-      // ANSI mode; the work (800M hashes across all cores) is identical
-      spark.range(0L, 800000000L, 1L, cpus)
+      // ANSI mode; the work (4B hashes across all cores, ~1 s) is
+      // identical. The LONG sample is deliberate: the quantity the
+      // probe bounds is the average slowdown of minutes-long record
+      // windows, so a sub-second co-scheduling burst must dilute
+      // proportionally inside a sample instead of inflating a short
+      // sample whole (0.17 s samples spread ±30% on this host and
+      // false-aborted two otherwise-calm records at queries 160/260).
+      spark.range(0L, 4000000000L, 1L, cpus)
         .select(max(xxhash64(col("id")))).collect(): Unit
       (System.nanoTime() - t0) / 1e9
     }
     // MIN-of-n, not median: a probe point taken right after a heavy
     // query inherits the battery's own in-JVM noise (a GC pause on a
-    // 32g heap adds 50-100 ms and can hit 2 of 3 samples — the second
-    // record attempt false-aborted at 1.31× on exactly this), and the
-    // min is the classic capability estimator: transient in-process
-    // stalls inflate individual samples, while SUSTAINED external load
-    // (CPU steal, a co-tenant — the thing the probe exists to catch)
-    // inflates every sample including the min.
+    // 32g heap can hit 2 of 3 samples), and the min is the classic
+    // capability estimator: transient in-process stalls inflate
+    // individual samples, while SUSTAINED external load (CPU steal, a
+    // co-tenant — the thing the probe exists to catch) inflates every
+    // sample including the min.
     def probeMin(n: Int): Double = Seq.fill(n)(probeOnce()).min
     val probeOpen: Double =
-      if (probeEnabled) { probeOnce(); probeOnce(); probeOnce(); probeMin(5) }
+      if (probeEnabled) { probeOnce(); probeOnce(); probeMin(3) }
       else 0.0
     // (query-index, probe-min) readings, opening included
     val probeLog = scala.collection.mutable.ArrayBuffer[(Int, Double)](
@@ -144,7 +149,7 @@ object Bench {
     var probeAnchor = probeOpen
     def probeCheck(afterQueries: Int, haveRecord: Boolean): Unit =
       if (probeEnabled) {
-        val first = probeMin(5)
+        val first = probeMin(3)
         // one settle-and-retry before declaring the window degraded: a
         // single hot point can be a 10-second co-tenant burst or the
         // tail of the previous query's concurrent GC — neither poisons
@@ -154,7 +159,7 @@ object Bench {
         val m =
           if (first / math.min(probeAnchor, first) > probeTolerance) {
             Thread.sleep(10000)
-            math.min(first, probeMin(5))
+            math.min(first, probeMin(3))
           } else first
         probeLog += afterQueries -> m
         probeAnchor = math.min(probeAnchor, m)
