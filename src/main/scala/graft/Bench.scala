@@ -76,7 +76,16 @@ object Bench {
     "q232_stream_rolling_ingest" -> 4, // 4 checkpoint-resumed drains
     "q241_url_seen_ingest" -> 4,     // 4 batch cycles, URL seen-set
     "q242_crawl_loop_rolling" -> 10, // 10 checkpoint-resumed full-loop drains
-    "q245_recrawl_refresh" -> 5)     // 5 batch cycles, change-aware seen-set
+    "q245_recrawl_refresh" -> 5,     // 5 batch cycles, change-aware seen-set
+    // the r17/r18 control-plane composites are the same deliberate
+    // N-sequential-drain class (each iteration rolls the full state
+    // through the complete pipeline); their counts mirror the loop
+    // bounds in WarcQueries.scala
+    "q255_robots_rolling" -> 9,      // 9 day-drains of the robots roll
+    "q264_refetch_errors" -> 4,      // 4 clock-tick schedule folds
+    "q267_control_refresh" -> 5,     // 5 frontier/refresh ticks
+    "q268_fetch_attempts" -> 4,      // 4 attempt-log tick folds
+    "q269_sitemap_lastmod" -> 4)     // 4 sequential schedule folds
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -731,7 +731,11 @@ object WarcQueries {
               if (!batch0.isEmpty) {
                 val sp = batch0.sparkSession
                 import sp.implicits._
-                val b0 = batch0.localCheckpoint()
+                // no checkpoint here: `noisy`'s localCheckpoint below is
+                // the one materialization of this micro-batch (the union
+                // branches re-scan the tiny in-flight batch, which is
+                // cheaper than a second materialization job per drain)
+                val b0 = batch0
                 val idEx = regexp_extract(
                   col("uri"), "/(?:doc|page)/([0-9]+)$", 1).cast("long")
                 val base = b0.select(
@@ -754,12 +758,16 @@ object WarcQueries {
                         col("path"), lit("?utm_source=feed#frag")).as("uri2"),
                       col("html")))
                   .localCheckpoint()
-                val cohorts = noisy.select((col("src") % 8).as("c"))
-                  .distinct().as[Long].collect()
+                // one aggregate job yields the batch count AND the
+                // cohort assertion set (was a distinct+collect beside a
+                // separate count — two jobs per drain)
+                val agg0 = noisy
+                  .agg(count(lit(1)), collect_set(col("src") % 8)).head()
+                val nBatch = agg0.getLong(0)
+                val cohorts = agg0.getSeq[Long](1)
                 require(cohorts.length == 1 && cohorts.head == expectCohort(ord),
                   s"drain $ord: expected cohort ${expectCohort(ord)}, got " +
                     cohorts.sorted.mkString(","))
-                val nBatch = noisy.count()
                 // URL-only gates FIRST, extraction on the survivors
                 // only (the loop's r18 discipline: the drop's most
                 // expensive kernel must not run on rows the domain
