@@ -333,7 +333,7 @@ object Bench {
            |(0.91 s/unit cold at sf0.1; acceptance bar ≤ 2.0×).
            |
            |Host-load probe: anchor ${num(probeAnchorFinal)} s (running min
-           |of min-of-5 fixed CPU references; opening ${num(probeOpen)} s
+           |of min-of-3 fixed CPU references; opening ${num(probeOpen)} s
            |carries JVM warm-up), max steady-state drift ${num2(probeDriftMax)}× across
            |${probeLog.size} readings, tolerance ${num2(probeTolerance)}× —
            |a reading above tolerance × anchor ABORTS the record (exit 2,

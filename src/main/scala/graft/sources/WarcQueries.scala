@@ -2266,13 +2266,16 @@ object WarcQueries {
               val sp = batch0.sparkSession
               import sp.implicits._
               val b = batch0.localCheckpoint()
-              val shards = b.select((col("doc_id") % 8).as("sh"))
-                .distinct().as[Long].collect()
+              // one aggregate job yields the batch count AND the shard
+              // assertion set (was a distinct+collect beside a separate
+              // count — two jobs per micro-batch)
+              val agg0 = b.agg(count(lit(1)), collect_set(col("doc_id") % 8)).head()
+              val nBatch = agg0.getLong(0)
+              val shards = agg0.getSeq[Long](1)
               require(shards.length == 1,
                 s"expected one shard file per micro-batch, got cohorts " +
                   s"${shards.sorted.mkString(",")} — per-shard ledger counts " +
                   "would be meaningless")
-              val nBatch = b.count()
               val urlDeduped = graft.dedup.ExactDedup.keepFirst(
                 b.withColumn("canonical_url", UrlOps.canonicalize(col("uri"))),
                 Seq("canonical_url"), Seq(col("uri")))
