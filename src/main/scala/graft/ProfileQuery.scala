@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * local[32] stand-in for the Spark UI (disabled in EngineSession). Not part
   * of the driver contract; Bench remains the timing channel.
   *
-  * Usage: sbt "runMain graft.ProfileQuery q242_crawl_loop_rolling [warmRuns]"
+  * Usage: sbt "runMain graft.ProfileQuery q242_crawl_loop_rolling[,qNNN...] [warmRuns]"
   */
 object ProfileQuery {
 
@@ -21,8 +21,8 @@ object ProfileQuery {
       id: Int, start: Long, var end: Long = 0L, site: String, desc: String)
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ProfileQuery <queryName> [warmRuns]")
-    val name = args(0)
+    require(args.nonEmpty, "usage: ProfileQuery <queryName>[,<queryName>...] [warmRuns]")
+    val names = args(0).split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val warmRuns = if (args.length > 1) args(1).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -32,6 +32,13 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     core.EngineSession.quietLocalCheckpointWarnings()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    names.foreach(profileOne(spark, sfDir, _, warmRuns))
+    spark.stop()
+  }
+
+  private def profileOne(
+      spark: SparkSession, sfDir: String, name: String, warmRuns: Int): Unit = {
 
     val jobs = mutable.LinkedHashMap.empty[Int, JobRow]
     val stageTaskMs = mutable.LinkedHashMap.empty[Int, (String, Long, Int)]
@@ -57,7 +64,6 @@ object ProfileQuery {
 
     val fn = SparkEntry.queries(name)
     // cold run (not measured here — Bench owns the cold channel)
-    spark.read.parquet(s"$sfDir/region.parquet").count()
     fn(spark, sfDir).count(): Unit
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     System.gc()
@@ -92,6 +98,5 @@ object ProfileQuery {
       .foreach { case (sid, (nm, ms, nt)) =>
         println(f"${ms / 1e3}%9.3f s-task  stage=$sid%-5d tasks=$nt%-4d $nm")
       }
-    spark.stop()
   }
 }

@@ -45,10 +45,18 @@ object ConnectedComponents {
     // Null endpoints dropped EXPLICITLY so both execution paths agree:
     // the distributed join would silently never match them, while a
     // driver-side collect would NPE on getLong.
+    // The edge count rides the materialization job (Dataset.observe):
+    // the adaptive-cutover decision costs zero extra passes over the
+    // (often expensively derived) edge list.
+    val obs = org.apache.spark.sql.Observation()
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint()
-    if (e.count() <= maxLocalEdges) return assignLocal(vertices, e)
+    // A provably-empty edge list is optimizer-eliminated together with
+    // its CollectMetrics node (PropagateEmptyRelation) — no metrics ≡ 0.
+    if (obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L) <= maxLocalEdges)
+      return assignLocal(vertices, e)
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
 
     // Active subgraph: vertices with degree ≥ 1.

@@ -320,9 +320,14 @@ object DedupQueries {
               if (!batch0.isEmpty) {
                 val sp = batch0.sparkSession
                 import sp.implicits._
-                val b = batch0.localCheckpoint()
-                val cohorts = b.select((col("doc_id") % 4).as("sh"))
-                  .distinct().as[Long].collect()
+                // cohort assertion rides the checkpoint job itself
+                // (Dataset.observe) — zero extra passes
+                val obsB = org.apache.spark.sql.Observation()
+                val b = batch0
+                  .observe(obsB, collect_set(col("doc_id") % 4).as("cohorts"))
+                  .localCheckpoint()
+                val cohorts = obsB.get("cohorts")
+                  .asInstanceOf[scala.collection.Seq[Long]].sorted
                 require(cohorts.length == 1 && cohorts.head == staged.get,
                   s"micro-batch must be exactly the staged shard ${staged.get}, " +
                     s"got cohorts ${cohorts.sorted.mkString(",")} — the " +

@@ -33,13 +33,15 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalIngest {
 
-  /** The four stage frames of one cycle, exposed so [[survivors]] and
-    * [[report]] cannot drift apart. `checkpoint` materializes each stage
-    * boundary (report mode: the counts then reuse the blocks instead of
-    * recomputing the upstream stages per count).
+  /** The stage frames of one cycle, exposed so [[survivors]] and
+    * [[report]]/[[cycle]] cannot drift apart. `bound` materializes each
+    * stage boundary (cycle mode: localCheckpoint with the stage count
+    * riding the SAME job via `Dataset.observe` — one pass per stage
+    * instead of materialize-then-count, guide §1/§2: a count is a second
+    * full scan of the stage output at any scale).
     */
   private final case class Stages(
-      batch: DataFrame, exact: DataFrame, intra: DataFrame, survivors: DataFrame)
+      exact: DataFrame, intra: DataFrame, survivors: DataFrame)
 
   private def stages(
       corpusIndex: MinHashDedup.Index,
@@ -47,12 +49,13 @@ object IncrementalIngest {
       idCol: String,
       textCol: String,
       threshold: Double,
-      checkpoint: Boolean
+      bound: (DataFrame, String) => DataFrame
   ): Stages = {
-    def bound(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
-    val b = bound(batch)
-    // intra-batch, exact: deterministic min-id winner per text
-    val exact = bound(ExactDedup.keepFirst(b, Seq(textCol), Seq(col(idCol))))
+    // intra-batch, exact: deterministic min-id winner per text. The
+    // batch frame is consumed exactly once (here), so it is NOT
+    // checkpointed: its rows flow straight into this stage's single
+    // materialization (callers pass already-bounded micro-batches).
+    val exact = bound(ExactDedup.keepFirst(batch, Seq(textCol), Seq(col(idCol))), "exact")
     // intra-batch, near: banded candidate pairs -> components -> min id
     val pairs = MinHashDedup
       .nearDuplicatePairs(exact, idCol, textCol, threshold)
@@ -61,7 +64,7 @@ object IncrementalIngest {
       exact.select(col(idCol).as("id")), pairs)
     val intra = bound(exact.join(
       labels.filter(col("id") === col("component")).select(col("id").as(idCol)),
-      Seq(idCol), "left_semi"))
+      Seq(idCol), "left_semi"), "intra")
     // cross-corpus, exact: the text-hash anti-join catches EVERY copy,
     // including sub-shingle-width texts the banded probe cannot see.
     // Matching on the PAIR of hashes (see MinHashDedup.Index.textHashes)
@@ -75,7 +78,7 @@ object IncrementalIngest {
       .probe(noExactCopy, corpusIndex, idCol, textCol, threshold)
       .select(col("new_id").as(idCol))
       .distinct()
-    Stages(b, exact, intra, noExactCopy.join(corpusHits, Seq(idCol), "left_anti"))
+    Stages(exact, intra, noExactCopy.join(corpusHits, Seq(idCol), "left_anti"))
   }
 
   /** Batch survivors after the four dedup stages. */
@@ -86,7 +89,7 @@ object IncrementalIngest {
       textCol: String,
       threshold: Double = 0.5
   ): DataFrame =
-    stages(corpusIndex, batch, idCol, textCol, threshold, checkpoint = false).survivors
+    stages(corpusIndex, batch, idCol, textCol, threshold, (df, _) => df).survivors
 
   /** One cycle, eagerly: the survivor frame PLUS the per-stage counts
     * `(n_batch, n_after_exact, n_after_intra, n_survivors)` — what a
@@ -94,6 +97,14 @@ object IncrementalIngest {
     * twice ([[survivors]] then [[report]] would). The survivor frame is
     * localCheckpoint-bounded, so appending it to a sink does not re-run
     * the dedup stages.
+    *
+    * Counts ride the stage-materialization jobs via `Dataset.observe`
+    * (a `CollectMetrics` node above each checkpointed plan, plus one at
+    * the batch level inside the first stage's plan): one job per stage
+    * boundary instead of materialize-then-count — at corpus scale each
+    * merged count deletes one full pass over the stage output, and the
+    * incoming micro-batch is no longer re-materialized at all (it is
+    * consumed exactly once, by the exact stage's own job).
     */
   def cycle(
       corpusIndex: MinHashDedup.Index,
@@ -102,14 +113,26 @@ object IncrementalIngest {
       textCol: String,
       threshold: Double = 0.5
   ): (DataFrame, Array[Long]) = {
-    val st = stages(corpusIndex, batch, idCol, textCol, threshold, checkpoint = true)
-    val surv = st.survivors.localCheckpoint()
-    (surv, Array(st.batch.count(), st.exact.count(), st.intra.count(), surv.count()))
+    import org.apache.spark.sql.Observation
+    val obs = Map("batch" -> Observation(), "exact" -> Observation(),
+      "intra" -> Observation(), "survivors" -> Observation())
+    def counted(df: DataFrame, name: String): DataFrame =
+      df.observe(obs(name), count(lit(1)).as("n"))
+    val st = stages(corpusIndex, counted(batch, "batch"), idCol, textCol,
+      threshold, (df, name) => counted(df, name).localCheckpoint())
+    val surv = counted(st.survivors, "survivors").localCheckpoint()
+    // A provably-empty stage (empty batch) is optimizer-eliminated
+    // (PropagateEmptyRelation) together with its CollectMetrics node —
+    // the observation then completes with NO metrics, which is exactly
+    // a zero count. Any non-empty plan keeps its node.
+    def n(name: String): Long =
+      obs(name).get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+    (surv, Array(n("batch"), n("exact"), n("intra"), n("survivors")))
   }
 
   /** Per-stage row counts for one ingest cycle — the operational report
-    * (what arrived, what each stage removed, what got in). Four bounded
-    * actions over checkpointed stage frames.
+    * (what arrived, what each stage removed, what got in). Same eager
+    * stage chain as [[cycle]]; the counts ride the stage jobs.
     */
   def report(
       corpusIndex: MinHashDedup.Index,
@@ -119,9 +142,9 @@ object IncrementalIngest {
       threshold: Double = 0.5
   ): DataFrame = {
     val spark = batch.sparkSession
-    val st = stages(corpusIndex, batch, idCol, textCol, threshold, checkpoint = true)
+    val (_, c) = cycle(corpusIndex, batch, idCol, textCol, threshold)
     import spark.implicits._
-    Seq((st.batch.count(), st.exact.count(), st.intra.count(), st.survivors.count()))
+    Seq((c(0), c(1), c(2), c(3)))
       .toDF("n_batch", "n_after_exact", "n_after_intra", "n_survivors")
   }
 }

@@ -751,44 +751,65 @@ object WarcQueries {
                 val clean = base.select(col("bid"), col("src"), col("path"),
                   col("html"),
                   concat(lit("http://"), hostv, col("path")).as("uri2"))
+                // Stage counts ride the TWO materialization jobs of the
+                // drain via Dataset.observe (one CollectMetrics node per
+                // gate level): the batch count + cohort assertion ride
+                // the batch checkpoint, and the domain/robots/canonical/
+                // novelty counts ride the gated-frame checkpoint — at
+                // crawl scale each merged count deletes one full pass
+                // over a drop-sized frame (guide §1.4/§2.3; was 5 count
+                // jobs + 3 intermediate checkpoints per drain).
+                val obsB = org.apache.spark.sql.Observation()
+                val obsDom = org.apache.spark.sql.Observation()
+                val obsRob = org.apache.spark.sql.Observation()
+                val obsUrl = org.apache.spark.sql.Observation()
+                val obsNew = org.apache.spark.sql.Observation()
                 val noisy = clean.select("bid", "src", "uri2", "html")
                   .unionByName(clean.filter(col("src") % 7 === 0)
                     .select(col("bid"), col("src"),
                       concat(lit("HTTP://"), upper(hostv), lit(":80"),
                         col("path"), lit("?utm_source=feed#frag")).as("uri2"),
                       col("html")))
+                  .observe(obsB, count(lit(1)).as("n"),
+                    collect_set(col("src") % 8).as("cohorts"))
                   .localCheckpoint()
-                // one aggregate job yields the batch count AND the
-                // cohort assertion set (was a distinct+collect beside a
-                // separate count — two jobs per drain)
-                val agg0 = noisy
-                  .agg(count(lit(1)), collect_set(col("src") % 8)).head()
-                val nBatch = agg0.getLong(0)
-                val cohorts = agg0.getSeq[Long](1)
+                val nBatch = obsB.get("n").asInstanceOf[Long]
+                val cohorts = obsB.get("cohorts")
+                  .asInstanceOf[scala.collection.Seq[Long]]
                 require(cohorts.length == 1 && cohorts.head == expectCohort(ord),
                   s"drain $ord: expected cohort ${expectCohort(ord)}, got " +
                     cohorts.sorted.mkString(","))
                 // URL-only gates FIRST, extraction on the survivors
                 // only (the loop's r18 discipline: the drop's most
                 // expensive kernel must not run on rows the domain
-                // blocklist or robots verdict is about to throw away)
+                // blocklist or robots verdict is about to throw away).
+                // Gates are filters: a CollectMetrics node at each gate
+                // level keeps the counts exact (filters do not push
+                // through an observe), while the whole gated chain
+                // materializes in ONE job.
                 val domKept = graft.sources.Domains.filterBlocked(
-                  noisy, "uri2", Seq("tracker.net"))
-                val nDom = domKept.count()
+                    noisy, "uri2", Seq("tracker.net"))
+                  .observe(obsDom, count(lit(1)).as("n"))
                 val robKept = RobotsTxt.filterAllowed(
                     domKept, "uri2", robotsRules, "graftbot")
                   .withColumn("text", call_function("graft_html_text",
                     col("html"), lit(20), lit(33)))
                   .drop("html")
-                  .localCheckpoint()
-                val nRob = robKept.count()
+                  .observe(obsRob, count(lit(1)).as("n"))
                 val urlDeduped = graft.dedup.ExactDedup.keepFirst(
-                  robKept.withColumn("canon", UrlOps.canonicalize(col("uri2"))),
-                  Seq("canon"), Seq(col("uri2"))).localCheckpoint()
-                val nUrl = urlDeduped.count()
+                    robKept.withColumn("canon", UrlOps.canonicalize(col("uri2"))),
+                    Seq("canon"), Seq(col("uri2")))
+                  .observe(obsUrl, count(lit(1)).as("n"))
                 val fresh = graft.dedup.UrlSeenSet.filterNew(
-                  urlDeduped, "canon", seenRef.get).localCheckpoint()
-                val nNew = fresh.count()
+                    urlDeduped, "canon", seenRef.get)
+                  .observe(obsNew, count(lit(1)).as("n"))
+                  .localCheckpoint()
+                def obsN(o: org.apache.spark.sql.Observation): Long =
+                  o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+                val nDom = obsN(obsDom)
+                val nRob = obsN(obsRob)
+                val nUrl = obsN(obsUrl)
+                val nNew = obsN(obsNew)
                 seenRef.set(graft.dedup.UrlSeenSet.extend(
                   seenRef.get, fresh, "canon"))
                 val row =
@@ -2101,6 +2122,13 @@ object WarcQueries {
     "q218_warc_to_curation" -> { (s, dir) =>
       import s.implicits._
       val crawl = materializeCrawl(s, dir)
+      // Materialize the WARC-scan+extraction ONCE: three consumers
+      // (both union branches of `corpus`, plus `bench` feeding the
+      // decontamination broadcast) would otherwise each re-run the
+      // loop's most expensive kernel over the full shard set — measured
+      // 3 × ~2-3 s of extraction task time per q218 run (guide §1:
+      // don't compute things twice; §5: localCheckpoint for reused
+      // recomputable intermediates).
       val extracted = WarcShards.readRecords(s, crawl)
         .where(col("http_status") === 200)
         .select(
@@ -2108,6 +2136,7 @@ object WarcQueries {
             .cast("long").as("doc_id"),
           call_function("graft_html_text",
             col("body").cast("string"), lit(20), lit(33)).as("text"))
+        .localCheckpoint()
       val corpus0 = extracted.filter(col("doc_id") % 5 =!= 0)
       val corpus = corpus0.unionByName(
         corpus0.filter(col("doc_id") % 10 === 1)
@@ -2265,13 +2294,16 @@ object WarcQueries {
             if (!batch0.isEmpty) {
               val sp = batch0.sparkSession
               import sp.implicits._
-              val b = batch0.localCheckpoint()
-              // one aggregate job yields the batch count AND the shard
-              // assertion set (was a distinct+collect beside a separate
-              // count — two jobs per micro-batch)
-              val agg0 = b.agg(count(lit(1)), collect_set(col("doc_id") % 8)).head()
-              val nBatch = agg0.getLong(0)
-              val shards = agg0.getSeq[Long](1)
+              // batch count + shard assertion ride the checkpoint job
+              // itself (Dataset.observe) — zero extra passes
+              val obsB = org.apache.spark.sql.Observation()
+              val b = batch0
+                .observe(obsB, count(lit(1)).as("n"),
+                  collect_set(col("doc_id") % 8).as("shards"))
+                .localCheckpoint()
+              val nBatch = obsB.get("n").asInstanceOf[Long]
+              val shards = obsB.get("shards")
+                .asInstanceOf[scala.collection.Seq[Long]]
               require(shards.length == 1,
                 s"expected one shard file per micro-batch, got cohorts " +
                   s"${shards.sorted.mkString(",")} — per-shard ledger counts " +

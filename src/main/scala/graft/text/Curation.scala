@@ -181,9 +181,12 @@ object Curation {
     import spark.implicits._
 
     // Stage boundary: materialize `df` and return (reusable frame, row
-    // count). Durable mode counts during the write (observe = a plan
-    // node that sees every row of the same action — no second pass);
-    // ephemeral mode counts the checkpointed blocks (memory-speed).
+    // count). BOTH modes count during the materialization action
+    // (observe = a plan node that sees every row of the same action —
+    // no second pass): durable rides the parquet write, ephemeral rides
+    // the localCheckpoint job. A provably-empty stage is optimizer-
+    // eliminated together with its CollectMetrics node
+    // (PropagateEmptyRelation) — no metrics ≡ 0 rows.
     def boundary(df: DataFrame, name: String): (DataFrame, Long) =
       checkpointDir match {
         case Some(base) =>
@@ -193,8 +196,9 @@ object Curation {
             .write.mode("overwrite").parquet(path)
           (spark.read.parquet(path), obs.get.apply("n").asInstanceOf[Long])
         case None =>
-          val c = df.localCheckpoint()
-          (c, c.count())
+          val obs = org.apache.spark.sql.Observation()
+          val c = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+          (c, obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L))
       }
 
     val rawInput0 = docs.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -230,12 +234,11 @@ object Curation {
     }
 
     // 0.5 + 1. optional language filter, then the quality gate (both
-    // scan-side, narrow). In durable mode the input count observes the
-    // same action as the first downstream write (pre-filter node),
-    // saving the separate source pass.
+    // scan-side, narrow). The input count observes the same action as
+    // the first downstream boundary (a pre-filter CollectMetrics node),
+    // saving the separate source pass in both modes.
     val inObs = org.apache.spark.sql.Observation("curation_input")
-    val observedInput = checkpointDir.fold(input)(_ =>
-      input.observe(inObs, count(lit(1)).as("n")))
+    val observedInput = input.observe(inObs, count(lit(1)).as("n"))
     val (langKept, afterLangN) = langIdFn match {
       case Some(fn) =>
         boundary(
@@ -257,8 +260,7 @@ object Curation {
     val (quality, qualityN) = boundary(
       blocked.filter(TextAnalysis.qualityScore(col("text")) >= minQuality),
       "quality")
-    val inputN = checkpointDir.fold(input.count())(_ =>
-      inObs.get.apply("n").asInstanceOf[Long])
+    val inputN = inObs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
 
     // 2. exact dedup (deterministic keep-first per identical text)
     val (exact, exactN) = boundary(
