@@ -225,6 +225,26 @@ object Bench {
     // showed up as multi-second phantom spikes there.
     def cleanup(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // Terminated streaming queries leave their state-store providers
+      // LOADED in the JVM-wide registry (unload is lazy, on the 60 s
+      // maintenance cadence): tens of queries × 32 partitions × several
+      // stores of versioned in-memory maps accumulate across the
+      // battery — heap drag for later queries, and the maintenance
+      // thread keeps snapshotting them against scratch checkpoint dirs
+      // that ScratchDirs.release already deleted. Unload them with the
+      // blocks, outside every timed window; the next streaming query
+      // reloads its own providers from its own checkpoint as usual.
+      // (Reflective: StateStore.unloadAll() is private[sql] at the
+      // Scala level but public bytecode — harness-only usage.)
+      try {
+        val cls = Class.forName(
+          "org.apache.spark.sql.execution.streaming.state.StateStore$")
+        val module = cls.getField("MODULE$").get(null)
+        cls.getMethod("unloadAll").invoke(module): Unit
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] state-store unload failed: ${e.getMessage}")
+      }
       System.gc()
     }
 
