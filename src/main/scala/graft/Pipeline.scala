@@ -1568,13 +1568,15 @@ object Pipeline {
       val nNoindex = nNew - indexable.count()
       val (surv, c) =
         if (nNew > nNoindex) {
-          val (sv, cc) = graft.dedup.IncrementalIngest.cycle(
-            indexRef.get,
-            indexable.select(col("doc_id"), col("uri"), col("text"),
-              col("html"), col("__nofollow")),
-            "doc_id", "text")
-          val add = graft.dedup.MinHashDedup.extension(
-            indexRef.get, sv, "doc_id", "text")
+          // the extension rides the cycle's probe index (the survivors
+          // are never shingled a second time); its frames are both
+          // persisted below and unioned into the live index
+          val (sv, cc, add) = graft.dedup.IncrementalIngest
+            .cycleWithExtension(
+              indexRef.get,
+              indexable.select(col("doc_id"), col("uri"), col("text"),
+                col("html"), col("__nofollow")),
+              "doc_id", "text")
           batchId.foreach { bid =>
             graft.streaming.ExactlyOnce.appendKeyed(
               add.buckets, deltaDir("index_buckets"), bid)

@@ -63,8 +63,10 @@ object ProfileQuery {
     }
 
     val fn = SparkEntry.queries(name)
-    // cold run (not measured here — Bench owns the cold channel)
+    // cold run (informational — Bench owns the cold channel)
+    val tc0 = System.nanoTime()
     fn(spark, sfDir).count(): Unit
+    val coldWall = (System.nanoTime() - tc0) / 1e9
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     System.gc()
 
@@ -82,7 +84,8 @@ object ProfileQuery {
     Thread.sleep(500)
 
     def fmt(v: Double): String = String.format(Locale.ROOT, "%8.3f", Double.box(v))
-    println(s"== $name: $warmRuns warm run(s), wall ${fmt(wall)} s ==")
+    println(s"== $name: $warmRuns warm run(s), wall ${fmt(wall)} s " +
+      s"(cold ${fmt(coldWall)} s) ==")
     val rows = jobs.synchronized(jobs.values.toSeq)
     val totalJobMs = rows.map(j => math.max(0L, j.end - j.start)).sum
     println(s"-- ${rows.size} jobs, sum of job wall ${fmt(totalJobMs / 1e3)} s " +

@@ -29,4 +29,24 @@ object Durable {
         df.write.mode("overwrite").parquet(path)
         df.sparkSession.read.parquet(path)
     }
+
+  /** [[materialize]] with aggregate metrics riding the materialization
+    * action itself (`Dataset.observe` — a CollectMetrics node above the
+    * plan): iterative operators read their per-round fixpoint stamps
+    * (counts, sums) from the SAME job that cuts the round's lineage,
+    * instead of paying a second scan-and-aggregate action per round.
+    * Returns the materialized frame plus the metrics map. A
+    * provably-empty round is optimizer-eliminated together with its
+    * CollectMetrics node (PropagateEmptyRelation) — the map is then
+    * EMPTY; callers default absent keys to their empty-aggregate value.
+    */
+  def materializeObserved(
+      df: DataFrame, checkpointDir: Option[String], tag: String,
+      metrics: Seq[org.apache.spark.sql.Column]
+  ): (DataFrame, Map[String, Any]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = materialize(
+      df.observe(obs, metrics.head, metrics.tail: _*), checkpointDir, tag)
+    (out, obs.get)
+  }
 }

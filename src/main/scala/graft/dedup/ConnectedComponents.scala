@@ -59,22 +59,35 @@ object ConnectedComponents {
       return assignLocal(vertices, e)
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
 
-    // Active subgraph: vertices with degree ≥ 1.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
-
     // Convergence via the label-sum invariant: per-vertex labels are
     // monotonically nonincreasing, so the total sum strictly decreases
-    // exactly while something still changes — one tiny aggregate per
-    // round instead of a change-detection join. Summed as decimal(38,0):
+    // exactly while something still changes. Summed as decimal(38,0):
     // a LongType sum of 64-bit ids overflows (throws under ANSI) once
-    // vertex count × id magnitude passes 2^63.
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = labels.isEmpty // no edges → nothing to propagate
+    // vertex count × id magnitude passes 2^63. The (sum, count) stamp
+    // RIDES each round's checkpoint job (Dataset.observe) — zero extra
+    // aggregate actions per round; count==0 doubles as the no-edges
+    // early-out the isEmpty action used to pay for.
+    val stampMetrics = Seq(
+      coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).as("s"),
+      count(lit(1)).as("n"))
+    def cpStamped(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, java.math.BigDecimal, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, stampMetrics.head, stampMetrics.tail: _*)
+        .localCheckpoint()
+      val m = obs.get
+      (out,
+        m.get("s").map(_.asInstanceOf[java.math.BigDecimal])
+          .getOrElse(java.math.BigDecimal.ZERO),
+        m.get("n").map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+
+    // Active subgraph: vertices with degree ≥ 1.
+    var (labels, prevSum, nActive) = cpStamped(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
+    var converged = nActive == 0L // no edges → nothing to propagate
     var it = 0
     while (!converged && it < maxIterations) {
       // Each vertex receives its neighbors' current labels...
@@ -82,12 +95,11 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("component"))
       // ...and keeps the min over {own label} ∪ {neighbor labels}.
-      val next = labels.unionByName(incoming)
-        .groupBy("id")
-        .agg(min("component").as("component"))
-        .localCheckpoint()
+      val (next, nextSum, _) = cpStamped(
+        labels.unionByName(incoming)
+          .groupBy("id")
+          .agg(min("component").as("component")))
 
-      val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

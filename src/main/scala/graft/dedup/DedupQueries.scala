@@ -243,8 +243,11 @@ object DedupQueries {
       try {
         val ledger = (0 until 4).map { k =>
           val batch = all.filter(col("doc_id") % 4 === k)
-          val (surv, c) = IncrementalIngest.cycle(index, batch, "doc_id", "text")
-          index = MinHashDedup.extendIndex(index, surv, "doc_id", "text")
+          // the extension rides the cycle's probe index — the survivors
+          // are never shingled a second time
+          val (_, c, ext) = IncrementalIngest.cycleWithExtension(
+            index, batch, "doc_id", "text")
+          index = MinHashDedup.extendWith(index, ext)
           if (k % 2 == 1)
             index = MinHashDedup.compactIndex(index, s"$scratch/compact_$k")
           (k.toLong, c(0), c(1), c(2), c(3))
@@ -332,10 +335,9 @@ object DedupQueries {
                   s"micro-batch must be exactly the staged shard ${staged.get}, " +
                     s"got cohorts ${cohorts.sorted.mkString(",")} — the " +
                     "rolling ledger would be order-scrambled")
-                val (surv, c) = IncrementalIngest.cycle(
+                val (_, c, ext) = IncrementalIngest.cycleWithExtension(
                   index.get, b, "doc_id", "text")
-                index.set(MinHashDedup.extendIndex(
-                  index.get, surv, "doc_id", "text"))
+                index.set(MinHashDedup.extendWith(index.get, ext))
                 // batchId-keyed partition overwrite: a replayed
                 // micro-batch rewrites its own ledger partition instead
                 // of double-appending — exactly-once under retry

@@ -41,7 +41,8 @@ object IncrementalIngest {
     * full scan of the stage output at any scale).
     */
   private final case class Stages(
-      exact: DataFrame, intra: DataFrame, survivors: DataFrame)
+      exact: DataFrame, intra: DataFrame, survivors: DataFrame,
+      probeIdx: MinHashDedup.Index)
 
   private def stages(
       corpusIndex: MinHashDedup.Index,
@@ -73,12 +74,18 @@ object IncrementalIngest {
       xxhash64(intra(textCol)) === corpusIndex.textHashes("text_hash") &&
         xxhash64(lit("graft-th2"), intra(textCol)) ===
           corpusIndex.textHashes("text_hash2"), "left_anti")
-    // cross-corpus, near: banded probe + exact-Jaccard verification
+    // cross-corpus, near: banded probe + exact-Jaccard verification.
+    // The batch's probe index is built ONCE and exposed on the Stages —
+    // [[cycleWithExtension]] derives the survivors' index extension
+    // from it instead of shingling the survivors a second time.
+    val probeIdx = MinHashDedup.buildIndex(noExactCopy, idCol, textCol,
+      corpusIndex.shingleWidth, corpusIndex.bands, corpusIndex.rows)
     val corpusHits = MinHashDedup
-      .probe(noExactCopy, corpusIndex, idCol, textCol, threshold)
+      .probeWith(probeIdx, corpusIndex, threshold)
       .select(col("new_id").as(idCol))
       .distinct()
-    Stages(exact, intra, noExactCopy.join(corpusHits, Seq(idCol), "left_anti"))
+    Stages(exact, intra, noExactCopy.join(corpusHits, Seq(idCol), "left_anti"),
+      probeIdx)
   }
 
   /** Batch survivors after the four dedup stages. */
@@ -113,6 +120,29 @@ object IncrementalIngest {
       textCol: String,
       threshold: Double = 0.5
   ): (DataFrame, Array[Long]) = {
+    val (surv, counts, _) =
+      cycleWithExtension(corpusIndex, batch, idCol, textCol, threshold)
+    (surv, counts)
+  }
+
+  /** [[cycle]] PLUS the survivors' index extension (the frames
+    * [[MinHashDedup.extendWith]] unions and a persisting loop writes
+    * per drain) — derived from the probe stage's ALREADY-BUILT batch
+    * index by a survivor-id semi-join, so the survivors are never
+    * shingled a second time: the old
+    * `cycle(...)` + `extendIndex(index, surv, ...)` sequence paid one
+    * full shingle+signature pass (and one materialization job) per
+    * drain for rows the probe had just processed. Frame-identical to
+    * `MinHashDedup.extension(corpusIndex, surv, ...)`
+    * (IncrementalIngestSpec pins it).
+    */
+  def cycleWithExtension(
+      corpusIndex: MinHashDedup.Index,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5
+  ): (DataFrame, Array[Long], MinHashDedup.Index) = {
     import org.apache.spark.sql.Observation
     val obs = Map("batch" -> Observation(), "exact" -> Observation(),
       "intra" -> Observation(), "survivors" -> Observation())
@@ -127,7 +157,19 @@ object IncrementalIngest {
     // a zero count. Any non-empty plan keeps its node.
     def n(name: String): Long =
       obs(name).get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
-    (surv, Array(n("batch"), n("exact"), n("intra"), n("survivors")))
+    val survIds = surv.select(col(idCol).as("id"))
+    val ext = MinHashDedup.Index(
+      st.probeIdx.buckets.join(survIds, Seq("id"), "left_semi")
+        .select(col("band"), col("bucket"), col("id")),
+      st.probeIdx.sets.join(survIds, Seq("id"), "left_semi")
+        .select(col("id"), col("shset")),
+      // the text-hash pair is two plain hashes over the checkpointed
+      // survivor frame — no shingling involved
+      surv.select(xxhash64(col(textCol)).as("text_hash"),
+        xxhash64(lit("graft-th2"), col(textCol)).as("text_hash2"))
+        .distinct(),
+      corpusIndex.shingleWidth, corpusIndex.bands, corpusIndex.rows)
+    (surv, Array(n("batch"), n("exact"), n("intra"), n("survivors")), ext)
   }
 
   /** Per-stage row counts for one ingest cycle — the operational report

@@ -250,9 +250,23 @@ object MinHashDedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.5
+  ): DataFrame =
+    probeWith(
+      buildIndex(newDocs, idCol, textCol,
+        index.shingleWidth, index.bands, index.rows),
+      index, threshold)
+
+  /** [[probe]] over a PRE-BUILT batch index (same frozen parameters as
+    * `index`) — callers that also need the batch's index rows (e.g.
+    * [[IncrementalIngest]], which extends the corpus index with the
+    * survivors' rows) build it once and share it between the probe and
+    * the extension instead of shingling the batch twice.
+    */
+  def probeWith(
+      probeIdx: Index,
+      index: Index,
+      threshold: Double
   ): DataFrame = {
-    val probeIdx = buildIndex(newDocs, idCol, textCol,
-      index.shingleWidth, index.bands, index.rows)
     val cands = probeIdx.buckets.select(col("band"), col("bucket"), col("id").as("new_id"))
       .join(index.buckets.select(col("band"), col("bucket"), col("id").as("corpus_id")),
         Seq("band", "bucket"))

@@ -39,41 +39,36 @@ object KCore {
       checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    val spark = edges.sparkSession
 
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("vertex"))
         .unionAll(e.select(col("b").as("vertex")))
         .groupBy("vertex").agg(count(lit(1)).as("degree"))
 
-    def materialize(df: DataFrame, tag: String): DataFrame = checkpointDir match {
-      case None => df.localCheckpoint()
-      case Some(d) =>
-        val path = s"$d/$tag"
-        df.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-    }
-
-    var e = materialize(
-      edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b")),
-      "round0")
     // Early exit on fixpoint: peeling is monotone in the edge count, so
     // an unchanged count means a fixpoint — the remaining rounds would
     // be identities (which is also why the fixed-round unrolled oracle
-    // stays equivalent). The count reads the just-materialized frame:
-    // one cheap action per round against ~0.4 s of no-op round jobs.
-    var prevEdges = e.count()
+    // stays equivalent). The count RIDES the round's materialization
+    // job (Durable.materializeObserved) — zero extra actions per round.
+    val nMetric = Seq(count(lit(1)).as("n"))
+    def obsN(m: Map[String, Any]): Long =
+      m.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+    var (e, m0) = graft.core.Durable.materializeObserved(
+      edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b")),
+      checkpointDir, "round0", nMetric)
+    var prevEdges = obsN(m0)
     var round = 0
     var stable = false
     while (round < maxRounds && !stable) {
       val keep = degrees(e).where(col("degree") >= k).select("vertex")
       round += 1
-      e = materialize(
+      val (e2, m) = graft.core.Durable.materializeObserved(
         e.join(keep.withColumnRenamed("vertex", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("vertex", "b"), Seq("b"), "left_semi")
           .select("a", "b"),
-        s"round$round")
-      val nEdges = e.count()
+        checkpointDir, s"round$round", nMetric)
+      e = e2
+      val nEdges = obsN(m)
       stable = nEdges == prevEdges
       prevEdges = nEdges
     }

@@ -51,12 +51,13 @@ object PageRank {
     // round boundary would replay this corpus-sized shuffle+agg.
     val outdeg = mat(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
       "outdeg")
-    val nodes = mat(
+    // node count rides the materialization job (no separate action)
+    val (nodes, nm) = graft.core.Durable.materializeObserved(
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id")))
         .distinct(),
-      "nodes")
-    val n = nodes.count()
+      checkpointDir, "nodes", Seq(count(lit(1)).as("n")))
+    val n = nm.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var i = 0

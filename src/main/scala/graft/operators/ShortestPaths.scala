@@ -49,15 +49,17 @@ object ShortestPaths {
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
 
-    def mat(df: DataFrame, tag: String): DataFrame =
-      graft.core.Durable.materialize(df, checkpointDir, tag)
-
-    val e = mat(edges.select(
-      col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"),
-      col("w").cast("long").as("w")), "edges")
-    val negW = e.where(col("w") < 0).limit(1).count()
-    require(negW == 0L, "ShortestPaths requires non-negative weights")
+    // the negative-weight guard rides the edge materialization job
+    // (Durable.materializeObserved) — no separate scan
+    val (e, em) = graft.core.Durable.materializeObserved(
+      edges.select(
+        col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("w").cast("long").as("w")),
+      checkpointDir, "edges",
+      Seq(coalesce(sum(when(col("w") < 0, 1L)), lit(0L)).as("neg")))
+    require(em.get("neg").forall(_.asInstanceOf[Long] == 0L),
+      "ShortestPaths requires non-negative weights")
 
     def relax(dist: DataFrame): DataFrame =
       dist.unionAll(
@@ -68,31 +70,39 @@ object ShortestPaths {
 
     // (reached count, Σ dist) — both exact BIGINTs; relaxation is
     // monotone in each (set grows, distances shrink), so an unchanged
-    // pair certifies a fixpoint in ONE cheap action per round.
-    def stamp(dist: DataFrame): (Long, Long) = {
-      val r = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
-        .head()
-      (r.getLong(0), r.getLong(1))
+    // pair certifies a fixpoint. The stamp RIDES each round's
+    // materialization job (Durable.materializeObserved) — zero extra
+    // actions per round.
+    val stampMetrics = Seq(count(lit(1)).as("n"),
+      coalesce(sum(col("dist")), lit(0L)).as("s"))
+    def stampOf(m: Map[String, Any]): (Long, Long) = (
+      m.get("n").map(_.asInstanceOf[Long]).getOrElse(0L),
+      m.get("s").map(_.asInstanceOf[Long]).getOrElse(0L))
+    def matStamped(df: DataFrame, tag: String): (DataFrame, (Long, Long)) = {
+      val (out, m) = graft.core.Durable.materializeObserved(
+        df, checkpointDir, tag, stampMetrics)
+      (out, stampOf(m))
     }
 
-    var dist = mat(
+    var (dist, prev) = matStamped(
       sources.select(col("id").cast("long").as("id")).distinct()
         .withColumn("dist", lit(0L)),
       "round0")
-    var prev = stamp(dist)
     var round = 0
     var stable = false
     while (round < maxRounds && !stable) {
       round += 1
-      dist = mat(relax(dist), s"round$round")
-      val cur = stamp(dist)
+      val (d2, cur) = matStamped(relax(dist), s"round$round")
+      dist = d2
       stable = cur == prev
       prev = cur
     }
     if (!stable) {
       // the cap was hit while still moving — one more relaxation must
       // be an identity or the returned distances are not shortest
-      require(stamp(relax(dist)) == prev,
+      val r = relax(dist).agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+        .head()
+      require((r.getLong(0), r.getLong(1)) == prev,
         s"shortest-path relaxation did not converge within $maxRounds rounds — raise maxRounds")
     }
     dist

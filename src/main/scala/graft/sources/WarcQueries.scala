@@ -814,12 +814,13 @@ object WarcQueries {
                   seenRef.get, fresh, "canon"))
                 val row =
                   if (nNew > 0) {
-                    val (surv, c) = graft.dedup.IncrementalIngest.cycle(
-                      indexRef.get,
-                      fresh.select(col("bid").as("doc_id"), col("text")),
-                      "doc_id", "text")
-                    indexRef.set(graft.dedup.MinHashDedup.extendIndex(
-                      indexRef.get, surv, "doc_id", "text"))
+                    val (_, c, ext) = graft.dedup.IncrementalIngest
+                      .cycleWithExtension(
+                        indexRef.get,
+                        fresh.select(col("bid").as("doc_id"), col("text")),
+                        "doc_id", "text")
+                    indexRef.set(graft.dedup.MinHashDedup.extendWith(
+                      indexRef.get, ext))
                     (ord.toLong, nBatch, nDom, nRob, nUrl,
                       c(0), c(1), c(2), c(3))
                   } else (ord.toLong, nBatch, nDom, nRob, nUrl, 0L, 0L, 0L, 0L)

@@ -108,6 +108,29 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(IncrementalIngest.survivors(index, batch3, "doc_id", "text").count() == 1L)
   }
 
+  test("cycleWithExtension's extension ≡ a fresh buildIndex over the survivors") {
+    // the probe-index reuse (no second shingle pass) must be
+    // frame-identical to the old cycle(...)+extension(index, surv, ...)
+    // sequence on all three index components
+    val (surv, c, ext) = IncrementalIngest.cycleWithExtension(
+      index, batch, "doc_id", "text")
+    assert(c.toSeq == Seq(5L, 4L, 3L, 1L))
+    val rebuilt = MinHashDedup.extension(index, surv, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(ext.buckets) == rows(rebuilt.buckets))
+    assert(rows(ext.sets) == rows(rebuilt.sets))
+    assert(rows(ext.textHashes) == rows(rebuilt.textHashes))
+    assert((ext.shingleWidth, ext.bands, ext.rows) ==
+      (rebuilt.shingleWidth, rebuilt.bands, rebuilt.rows))
+    // and the extended index behaves identically downstream: a re-upload
+    // of the survivor dies under extendWith(ext) exactly as it did
+    // under extendIndex(surv)
+    val grown = MinHashDedup.extendWith(index, ext)
+    val reupload = Seq((60L, novel)).toDF("doc_id", "text")
+    assert(IncrementalIngest.survivors(grown, reupload, "doc_id", "text").count() == 0L)
+  }
+
   test("checkpoint-resumed AvailableNow drains see only files staged since the last run") {
     // the q232 stream-rolling contract: shard files arrive over time and
     // each drain RESUMES from the shared checkpoint, so batch k contains
