@@ -1191,9 +1191,23 @@ object Pipeline {
       // writes.
       val recs = recs0.localCheckpoint()
 
+      // Stage counts ride the stage materialization jobs via
+      // Dataset.observe (one CollectMetrics node per counted level; a
+      // provably-empty stage is optimizer-eliminated with its node, so
+      // absent metrics read as 0) — the loop used to pay one extra
+      // count action per stage, a second full pass over a drop-sized
+      // frame at crawl scale.
+      def counted(df: DataFrame, o: org.apache.spark.sql.Observation): DataFrame =
+        df.observe(o, count(lit(1)).as("n"))
+      def obsN(o: org.apache.spark.sql.Observation): Long =
+        o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+      def newObs() = org.apache.spark.sql.Observation()
+
       // self-hosted robots: roll this drain's /robots.txt fetches
-      val robFetches = graft.sources.RobotsTxt.fetchesIn(recs).localCheckpoint()
-      val nRobFetch = robFetches.count()
+      val obsRobFetch = newObs()
+      val robFetches = counted(graft.sources.RobotsTxt.fetchesIn(recs), obsRobFetch)
+        .localCheckpoint()
+      val nRobFetch = obsN(obsRobFetch)
       if (nRobFetch > 0) {
         batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
           robFetches, deltaDir("robots"), b))
@@ -1207,9 +1221,10 @@ object Pipeline {
       // window, a sub-500 answer closes it; once a host's window
       // expires the effective rules gate it to complete disallow
       if (robotsErrWindow > 0) {
-        val robAnswers = graft.sources.RobotsTxt.answersIn(recs)
+        val obsAns = newObs()
+        val robAnswers = counted(graft.sources.RobotsTxt.answersIn(recs), obsAns)
           .localCheckpoint()
-        if (!robAnswers.isEmpty) {
+        if (obsN(obsAns) > 0L) {
           batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
             robAnswers, deltaDir("robotserr"), b))
           robotsErrRef.set(graft.sources.RobotsTxt.rollErrors(
@@ -1257,19 +1272,21 @@ object Pipeline {
         .localCheckpoint()
       val children = locs.where(col("is_index"))
         .select(col("loc").as("sitemap_url")).distinct()
-      val newChildren = children
-        .join(sitemapsRef.get.select(col("sitemap_url").as("__e")),
-          col("sitemap_url") === col("__e"), "left_anti")
+      val obsChildren = newObs()
+      val newChildren = counted(children
+          .join(sitemapsRef.get.select(col("sitemap_url").as("__e")),
+            col("sitemap_url") === col("__e"), "left_anti"), obsChildren)
         .localCheckpoint()
-      if (!newChildren.isEmpty) {
+      if (obsN(obsChildren) > 0L) {
         batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
           newChildren, deltaDir("sitemaps"), b))
         sitemapsRef.set(sitemapsRef.get.unionByName(newChildren)
           .localCheckpoint())
       }
-      val pageSeeds = locs.where(!col("is_index"))
-        .select(col("loc").as("target")).distinct().localCheckpoint()
-      val nSeeds = pageSeeds.count()
+      val obsSeeds = newObs()
+      val pageSeeds = counted(locs.where(!col("is_index"))
+        .select(col("loc").as("target")).distinct(), obsSeeds).localCheckpoint()
+      val nSeeds = obsN(obsSeeds)
       // sitemaps themselves are fetch targets (advertised ones every
       // drain — the EMITTED seen-set downstream keeps each a one-time
       // emission; children once, on discovery)
@@ -1291,9 +1308,10 @@ object Pipeline {
           .select(uriCanon.as("url"))
           .join(broadcast(known.select(col("sitemap_url").as("__k"))),
             col("url") === col("__k"), "left_semi")
-        val ctlFetched = robotsFetched.unionByName(smFetched)
-          .distinct().localCheckpoint()
-        if (!ctlFetched.isEmpty) {
+        val obsCtl = newObs()
+        val ctlFetched = counted(robotsFetched.unionByName(smFetched)
+          .distinct(), obsCtl).localCheckpoint()
+        if (obsN(obsCtl) > 0L) {
           batchId.foreach(b => graft.streaming.ExactlyOnce.appendKeyed(
             ctlFetched, deltaDir("control"), b))
           controlRef.set(graft.sources.ControlPlane.observe(
@@ -1312,8 +1330,10 @@ object Pipeline {
           .toDF("target", "__ekey", "__tier", "__ctl")
 
       // redirects: frontier edges + canonical-alias chains
-      val redirEdges = graft.sources.RedirectEdges.edges(recs).localCheckpoint()
-      val nRedir = redirEdges.count()
+      val obsRedir = newObs()
+      val redirEdges = counted(graft.sources.RedirectEdges.edges(recs), obsRedir)
+        .localCheckpoint()
+      val nRedir = obsN(obsRedir)
       val aliases = graft.sources.RedirectEdges
         .resolveChains(redirEdges, maxHops).localCheckpoint()
       // frontier targets are the chain-resolved FINAL destinations:
@@ -1349,7 +1369,8 @@ object Pipeline {
       // the assets route obeys the SAME policy surfaces as the page
       // route (r16 ADVICE): a blocked domain's or robots-disallowed
       // PDF must not reach the multimodal hand-off either
-      val assets = graft.sources.RobotsTxt.filterAllowed(
+      val obsAssets = newObs()
+      val assets = counted(graft.sources.RobotsTxt.filterAllowed(
           domainKill(nonControl.where(!extractable), "target_uri"),
           "target_uri", effRulesRef.get, agent)
         .select(col("target_uri").as("uri"),
@@ -1358,9 +1379,9 @@ object Pipeline {
           when(col("http_content_encoding").isNotNull,
             concat(lit("unsupported-encoding:"),
               col("http_content_encoding")))
-            .otherwise(lit("media-type")).as("reason"))
+            .otherwise(lit("media-type")).as("reason")), obsAssets)
         .localCheckpoint()
-      val nAssets = assets.count()
+      val nAssets = obsN(obsAssets)
       // URL-level policy gates FIRST — the domain blocklist and the
       // robots verdict read nothing but the URI, so they run on the
       // raw page rows and extraction pays only for the SURVIVORS: at
@@ -1371,15 +1392,20 @@ object Pipeline {
       // counts read off the un-extracted frames; nonControl is
       // already checkpointed, so the cheap URL filters recompute from
       // materialized rows.
-      val pages = nonControl.where(extractable)
+      // the batch/domain/robots counts ride the ONE job that
+      // materializes the gated+extracted frame below (per-gate
+      // CollectMetrics nodes — filters cannot push through an observe,
+      // so each count stays exact at its gate level)
+      val obsBatch = newObs()
+      val obsDom = newObs()
+      val obsRob = newObs()
+      val pages = counted(nonControl.where(extractable)
         .select(xxhash64(col("record_id")).as("doc_id"),
           col("target_uri").as("uri"),
           col("http_x_robots_tag").as("__xrt"),
           col("body"),
-          coalesce(col("http_charset"), lit("")).as("__cs"))
-      val nBatch = pages.count()
-      val domKept = domainKill(pages, "uri")
-      val nDom = domKept.count()
+          coalesce(col("http_charset"), lit("")).as("__cs")), obsBatch)
+      val domKept = counted(domainKill(pages, "uri"), obsDom)
       val robKeptRaw = graft.sources.RobotsTxt.filterAllowed(
         domKept, "uri", effRulesRef.get, agent)
       // charset-aware decode (NOT cast-as-UTF-8) on the gate
@@ -1400,16 +1426,18 @@ object Pipeline {
         coalesce(graft.sources.HtmlLinks.scopedDirectives(
           col("__xrt"), agent), lit("")),
         coalesce(graft.sources.HtmlLinks.metaRobots(col("html")), lit("")))
-      val robKept = withHtml
+      val robKept = counted(withHtml
         .withColumn("text", call_function("graft_html_text",
           col("html"), lit(minChars), lit(maxLinkPct)))
         .withColumn("__noindex",
           graft.sources.HtmlLinks.hasRobotsDirective(pageDirs, "noindex"))
         .withColumn("__nofollow",
           graft.sources.HtmlLinks.hasRobotsDirective(pageDirs, "nofollow"))
-        .drop("__xrt", "body", "__cs")
+        .drop("__xrt", "body", "__cs"), obsRob)
         .localCheckpoint()
-      val nRob = robKept.count()
+      val nBatch = obsN(obsBatch)
+      val nDom = obsN(obsDom)
+      val nRob = obsN(obsRob)
       // `rel=canonical` aliases — the HTML-declared twin of the 3xx
       // chain (CMSes stamp it on every URL variant; on large sites it
       // outnumbers redirect aliases). Harvested post-policy-gates; a
@@ -1427,31 +1455,39 @@ object Pipeline {
           graft.sources.HtmlLinks.effectiveBase(col("uri"), col("html"))
             .as("__base"))
         .localCheckpoint()
-      val canonPairs = canonRaw.select(col("src"),
+      val obsCanon = newObs()
+      val canonPairs = counted(canonRaw.select(col("src"),
           graft.sources.UrlOps.canonicalize(
             graft.sources.HtmlLinks.resolve(col("__base"), col("__raw")))
             .as("final_dst"))
         .where(col("final_dst").isNotNull &&
-          col("final_dst") =!= graft.sources.UrlOps.canonicalize(col("src")))
+          col("final_dst") =!= graft.sources.UrlOps.canonicalize(col("src"))),
+        obsCanon)
         .localCheckpoint()
-      val nCanon = canonPairs.count()
+      val nCanon = obsN(obsCanon)
       val allAliases = aliases.withColumn("kind", lit("redirect"))
         .unionByName(canonPairs.withColumn("hops", lit(1))
           .withColumn("kind", lit("canonical"))
           .select(col("src"), col("final_dst"), col("hops"), col("kind")))
       val canonTargets = canonPairs.select(col("final_dst").as("target"))
-      val urlDeduped = graft.dedup.ExactDedup.keepFirst(
+      // canonical-dedup and novelty counts ride the ONE job that
+      // materializes `fresh` (the intermediate urlDeduped frame is
+      // consumed exactly once, by the novelty anti-join)
+      val obsUrl = newObs()
+      val obsNew = newObs()
+      val urlDeduped = counted(graft.dedup.ExactDedup.keepFirst(
         robKept.withColumn("canon",
           graft.sources.UrlOps.canonicalize(col("uri"))),
-        Seq("canon"), Seq(col("uri"))).localCheckpoint()
-      val nUrl = urlDeduped.count()
-      val fresh =
+        Seq("canon"), Seq(col("uri"))), obsUrl)
+      val fresh = counted(
         (if (changeAware)
           graft.dedup.UrlSeenSet.filterNew(urlDeduped, "canon", "text", seenRef.get)
         else
-          graft.dedup.UrlSeenSet.filterNew(urlDeduped, "canon", seenRef.get))
+          graft.dedup.UrlSeenSet.filterNew(urlDeduped, "canon", seenRef.get)),
+        obsNew)
           .localCheckpoint()
-      val nNew = fresh.count()
+      val nUrl = obsN(obsUrl)
+      val nNew = obsN(obsNew)
       val seenDelta =
         if (changeAware) graft.dedup.UrlSeenSet.deltaRows(fresh, "canon", "text")
         else graft.dedup.UrlSeenSet.deltaRows(fresh, "canon")
@@ -1564,8 +1600,10 @@ object Pipeline {
       // noindex pages never enter the ingest cycle (they must not
       // reach the corpus OR the dedup index), but they already
       // advanced the schedule and the seen-set above
-      val indexable = fresh.where(!col("__noindex")).localCheckpoint()
-      val nNoindex = nNew - indexable.count()
+      val obsIdxable = newObs()
+      val indexable = counted(fresh.where(!col("__noindex")), obsIdxable)
+        .localCheckpoint()
+      val nNoindex = nNew - obsN(obsIdxable)
       val (surv, c) =
         if (nNew > nNoindex) {
           // the extension rides the cycle's probe index (the survivors

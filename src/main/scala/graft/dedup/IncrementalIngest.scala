@@ -42,7 +42,7 @@ object IncrementalIngest {
     */
   private final case class Stages(
       exact: DataFrame, intra: DataFrame, survivors: DataFrame,
-      probeIdx: MinHashDedup.Index)
+      batchIdx: MinHashDedup.Index)
 
   private def stages(
       corpusIndex: MinHashDedup.Index,
@@ -57,9 +57,18 @@ object IncrementalIngest {
     // checkpointed: its rows flow straight into this stage's single
     // materialization (callers pass already-bounded micro-batches).
     val exact = bound(ExactDedup.keepFirst(batch, Seq(textCol), Seq(col(idCol))), "exact")
+    // ONE shingle+signature pass over the exact-stage survivors feeds
+    // the intra-batch pair generation, the corpus probe AND (via
+    // [[cycleWithExtension]]) the survivors' index extension — the old
+    // shape shingled the batch once for the pair stage (withSets) and
+    // AGAIN inside the probe's index build. Built under the corpus
+    // index's frozen parameters (the Index scaladoc's frozen-parameter
+    // law; every live caller builds its corpus index with the defaults
+    // the pair stage used before, so pair semantics are unchanged).
+    val batchIdx = MinHashDedup.buildIndex(exact, idCol, textCol,
+      corpusIndex.shingleWidth, corpusIndex.bands, corpusIndex.rows)
     // intra-batch, near: banded candidate pairs -> components -> min id
-    val pairs = MinHashDedup
-      .nearDuplicatePairs(exact, idCol, textCol, threshold)
+    val pairs = MinHashDedup.pairsFromIndex(batchIdx, threshold)
       .select(col("id_a"), col("id_b"))
     val labels = ConnectedComponents.assign(
       exact.select(col(idCol).as("id")), pairs)
@@ -74,18 +83,23 @@ object IncrementalIngest {
       xxhash64(intra(textCol)) === corpusIndex.textHashes("text_hash") &&
         xxhash64(lit("graft-th2"), intra(textCol)) ===
           corpusIndex.textHashes("text_hash2"), "left_anti")
-    // cross-corpus, near: banded probe + exact-Jaccard verification.
-    // The batch's probe index is built ONCE and exposed on the Stages —
-    // [[cycleWithExtension]] derives the survivors' index extension
-    // from it instead of shingling the survivors a second time.
-    val probeIdx = MinHashDedup.buildIndex(noExactCopy, idCol, textCol,
-      corpusIndex.shingleWidth, corpusIndex.bands, corpusIndex.rows)
+    // cross-corpus, near: banded probe + exact-Jaccard verification,
+    // over the batch index restricted to the rows still alive (a
+    // skinny id semi-join — no re-shingling)
+    val ncIds = noExactCopy.select(col(idCol).as("id"))
+    val probeIdx = MinHashDedup.Index(
+      batchIdx.buckets.join(ncIds, Seq("id"), "left_semi")
+        .select(col("band"), col("bucket"), col("id")),
+      batchIdx.sets.join(ncIds, Seq("id"), "left_semi")
+        .select(col("id"), col("shset")),
+      batchIdx.textHashes,
+      batchIdx.shingleWidth, batchIdx.bands, batchIdx.rows)
     val corpusHits = MinHashDedup
       .probeWith(probeIdx, corpusIndex, threshold)
       .select(col("new_id").as(idCol))
       .distinct()
     Stages(exact, intra, noExactCopy.join(corpusHits, Seq(idCol), "left_anti"),
-      probeIdx)
+      batchIdx)
   }
 
   /** Batch survivors after the four dedup stages. */
@@ -159,9 +173,9 @@ object IncrementalIngest {
       obs(name).get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     val survIds = surv.select(col(idCol).as("id"))
     val ext = MinHashDedup.Index(
-      st.probeIdx.buckets.join(survIds, Seq("id"), "left_semi")
+      st.batchIdx.buckets.join(survIds, Seq("id"), "left_semi")
         .select(col("band"), col("bucket"), col("id")),
-      st.probeIdx.sets.join(survIds, Seq("id"), "left_semi")
+      st.batchIdx.sets.join(survIds, Seq("id"), "left_semi")
         .select(col("id"), col("shset")),
       // the text-hash pair is two plain hashes over the checkpointed
       // survivor frame — no shingling involved

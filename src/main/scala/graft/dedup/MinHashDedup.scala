@@ -280,6 +280,31 @@ object MinHashDedup {
       .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** [[nearDuplicatePairs]] over a PRE-BUILT [[Index]] of the same
+    * docs: candidate generation reads the index's banded postings and
+    * verification its shingle sets — a caller that already built an
+    * index over the batch (e.g. [[IncrementalIngest]], which needs one
+    * for the corpus probe and the rolling extension anyway) reuses it
+    * instead of shingling and signing the batch a second time. Output
+    * is row-identical to [[nearDuplicatePairs]] under the index's
+    * frozen build parameters (id columns named `id_a`/`id_b`).
+    */
+  def pairsFromIndex(idx: Index, threshold: Double): DataFrame = {
+    val cands = idx.buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(Pairs.ordered(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    cands
+      .join(idx.sets.select(col("id").as("id_a"), col("shset").as("set_a")), "id_a")
+      .join(idx.sets.select(col("id").as("id_b"), col("shset").as("set_b")), "id_b")
+      .withColumn("jaccard", Shingles.jaccard(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Full near-dup pipeline over a document table: pairs with exact
     * Jaccard ≥ `threshold`, plus the estimate-free exact similarity.
     */
